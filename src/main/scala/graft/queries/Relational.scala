@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Relational operator coverage over the TPC-H-ish testdata: aggregation,
+  * joins (broadcast + shuffle, semi/anti), windows, sorts/top-k, set ops,
+  * rollup, sessionization. Each query has a DuckDB-equivalent oracle in
+  * [[graft.SparkEntry.oracleSql]]; column names and row order match exactly.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (region/nation/customer/supplier) are broadcast;
+  *  - fact-side aggregations do map-side partial aggregation (Catalyst
+  *    HashAggregate partial/final) so the shuffle carries group keys only;
+  *  - top-k uses sort+limit which Spark executes as TakeOrderedAndProject
+  *    (per-partition top-k, no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: single scan, partial agg, tiny shuffle. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-10 customers by order revenue: shuffle agg on the fact side, then
+    * broadcast join of the (small) per-customer totals with customer dim. */
+  def q2TopCustomers(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d).groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    perCust.join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val q2Sql: String =
+    """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join with a broadcast dim
+    * filter, aggregation, top-k. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Window function: top-3 orders per customer by price (row_number). */
+  def q4WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_price"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q4Sql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_price, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Star join across two broadcast dims with rollup aggregation.
+    * Expressed in Spark SQL (ROLLUP + post-Expand column refs trip the
+    * Dataset API's ambiguous-self-join detection; SQL resolution is fine —
+    * the physical plan is identical: two BroadcastHashJoins + Expand +
+    * HashAggregate). */
+  def q5RegionRollup(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("g_customer")
+    nation(s, d).createOrReplaceTempView("g_nation")
+    region(s, d).createOrReplaceTempView("g_region")
+    s.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM g_customer
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  val q5Sql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |       coalesce(n_name, 'ALL') AS nation,
+      |       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** TPC-H Q6-style selective filter + scalar aggregate (filter pushdown to
+    * the parquet scan; verify with .explain → PushedFilters). */
+  def q6Revenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Distinct aggregation (expand + two-phase agg in Spark). */
+  def q7Distinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  val q7Sql: String =
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem""".stripMargin
+
+  /** Set operations: orders with no lineitems (EXCEPT) ∪-all sanity row. */
+  def q8SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"))
+    val l = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"))
+    o.except(l).orderBy("o_orderkey")
+  }
+
+  val q8Sql: String =
+    """SELECT o_orderkey FROM orders
+      |EXCEPT
+      |SELECT l_orderkey AS o_orderkey FROM lineitem
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Semi/anti join cardinalities (EXISTS / NOT EXISTS). */
+  def q9SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withOrders.unionAll(withoutOrders).orderBy("kind")
+  }
+
+  val q9Sql: String =
+    """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind""".stripMargin
+
+  /** Hourly event-stream aggregation (batch analog of a tumbling window). */
+  def q10EventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val q10Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** JSON extraction from the events.props payload column. */
+  def q11Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val q11Sql: String =
+    """SELECT event_type,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) via window lag —
+    * the batch formulation of streaming session windows. */
+  def q12Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+      |       count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_us IS NULL
+      |           OR epoch_us(ts) - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, ts,
+      |           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS prev_us
+      |    FROM events))
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Correlated scalar-subquery style: orders above their customer's average
+    * order value (self-join formulation, shuffle agg + broadcast of the
+    * small per-customer aggregate). */
+  def q13AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val avgs = o.groupBy(col("o_custkey").as("a_custkey"))
+      .agg(avg("o_totalprice").as("avg_price"))
+    o.join(broadcast(avgs), col("o_custkey") === col("a_custkey"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_price
+      |FROM orders o
+      |JOIN (SELECT o_custkey AS a_custkey, avg(o_totalprice) AS avg_price
+      |      FROM orders GROUP BY o_custkey) a
+      |  ON o.o_custkey = a.a_custkey
+      |WHERE o_totalprice > avg_price * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q1_agg" -> (q1Agg _, q1Sql),
+    "q2_topk_customers" -> (q2TopCustomers _, q2Sql),
+    "q3_shipping" -> (q3Shipping _, q3Sql),
+    "q4_window_rank" -> (q4WindowRank _, q4Sql),
+    "q5_region_rollup" -> (q5RegionRollup _, q5Sql),
+    "q6_filter_agg" -> (q6Revenue _, q6Sql),
+    "q7_distinct" -> (q7Distinct _, q7Sql),
+    "q8_setops" -> (q8SetOps _, q8Sql),
+    "q9_semi_anti" -> (q9SemiAnti _, q9Sql),
+    "q10_events_hourly" -> (q10EventsHourly _, q10Sql),
+    "q11_json_extract" -> (q11Json _, q11Sql),
+    "q12_sessionize" -> (q12Sessionize _, q12Sql),
+    "q13_above_avg" -> (q13AboveAvg _, q13Sql),
+  )
+}

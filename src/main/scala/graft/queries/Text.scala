@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline layer. All are expressed with codegen'd
+  * built-in functions (no UDFs) so they stay inside whole-stage codegen
+  * and scale linearly with the corpus; the only shuffles are the final
+  * group-bys / the shingle self-join.
+  */
+object Text {
+
+  private def toks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+
+  /** Per-document token counts (whitespace tokenization). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(toks(col("text")))).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  length(text) AS len_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality-scoring signals: alpha ratio, digit ratio, mean token length,
+    * distinct-token ratio (lexical diversity). */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n"),
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("n_alpha"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+        toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        round(col("n_alpha").cast("double") / col("n"), 4).as("alpha_ratio"),
+        round(col("n_digit").cast("double") / col("n"), 4).as("digit_ratio"),
+        round((col("n") - col("n_alpha") - col("n_digit")).cast("double")
+          / col("n"), 4).as("other_ratio"),
+        round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4)
+          .as("ttr"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+      |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+      |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 4) AS digit_ratio,
+      |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |         - length(regexp_replace(text, '[^0-9]', '', 'g'))) / length(text), 4) AS other_ratio,
+      |  round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+      |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS ttr
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
+    * text. This is the exact-dedup key at scale (hash, not full text,
+    * crosses the shuffle). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact deduplication summary: group by content fingerprint, keep the
+    * lowest doc_id per group. Output: corpus-level stats + number of
+    * documents that would be dropped. Only the 16-byte hash shuffles. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+    fp.groupBy("fp").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum("c").as("n_docs"),
+        (sum("c") - count(lit(1))).as("n_dropped"))
+      .select(col("n_unique"), col("n_docs").cast("long").as("n_docs"),
+        col("n_dropped").cast("long").as("n_dropped"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT count(*) AS n_unique,
+      |       CAST(sum(c) AS BIGINT) AS n_docs,
+      |       CAST(sum(c) - count(*) AS BIGINT) AS n_dropped
+      |FROM (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      |             count(*) AS c
+      |      FROM documents GROUP BY 1)""".stripMargin
+
+  /** Exact 3-gram (word-shingle) Jaccard near-duplicate pairs — the
+    * brute-force oracle for MinHash/LSH. Formulated as an inverted-index
+    * self-join (shingle → docs), which is the scalable shape: no cartesian
+    * product, only docs sharing ≥1 shingle pair up.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_int").cast("double") /
+          (col("n_a") + col("n_b") - col("n_int")), 4))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val ngramJaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Language distribution × a cheap heuristic signal (mean token length):
+    * groundwork for the langid operator (full n-gram model in
+    * graft.functions.LangId, verified in ScalaTest). */
+  def langStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), size(toks(col("text"))).as("n_tok"),
+        length(col("text")).as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_tok"), 4).as("avg_tokens"),
+        round(avg(col("n_chars").cast("double") / col("n_tok")), 4)
+          .as("avg_tok_len"))
+      .orderBy("lang")
+
+  val langStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+      |  round(avg(length(text) / len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tok_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_token_counts" -> (tokenCounts _, tokenCountsSql),
+    "text_quality_score" -> (qualityScore _, qualityScoreSql),
+    "text_fingerprint" -> (fingerprint _, fingerprintSql),
+    "dedup_exact" -> (dedupExact _, dedupExactSql),
+    "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
+    "text_lang_stats" -> (langStats _, langStatsSql),
+  )
+}
