@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Driver-gate coverage for the readstat connector: each query routes
+  * testdata through our writer + DSv2 reader and aggregates; the DuckDB
+  * oracle computes the same aggregate over the original parquet. A hash
+  * match therefore certifies the whole binary write→read path (types,
+  * nulls, temporal conversion, pushdown) — DuckDB can't read .dta, so
+  * this is the strongest oracle available to the driver.
+  */
+object ReadstatQueries {
+
+  private def scratch(d: String, name: String): String = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_rt/${tag}_$name"
+  }
+
+  /** lineitem → .dta → read → Q1-style aggregate (dates as strings). */
+  def dtaRoundtripAgg(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "lineitem.dta")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_returnflag"), col("l_shipdate"))
+      .write.format("readstat").mode("overwrite").save(path)
+    val back = s.read.format("readstat").load(path)
+    back.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  val dtaRoundtripAggSql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Projection + filter over a .dta scan: only 2 of 5 written columns are
+    * decoded (SupportsPushDownRequiredColumns reaches the byte planner). */
+  def dtaPushdown(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders.dta")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_totalprice") > 50000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaPushdownSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_totalprice > 50000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Text through strL: documents (long text → strL blobs) roundtrip. */
+  def dtaStrlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "documents.dta")
+    documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(md5(col("text"))).as("min_md5"))
+      .orderBy("lang")
+  }
+
+  val dtaStrlRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  min(md5(text)) AS min_md5
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
+    "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
+    "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
+  )
+}

@@ -1,0 +1,68 @@
+package graft.spark.readstat
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** One statistical-file format (dta/sav/sas7bdat/xpt/por) as seen by the
+  * DSv2 connector: driver-side schema + partition planning, executor-side
+  * row decoding. Implementations must keep `metadata` cheap (header/meta
+  * parse only — no data read) because it runs at planning time, and
+  * `rows` embarrassingly parallel across disjoint row ranges.
+  */
+trait FormatModule extends Serializable {
+
+  /** Full (unpruned) schema for the file under the given options. */
+  def schema(path: String, opts: ReadstatOptions): StructType
+
+  /** Plan row-range partitions. `limit` is the pushed-down row cap.
+    * Implementations choose the regime the format supports: fixed-width
+    * seek → many ranges; sequential-only (compressed) → single range.
+    */
+  def planPartitions(path: String, opts: ReadstatOptions,
+      limit: Option[Long]): Seq[RangePartition]
+
+  /** Decode one partition, emitting only `required` columns (names are a
+    * subset of `schema`, in requested order). Runs on executors.
+    */
+  def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[InternalRow]
+}
+
+/** A contiguous row range of one file. `startRow`/`numRows` are in file row
+  * order; `seqScan` marks formats that must decode from the file start
+  * (row-skip instead of byte-seek).
+  */
+final case class RangePartition(
+    path: String,
+    startRow: Long,
+    numRows: Long)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Scan/write options (mirrors the reference's ScanOptions surface,
+  * reference: src/lib.rs:80-132, python __init__.py:498-676).
+  */
+final case class ReadstatOptions(
+    valueLabelsAsStrings: Boolean = false,
+    missingStringAsNull: Boolean = true,
+    rowIndexName: Option[String] = None,
+    informativeNulls: Boolean = false,
+    informativeNullSuffix: String = "_null",
+    partitionTargetBytes: Long = 128L * 1024 * 1024,
+    batchRows: Int = 0) // 0 = auto (~2M cells per batch)
+
+object ReadstatOptions {
+  def from(m: java.util.Map[String, String]): ReadstatOptions = {
+    def b(k: String, dflt: Boolean) =
+      Option(m.get(k)).map(_.trim.toBoolean).getOrElse(dflt)
+    ReadstatOptions(
+      valueLabelsAsStrings = b("valueLabelsAsStrings", dflt = false),
+      missingStringAsNull = b("missingStringAsNull", dflt = true),
+      rowIndexName = Option(m.get("rowIndexName")).filter(_.nonEmpty),
+      informativeNulls = b("informativeNulls", dflt = false),
+      informativeNullSuffix =
+        Option(m.get("informativeNullSuffix")).getOrElse("_null"),
+      partitionTargetBytes = Option(m.get("partitionTargetBytes"))
+        .map(_.toLong).getOrElse(128L * 1024 * 1024),
+      batchRows = Option(m.get("batchRows")).map(_.toInt).getOrElse(0))
+  }
+}

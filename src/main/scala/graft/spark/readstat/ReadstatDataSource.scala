@@ -1,0 +1,158 @@
+package graft.spark.readstat
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, WriteBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** `spark.read.format("readstat").load(path)` — DataSource V2 connector for
+  * SAS/Stata/SPSS statistical files (SURVEY.md §2.1). Format is dispatched
+  * on file extension like the reference's `scan_readstat`
+  * (reference: polars_readstat/__init__.py:498-676).
+  *
+  * Pushdown surface: required-column pruning and limit reach the binary
+  * decoders (unprojected columns are never decoded; limit caps partition
+  * planning). Filters are evaluated by Catalyst post-scan, matching the
+  * reference's per-batch predicate application (__init__.py:657-661).
+  */
+class ReadstatDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "readstat"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      // Spark encodes multiple load() paths as a JSON array
+      js.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "readstat: no path specified")
+    all
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = ReadstatOptions.from(options.asCaseSensitiveMap())
+    Formats.moduleFor(pathsOf(options).head).schema(pathsOf(options).head, opts)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new ReadstatTable(pathsOf(options), schema, ReadstatOptions.from(properties))
+  }
+}
+
+/** Extension → format module dispatch. */
+object Formats {
+  def moduleFor(path: String): FormatModule = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".dta")) StataModule
+    else if (lower.endsWith(".sav") || lower.endsWith(".zsav")) SpssModule
+    else if (lower.endsWith(".sas7bdat")) SasModule
+    else if (lower.endsWith(".xpt") || lower.endsWith(".xpt5") ||
+      lower.endsWith(".xpt8") || lower.endsWith(".xpt9")) XptModule
+    else if (lower.endsWith(".por")) PorModule
+    else throw new IllegalArgumentException(
+      s"readstat: unsupported extension for $path (expected .dta/.sav/.zsav/.sas7bdat/.xpt/.por)")
+  }
+}
+
+class ReadstatTable(paths: Seq[String], tableSchema: StructType,
+    opts: ReadstatOptions) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = paths.mkString(",")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ReadstatScanBuilder(paths, tableSchema, opts)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ReadstatWriteBuilder(paths.head, info.schema(),
+      info.options().asCaseSensitiveMap().asScala.toMap)
+}
+
+class ReadstatScanBuilder(paths: Seq[String], full: StructType,
+    opts: ReadstatOptions)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
+
+  private var required: StructType = full
+  private var limit: Option[Long] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve file column order for the pruned subset
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def pushLimit(n: Int): Boolean = {
+    // only safe to cap partition planning for single-file scans: the limit
+    // is per-scan, and a multi-file union would need driver coordination
+    if (paths.length == 1) { limit = Some(n.toLong); true } else false
+  }
+
+  override def build(): Scan = new ReadstatScan(paths, required, opts, limit)
+}
+
+class ReadstatScan(paths: Seq[String], required: StructType,
+    opts: ReadstatOptions, limit: Option[Long]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"readstat ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
+      limit.map(l => s" limit=$l").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap(p => Formats.moduleFor(p).planPartitions(p, opts, limit))
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReadstatPartitionReaderFactory(required, opts)
+}
+
+class ReadstatPartitionReaderFactory(required: StructType,
+    opts: ReadstatOptions) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[RangePartition]
+    val it = Formats.moduleFor(part.path).rows(part, opts, required)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Write path: V1Write fallback gives us the full DataFrame, which we need
+  * because stat-file headers require row counts and max string widths up
+  * front — a two-job write (width aggregation, then partitioned encode +
+  * driver stitch), mirroring the reference's two-pass `sink_stata`
+  * (reference: pybindings.rs:951-1096). See graft.spark.readstat.writers.
+  */
+class ReadstatWriteBuilder(path: String, schema: StructType,
+    options: Map[String, String]) extends WriteBuilder with SupportsOverwrite {
+  override def overwrite(filters: Array[Filter]): WriteBuilder = this
+  override def truncate(): WriteBuilder = this
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          graft.spark.readstat.writers.StatWriters.write(data, path, options)
+      }
+  }
+}

@@ -1,0 +1,331 @@
+package graft.spark.readstat
+
+import java.io.RandomAccessFile
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Bin
+import graft.core.stata.{StataParser, StataTypes}
+import graft.core.stata.StataTypes._
+
+/** Stata .dta as a Spark format module.
+  *
+  * Scale design: the data section is fixed-width rows, so partitions are
+  * O(1)-seekable row ranges — embarrassingly parallel with no cross-
+  * partition state (SURVEY.md §4.2). StataTypes.Metadata and the strL (GSO) table are
+  * parsed once per JVM per file (executor-local cache) rather than
+  * shipped from the driver, so a 1000-executor scan does 1000 cheap
+  * header parses instead of broadcasting a potentially-large strL map.
+  */
+object StataModule extends FormatModule {
+
+  // ---- per-JVM caches (keyed by path + size + mtime) ----
+  private case class FileKey(path: String, size: Long, mtime: Long)
+  private def keyOf(path: String) = {
+    val f = new java.io.File(path)
+    FileKey(path, f.length(), f.lastModified())
+  }
+  private val mdCache = new ConcurrentHashMap[FileKey, StataTypes.Metadata]()
+  private val strlCache = new ConcurrentHashMap[FileKey, Map[(Int, Long), String]]()
+
+  def metadata(path: String): StataTypes.Metadata =
+    mdCache.computeIfAbsent(keyOf(path), _ => StataParser.parse(path))
+
+  private def strls(path: String): Map[(Int, Long), String] =
+    strlCache.computeIfAbsent(keyOf(path), _ => StataParser.loadStrls(path, metadata(path)))
+
+  /** Label table for a variable, if both the name link and table exist. */
+  private def labelMapFor(md: StataTypes.Metadata, v: Variable): Option[Map[Int, String]] =
+    v.valueLabelName.flatMap(n => md.valueLabels.find(_.name == n)).map(_.mapping)
+
+  private def isNumeric(v: Variable): Boolean = v.varType match {
+    case TStr(_) | TStrL => false
+    case _ => true
+  }
+
+  def sparkTypeOf(md: StataTypes.Metadata, v: Variable, opts: ReadstatOptions): DataType =
+    if (opts.valueLabelsAsStrings && isNumeric(v) && labelMapFor(md, v).isDefined)
+      StringType
+    else v.outKind match {
+      case OByte => ByteType
+      case OShort => ShortType
+      case OInt => IntegerType
+      case OFloat => FloatType
+      case ODouble => DoubleType
+      case OString => StringType
+      case ODate(_) => DateType
+      case ODatetimeMs => TimestampNTZType
+      case OTimeNs => LongType
+    }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType = {
+    val md = metadata(path)
+    val fields = Vector.newBuilder[StructField]
+    md.variables.foreach { v =>
+      val metaB = new MetadataBuilder()
+      if (v.outKind == OTimeNs) metaB.putString("readstat.type", "time")
+      v.label.foreach(l => metaB.putString("readstat.label", l))
+      v.format.foreach(f => metaB.putString("readstat.format", f))
+      fields += StructField(v.name, sparkTypeOf(md, v, opts),
+        nullable = true, metaB.build())
+      if (opts.informativeNulls && isNumeric(v))
+        fields += StructField(v.name + opts.informativeNullSuffix, StringType,
+          nullable = true)
+    }
+    opts.rowIndexName.foreach(n =>
+      fields += StructField(n, LongType, nullable = false))
+    StructType(fields.result())
+  }
+
+  override def planPartitions(path: String, opts: ReadstatOptions,
+      limit: Option[Long]): Seq[RangePartition] = {
+    val md = metadata(path)
+    val total = limit.map(math.min(_, md.nObs)).getOrElse(md.nObs)
+    if (total == 0) return Seq(RangePartition(path, 0, 0))
+    val rowLen = math.max(1, md.rowLen)
+    val rowsPerPart = math.max(1L, opts.partitionTargetBytes / rowLen)
+    (0L until total by rowsPerPart).map { start =>
+      RangePartition(path, start, math.min(rowsPerPart, total - start))
+    }
+  }
+
+  // Decode plan for one output field
+  private final case class ColPlan(
+      fieldIdx: Int,
+      varIdx: Int,            // -1 = row index
+      byteOff: Int,
+      vt: VarType,
+      outKind: OutKind,
+      labels: Map[Int, String], // null = plain decode
+      indicator: Boolean)       // true = informative-null indicator column
+
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[InternalRow] = {
+    val md = metadata(part.path)
+    val little = md.littleEndian
+    val rules = md.rules
+    val cs = md.charset
+    val rowLen = md.rowLen
+    val nFields = required.length
+
+    // var name → (index, byte offset)
+    val offsets = new Array[Int](md.nVars)
+    var acc = 0
+    var i = 0
+    while (i < md.nVars) {
+      offsets(i) = acc; acc += md.variables(i).varType.width; i += 1
+    }
+    val byName = md.variables.zipWithIndex.map { case (v, idx) => v.name -> idx }.toMap
+
+    val plans = required.fields.zipWithIndex.map { case (f, fi) =>
+      if (opts.rowIndexName.contains(f.name))
+        ColPlan(fi, -1, 0, TDouble, ODouble, null, indicator = false)
+      else {
+        val (baseName, indicator) =
+          if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+              byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+              !byName.contains(f.name))
+            (f.name.stripSuffix(opts.informativeNullSuffix), true)
+          else (f.name, false)
+        val vi = byName.getOrElse(baseName,
+          throw new IllegalArgumentException(s"no such column: ${f.name}"))
+        val v = md.variables(vi)
+        val labels =
+          if (!indicator && opts.valueLabelsAsStrings && isNumeric(v))
+            labelMapFor(md, v).orNull
+          else null
+        ColPlan(fi, vi, offsets(vi), v.varType, v.outKind, labels, indicator)
+      }
+    }
+
+    val needStrl = plans.exists(p => p.varIdx >= 0 && p.vt == TStrL)
+    val strlMap: Map[(Int, Long), String] =
+      if (needStrl) strls(part.path) else Map.empty
+
+    val raf = new RandomAccessFile(part.path, "r")
+    // xmlish map offsets point at the "<data>" tag itself — skip it
+    val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
+    raf.seek(dataStart + part.startRow * rowLen)
+    val chunkRows = math.max(1, math.min(
+      if (opts.batchRows > 0) opts.batchRows
+      else math.max(1024, (4 << 20) / math.max(1, rowLen)),
+      Int.MaxValue)).toInt
+
+    new Iterator[InternalRow] {
+      private var remaining = part.numRows
+      private var buf: Array[Byte] = _
+      private var bufRows = 0
+      private var bufPos = 0
+      private var globalRow = part.startRow
+      private var closed = false
+
+      private def fill(): Unit = {
+        if (remaining <= 0) { close(); return }
+        val n = math.min(chunkRows.toLong, remaining).toInt
+        val bytes = new Array[Byte](n * rowLen)
+        raf.readFully(bytes)
+        buf = bytes; bufRows = n; bufPos = 0
+      }
+
+      private def close(): Unit =
+        if (!closed) { closed = true; raf.close() }
+
+      override def hasNext: Boolean = {
+        if (remaining <= 0) { close(); return false }
+        if (buf == null || bufPos >= bufRows) fill()
+        remaining > 0
+      }
+
+      override def next(): InternalRow = {
+        val base = bufPos * rowLen
+        val row = new GenericInternalRow(nFields)
+        var p = 0
+        while (p < plans.length) {
+          val pl = plans(p)
+          row.update(pl.fieldIdx, decodeCell(pl, buf, base, globalRow))
+          p += 1
+        }
+        bufPos += 1; remaining -= 1; globalRow += 1
+        row
+      }
+
+      private def decodeCell(pl: ColPlan, b: Array[Byte], base: Int,
+          rowIdx: Long): Any = {
+        if (pl.varIdx == -1) return rowIdx // row-index column
+        val off = base + pl.byteOff
+        if (pl.indicator) return decodeIndicator(pl, b, off)
+        pl.vt match {
+          case TByte =>
+            val v = b(off).toInt
+            if (rules.sysMissingEnabled && v >= rules.sysInt8) null
+            else if (v > rules.maxInt8) null
+            else finishNumeric(pl, v.toDouble, v.toByte)
+          case TInt =>
+            val v = Bin.i16(b, off, little).toInt
+            if (rules.sysMissingEnabled && v >= rules.sysInt16) null
+            else if (v > rules.maxInt16) null
+            else finishNumeric(pl, v.toDouble, v.toShort)
+          case TLong =>
+            val v = Bin.i32(b, off, little)
+            if (rules.sysMissingEnabled && v >= rules.sysInt32) null
+            else if (v > rules.maxInt32) null
+            else finishNumeric(pl, v.toDouble, v)
+          case TFloat =>
+            val bits = Bin.f32bits(b, off, little)
+            val ubits = bits & 0xffffffffL
+            if ((bits & 0x80000000) == 0 && ubits > rules.maxFloatBits) {
+              if (ubits == rules.missFloatBits) null
+              else finishNumeric(pl, Double.NaN, Float.NaN)
+            } else finishNumeric(pl, java.lang.Float.intBitsToFloat(bits).toDouble,
+              java.lang.Float.intBitsToFloat(bits))
+          case TDouble =>
+            val bits = Bin.f64bits(b, off, little)
+            if ((bits & 0x8000000000000000L) == 0 &&
+                java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) {
+              if (bits == rules.missDoubleBits) null
+              else finishNumeric(pl, Double.NaN, Double.NaN)
+            } else {
+              val d = java.lang.Double.longBitsToDouble(bits)
+              finishNumeric(pl, d, d)
+            }
+          case TStr(w) =>
+            val s = Bin.zstr(b, off, w, cs)
+            if (s.isEmpty && opts.missingStringAsNull) null
+            else UTF8String.fromString(s)
+          case TStrL =>
+            val (v, o) = decodeStrlRef(b, off)
+            strlMap.get((v, o)) match {
+              case Some(s) =>
+                if (s.isEmpty && opts.missingStringAsNull) null
+                else UTF8String.fromString(s)
+              case None => null
+            }
+        }
+      }
+
+      /** Apply label decode / temporal conversion to a valid numeric. */
+      private def finishNumeric(pl: ColPlan, asDouble: Double, raw: Any): Any = {
+        if (pl.labels != null) {
+          val label =
+            if (asDouble == math.floor(asDouble) && !asDouble.isInfinite &&
+                math.abs(asDouble) < Int.MaxValue.toDouble)
+              pl.labels.get(asDouble.toInt)
+            else None
+          return UTF8String.fromString(label.getOrElse(formatNum(asDouble)))
+        }
+        pl.outKind match {
+          case ODate(unit) =>
+            if (asDouble.isNaN) null
+            else StataTypes.stataDateToEpochDays(math.floor(asDouble).toLong, unit)
+          case ODatetimeMs =>
+            if (asDouble.isNaN) null
+            else (asDouble.toLong - EpochShiftMs) * 1000L // → micros
+          case OTimeNs =>
+            if (asDouble.isNaN) null
+            else {
+              val dayMs = 86400000L
+              (((asDouble.toLong % dayMs) + dayMs) % dayMs) * 1000000L
+            }
+          case _ => raw
+        }
+      }
+
+      private def decodeIndicator(pl: ColPlan, b: Array[Byte], off: Int): Any = {
+        if (!rules.sysMissingEnabled) return null
+        val k: Int = pl.vt match {
+          case TByte =>
+            val v = b(off).toInt
+            if (v >= rules.sysInt8) v - rules.sysInt8 else -1
+          case TInt =>
+            val v = Bin.i16(b, off, little).toInt
+            if (v >= rules.sysInt16) v - rules.sysInt16 else -1
+          case TLong =>
+            val v = Bin.i32(b, off, little)
+            if (v >= rules.sysInt32) v - rules.sysInt32 else -1
+          // Stata float user-missings step by n<<11, doubles by n<<40
+          // (stata.com/help.cgi?missing; the reference's +1 step for
+          // doubles is a bug we don't replicate)
+          case TFloat =>
+            val bits = Bin.f32bits(b, off, little) & 0xffffffffL
+            if ((bits & 0x80000000L) == 0 && bits > rules.maxFloatBits)
+              ((bits - rules.missFloatBits) >> 11).toInt
+            else -1
+          case TDouble =>
+            val bits = Bin.f64bits(b, off, little)
+            if ((bits & 0x8000000000000000L) == 0 &&
+                java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0)
+              ((bits - rules.missDoubleBits) >> 40).toInt
+            else -1
+          case _ => -1
+        }
+        if (k >= 1 && k <= 26)
+          UTF8String.fromString("." + ('a' + k - 1).toChar)
+        else null
+      }
+
+      private def decodeStrlRef(b: Array[Byte], off: Int): (Int, Long) =
+        if (md.version >= 118) {
+          val useLittle = little || md.version >= 119
+          val v = Bin.u16(b, off, useLittle)
+          val o =
+            if (useLittle)
+              (b(off + 2) & 0xffL) | ((b(off + 3) & 0xffL) << 8) |
+                ((b(off + 4) & 0xffL) << 16) | ((b(off + 5) & 0xffL) << 24) |
+                ((b(off + 6) & 0xffL) << 32) | ((b(off + 7) & 0xffL) << 40)
+            else
+              ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+                ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+                ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+          (v, o)
+        } else (Bin.i32(b, off, little), Bin.u32(b, off + 4, little))
+    }
+  }
+
+  private def formatNum(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+}

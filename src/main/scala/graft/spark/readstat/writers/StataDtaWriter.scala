@@ -1,0 +1,312 @@
+package graft.spark.readstat.writers
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Bin
+
+/** Distributed .dta (Stata 118) writer.
+  *
+  * Stat-file headers need row count and max string widths before any row
+  * is written, so this is a two-job write mirroring the reference's
+  * streaming sink (`sink_stata`, reference: pybindings.rs:951-1096):
+  *
+  *   Job 1: `agg(count, max(octet_length(c)) …)` → widths + row count.
+  *   Job 2: `mapPartitions` encodes each partition's rows to a scratch
+  *          chunk file (records are fixed-width and independent; strL
+  *          payloads go to a per-partition GSO chunk keyed (v,o) =
+  *          (partitionId+1, localIdx), which stays valid under plain
+  *          concatenation).
+  *   Driver: stream header + metadata tables, splice data chunks, GSO
+  *          chunks, value-label section; all offsets are computed up
+  *          front so the file is written in one forward pass.
+  *
+  * On a real cluster the scratch dir must be shared storage (set
+  * `scratchDir`); the final splice is sequential IO on the driver —
+  * the encode (CPU-bound part) is fully distributed.
+  */
+object StataDtaWriter {
+
+  private val MaxStrWidth = 2045
+
+  private sealed trait W { def width: Int; def typeCode: Int }
+  private case object WByte extends W { val width = 1; val typeCode = 65530 }
+  private case object WInt extends W { val width = 2; val typeCode = 65529 }
+  private case object WLong extends W { val width = 4; val typeCode = 65528 }
+  private case object WFloat extends W { val width = 4; val typeCode = 65527 }
+  private case object WDouble extends W { val width = 8; val typeCode = 65526 }
+  private case class WStr(w: Int) extends W { def width: Int = w; def typeCode: Int = w }
+  private case object WStrL extends W { val width = 8; val typeCode = 32768 }
+
+  private case class ColSpec(name: String, stataName: String, w: W,
+      fmt: String, src: DataType)
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    val spark = df.sparkSession
+    val schema = df.schema
+
+    // ---- job 1: row count + max string byte-widths ----
+    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val aggs = count(lit(1)).as("__n") +:
+      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
+    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nObs = head.getLong(0)
+    val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
+      c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
+    }.toMap
+
+    val usedNames = scala.collection.mutable.Set[String]()
+    val cols: Array[ColSpec] = schema.fields.map { f =>
+      val w: W = f.dataType match {
+        case ByteType | BooleanType => WByte
+        case ShortType => WInt
+        case IntegerType => WLong
+        case LongType => WDouble // Stata has no int64 storage
+        case FloatType => WFloat
+        case DoubleType => WDouble
+        case _: DecimalType => WDouble
+        case DateType => WLong
+        case TimestampType | TimestampNTZType => WDouble
+        case StringType =>
+          val mw = widths(f.name)
+          if (mw > MaxStrWidth) WStrL else WStr(mw)
+        case other =>
+          throw new IllegalArgumentException(
+            s"stata writer: unsupported type $other for column ${f.name}")
+      }
+      val fmt = f.dataType match {
+        case DateType => "%td"
+        case TimestampType | TimestampNTZType => "%tc"
+        case StringType => s"%${math.min(widths(f.name), MaxStrWidth)}s"
+        case FloatType | DoubleType | LongType | _: DecimalType => "%10.0g"
+        case _ => "%8.0g"
+      }
+      ColSpec(f.name, stataName(f.name, usedNames), w, fmt, f.dataType)
+    }
+    val rowLen = cols.map(_.w.width).sum
+
+    // ---- job 2: encode partitions to scratch chunks ----
+    val scratch = options.getOrElse("scratchDir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    Files.createDirectories(Paths.get(scratch))
+    val specsB = spark.sparkContext.broadcast(cols)
+    val chunks: Array[(Int, String, String, Long)] = // (pid, dataFile, gsoFile, rows)
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val specs = specsB.value
+        val dataF = File.createTempFile(s"graft_dta_${pid}_", ".chunk", new File(scratch))
+        val gsoF = File.createTempFile(s"graft_gso_${pid}_", ".chunk", new File(scratch))
+        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(dataF), 1 << 20))
+        val gso = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(gsoF), 1 << 20))
+        var rows = 0L
+        var strlIdx = 0L
+        val v16 = pid + 1
+        it.foreach { row =>
+          var i = 0
+          while (i < specs.length) {
+            encodeCell(row, i, specs(i), out, gso, v16, () => { strlIdx += 1; strlIdx })
+            i += 1
+          }
+          rows += 1
+        }
+        out.close(); gso.close()
+        Iterator((pid, dataF.getAbsolutePath, gsoF.getAbsolutePath, rows))
+      }.collect()
+
+    val ordered = chunks.sortBy(_._1)
+    val totalRows = ordered.map(_._4).sum
+    require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
+    require(ordered.length <= 0xFFFE, "too many partitions for strL v field")
+
+    // ---- driver: assemble final file in one forward pass ----
+    val dataBytes = ordered.map(c => new File(c._2).length()).sum
+    val gsoBytes = ordered.map(c => new File(c._3).length()).sum
+    assembleFile(path, cols, nObs, rowLen, dataBytes, gsoBytes, ordered)
+    ordered.foreach { c => new File(c._2).delete(); new File(c._3).delete() }
+  }
+
+  private def stataName(name: String, used: scala.collection.mutable.Set[String]): String = {
+    var s = name.map(c =>
+      if (c.isLetterOrDigit && c < 128 || c == '_') c else '_').mkString
+    if (s.isEmpty || (!s(0).isLetter && s(0) != '_')) s = "_" + s
+    s = s.take(32)
+    var candidate = s
+    var i = 1
+    while (!used.add(candidate)) {
+      val suffix = i.toString
+      candidate = s.take(32 - suffix.length) + suffix
+      i += 1
+    }
+    candidate
+  }
+
+  private def encodeCell(row: Row, i: Int, spec: ColSpec,
+      out: DataOutputStream, gso: DataOutputStream, v16: Int,
+      nextO: () => Long): Unit = {
+    val isNull = row.isNullAt(i)
+    spec.w match {
+      case WByte =>
+        if (isNull) out.write(0x65)
+        else spec.src match {
+          case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
+          case _ => out.write(row.getByte(i).toInt & 0xff)
+        }
+      case WInt =>
+        Bin.putU16(out, if (isNull) 0x7fe5 else row.getShort(i).toInt & 0xffff)
+      case WLong =>
+        val v: Int =
+          if (isNull) 0x7fffffe5
+          else spec.src match {
+            case DateType =>
+              // java.sql.Date → days since 1970 → days since 1960
+              val days = row.getAs[java.sql.Date](i).toLocalDate.toEpochDay
+              (days + graft.core.stata.StataTypes.EpochShiftDays).toInt
+            case _ => row.getInt(i)
+          }
+        Bin.putU32(out, v.toLong & 0xffffffffL)
+      case WFloat =>
+        if (isNull) Bin.putU32(out, 0x7f000000L)
+        else Bin.putF32(out, row.getFloat(i))
+      case WDouble =>
+        val d: Double =
+          if (isNull) java.lang.Double.longBitsToDouble(0x7fe0000000000000L)
+          else spec.src match {
+            case TimestampType =>
+              row.getAs[java.sql.Timestamp](i).getTime.toDouble +
+                graft.core.stata.StataTypes.EpochShiftMs
+            case TimestampNTZType =>
+              val ldt = row.getAs[java.time.LocalDateTime](i)
+              ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble +
+                graft.core.stata.StataTypes.EpochShiftMs
+            case LongType => row.getLong(i).toDouble
+            case _: DecimalType => row.getDecimal(i).doubleValue()
+            case _ => row.getDouble(i)
+          }
+        if (isNull) Bin.putU64(out, 0x7fe0000000000000L) else Bin.putF64(out, d)
+      case WStr(w) =>
+        Bin.putZPad(out, if (isNull) "" else row.getString(i), w, StandardCharsets.UTF_8)
+      case WStrL =>
+        if (isNull) { Bin.putU64(out, 0L) } // (0,0) = empty strL ref
+        else {
+          val bytes = row.getString(i).getBytes(StandardCharsets.UTF_8)
+          val o = nextO()
+          // data-section ref: v(2) + o(6) little-endian
+          Bin.putU16(out, v16)
+          var k = 0
+          var ov = o
+          while (k < 6) { out.write((ov & 0xff).toInt); ov >>= 8; k += 1 }
+          // GSO record: "GSO" v(4) o(8) t(1)=130 len(4) payload+NUL
+          gso.write("GSO".getBytes(StandardCharsets.US_ASCII))
+          Bin.putU32(gso, v16.toLong)
+          Bin.putU64(gso, o)
+          gso.write(0x82)
+          Bin.putU32(gso, (bytes.length + 1).toLong)
+          gso.write(bytes); gso.write(0)
+        }
+    }
+  }
+
+  private def assembleFile(path: String, cols: Array[ColSpec], nObs: Long,
+      rowLen: Int, dataBytes: Long, gsoBytes: Long,
+      chunks: Array[(Int, String, String, Long)]): Unit = {
+    val k = cols.length
+    val bos = new java.io.ByteArrayOutputStream()
+
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    def tag(s: String): Unit = bos.write(ascii(s))
+
+    // header
+    tag("<stata_dta><header><release>118</release><byteorder>LSF</byteorder><K>")
+    Bin.putU16(bos, k)
+    tag("</K><N>")
+    Bin.putU64(bos, nObs)
+    tag("</N><label>")
+    Bin.putU16(bos, 0)
+    tag("</label><timestamp>")
+    bos.write(0)
+    tag("</timestamp></header>")
+
+    // section sizes after <map> are all fixed → compute offsets forward
+    val mapOff = bos.size().toLong
+    val mapLen = 5 + 14 * 8 + 6
+    val vtOff = mapOff + mapLen
+    val vtLen = 16 + 2 * k + 17
+    val vnOff = vtOff + vtLen
+    val vnLen = 10 + 129 * k + 11
+    val soOff = vnOff + vnLen
+    val soLen = 10 + 2 * (k + 1) + 11
+    val fmtOff = soOff + soLen
+    val fmtLen = 9 + 57 * k + 10
+    val vlnOff = fmtOff + fmtLen
+    val vlnLen = 19 + 129 * k + 20
+    val vlbOff = vlnOff + vlnLen
+    val vlbLen = 17 + 321 * k + 18
+    val chOff = vlbOff + vlbLen
+    val chLen = 17 + 18
+    val dataOff = chOff + chLen
+    val dataLen = 6 + dataBytes + 7
+    val strlOff = dataOff + dataLen
+    val strlLen = 7 + gsoBytes + 8
+    val vlOff = strlOff + strlLen
+    val vlLen = 14 + 15
+    val endOff = vlOff + vlLen
+    val eofOff = endOff + 12
+
+    tag("<map>")
+    Seq(0L, mapOff, vtOff, vnOff, soOff, fmtOff, vlnOff, vlbOff, chOff,
+      dataOff, strlOff, vlOff, endOff, eofOff).foreach(Bin.putU64(bos, _))
+    tag("</map>")
+
+    tag("<variable_types>")
+    cols.foreach(c => Bin.putU16(bos, c.w.typeCode))
+    tag("</variable_types>")
+    tag("<varnames>")
+    cols.foreach(c => Bin.putZPad(bos, c.stataName, 129, StandardCharsets.UTF_8))
+    tag("</varnames>")
+    tag("<sortlist>")
+    (0 to k).foreach(_ => Bin.putU16(bos, 0))
+    tag("</sortlist>")
+    tag("<formats>")
+    cols.foreach(c => Bin.putZPad(bos, c.fmt, 57, StandardCharsets.UTF_8))
+    tag("</formats>")
+    tag("<value_label_names>")
+    cols.foreach(_ => Bin.putZPad(bos, "", 129, StandardCharsets.UTF_8))
+    tag("</value_label_names>")
+    tag("<variable_labels>")
+    cols.foreach(_ => Bin.putZPad(bos, "", 321, StandardCharsets.UTF_8))
+    tag("</variable_labels>")
+    tag("<characteristics></characteristics>")
+    tag("<data>")
+
+    val outPath = Paths.get(path)
+    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(outPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(bos.toByteArray))
+      // splice data chunks
+      chunks.foreach { c =>
+        val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+        try { var p = 0L; val n = in.size()
+          while (p < n) p += in.transferTo(p, n - p, ch)
+        } finally in.close()
+      }
+      val tail = new java.io.ByteArrayOutputStream()
+      tail.write(ascii("</data><strls>"))
+      ch.write(java.nio.ByteBuffer.wrap(tail.toByteArray))
+      chunks.foreach { c =>
+        val in = java.nio.channels.FileChannel.open(Paths.get(c._3), StandardOpenOption.READ)
+        try { var p = 0L; val n = in.size()
+          while (p < n) p += in.transferTo(p, n - p, ch)
+        } finally in.close()
+      }
+      ch.write(java.nio.ByteBuffer.wrap(
+        ascii("</strls><value_labels></value_labels></stata_dta>")))
+    } finally ch.close()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.readstat
+
+import java.io.File
+
+/** Golden-parity and integrity tests for the .dta reader, mirroring the
+  * reference's fixture-corpus strategy (SURVEY.md §5): every fixture opens
+  * and reads; parallel == serial; projection/limit pushdown; value parity
+  * vs pandas-exported goldens.
+  */
+class StataReaderSpec extends SparkTestBase {
+
+  private def fixtures: Seq[File] =
+    new File(res("fixtures/stata")).listFiles().toSeq.sortBy(_.getName)
+
+  test("all stata fixtures open and read fully") {
+    fixtures.foreach { f =>
+      val df = spark.read.format("readstat").load(f.getAbsolutePath)
+      assert(df.schema.nonEmpty, f.getName)
+      val n = df.count()
+      val md = graft.spark.readstat.StataModule.metadata(f.getAbsolutePath)
+      assert(n == md.nObs, s"${f.getName}: count $n != nObs ${md.nObs}")
+    }
+  }
+
+  test("fixture values match pandas goldens") {
+    val goldenDir = new File(res("golden/stata"))
+    goldenDir.listFiles().toSeq.sortBy(_.getName).foreach { g =>
+      val name = g.getName.stripSuffix(".parquet")
+      val dta = s"${res("fixtures/stata")}/$name.dta"
+      val got = spark.read.format("readstat")
+        .option("missingStringAsNull", "false").load(dta)
+      var want = spark.read.parquet(g.getAbsolutePath)
+      // pandas goldens store datetimes as TIMESTAMP(NANOS) which the
+      // nanosAsLong session conf surfaces as LongType — convert back
+      got.schema.fields.foreach { f =>
+        val isTemporal = f.dataType == org.apache.spark.sql.types.DateType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType
+        if (isTemporal &&
+            want.schema(f.name).dataType == org.apache.spark.sql.types.LongType)
+          want = want.withColumn(f.name,
+            org.apache.spark.sql.functions.timestamp_micros(
+              (org.apache.spark.sql.functions.col(f.name) / 1000L).cast("long")))
+      }
+      assertSameData(got, want, name)
+    }
+  }
+
+  test("parallel read == serial read") {
+    val dta = res("fixtures/stata/sample.dta")
+    val serial = spark.read.format("readstat").load(dta)
+    val parallel = spark.read.format("readstat")
+      .option("partitionTargetBytes", "4096").load(dta)
+    assert(parallel.rdd.getNumPartitions > 1, "expected multiple partitions")
+    // order by row index to compare deterministically across partitionings
+    val si = spark.read.format("readstat").option("rowIndexName", "_i").load(dta)
+    val pi = spark.read.format("readstat")
+      .option("partitionTargetBytes", "4096").option("rowIndexName", "_i").load(dta)
+    assertSameData(pi.orderBy("_i"), si.orderBy("_i"), "parallel-vs-serial")
+  }
+
+  test("projection pushdown decodes only requested columns") {
+    val dta = res("fixtures/stata/stata14_118.dta")
+    val df = spark.read.format("readstat").load(dta).select("Cities", "Ints")
+    assert(df.columns.toSeq == Seq("Cities", "Ints"))
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows(0).getString(0) == "Bogota")
+    // physical scan description must show only the pruned columns
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("cols=Cities,Ints"), scanDesc)
+  }
+
+  test("limit pushdown caps partition planning") {
+    val dta = res("fixtures/stata/sample.dta")
+    val df = spark.read.format("readstat").load(dta).limit(3)
+    assert(df.count() == 3)
+  }
+
+  test("value labels as strings") {
+    val dta = res("fixtures/stata/stata14_118.dta")
+    val df = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(dta)
+    val bytes = df.select("Bytes").collect().map(r => Option(r.getString(0)).orNull)
+    assert(bytes.toSeq == Seq("option b Ünicode", null, "option a", "4", "option a"))
+  }
+
+  test("partially labeled column falls back to numeric-as-string") {
+    val dta = res("fixtures/stata/stata-dta-partially-labeled.dta")
+    val df = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(dta)
+    val vals = df.collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(vals.exists(v => v != null && !v.forall(_.isDigit)), s"expected labels in $vals")
+  }
+
+  test("informative nulls expose .a-.z as indicator columns") {
+    val dta = res("fixtures/stata/missing_test.dta")
+    val df = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(dta)
+    val indCols = df.columns.filter(_.endsWith("_null"))
+    assert(indCols.nonEmpty)
+    val row = df.collect()(0)
+    val inds = indCols.map(c => Option(row.getAs[String](c)).orNull)
+    assert(inds.exists(v => v != null && v.startsWith(".")),
+      s"expected at least one .a-.z indicator, got ${inds.mkString(",")}")
+  }
+
+  test("row index column is exact across partitions") {
+    val dta = res("fixtures/stata/sample.dta")
+    val df = spark.read.format("readstat")
+      .option("partitionTargetBytes", "4096")
+      .option("rowIndexName", "_idx").load(dta)
+    val idx = df.select("_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == (0L until idx.length).toSeq)
+  }
+}

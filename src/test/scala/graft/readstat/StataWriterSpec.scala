@@ -1,0 +1,96 @@
+package graft.readstat
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Writer roundtrips: our writer → our reader, dtype-normalized equality
+  * (mirrors reference tests/test_write_roundtrip.py).
+  */
+class StataWriterSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory("graft_wt").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name"
+  }
+
+  test("all-types roundtrip through dta") {
+    import spark.implicits._
+    val df = Seq(
+      (1.toByte, 10.toShort, 100, 1000L, 1.5f, 2.5, "abc",
+        java.sql.Date.valueOf("2020-06-01"),
+        java.sql.Timestamp.valueOf("2021-01-02 03:04:05.678"), true),
+      (-2.toByte, -20.toShort, -200, -2000L, -1.5f, -2.5, "",
+        java.sql.Date.valueOf("1959-01-01"),
+        java.sql.Timestamp.valueOf("1900-01-01 00:00:00.0"), false)
+    ).toDF("b", "i", "l", "ll", "f", "d", "s", "dt", "ts", "bool")
+    val path = tmp("all.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path)
+    // LongType → double, BooleanType → byte by dta storage rules
+    val want = df
+      .withColumn("ll", col("ll").cast(DoubleType))
+      .withColumn("bool", col("bool").cast(ByteType))
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    assertSameData(back, want, "all-types")
+  }
+
+  test("nulls roundtrip as missing") {
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("n", IntegerType),
+      StructField("s", StringType)))
+    val rows = Seq(Row(1.5, 1, "a"), Row(null, null, null), Row(3.0, 3, "c"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+    val path = tmp("nulls.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path).orderBy(asc_nulls_last("x"))
+    val got = back.collect()
+    assert(got.length == 3)
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1) && got(2).isNullAt(2))
+  }
+
+  test("long strings become strL and roundtrip") {
+    import spark.implicits._
+    val big = "x" * 5000 + "é"
+    val df = Seq((1, big), (2, "short"), (3, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+    val path = tmp("strl.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path).orderBy("id")
+    val got = back.select("txt").collect().map(r => Option(r.getString(0)).orNull)
+    assert(got(0) == big)
+    assert(got(1) == "short")
+    assert(got(2) == null)
+  }
+
+  test("multi-partition write preserves all rows") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (i, s"row$i", i * 0.5)).toDF("id", "s", "v")
+      .repartition(7)
+    val path = tmp("multi.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.count() == 10000)
+    val sums = back.agg(sum("id"), sum("v")).collect()(0)
+    assert(sums.getLong(0) == (1 to 10000).map(_.toLong).sum)
+    assert(sums.getDouble(1) == (1 to 10000).map(_ * 0.5).sum)
+  }
+
+  test("catalyst relational flow over readstat scan (minimum slice)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 50, i * 1.0, s"g${i % 7}"))
+      .toDF("age", "income", "grp")
+    val path = tmp("rel.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val scan = spark.read.format("readstat").load(path)
+    val out = scan.select("age", "income")
+      .filter($"age" >= 18).groupBy("age").count().orderBy("age")
+    val expected = df.select("age", "income")
+      .filter($"age" >= 18).groupBy("age").count().orderBy("age")
+    assertSameData(out, expected, "catalyst-flow")
+  }
+}
