@@ -61,6 +61,15 @@ object Bin {
   def putF32(o: java.io.OutputStream, v: Float): Unit =
     putU32(o, java.lang.Float.floatToRawIntBits(v) & 0xffffffffL)
 
+  /** Fixed-width space-padded ASCII field. */
+  def putZPadSpace(o: java.io.OutputStream, s: String, width: Int): Unit = {
+    val raw = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val n = math.min(raw.length, width)
+    o.write(raw, 0, n)
+    var i = n
+    while (i < width) { o.write(' '); i += 1 }
+  }
+
   /** Fixed-width NUL-padded field (truncating at byte boundary). */
   def putZPad(o: java.io.OutputStream, s: String, width: Int,
       cs: java.nio.charset.Charset): Unit = {

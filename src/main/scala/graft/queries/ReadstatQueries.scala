@@ -86,9 +86,51 @@ object ReadstatQueries {
       |  min(md5(text)) AS min_md5
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** customer → .sav → read → join-flavored aggregate. The sav writer's
+    * uncompressed records keep the re-read row-range partitionable. */
+  def savRoundtripAgg(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "customer.sav")
+    customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("sum_bal"),
+        round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val savRoundtripAggSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS sum_bal,
+      |  round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** documents (very-long strings → 255/256 sav segmentation) roundtrip. */
+  def savLongStrings(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "documents.sav")
+    documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(md5(col("text"))).as("min_md5"))
+      .orderBy("source")
+  }
+
+  val savLongStringsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  min(md5(text)) AS min_md5
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
+    "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),
+    "spss_longstr_roundtrip" -> (savLongStrings _, savLongStringsSql),
   )
 }

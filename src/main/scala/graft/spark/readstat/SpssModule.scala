@@ -1,0 +1,459 @@
+package graft.spark.readstat
+
+import java.io.{BufferedInputStream, FileInputStream, RandomAccessFile}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.zip.InflaterInputStream
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Bin
+import graft.core.spss.SpssCore
+import graft.core.spss.SpssCore._
+
+/** SPSS .sav/.zsav as a Spark format module.
+  *
+  * Partitioning regimes (SURVEY.md §4.2): uncompressed sav → O(1)-seek
+  * row-range partitions; bytecode (compression=1) and zsav carry
+  * decompressor state across rows → single sequential partition. (zsav's
+  * block index would allow block-range partitions; rows spanning block
+  * boundaries need a handoff, left for a later round.)
+  */
+object SpssModule extends FormatModule {
+
+  private case class FileKey(path: String, size: Long, mtime: Long)
+  private def keyOf(path: String) = {
+    val f = new java.io.File(path)
+    FileKey(path, f.length(), f.lastModified())
+  }
+  private val mdCache = new ConcurrentHashMap[FileKey, SpssMeta]()
+  def metadata(path: String): SpssMeta =
+    mdCache.computeIfAbsent(keyOf(path), _ => SpssCore.parse(path))
+
+  def sparkTypeOf(v: SpssVar, opts: ReadstatOptions): DataType =
+    if (v.isString) StringType
+    else if (opts.valueLabelsAsStrings && v.numLabels.nonEmpty) StringType
+    else v.formatClass match {
+      case Some("Date") => DateType
+      case Some("DateTime") => TimestampNTZType
+      case Some("Time") => LongType
+      case _ => DoubleType
+    }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType = {
+    val md = metadata(path)
+    val fields = Vector.newBuilder[StructField]
+    md.vars.foreach { v =>
+      val mb = new MetadataBuilder()
+      if (v.formatClass.contains("Time")) mb.putString("readstat.type", "time")
+      v.label.foreach(l => mb.putString("readstat.label", l))
+      mb.putLong("readstat.format_type", v.formatType.toLong)
+      fields += StructField(v.name, sparkTypeOf(v, opts), nullable = true, mb.build())
+      if (opts.informativeNulls)
+        fields += StructField(v.name + opts.informativeNullSuffix, StringType,
+          nullable = true)
+    }
+    opts.rowIndexName.foreach(n => fields += StructField(n, LongType, nullable = false))
+    StructType(fields.result())
+  }
+
+  /** Row count, resolving an unknown header count for uncompressed files
+    * from the data-section size. */
+  def rowCount(path: String, md: SpssMeta): Long =
+    if (md.nCases >= 0) md.nCases
+    else if (md.compression == 0 && md.recordLen > 0)
+      (new java.io.File(path).length() - md.dataOffset) / md.recordLen
+    else Long.MaxValue // unknown: sequential read until end marker
+
+  override def planPartitions(path: String, opts: ReadstatOptions,
+      limit: Option[Long]): Seq[RangePartition] = {
+    val md = metadata(path)
+    val n0 = rowCount(path, md)
+    val total = limit.map(math.min(_, n0)).getOrElse(n0)
+    if (md.compression != 0 || total == Long.MaxValue)
+      return Seq(RangePartition(path, 0, total))
+    if (total == 0) return Seq(RangePartition(path, 0, 0))
+    val rowsPerPart = math.max(1L, opts.partitionTargetBytes / math.max(1, md.recordLen))
+    (0L until total by rowsPerPart).map { s =>
+      RangePartition(path, s, math.min(rowsPerPart, total - s))
+    }
+  }
+
+  private final case class ColPlan(
+      fieldIdx: Int, varIdx: Int, byteOff: Int, v: SpssVar,
+      out: DataType, labels: Boolean, indicator: Boolean)
+
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[InternalRow] = {
+    val md = metadata(part.path)
+    val recordLen = md.recordLen
+    val byName = md.vars.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
+    val plans = required.fields.zipWithIndex.map { case (f, fi) =>
+      if (opts.rowIndexName.contains(f.name)) ColPlan(fi, -1, 0, null, LongType, labels = false, indicator = false)
+      else {
+        val (base, ind) =
+          if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+              byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+              !byName.contains(f.name))
+            (f.name.stripSuffix(opts.informativeNullSuffix), true)
+          else (f.name, false)
+        val vi = byName.getOrElse(base,
+          throw new IllegalArgumentException(s"no such column: ${f.name}"))
+        val v = md.vars(vi)
+        ColPlan(fi, vi, v.offsetUnits * 8, v,
+          if (ind) StringType else sparkTypeOf(v, opts),
+          labels = !ind && opts.valueLabelsAsStrings &&
+            (v.numLabels.nonEmpty || v.strLabels.nonEmpty),
+          indicator = ind)
+      }
+    }
+
+    val rowSource: RowSource = md.compression match {
+      case 0 => new SeekRowSource(part, md)
+      case 1 => new BytecodeRowSource(part, md)
+      case 2 => new ZsavRowSource(part, md)
+      case other => throw new IllegalArgumentException(s"sav compression $other")
+    }
+
+    new Iterator[InternalRow] {
+      private var globalRow = part.startRow
+      private var nextBuf: Array[Byte] = _
+      override def hasNext: Boolean = {
+        if (nextBuf == null) nextBuf = rowSource.nextRow()
+        nextBuf != null
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val b = nextBuf; nextBuf = null
+        val row = new GenericInternalRow(plans.length)
+        var p = 0
+        while (p < plans.length) {
+          row.update(plans(p).fieldIdx, decodeCell(plans(p), b, globalRow))
+          p += 1
+        }
+        globalRow += 1
+        row
+      }
+
+      private def decodeCell(pl: ColPlan, b: Array[Byte], rowIdx: Long): Any = {
+        if (pl.varIdx == -1) return rowIdx
+        val v = pl.v
+        if (v.isString) {
+          val storage = v.widthUnits * 8
+          val raw =
+            if (v.stringLen > 255)
+              SpssCore.reconstructVeryLong(b, pl.byteOff, storage, v.stringLen)
+            else java.util.Arrays.copyOfRange(b, pl.byteOff,
+              pl.byteOff + math.min(v.stringLen, storage))
+          val s = SpssCore.trimSav(new String(raw, md.charset))
+          if (pl.indicator)
+            return if (v.missingStrings.contains(s)) UTF8String.fromString(s) else null
+          val isMissing = (opts.missingStringAsNull && s.isEmpty) ||
+            v.missingStrings.contains(s)
+          if (isMissing) null
+          else if (pl.labels) UTF8String.fromString(v.strLabels.getOrElse(s, s))
+          else UTF8String.fromString(s)
+        } else {
+          val bits = Bin.i64(b, pl.byteOff, md.little)
+          val d = java.lang.Double.longBitsToDouble(bits)
+          val sysMissing = bits == MissingBits || bits == LowestBits ||
+            bits == HighestBits || d.isNaN
+          if (pl.indicator) {
+            if (sysMissing) return null
+            return userMissingLabel(v, d, bits).map(UTF8String.fromString).orNull
+          }
+          if (sysMissing || isUserMissing(v, d, bits)) return null
+          if (pl.labels) {
+            val label = v.numLabels.get(d)
+            return UTF8String.fromString(label.getOrElse(formatNum(d)))
+          }
+          pl.out match {
+            case DateType => ((d.toLong - SecShift) / 86400L).toInt
+            case TimestampNTZType =>
+              math.round((d - SecShift) * 1000.0) * 1000L // → micros
+            case LongType => math.round(d * 1e9) // time-of-day seconds → nanos
+            case _ => d
+          }
+        }
+      }
+    }
+  }
+
+  private def isUserMissing(v: SpssVar, d: Double, bits: Long): Boolean = {
+    if (v.missingDoubles.isEmpty) false
+    else if (v.missingRange) {
+      val inRange = v.missingDoubles.length >= 2 && {
+        val lo = math.min(v.missingDoubles(0), v.missingDoubles(1))
+        val hi = math.max(v.missingDoubles(0), v.missingDoubles(1))
+        d >= lo && d <= hi
+      }
+      inRange || (v.missingDoubles.length >= 3 && d == v.missingDoubles(2))
+    } else v.missingDoubles.contains(d)
+  }
+
+  /** Reference semantics (data.rs missing_numeric_indicator): discrete user
+    * missing → label or value string; range missing → label or "MISSING". */
+  private def userMissingLabel(v: SpssVar, d: Double, bits: Long): Option[String] = {
+    if (!isUserMissing(v, d, bits)) None
+    else {
+      val label = v.numLabels.get(d)
+      if (label.isDefined) label
+      else if (v.missingRange && !(v.missingDoubles.length >= 3 && d == v.missingDoubles(2)))
+        Some("MISSING")
+      else Some(formatNum(d))
+    }
+  }
+
+  private def formatNum(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  // ---- row sources ----
+  private trait RowSource { def nextRow(): Array[Byte] }
+
+  /** Uncompressed: O(1) seek + bulk chunk reads. */
+  private final class SeekRowSource(part: RangePartition, md: SpssMeta)
+      extends RowSource {
+    private val recordLen = md.recordLen
+    private val raf = new RandomAccessFile(part.path, "r")
+    raf.seek(md.dataOffset + part.startRow * recordLen)
+    private var remaining = part.numRows
+    private val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
+    private var buf: Array[Byte] = _
+    private var bufRows, bufPos = 0
+    override def nextRow(): Array[Byte] = {
+      if (remaining <= 0) { raf.close(); return null }
+      if (buf == null || bufPos >= bufRows) {
+        val n = math.min(chunkRows.toLong, remaining).toInt
+        buf = new Array[Byte](n * recordLen)
+        raf.readFully(buf)
+        bufRows = n; bufPos = 0
+      }
+      val out = java.util.Arrays.copyOfRange(buf, bufPos * recordLen, (bufPos + 1) * recordLen)
+      bufPos += 1; remaining -= 1
+      out
+    }
+  }
+
+  /** Bytecode (compression=1): sequential command-stream decode
+    * (data.rs:1631-1698). */
+  private final class BytecodeRowSource(part: RangePartition, md: SpssMeta)
+      extends RowSource {
+    private val recordLen = md.recordLen
+    private val in = new BufferedInputStream(new FileInputStream(part.path), 1 << 20)
+    in.skip(md.dataOffset)
+    private val missBytes = {
+      val b = new Array[Byte](8)
+      val o = new java.io.ByteArrayOutputStream()
+      if (md.little) Bin.putU64(o, MissingBits) else {
+        val v = MissingBits
+        (0 until 8).foreach(i => o.write(((v >>> ((7 - i) * 8)) & 0xff).toInt))
+      }
+      o.toByteArray
+    }
+    private val control = new Array[Byte](8)
+    private var controlI = 8
+    private var finished = false
+    private var emitted = 0L
+    private var toSkip = part.startRow
+
+    override def nextRow(): Array[Byte] = {
+      while (toSkip > 0) { if (readRow() == null) return null; toSkip -= 1 }
+      if (emitted >= part.numRows) { in.close(); return null }
+      val r = readRow()
+      if (r == null) in.close() else emitted += 1
+      r
+    }
+
+    private def readRow(): Array[Byte] = {
+      if (finished) return null
+      val out = new Array[Byte](recordLen)
+      var pos = 0
+      while (pos < recordLen) {
+        val code = nextControl()
+        if (code < 0) { finished = true; return null }
+        code match {
+          case 0 => // padding
+          case 252 => finished = true; return null
+          case 253 =>
+            if (!fill(out, pos, 8)) { finished = true; return null }
+            pos += 8
+          case 254 =>
+            java.util.Arrays.fill(out, pos, pos + 8, ' '.toByte)
+            pos += 8
+          case 255 =>
+            System.arraycopy(missBytes, 0, out, pos, 8)
+            pos += 8
+          case v =>
+            val fp = v - md.bias
+            val bits = java.lang.Double.doubleToRawLongBits(fp)
+            var i = 0
+            while (i < 8) {
+              out(pos + i) =
+                if (md.little) ((bits >>> (i * 8)) & 0xff).toByte
+                else ((bits >>> ((7 - i) * 8)) & 0xff).toByte
+              i += 1
+            }
+            pos += 8
+        }
+      }
+      out
+    }
+
+    private def nextControl(): Int = {
+      if (controlI == 8) {
+        var got = 0
+        while (got < 8) {
+          val r = in.read(control, got, 8 - got)
+          if (r < 0) return -1
+          got += r
+        }
+        controlI = 0
+      }
+      val b = control(controlI) & 0xff
+      controlI += 1
+      b
+    }
+
+    private def fill(out: Array[Byte], off: Int, n: Int): Boolean = {
+      var got = 0
+      while (got < n) {
+        val r = in.read(out, off + got, n - got)
+        if (r < 0) return false
+        got += r
+      }
+      true
+    }
+  }
+
+  /** zsav (compression=2): inflate the zlib block stream, then bytecode-
+    * decode. Blocks are concatenated through a streaming inflater chain. */
+  private final class ZsavRowSource(part: RangePartition, md: SpssMeta)
+      extends RowSource {
+    private val recordLen = md.recordLen
+    private val raf = new RandomAccessFile(part.path, "r")
+    private val (entries, dataStart) = {
+      raf.seek(md.dataOffset)
+      val h = new Array[Byte](24); raf.readFully(h)
+      val ztrailerOfs = Bin.i64(h, 8, md.little)
+      raf.seek(ztrailerOfs)
+      val th = new Array[Byte](24); raf.readFully(th)
+      val nBlocks = Bin.i32(th, 20, md.little)
+      val es = (0 until nBlocks).map { _ =>
+        val e = new Array[Byte](24); raf.readFully(e)
+        (Bin.i64(e, 8, md.little), Bin.i32(e, 16, md.little), Bin.i32(e, 20, md.little))
+      }
+      (es, md.dataOffset + 24)
+    }
+    // lazily inflate blocks into one logical stream
+    private val blockIter = entries.iterator
+    private var cur: java.io.InputStream = _
+    private val inner = new BytecodeFromStream(recordLen, md, () => nextByteStream())
+    private var emitted = 0L
+    private var toSkip = part.startRow
+
+    private def nextByteStream(): java.io.InputStream = {
+      if (!blockIter.hasNext) return null
+      val (cOfs, _, cSize) = blockIter.next()
+      val b = new Array[Byte](cSize)
+      raf.seek(cOfs)
+      raf.readFully(b)
+      new InflaterInputStream(new java.io.ByteArrayInputStream(b))
+    }
+
+    override def nextRow(): Array[Byte] = {
+      while (toSkip > 0) { if (inner.readRow() == null) return null; toSkip -= 1 }
+      if (emitted >= part.numRows) { raf.close(); return null }
+      val r = inner.readRow()
+      if (r == null) raf.close() else emitted += 1
+      r
+    }
+  }
+
+  /** Bytecode decoder over a chain of InputStreams (zsav blocks). */
+  private final class BytecodeFromStream(recordLen: Int, md: SpssMeta,
+      nextStream: () => java.io.InputStream) {
+    private var in: java.io.InputStream = nextStream()
+    private val control = new Array[Byte](8)
+    private var controlI = 8
+    private var finished = false
+    private val missBytes = {
+      val o = new java.io.ByteArrayOutputStream()
+      if (md.little) Bin.putU64(o, MissingBits)
+      else (0 until 8).foreach(i => o.write(((MissingBits >>> ((7 - i) * 8)) & 0xff).toInt))
+      o.toByteArray
+    }
+
+    def readRow(): Array[Byte] = {
+      if (finished || in == null) return null
+      val out = new Array[Byte](recordLen)
+      var pos = 0
+      while (pos < recordLen) {
+        val code = nextControl()
+        if (code < 0) { finished = true; return null }
+        code match {
+          case 0 =>
+          case 252 => finished = true; return null
+          case 253 =>
+            if (!fill(out, pos, 8)) { finished = true; return null }
+            pos += 8
+          case 254 =>
+            java.util.Arrays.fill(out, pos, pos + 8, ' '.toByte); pos += 8
+          case 255 =>
+            System.arraycopy(missBytes, 0, out, pos, 8); pos += 8
+          case v =>
+            val bits = java.lang.Double.doubleToRawLongBits(v - md.bias)
+            var i = 0
+            while (i < 8) {
+              out(pos + i) =
+                if (md.little) ((bits >>> (i * 8)) & 0xff).toByte
+                else ((bits >>> ((7 - i) * 8)) & 0xff).toByte
+              i += 1
+            }
+            pos += 8
+        }
+      }
+      out
+    }
+
+    private def readByte(): Int = {
+      if (in == null) return -1
+      var b = in.read()
+      while (b < 0) {
+        in.close()
+        in = nextStream()
+        if (in == null) return -1
+        b = in.read()
+      }
+      b
+    }
+
+    private def nextControl(): Int = {
+      if (controlI == 8) {
+        var i = 0
+        while (i < 8) {
+          val b = readByte()
+          if (b < 0) return -1
+          control(i) = b.toByte
+          i += 1
+        }
+        controlI = 0
+      }
+      val b = control(controlI) & 0xff
+      controlI += 1
+      b
+    }
+
+    private def fill(out: Array[Byte], off: Int, n: Int): Boolean = {
+      var got = 0
+      while (got < n) {
+        val b = readByte()
+        if (b < 0) return false
+        out(off + got) = b.toByte
+        got += 1
+      }
+      true
+    }
+  }
+}

@@ -1,0 +1,259 @@
+package graft.spark.readstat.writers
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Bin
+import graft.core.spss.SpssCore
+
+/** Distributed SPSS .sav writer (uncompressed, layout code 2, LE, UTF-8).
+  *
+  * Same two-job shape as [[StataDtaWriter]]: width/count aggregation, then
+  * per-partition fixed-width record encode to scratch chunks, driver
+  * splice. Uncompressed records keep the written files row-range
+  * partitionable on re-read (the scale path); `.zsav` (zlib block) write
+  * is a later round.
+  *
+  * Layout follows the public SAV spec; behavioral reference:
+  * /root/reference crates/polars_readstat_rs/src/spss/writer.rs
+  * (header/var records/subtypes 3,4,11,13,14,20 and the 252/255 very-long-
+  * string segmentation at writer.rs:440-453, 926-949).
+  */
+object SpssSavWriter {
+
+  private sealed trait W
+  private case object WNum extends W
+  private case class WStr(declLen: Int) extends W
+
+  private case class ColSpec(name: String, short: String, w: W,
+      fmtType: Int, fmtWidth: Int, fmtDec: Int, src: DataType) {
+    def segmentSizes: Seq[Int] = w match {
+      case WNum => Seq.empty
+      case WStr(len) if len <= 255 => Seq(len)
+      case WStr(len) =>
+        val n = (len + 251) / 252
+        Seq.fill(n - 1)(255) :+ (len - (n - 1) * 252)
+    }
+    /** 8-byte units this column's data occupies. */
+    def widthUnits: Int = w match {
+      case WNum => 1
+      case WStr(len) if len <= 255 => (len + 7) / 8
+      case WStr(len) =>
+        val n = (len + 251) / 252
+        val last = len - (n - 1) * 252
+        ((n - 1) * 256 + (last + 7) / 8 * 8) / 8
+    }
+  }
+
+  def write(df: DataFrame, path: String, options: Map[String, String],
+      zlib: Boolean): Unit = {
+    require(!zlib, "zsav write not yet implemented; write .sav")
+    val spark = df.sparkSession
+    val schema = df.schema
+
+    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val aggs = count(lit(1)).as("__n") +:
+      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
+    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nObs = head.getLong(0)
+    val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
+      c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
+    }.toMap
+
+    val used = scala.collection.mutable.Set[String]()
+    val cols: Array[ColSpec] = schema.fields.zipWithIndex.map { case (f, i) =>
+      val short = s"V${i + 1}"
+      used.add(short)
+      f.dataType match {
+        case StringType =>
+          val wdt = widths(f.name)
+          ColSpec(f.name, short, WStr(wdt), 1, math.min(wdt, 255), 0, f.dataType)
+        case DateType => ColSpec(f.name, short, WNum, 20, 11, 0, f.dataType)
+        case TimestampType | TimestampNTZType =>
+          ColSpec(f.name, short, WNum, 22, 20, 0, f.dataType)
+        case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+          ColSpec(f.name, short, WNum, 5, 8, 0, f.dataType)
+        case FloatType | DoubleType | _: DecimalType =>
+          ColSpec(f.name, short, WNum, 5, 8, 2, f.dataType)
+        case other => throw new IllegalArgumentException(
+          s"sav writer: unsupported type $other for ${f.name}")
+      }
+    }
+    val recordLen = cols.map(_.widthUnits).sum * 8
+
+    val scratch = options.getOrElse("scratchDir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    Files.createDirectories(Paths.get(scratch))
+    val specsB = spark.sparkContext.broadcast(cols)
+    val chunks: Array[(Int, String, Long)] =
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val specs = specsB.value
+        val f = File.createTempFile(s"graft_sav_${pid}_", ".chunk", new File(scratch))
+        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
+        var rows = 0L
+        it.foreach { row =>
+          var i = 0
+          while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+          rows += 1
+        }
+        out.close()
+        Iterator((pid, f.getAbsolutePath, rows))
+      }.collect().sortBy(_._1)
+
+    val totalRows = chunks.map(_._3).sum
+    require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
+
+    // ---- driver: header + dictionary, then splice chunks ----
+    val dict = buildDictionary(cols, nObs)
+    val outPath = Paths.get(path)
+    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(outPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(dict))
+      chunks.foreach { c =>
+        val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+        try { var p = 0L; val n = in.size()
+          while (p < n) p += in.transferTo(p, n - p, ch)
+        } finally in.close()
+      }
+    } finally ch.close()
+    chunks.foreach(c => new File(c._2).delete())
+  }
+
+  private def encodeCell(row: Row, i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
+    val isNull = row.isNullAt(i)
+    spec.w match {
+      case WNum =>
+        val bits: Long =
+          if (isNull) SpssCore.MissingBits
+          else {
+            val d: Double = spec.src match {
+              case DateType =>
+                row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toDouble * 86400.0 +
+                  SpssCore.SecShift
+              case TimestampType =>
+                row.getAs[java.sql.Timestamp](i).getTime / 1000.0 + SpssCore.SecShift
+              case TimestampNTZType =>
+                row.getAs[java.time.LocalDateTime](i)
+                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000.0 +
+                  SpssCore.SecShift
+              case ByteType => row.getByte(i).toDouble
+              case ShortType => row.getShort(i).toDouble
+              case IntegerType => row.getInt(i).toDouble
+              case LongType => row.getLong(i).toDouble
+              case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+              case FloatType => row.getFloat(i).toDouble
+              case _: DecimalType => row.getDecimal(i).doubleValue()
+              case _ => row.getDouble(i)
+            }
+            java.lang.Double.doubleToRawLongBits(d)
+          }
+        Bin.putU64(out, bits)
+      case WStr(declLen) =>
+        val storage = spec.widthUnits * 8
+        val buf = new Array[Byte](storage)
+        java.util.Arrays.fill(buf, ' '.toByte)
+        if (!isNull) {
+          val s = row.getString(i).getBytes(StandardCharsets.UTF_8)
+          if (declLen <= 255) {
+            System.arraycopy(s, 0, buf, 0, math.min(s.length, storage))
+          } else {
+            // 255 payload bytes per 256-byte chunk
+            var src = 0; var dst = 0
+            while (src < s.length && dst < storage) {
+              val chunk = math.min(255, math.min(s.length - src, storage - dst))
+              System.arraycopy(s, src, buf, dst, chunk)
+              src += chunk
+              dst += 256
+            }
+          }
+        }
+        out.write(buf)
+    }
+  }
+
+  private def buildDictionary(cols: Array[ColSpec], nObs: Long): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = Bin.putU32(o, v)
+    def ascii(s: String, len: Int): Unit =
+      Bin.putZPadSpace(o, s, len)
+
+    // header (176 bytes)
+    o.write("$FL2".getBytes(StandardCharsets.US_ASCII))
+    ascii("@(#) SPSS DATA FILE graft polars_readstatspark", 60)
+    u32(2) // layout code
+    u32(cols.map(_.widthUnits).sum.toLong) // nominal case size (units)
+    u32(0) // compression: none
+    u32(0) // weight index
+    u32(if (nObs <= Int.MaxValue) nObs else -1L) // ncases
+    Bin.putF64(o, 100.0) // bias
+    ascii("01 Jan 26", 9)
+    ascii("00:00:00", 8)
+    ascii("", 64) // file label
+    ascii("", 3)  // padding
+
+    // variable records
+    cols.foreach { c =>
+      c.w match {
+        case WNum =>
+          u32(2); u32(0); u32(0); u32(0)
+          u32(((c.fmtType.toLong << 16) | (c.fmtWidth.toLong << 8) | c.fmtDec))
+          u32(((c.fmtType.toLong << 16) | (c.fmtWidth.toLong << 8) | c.fmtDec))
+          ascii(c.short, 8)
+        case WStr(_) =>
+          val segs = c.segmentSizes
+          segs.zipWithIndex.foreach { case (segLen, si) =>
+            val segName =
+              if (si == 0) c.short
+              else c.short.take(5) + (if (si < 10) ('0' + si).toChar else ('A' + si - 10).toChar)
+            u32(2); u32(segLen.toLong); u32(0); u32(0)
+            val fmt = (1L << 16) | (math.min(segLen, 255).toLong << 8)
+            u32(fmt); u32(fmt)
+            ascii(segName, 8)
+            // continuation records for this segment's extra 8-byte units
+            val units = (math.min(segLen, 255) + 7) / 8
+            (1 until units).foreach { _ =>
+              u32(2); u32(0xFFFFFFFFL); u32(0); u32(0); u32(0); u32(0)
+              ascii("", 8)
+            }
+          }
+      }
+    }
+
+    // subtype 3: integer info (version, machine, fp rep, compression, endian, charcode)
+    u32(7); u32(3); u32(4); u32(8)
+    Seq(20, 0, 0, -1, 1, 0, 2, 65001).foreach(v => u32(v.toLong & 0xffffffffL))
+    // subtype 4: fp info (sysmis, highest, lowest)
+    u32(7); u32(4); u32(8); u32(3)
+    Bin.putU64(o, SpssCore.MissingBits)
+    Bin.putU64(o, SpssCore.HighestBits)
+    Bin.putU64(o, SpssCore.LowestBits)
+    // subtype 13: long variable names
+    val pairs = cols.map(c => s"${c.short}=${c.name}").mkString("\t")
+      .getBytes(StandardCharsets.UTF_8)
+    u32(7); u32(13); u32(1); u32(pairs.length.toLong)
+    o.write(pairs)
+    // subtype 14: very long strings
+    val vl = cols.collect { case c @ ColSpec(_, short, WStr(len), _, _, _, _) if len > 255 =>
+      s"$short=${len % 100000} \t" }.mkString
+    if (vl.nonEmpty) {
+      val b = vl.getBytes(StandardCharsets.US_ASCII)
+      u32(7); u32(14); u32(1); u32(b.length.toLong)
+      o.write(b)
+    }
+    // subtype 20: encoding
+    val enc = "UTF-8".getBytes(StandardCharsets.US_ASCII)
+    u32(7); u32(20); u32(1); u32(enc.length.toLong)
+    o.write(enc)
+    // dictionary termination
+    u32(999); u32(0)
+    o.toByteArray
+  }
+}

@@ -3,11 +3,6 @@ package graft.spark.readstat.writers
 import org.apache.spark.sql.DataFrame
 
 // Phase C writers — SURVEY.md §7.2 step 8.
-object SpssSavWriter {
-  def write(df: DataFrame, path: String, options: Map[String, String],
-      zlib: Boolean): Unit =
-    throw new UnsupportedOperationException("sav writer not yet implemented")
-}
 object XptWriter {
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit =
     throw new UnsupportedOperationException("xpt writer not yet implemented")

@@ -1,0 +1,123 @@
+package graft.readstat
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SPSS reader/writer: fixture sweep, pinned sample.sav values (from the
+  * documented pyreadstat sample schema, reference docs/read.md:276-313),
+  * zsav==sav parity, writer roundtrips incl. very-long strings.
+  */
+class SpssSpec extends SparkTestBase {
+
+  private def fixdir = res("fixtures/spss")
+
+  test("all spss fixtures open and read fully") {
+    new File(fixdir).listFiles().toSeq.sortBy(_.getName).foreach { f =>
+      val df = spark.read.format("readstat").load(f.getAbsolutePath)
+      assert(df.schema.nonEmpty, f.getName)
+      assert(df.count() >= 0, f.getName)
+    }
+  }
+
+  test("sample.sav pinned values") {
+    val df = spark.read.format("readstat").load(s"$fixdir/sample.sav")
+    assert(df.columns.toSeq ==
+      Seq("mychar", "mynum", "mydate", "dtime", "mylabl", "myord", "mytime"))
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.1, 1.2, -1000.3, -1.4, 1000.3))
+    assert(rows(0).getAs[java.sql.Date](2).toString == "2018-05-06")
+    assert(rows(3).getAs[java.sql.Date](2).toString == "1583-01-01")
+    assert(rows(4).isNullAt(2) && rows(4).isNullAt(3) && rows(4).isNullAt(6))
+    // mytime row0 = 10:10:10 = 36610s in nanos
+    assert(rows(0).getLong(6) == 36610L * 1000000000L)
+  }
+
+  test("zsav decodes identically to sav") {
+    val a = spark.read.format("readstat").load(s"$fixdir/sample.sav")
+    val b = spark.read.format("readstat").load(s"$fixdir/sample.zsav")
+    assertSameData(b, a, "zsav-vs-sav")
+  }
+
+  test("value labels as strings on labelled-num") {
+    val df = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(s"$fixdir/labelled-num.sav")
+    val v = df.collect()(0).getString(0)
+    assert(v != null && v.nonEmpty && !v.forall(_.isDigit), s"expected label, got $v")
+  }
+
+  test("declared missing values become null + indicator") {
+    val plain = spark.read.format("readstat").load(s"$fixdir/sample_missing.sav")
+    assert(plain.count() > 0)
+    val info = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(s"$fixdir/sample_missing.sav")
+    assert(info.columns.exists(_.endsWith("_null")))
+  }
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory("graft_sav").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name"
+  }
+
+  test("all-types roundtrip through sav") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1.5, "alpha", java.sql.Date.valueOf("2020-01-02"),
+        java.sql.Timestamp.valueOf("2021-03-04 05:06:07.0")),
+      (2, -2.25, "", java.sql.Date.valueOf("1959-12-31"), null)
+    ).toDF("id", "x", "s", "d", "ts")
+    val path = tmp("rt.sav")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path)
+    val want = df
+      .withColumn("id", col("id").cast(DoubleType))
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    assertSameData(back, want, "sav-all-types")
+  }
+
+  test("very long strings roundtrip through sav segments") {
+    import spark.implicits._
+    val big = ("paragraph " * 120).trim // ~1200 bytes > 255
+    val df = Seq((1, big), (2, "short"), (3, "x" * 255)).toDF("id", "txt")
+    val path = tmp("long.sav")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path).orderBy("id")
+    val got = back.select("txt").collect().map(_.getString(0))
+    assert(got(0) == big, s"len ${got(0).length} vs ${big.length}")
+    assert(got(1) == "short")
+    assert(got(2) == "x" * 255)
+  }
+
+  test("sav multi-partition write + parallel re-read") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i.toDouble, s"name$i")).toDF("v", "s")
+      .repartition(5)
+    val path = tmp("multi.sav")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat")
+      .option("partitionTargetBytes", "65536").load(path)
+    assert(back.rdd.getNumPartitions > 1)
+    assert(back.count() == 20000)
+    assert(back.agg(sum("v")).collect()(0).getDouble(0) ==
+      (1 to 20000).map(_.toDouble).sum)
+  }
+
+  test("cross-format: same frame through dta and sav reads back equal") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, "a", java.sql.Date.valueOf("2001-02-03")),
+      (2.0, "b", java.sql.Date.valueOf("1995-06-07"))
+    ).toDF("x", "s", "d")
+    val p1 = tmp("x.dta"); val p2 = tmp("x.sav")
+    df.write.format("readstat").mode("overwrite").save(p1)
+    df.write.format("readstat").mode("overwrite").save(p2)
+    val a = spark.read.format("readstat").load(p1)
+    val b = spark.read.format("readstat").load(p2)
+    assertSameData(b, a, "dta-vs-sav")
+  }
+}
