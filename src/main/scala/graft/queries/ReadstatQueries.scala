@@ -126,7 +126,27 @@ object ReadstatQueries {
       |  min(md5(text)) AS min_md5
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** SAS scan correctness: read a real ACS survey fixture (uncompressed,
+    * 50 pages, page-range partitioned) and aggregate; the oracle reads the
+    * committed pandas-exported golden parquet of the same file. */
+  def sasScanAgg(s: SparkSession, d: String): DataFrame = {
+    val fixture = "/root/repo/src/test/resources/fixtures/sas/owner.sas7bdat"
+    s.read.format("readstat").load(fixture)
+      .groupBy(coalesce(col("OWNHERE"), lit("<null>")).as("ownhere"))
+      .agg(count(lit(1)).as("n"),
+        min("CONTROL").as("min_control"),
+        max("CONTROL").as("max_control"))
+      .orderBy("ownhere")
+  }
+
+  val sasScanAggSql: String =
+    """SELECT coalesce(OWNHERE, '<null>') AS ownhere, count(*) AS n,
+      |       min(CONTROL) AS min_control, max(CONTROL) AS max_control
+      |FROM read_parquet('/root/repo/src/test/resources/golden/sas/owner.parquet')
+      |GROUP BY 1 ORDER BY ownhere""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),

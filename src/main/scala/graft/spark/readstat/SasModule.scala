@@ -1,0 +1,198 @@
+package graft.spark.readstat
+
+import java.io.RandomAccessFile
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Bin
+import graft.core.sas.SasCore
+import graft.core.sas.SasCore._
+
+/** SAS .sas7bdat as a Spark format module.
+  *
+  * Partitioning (SURVEY.md §4.2): `RangePartition.startRow/numRows` are
+  * reinterpreted as PAGE ranges — pages decode independently (each row
+  * lives entirely on one page; compressed rows are per-row subheaders), so
+  * a 1000-executor scan assigns disjoint page ranges with exact byte
+  * seeks (`headerLength + page*pageLength`). Compressed files stay
+  * parallel too, except the global `rowCount` cap (phantom trailing row
+  * subheaders) which needs a sequential guard → single partition when the
+  * file is compressed, mirroring the reference's serial compressed path.
+  */
+object SasModule extends FormatModule {
+
+  private case class FileKey(path: String, size: Long, mtime: Long)
+  private def keyOf(path: String) = {
+    val f = new java.io.File(path)
+    FileKey(path, f.length(), f.lastModified())
+  }
+  private val mdCache = new ConcurrentHashMap[FileKey, SasMeta]()
+  def metadata(path: String): SasMeta =
+    mdCache.computeIfAbsent(keyOf(path), _ => SasCore.parse(path))
+
+  def sparkTypeOf(c: SasColumn): DataType = kindFor(c) match {
+    case KChar => StringType
+    case KDate => DateType
+    case KDatetime => TimestampNTZType
+    case KTime => LongType
+    case KNum => DoubleType
+  }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType = {
+    val md = metadata(path)
+    val fields = md.columns.map { c =>
+      val mb = new MetadataBuilder()
+      if (kindFor(c) == KTime) mb.putString("readstat.type", "time")
+      if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
+      if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
+      StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
+    }
+    StructType(fields)
+  }
+
+  override def planPartitions(path: String, opts: ReadstatOptions,
+      limit: Option[Long]): Seq[RangePartition] = {
+    val md = metadata(path)
+    if (md.compression != 0)
+      return Seq(RangePartition(path, 0, md.pageCount.toLong))
+    // uncompressed: page-range partitions
+    val pagesPerPart = math.max(1L, opts.partitionTargetBytes / math.max(1, md.pageLength))
+    val n = md.pageCount.toLong
+    if (n == 0) return Seq(RangePartition(path, 0, 0))
+    (0L until n by pagesPerPart).map { s =>
+      RangePartition(path, s, math.min(pagesPerPart, n - s))
+    }
+  }
+
+  private final case class ColPlan(fieldIdx: Int, col: SasColumn, kind: Kind)
+
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[InternalRow] = {
+    val md = metadata(part.path)
+    val byName = md.columns.map(c => c.name).zipWithIndex.toMap
+    val plans = required.fields.zipWithIndex.map { case (f, fi) =>
+      val vi = byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"no such column: ${f.name}"))
+      val c = md.columns(vi)
+      ColPlan(fi, c, kindFor(c))
+    }.sortBy(_.col.offset) // decode in byte order for cache locality
+    val cs = md.charset
+    val little = md.little
+    val rowLen = md.rowLength
+
+    val raf = new RandomAccessFile(part.path, "r")
+    val startPage = part.startRow.toInt
+    val endPage = (part.startRow + part.numRows).toInt
+    raf.seek(md.headerLength.toLong + startPage.toLong * md.pageLength)
+    val page = new Array[Byte](md.pageLength)
+    // global row cap only enforceable when this partition sees all pages
+    val capRows: Long =
+      if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
+
+    new Iterator[InternalRow] {
+      private var pageIdx = startPage
+      private var emitted = 0L
+      private var closed = false
+      // per-page row queue
+      private var rowsInPage: Seq[(Int, Int, Boolean)] = Nil // (offset, len, compressed)
+      private var rowPos = 0
+
+      private def close(): Unit = if (!closed) { closed = true; raf.close() }
+
+      @annotation.tailrec
+      private def advance(): Boolean = {
+        if (emitted >= capRows) { close(); return false }
+        if (rowPos < rowsInPage.length) return true
+        if (pageIdx >= endPage) { close(); return false }
+        try raf.readFully(page)
+        catch { case _: java.io.EOFException => close(); return false }
+        pageIdx += 1
+        rowsInPage = extractPageRows()
+        rowPos = 0
+        advance()
+      }
+
+      private def extractPageRows(): Seq[(Int, Int, Boolean)] = {
+        val (pType, blockCount, subCount) = SasCore.readPageHeader(page, md)
+        val pbo = md.pageBitOffset
+        val intS = md.intSize
+        if (pType == PtData) {
+          val off = pbo + 8
+          (0 until blockCount).map(i => (off + i * rowLen, rowLen, false))
+        } else if (pType == PtMeta || pType == PtMix1 || pType == PtMix2 || pType == PtAmd) {
+          val subs = SasCore.readSubheaders(page, md, subCount)
+          val dataSubs =
+            if (md.compression == 0) Nil
+            else subs.filter { s =>
+              (s.compression == 4 || s.compression == 0) && s.typ == 1 &&
+                s.length <= rowLen && s.length > 0 &&
+                !SasCore.isKnownMetadataSignature(page, s.offset,
+                  math.min(8, md.pageLength - s.offset))
+            }.map(s => (s.offset, s.length, s.length < rowLen))
+          if (dataSubs.nonEmpty) dataSubs
+          else if (pType == PtMix1 || pType == PtMix2) {
+            var dataStart = pbo + 8 + subCount * 3 * intS
+            if (dataStart % 8 == 4) dataStart += 4
+            val maxFit = math.max(0, md.pageLength - dataStart) / math.max(1, rowLen)
+            // cap at min(rowCount, mixPageRowCount): MIX row counts over-
+            // state for small files (reference data.rs PageState::Mix)
+            val n = math.min(maxFit.toLong,
+              math.min(md.rowCount, md.mixPageRowCount)).toInt
+            (0 until n).map(i => (dataStart + i * rowLen, rowLen, false))
+          } else Nil
+        } else Nil
+      }
+
+      override def hasNext: Boolean = advance()
+
+      override def next(): InternalRow = {
+        if (!advance()) throw new NoSuchElementException
+        val (off, len, needsDecomp) = rowsInPage(rowPos)
+        rowPos += 1; emitted += 1
+        val (buf, base) =
+          if (!needsDecomp) (page, off)
+          else {
+            val in = java.util.Arrays.copyOfRange(page, off, off + len)
+            val d = if (md.compression == 1) Rle.decompress(in, rowLen)
+                    else Rdc.decompress(in, rowLen)
+            (d, 0)
+          }
+        val row = new GenericInternalRow(plans.length)
+        var p = 0
+        while (p < plans.length) {
+          val pl = plans(p)
+          row.update(pl.fieldIdx, decodeCell(pl, buf, base))
+          p += 1
+        }
+        row
+      }
+
+      private def decodeCell(pl: ColPlan, b: Array[Byte], base: Int): Any = {
+        val c = pl.col
+        val off = base + c.offset
+        if (pl.kind == KChar) {
+          var end = off + c.length
+          while (end > off && (b(end - 1) == ' ' || b(end - 1) == 0)) end -= 1
+          var stop = off
+          while (stop < end && b(stop) != 0) stop += 1
+          if (stop == off) {
+            if (opts.missingStringAsNull) null else UTF8String.fromString("")
+          } else UTF8String.fromString(new String(b, off, stop - off, cs))
+        } else {
+          val v = SasCore.incompleteDouble(b, off, c.length, little)
+          if (v.isNaN || v.isInfinite) null
+          else pl.kind match {
+            case KDate => SasCore.toDateDays(v)
+            case KDatetime => SasCore.toDatetimeMicros(v)
+            case KTime => SasCore.toTimeNanos(v)
+            case _ => v
+          }
+        }
+      }
+    }
+  }
+}

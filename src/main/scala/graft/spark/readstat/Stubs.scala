@@ -16,6 +16,5 @@ private[readstat] abstract class NotYetImplemented(fmt: String) extends FormatMo
       required: StructType): Iterator[InternalRow] = nyi
 }
 
-object SasModule extends NotYetImplemented("SAS .sas7bdat")
 object XptModule extends NotYetImplemented("SAS .xpt")
 object PorModule extends NotYetImplemented("SPSS .por")
