@@ -1,0 +1,257 @@
+package graft.core.por
+
+import java.io.{BufferedInputStream, FileInputStream}
+import java.nio.charset.StandardCharsets
+
+/** SPSS portable (.por) core: 80-column line-padded ASCII stream, base-30
+  * numbers, translated character table. Sequential single-pass by design.
+  * Behavioral reference: /root/reference crates/polars_readstat_rs/src/
+  * spss/por.rs.
+  */
+object PorCore {
+
+  val LineLen = 80
+  val SecShift: Long = 12219379200L
+
+  /** POR table position i → ASCII char (por.rs:22-55). */
+  val PorAsciiLookup: Array[Byte] = {
+    val t = new Array[Byte](256)
+    for (i <- 0 to 9) t(64 + i) = ('0' + i).toByte
+    for (i <- 0 until 26) { t(74 + i) = ('A' + i).toByte; t(100 + i) = ('a' + i).toByte }
+    val punct: Seq[(Int, Char)] = Seq(126 -> ' ', 127 -> '.', 128 -> '<', 129 -> '(',
+      130 -> '+', 131 -> '|', 132 -> '&', 133 -> '[', 134 -> ']', 135 -> '!',
+      136 -> '$', 137 -> '*', 138 -> ')', 139 -> ';', 140 -> '^', 141 -> '-',
+      142 -> '/', 143 -> '|', 144 -> ',', 145 -> '%', 146 -> '_', 147 -> '>',
+      148 -> '?', 149 -> '`', 150 -> ':', 151 -> '#', 152 -> '@', 153 -> '\'',
+      154 -> '=', 155 -> '"', 162 -> '~', 184 -> '{', 185 -> '}', 186 -> '\\')
+    punct.foreach { case (i, c) => t(i) = c.toByte }
+    t
+  }
+
+  final case class PorVar(name: String, width: Int, fmtType: Int,
+      fmtWidth: Int, fmtDec: Int, label: Option[String]) {
+    def isString: Boolean = width > 0
+    def formatClass: Option[String] = {
+      if (isString) return None
+      val c = if (fmtType > 82) fmtType - 82 else fmtType
+      c match {
+        case 20 | 23 | 24 | 38 | 39 => Some("Date")
+        case 21 | 25 => Some("Time")
+        case 22 | 41 => Some("DateTime")
+        case _ => None
+      }
+    }
+  }
+
+  final case class PorMeta(fileLabel: String, vars: Vector[PorVar])
+
+  /** Line-aware logical byte stream with char-table translation. */
+  final class PorStream(path: String) {
+    private val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
+    private var pos = 0
+    private var pendingSpaces = 0
+    private var space: Byte = ' '
+    private var byte2char: Array[Byte] = Array.tabulate(256)(_.toByte)
+
+    def close(): Unit = in.close()
+
+    private def rawByte(): Int = {
+      if (pendingSpaces > 0) { pendingSpaces -= 1; return space & 0xff }
+      in.read()
+    }
+
+    def readByte(): Int = {
+      while (true) {
+        rawByte() match {
+          case -1 => return -1
+          case '\r' =>
+            in.mark(1)
+            val nxt = in.read()
+            if (nxt != '\n' && nxt != -1) in.reset()
+            pendingSpaces = math.max(0, LineLen - pos); pos = 0
+          case '\n' =>
+            pendingSpaces = math.max(0, LineLen - pos); pos = 0
+          case b =>
+            pos += 1
+            return b
+        }
+      }
+      -1
+    }
+
+    def readNRaw(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val b = readByte()
+        require(b >= 0, "unexpected EOF in POR stream")
+        out(i) = b.toByte; i += 1
+      }
+      out
+    }
+
+    def setCharTable(lookup: Array[Byte]): Unit = {
+      byte2char = new Array[Byte](256)
+      for (i <- 0 until 256) {
+        val ch = PorAsciiLookup(i)
+        if (ch != 0) byte2char(lookup(i) & 0xff) = ch
+      }
+      space = lookup(126)
+      byte2char(lookup(64) & 0xff) = '0'
+    }
+
+    def readChar(): Int = {
+      val b = readByte()
+      if (b < 0) -1 else byte2char(b) & 0xff
+    }
+
+    def readChars(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = readChar().toByte; i += 1 }
+      out
+    }
+
+    def readDouble(): Double = readDoublePeek(readChar())
+
+    def readDoublePeek(first: Int): Double = {
+      if (first == '*') {
+        val c2 = readChar()
+        require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+        return Double.NaN
+      }
+      val sb = new StringBuilder
+      sb.append(first.toChar)
+      var c = readChar()
+      while (c != '/') {
+        require(c >= 0, "EOF in base-30 number")
+        sb.append(c.toChar); c = readChar()
+      }
+      parseBase30(sb.toString)
+    }
+
+    def readInt(): Long = {
+      val v = readDouble()
+      require(!v.isNaN && v >= 0, s"invalid POR integer $v")
+      v.toLong
+    }
+
+    def readStringField(): String = {
+      val len = readInt().toInt
+      new String(readChars(len), StandardCharsets.ISO_8859_1)
+    }
+
+    /** None = 'Z' end-of-data marker. */
+    def maybeDouble(): Option[Double] = {
+      val c = readChar()
+      if (c == 'Z' || c < 0) None else Some(readDoublePeek(c))
+    }
+    def maybeString(): Option[String] = {
+      val c = readChar()
+      if (c == 'Z' || c < 0) None
+      else {
+        val len = readDoublePeek(c).toInt
+        Some(new String(readChars(len), StandardCharsets.ISO_8859_1))
+      }
+    }
+  }
+
+  def digit30(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'T') 10 + c - 'A'
+    else -1
+
+  def parseBase30(s: String): Double = {
+    var i = 0
+    val neg = i < s.length && s(i) == '-'
+    if (neg || (i < s.length && s(i) == '+')) i += 1
+    var num = 0.0
+    while (i < s.length && s(i) != '.' && s(i) != '+' && s(i) != '-') {
+      val d = digit30(s(i)); require(d >= 0, s"bad base-30 digit ${s(i)}")
+      num = num * 30.0 + d; i += 1
+    }
+    var frac = 0.0
+    if (i < s.length && s(i) == '.') {
+      i += 1
+      var denom = 30.0
+      while (i < s.length && s(i) != '+' && s(i) != '-') {
+        val d = digit30(s(i)); require(d >= 0, s"bad base-30 frac ${s(i)}")
+        frac += d / denom; denom *= 30.0; i += 1
+      }
+    }
+    var v = num + frac
+    if (i < s.length) {
+      val expNeg = s(i) == '-'
+      i += 1
+      var exp = 0.0
+      while (i < s.length) {
+        val d = digit30(s(i)); require(d >= 0, s"bad base-30 exp ${s(i)}")
+        exp = exp * 30.0 + d; i += 1
+      }
+      if (exp != 0) v *= math.pow(30.0, if (expNeg) -exp else exp)
+    }
+    if (neg) -v else v
+  }
+
+  /** Parse header + variable records; stream positioned at first data cell
+    * on return ('F' consumed). */
+  def parseMeta(stream: PorStream): PorMeta = {
+    val vanity = stream.readNRaw(200)
+    val fileLabel = new String(vanity, 60, 20, StandardCharsets.ISO_8859_1).trim
+    val lookup = stream.readNRaw(256)
+    stream.setCharTable(lookup)
+    val sig = new String(stream.readChars(8), StandardCharsets.ISO_8859_1)
+    require(sig == "SPSSPORT", s"not a POR file: $sig")
+    stream.readChar() // version
+    stream.readStringField(); stream.readStringField() // date, time
+
+    var vars = Vector.empty[PorVar]
+    var done = false
+    while (!done) {
+      (stream.readChar(): @unchecked) match {
+        case '1' | '2' | '3' => stream.readStringField()
+        case '4' => stream.readInt()
+        case '5' => stream.readInt() // precision
+        case '6' => stream.readStringField()
+        case '7' =>
+          val width = stream.readInt().toInt
+          val name = stream.readStringField()
+          val pft = stream.readInt().toInt
+          val pfw = stream.readInt().toInt
+          val pfd = stream.readInt().toInt
+          stream.readInt(); stream.readInt(); stream.readInt() // write fmt
+          vars :+= PorVar(name, width, pft, pfw, pfd, None)
+        case '8' =>
+          if (vars.lastOption.exists(_.isString)) stream.readStringField()
+          else stream.readDouble()
+        case '9' | 'A' => stream.readDouble()
+        case 'B' =>
+          if (vars.lastOption.exists(_.isString)) {
+            stream.readStringField(); stream.readStringField()
+          } else { stream.readDouble(); stream.readDouble() }
+        case 'C' =>
+          val label = stream.readStringField()
+          if (vars.nonEmpty) vars = vars.init :+ vars.last.copy(label = Some(label))
+        case 'D' =>
+          val nVars = stream.readInt()
+          var isString = false
+          (0L until nVars).foreach { j =>
+            val vn = stream.readStringField()
+            if (j == 0) isString = vars.exists(v => v.name == vn && v.isString)
+          }
+          val nLabels = stream.readInt()
+          (0L until nLabels).foreach { _ =>
+            if (isString) stream.readStringField() else stream.readDouble()
+            stream.readStringField()
+          }
+        case 'E' =>
+          val n = stream.readInt()
+          (0L until n).foreach(_ => stream.readStringField())
+        case 'F' => done = true
+        case other =>
+          throw new IllegalArgumentException(s"POR: unexpected tag '${other.toChar}'")
+      }
+    }
+    PorMeta(fileLabel, vars)
+  }
+}

@@ -145,8 +145,45 @@ object ReadstatQueries {
       |FROM read_parquet('/root/repo/src/test/resources/golden/sas/owner.parquet')
       |GROUP BY 1 ORDER BY ownhere""".stripMargin
 
+  /** supplier → .xpt (IBM hex floats) roundtrip. */
+  def xptRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "supplier.xpt")
+    supplier(s, d).select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .agg(count(lit(1)).as("n"),
+        round(sum("S_ACCTBA"), 2).as("sum_bal"),
+        min("S_NAME").as("min_name"),
+        round(sum("S_SUPPKE"), 2).as("sum_key"))
+  }
+
+  val xptRoundtripSql: String =
+    """SELECT count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal,
+      |       min(s_name) AS min_name,
+      |       round(sum(CAST(s_suppkey AS DOUBLE)), 2) AS sum_key
+      |FROM supplier""".stripMargin
+
+  /** nation ⋈ region → .por (base-30 ASCII) roundtrip. */
+  def porRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "nation.por")
+    nation(s, d).select(col("n_nationkey").cast("double").as("nkey"),
+        col("n_name"), col("n_regionkey").cast("double").as("rkey"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .groupBy("RKEY")
+      .agg(count(lit(1)).as("n"), min("N_NAME").as("min_nation"))
+      .orderBy("RKEY")
+  }
+
+  val porRoundtripSql: String =
+    """SELECT CAST(n_regionkey AS DOUBLE) AS RKEY, count(*) AS n,
+      |       min(n_name) AS min_nation
+      |FROM nation GROUP BY 1 ORDER BY RKEY""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),
+    "xpt_roundtrip_agg" -> (xptRoundtrip _, xptRoundtripSql),
+    "por_roundtrip_agg" -> (porRoundtrip _, porRoundtripSql),
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),

@@ -16,5 +16,3 @@ private[readstat] abstract class NotYetImplemented(fmt: String) extends FormatMo
       required: StructType): Iterator[InternalRow] = nyi
 }
 
-object XptModule extends NotYetImplemented("SAS .xpt")
-object PorModule extends NotYetImplemented("SPSS .por")

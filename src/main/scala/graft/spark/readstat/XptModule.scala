@@ -1,0 +1,133 @@
+package graft.spark.readstat
+
+import java.io.RandomAccessFile
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.sas.SasCore
+import graft.core.xpt.XptCore
+import graft.core.xpt.XptCore._
+
+/** SAS transport (.xpt) as a Spark format module: fixed-width 80-byte-
+  * aligned records → O(1)-seek row-range partitions. Temporal
+  * classification reuses the SAS format-name lists.
+  */
+object XptModule extends FormatModule {
+
+  private case class FileKey(path: String, size: Long, mtime: Long)
+  private def keyOf(path: String) = {
+    val f = new java.io.File(path)
+    FileKey(path, f.length(), f.lastModified())
+  }
+  private val mdCache = new ConcurrentHashMap[FileKey, XptMeta]()
+  def metadata(path: String): XptMeta =
+    mdCache.computeIfAbsent(keyOf(path), _ => XptCore.parse(path))
+
+  private def kindOf(c: XptColumn): SasCore.Kind =
+    SasCore.kindFor(graft.core.sas.SasCore.SasColumn(
+      c.name, c.format, c.label, c.isChar, c.offset, c.width))
+
+  def sparkTypeOf(c: XptColumn): DataType = kindOf(c) match {
+    case SasCore.KChar => StringType
+    case SasCore.KDate => DateType
+    case SasCore.KDatetime => TimestampNTZType
+    case SasCore.KTime => LongType
+    case _ => DoubleType
+  }
+
+  override def schema(path: String, opts: ReadstatOptions): StructType = {
+    val md = metadata(path)
+    StructType(md.columns.map { c =>
+      val mb = new MetadataBuilder()
+      if (kindOf(c) == SasCore.KTime) mb.putString("readstat.type", "time")
+      if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
+      if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
+      StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
+    })
+  }
+
+  override def planPartitions(path: String, opts: ReadstatOptions,
+      limit: Option[Long]): Seq[RangePartition] = {
+    val md = metadata(path)
+    val total = limit.map(math.min(_, md.rowCount)).getOrElse(md.rowCount)
+    if (total == 0) return Seq(RangePartition(path, 0, 0))
+    val rpp = math.max(1L, opts.partitionTargetBytes / math.max(1, md.rowLength))
+    (0L until total by rpp).map(s => RangePartition(path, s, math.min(rpp, total - s)))
+  }
+
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[InternalRow] = {
+    val md = metadata(part.path)
+    val byName = md.columns.map(_.name).zipWithIndex.toMap
+    val plans = required.fields.zipWithIndex.map { case (f, fi) =>
+      val c = md.columns(byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"no such column: ${f.name}")))
+      (fi, c, kindOf(c))
+    }
+    val rowLen = md.rowLength
+    val raf = new RandomAccessFile(part.path, "r")
+    raf.seek(md.dataOffset + part.startRow * rowLen)
+    val chunkRows = math.max(1, (4 << 20) / math.max(1, rowLen))
+
+    new Iterator[InternalRow] {
+      private var remaining = part.numRows
+      private var buf: Array[Byte] = _
+      private var bufRows, bufPos = 0
+      private var done = false
+
+      override def hasNext: Boolean = {
+        if (done) return false
+        if (remaining <= 0) { raf.close(); done = true; return false }
+        if (buf == null || bufPos >= bufRows) {
+          val n = math.min(chunkRows.toLong, remaining).toInt
+          buf = new Array[Byte](n * rowLen)
+          try raf.readFully(buf)
+          catch { case _: java.io.EOFException => raf.close(); done = true; return false }
+          bufRows = n; bufPos = 0
+        }
+        // trailing blank (all-space) rows are record padding, not data
+        val base = bufPos * rowLen
+        var allSpace = true
+        var i = base
+        while (allSpace && i < base + rowLen) { if (buf(i) != ' ') allSpace = false; i += 1 }
+        if (allSpace) { raf.close(); done = true; return false }
+        true
+      }
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        val base = bufPos * rowLen
+        bufPos += 1; remaining -= 1
+        val row = new GenericInternalRow(plans.length)
+        plans.foreach { case (fi, c, kind) =>
+          val off = base + c.offset
+          val v: Any =
+            if (c.isChar) {
+              var end = off + c.width
+              while (end > off && (buf(end - 1) == ' ' || buf(end - 1) == 0)) end -= 1
+              if (end == off) {
+                if (opts.missingStringAsNull) null else UTF8String.fromString("")
+              } else UTF8String.fromString(
+                new String(buf, off, end - off, java.nio.charset.StandardCharsets.ISO_8859_1))
+            } else if (XptCore.isMissing(buf, off, c.width)) null
+            else {
+              val d = XptCore.ibmToDouble(buf, off, c.width)
+              if (d.isNaN || d.isInfinite) null
+              else kind match {
+                case SasCore.KDate => SasCore.toDateDays(d)
+                case SasCore.KDatetime => SasCore.toDatetimeMicros(d)
+                case SasCore.KTime => SasCore.toTimeNanos(d)
+                case _ => d
+              }
+            }
+          row.update(fi, v)
+        }
+        row
+      }
+    }
+  }
+}

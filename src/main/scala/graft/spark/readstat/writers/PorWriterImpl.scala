@@ -1,0 +1,173 @@
+package graft.spark.readstat.writers
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.core.por.PorCore
+
+/** SPSS portable (.por) writer. The format is a sequential 80-column
+  * text stream with no record boundaries, so the write is driver-side
+  * streaming over `toLocalIterator` (one partition at a time is pulled;
+  * memory stays bounded). POR is an interchange format for small-to-
+  * medium extracts — for 100 TB scale use the binary writers.
+  * Behavioral reference: por.rs:843-1010.
+  */
+object PorWriterImpl {
+
+  private final class LineWriter(out: java.io.OutputStream) {
+    private var pos = 0
+    def byte(b: Int): Unit = {
+      out.write(b); pos += 1
+      if (pos == PorCore.LineLen) { out.write('\n'); pos = 0 }
+    }
+    def bytes(bs: Array[Byte]): Unit = bs.foreach(b => byte(b & 0xff))
+    def str(s: String): Unit = bytes(s.getBytes(StandardCharsets.ISO_8859_1))
+    def base30Int(n0: Long): Unit = {
+      var n = n0
+      if (n == 0) { byte('0'); return }
+      val digits = new StringBuilder
+      while (n > 0) {
+        val d = (n % 30).toInt
+        digits.append(if (d < 10) ('0' + d).toChar else ('A' + d - 10).toChar)
+        n /= 30
+      }
+      digits.reverseInPlace().toString.foreach(c => byte(c))
+    }
+    def double(v: Double): Unit = {
+      if (v.isNaN) { byte('*'); byte('.'); return }
+      if (v.isInfinite) { if (v < 0) byte('-'); str("1+TT/"); return }
+      if (v < 0) byte('-')
+      val abs = math.abs(v)
+      val intPart = abs.toLong
+      var frac = abs - intPart
+      var exponent = 0L
+      var ip = intPart
+      if (ip == 0) byte('0')
+      else {
+        while (frac == 0.0 && ip != 0 && ip % 30 == 0) { ip /= 30; exponent += 1 }
+        base30Int(ip)
+      }
+      if (frac != 0.0) {
+        byte('.')
+        var printed = { var n = intPart; var c = if (n == 0) 1 else 0
+          while (n > 0) { n /= 30; c += 1 }; c }
+        while (frac != 0.0 && printed < 50) {
+          frac *= 30.0
+          val d = frac.toLong
+          frac -= d
+          byte(if (d < 10) ('0' + d).toInt else ('A' + d - 10).toInt)
+          printed += 1
+        }
+      }
+      if (exponent > 0) { byte('+'); base30Int(exponent) }
+      byte('/')
+    }
+    def stringField(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.ISO_8859_1)
+      base30Int(b.length.toLong); byte('/'); bytes(b)
+    }
+    def finishWithZ(): Unit = {
+      if (pos != 0) { while (pos != 0) byte('Z') }
+    }
+  }
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    val schema = df.schema
+    val outPath = Paths.get(path)
+    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val w = new LineWriter(os)
+    try {
+      // vanity block (5×40) with the standard row-1 banner
+      val vanity = Array.fill[Byte](200)('0')
+      val banner = "ASCII SPSS PORT FILE".getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(banner, 0, vanity, 40, banner.length)
+      java.util.Arrays.fill(vanity, 60, 80, ' '.toByte)
+      w.bytes(vanity)
+      // identity character table
+      val lookup = Array.fill[Byte](256)('0')
+      for (i <- 0 until 256)
+        if (PorCore.PorAsciiLookup(i) != 0) lookup(i) = PorCore.PorAsciiLookup(i)
+      w.bytes(lookup)
+      w.str("SPSSPORT")
+      w.byte('A')
+      w.stringField("20260101"); w.stringField("000000")
+      w.byte('1'); w.stringField("polars_readstatspark")
+      w.byte('4'); w.base30Int(schema.length.toLong); w.byte('/')
+      w.byte('5'); w.base30Int(16L); w.byte('/')
+
+      // variable records (names: uppercase, ≤8 chars, deduped)
+      val used = scala.collection.mutable.Set[String]()
+      val specs = schema.fields.map { f =>
+        var s = f.name.toUpperCase.filter(c => c.isLetterOrDigit || c == '_').take(8)
+        if (s.isEmpty || !s(0).isLetter) s = ("V" + s).take(8)
+        var cand = s; var i = 1
+        while (!used.add(cand)) { val t = i.toString; cand = s.take(8 - t.length) + t; i += 1 }
+        (f, cand)
+      }
+      // string widths must fit the declared width — POR strings carry
+      // explicit lengths so declare 255
+      specs.foreach { case (f, short) =>
+        val (width, fmtType, fmtW) = f.dataType match {
+          case StringType => (255, 1, 255)
+          case DateType => (0, 20, 11)
+          case TimestampType | TimestampNTZType => (0, 22, 20)
+          case _ => (0, 5, 8)
+        }
+        w.byte('7')
+        w.double(width.toDouble)
+        w.stringField(short)
+        w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(0)
+        w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(0)
+      }
+      w.byte('F')
+
+      // data (driver-side streaming; see scaladoc)
+      val fields = schema.fields
+      df.toLocalIterator().forEachRemaining { row =>
+        var i = 0
+        while (i < fields.length) {
+          fields(i).dataType match {
+            case StringType =>
+              w.stringField(if (row.isNullAt(i)) "" else row.getString(i))
+            case DateType =>
+              if (row.isNullAt(i)) w.double(Double.NaN)
+              else w.double(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay
+                .toDouble * 86400 + PorCore.SecShift)
+            case TimestampType =>
+              if (row.isNullAt(i)) w.double(Double.NaN)
+              else w.double(row.getAs[java.sql.Timestamp](i).getTime / 1000.0 +
+                PorCore.SecShift)
+            case TimestampNTZType =>
+              if (row.isNullAt(i)) w.double(Double.NaN)
+              else w.double(row.getAs[java.time.LocalDateTime](i)
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000.0 +
+                PorCore.SecShift)
+            case dt =>
+              if (row.isNullAt(i)) w.double(Double.NaN)
+              else {
+                val d = dt match {
+                  case ByteType => row.getByte(i).toDouble
+                  case ShortType => row.getShort(i).toDouble
+                  case IntegerType => row.getInt(i).toDouble
+                  case LongType => row.getLong(i).toDouble
+                  case FloatType => row.getFloat(i).toDouble
+                  case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+                  case _: DecimalType => row.getDecimal(i).doubleValue()
+                  case _ => row.getDouble(i)
+                }
+                w.double(d)
+              }
+          }
+          i += 1
+        }
+      }
+      w.byte('Z')
+      w.finishWithZ()
+    } finally os.close()
+  }
+}

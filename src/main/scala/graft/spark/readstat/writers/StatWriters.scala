@@ -12,8 +12,8 @@ object StatWriters {
     if (lower.endsWith(".dta")) StataDtaWriter.write(df, path, options)
     else if (lower.endsWith(".sav")) SpssSavWriter.write(df, path, options, zlib = false)
     else if (lower.endsWith(".zsav")) SpssSavWriter.write(df, path, options, zlib = true)
-    else if (lower.endsWith(".xpt")) XptWriter.write(df, path, options)
-    else if (lower.endsWith(".por")) PorWriter.write(df, path, options)
+    else if (lower.endsWith(".xpt")) XptWriterImpl.write(df, path, options)
+    else if (lower.endsWith(".por")) PorWriterImpl.write(df, path, options)
     else if (lower.endsWith(".csv")) SasCsvBundleWriter.write(df, path, options)
     else throw new IllegalArgumentException(
       s"readstat writer: unsupported extension for $path " +

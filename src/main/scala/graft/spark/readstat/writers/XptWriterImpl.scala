@@ -1,0 +1,200 @@
+package graft.spark.readstat.writers
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.xpt.XptCore
+
+/** SAS transport (.xpt) v5 writer — same distributed two-job shape as the
+  * dta/sav writers. 80-byte records, 140-byte namestrs, IBM hex floats.
+  * Record layout follows the public TS-140 spec (behavioral reference:
+  * xpt_writer.rs:560-640).
+  */
+object XptWriterImpl {
+
+  private case class ColSpec(name: String, short: String, isChar: Boolean,
+      width: Int, fmt: String, src: DataType)
+
+  private val Ts = "01JAN26:00:00:00"
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    val spark = df.sparkSession
+    val schema = df.schema
+
+    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val aggs = count(lit(1)).as("__n") +:
+      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
+    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
+      c -> math.max(1, if (head.isNullAt(i + 1)) 1 else math.min(200, head.getInt(i + 1)))
+    }.toMap
+
+    val used = scala.collection.mutable.Set[String]()
+    val cols: Array[ColSpec] = schema.fields.map { f =>
+      var short = f.name.toUpperCase.filter(c => c.isLetterOrDigit || c == '_').take(8)
+      if (short.isEmpty || !short(0).isLetter) short = ("V" + short).take(8)
+      var cand = short; var i = 1
+      while (!used.add(cand)) { val s = i.toString; cand = short.take(8 - s.length) + s; i += 1 }
+      f.dataType match {
+        case StringType => ColSpec(f.name, cand, isChar = true, widths(f.name), "", f.dataType)
+        case DateType => ColSpec(f.name, cand, isChar = false, 8, "DATE9", f.dataType)
+        case TimestampType | TimestampNTZType =>
+          ColSpec(f.name, cand, isChar = false, 8, "DATETIME20", f.dataType)
+        case ByteType | ShortType | IntegerType | LongType | BooleanType |
+             FloatType | DoubleType | _: DecimalType =>
+          ColSpec(f.name, cand, isChar = false, 8, "", f.dataType)
+        case other => throw new IllegalArgumentException(
+          s"xpt writer: unsupported type $other for ${f.name}")
+      }
+    }
+    val rowLen = cols.map(_.width).sum
+
+    val scratch = options.getOrElse("scratchDir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    Files.createDirectories(Paths.get(scratch))
+    val specsB = spark.sparkContext.broadcast(cols)
+    val chunks = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val specs = specsB.value
+      val f = File.createTempFile(s"graft_xpt_${pid}_", ".chunk", new File(scratch))
+      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
+      var rows = 0L
+      it.foreach { row =>
+        var i = 0
+        while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+        rows += 1
+      }
+      out.close()
+      Iterator((pid, f.getAbsolutePath, rows))
+    }.collect().sortBy(_._1)
+
+    val header = buildHeader(cols)
+    val outPath = Paths.get(path)
+    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(outPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(header))
+      var written = 0L
+      chunks.foreach { c =>
+        val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+        try { var p = 0L; val n = in.size()
+          while (p < n) p += in.transferTo(p, n - p, ch)
+          written += n
+        } finally in.close()
+      }
+      // pad data section to an 80-byte boundary with spaces
+      val rem = (written % 80).toInt
+      if (rem != 0) {
+        val pad = new Array[Byte](80 - rem)
+        java.util.Arrays.fill(pad, ' '.toByte)
+        ch.write(java.nio.ByteBuffer.wrap(pad))
+      }
+    } finally ch.close()
+    chunks.foreach(c => new File(c._2).delete())
+  }
+
+  private def encodeCell(row: Row, i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
+    if (spec.isChar) {
+      val buf = new Array[Byte](spec.width)
+      java.util.Arrays.fill(buf, ' '.toByte)
+      if (!row.isNullAt(i)) {
+        val s = row.getString(i).getBytes(StandardCharsets.ISO_8859_1)
+        System.arraycopy(s, 0, buf, 0, math.min(s.length, spec.width))
+      }
+      out.write(buf)
+    } else {
+      if (row.isNullAt(i)) out.write(Array[Byte]('.', 0, 0, 0, 0, 0, 0, 0))
+      else {
+        val d: Double = spec.src match {
+          case DateType =>
+            row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toDouble +
+              graft.core.sas.SasCore.EpochShiftDays
+          case TimestampType =>
+            row.getAs[java.sql.Timestamp](i).getTime / 1000.0 +
+              graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
+          case TimestampNTZType =>
+            row.getAs[java.time.LocalDateTime](i)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000.0 +
+              graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
+          case ByteType => row.getByte(i).toDouble
+          case ShortType => row.getShort(i).toDouble
+          case IntegerType => row.getInt(i).toDouble
+          case LongType => row.getLong(i).toDouble
+          case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+          case FloatType => row.getFloat(i).toDouble
+          case _: DecimalType => row.getDecimal(i).doubleValue()
+          case _ => row.getDouble(i)
+        }
+        out.write(XptCore.doubleToIbm(d))
+      }
+    }
+  }
+
+  private def buildHeader(cols: Array[ColSpec]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def rec(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.ISO_8859_1)
+      o.write(b, 0, math.min(80, b.length))
+      (b.length until 80).foreach(_ => o.write(' '))
+    }
+    def hdr(name: String, n1: Int, n2: Int, n3: Int, n4: Int, n5: Int, n6: Int): Unit =
+      rec(f"HEADER RECORD*******$name%-8sHEADER RECORD!!!!!!!$n1%05d$n2%05d$n3%05d$n4%05d$n5%05d$n6%05d")
+
+    hdr("LIBRARY", 0, 0, 0, 0, 0, 0)
+    rec(f"${"SAS"}%-8s${"SAS"}%-8s${"SASLIB"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
+    rec(Ts)
+    hdr("MEMBER", 0, 0, 0, 160, 0, 140)
+    hdr("DSCRPTR", 0, 0, 0, 0, 0, 0)
+    rec(f"${"SAS"}%-8s${"DATASET"}%-8s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
+    rec(f"$Ts%16s${""}%16s${""}%-40s${""}%-8s")
+    hdr("NAMESTR", 0, cols.length, 0, 0, 0, 0)
+
+    // namestrs (140 bytes each), then pad to 80-byte boundary
+    val ns = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { ns.write((v >> 8) & 0xff); ns.write(v & 0xff) }
+    def u32(v: Int): Unit = { u16((v >> 16) & 0xffff); u16(v & 0xffff) }
+    def pad(s: String, n: Int): Unit = {
+      val b = s.getBytes(StandardCharsets.ISO_8859_1)
+      ns.write(b, 0, math.min(n, b.length))
+      (b.length until n).foreach(_ => ns.write(' '))
+    }
+    var pos = 0
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val (fmtName, fmtW, fmtD) = c.fmt match {
+        case "DATE9" => ("DATE", 9, 0)
+        case "DATETIME20" => ("DATETIME", 20, 0)
+        case _ => ("", 0, 0)
+      }
+      u16(if (c.isChar) 2 else 1) // ntype
+      u16(0)                      // nhfun
+      u16(c.width)                // nlng
+      u16(i + 1)                  // nvar0
+      pad(c.short, 8)             // nname
+      pad(c.name.take(40), 40)    // nlabel (long name as label)
+      pad(fmtName, 8)             // nform
+      u16(fmtW); u16(fmtD)        // nfl/nfd
+      u16(0)                      // nfj
+      pad("", 2)                  // nfill
+      pad("", 8)                  // niform
+      u16(0); u16(0)              // nifl/nifd
+      u32(pos)                    // npos
+      pad(c.name.take(32), 32)    // longname
+      u16(0)                      // labeln
+      pad("", 18)
+      pos += c.width
+    }
+    val nsB = ns.toByteArray
+    o.write(nsB)
+    val rem = nsB.length % 80
+    if (rem != 0) (rem until 80).foreach(_ => o.write(' '))
+
+    hdr("OBS", 0, 0, 0, 0, 0, 0)
+    o.toByteArray
+  }
+}
