@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.q3Shipping(spark, "/root/testdata/sf0.001")
 
   private val registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
-    Relational.all ++ Text.all ++ Similarity.all ++ _root_.graft.queries.ReadstatQueries.all
+    Relational.all ++ Text.all ++ Similarity.all ++
+    _root_.graft.queries.ReadstatQueries.all ++ _root_.graft.queries.Pipeline.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection over a text column.
+  *
+  * Scale shape (100 TB): the only wide operations are groupBys on
+  * (doc, band) keys and the bucket self-join; no cartesian product ever
+  * forms. Signatures are k longs per doc (k=48 → 384 bytes/doc crossing
+  * the shuffle, independent of document size). Candidate pairs are
+  * verified with exact shingle Jaccard — also via inverted-index join,
+  * restricted to the candidate set.
+  *
+  * Everything is built from codegen'd functions (xxhash64 + arithmetic);
+  * no UDFs. Hash family: h_i(x) = (a_i * xxhash64(x) + b_i) with fixed
+  * odd multipliers — the standard multiply-shift universal family.
+  */
+object MinHashLsh {
+
+  /** Word n-gram shingles, one row per (id, shingle), deduped. Built with
+    * array `transform` over the token array — a pure narrow map (no
+    * explode+window+sort), so shingling is shuffle-free at any scale. */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val arr = split(trim(col(textCol)), "\\s+")
+    val shingleArr = when(size(arr) >= n,
+      array_distinct(transform(sequence(lit(1), size(arr) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(arr, i + lit(j))): _*))))
+      .otherwise(array())
+    df.select(col(idCol), explode(shingleArr).as("shingle"))
+  }
+
+  /** h_i = xxhash64(shingle, i): independent 64-bit hashes per index,
+    * overflow-free under ANSI mode. */
+  private def hashI(shingle: Column, i: Int): Column =
+    xxhash64(shingle, lit(i))
+
+  /** k-minhash signature per id: sig_0..sig_{k-1} columns. */
+  def signatures(sh: DataFrame, idCol: String, k: Int = 48): DataFrame = {
+    val aggs = (0 until k).map(i => min(hashI(col("shingle"), i)).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs: ids sharing ≥1 band bucket. With r = k/bands
+    * rows per band, a pair of similarity j collides with probability
+    * 1-(1-j^r)^bands — r=8/b=8 targets the j ≥ 0.7 near-dup regime while
+    * keeping the candidate set tiny on corpora with high baseline overlap. */
+  def candidatePairs(sig: DataFrame, idCol: String, k: Int = 48,
+      bands: Int = 6): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      xxhash64(lit(b) +: cols: _*).as(s"bucket_$b")
+    }
+    val buckets = sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until bands).map(b => col(s"bucket_$b")): _*)).as("bucket"))
+    val a = buckets.as("a"); val b2 = buckets.as("b")
+    a.join(b2, col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** End-to-end near-dup pairs: LSH candidates verified with exact
+    * shingle Jaccard ≥ threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 48, bands: Int = 6): DataFrame = {
+    val sh = shingles(df, idCol, textCol).cache()
+    val sig = signatures(sh, idCol, k)
+    val cand = candidatePairs(sig, idCol, k, bands)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    // exact intersection counts for CANDIDATE pairs only: expand each
+    // candidate pair with id_a's shingles, then probe id_b's shingle set.
+    // This keeps the verify cost proportional to |candidates| × doc size,
+    // not to the full inverted-index self-join.
+    val a = sh.withColumnRenamed(idCol, "id_a")
+    val b = sh.withColumnRenamed(idCol, "id_b")
+    val inter2 = cand.join(a, "id_a")
+      .join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_int"))
+    inter2
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+import graft.operators.{AnnLsh, LangId, MinHashLsh, Multimodal, SimHash}
+
+/** Training-data-pipeline operators as driver-gate queries. LSH-family
+  * outputs are probabilistic subsets of the exact answers, so they get
+  * rows-only checks (empty oracle) — their correctness is pinned by
+  * ScalaTest recall comparisons against the exact operators, which ARE
+  * oracle-checked (dedup_ngram_jaccard / ann_brute_force).
+  */
+object Pipeline {
+
+  /** MinHash+LSH near-dup pairs verified by exact Jaccard (rows-only). */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    MinHashLsh.nearDupPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprints + small-Hamming pairs (rows-only; emits the
+    * per-doc fingerprints so the result is never empty). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sig = SimHash.simhash(documents(s, d), "doc_id", "text")
+    sig.select(col("doc_id"), col("simhash")).orderBy("doc_id")
+  }
+
+  /** ANN via random-hyperplane LSH: top-5 for vec_id < 10 (rows-only;
+    * recall vs ann_brute_force asserted in ScalaTest). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    AnnLsh.topK(e.select(col("vec_id"), col("embedding")),
+      e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  /** Language-ID heuristic over documents (rows-only; the synthetic corpus
+    * is same-vocabulary across langs, so this exercises determinism and
+    * plumbing; linguistic accuracy is asserted in ScalaTest on real
+    * multilingual samples). */
+  def langid(s: SparkSession, d: String): DataFrame =
+    LangId.withLanguage(documents(s, d), "text")
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  /** Multimodal plumbing: opaque binary payloads → batch feature
+    * extraction → per-type aggregate. Oracle-checkable because the
+    * fingerprint is md5 of the payload bytes. */
+  def multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(documents(s, d))
+    val feats = Multimodal.extractFeatures(media)
+    feats.groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        min("fingerprint").as("min_fp"),
+        max("fingerprint").as("max_fp"))
+      .orderBy("media_type")
+  }
+
+  val multimodalSql: String =
+    """SELECT 'text/plain' AS media_type, count(*) AS n,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
+      |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_minhash_lsh" -> (dedupMinhash _, ""),
+    "dedup_simhash" -> (dedupSimhash _, ""),
+    "ann_lsh_topk" -> (annLsh _, ""),
+    "text_langid" -> (langid _, ""),
+    "multimodal_features" -> (multimodal _, multimodalSql),
+  )
+}

@@ -102,15 +102,9 @@ object Text {
     * product, only docs sharing ≥1 shingle pair up.
     */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sh = documents(s, d)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), col("tok"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-      .distinct()
+    val sh = graft.operators.MinHashLsh
+      .shingles(documents(s, d), "doc_id", "text")
+      .withColumnRenamed("shingle", "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.readstat.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators: LSH recall vs exact baselines, simhash
+  * determinism, langid accuracy on real multilingual samples, multimodal
+  * plumbing.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash-lsh near-dups are a subset of exact jaccard pairs, high recall at high threshold") {
+    import spark.implicits._
+    // corpus with planted near-duplicates
+    val base = docs.limit(100).select($"doc_id", $"text")
+    val dups = base.filter($"doc_id" < 10)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" extra token")).as("text"))
+    val corpus = base.unionAll(dups).cache()
+
+    val lsh = MinHashLsh.nearDupPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact pairs at the same threshold via the oracle-checked formulation
+    val sh = MinHashLsh.shingles(corpus, "doc_id", "text")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exact = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .filter($"ni" / ($"na" + $"nb" - $"ni") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(exact.nonEmpty, "expected planted near-dup pairs")
+    assert(lsh.subsetOf(exact), "LSH pairs must be verified-exact pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs get identical hashes; near-dups within small hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sig = SimHash.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > 10)
+    // banded blocking guarantees recall only within Hamming <= bands-1 = 3
+    val pairs = SimHash.nearDupPairs(
+      SimHash.simhash(df, "doc_id", "text"), "doc_id", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical docs must pair: $pairs")
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ann-lsh recall vs brute force") {
+    import spark.implicits._
+    val exact = graft.queries.Similarity.annBruteForce(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.queries.Pipeline.annLsh(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random-hyperplane LSH with 16 bits / 4 bands on random gaussian
+    // vectors: recall is modest by construction; assert it beats chance
+    // by a wide margin (chance ≈ k/corpus = 5/500 = 1%)
+    assert(recall >= 0.3, s"ANN recall $recall")
+  }
+
+  test("langid identifies real multilingual samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat was sitting on the mat and it was happy with this"),
+      ("es", "el perro está en la casa y no quiere salir por la lluvia"),
+      ("de", "der hund ist nicht in dem haus und ich bin mit der katze"),
+      ("fr", "le chat est dans la maison et il ne veut pas sortir avec"),
+      ("zh", "这是一个中文句子用于测试语言识别功能")
+    ).toDF("expected", "text")
+    val got = LangId.withLanguage(samples, "text")
+      .filter($"expected" === $"lang_pred").count()
+    assert(got == 5, s"langid got $got/5 correct")
+  }
+
+  test("multimodal feature extraction is deterministic and schema-stable") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(50))
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.length == 50)
+    assert(f1.map(_.getString(3)).toSeq == f2.map(_.getString(3)).toSeq)
+    assert(f1(0).getSeq[Float](4).length == 8)
+  }
+}
