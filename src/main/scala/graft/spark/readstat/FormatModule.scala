@@ -45,10 +45,14 @@ final case class ReadstatOptions(
     valueLabelsAsStrings: Boolean = false,
     missingStringAsNull: Boolean = true,
     rowIndexName: Option[String] = None,
+    catalog: Option[String] = None,
     informativeNulls: Boolean = false,
     informativeNullSuffix: String = "_null",
     partitionTargetBytes: Long = 128L * 1024 * 1024,
-    batchRows: Int = 0) // 0 = auto (~2M cells per batch)
+    batchRows: Int = 0, // 0 = auto (~2M cells per batch)
+    compress: Boolean = false,
+    compressProbeRows: Int = 1000,
+    schemaOverrides: String = "")
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
@@ -58,11 +62,15 @@ object ReadstatOptions {
       valueLabelsAsStrings = b("valueLabelsAsStrings", dflt = false),
       missingStringAsNull = b("missingStringAsNull", dflt = true),
       rowIndexName = Option(m.get("rowIndexName")).filter(_.nonEmpty),
+      catalog = Option(m.get("catalog")).filter(_.nonEmpty),
       informativeNulls = b("informativeNulls", dflt = false),
       informativeNullSuffix =
         Option(m.get("informativeNullSuffix")).getOrElse("_null"),
       partitionTargetBytes = Option(m.get("partitionTargetBytes"))
         .map(_.toLong).getOrElse(128L * 1024 * 1024),
-      batchRows = Option(m.get("batchRows")).map(_.toInt).getOrElse(0))
+      batchRows = Option(m.get("batchRows")).map(_.toInt).getOrElse(0),
+      compress = b("compress", dflt = false),
+      compressProbeRows = Option(m.get("compressProbeRows")).map(_.toInt).getOrElse(1000),
+      schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""))
   }
 }

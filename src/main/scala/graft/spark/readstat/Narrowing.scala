@@ -1,0 +1,166 @@
+package graft.spark.readstat
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Read-side type compression ("compress") and user schema overrides.
+  *
+  * `compress`: a driver-side probe read of the first N rows infers a
+  * narrowed schema (f64 → Boolean/Int8/Int16/Int32 when all probed values
+  * fit; Datetime → Date when all-midnight; numeric strings → Double), then
+  * every partition casts at decode. Mirrors the reference's probe
+  * inference (pybindings.rs:374-405, 691-717; stata/compress.rs:82-202).
+  *
+  * `schemaOverrides`: DDL fragment ("a INT, b STRING") replacing the
+  * declared types of named columns, applied the same decode-time way
+  * (reference: __init__.py:536-539).
+  */
+object Narrowing {
+
+  def parseOverrides(ddl: String): Map[String, DataType] =
+    if (ddl == null || ddl.trim.isEmpty) Map.empty
+    else StructType.fromDDL(ddl).fields.map(f => f.name -> f.dataType).toMap
+
+  /** Probe-infer narrowed types for a file's schema. */
+  def inferNarrowed(module: FormatModule, path: String, opts: ReadstatOptions,
+      base: StructType, probeRows: Int): StructType = {
+    val probe = module.rows(RangePartition(path, 0, probeRows.toLong), opts, base)
+    val n = base.length
+    val isIntegral = Array.fill(n)(true)
+    val isBool = Array.fill(n)(true)
+    val minV = Array.fill(n)(Double.MaxValue)
+    val maxV = Array.fill(n)(Double.MinValue)
+    val anyValue = Array.fill(n)(false)
+    val allMidnight = Array.fill(n)(true)
+    val numericString = Array.fill(n)(true)
+    var count = 0
+    while (probe.hasNext && count < probeRows) {
+      val row = probe.next()
+      var i = 0
+      while (i < n) {
+        if (!row.isNullAt(i)) {
+          base.fields(i).dataType match {
+            case DoubleType =>
+              val d = row.getDouble(i)
+              anyValue(i) = true
+              if (d != math.rint(d) || d.isNaN || d.isInfinite) {
+                isIntegral(i) = false; isBool(i) = false
+              } else {
+                if (d != 0.0 && d != 1.0) isBool(i) = false
+                minV(i) = math.min(minV(i), d); maxV(i) = math.max(maxV(i), d)
+              }
+            case FloatType =>
+              val d = row.getFloat(i).toDouble
+              anyValue(i) = true
+              if (d != math.rint(d) || d.isNaN) { isIntegral(i) = false; isBool(i) = false }
+              else {
+                if (d != 0.0 && d != 1.0) isBool(i) = false
+                minV(i) = math.min(minV(i), d); maxV(i) = math.max(maxV(i), d)
+              }
+            case TimestampNTZType =>
+              anyValue(i) = true
+              if (math.floorMod(row.getLong(i), 86400000000L) != 0L)
+                allMidnight(i) = false
+            case StringType =>
+              anyValue(i) = true
+              val s = row.getUTF8String(i).toString
+              if (numericString(i) && s.nonEmpty) {
+                try { s.toDouble; () } catch { case _: NumberFormatException =>
+                  numericString(i) = false }
+              }
+            case _ => anyValue(i) = true
+          }
+        }
+        i += 1
+      }
+      count += 1
+    }
+
+    StructType(base.fields.zipWithIndex.map { case (f, i) =>
+      val narrowed: DataType = f.dataType match {
+        case DoubleType | FloatType if anyValue(i) && isBool(i) => BooleanType
+        case DoubleType | FloatType if anyValue(i) && isIntegral(i) =>
+          if (minV(i) >= Byte.MinValue && maxV(i) <= Byte.MaxValue) ByteType
+          else if (minV(i) >= Short.MinValue && maxV(i) <= Short.MaxValue) ShortType
+          else if (minV(i) >= Int.MinValue && maxV(i) <= Int.MaxValue) IntegerType
+          else f.dataType
+        case TimestampNTZType if anyValue(i) && allMidnight(i) => DateType
+        case StringType if anyValue(i) && numericString(i) => DoubleType
+        case other => other
+      }
+      f.copy(dataType = narrowed)
+    })
+  }
+
+  /** Wrap a natural-type row iterator so fields come out in the target
+    * (narrowed/overridden) types. Field order must match. */
+  def castingIterator(it: Iterator[InternalRow], from: StructType,
+      to: StructType): Iterator[InternalRow] = {
+    val n = from.length
+    val needs = (0 until n).exists(i => from(i).dataType != to(i).dataType)
+    if (!needs) return it
+    it.map { row =>
+      val out = new GenericInternalRow(n)
+      var i = 0
+      while (i < n) {
+        if (row.isNullAt(i)) out.update(i, null)
+        else out.update(i, castValue(row, i, from(i).dataType, to(i).dataType))
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def numericOf(row: InternalRow, i: Int, dt: DataType): Double = dt match {
+    case DoubleType => row.getDouble(i)
+    case FloatType => row.getFloat(i).toDouble
+    case ByteType => row.getByte(i).toDouble
+    case ShortType => row.getShort(i).toDouble
+    case IntegerType => row.getInt(i).toDouble
+    case LongType => row.getLong(i).toDouble
+    case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  private def castValue(row: InternalRow, i: Int, from: DataType,
+      to: DataType): Any = (from, to) match {
+    case (f, t) if f == t => row.get(i, f)
+    case (TimestampNTZType, DateType) =>
+      math.floorDiv(row.getLong(i), 86400000000L).toInt
+    case (DateType, TimestampNTZType) => row.getInt(i).toLong * 86400000000L
+    case (StringType, DoubleType) =>
+      val s = row.getUTF8String(i).toString
+      try java.lang.Double.valueOf(s)
+      catch { case _: NumberFormatException => null }
+    case (f, StringType) =>
+      UTF8String.fromString(String.valueOf(row.get(i, f)))
+    case (f: NumericType, t) =>
+      val d = numericOf(row, i, f)
+      t match {
+        case BooleanType => d != 0.0
+        case ByteType => d.toByte
+        case ShortType => d.toShort
+        case IntegerType => d.toInt
+        case LongType => d.toLong
+        case FloatType => d.toFloat
+        case DoubleType => d
+        case other => throw new IllegalArgumentException(
+          s"unsupported readstat cast $f -> $other")
+      }
+    case (BooleanType, t: NumericType) =>
+      castValue2(if (row.getBoolean(i)) 1.0 else 0.0, t)
+    case (f, t) => throw new IllegalArgumentException(
+      s"unsupported readstat cast $f -> $t")
+  }
+
+  private def castValue2(d: Double, t: NumericType): Any = t match {
+    case ByteType => d.toByte
+    case ShortType => d.toShort
+    case IntegerType => d.toInt
+    case LongType => d.toLong
+    case FloatType => d.toFloat
+    case _ => d
+  }
+}

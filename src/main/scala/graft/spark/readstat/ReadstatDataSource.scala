@@ -42,7 +42,8 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ReadstatOptions.from(options.asCaseSensitiveMap())
-    Formats.moduleFor(pathsOf(options).head).schema(pathsOf(options).head, opts)
+    val path = pathsOf(options).head
+    Formats.effectiveSchema(path, opts)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -54,6 +55,20 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
 /** Extension → format module dispatch. */
 object Formats {
+  /** Declared schema + compress narrowing + user overrides. */
+  def effectiveSchema(path: String, opts: ReadstatOptions): StructType = {
+    val module = moduleFor(path)
+    var schema = module.schema(path, opts)
+    if (opts.compress)
+      schema = Narrowing.inferNarrowed(module, path, opts, schema,
+        opts.compressProbeRows)
+    val overrides = Narrowing.parseOverrides(opts.schemaOverrides)
+    if (overrides.nonEmpty)
+      schema = StructType(schema.fields.map(f =>
+        overrides.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+    schema
+  }
+
   def moduleFor(path: String): FormatModule = {
     val lower = path.toLowerCase
     if (lower.endsWith(".dta")) StataModule
@@ -127,7 +142,15 @@ class ReadstatPartitionReaderFactory(required: StructType,
     opts: ReadstatOptions) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[RangePartition]
-    val it = Formats.moduleFor(part.path).rows(part, opts, required)
+    val module = Formats.moduleFor(part.path)
+    // decode with the format's natural types, then cast to the requested
+    // (compress-narrowed / overridden) types
+    val natural = module.schema(part.path, opts)
+    val naturalByName = natural.fields.map(f => f.name -> f).toMap
+    val naturalRequired = StructType(required.fields.map(f =>
+      naturalByName.getOrElse(f.name, f)))
+    val it = Narrowing.castingIterator(
+      module.rows(part, opts, naturalRequired), naturalRequired, required)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -42,6 +42,24 @@ object SasModule extends FormatModule {
     case KNum => DoubleType
   }
 
+  // ---- .sas7bcat catalog support (reference: catalog.rs + __init__.py:453-495) ----
+  private val catCache = new ConcurrentHashMap[FileKey, graft.core.sas.SasCatalog.Catalog]()
+  def catalog(path: String): graft.core.sas.SasCatalog.Catalog =
+    catCache.computeIfAbsent(keyOf(path), _ => graft.core.sas.SasCatalog.read(path))
+
+  /** Normalize a column's display format to a catalog key: uppercase,
+    * strip trailing width digits and periods (e.g. "regionf8." → REGIONF). */
+  private def fmtKey(format: String): String =
+    format.toUpperCase.reverse.dropWhile(c => c.isDigit || c == '.').reverse
+
+  /** Catalog label map for a column, when the catalog option is set and the
+    * column's format matches a catalog entry. */
+  private def catalogLabels(opts: ReadstatOptions, c: SasColumn): Option[Map[Double, String]] =
+    opts.catalog.flatMap { p =>
+      if (c.isChar || c.format.isEmpty) None
+      else catalog(p).numeric.get(fmtKey(c.format))
+    }
+
   override def schema(path: String, opts: ReadstatOptions): StructType = {
     val md = metadata(path)
     val fields = md.columns.map { c =>
@@ -49,7 +67,10 @@ object SasModule extends FormatModule {
       if (kindFor(c) == KTime) mb.putString("readstat.type", "time")
       if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
       if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
-      StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
+      val dt =
+        if (opts.valueLabelsAsStrings && catalogLabels(opts, c).isDefined) StringType
+        else sparkTypeOf(c)
+      StructField(c.name, dt, nullable = true, mb.build())
     }
     StructType(fields)
   }
@@ -68,7 +89,8 @@ object SasModule extends FormatModule {
     }
   }
 
-  private final case class ColPlan(fieldIdx: Int, col: SasColumn, kind: Kind)
+  private final case class ColPlan(fieldIdx: Int, col: SasColumn, kind: Kind,
+      labels: Map[Double, String])
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow] = {
@@ -78,7 +100,9 @@ object SasModule extends FormatModule {
       val vi = byName.getOrElse(f.name,
         throw new IllegalArgumentException(s"no such column: ${f.name}"))
       val c = md.columns(vi)
-      ColPlan(fi, c, kindFor(c))
+      val labels =
+        if (opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull else null
+      ColPlan(fi, c, kindFor(c), labels)
     }.sortBy(_.col.offset) // decode in byte order for cache locality
     val cs = md.charset
     val little = md.little
@@ -185,6 +209,12 @@ object SasModule extends FormatModule {
         } else {
           val v = SasCore.incompleteDouble(b, off, c.length, little)
           if (v.isNaN || v.isInfinite) null
+          else if (pl.labels != null) {
+            val label = pl.labels.get(v).getOrElse(
+              if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+              else v.toString)
+            UTF8String.fromString(label)
+          }
           else pl.kind match {
             case KDate => SasCore.toDateDays(v)
             case KDatetime => SasCore.toDatetimeMicros(v)

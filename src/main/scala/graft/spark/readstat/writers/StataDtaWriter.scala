@@ -46,9 +46,26 @@ object StataDtaWriter {
   private case class ColSpec(name: String, stataName: String, w: W,
       fmt: String, src: DataType)
 
+  /** Parse the `valueLabels` option: "col:1=Male,2=Female|col2:0=No,1=Yes". */
+  def parseValueLabels(spec: String): Map[String, Seq[(Int, String)]] =
+    if (spec == null || spec.trim.isEmpty) Map.empty
+    else spec.split("\\|").flatMap { part =>
+      val i = part.indexOf(':')
+      if (i <= 0) None
+      else {
+        val colName = part.substring(0, i).trim
+        val pairs = part.substring(i + 1).split(",").flatMap { kv =>
+          val j = kv.indexOf('=')
+          if (j <= 0) None else Some(kv.substring(0, j).trim.toInt -> kv.substring(j + 1))
+        }
+        Some(colName -> pairs.toSeq)
+      }
+    }.toMap
+
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
+    val valueLabels = parseValueLabels(options.getOrElse("valueLabels", ""))
 
     // ---- job 1: row count + max string byte-widths ----
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -125,7 +142,7 @@ object StataDtaWriter {
     // ---- driver: assemble final file in one forward pass ----
     val dataBytes = ordered.map(c => new File(c._2).length()).sum
     val gsoBytes = ordered.map(c => new File(c._3).length()).sum
-    assembleFile(path, cols, nObs, rowLen, dataBytes, gsoBytes, ordered)
+    assembleFile(path, cols, nObs, rowLen, dataBytes, gsoBytes, ordered, valueLabels)
     ordered.foreach { c => new File(c._2).delete(); new File(c._3).delete() }
   }
 
@@ -212,7 +229,8 @@ object StataDtaWriter {
 
   private def assembleFile(path: String, cols: Array[ColSpec], nObs: Long,
       rowLen: Int, dataBytes: Long, gsoBytes: Long,
-      chunks: Array[(Int, String, String, Long)]): Unit = {
+      chunks: Array[(Int, String, String, Long)],
+      valueLabels: Map[String, Seq[(Int, String)]]): Unit = {
     val k = cols.length
     val bos = new java.io.ByteArrayOutputStream()
 
@@ -251,8 +269,29 @@ object StataDtaWriter {
     val dataLen = 6 + dataBytes + 7
     val strlOff = dataOff + dataLen
     val strlLen = 7 + gsoBytes + 8
+    // value-label section: <lbl> tables for columns with labels
+    val vlTables: Seq[(String, Array[Byte])] = cols.toSeq.flatMap { c =>
+      valueLabels.get(c.name).filter(_ => c.w == WLong || c.w == WInt || c.w == WByte)
+        .map { pairs =>
+          val sorted = pairs.sortBy(_._1)
+          val txt = new java.io.ByteArrayOutputStream()
+          val offs = sorted.map { case (_, label) =>
+            val o = txt.size()
+            txt.write(label.getBytes(StandardCharsets.UTF_8)); txt.write(0)
+            o
+          }
+          val table = new java.io.ByteArrayOutputStream()
+          Bin.putU32(table, sorted.length.toLong)
+          Bin.putU32(table, txt.size().toLong)
+          offs.foreach(o => Bin.putU32(table, o.toLong))
+          sorted.foreach { case (v, _) => Bin.putU32(table, v.toLong & 0xffffffffL) }
+          table.write(txt.toByteArray)
+          (c.stataName, table.toByteArray)
+        }
+    }
+    val vlBody = vlTables.map { case (_, t) => 5 + 4 + 129 + 3 + t.length + 6 }.sum
     val vlOff = strlOff + strlLen
-    val vlLen = 14 + 15
+    val vlLen = 14 + vlBody + 15
     val endOff = vlOff + vlLen
     val eofOff = endOff + 12
 
@@ -274,7 +313,11 @@ object StataDtaWriter {
     cols.foreach(c => Bin.putZPad(bos, c.fmt, 57, StandardCharsets.UTF_8))
     tag("</formats>")
     tag("<value_label_names>")
-    cols.foreach(_ => Bin.putZPad(bos, "", 129, StandardCharsets.UTF_8))
+    cols.foreach { c =>
+      val lbl = if (valueLabels.contains(c.name) &&
+          (c.w == WLong || c.w == WInt || c.w == WByte)) c.stataName else ""
+      Bin.putZPad(bos, lbl, 129, StandardCharsets.UTF_8)
+    }
     tag("</value_label_names>")
     tag("<variable_labels>")
     cols.foreach(_ => Bin.putZPad(bos, "", 321, StandardCharsets.UTF_8))
@@ -305,8 +348,18 @@ object StataDtaWriter {
           while (p < n) p += in.transferTo(p, n - p, ch)
         } finally in.close()
       }
-      ch.write(java.nio.ByteBuffer.wrap(
-        ascii("</strls><value_labels></value_labels></stata_dta>")))
+      val vlOut = new java.io.ByteArrayOutputStream()
+      vlOut.write(ascii("</strls><value_labels>"))
+      vlTables.foreach { case (name, table) =>
+        vlOut.write(ascii("<lbl>"))
+        Bin.putU32(vlOut, table.length.toLong)
+        Bin.putZPad(vlOut, name, 129, StandardCharsets.UTF_8)
+        vlOut.write(0); vlOut.write(0); vlOut.write(0) // padding
+        vlOut.write(table)
+        vlOut.write(ascii("</lbl>"))
+      }
+      vlOut.write(ascii("</value_labels></stata_dta>"))
+      ch.write(java.nio.ByteBuffer.wrap(vlOut.toByteArray))
     } finally ch.close()
   }
 }

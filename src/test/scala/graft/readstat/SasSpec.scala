@@ -64,4 +64,22 @@ class SasSpec extends SparkTestBase {
     assert(two.count() == 10000)
     assert(two.queryExecution.executedPlan.toString.contains("cols="))
   }
+
+  test("sas7bcat catalog labels apply to matching format columns") {
+    val catPath = "/root/reference/crates/polars_readstat_rs/tests/sas/data/data_gov/formats.sas7bcat"
+    val cat = graft.core.sas.SasCatalog.read(catPath)
+    assert(cat.numeric.size + cat.string.size > 100)
+    assert(cat.numeric("REGIONF") ==
+      Map(1.0 -> "Northeast", 2.0 -> "Midwest", 3.0 -> "South", 4.0 -> "West"))
+    // apply to the matching data file from the same source directory
+    val dat = "/root/reference/crates/polars_readstat_rs/tests/sas/data/data_gov/school.sas7bdat"
+    if (new java.io.File(dat).exists()) {
+      val df = spark.read.format("readstat")
+        .option("catalog", catPath)
+        .option("valueLabelsAsStrings", "true").load(dat)
+      val labeled = df.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(labeled.nonEmpty)
+    }
+  }
 }

@@ -113,4 +113,28 @@ class StataReaderSpec extends SparkTestBase {
     val idx = df.select("_idx").collect().map(_.getLong(0)).sorted
     assert(idx.toSeq == (0L until idx.length).toSeq)
   }
+
+  test("compress narrows probe-inferred types") {
+    import org.apache.spark.sql.types._
+    // sample_large.sav: SPSS numerics are all f64; compress narrows small ints
+    val sav = res("fixtures/spss/sample.sav")
+    val df = spark.read.format("readstat").option("compress", "true").load(sav)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("mylabl") == ByteType, types.toString)  // values 1.0/2.0
+    assert(types("myord") == ByteType)
+    // values decode in the narrowed type
+    val v = df.select("mylabl").collect().map(_.getByte(0)).toSeq
+    assert(v == Seq(1, 2, 1, 2, 1))
+  }
+
+  test("schemaOverrides casts declared columns") {
+    val dta = res("fixtures/stata/stata14_118.dta")
+    val df = spark.read.format("readstat")
+      .option("schemaOverrides", "Ints DOUBLE, Longs STRING").load(dta)
+    assert(df.schema("Ints").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.schema("Longs").dataType == org.apache.spark.sql.types.StringType)
+    val r = df.select("Ints", "Longs").collect()
+    assert(r(0).getDouble(0) == 1.0)
+    assert(r(0).getString(1) == "1.0")
+  }
 }

@@ -93,4 +93,20 @@ class StataWriterSpec extends SparkTestBase {
       .filter($"age" >= 18).groupBy("age").count().orderBy("age")
     assertSameData(out, expected, "catalyst-flow")
   }
+
+  test("value labels write + read roundtrip; pandas reads them too") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (2, 20.0), (1, 30.0), (3, 40.0)).toDF("sex", "v")
+    val path = tmp("labels.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female,3=Other")
+      .save(path)
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+    val got = back.select("sex").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Male", "Female", "Male", "Other"))
+    // unlabeled read keeps numeric type
+    val plain = spark.read.format("readstat").load(path)
+    assert(plain.schema("sex").dataType == org.apache.spark.sql.types.IntegerType)
+  }
 }

