@@ -52,9 +52,10 @@ object SpssSavWriter {
 
   def write(df: DataFrame, path: String, options: Map[String, String],
       zlib: Boolean): Unit = {
-    require(!zlib, "zsav write not yet implemented; write .sav")
     val spark = df.sparkSession
     val schema = df.schema
+    val valueLabels = StataDtaWriter.parseValueLabels(
+      options.getOrElse("valueLabels", ""))
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
@@ -90,26 +91,46 @@ object SpssSavWriter {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
-    val chunks: Array[(Int, String, Long)] =
+    val zlibB = zlib
+    val chunks: Array[(Int, String, Long, Seq[(Int, Int)])] =
       df.rdd.mapPartitionsWithIndex { (pid, it) =>
         val specs = specsB.value
         val f = File.createTempFile(s"graft_sav_${pid}_", ".chunk", new File(scratch))
-        val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
+        val raw = new java.io.BufferedOutputStream(new FileOutputStream(f), 1 << 20)
         var rows = 0L
-        it.foreach { row =>
-          var i = 0
-          while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
-          rows += 1
+        var blocks = List.empty[(Int, Int)]
+        if (!zlibB) {
+          val out = new DataOutputStream(raw)
+          it.foreach { row =>
+            var i = 0
+            while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+            rows += 1
+          }
+          out.close()
+        } else {
+          // zsav: bytecode-encode (all-literal 253 codes, control groups of
+          // 8 padded with 0s) into ~4 MB blocks, deflate each block
+          val enc = new ZsavBlockEncoder(raw)
+          val rowBuf = new java.io.ByteArrayOutputStream()
+          val rowOut = new DataOutputStream(rowBuf)
+          it.foreach { row =>
+            rowBuf.reset()
+            var i = 0
+            while (i < specs.length) { encodeCell(row, i, specs(i), rowOut); i += 1 }
+            enc.addRow(rowBuf.toByteArray)
+            rows += 1
+          }
+          blocks = enc.finish()
+          raw.close()
         }
-        out.close()
-        Iterator((pid, f.getAbsolutePath, rows))
+        Iterator((pid, f.getAbsolutePath, rows, blocks: Seq[(Int, Int)]))
       }.collect().sortBy(_._1)
 
     val totalRows = chunks.map(_._3).sum
     require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
 
     // ---- driver: header + dictionary, then splice chunks ----
-    val dict = buildDictionary(cols, nObs)
+    val dict = buildDictionary(cols, nObs, zlib, valueLabels)
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))
     val ch = java.nio.channels.FileChannel.open(outPath,
@@ -117,14 +138,107 @@ object SpssSavWriter {
       StandardOpenOption.TRUNCATE_EXISTING)
     try {
       ch.write(java.nio.ByteBuffer.wrap(dict))
-      chunks.foreach { c =>
-        val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
-        try { var p = 0L; val n = in.size()
-          while (p < n) p += in.transferTo(p, n - p, ch)
-        } finally in.close()
+      if (!zlib) {
+        chunks.foreach { c =>
+          val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+          try { var p = 0L; val n = in.size()
+            while (p < n) p += in.transferTo(p, n - p, ch)
+          } finally in.close()
+        }
+      } else {
+        // terminal block: [252,0,0,0,0,0,0,0] control group, deflated
+        val endDef = new java.util.zip.Deflater()
+        val endRaw = Array[Byte](252.toByte, 0, 0, 0, 0, 0, 0, 0)
+        endDef.setInput(endRaw); endDef.finish()
+        val endBuf = new Array[Byte](64)
+        val endLen = endDef.deflate(endBuf)
+        endDef.end()
+
+        val allBlocks = chunks.flatMap(_._4) :+ (8, endLen)
+        val zheaderOfs = dict.length.toLong
+        val totalCompressed = allBlocks.map(_._2.toLong).sum
+        val ztrailerOfs = zheaderOfs + 24 + totalCompressed
+        val hb = new java.io.ByteArrayOutputStream()
+        Bin.putU64(hb, zheaderOfs)
+        Bin.putU64(hb, ztrailerOfs)
+        Bin.putU64(hb, 24L + 24L * allBlocks.length)
+        ch.write(java.nio.ByteBuffer.wrap(hb.toByteArray))
+        chunks.foreach { c =>
+          val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+          try { var p = 0L; val n = in.size()
+            while (p < n) p += in.transferTo(p, n - p, ch)
+          } finally in.close()
+        }
+        ch.write(java.nio.ByteBuffer.wrap(java.util.Arrays.copyOf(endBuf, endLen)))
+        // trailer: bias, zero, block_size, n_blocks, then per-block entries
+        val tb = new java.io.ByteArrayOutputStream()
+        Bin.putU64(tb, -100L)
+        Bin.putU64(tb, 0L)
+        Bin.putU32(tb, 0x3FF000L)
+        Bin.putU32(tb, allBlocks.length.toLong)
+        var uOfs = zheaderOfs
+        var cOfs = zheaderOfs + 24
+        allBlocks.foreach { case (u, c0) =>
+          Bin.putU64(tb, uOfs); Bin.putU64(tb, cOfs)
+          Bin.putU32(tb, u.toLong); Bin.putU32(tb, c0.toLong)
+          uOfs += u; cOfs += c0
+        }
+        ch.write(java.nio.ByteBuffer.wrap(tb.toByteArray))
       }
     } finally ch.close()
     chunks.foreach(c => new File(c._2).delete())
+  }
+
+  /** Bytecode+deflate block encoder for zsav: elements become literal
+    * (253) codes; control groups of 8 are zero-padded at flush so blocks
+    * stay independently concatenable across partitions. */
+  private final class ZsavBlockEncoder(out: java.io.OutputStream) {
+    private val blockTarget = 4 << 20
+    private val buf = new java.io.ByteArrayOutputStream(blockTarget + 65536)
+    private val ctrl = new Array[Byte](8)
+    private var ctrlN = 0
+    private val payloads = new java.io.ByteArrayOutputStream(8 * 8)
+    private var blocks = List.newBuilder[(Int, Int)]
+
+    def addRow(row: Array[Byte]): Unit = {
+      var off = 0
+      while (off < row.length) {
+        ctrl(ctrlN) = 253.toByte; ctrlN += 1
+        payloads.write(row, off, 8)
+        off += 8
+        if (ctrlN == 8) flushGroup()
+      }
+      if (buf.size() >= blockTarget) flushBlock()
+    }
+
+    private def flushGroup(): Unit = {
+      var i = ctrlN
+      while (i < 8) { ctrl(i) = 0; i += 1 }
+      buf.write(ctrl, 0, 8)
+      payloads.writeTo(buf)
+      payloads.reset()
+      ctrlN = 0
+    }
+
+    private def flushBlock(): Unit = {
+      if (ctrlN > 0) flushGroup()
+      if (buf.size() == 0) return
+      val rawBytes = buf.toByteArray
+      val d = new java.util.zip.Deflater()
+      d.setInput(rawBytes); d.finish()
+      val outBuf = new Array[Byte](rawBytes.length + 1024)
+      var n = 0
+      while (!d.finished()) n += d.deflate(outBuf, n, outBuf.length - n)
+      d.end()
+      out.write(outBuf, 0, n)
+      blocks += ((rawBytes.length, n))
+      buf.reset()
+    }
+
+    def finish(): List[(Int, Int)] = {
+      flushBlock()
+      blocks.result()
+    }
   }
 
   private def encodeCell(row: Row, i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
@@ -179,18 +293,19 @@ object SpssSavWriter {
     }
   }
 
-  private def buildDictionary(cols: Array[ColSpec], nObs: Long): Array[Byte] = {
+  private def buildDictionary(cols: Array[ColSpec], nObs: Long,
+      zlib: Boolean, valueLabels: Map[String, Seq[(Int, String)]]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = Bin.putU32(o, v)
     def ascii(s: String, len: Int): Unit =
       Bin.putZPadSpace(o, s, len)
 
     // header (176 bytes)
-    o.write("$FL2".getBytes(StandardCharsets.US_ASCII))
+    o.write((if (zlib) "$FL3" else "$FL2").getBytes(StandardCharsets.US_ASCII))
     ascii("@(#) SPSS DATA FILE graft polars_readstatspark", 60)
     u32(2) // layout code
     u32(cols.map(_.widthUnits).sum.toLong) // nominal case size (units)
-    u32(0) // compression: none
+    u32(if (zlib) 2 else 0) // compression: 0=none, 2=zsav
     u32(0) // weight index
     u32(if (nObs <= Int.MaxValue) nObs else -1L) // ncases
     Bin.putF64(o, 100.0) // bias
@@ -227,6 +342,24 @@ object SpssSavWriter {
       }
     }
 
+    // value labels: record type 3 (entries) + type 4 (1-based unit offsets)
+    var unitOff = 0
+    val colUnits = cols.map { c => val u = unitOff + 1; unitOff += c.widthUnits; u }
+    cols.zipWithIndex.foreach { case (c, ci) =>
+      valueLabels.get(c.name).filter(_ => c.w == WNum).foreach { pairs =>
+        u32(3); u32(pairs.length.toLong)
+        pairs.foreach { case (code, label) =>
+          Bin.putF64(o, code.toDouble)
+          val lb = label.getBytes(StandardCharsets.UTF_8)
+          val len = math.min(lb.length, 255)
+          o.write(len)
+          o.write(lb, 0, len)
+          val padded = (len + 8) / 8 * 8 - 1
+          (len until padded).foreach(_ => o.write(' '))
+        }
+        u32(4); u32(1); u32(colUnits(ci).toLong)
+      }
+    }
     // subtype 3: integer info (version, machine, fp rep, compression, endian, charcode)
     u32(7); u32(3); u32(4); u32(8)
     Seq(20, 0, 0, -1, 1, 0, 2, 65001).foreach(v => u32(v.toLong & 0xffffffffL))

@@ -120,4 +120,33 @@ class SpssSpec extends SparkTestBase {
     val b = spark.read.format("readstat").load(p2)
     assertSameData(b, a, "dta-vs-sav")
   }
+
+  test("sav value labels write + labelled read back") {
+    import spark.implicits._
+    val df = Seq((1.0, "x"), (2.0, "y"), (1.0, "z")).toDF("sex", "s")
+    val path = tmp("lab.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female").save(path)
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+    assert(back.select("sex").collect().map(_.getString(0)).toSeq ==
+      Seq("Male", "Female", "Male"))
+  }
+
+  test("zsav write roundtrips through our zsav reader") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))
+      .toDF("v", "s", "g").repartition(3)
+    val path = tmp("rt.zsav")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.count() == 5000)
+    import org.apache.spark.sql.functions._
+    val sums = back.agg(sum("v"), sum("g")).collect()(0)
+    assert(sums.getDouble(0) == (1 to 5000).map(_.toDouble).sum)
+    assert(sums.getDouble(1) == (1 to 5000).map(_ % 7).sum.toDouble)
+    // strings survive bytecode+zlib roundtrip
+    val s1 = back.filter(col("v") === 1.0).select("s").collect()(0).getString(0)
+    assert(s1 == "row1")
+  }
 }
