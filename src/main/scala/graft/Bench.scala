@@ -1,6 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Besides the SparkEntry query suite, emits raw stat-file read
+  * throughput metrics directly comparable to BASELINE.md: a 10M-row
+  * tall/narrow .dta (mirrors the IPUMS full-read benchmark shape) and
+  * the same table as .sav, generated once into /tmp outside the timed
+  * section and re-used across rounds.
+  */
 object Bench {
+
+  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String)] = {
+    try {
+      val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      val dta = s"/tmp/graft_bench/${tag}_big.dta"
+      val sav = s"/tmp/graft_bench/${tag}_big.sav"
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      val base = li.count()
+      val target = 10000000L
+      val copies = math.max(1L, target / math.max(1L, base)).toInt
+      val big = (1 until copies).foldLeft(li)((d, _) => d.unionAll(li))
+      if (!new java.io.File(dta).exists())
+        big.write.format("readstat").mode("overwrite").save(dta)
+      if (!new java.io.File(sav).exists())
+        big.write.format("readstat").mode("overwrite").save(sav)
+      Some((dta, sav))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
+      None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,11 +46,56 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // untimed setup: generate the raw-read benchmark files + JVM warmup
+    val bigFiles = ensureBigFiles(spark, sfDir)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+
+    // BASELINE-comparable raw-read metrics (full read, column subset,
+    // subset+filter) over the 10M-row files
+    val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
+      case (dta, sav) => Seq[(String, () => Long)](
+        ("stata_fullread_10m", () => {
+          // xxhash64 over every column forces a true full decode
+          // (count() alone would prune all columns via pushdown)
+          val df = spark.read.format("readstat")
+            .option("partitionTargetBytes", "16777216").load(dta)
+          df.agg(expr("bit_xor(" + df.columns.map(c => s"xxhash64(`$c`)").mkString(" ^ ") + ")"))
+            .collect()(0).getLong(0)
+        }),
+        ("stata_subset_read", () =>
+          spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(dta)
+            .select("l_quantity", "l_returnflag")
+            .agg(count(lit(1))).collect()(0).getLong(0)),
+        ("stata_subset_filter", () =>
+          spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(dta)
+            .select("l_quantity", "l_extendedprice")
+            .filter(col("l_quantity") > 25)
+            .agg(count(lit(1))).collect()(0).getLong(0)),
+        ("spss_fullread_10m", () => {
+          val df = spark.read.format("readstat")
+            .option("partitionTargetBytes", "16777216").load(sav)
+          df.agg(expr("bit_xor(" + df.columns.map(c => s"xxhash64(`$c`)").mkString(" ^ ") + ")"))
+            .collect()(0).getLong(0)
+        }),
+        ("spss_subset_read", () =>
+          spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(sav)
+            .select("l_quantity", "l_returnflag")
+            .agg(count(lit(1))).collect()(0).getLong(0)))
+    }
+
+    val rawResults = rawReads.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      try f() catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ rawResults
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

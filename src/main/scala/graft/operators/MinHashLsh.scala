@@ -31,16 +31,12 @@ object MinHashLsh {
     df.select(col(idCol), explode(shingleArr).as("shingle"))
   }
 
-  /** h_i = xxhash64(shingle, i): independent 64-bit hashes per index,
-    * overflow-free under ANSI mode. */
-  private def hashI(shingle: Column, i: Int): Column =
-    xxhash64(shingle, lit(i))
-
-  /** k-minhash signature per id: sig_0..sig_{k-1} columns. */
-  def signatures(sh: DataFrame, idCol: String, k: Int = 48): DataFrame = {
-    val aggs = (0 until k).map(i => min(hashI(col("shingle"), i)).as(s"sig_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+  /** k-minhash signature per id as ONE array column, via the custom
+    * Catalyst aggregate [[graft.functions.MinHashSignature]] (single
+    * buffer, map-side combinable, O(1) codegen instead of O(k)). */
+  def signatures(sh: DataFrame, idCol: String, k: Int = 48): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.MinHashSignature(col("shingle"), k).as("sig"))
 
   /** Banded LSH candidate pairs: ids sharing ≥1 band bucket. With r = k/bands
     * rows per band, a pair of similarity j collides with probability
@@ -50,8 +46,8 @@ object MinHashLsh {
       bands: Int = 6): DataFrame = {
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      xxhash64(lit(b) +: cols: _*).as(s"bucket_$b")
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        .as(s"bucket_$b")
     }
     val buckets = sig.select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"bucket_$b")): _*)).as("bucket"))

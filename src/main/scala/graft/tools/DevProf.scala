@@ -1,21 +1,20 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object DevProf {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val df = Seq((1.0, "alpha"), (2.0, "beta"), (3.0, "gamma")).toDF("v", "s")
-    df.write.format("readstat").mode("overwrite")
-      .option("valueLabels", "v:1=One,2=Two")
-      .save("/tmp/graft_dev/probe.zsav")
-    println("header magic: " + new String(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/tmp/graft_dev/probe.zsav")).take(4).toArray, "ascii"))
-    val back = spark.read.format("readstat")
-      .option("valueLabelsAsStrings", "true").load("/tmp/graft_dev/probe.zsav")
-    back.show()
+    val sav = "/tmp/graft_bench/_root_testdata_sf0_1_big.sav"
+    val df = spark.read.format("readstat")
+      .option("partitionTargetBytes", "16777216").load(sav)
+    println("rows=" + df.count())
+    try {
+      val h = df.agg(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*))).collect()(0)
+      println("hash=" + h)
+    } catch { case e: Throwable => println("ERR " + e.getMessage) }
     spark.stop()
   }
 }
