@@ -40,12 +40,15 @@ object PorModule extends FormatModule {
 
   override def schema(path: String, opts: ReadstatOptions): StructType = {
     val md = metadata(path)
-    StructType(md.vars.map { v =>
+    val fields = Vector.newBuilder[StructField]
+    md.vars.foreach { v =>
       val mb = new MetadataBuilder()
       if (v.formatClass.contains("Time")) mb.putString("readstat.type", "time")
       v.label.foreach(l => mb.putString("readstat.label", l))
-      StructField(v.name, sparkTypeOf(v), nullable = true, mb.build())
-    })
+      fields += StructField(v.name, sparkTypeOf(v), nullable = true, mb.build())
+    }
+    opts.rowIndexName.foreach(n => fields += StructField(n, LongType, nullable = false))
+    StructType(fields.result())
   }
 
   override def planPartitions(path: String, opts: ReadstatOptions,
@@ -58,7 +61,8 @@ object PorModule extends FormatModule {
     val md = PorCore.parseMeta(stream) // re-parse to position at data start
     val byName = md.vars.map(_.name).zipWithIndex.toMap
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
-      (fi, byName.getOrElse(f.name,
+      if (opts.rowIndexName.contains(f.name)) (fi, -1)
+      else (fi, byName.getOrElse(f.name,
         throw new IllegalArgumentException(s"no such column: ${f.name}")))
     }
 
@@ -117,11 +121,14 @@ object PorModule extends FormatModule {
         nextRow != null
       }
 
+      private var rowIdx = 0L
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
         val vals = nextRow; nextRow = null; limit -= 1
         val row = new GenericInternalRow(plans.length)
-        plans.foreach { case (fi, vi) => row.update(fi, vals(vi)) }
+        plans.foreach { case (fi, vi) =>
+          row.update(fi, if (vi == -1) rowIdx else vals(vi)) }
+        rowIdx += 1
         row
       }
     }

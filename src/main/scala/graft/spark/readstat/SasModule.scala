@@ -62,7 +62,8 @@ object SasModule extends FormatModule {
 
   override def schema(path: String, opts: ReadstatOptions): StructType = {
     val md = metadata(path)
-    val fields = md.columns.map { c =>
+    val fields = Vector.newBuilder[StructField]
+    md.columns.foreach { c =>
       val mb = new MetadataBuilder()
       if (kindFor(c) == KTime) mb.putString("readstat.type", "time")
       if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
@@ -70,9 +71,45 @@ object SasModule extends FormatModule {
       val dt =
         if (opts.valueLabelsAsStrings && catalogLabels(opts, c).isDefined) StringType
         else sparkTypeOf(c)
-      StructField(c.name, dt, nullable = true, mb.build())
+      fields += StructField(c.name, dt, nullable = true, mb.build())
+      if (opts.informativeNulls && !c.isChar)
+        fields += StructField(c.name + opts.informativeNullSuffix, StringType,
+          nullable = true)
     }
-    StructType(fields)
+    opts.rowIndexName.foreach(n => fields += StructField(n, LongType, nullable = false))
+    StructType(fields.result())
+  }
+
+  /** Row offset of each page (plan-time page-header scan; DATA pages carry
+    * block_count in the header, MIX pages are bounded by fit math). Only
+    * used when rowIndexName is requested on uncompressed files. */
+  def pageRowOffsets(path: String): Array[Long] = {
+    val md = metadata(path)
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val offs = new Array[Long](md.pageCount + 1)
+      val hdr = new Array[Byte](md.pageBitOffset + 8)
+      var acc = 0L
+      var p = 0
+      while (p < md.pageCount) {
+        offs(p) = acc
+        raf.seek(md.headerLength.toLong + p.toLong * md.pageLength)
+        raf.readFully(hdr)
+        val pType = Bin.u16(hdr, md.pageBitOffset, md.little)
+        val blockCount = Bin.u16(hdr, md.pageBitOffset + 2, md.little)
+        val subCount = Bin.u16(hdr, md.pageBitOffset + 4, md.little)
+        if (pType == PtData) acc += blockCount
+        else if (pType == PtMix1 || pType == PtMix2) {
+          var dataStart = md.pageBitOffset + 8 + subCount * 3 * md.intSize
+          if (dataStart % 8 == 4) dataStart += 4
+          val maxFit = math.max(0, md.pageLength - dataStart) / math.max(1, md.rowLength)
+          acc += math.min(maxFit.toLong, math.min(md.rowCount, md.mixPageRowCount))
+        }
+        p += 1
+      }
+      offs(md.pageCount) = acc
+      offs
+    } finally raf.close()
   }
 
   override def planPartitions(path: String, opts: ReadstatOptions,
@@ -90,20 +127,35 @@ object SasModule extends FormatModule {
   }
 
   private final case class ColPlan(fieldIdx: Int, col: SasColumn, kind: Kind,
-      labels: Map[Double, String])
+      labels: Map[Double, String], indicator: Boolean = false,
+      rowIndex: Boolean = false)
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val byName = md.columns.map(c => c.name).zipWithIndex.toMap
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
-      val vi = byName.getOrElse(f.name,
-        throw new IllegalArgumentException(s"no such column: ${f.name}"))
-      val c = md.columns(vi)
-      val labels =
-        if (opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull else null
-      ColPlan(fi, c, kindFor(c), labels)
-    }.sortBy(_.col.offset) // decode in byte order for cache locality
+      if (opts.rowIndexName.contains(f.name))
+        ColPlan(fi, null, KNum, null, indicator = false, rowIndex = true)
+      else {
+        val (base, ind) =
+          if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+              byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+              !byName.contains(f.name))
+            (f.name.stripSuffix(opts.informativeNullSuffix), true)
+          else (f.name, false)
+        val vi = byName.getOrElse(base,
+          throw new IllegalArgumentException(s"no such column: ${f.name}"))
+        val c = md.columns(vi)
+        val labels =
+          if (!ind && opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull else null
+        ColPlan(fi, c, kindFor(c), labels, indicator = ind, rowIndex = false)
+      }
+    }.sortBy(p => if (p.col == null) Int.MaxValue else p.col.offset)
+    val rowIndexBase: Long =
+      if (opts.rowIndexName.isDefined && md.compression == 0)
+        pageRowOffsets(part.path)(part.startRow.toInt)
+      else 0L
     val cs = md.charset
     val little = md.little
     val rowLen = md.rowLength
@@ -176,6 +228,7 @@ object SasModule extends FormatModule {
       override def next(): InternalRow = {
         if (!advance()) throw new NoSuchElementException
         val (off, len, needsDecomp) = rowsInPage(rowPos)
+        val rowIdx = rowIndexBase + emitted
         rowPos += 1; emitted += 1
         val (buf, base) =
           if (!needsDecomp) (page, off)
@@ -189,15 +242,45 @@ object SasModule extends FormatModule {
         var p = 0
         while (p < plans.length) {
           val pl = plans(p)
-          row.update(pl.fieldIdx, decodeCell(pl, buf, base))
+          row.update(pl.fieldIdx,
+            if (pl.rowIndex) rowIdx else decodeCell(pl, buf, base))
           p += 1
         }
         row
       }
 
+      /** SAS tagged missing (value.rs:142-196): bits[47:40] type byte,
+        * decoded tag = ~byte; 1-26 = .A-.Z, 27 = ._ */
+      private def missingTagOffset(b: Array[Byte], off: Int, len: Int): Int = {
+        var bits = 0L
+        if (md.little) {
+          var i = math.min(len, 8) - 1
+          while (i >= 0) { bits = (bits << 8) | (b(off + i) & 0xffL); i -= 1 }
+        } else {
+          var i = 0
+          while (i < math.min(len, 8)) { bits = (bits << 8) | (b(off + i) & 0xffL); i += 1 }
+        }
+        bits = bits << ((8 - math.min(len, 8)) * 8)
+        if ((bits & 0x7fffffffffffffffL) < 0x7ff0000000000000L) return -1
+        val typeByte = ((bits >>> 40) & 0xFF).toInt
+        val tag = (~typeByte) & 0xFF
+        if (tag == 0 || tag == '_') 27
+        else if (tag >= 2 && tag < 28) tag - 1
+        else if (tag >= 'A' && tag <= 'Z') tag - 'A' + 1
+        else -1
+      }
+
       private def decodeCell(pl: ColPlan, b: Array[Byte], base: Int): Any = {
         val c = pl.col
         val off = base + c.offset
+        if (pl.indicator) {
+          if (c.isChar) return null
+          val k = missingTagOffset(b, off, c.length)
+          return if (k >= 1 && k <= 26)
+            UTF8String.fromString("." + ('A' + k - 1).toChar)
+          else if (k == 27) UTF8String.fromString("._")
+          else null
+        }
         if (pl.kind == KChar) {
           var end = off + c.length
           while (end > off && (b(end - 1) == ' ' || b(end - 1) == 0)) end -= 1

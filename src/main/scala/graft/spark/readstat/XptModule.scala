@@ -41,13 +41,19 @@ object XptModule extends FormatModule {
 
   override def schema(path: String, opts: ReadstatOptions): StructType = {
     val md = metadata(path)
-    StructType(md.columns.map { c =>
+    val fields = Vector.newBuilder[StructField]
+    md.columns.foreach { c =>
       val mb = new MetadataBuilder()
       if (kindOf(c) == SasCore.KTime) mb.putString("readstat.type", "time")
       if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
       if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
-      StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
-    })
+      fields += StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
+      if (opts.informativeNulls && !c.isChar)
+        fields += StructField(c.name + opts.informativeNullSuffix, StringType,
+          nullable = true)
+    }
+    opts.rowIndexName.foreach(n => fields += StructField(n, LongType, nullable = false))
+    StructType(fields.result())
   }
 
   override def planPartitions(path: String, opts: ReadstatOptions,
@@ -63,10 +69,21 @@ object XptModule extends FormatModule {
       required: StructType): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
+    // (fieldIdx, col-or-null(=rowIndex), kind, indicator)
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
-      val c = md.columns(byName.getOrElse(f.name,
-        throw new IllegalArgumentException(s"no such column: ${f.name}")))
-      (fi, c, kindOf(c))
+      if (opts.rowIndexName.contains(f.name))
+        (fi, null.asInstanceOf[graft.core.xpt.XptCore.XptColumn], SasCore.KNum, false)
+      else {
+        val (base, ind) =
+          if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+              byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+              !byName.contains(f.name))
+            (f.name.stripSuffix(opts.informativeNullSuffix), true)
+          else (f.name, false)
+        val c = md.columns(byName.getOrElse(base,
+          throw new IllegalArgumentException(s"no such column: ${f.name}")))
+        (fi, c, kindOf(c), ind)
+      }
     }
     val rowLen = md.rowLength
     val raf = new RandomAccessFile(part.path, "r")
@@ -98,12 +115,26 @@ object XptModule extends FormatModule {
         true
       }
 
+      private var localIdx = 0L
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
         val base = bufPos * rowLen
-        bufPos += 1; remaining -= 1
+        val rowIdx = part.startRow + localIdx
+        bufPos += 1; remaining -= 1; localIdx += 1
         val row = new GenericInternalRow(plans.length)
-        plans.foreach { case (fi, c, kind) =>
+        plans.foreach { case (fi, c, kind, indicator) =>
+          if (c == null) { row.update(fi, rowIdx) }
+          else if (indicator) {
+            // XPT tagged missing: first byte '.'/'A'-'Z'/'_' IS the tag
+            val off = base + c.offset
+            row.update(fi,
+              if (XptCore.isMissing(buf, off, c.width)) {
+                val t = buf(off).toChar
+                if (t >= 'A' && t <= 'Z') UTF8String.fromString("." + t)
+                else if (t == '_') UTF8String.fromString("._")
+                else null
+              } else null)
+          } else {
           val off = base + c.offset
           val v: Any =
             if (c.isChar) {
@@ -125,6 +156,7 @@ object XptModule extends FormatModule {
               }
             }
           row.update(fi, v)
+          }
         }
         row
       }

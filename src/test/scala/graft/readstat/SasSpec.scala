@@ -82,4 +82,25 @@ class SasSpec extends SparkTestBase {
       assert(labeled.nonEmpty)
     }
   }
+
+  test("sas informative nulls expose .A-.Z tags") {
+    val f = "/root/reference/crates/polars_readstat_rs/tests/sas/data/info_nulls.sas7bdat"
+    val df = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(f)
+    val indCols = df.columns.filter(_.endsWith("_null"))
+    assert(indCols.nonEmpty)
+    val tags = df.collect().flatMap(r =>
+      indCols.flatMap(c => Option(r.getAs[String](c))))
+    assert(tags.exists(_.matches("\\.[A-Z_]")), s"tags: ${tags.mkString(",")}")
+  }
+
+  test("sas row index is exact across page-range partitions") {
+    val sas = s"$fixdir/owner.sas7bdat"
+    val df = spark.read.format("readstat")
+      .option("partitionTargetBytes", "65536")
+      .option("rowIndexName", "_idx").load(sas)
+    val idx = df.select("_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.length == 27570)
+    assert(idx.toSeq == (0L until 27570L))
+  }
 }

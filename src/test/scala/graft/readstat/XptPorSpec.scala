@@ -93,4 +93,14 @@ class XptPorSpec extends SparkTestBase {
     assert(back.count() == 5000)
     assert(back.agg(sum("V")).collect()(0).getDouble(0) == (1 to 5000).map(_.toDouble).sum)
   }
+
+  test("xpt and por row index columns") {
+    val x = spark.read.format("readstat")
+      .option("rowIndexName", "_i").load(s"$refXpt/ACQ_G.xpt")
+    val xi = x.select("_i").collect().map(_.getLong(0)).sorted
+    assert(xi.toSeq == (0L until 6833L))
+    val p = spark.read.format("readstat")
+      .option("rowIndexName", "_i").load(refPor)
+    assert(p.select("_i").collect().map(_.getLong(0)).toSeq == (0L until 5L))
+  }
 }
