@@ -180,9 +180,13 @@ object StataModule extends FormatModule {
         remaining > 0
       }
 
+      // one reused mutable row per partition: the scan's unsafe projection
+      // copies each row before it is buffered, so in-place reuse is safe
+      // (same contract JDBC/file sources rely on) and removes per-row
+      // allocation from the hot decode loop
+      private val row = new GenericInternalRow(nFields)
       override def next(): InternalRow = {
         val base = bufPos * rowLen
-        val row = new GenericInternalRow(nFields)
         var p = 0
         while (p < plans.length) {
           val pl = plans(p)
