@@ -51,6 +51,7 @@ final case class ReadstatOptions(
     partitionTargetBytes: Long = 128L * 1024 * 1024,
     batchRows: Int = 0, // 0 = auto (~2M cells per batch)
     compress: Boolean = false,
+    timeAsTimeType: Boolean = false,
     compressProbeRows: Int = 1000,
     schemaOverrides: String = "")
 
@@ -70,6 +71,7 @@ object ReadstatOptions {
         .map(_.toLong).getOrElse(128L * 1024 * 1024),
       batchRows = Option(m.get("batchRows")).map(_.toInt).getOrElse(0),
       compress = b("compress", dflt = false),
+      timeAsTimeType = b("timeAsTimeType", dflt = false),
       compressProbeRows = Option(m.get("compressProbeRows")).map(_.toInt).getOrElse(1000),
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""))
   }

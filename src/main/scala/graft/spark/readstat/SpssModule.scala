@@ -38,7 +38,9 @@ object SpssModule extends FormatModule {
     else v.formatClass match {
       case Some("Date") => DateType
       case Some("DateTime") => TimestampNTZType
-      case Some("Time") => LongType
+      case Some("Time") =>
+        if (opts.timeAsTimeType) org.apache.spark.sql.types.TimeType(6)
+        else LongType
       case _ => DoubleType
     }
 
@@ -174,6 +176,8 @@ object SpssModule extends FormatModule {
             case TimestampNTZType =>
               math.round((d - SecShift) * 1000.0) * 1000L // → micros
             case LongType => math.round(d * 1e9) // time-of-day seconds → nanos
+            case _: org.apache.spark.sql.types.TimeType =>
+              math.round(d * 1e9) // TIME(6) internal = nanos of day
             case _ => d
           }
         }

@@ -149,4 +149,16 @@ class SpssSpec extends SparkTestBase {
     val s1 = back.filter(col("v") === 1.0).select("s").collect()(0).getString(0)
     assert(s1 == "row1")
   }
+
+  test("timeAsTimeType surfaces Spark 4.1 TIME columns (opt-in)") {
+    val df = spark.read.format("readstat")
+      .option("timeAsTimeType", "true").load(s"$fixdir/sample.sav")
+    assert(df.schema("mytime").dataType ==
+      org.apache.spark.sql.types.TimeType(6))
+    // collect() of TIME is still gated in Spark 4.1; string-cast works
+    val s = df.selectExpr("cast(mytime as string) AS t").collect()
+      .map(r => Option(r.getString(0)).orNull)
+    assert(s(0) == "10:10:10", s.mkString(","))
+    assert(s(4) == null)
+  }
 }
