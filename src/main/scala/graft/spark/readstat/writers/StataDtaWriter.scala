@@ -62,10 +62,42 @@ object StataDtaWriter {
       }
     }.toMap
 
+  /** Writer config from a 12-column metadata DataFrame (the shape the
+    * readstat-metadata source produces): variable labels + value-label
+    * code/label arrays per variable (reference: write_stata_from_df_rs,
+    * pybindings.rs:1247-1319). Collected to the driver — per-variable
+    * metadata is small by construction. */
+  def fromMetadataDf(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Map[String, String], Map[String, Seq[(Int, String)]]) = {
+    val mdf = spark.read.parquet(path)
+    var varLabels = Map.empty[String, String]
+    var valLabels = Map.empty[String, Seq[(Int, String)]]
+    mdf.select("name", "label", "value_label_codes", "value_label_labels")
+      .collect().foreach { r =>
+        val name = r.getString(0)
+        if (!r.isNullAt(1) && r.getString(1).nonEmpty) varLabels += name -> r.getString(1)
+        if (!r.isNullAt(2) && !r.isNullAt(3)) {
+          val codes = r.getSeq[String](2)
+          val labels = r.getSeq[String](3)
+          val pairs = codes.zip(labels).flatMap { case (c, l) =>
+            try Some(c.trim.toDouble.toInt -> l)
+            catch { case _: NumberFormatException => None }
+          }
+          if (pairs.nonEmpty) valLabels += name -> pairs
+        }
+      }
+    (varLabels, valLabels)
+  }
+
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
-    val valueLabels = parseValueLabels(options.getOrElse("valueLabels", ""))
+    val (metaVarLabels, metaValLabels) = options.get("metadataPath")
+      .map(p => fromMetadataDf(spark, p))
+      .getOrElse((Map.empty[String, String], Map.empty[String, Seq[(Int, String)]]))
+    // explicit valueLabels option wins over metadata-df entries
+    val valueLabels = metaValLabels ++
+      parseValueLabels(options.getOrElse("valueLabels", ""))
 
     // ---- job 1: row count + max string byte-widths ----
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -142,7 +174,8 @@ object StataDtaWriter {
     // ---- driver: assemble final file in one forward pass ----
     val dataBytes = ordered.map(c => new File(c._2).length()).sum
     val gsoBytes = ordered.map(c => new File(c._3).length()).sum
-    assembleFile(path, cols, nObs, rowLen, dataBytes, gsoBytes, ordered, valueLabels)
+    assembleFile(path, cols, nObs, rowLen, dataBytes, gsoBytes, ordered,
+      valueLabels, metaVarLabels)
     ordered.foreach { c => new File(c._2).delete(); new File(c._3).delete() }
   }
 
@@ -230,7 +263,8 @@ object StataDtaWriter {
   private def assembleFile(path: String, cols: Array[ColSpec], nObs: Long,
       rowLen: Int, dataBytes: Long, gsoBytes: Long,
       chunks: Array[(Int, String, String, Long)],
-      valueLabels: Map[String, Seq[(Int, String)]]): Unit = {
+      valueLabels: Map[String, Seq[(Int, String)]],
+      varLabels: Map[String, String] = Map.empty): Unit = {
     val k = cols.length
     val bos = new java.io.ByteArrayOutputStream()
 
@@ -320,7 +354,8 @@ object StataDtaWriter {
     }
     tag("</value_label_names>")
     tag("<variable_labels>")
-    cols.foreach(_ => Bin.putZPad(bos, "", 321, StandardCharsets.UTF_8))
+    cols.foreach(c =>
+      Bin.putZPad(bos, varLabels.getOrElse(c.name, ""), 321, StandardCharsets.UTF_8))
     tag("</variable_labels>")
     tag("<characteristics></characteristics>")
     tag("<data>")

@@ -109,4 +109,42 @@ class StataWriterSpec extends SparkTestBase {
     val plain = spark.read.format("readstat").load(path)
     assert(plain.schema("sex").dataType == org.apache.spark.sql.types.IntegerType)
   }
+
+  test("metadata-df-driven write: labels flow file -> metadata -> new file") {
+    import spark.implicits._
+    // 1. read metadata of a labeled fixture, save as parquet
+    val mdf = spark.read.format("readstat-metadata")
+      .load(getClass.getClassLoader.getResource("fixtures/stata/stata14_118.dta").getPath)
+    val mdPath = tmp("meta.parquet")
+    mdf.write.mode("overwrite").parquet(mdPath)
+    // 2. write a new frame reusing that metadata
+    val df = Seq((0, 1.0), (4, 2.0)).toDF("Bytes", "x")
+    val outPath = tmp("meta.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath).save(outPath)
+    // 3. labels and variable labels round back
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(outPath)
+    val vals = back.select("Bytes").collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("option a", "4"), vals.toString)
+  }
+
+  test("wide frame (600 columns) roundtrips through dta") {
+    val n = 600
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until n).map(i => org.apache.spark.sql.types.StructField(
+        s"c$i", org.apache.spark.sql.types.DoubleType)))
+    val rows = (0 until 50).map(r =>
+      org.apache.spark.sql.Row.fromSeq((0 until n).map(c => (r * n + c).toDouble)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+    val path = tmp("wide.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.columns.length == n)
+    assert(back.count() == 50)
+    import org.apache.spark.sql.functions._
+    assert(back.agg(sum("c599")).collect()(0).getDouble(0) ==
+      (0 until 50).map(r => (r * n + 599).toDouble).sum)
+  }
 }
