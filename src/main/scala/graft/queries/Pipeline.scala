@@ -64,7 +64,37 @@ object Pipeline {
       |  min(md5(text)) AS min_fp, max(md5(text)) AS max_fp
       |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin
 
+  /** As-of join: each purchase matched to the user's latest prior (or
+    * simultaneous) view. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    graft.operators.AsOfJoin.asofBackward(
+        purchases, views, Seq("user_id"), "ts", "view_ts")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("purchase_value"), 4).as("purchase_value"),
+        round(col("view_value"), 4).as("view_value"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  round(p.value, 4) AS purchase_value,
+      |  round(v.value, 4) AS view_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "asof_join" -> (asofJoin _, asofJoinSql),
     "dedup_minhash_lsh" -> (dedupMinhash _, ""),
     "dedup_simhash" -> (dedupSimhash _, ""),
     "ann_lsh_topk" -> (annLsh _, ""),
