@@ -93,8 +93,34 @@ object Pipeline {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs (exact over the corpus; the
+    * LSH-bucketed variant in AnnLsh is the 100 TB path). Deterministic
+    * sequential-fold double dot products match DuckDB bit-for-bit before
+    * rounding. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", graft.queries.Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.e, b.e) /
+      |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.e, b.e) /
+      |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "asof_join" -> (asofJoin _, asofJoinSql),
+    "dedup_embedding_cosine" -> (dedupEmbedding _, dedupEmbeddingSql),
     "dedup_minhash_lsh" -> (dedupMinhash _, ""),
     "dedup_simhash" -> (dedupSimhash _, ""),
     "ann_lsh_topk" -> (annLsh _, ""),
