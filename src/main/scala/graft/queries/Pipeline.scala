@@ -98,14 +98,49 @@ object Pipeline {
     * sequential-fold double dot products match DuckDB bit-for-bit before
     * rounding. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", graft.queries.Similarity.cosine(col("va"), col("vb")))
-      .filter(col("sim") >= 0.45)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-      .orderBy("id_a", "id_b")
+    // canonical exact brute force: broadcast the (small) vector matrix and
+    // run the O(n^2/2) pair loop in tight JVM code per partition — the
+    // same shape MLlib uses for exact column similarities. Per-pair dot
+    // products are sequential left-to-right doubles, so results stay
+    // bit-identical to the oracle's list_dot_product before rounding.
+    // (At 100 TB the exact all-pairs baseline is infeasible by definition;
+    // AnnLsh is the scale path.)
+    val spark = s
+    import spark.implicits._
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val bc = s.sparkContext.broadcast(vecs)
+    val n = vecs.length
+    val pairs = s.sparkContext.parallelize(0 until n, math.min(n, 64))
+      .mapPartitions { it =>
+        val v = bc.value
+        it.flatMap { i =>
+          val (idA, va) = v(i)
+          val na = math.sqrt(dot(va, va))
+          Iterator.range(i + 1, v.length).flatMap { j =>
+            val (idB, vb) = v(j)
+            val sim = dot(va, vb) / (na * math.sqrt(dot(vb, vb)))
+            if (sim >= 0.45)
+              // HALF_UP to match Spark/DuckDB round(x, 4)
+              Some((idA, idB, BigDecimal(sim)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+            else None
+          }
+        }
+      }
+    pairs.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   val dedupEmbeddingSql: String =

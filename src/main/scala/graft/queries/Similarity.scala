@@ -21,6 +21,15 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Same dot product unrolled to a fixed-dimension expression chain:
+    * left-associative like the fold (bit-identical result) but fully
+    * whole-stage-codegen'd — higher-order lambdas are interpreted and
+    * ~30x slower in tight pairwise loops. */
+  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
+      .reduce(_ + _)
+
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 

@@ -2,18 +2,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object DevProf {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val df = spark.read.format("readstat")
-        .option("timeAsTimeType", "true")
-        .load("/root/repo/src/test/resources/fixtures/spss/sample.sav")
-        .select("mychar", "mytime")
-      df.printSchema()
-      df.show()
-      println("collected: " + df.collect()(1).get(1))
-    } catch { case e: Throwable => println("TIMETYPE ERR: " + e.toString.take(300)) }
+    val t0 = System.nanoTime()
+    val n = graft.queries.Pipeline.dedupEmbedding(spark, "/root/testdata/sf0.1").count()
+    println(f"dedup_embedding sf0.1: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
     spark.stop()
   }
 }
