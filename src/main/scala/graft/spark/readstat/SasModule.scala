@@ -238,7 +238,6 @@ object SasModule extends FormatModule {
                     else Rdc.decompress(in, rowLen)
             (d, 0)
           }
-        val row = new GenericInternalRow(plans.length)
         var p = 0
         while (p < plans.length) {
           val pl = plans(p)
@@ -248,6 +247,8 @@ object SasModule extends FormatModule {
         }
         row
       }
+      // reused mutable row: the scan's unsafe projection copies each row
+      private val row = new GenericInternalRow(plans.length)
 
       /** SAS tagged missing (value.rs:142-196): bits[47:40] type byte,
         * decoded tag = ~byte; 1-26 = .A-.Z, 27 = ._ */

@@ -126,10 +126,11 @@ object SpssModule extends FormatModule {
         if (nextBuf == null) nextBuf = rowSource.nextRow()
         nextBuf != null
       }
+      // reused mutable row: the scan's unsafe projection copies each row
+      private val row = new GenericInternalRow(plans.length)
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
         val b = nextBuf; nextBuf = null
-        val row = new GenericInternalRow(plans.length)
         var p = 0
         while (p < plans.length) {
           row.update(plans(p).fieldIdx, decodeCell(plans(p), b, globalRow))

@@ -116,12 +116,13 @@ object XptModule extends FormatModule {
       }
 
       private var localIdx = 0L
+      // reused mutable row: the scan's unsafe projection copies each row
+      private val row = new GenericInternalRow(plans.length)
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
         val base = bufPos * rowLen
         val rowIdx = part.startRow + localIdx
         bufPos += 1; remaining -= 1; localIdx += 1
-        val row = new GenericInternalRow(plans.length)
         plans.foreach { case (fi, c, kind, indicator) =>
           if (c == null) { row.update(fi, rowIdx) }
           else if (indicator) {
