@@ -106,7 +106,13 @@ object Text {
       .shingles(documents(s, d), "doc_id", "text")
       .withColumnRenamed("shingle", "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
+    // singleton shingles (present in exactly one doc) cannot contribute to
+    // any intersection — drop them before the self-join. Denominator sizes
+    // are computed on the full sets above, so results are unchanged.
+    val shared = sh.groupBy("sh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("sh")
+    val shF = sh.join(shared, "sh")
+    val a = shF.as("a"); val b = shF.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
