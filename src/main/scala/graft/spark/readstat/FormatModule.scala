@@ -57,8 +57,13 @@ final case class ReadstatOptions(
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
-    def b(k: String, dflt: Boolean) =
-      Option(m.get(k)).map(_.trim.toBoolean).getOrElse(dflt)
+    def parse[T](k: String, dflt: T)(f: String => T): T =
+      Option(m.get(k)).map { raw =>
+        try f(raw.trim)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"readstat: invalid value '$raw' for option '$k': ${e.getMessage}") }
+      }.getOrElse(dflt)
+    def b(k: String, dflt: Boolean) = parse(k, dflt)(_.toBoolean)
     ReadstatOptions(
       valueLabelsAsStrings = b("valueLabelsAsStrings", dflt = false),
       missingStringAsNull = b("missingStringAsNull", dflt = true),
@@ -67,12 +72,12 @@ object ReadstatOptions {
       informativeNulls = b("informativeNulls", dflt = false),
       informativeNullSuffix =
         Option(m.get("informativeNullSuffix")).getOrElse("_null"),
-      partitionTargetBytes = Option(m.get("partitionTargetBytes"))
-        .map(_.toLong).getOrElse(128L * 1024 * 1024),
-      batchRows = Option(m.get("batchRows")).map(_.toInt).getOrElse(0),
+      partitionTargetBytes =
+        parse("partitionTargetBytes", 128L * 1024 * 1024)(_.toLong),
+      batchRows = parse("batchRows", 0)(_.toInt),
       compress = b("compress", dflt = false),
       timeAsTimeType = b("timeAsTimeType", dflt = false),
-      compressProbeRows = Option(m.get("compressProbeRows")).map(_.toInt).getOrElse(1000),
+      compressProbeRows = parse("compressProbeRows", 1000)(_.toInt),
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""))
   }
 }
