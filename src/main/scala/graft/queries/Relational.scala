@@ -281,7 +281,44 @@ object Relational {
       |WHERE o_totalprice > avg_price * 1.5
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Exact percentiles (linear interpolation — same definition as
+    * DuckDB's quantile_cont). */
+  def q14Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+      .orderBy("l_returnflag")
+
+  val q14Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Pivot as conditional aggregation (static columns, oracle-friendly). */
+  def q15Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(
+        round(sum(when(col("l_returnflag") === "A", col("l_quantity"))), 2).as("qty_a"),
+        round(sum(when(col("l_returnflag") === "N", col("l_quantity"))), 2).as("qty_n"),
+        round(sum(when(col("l_returnflag") === "R", col("l_quantity"))), 2).as("qty_r"))
+      .orderBy("l_linestatus")
+
+  val q15Sql: String =
+    """SELECT l_linestatus,
+      |  round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS qty_a,
+      |  round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS qty_n,
+      |  round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q14_percentiles" -> (q14Percentiles _, q14Sql),
+    "q15_pivot" -> (q15Pivot _, q15Sql),
     "q1_agg" -> (q1Agg _, q1Sql),
     "q2_topk_customers" -> (q2TopCustomers _, q2Sql),
     "q3_shipping" -> (q3Shipping _, q3Sql),
