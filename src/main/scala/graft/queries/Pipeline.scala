@@ -153,8 +153,35 @@ object Pipeline {
       |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Range join: error events within 1 hour of a purchase by the same user
+    * (bucketed equi-join — exact but bounded per-bucket work). Oracle is
+    * the plain inequality join, which DuckDB executes natively as IEJoin. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+    graft.operators.RangeJoin.withinTolerance(
+        purchases, errors, Seq("user_id"), "p_ts", "e_ts", 3600L * 1000000)
+      .select(col("user_id"), col("p_id"), col("e_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_time"))
+      .distinct()
+      .orderBy("p_id", "e_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT DISTINCT p.user_id, p.event_id AS p_id, e.event_id AS e_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_time
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
+      |ORDER BY p_id, e_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "asof_join" -> (asofJoin _, asofJoinSql),
+    "range_join" -> (rangeJoin _, rangeJoinSql),
     "dedup_embedding_cosine" -> (dedupEmbedding _, dedupEmbeddingSql),
     "dedup_minhash_lsh" -> (dedupMinhash _, ""),
     "dedup_simhash" -> (dedupSimhash _, ""),
