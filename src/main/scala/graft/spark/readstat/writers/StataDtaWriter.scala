@@ -34,6 +34,16 @@ object StataDtaWriter {
 
   private val MaxStrWidth = 2045
 
+  // Stata's valid value ranges per storage type; everything outside
+  // collides with the sysmiss/.a–.z sentinels (byte 0x65+, int 0x7fe5+,
+  // long 0x7fffffe5+) or the type's reserved minimum. The reference
+  // writer raises NumericOutOfRange for these (writer.rs write_i8/
+  // write_i16/write_i32); we instead promote the column to the next
+  // wider storage type when job 1 detects out-of-range values.
+  private val ByteMin = -127L;        private val ByteMax = 100L
+  private val IntMin  = -32767L;      private val IntMax  = 32740L
+  private val LongMin = -2147483647L; private val LongMax = 2147483620L
+
   private sealed trait W { def width: Int; def typeCode: Int }
   private case object WByte extends W { val width = 1; val typeCode = 65530 }
   private case object WInt extends W { val width = 2; val typeCode = 65529 }
