@@ -137,30 +137,37 @@ object Narrowing {
     case (f, StringType) =>
       UTF8String.fromString(String.valueOf(row.get(i, f)))
     case (f: NumericType, t) =>
-      val d = numericOf(row, i, f)
-      t match {
-        case BooleanType => d != 0.0
-        case ByteType => d.toByte
-        case ShortType => d.toShort
-        case IntegerType => d.toInt
-        case LongType => d.toLong
-        case FloatType => d.toFloat
-        case DoubleType => d
-        case other => throw new IllegalArgumentException(
-          s"unsupported readstat cast $f -> $other")
-      }
+      castValue2(numericOf(row, i, f), t, f)
     case (BooleanType, t: NumericType) =>
-      castValue2(if (row.getBoolean(i)) 1.0 else 0.0, t)
+      castValue2(if (row.getBoolean(i)) 1.0 else 0.0, t, BooleanType)
     case (f, t) => throw new IllegalArgumentException(
       s"unsupported readstat cast $f -> $t")
   }
 
-  private def castValue2(d: Double, t: NumericType): Any = t match {
-    case ByteType => d.toByte
-    case ShortType => d.toShort
-    case IntegerType => d.toInt
-    case LongType => d.toLong
+  /** Strict downcast: a value outside the target range throws instead of
+    * wrapping (1000.toByte == -24 would silently corrupt rows beyond the
+    * compress probe window; the reference relies on Polars strict-cast
+    * semantics, which raise). */
+  private def strict(d: Double, lo: Double, hi: Double, from: DataType,
+      to: DataType): Double = {
+    if (d.isNaN || d < lo || d > hi)
+      throw new IllegalArgumentException(
+        s"readstat cast: value $d does not fit $to (cast from $from); " +
+          "the compress probe under-sampled this column — raise " +
+          "compressProbeRows, disable compress, or fix the schema override")
+    d
+  }
+
+  private def castValue2(d: Double, t: DataType, from: DataType): Any = t match {
+    case BooleanType => d != 0.0
+    case ByteType => strict(d, Byte.MinValue, Byte.MaxValue, from, t).toByte
+    case ShortType => strict(d, Short.MinValue, Short.MaxValue, from, t).toShort
+    case IntegerType => strict(d, Int.MinValue, Int.MaxValue, from, t).toInt
+    // doubles hold every long magnitude up to 2^63 exactly at these bounds
+    case LongType => strict(d, -9.223372036854776e18, 9.223372036854776e18, from, t).toLong
     case FloatType => d.toFloat
-    case _ => d
+    case DoubleType => d
+    case other => throw new IllegalArgumentException(
+      s"unsupported readstat cast $from -> $other")
   }
 }

@@ -4,7 +4,7 @@ import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,11 +38,14 @@ object StataDtaWriter {
   // collides with the sysmiss/.a–.z sentinels (byte 0x65+, int 0x7fe5+,
   // long 0x7fffffe5+) or the type's reserved minimum. The reference
   // writer raises NumericOutOfRange for these (writer.rs write_i8/
-  // write_i16/write_i32); we instead promote the column to the next
-  // wider storage type when job 1 detects out-of-range values.
-  private val ByteMin = -127L;        private val ByteMax = 100L
-  private val IntMin  = -32767L;      private val IntMax  = 32740L
-  private val LongMin = -2147483647L; private val LongMax = 2147483620L
+  // write_i16/write_i32); we instead aggregate min/max per promotable
+  // column in job 1 and widen the storage type (byte→int→long→double)
+  // when the observed range collides. encodeCell still range-checks as
+  // a backstop (throws like the reference) in case the source is
+  // non-deterministic between the two jobs.
+  private[writers] val ByteMin = -127L;        private[writers] val ByteMax = 100L
+  private[writers] val IntMin  = -32767L;      private[writers] val IntMax  = 32740L
+  private[writers] val LongMin = -2147483647L; private[writers] val LongMax = 2147483620L
 
   private sealed trait W { def width: Int; def typeCode: Int }
   private case object WByte extends W { val width = 1; val typeCode = 65530 }
@@ -109,27 +112,55 @@ object StataDtaWriter {
     val valueLabels = metaValLabels ++
       parseValueLabels(options.getOrElse("valueLabels", ""))
 
-    // ---- job 1: row count + max string byte-widths ----
+    // ---- job 1: row count + max string byte-widths + numeric ranges ----
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
-    val aggs = count(lit(1)).as("__n") +:
-      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
+    // Promotable integer-backed columns: their natural Stata storage type
+    // has a valid range narrower than the Spark type, so job 1 also
+    // collects min/max (as the value Stata would store) to decide whether
+    // to widen the storage type.
+    val rangeCols = schema.fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | DateType => true
+      case _ => false
+    }).map(_.name)
+    def storedValue(name: String): Column = schema(name).dataType match {
+      case DateType => // stored as days since 1960-01-01
+        (unix_date(col(name)) + lit(graft.core.stata.StataTypes.EpochShiftDays))
+          .cast(LongType)
+      case _ => col(name).cast(LongType)
+    }
+    val aggs = (count(lit(1)).as("__n") +:
+      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))) ++
+      rangeCols.flatMap(c => Seq(
+        min(storedValue(c)).as(s"__lo_$c"), max(storedValue(c)).as(s"__hi_$c")))
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val nObs = head.getLong(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
     }.toMap
+    val base = 1 + strCols.length
+    val ranges: Map[String, (Long, Long)] = rangeCols.zipWithIndex.map {
+      case (c, i) =>
+        val lo = if (head.isNullAt(base + 2 * i)) 0L else head.getLong(base + 2 * i)
+        val hi = if (head.isNullAt(base + 2 * i + 1)) 0L else head.getLong(base + 2 * i + 1)
+        c -> (lo, hi)
+    }.toMap
+    def fits(name: String, lo: Long, hi: Long): Boolean = {
+      val (mn, mx) = ranges(name)
+      mn >= lo && mx <= hi
+    }
 
     val usedNames = scala.collection.mutable.Set[String]()
     val cols: Array[ColSpec] = schema.fields.map { f =>
       val w: W = f.dataType match {
-        case ByteType | BooleanType => WByte
-        case ShortType => WInt
-        case IntegerType => WLong
+        case BooleanType => WByte
+        case ByteType => if (fits(f.name, ByteMin, ByteMax)) WByte else WInt
+        case ShortType => if (fits(f.name, IntMin, IntMax)) WInt else WLong
+        case IntegerType => if (fits(f.name, LongMin, LongMax)) WLong else WDouble
         case LongType => WDouble // Stata has no int64 storage
         case FloatType => WFloat
         case DoubleType => WDouble
         case _: DecimalType => WDouble
-        case DateType => WLong
+        case DateType => if (fits(f.name, LongMin, LongMax)) WLong else WDouble
         case TimestampType | TimestampNTZType => WDouble
         case StringType =>
           val mw = widths(f.name)
@@ -208,26 +239,48 @@ object StataDtaWriter {
       out: DataOutputStream, gso: DataOutputStream, v16: Int,
       nextO: () => Long): Unit = {
     val isNull = row.isNullAt(i)
+    // Days since 1960-01-01 for a DateType cell (Stata %td storage).
+    def stataDays: Long =
+      row.getAs[java.sql.Date](i).toLocalDate.toEpochDay +
+        graft.core.stata.StataTypes.EpochShiftDays
+    def outOfRange(v: Long, lo: Long, hi: Long): Nothing =
+      throw new IllegalArgumentException(
+        s"stata writer: value $v for column ${spec.stataName} outside " +
+          s"[$lo, $hi] — collides with Stata missing sentinels " +
+          "(NumericOutOfRange); job-1 promotion should have widened this " +
+          "column, so the source data changed between jobs")
     spec.w match {
       case WByte =>
         if (isNull) out.write(0x65)
         else spec.src match {
           case BooleanType => out.write(if (row.getBoolean(i)) 1 else 0)
-          case _ => out.write(row.getByte(i).toInt & 0xff)
+          case _ =>
+            val v = row.getByte(i).toInt
+            if (v < ByteMin || v > ByteMax) outOfRange(v, ByteMin, ByteMax)
+            out.write(v & 0xff)
         }
       case WInt =>
-        Bin.putU16(out, if (isNull) 0x7fe5 else row.getShort(i).toInt & 0xffff)
-      case WLong =>
-        val v: Int =
-          if (isNull) 0x7fffffe5
-          else spec.src match {
-            case DateType =>
-              // java.sql.Date → days since 1970 → days since 1960
-              val days = row.getAs[java.sql.Date](i).toLocalDate.toEpochDay
-              (days + graft.core.stata.StataTypes.EpochShiftDays).toInt
-            case _ => row.getInt(i)
+        if (isNull) Bin.putU16(out, 0x7fe5)
+        else {
+          val v = spec.src match {
+            case ByteType => row.getByte(i).toInt // promoted byte→int
+            case _ => row.getShort(i).toInt
           }
-        Bin.putU32(out, v.toLong & 0xffffffffL)
+          if (v < IntMin || v > IntMax) outOfRange(v, IntMin, IntMax)
+          Bin.putU16(out, v & 0xffff)
+        }
+      case WLong =>
+        if (isNull) Bin.putU32(out, 0x7fffffe5L)
+        else {
+          val v: Long = spec.src match {
+            case DateType => stataDays
+            case ByteType => row.getByte(i).toLong // promoted
+            case ShortType => row.getShort(i).toLong // promoted short→long
+            case _ => row.getInt(i).toLong
+          }
+          if (v < LongMin || v > LongMax) outOfRange(v, LongMin, LongMax)
+          Bin.putU32(out, v & 0xffffffffL)
+        }
       case WFloat =>
         if (isNull) Bin.putU32(out, 0x7f000000L)
         else Bin.putF32(out, row.getFloat(i))
@@ -244,6 +297,10 @@ object StataDtaWriter {
                 graft.core.stata.StataTypes.EpochShiftMs
             case LongType => row.getLong(i).toDouble
             case _: DecimalType => row.getDecimal(i).doubleValue()
+            case ByteType => row.getByte(i).toDouble // promoted
+            case ShortType => row.getShort(i).toDouble // promoted
+            case IntegerType => row.getInt(i).toDouble // promoted int→double
+            case DateType => stataDays.toDouble // promoted date→double
             case _ => row.getDouble(i)
           }
         if (isNull) Bin.putU64(out, 0x7fe0000000000000L) else Bin.putF64(out, d)

@@ -127,6 +127,27 @@ class StataReaderSpec extends SparkTestBase {
     assert(v == Seq(1, 2, 1, 2, 1))
   }
 
+  test("compress strict-cast throws on probe-evading out-of-range value") {
+    import spark.implicits._
+    // First 100 probed rows fit a byte; row 150 (value 1000.0) does not.
+    // The old wrapping cast silently decoded it as 1000.toByte == -24.
+    val d = java.nio.file.Files.createTempDirectory("graft_nw").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/evade.dta"
+    val df = (1 to 200).map(i => (i, if (i == 150) 1000.0 else 2.0))
+      .toDF("id", "v")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val narrowed = spark.read.format("readstat")
+      .option("compress", "true").option("compressProbeRows", "100").load(path)
+    assert(narrowed.schema("v").dataType == org.apache.spark.sql.types.ByteType)
+    val ex = intercept[Exception] { narrowed.select("v").collect() }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => t.getMessage != null && t.getMessage.contains("does not fit")),
+      s"expected strict-cast failure, got: $ex")
+  }
+
   test("schemaOverrides casts declared columns") {
     val dta = res("fixtures/stata/stata14_118.dta")
     val df = spark.read.format("readstat")

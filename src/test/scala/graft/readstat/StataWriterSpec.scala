@@ -129,6 +129,48 @@ class StataWriterSpec extends SparkTestBase {
     assert(vals == Seq("option a", "4"), vals.toString)
   }
 
+  test("values in Stata missing ranges promote the storage type (no corruption)") {
+    import spark.implicits._
+    // byte 101..127 collide with .a-.z sentinels; short >= 32741 with int
+    // sentinels; int >= 2147483621 with long sentinels. The writer must
+    // widen the storage type instead of writing raw (reference: writer.rs
+    // write_i8/i16/i32 NumericOutOfRange).
+    val df = Seq(
+      (101.toByte, 32750.toShort, 2147483621, 1),
+      (-128.toByte, -32768.toShort, -2147483648, 2),
+      (5.toByte, 7.toShort, 9, 3)
+    ).toDF("b", "s", "i", "id")
+    val path = tmp("promote.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path).orderBy("id")
+    // byte→int storage reads back ShortType; short→long reads IntegerType;
+    // int→double reads DoubleType
+    assert(back.schema("b").dataType == ShortType)
+    assert(back.schema("s").dataType == IntegerType)
+    assert(back.schema("i").dataType == DoubleType)
+    val got = back.collect()
+    assert(got.map(_.getShort(0)).toSeq == Seq(101, -128, 5).map(_.toShort))
+    assert(got.map(_.getInt(1)).toSeq == Seq(32750, -32768, 7))
+    assert(got.map(_.getDouble(2)).toSeq ==
+      Seq(2147483621d, -2147483648d, 9d))
+  }
+
+  test("in-range integer columns keep their natural storage type") {
+    import spark.implicits._
+    val df = Seq((100.toByte, 32740.toShort, 2147483620, 1),
+      (-127.toByte, -32767.toShort, -2147483647, 2)).toDF("b", "s", "i", "id")
+    val path = tmp("nopromote.dta")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path).orderBy("id")
+    assert(back.schema("b").dataType == ByteType)
+    assert(back.schema("s").dataType == ShortType)
+    assert(back.schema("i").dataType == IntegerType)
+    val got = back.collect()
+    assert(got.map(_.getByte(0)).toSeq == Seq(100.toByte, -127.toByte))
+    assert(got.map(_.getShort(1)).toSeq == Seq(32740.toShort, -32767.toShort))
+    assert(got.map(_.getInt(2)).toSeq == Seq(2147483620, -2147483647))
+  }
+
   test("wide frame (600 columns) roundtrips through dta") {
     val n = 600
     val schema = org.apache.spark.sql.types.StructType(
