@@ -90,16 +90,22 @@ object Bench {
             .agg(count(lit(1))).collect()(0).getLong(0)))
     }
 
-    val rawResults = rawReads.map { case (name, f) =>
+    // min of two timed runs per query: background machine load varies
+    // several-fold between runs in this environment, and the minimum is
+    // the standard steady-state estimator under external noise
+    def timedMin(f: () => Any): Double = (0 until 2).map { _ =>
+      // queries cache intermediates, and CacheManager matches plans
+      // across invocations — clear so every timed run does the full work
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+    val rawResults = rawReads.map { case (name, f) => name -> timedMin(f) }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timedMin(() => fn(spark, sfDir).count())
     } ++ rawResults
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -22,18 +22,14 @@ object AnnLsh {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  private def dotWithPlane(vec: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit): _*)
-    aggregate(zip_with(vec, planeCol, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-  }
-
-  /** Append an nBits-bit signature (as long) + band columns. */
+  /** Append an nBits-bit signature (as long) + band columns. The whole
+    * signature is ONE loop-codegen'd expression
+    * ([[graft.functions.HyperplaneSignature]]) — an unrolled per-plane
+    * formulation generates nBits×dim expression nodes and overwhelms
+    * janino. */
   def withSignature(df: DataFrame, vecCol: String, planes: Array[Array[Double]],
       bands: Int): DataFrame = {
-    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
-      when(dotWithPlane(col(vecCol), p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+    val sigExpr = graft.functions.HyperplaneSignature(col(vecCol), planes)
     val bitsPerBand = planes.length / bands
     val mask = (1L << bitsPerBand) - 1
     val bandArr = array((0 until bands).map(b =>
@@ -53,10 +49,9 @@ object AnnLsh {
     val q = withSignature(queries, vecCol, planes, bands)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         explode(col("ann_bands")).as("bucket"))
-    val dot = aggregate(zip_with(col("qv"), col("cv"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
-    val norm = (v: Column) => sqrt(aggregate(zip_with(v, v,
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x))
+    val dot = graft.queries.Similarity.dotUnrolled(col("qv"), col("cv"), dim)
+    val norm = (v: Column) =>
+      sqrt(graft.queries.Similarity.dotUnrolled(v, v, dim))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     // compute sim before deduplicating bucket collisions so only scalars
     // (never the embedding arrays) cross the dedup shuffle

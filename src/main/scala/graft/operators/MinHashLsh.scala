@@ -70,8 +70,11 @@ object MinHashLsh {
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
         .as(s"bucket_$b")
     }
+    // cached: the self-join below scans buckets twice, and without the
+    // cache each side re-runs the whole minhash aggregation
     val buckets = sig.select(col(idCol) +: bandCols: _*)
       .select(col(idCol), explode(array((0 until bands).map(b => col(s"bucket_$b")): _*)).as("bucket"))
+      .cache()
     val a = buckets.as("a"); val b2 = buckets.as("b")
     a.join(b2, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

