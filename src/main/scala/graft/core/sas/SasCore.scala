@@ -293,10 +293,7 @@ object SasCore {
         val o = math.min(off, tb.length)
         val l = math.min(len, tb.length - o)
         if (l <= 0) return ""
-        var s = o; var e = o + l
-        while (s < e && tb(s) >= 0 && tb(s) <= ' ') s += 1
-        while (e > s && ((tb(e - 1) >= 0 && tb(e - 1) <= ' ') || tb(e - 1) < 32)) e -= 1
-        if (e <= s) "" else new String(tb, s, e - s, cs)
+        trimmedText(tb, o, l, cs)
       }
 
       val cols = (0 until nCols).map { i =>
@@ -482,6 +479,17 @@ object SasCore {
   case object KDate extends Kind
   case object KDatetime extends Kind
   case object KTime extends Kind
+
+  /** Trim ASCII space/control from both ends of a text slice, then decode.
+    * Unsigned compares: bytes >= 0x80 (negative as signed JVM bytes —
+    * multibyte/extended-encoding tails) are never stripped from
+    * names/labels. */
+  def trimmedText(tb: Array[Byte], o: Int, l: Int, cs: Charset): String = {
+    var s = o; var e = o + l
+    while (s < e && (tb(s) & 0xff) <= ' ') s += 1
+    while (e > s && (tb(e - 1) & 0xff) <= ' ') e -= 1
+    if (e <= s) "" else new String(tb, s, e - s, cs)
+  }
 
   def kindFor(c: SasColumn): Kind = {
     if (c.isChar) return KChar

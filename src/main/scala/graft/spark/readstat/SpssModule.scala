@@ -247,7 +247,16 @@ object SpssModule extends FormatModule {
       extends RowSource {
     private val recordLen = md.recordLen
     private val in = new BufferedInputStream(new FileInputStream(part.path), 1 << 20)
-    in.skip(md.dataOffset)
+    // InputStream.skip may skip fewer bytes than requested — loop until
+    // the full data offset is consumed or the decode silently misaligns
+    private var __toSkip = md.dataOffset
+    while (__toSkip > 0) {
+      val n = in.skip(__toSkip)
+      if (n > 0) __toSkip -= n
+      else if (in.read() < 0)
+        throw new java.io.EOFException(s"sav: EOF before data offset ${md.dataOffset}")
+      else __toSkip -= 1
+    }
     private val missBytes = {
       val b = new Array[Byte](8)
       val o = new java.io.ByteArrayOutputStream()

@@ -86,6 +86,7 @@ object XptModule extends FormatModule {
       }
     }
     val rowLen = md.rowLength
+    val fileLen = new java.io.File(part.path).length()
     val raf = new RandomAccessFile(part.path, "r")
     raf.seek(md.dataOffset + part.startRow * rowLen)
     val chunkRows = math.max(1, (4 << 20) / math.max(1, rowLen))
@@ -106,12 +107,20 @@ object XptModule extends FormatModule {
           catch { case _: java.io.EOFException => raf.close(); done = true; return false }
           bufRows = n; bufPos = 0
         }
-        // trailing blank (all-space) rows are record padding, not data
-        val base = bufPos * rowLen
-        var allSpace = true
-        var i = base
-        while (allSpace && i < base + rowLen) { if (buf(i) != ' ') allSpace = false; i += 1 }
-        if (allSpace) { raf.close(); done = true; return false }
+        // Trailing blank (all-space) rows are record padding, not data —
+        // but ONLY within the file's final 80-byte record: the data
+        // section is space-padded to an 80-byte boundary, so every
+        // phantom row overlaps that last record. A legitimate all-blank
+        // row earlier in the file is data and must not end the scan.
+        val rowIdx = part.startRow + (part.numRows - remaining)
+        val rowEndAbs = md.dataOffset + (rowIdx + 1) * rowLen
+        if (rowEndAbs > fileLen - 80) {
+          val base = bufPos * rowLen
+          var allSpace = true
+          var i = base
+          while (allSpace && i < base + rowLen) { if (buf(i) != ' ') allSpace = false; i += 1 }
+          if (allSpace) { raf.close(); done = true; return false }
+        }
         true
       }
 

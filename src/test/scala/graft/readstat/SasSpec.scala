@@ -9,6 +9,19 @@ import java.io.File
   */
 class SasSpec extends SparkTestBase {
 
+  test("header text trim keeps trailing bytes >= 0x80 (non-ASCII tails)") {
+    // "aé" in latin-1: 0x61 0xE9 — 0xE9 is negative as a signed JVM byte,
+    // and the old signed compare (b < 32) stripped it
+    val cs = java.nio.charset.Charset.forName("ISO-8859-1")
+    val bytes = Array[Byte](' ', 'a', 0xE9.toByte, ' ', ' ')
+    assert(graft.core.sas.SasCore.trimmedText(bytes, 0, bytes.length, cs) == "aé")
+    // control chars and spaces still trim from both ends
+    val ctl = Array[Byte](0, 9, 'x', 'y', 0, ' ')
+    assert(graft.core.sas.SasCore.trimmedText(ctl, 0, ctl.length, cs) == "xy")
+    // all-blank slice collapses to empty
+    assert(graft.core.sas.SasCore.trimmedText(Array[Byte](' ', 0), 0, 2, cs) == "")
+  }
+
   private def fixdir = res("fixtures/sas")
 
   test("all sas fixtures open and read fully") {

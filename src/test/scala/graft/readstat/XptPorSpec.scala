@@ -94,6 +94,23 @@ class XptPorSpec extends SparkTestBase {
     assert(back.agg(sum("V")).collect()(0).getDouble(0) == (1 to 5000).map(_.toDouble).sum)
   }
 
+  test("xpt mid-file all-blank row is data, trailing padding still dropped") {
+    import spark.implicits._
+    // 60 single-char-column rows (~180 data bytes): row 5 is all spaces —
+    // legitimate data well before the final 80-byte record. The old scan
+    // terminated at the first all-blank row and dropped rows 6..60.
+    val df = (1 to 60).map(i => (if (i == 5) "" else s"r$i")).toDF("s")
+      .coalesce(1)
+    val path = tmp("blankmid.xpt")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path)
+    val got = back.collect().map(_.getString(0))
+    assert(got.length == 60, s"expected 60 rows, got ${got.length}")
+    assert(got(4) == "")
+    assert(got(59) == "r60")
+  }
+
   test("xpt and por row index columns") {
     val x = spark.read.format("readstat")
       .option("rowIndexName", "_i").load(s"$refXpt/ACQ_G.xpt")
