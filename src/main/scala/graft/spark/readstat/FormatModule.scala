@@ -28,14 +28,22 @@ trait FormatModule extends Serializable {
       required: StructType): Iterator[InternalRow]
 }
 
+/** Decoder state at a row boundary of a compressed SPSS stream: the
+  * uncompressed-logical offset of the next byte, plus the pending
+  * control-byte group. Lets an executor start decoding mid-stream
+  * without replaying everything before its range. */
+final case class SavCheckpoint(uOff: Long, ctrl: Array[Byte], ctrlI: Int)
+
 /** A contiguous row range of one file. `startRow`/`numRows` are in file row
-  * order; `seqScan` marks formats that must decode from the file start
-  * (row-skip instead of byte-seek).
+  * order. `sav` carries the compressed-stream entry point for SPSS
+  * bytecode/zsav partitions (None for seekable formats and for legacy
+  * sequential reads).
   */
 final case class RangePartition(
     path: String,
     startRow: Long,
-    numRows: Long)
+    numRows: Long,
+    sav: Option[SavCheckpoint] = None)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Scan/write options (mirrors the reference's ScanOptions surface,

@@ -16,10 +16,16 @@ import graft.core.spss.SpssCore._
 /** SPSS .sav/.zsav as a Spark format module.
   *
   * Partitioning regimes (SURVEY.md §4.2): uncompressed sav → O(1)-seek
-  * row-range partitions; bytecode (compression=1) and zsav carry
-  * decompressor state across rows → single sequential partition. (zsav's
-  * block index would allow block-range partitions; rows spanning block
-  * boundaries need a handoff, left for a later round.)
+  * row-range partitions. Bytecode (compression=1) and zsav carry decoder
+  * state across rows, so random seeks are impossible — instead the
+  * driver skims the stream ONCE at planning time (control bytes only, no
+  * row materialization; zsav additionally inflates each block once,
+  * which the trailer's block index makes independent — reference:
+  * src/spss/data.rs:205-355) and records a [[SavCheckpoint]] every
+  * partition-worth of rows. Executors then resume decoding from their
+  * checkpoint, inflating only their own blocks — a 1000-executor scan
+  * does one sequential skim plus N independent range decodes, instead of
+  * one task decoding everything.
   */
 object SpssModule extends FormatModule {
 
@@ -31,6 +37,12 @@ object SpssModule extends FormatModule {
   private val mdCache = new ConcurrentHashMap[FileKey, SpssMeta]()
   def metadata(path: String): SpssMeta =
     mdCache.computeIfAbsent(keyOf(path), _ => SpssCore.parse(path))
+
+  /** Row-boundary checkpoints for a compressed stream, every `k` rows. */
+  private case class SavIndex(totalRows: Long, checkpoints: IndexedSeq[SavCheckpoint])
+  private val savIndexCache = new ConcurrentHashMap[(FileKey, Long), SavIndex]()
+  private def savIndex(path: String, md: SpssMeta, k: Long): SavIndex =
+    savIndexCache.computeIfAbsent((keyOf(path), k), _ => buildSavIndex(path, md, k))
 
   def sparkTypeOf(v: SpssVar, opts: ReadstatOptions): DataType =
     if (v.isString) StringType
@@ -73,13 +85,28 @@ object SpssModule extends FormatModule {
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)
     val n0 = rowCount(path, md)
-    val total = limit.map(math.min(_, n0)).getOrElse(n0)
-    if (md.compression != 0 || total == Long.MaxValue)
-      return Seq(RangePartition(path, 0, total))
-    if (total == 0) return Seq(RangePartition(path, 0, 0))
     val rowsPerPart = math.max(1L, opts.partitionTargetBytes / math.max(1, md.recordLen))
+    if (md.compression == 0) {
+      val total = limit.map(math.min(_, n0)).getOrElse(n0)
+      if (total == 0) return Seq(RangePartition(path, 0, 0))
+      return (0L until total by rowsPerPart).map { s =>
+        RangePartition(path, s, math.min(rowsPerPart, total - s))
+      }
+    }
+    // compressed (bytecode/zsav): sequential single range when it is
+    // small or cheaply bounded — otherwise build the checkpoint index
+    // and emit resumable range partitions
+    val boundKnown = n0 != Long.MaxValue
+    val bounded = limit.map(l => if (boundKnown) math.min(l, n0) else l)
+      .getOrElse(if (boundKnown) n0 else Long.MaxValue)
+    if (bounded <= rowsPerPart)
+      return Seq(RangePartition(path, 0, bounded))
+    val idx = savIndex(path, md, rowsPerPart)
+    val total = math.min(bounded, idx.totalRows)
+    if (total == 0) return Seq(RangePartition(path, 0, 0))
     (0L until total by rowsPerPart).map { s =>
-      RangePartition(path, s, math.min(rowsPerPart, total - s))
+      RangePartition(path, s, math.min(rowsPerPart, total - s),
+        Some(idx.checkpoints((s / rowsPerPart).toInt)))
     }
   }
 
@@ -214,6 +241,116 @@ object SpssModule extends FormatModule {
   private def formatNum(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
+  // ---- compressed-stream checkpoint index ----
+
+  /** zsav trailer block entries `(compressedOfs, uncompressedSize,
+    * compressedSize)` plus uncompressed-offset prefix sums. */
+  private def zsavEntries(path: String, md: SpssMeta)
+      : (IndexedSeq[(Long, Int, Int)], Array[Long]) = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      raf.seek(md.dataOffset)
+      val h = new Array[Byte](24); raf.readFully(h)
+      val ztrailerOfs = Bin.i64(h, 8, md.little)
+      raf.seek(ztrailerOfs)
+      val th = new Array[Byte](24); raf.readFully(th)
+      val nBlocks = Bin.i32(th, 20, md.little)
+      val es = (0 until nBlocks).map { _ =>
+        val e = new Array[Byte](24); raf.readFully(e)
+        (Bin.i64(e, 8, md.little), Bin.i32(e, 16, md.little), Bin.i32(e, 20, md.little))
+      }
+      (es, es.scanLeft(0L)(_ + _._2.toLong).toArray)
+    } finally raf.close()
+  }
+
+  /** The logical byte stream a compressed sav decodes from: the raw file
+    * after dataOffset (compression=1) or the concatenated inflated zlib
+    * blocks (compression=2, one InflaterInputStream per block). */
+  private def logicalStream(path: String, md: SpssMeta,
+      firstBlock: Int = 0): () => java.io.InputStream =
+    if (md.compression == 1) {
+      var used = false
+      () => if (used) null else {
+        used = true
+        val s = new BufferedInputStream(new FileInputStream(path), 1 << 20)
+        var toSkip = md.dataOffset
+        while (toSkip > 0) {
+          val n = s.skip(toSkip)
+          if (n > 0) toSkip -= n
+          else if (s.read() < 0)
+            throw new java.io.EOFException(s"sav: EOF before data offset")
+          else toSkip -= 1
+        }
+        s
+      }
+    } else {
+      val (entries, _) = zsavEntries(path, md)
+      val raf = new RandomAccessFile(path, "r")
+      val it = entries.iterator.drop(firstBlock)
+      () => if (!it.hasNext) { raf.close(); null } else {
+        val (cOfs, _, cSize) = it.next()
+        val b = new Array[Byte](cSize)
+        raf.seek(cOfs); raf.readFully(b)
+        new InflaterInputStream(new java.io.ByteArrayInputStream(b))
+      }
+    }
+
+  /** One sequential skim of the compressed stream: walk control bytes,
+    * arithmetic-skip payloads, never materialize rows. Emits the decoder
+    * state at every k-row boundary and the exact row count. */
+  private def buildSavIndex(path: String, md: SpssMeta, k: Long): SavIndex = {
+    val nextStream = logicalStream(path, md)
+    var in = nextStream()
+    val ctrl = new Array[Byte](8)
+    var ctrlI = 8
+    var uOff = 0L
+    val skipBuf = new Array[Byte](8)
+    def readFully(dst: Array[Byte]): Boolean = {
+      var got = 0
+      while (got < 8) {
+        val r = if (in == null) -1 else in.read(dst, got, 8 - got)
+        if (r < 0) {
+          if (in != null) in.close()
+          in = nextStream()
+          if (in == null) return false
+        } else got += r
+      }
+      true
+    }
+    val cps = IndexedSeq.newBuilder[SavCheckpoint]
+    cps += SavCheckpoint(0L, new Array[Byte](8), 8)
+    val recordLen = md.recordLen
+    var rows = 0L
+    var done = false
+    while (!done) {
+      var pos = 0
+      while (!done && pos < recordLen) {
+        if (ctrlI == 8) {
+          if (!readFully(ctrl)) done = true
+          else { uOff += 8; ctrlI = 0 }
+        }
+        if (!done) {
+          val code = ctrl(ctrlI) & 0xff; ctrlI += 1
+          code match {
+            case 0 => ()
+            case 252 => done = true
+            case 253 =>
+              if (!readFully(skipBuf)) done = true
+              else { uOff += 8; pos += 8 }
+            case _ => pos += 8
+          }
+        }
+      }
+      if (pos >= recordLen) {
+        rows += 1
+        if (!done && rows % k == 0)
+          cps += SavCheckpoint(uOff, ctrl.clone(), ctrlI)
+      }
+    }
+    if (in != null) in.close()
+    SavIndex(rows, cps.result())
+  }
+
   // ---- row sources ----
   private trait RowSource { def nextRow(): Array[Byte] }
 
@@ -248,8 +385,9 @@ object SpssModule extends FormatModule {
     private val recordLen = md.recordLen
     private val in = new BufferedInputStream(new FileInputStream(part.path), 1 << 20)
     // InputStream.skip may skip fewer bytes than requested — loop until
-    // the full data offset is consumed or the decode silently misaligns
-    private var __toSkip = md.dataOffset
+    // the full offset (data start + any checkpoint offset) is consumed
+    // or the decode silently misaligns
+    private var __toSkip = md.dataOffset + part.sav.map(_.uOff).getOrElse(0L)
     while (__toSkip > 0) {
       val n = in.skip(__toSkip)
       if (n > 0) __toSkip -= n
@@ -268,9 +406,13 @@ object SpssModule extends FormatModule {
     }
     private val control = new Array[Byte](8)
     private var controlI = 8
+    part.sav.foreach { cp =>
+      System.arraycopy(cp.ctrl, 0, control, 0, 8); controlI = cp.ctrlI
+    }
     private var finished = false
     private var emitted = 0L
-    private var toSkip = part.startRow
+    // with a checkpoint the stream is already positioned at startRow
+    private var toSkip = if (part.sav.isDefined) 0L else part.startRow
 
     override def nextRow(): Array[Byte] = {
       while (toSkip > 0) { if (readRow() == null) return null; toSkip -= 1 }
@@ -346,26 +488,23 @@ object SpssModule extends FormatModule {
   private final class ZsavRowSource(part: RangePartition, md: SpssMeta)
       extends RowSource {
     private val recordLen = md.recordLen
+    private val (entries, uPrefix) = zsavEntries(part.path, md)
     private val raf = new RandomAccessFile(part.path, "r")
-    private val (entries, dataStart) = {
-      raf.seek(md.dataOffset)
-      val h = new Array[Byte](24); raf.readFully(h)
-      val ztrailerOfs = Bin.i64(h, 8, md.little)
-      raf.seek(ztrailerOfs)
-      val th = new Array[Byte](24); raf.readFully(th)
-      val nBlocks = Bin.i32(th, 20, md.little)
-      val es = (0 until nBlocks).map { _ =>
-        val e = new Array[Byte](24); raf.readFully(e)
-        (Bin.i64(e, 8, md.little), Bin.i32(e, 16, md.little), Bin.i32(e, 20, md.little))
-      }
-      (es, md.dataOffset + 24)
+    // with a checkpoint: begin at the block containing uOff and skip the
+    // intra-block remainder — only this partition's blocks are inflated
+    private val startUOff = part.sav.map(_.uOff).getOrElse(0L)
+    private val firstBlock = {
+      var b = 0
+      while (b + 1 < uPrefix.length - 1 && uPrefix(b + 1) <= startUOff) b += 1
+      b
     }
+    private var skipInBlock = startUOff - uPrefix(firstBlock)
     // lazily inflate blocks into one logical stream
-    private val blockIter = entries.iterator
-    private var cur: java.io.InputStream = _
-    private val inner = new BytecodeFromStream(recordLen, md, () => nextByteStream())
+    private val blockIter = entries.iterator.drop(firstBlock)
+    private val inner = new BytecodeFromStream(recordLen, md, () => nextByteStream(),
+      part.sav.map(_.ctrl).orNull, part.sav.map(_.ctrlI).getOrElse(8))
     private var emitted = 0L
-    private var toSkip = part.startRow
+    private var toSkip = if (part.sav.isDefined) 0L else part.startRow
 
     private def nextByteStream(): java.io.InputStream = {
       if (!blockIter.hasNext) return null
@@ -373,7 +512,15 @@ object SpssModule extends FormatModule {
       val b = new Array[Byte](cSize)
       raf.seek(cOfs)
       raf.readFully(b)
-      new InflaterInputStream(new java.io.ByteArrayInputStream(b))
+      val s = new InflaterInputStream(new java.io.ByteArrayInputStream(b))
+      while (skipInBlock > 0) {
+        val n = s.skip(skipInBlock)
+        if (n > 0) skipInBlock -= n
+        else if (s.read() < 0)
+          throw new java.io.EOFException("zsav: EOF inside checkpoint block")
+        else skipInBlock -= 1
+      }
+      s
     }
 
     override def nextRow(): Array[Byte] = {
@@ -385,12 +532,15 @@ object SpssModule extends FormatModule {
     }
   }
 
-  /** Bytecode decoder over a chain of InputStreams (zsav blocks). */
+  /** Bytecode decoder over a chain of InputStreams (zsav blocks),
+    * optionally resuming from a checkpoint's control-byte state. */
   private final class BytecodeFromStream(recordLen: Int, md: SpssMeta,
-      nextStream: () => java.io.InputStream) {
+      nextStream: () => java.io.InputStream,
+      initCtrl: Array[Byte] = null, initCtrlI: Int = 8) {
     private var in: java.io.InputStream = nextStream()
     private val control = new Array[Byte](8)
-    private var controlI = 8
+    private var controlI = initCtrlI
+    if (initCtrl != null) System.arraycopy(initCtrl, 0, control, 0, 8)
     private var finished = false
     private val missBytes = {
       val o = new java.io.ByteArrayOutputStream()

@@ -42,6 +42,43 @@ class SpssSpec extends SparkTestBase {
     assertSameData(b, a, "zsav-vs-sav")
   }
 
+  test("zsav checkpoint-partitioned read equals sequential read") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_zp").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/par.zsav"
+    val df = (1 to 20000)
+      .map(i => (i.toDouble, s"s$i", if (i % 7 == 0) null else s"t${i % 100}"))
+      .toDF("v", "s1", "s2").coalesce(1)
+    df.write.format("readstat").mode("overwrite").save(path)
+    val serial = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path)
+    val parallel = spark.read.format("readstat")
+      .option("missingStringAsNull", "false")
+      .option("partitionTargetBytes", "65536").load(path)
+    assert(parallel.rdd.getNumPartitions > 4,
+      s"expected checkpointed partitions, got ${parallel.rdd.getNumPartitions}")
+    assert(parallel.count() == 20000)
+    // same rows regardless of partitioning (order-insensitive compare)
+    val a = serial.orderBy("v").collect().map(_.toSeq)
+    val b = parallel.orderBy("v").collect().map(_.toSeq)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("bytecode sav checkpoint-partitioned read equals sequential read") {
+    // sample.sav is bytecode-compressed (compression=1); a tiny partition
+    // target forces one-row partitions, each resuming from a checkpoint
+    val path = s"$fixdir/sample.sav"
+    val serial = spark.read.format("readstat").load(path)
+    val parallel = spark.read.format("readstat")
+      .option("partitionTargetBytes", "8").load(path)
+    assert(parallel.rdd.getNumPartitions == 5,
+      s"expected 5 one-row partitions, got ${parallel.rdd.getNumPartitions}")
+    assertSameData(parallel.orderBy("mynum"), serial.orderBy("mynum"),
+      "bytecode-checkpoint")
+  }
+
   test("value labels as strings on labelled-num") {
     val df = spark.read.format("readstat")
       .option("valueLabelsAsStrings", "true").load(s"$fixdir/labelled-num.sav")
