@@ -56,6 +56,7 @@ final case class ReadstatOptions(
     catalog: Option[String] = None,
     informativeNulls: Boolean = false,
     informativeNullSuffix: String = "_null",
+    informativeNullMode: String = "column", // column | struct | merged
     partitionTargetBytes: Long = 128L * 1024 * 1024,
     batchRows: Int = 0, // 0 = auto (~2M cells per batch)
     compress: Boolean = false,
@@ -80,6 +81,12 @@ object ReadstatOptions {
       informativeNulls = b("informativeNulls", dflt = false),
       informativeNullSuffix =
         Option(m.get("informativeNullSuffix")).getOrElse("_null"),
+      informativeNullMode = parse("informativeNullMode", "column") { v =>
+        val norm = v.toLowerCase
+        require(Set("column", "struct", "merged").contains(norm),
+          "expected one of: column, struct, merged")
+        norm
+      },
       partitionTargetBytes =
         parse("partitionTargetBytes", 128L * 1024 * 1024)(_.toLong),
       batchRows = parse("batchRows", 0)(_.toInt),

@@ -124,7 +124,7 @@ object Narrowing {
     case other => throw new IllegalArgumentException(s"not numeric: $other")
   }
 
-  private def castValue(row: InternalRow, i: Int, from: DataType,
+  private[readstat] def castValue(row: InternalRow, i: Int, from: DataType,
       to: DataType): Any = (from, to) match {
     case (f, t) if f == t => row.get(i, f)
     case (TimestampNTZType, DateType) =>

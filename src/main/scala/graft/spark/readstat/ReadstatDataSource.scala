@@ -55,10 +55,17 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
 /** Extension → format module dispatch. */
 object Formats {
-  /** Declared schema + compress narrowing + user overrides. */
+  /** Declared schema + compress narrowing + user overrides + informative-
+    * null output mode (column/struct/merged). */
   def effectiveSchema(path: String, opts: ReadstatOptions): StructType = {
     val module = moduleFor(path)
     var schema = module.schema(path, opts)
+    val nullPairs =
+      if (opts.informativeNulls) {
+        val base = module.schema(path, opts.copy(informativeNulls = false))
+        InformativeNulls.checkCollisions(schema, opts.informativeNullSuffix)
+        InformativeNulls.pairs(schema, base, opts.informativeNullSuffix)
+      } else Nil
     if (opts.compress)
       schema = Narrowing.inferNarrowed(module, path, opts, schema,
         opts.compressProbeRows)
@@ -66,6 +73,9 @@ object Formats {
     if (overrides.nonEmpty)
       schema = StructType(schema.fields.map(f =>
         overrides.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+    if (nullPairs.nonEmpty && opts.informativeNullMode != "column")
+      schema = InformativeNulls.transformSchema(schema, nullPairs,
+        opts.informativeNullMode)
     schema
   }
 
@@ -144,13 +154,23 @@ class ReadstatPartitionReaderFactory(required: StructType,
     val part = partition.asInstanceOf[RangePartition]
     val module = Formats.moduleFor(part.path)
     // decode with the format's natural types, then cast to the requested
-    // (compress-narrowed / overridden) types
+    // (compress-narrowed / overridden) types; struct/merged informative-
+    // null fields are combined from their separate module columns
     val natural = module.schema(part.path, opts)
-    val naturalByName = natural.fields.map(f => f.name -> f).toMap
-    val naturalRequired = StructType(required.fields.map(f =>
-      naturalByName.getOrElse(f.name, f)))
-    val it = Narrowing.castingIterator(
-      module.rows(part, opts, naturalRequired), naturalRequired, required)
+    val it: Iterator[InternalRow] =
+      if (opts.informativeNulls && opts.informativeNullMode != "column") {
+        val base = module.schema(part.path, opts.copy(informativeNulls = false))
+        val prs = InformativeNulls.pairs(natural, base, opts.informativeNullSuffix)
+        val (moduleRequired, wrap) = InformativeNulls.combiner(
+          required, natural, prs, opts.informativeNullMode)
+        wrap(module.rows(part, opts, moduleRequired))
+      } else {
+        val naturalByName = natural.fields.map(f => f.name -> f).toMap
+        val naturalRequired = StructType(required.fields.map(f =>
+          naturalByName.getOrElse(f.name, f)))
+        Narrowing.castingIterator(
+          module.rows(part, opts, naturalRequired), naturalRequired, required)
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

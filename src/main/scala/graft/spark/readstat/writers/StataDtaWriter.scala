@@ -212,10 +212,22 @@ object StataDtaWriter {
     require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
     require(ordered.length <= 0xFFFE, "too many partitions for strL v field")
 
+    // version selection (reference: writer.rs choose_dta_version): 119
+    // ("wide") only when the 118 u16 variable-count field overflows;
+    // explicit dtaVersion=118|119 overrides
+    val version = options.getOrElse("dtaVersion", "auto") match {
+      case "auto" => if (cols.length > 32767) 119 else 118
+      case "118" => require(cols.length <= 32767,
+        s"stata writer: ${cols.length} variables exceed the dta 118 limit"); 118
+      case "119" => 119
+      case other => throw new IllegalArgumentException(
+        s"stata writer: dtaVersion must be auto, 118 or 119 (got $other)")
+    }
+
     // ---- driver: assemble final file in one forward pass ----
     val dataBytes = ordered.map(c => new File(c._2).length()).sum
     val gsoBytes = ordered.map(c => new File(c._3).length()).sum
-    assembleFile(path, cols, nObs, rowLen, dataBytes, gsoBytes, ordered,
+    assembleFile(path, version, cols, nObs, rowLen, dataBytes, gsoBytes, ordered,
       valueLabels, metaVarLabels)
     ordered.foreach { c => new File(c._2).delete(); new File(c._3).delete() }
   }
@@ -327,8 +339,8 @@ object StataDtaWriter {
     }
   }
 
-  private def assembleFile(path: String, cols: Array[ColSpec], nObs: Long,
-      rowLen: Int, dataBytes: Long, gsoBytes: Long,
+  private def assembleFile(path: String, version: Int, cols: Array[ColSpec],
+      nObs: Long, rowLen: Int, dataBytes: Long, gsoBytes: Long,
       chunks: Array[(Int, String, String, Long)],
       valueLabels: Map[String, Seq[(Int, String)]],
       varLabels: Map[String, String] = Map.empty): Unit = {
@@ -338,9 +350,9 @@ object StataDtaWriter {
     def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
     def tag(s: String): Unit = bos.write(ascii(s))
 
-    // header
-    tag("<stata_dta><header><release>118</release><byteorder>LSF</byteorder><K>")
-    Bin.putU16(bos, k)
+    // header — 119 ("wide") widens K to u32 and sortlist entries to u32
+    tag(s"<stata_dta><header><release>$version</release><byteorder>LSF</byteorder><K>")
+    if (version >= 119) Bin.putU32(bos, k.toLong) else Bin.putU16(bos, k)
     tag("</K><N>")
     Bin.putU64(bos, nObs)
     tag("</N><label>")
@@ -356,8 +368,9 @@ object StataDtaWriter {
     val vtLen = 16 + 2 * k + 17
     val vnOff = vtOff + vtLen
     val vnLen = 10 + 129 * k + 11
+    val srtEntryLen = if (version >= 119) 4 else 2
     val soOff = vnOff + vnLen
-    val soLen = 10 + 2 * (k + 1) + 11
+    val soLen = 10 + srtEntryLen * (k + 1) + 11
     val fmtOff = soOff + soLen
     val fmtLen = 9 + 57 * k + 10
     val vlnOff = fmtOff + fmtLen
@@ -408,7 +421,8 @@ object StataDtaWriter {
     cols.foreach(c => Bin.putZPad(bos, c.stataName, 129, StandardCharsets.UTF_8))
     tag("</varnames>")
     tag("<sortlist>")
-    (0 to k).foreach(_ => Bin.putU16(bos, 0))
+    (0 to k).foreach(_ =>
+      if (version >= 119) Bin.putU32(bos, 0L) else Bin.putU16(bos, 0))
     tag("</sortlist>")
     tag("<formats>")
     cols.foreach(c => Bin.putZPad(bos, c.fmt, 57, StandardCharsets.UTF_8))

@@ -105,6 +105,70 @@ class StataReaderSpec extends SparkTestBase {
       s"expected at least one .a-.z indicator, got ${inds.mkString(",")}")
   }
 
+  test("informative nulls struct mode: value + indicator in one struct") {
+    val dta = res("fixtures/stata/missing_test.dta")
+    val sep = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(dta)
+    val st = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullMode", "struct").load(dta)
+    // no extra columns: struct mode replaces mains in place
+    assert(!st.columns.exists(_.endsWith("_null")))
+    val mains = sep.columns.filter(c => sep.columns.contains(c + "_null"))
+    assert(mains.nonEmpty)
+    mains.foreach { m =>
+      st.schema(m).dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          assert(s.fieldNames.toSeq == Seq(m, "null_indicator"))
+          assert(s(m).dataType == sep.schema(m).dataType)
+        case other => fail(s"$m: expected struct, got $other")
+      }
+      // struct fields carry the same values as the separate columns
+      // (string-normalized: NaN != NaN under tuple equality)
+      val a = sep.select(m, m + "_null").collect()
+        .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1))))
+      val b = st.select(s"$m.$m", s"$m.null_indicator").collect()
+        .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1))))
+      assert(a.toSeq == b.toSeq, m)
+    }
+  }
+
+  test("informative nulls merged mode: one string column per main") {
+    val dta = res("fixtures/stata/missing_test.dta")
+    val sep = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(dta)
+    val mg = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullMode", "merged").load(dta)
+    assert(!mg.columns.exists(_.endsWith("_null")))
+    val mains = sep.columns.filter(c => sep.columns.contains(c + "_null"))
+    mains.foreach { m =>
+      assert(mg.schema(m).dataType == org.apache.spark.sql.types.StringType, m)
+      val a = sep.select(m, m + "_null").collect()
+      val b = mg.select(m).collect().map(r => Option(r.getString(0)).orNull)
+      a.zip(b).foreach { case (r, merged) =>
+        if (!r.isNullAt(0)) assert(merged == String.valueOf(r.get(0)), m)
+        else if (!r.isNullAt(1)) assert(merged == r.getString(1), m) // ".a".."..z"
+        else assert(merged == null, m) // system missing
+      }
+    }
+  }
+
+  test("informative null indicator collision with a real column errors") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_col").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/collide.dta"
+    Seq((1.0, "x")).toDF("a", "a_null").write
+      .format("readstat").mode("overwrite").save(path)
+    val ex = intercept[Exception] {
+      spark.read.format("readstat")
+        .option("informativeNulls", "true").load(path).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("conflicts"),
+      s"expected collision error, got: $ex")
+  }
+
   test("row index column is exact across partitions") {
     val dta = res("fixtures/stata/sample.dta")
     val df = spark.read.format("readstat")

@@ -171,6 +171,28 @@ class StataWriterSpec extends SparkTestBase {
     assert(got.map(_.getInt(2)).toSeq == Seq(2147483620, -2147483647))
   }
 
+  test("dtaVersion=119 writes a wide-format file that roundtrips") {
+    import spark.implicits._
+    val df = Seq((1, 1.5, "abc", "x" * 3000), (2, -2.5, "de", "y"))
+      .toDF("id", "v", "s", "big")
+    val path = tmp("v119.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("dtaVersion", "119").save(path)
+    val md = graft.core.stata.StataParser.parse(path)
+    assert(md.version == 119)
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path).orderBy("id")
+    val got = back.collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 1 && got(0).getString(2) == "abc")
+    assert(got(0).getString(3) == "x" * 3000) // strL under 119
+    assert(got(1).getDouble(1) == -2.5)
+    // default stays 118 below the variable-count threshold
+    val path118 = tmp("v118.dta")
+    df.write.format("readstat").mode("overwrite").save(path118)
+    assert(graft.core.stata.StataParser.parse(path118).version == 118)
+  }
+
   test("wide frame (600 columns) roundtrips through dta") {
     val n = 600
     val schema = org.apache.spark.sql.types.StructType(
