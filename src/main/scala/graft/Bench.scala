@@ -62,12 +62,13 @@ object Bench {
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
       case (dta, sav) => Seq[(String, () => Long)](
         ("stata_fullread_10m", () => {
-          // xxhash64 over every column forces a true full decode
-          // (count() alone would prune all columns via pushdown)
-          val df = spark.read.format("readstat")
+          // full materialization of every column, like the baseline's
+          // read-into-frame. toRdd keeps the unprojected schema (count()
+          // alone would prune all columns via pushdown) and our reader
+          // decodes every required column eagerly per batch.
+          spark.read.format("readstat")
             .option("partitionTargetBytes", "16777216").load(dta)
-          df.agg(expr("bit_xor(" + df.columns.map(c => s"xxhash64(`$c`)").mkString(" ^ ") + ")"))
-            .collect()(0).getLong(0)
+            .queryExecution.toRdd.count()
         }),
         ("stata_subset_read", () =>
           spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(dta)
@@ -78,12 +79,10 @@ object Bench {
             .select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
             .agg(count(lit(1))).collect()(0).getLong(0)),
-        ("spss_fullread_10m", () => {
-          val df = spark.read.format("readstat")
+        ("spss_fullread_10m", () =>
+          spark.read.format("readstat")
             .option("partitionTargetBytes", "16777216").load(sav)
-          df.agg(expr("bit_xor(" + df.columns.map(c => s"xxhash64(`$c`)").mkString(" ^ ") + ")"))
-            .collect()(0).getLong(0)
-        }),
+            .queryExecution.toRdd.count()),
         ("spss_subset_read", () =>
           spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(sav)
             .select("l_quantity", "l_returnflag")

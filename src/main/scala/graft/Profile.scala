@@ -23,6 +23,26 @@ object Profile {
       println(f"[profile] $name%-28s min=${runs.min}%.3f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
     }
 
+    // raw-read decomposition over the 10M-row bench dta (if present)
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dta = s"/tmp/graft_bench/${tag}_big.dta"
+    if (new java.io.File(dta).exists()) {
+      def rd = spark.read.format("readstat")
+        .option("partitionTargetBytes", "16777216").load(dta)
+      rd.count() // warm
+      time("fullread toRdd.count") {
+        rd.queryExecution.toRdd.count()
+      }
+      time("fullread hash-all") {
+        val df = rd
+        df.agg(expr("bit_xor(" + df.columns.map(c => s"xxhash64(`$c`)").mkString(" ^ ") + ")"))
+          .collect()
+      }
+      time("fullread sum-2cols") {
+        rd.agg(sum("l_quantity"), sum("l_extendedprice")).collect()
+      }
+    }
+
     // warmup
     graft.queries.Text.ngramJaccardPairs(spark, "/root/testdata/sf0.001").count()
 

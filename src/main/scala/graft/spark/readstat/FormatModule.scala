@@ -26,6 +26,20 @@ trait FormatModule extends Serializable {
     */
   def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow]
+
+  /** Whether [[columnarRows]] can serve this (path, options, schema)
+    * combination. Must be cheap — called at planning time. */
+  def supportsColumnar(path: String, opts: ReadstatOptions,
+      required: StructType): Boolean = false
+
+  /** Vectorized decode: per-column tight loops into
+    * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es, skipping the
+    * per-cell dispatch and boxing of the row path (the same reason
+    * Spark's parquet reader is columnar). Only called when
+    * [[supportsColumnar]] returned true. */
+  def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    throw new UnsupportedOperationException("no columnar decode")
 }
 
 /** Decoder state at a row boundary of a compressed SPSS stream: the

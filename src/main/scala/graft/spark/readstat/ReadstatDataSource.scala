@@ -150,6 +150,25 @@ class ReadstatScan(paths: Seq[String], required: StructType,
 
 class ReadstatPartitionReaderFactory(required: StructType,
     opts: ReadstatOptions) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val part = partition.asInstanceOf[RangePartition]
+    Formats.moduleFor(part.path).supportsColumnar(part.path, opts, required)
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = partition.asInstanceOf[RangePartition]
+    val it = Formats.moduleFor(part.path).columnarRows(part, opts, required)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      override def close(): Unit = if (current != null) current.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[RangePartition]
     val module = Formats.moduleFor(part.path)

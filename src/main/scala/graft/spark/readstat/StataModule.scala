@@ -332,4 +332,247 @@ object StataModule extends FormatModule {
   private def formatNum(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
+
+  // ---- vectorized decode path ----
+
+  /** Columnar decode covers the plain-scan configurations (no label
+    * decode, indicators, narrowing or overrides — those reshape types or
+    * interleave per-cell string logic). Row-index columns are fine. */
+  override def supportsColumnar(path: String, opts: ReadstatOptions,
+      required: StructType): Boolean = {
+    if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
+      opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
+    val nat = schema(path, opts)
+    val byName = nat.fields.map(f => f.name -> f.dataType).toMap
+    required.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
+  /** Per-column tight loops over each fixed-width row chunk: the vt/
+    * outKind dispatch happens once per column per batch instead of once
+    * per cell, and values land unboxed in OnHeapColumnVectors (mirrors
+    * the reference's per-column byte plans, stata/data.rs). */
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+    val md = metadata(part.path)
+    val little = md.littleEndian
+    val rules = md.rules
+    val cs = md.charset
+    val rowLen = md.rowLen
+
+    val offsets = new Array[Int](md.nVars)
+    var acc = 0
+    var vi = 0
+    while (vi < md.nVars) {
+      offsets(vi) = acc; acc += md.variables(vi).varType.width; vi += 1
+    }
+    val byName = md.variables.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
+    // (varIdx or -1 for row index, byteOff, vt, outKind)
+    val plans: Array[(Int, Int, VarType, OutKind)] =
+      required.fields.map { f =>
+        if (opts.rowIndexName.contains(f.name)) (-1, 0, TDouble, ODouble)
+        else {
+          val i = byName(f.name)
+          val v = md.variables(i)
+          (i, offsets(i), v.varType, v.outKind)
+        }
+      }
+    val needStrl = plans.exists(p => p._1 >= 0 && p._3 == TStrL)
+    val strlMap: Map[(Int, Long), String] =
+      if (needStrl) strls(part.path) else Map.empty
+
+    val raf = new RandomAccessFile(part.path, "r")
+    val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
+    raf.seek(dataStart + part.startRow * rowLen)
+    val chunkRows = math.max(1, math.min(
+      if (opts.batchRows > 0) opts.batchRows
+      else math.max(1024, (4 << 20) / math.max(1, rowLen)),
+      Int.MaxValue)).toInt
+
+    new Iterator[ColumnarBatch] {
+      private var remaining = part.numRows
+      private var globalRow = part.startRow
+      private var closed = false
+      private def close(): Unit = if (!closed) { closed = true; raf.close() }
+
+      override def hasNext: Boolean = {
+        if (remaining <= 0) close()
+        remaining > 0
+      }
+
+      override def next(): ColumnarBatch = {
+        val n = math.min(chunkRows.toLong, remaining).toInt
+        val buf = new Array[Byte](n * rowLen)
+        raf.readFully(buf)
+        val startRow = globalRow
+        remaining -= n; globalRow += n
+        if (remaining <= 0) close()
+        val vectors = new Array[ColumnVector](plans.length)
+        var c = 0
+        while (c < plans.length) {
+          val vec = new OnHeapColumnVector(n, required.fields(c).dataType)
+          decodeColumn(plans(c), buf, n, startRow, vec)
+          vectors(c) = vec
+          c += 1
+        }
+        new ColumnarBatch(vectors, n)
+      }
+
+      private def decodeColumn(pl: (Int, Int, VarType, OutKind),
+          buf: Array[Byte], n: Int, startRow: Long,
+          vec: OnHeapColumnVector): Unit = {
+        val (varIdx, off, vt, outKind) = pl
+        if (varIdx == -1) { // row index
+          var r = 0
+          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          return
+        }
+        val plain = outKind match {
+          case OByte | OShort | OInt | OFloat | ODouble | OString => true
+          case _ => false
+        }
+        vt match {
+          case TByte if plain =>
+            var r = 0; var p = off
+            while (r < n) {
+              val v = buf(p).toInt
+              if ((rules.sysMissingEnabled && v >= rules.sysInt8) || v > rules.maxInt8)
+                vec.putNull(r)
+              else vec.putByte(r, v.toByte)
+              r += 1; p += rowLen
+            }
+          case TInt if plain =>
+            var r = 0; var p = off
+            while (r < n) {
+              val v = Bin.i16(buf, p, little).toInt
+              if ((rules.sysMissingEnabled && v >= rules.sysInt16) || v > rules.maxInt16)
+                vec.putNull(r)
+              else vec.putShort(r, v.toShort)
+              r += 1; p += rowLen
+            }
+          case TLong if plain =>
+            var r = 0; var p = off
+            while (r < n) {
+              val v = Bin.i32(buf, p, little)
+              if ((rules.sysMissingEnabled && v >= rules.sysInt32) || v > rules.maxInt32)
+                vec.putNull(r)
+              else vec.putInt(r, v)
+              r += 1; p += rowLen
+            }
+          case TFloat if plain =>
+            var r = 0; var p = off
+            while (r < n) {
+              val bits = Bin.f32bits(buf, p, little)
+              val ubits = bits & 0xffffffffL
+              if ((bits & 0x80000000) == 0 && ubits > rules.maxFloatBits) {
+                if (ubits == rules.missFloatBits) vec.putNull(r)
+                else vec.putFloat(r, Float.NaN)
+              } else vec.putFloat(r, java.lang.Float.intBitsToFloat(bits))
+              r += 1; p += rowLen
+            }
+          case TDouble if plain =>
+            var r = 0; var p = off
+            while (r < n) {
+              val bits = Bin.f64bits(buf, p, little)
+              if ((bits & 0x8000000000000000L) == 0 &&
+                  java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) {
+                if (bits == rules.missDoubleBits) vec.putNull(r)
+                else vec.putDouble(r, Double.NaN)
+              } else vec.putDouble(r, java.lang.Double.longBitsToDouble(bits))
+              r += 1; p += rowLen
+            }
+          case TStr(w) =>
+            var r = 0; var p = off
+            while (r < n) {
+              val s = Bin.zstr(buf, p, w, cs)
+              if (s.isEmpty && opts.missingStringAsNull) vec.putNull(r)
+              else {
+                val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vec.putByteArray(r, b, 0, b.length)
+              }
+              r += 1; p += rowLen
+            }
+          case TStrL =>
+            var r = 0; var p = off
+            while (r < n) {
+              val ref = decodeStrlRefAt(buf, p)
+              strlMap.get(ref) match {
+                case Some(s) if !(s.isEmpty && opts.missingStringAsNull) =>
+                  val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  vec.putByteArray(r, b, 0, b.length)
+                case _ => vec.putNull(r)
+              }
+              r += 1; p += rowLen
+            }
+          case _ =>
+            // temporal outKinds: read the numeric as double, then convert
+            var r = 0; var p = off
+            while (r < n) {
+              var missing = false
+              var d = 0.0
+              vt match {
+                case TByte =>
+                  val v = buf(p).toInt
+                  if ((rules.sysMissingEnabled && v >= rules.sysInt8) || v > rules.maxInt8)
+                    missing = true
+                  else d = v.toDouble
+                case TInt =>
+                  val v = Bin.i16(buf, p, little).toInt
+                  if ((rules.sysMissingEnabled && v >= rules.sysInt16) || v > rules.maxInt16)
+                    missing = true
+                  else d = v.toDouble
+                case TLong =>
+                  val v = Bin.i32(buf, p, little)
+                  if ((rules.sysMissingEnabled && v >= rules.sysInt32) || v > rules.maxInt32)
+                    missing = true
+                  else d = v.toDouble
+                case TFloat =>
+                  val bits = Bin.f32bits(buf, p, little)
+                  val ubits = bits & 0xffffffffL
+                  if ((bits & 0x80000000) == 0 && ubits > rules.maxFloatBits) missing = true
+                  else d = java.lang.Float.intBitsToFloat(bits).toDouble
+                case TDouble =>
+                  val bits = Bin.f64bits(buf, p, little)
+                  if ((bits & 0x8000000000000000L) == 0 &&
+                      java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0)
+                    missing = true
+                  else d = java.lang.Double.longBitsToDouble(bits)
+                case _ => missing = true
+              }
+              if (missing || d.isNaN) vec.putNull(r)
+              else outKind match {
+                case ODate(unit) =>
+                  vec.putInt(r,
+                    StataTypes.stataDateToEpochDays(math.floor(d).toLong, unit))
+                case ODatetimeMs =>
+                  vec.putLong(r, (d.toLong - EpochShiftMs) * 1000L)
+                case OTimeNs =>
+                  val dayMs = 86400000L
+                  vec.putLong(r, (((d.toLong % dayMs) + dayMs) % dayMs) * 1000000L)
+                case _ => vec.putNull(r)
+              }
+              r += 1; p += rowLen
+            }
+        }
+      }
+
+      private def decodeStrlRefAt(b: Array[Byte], off: Int): (Int, Long) =
+        if (md.version >= 118) {
+          val useLittle = little || md.version >= 119
+          val v = Bin.u16(b, off, useLittle)
+          val o =
+            if (useLittle)
+              (b(off + 2) & 0xffL) | ((b(off + 3) & 0xffL) << 8) |
+                ((b(off + 4) & 0xffL) << 16) | ((b(off + 5) & 0xffL) << 24) |
+                ((b(off + 6) & 0xffL) << 32) | ((b(off + 7) & 0xffL) << 40)
+            else
+              ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+                ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+                ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+          (v, o)
+        } else (Bin.i32(b, off, little), Bin.u32(b, off + 4, little))
+    }
+  }
 }
