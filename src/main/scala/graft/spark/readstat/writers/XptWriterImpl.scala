@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
 
 import graft.core.xpt.XptCore
 
-/** SAS transport (.xpt) v5 writer — same distributed two-job shape as the
-  * dta/sav writers. 80-byte records, 140-byte namestrs, IBM hex floats.
-  * Record layout follows the public TS-140 spec (behavioral reference:
-  * xpt_writer.rs:560-640).
+/** SAS transport (.xpt) v5/v8 writer — same distributed two-job shape as
+  * the dta/sav writers. 80-byte records, 140-byte namestrs, IBM hex
+  * floats. v8 swaps the header record names (LIBV8/MEMBV8/…), carries
+  * 32-char member and variable names, and fills the namestr longname
+  * field. Record layout follows the public TS-140 spec (behavioral
+  * reference: xpt_writer.rs:560-681).
   */
 object XptWriterImpl {
 
@@ -25,6 +27,12 @@ object XptWriterImpl {
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
+    val version = options.getOrElse("xptVersion", "5") match {
+      case "5" => 5
+      case "8" => 8
+      case other => throw new IllegalArgumentException(
+        s"xpt writer: xptVersion must be 5 or 8 (got $other)")
+    }
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
@@ -72,7 +80,7 @@ object XptWriterImpl {
       Iterator((pid, f.getAbsolutePath, rows))
     }.collect().sortBy(_._1)
 
-    val header = buildHeader(cols)
+    val header = buildHeader(cols, version)
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))
     val ch = java.nio.channels.FileChannel.open(outPath,
@@ -136,7 +144,8 @@ object XptWriterImpl {
     }
   }
 
-  private def buildHeader(cols: Array[ColSpec]): Array[Byte] = {
+  private def buildHeader(cols: Array[ColSpec], version: Int): Array[Byte] = {
+    val v8 = version >= 8
     val o = new java.io.ByteArrayOutputStream()
     def rec(s: String): Unit = {
       val b = s.getBytes(StandardCharsets.ISO_8859_1)
@@ -146,14 +155,17 @@ object XptWriterImpl {
     def hdr(name: String, n1: Int, n2: Int, n3: Int, n4: Int, n5: Int, n6: Int): Unit =
       rec(f"HEADER RECORD*******$name%-8sHEADER RECORD!!!!!!!$n1%05d$n2%05d$n3%05d$n4%05d$n5%05d$n6%05d")
 
-    hdr("LIBRARY", 0, 0, 0, 0, 0, 0)
+    hdr(if (v8) "LIBV8" else "LIBRARY", 0, 0, 0, 0, 0, 0)
     rec(f"${"SAS"}%-8s${"SAS"}%-8s${"SASLIB"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
     rec(Ts)
-    hdr("MEMBER", 0, 0, 0, 160, 0, 140)
-    hdr("DSCRPTR", 0, 0, 0, 0, 0, 0)
-    rec(f"${"SAS"}%-8s${"DATASET"}%-8s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
+    hdr(if (v8) "MEMBV8" else "MEMBER", 0, 0, 0, 160, 0, 140)
+    hdr(if (v8) "DSCPTV8" else "DSCRPTR", 0, 0, 0, 0, 0, 0)
+    if (v8) // member record carries a 32-char dataset name in v8
+      rec(f"${"SAS"}%-8s${"DATASET"}%-32s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s$Ts%16s")
+    else
+      rec(f"${"SAS"}%-8s${"DATASET"}%-8s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
     rec(f"$Ts%16s${""}%16s${""}%-40s${""}%-8s")
-    hdr("NAMESTR", 0, cols.length, 0, 0, 0, 0)
+    hdr(if (v8) "NAMSTV8" else "NAMESTR", 0, cols.length, 0, 0, 0, 0)
 
     // namestrs (140 bytes each), then pad to 80-byte boundary
     val ns = new java.io.ByteArrayOutputStream()
@@ -194,7 +206,7 @@ object XptWriterImpl {
     val rem = nsB.length % 80
     if (rem != 0) (rem until 80).foreach(_ => o.write(' '))
 
-    hdr("OBS", 0, 0, 0, 0, 0, 0)
+    hdr(if (v8) "OBSV8" else "OBS", 0, 0, 0, 0, 0, 0)
     o.toByteArray
   }
 }

@@ -82,6 +82,31 @@ class XptPorSpec extends SparkTestBase {
     assertSameData(gotRenamed, want, "por-roundtrip")
   }
 
+  test("xpt v8 write preserves long mixed-case names") {
+    import spark.implicits._
+    val df = Seq((1.0, "a", java.sql.Date.valueOf("2021-05-06")),
+      (2.5, "bb", java.sql.Date.valueOf("1959-02-03")))
+      .toDF("MyLongVariableName", "another_long_name_col", "EventDate")
+    val path = tmp("v8.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("xptVersion", "8").save(path)
+    val md = graft.core.xpt.XptCore.parse(path)
+    assert(md.version == 8)
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path)
+    // v8 longname field preserves the full original names
+    assert(back.columns.toSeq ==
+      Seq("MyLongVariableName", "another_long_name_col", "EventDate"))
+    val got = back.orderBy("MyLongVariableName").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(1.0, 2.5))
+    assert(got.map(_.getString(1)).toSeq == Seq("a", "bb"))
+    assert(got(1).getAs[java.sql.Date](2).toString == "1959-02-03")
+    // default remains v5 with short uppercase names
+    val p5 = tmp("v5.xpt")
+    df.write.format("readstat").mode("overwrite").save(p5)
+    assert(graft.core.xpt.XptCore.parse(p5).version == 5)
+  }
+
   test("xpt multi-partition write and parallel read") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"r$i")).toDF("v", "s").repartition(4)
