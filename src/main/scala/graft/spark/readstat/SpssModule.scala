@@ -241,6 +241,115 @@ object SpssModule extends FormatModule {
   private def formatNum(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
+  // ---- vectorized decode path (uncompressed sav only) ----
+
+  override def supportsColumnar(path: String, opts: ReadstatOptions,
+      required: StructType): Boolean = {
+    if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
+      opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
+    val md = metadata(path)
+    if (md.compression != 0) return false
+    val nat = schema(path, opts)
+    val byName = nat.fields.map(f => f.name -> f.dataType).toMap
+    required.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
+  /** Per-column tight loops over fixed-width record chunks — the
+    * uncompressed regime is O(1)-seekable, so this mirrors the Stata/XPT
+    * columnar readers. */
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+    val md = metadata(part.path)
+    val recordLen = md.recordLen
+    val byName = md.vars.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
+    val plans: Array[SpssVar] = required.fields.map { f =>
+      if (opts.rowIndexName.contains(f.name)) null
+      else md.vars(byName(f.name))
+    }
+    val raf = new RandomAccessFile(part.path, "r")
+    raf.seek(md.dataOffset + part.startRow * recordLen)
+    val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
+
+    new Iterator[ColumnarBatch] {
+      private var remaining = part.numRows
+      private var globalRow = part.startRow
+      private var closed = false
+      private def close(): Unit = if (!closed) { closed = true; raf.close() }
+
+      override def hasNext: Boolean = {
+        if (remaining <= 0) close()
+        remaining > 0
+      }
+
+      override def next(): ColumnarBatch = {
+        val n = math.min(chunkRows.toLong, remaining).toInt
+        val buf = new Array[Byte](n * recordLen)
+        raf.readFully(buf)
+        val startRow = globalRow
+        remaining -= n; globalRow += n
+        if (remaining <= 0) close()
+        val vectors = new Array[ColumnVector](plans.length)
+        var c = 0
+        while (c < plans.length) {
+          val vec = new OnHeapColumnVector(n, required.fields(c).dataType)
+          decodeColumn(plans(c), required.fields(c).dataType, buf, n, startRow, vec)
+          vectors(c) = vec
+          c += 1
+        }
+        new ColumnarBatch(vectors, n)
+      }
+
+      private def decodeColumn(v: SpssVar, dt: DataType, buf: Array[Byte],
+          n: Int, startRow: Long, vec: OnHeapColumnVector): Unit = {
+        if (v == null) { // row index
+          var r = 0
+          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          return
+        }
+        val off = v.offsetUnits * 8
+        if (v.isString) {
+          val storage = v.widthUnits * 8
+          var r = 0; var base = 0
+          while (r < n) {
+            val raw =
+              if (v.stringLen > 255)
+                SpssCore.reconstructVeryLong(buf, base + off, storage, v.stringLen)
+              else java.util.Arrays.copyOfRange(buf, base + off,
+                base + off + math.min(v.stringLen, storage))
+            val s = SpssCore.trimSav(new String(raw, md.charset))
+            if ((opts.missingStringAsNull && s.isEmpty) || v.missingStrings.contains(s))
+              vec.putNull(r)
+            else {
+              val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1; base += recordLen
+          }
+        } else {
+          var r = 0; var p = off
+          while (r < n) {
+            val bits = Bin.i64(buf, p, md.little)
+            val d = java.lang.Double.longBitsToDouble(bits)
+            val sysMissing = bits == MissingBits || bits == LowestBits ||
+              bits == HighestBits || d.isNaN
+            if (sysMissing || isUserMissing(v, d, bits)) vec.putNull(r)
+            else dt match {
+              case DateType => vec.putInt(r, ((d.toLong - SecShift) / 86400L).toInt)
+              case TimestampNTZType =>
+                vec.putLong(r, math.round((d - SecShift) * 1000.0) * 1000L)
+              case LongType => vec.putLong(r, math.round(d * 1e9))
+              case _ => vec.putDouble(r, d)
+            }
+            r += 1; p += recordLen
+          }
+        }
+      }
+    }
+  }
+
   // ---- compressed-stream checkpoint index ----
 
   /** zsav trailer block entries `(compressedOfs, uncompressedSize,

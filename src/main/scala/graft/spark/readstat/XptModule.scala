@@ -172,4 +172,133 @@ object XptModule extends FormatModule {
       }
     }
   }
+
+  // ---- vectorized decode path ----
+
+  override def supportsColumnar(path: String, opts: ReadstatOptions,
+      required: StructType): Boolean = {
+    if (opts.informativeNulls || opts.compress || opts.schemaOverrides.nonEmpty ||
+      opts.valueLabelsAsStrings || opts.timeAsTimeType) return false
+    val nat = schema(path, opts)
+    val byName = nat.fields.map(f => f.name -> f.dataType).toMap
+    required.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
+  /** Per-column tight loops over fixed-width 80-byte-aligned chunks;
+    * trailing all-space padding rows (only possible inside the file's
+    * final 80-byte record) truncate the last batch. */
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+    val md = metadata(part.path)
+    val byName = md.columns.map(_.name).zipWithIndex.toMap
+    val plans: Array[(XptColumn, SasCore.Kind)] = required.fields.map { f =>
+      if (opts.rowIndexName.contains(f.name)) (null, SasCore.KNum)
+      else {
+        val c = md.columns(byName(f.name))
+        (c, kindOf(c))
+      }
+    }
+    val rowLen = md.rowLength
+    val fileLen = new java.io.File(part.path).length()
+    val raf = new RandomAccessFile(part.path, "r")
+    raf.seek(md.dataOffset + part.startRow * rowLen)
+    val chunkRows = math.max(1, (4 << 20) / math.max(1, rowLen))
+
+    new Iterator[ColumnarBatch] {
+      private var remaining = part.numRows
+      private var globalRow = part.startRow
+      private var closed = false
+      private def close(): Unit = if (!closed) { closed = true; raf.close() }
+
+      override def hasNext: Boolean = {
+        if (remaining <= 0) close()
+        remaining > 0
+      }
+
+      override def next(): ColumnarBatch = {
+        var n = math.min(chunkRows.toLong, remaining).toInt
+        val buf = new Array[Byte](n * rowLen)
+        raf.readFully(buf)
+        // truncate trailing all-space padding rows in the final record
+        var r = 0
+        var cut = -1
+        while (cut < 0 && r < n) {
+          val endAbs = md.dataOffset + (globalRow + r + 1) * rowLen
+          if (endAbs > fileLen - 80) {
+            val base = r * rowLen
+            var allSpace = true
+            var i = base
+            while (allSpace && i < base + rowLen) {
+              if (buf(i) != ' ') allSpace = false
+              i += 1
+            }
+            if (allSpace) cut = r
+          }
+          r += 1
+        }
+        if (cut >= 0) { n = cut; remaining = 0 }
+        val startRow = globalRow
+        remaining -= n; globalRow += n
+        if (remaining <= 0) close()
+        val vectors = new Array[ColumnVector](plans.length)
+        var c = 0
+        while (c < plans.length) {
+          val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
+          decodeColumn(plans(c), buf, n, startRow, vec)
+          vectors(c) = vec
+          c += 1
+        }
+        new ColumnarBatch(vectors, n)
+      }
+
+      private def decodeColumn(pl: (XptColumn, SasCore.Kind), buf: Array[Byte],
+          n: Int, startRow: Long,
+          vec: OnHeapColumnVector): Unit = {
+        val (col, kind) = pl
+        if (col == null) { // row index
+          var r = 0
+          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          return
+        }
+        val off = col.offset
+        val w = col.width
+        if (col.isChar) {
+          var r = 0; var p = off
+          while (r < n) {
+            var end = p + w
+            while (end > p && (buf(end - 1) == ' ' || buf(end - 1) == 0)) end -= 1
+            if (end == p) {
+              if (opts.missingStringAsNull) vec.putNull(r)
+              else vec.putByteArray(r, Array.emptyByteArray, 0, 0)
+            } else {
+              val b = new String(buf, p, end - p,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1; p += rowLen
+          }
+        } else {
+          var r = 0; var p = off
+          while (r < n) {
+            if (XptCore.isMissing(buf, p, w)) vec.putNull(r)
+            else {
+              val d = XptCore.ibmToDouble(buf, p, w)
+              if (d.isNaN || d.isInfinite) vec.putNull(r)
+              else kind match {
+                case SasCore.KDate => vec.putInt(r, SasCore.toDateDays(d))
+                case SasCore.KDatetime => vec.putLong(r, SasCore.toDatetimeMicros(d))
+                case SasCore.KTime => vec.putLong(r, SasCore.toTimeNanos(d))
+                case _ => vec.putDouble(r, d)
+              }
+            }
+            r += 1; p += rowLen
+          }
+        }
+      }
+    }
+  }
 }
