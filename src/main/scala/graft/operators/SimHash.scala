@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
+  /** Token hash: first 8 digest bytes of md5, big-endian, as a signed
+    * long. md5 (unlike xxhash64's Spark-specific seeding) is computable
+    * bit-identically in DuckDB, which makes the whole fingerprint
+    * oracle-checkable rather than rows-only. */
+  private def tokenHash(tok: Column): Column = {
+    val hex = md5(tok)
+    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
   /** (id, simhash: long) per document. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$b")

@@ -18,12 +18,33 @@ object Pipeline {
     MinHashLsh.nearDupPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** SimHash fingerprints + small-Hamming pairs (rows-only; emits the
-    * per-doc fingerprints so the result is never empty). */
+  /** SimHash fingerprints (hash-verified against DuckDB: the md5-based
+    * token hash is computable bit-identically in both engines). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sig = SimHash.simhash(documents(s, d), "doc_id", "text")
     sig.select(col("doc_id"), col("simhash")).orderBy("doc_id")
   }
+
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    (('0x' || substr(md5(tok), 1, 8))::UBIGINT * 4294967296::UBIGINT +
+      |     ('0x' || substr(md5(tok), 9, 8))::UBIGINT) AS hv
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN (1::HUGEINT << b) ELSE 0::HUGEINT END AS bit
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+      |  GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id, sum(bit) AS u FROM bits GROUP BY doc_id)
+      |SELECT doc_id,
+      |  (CASE WHEN u >= 9223372036854775808::HUGEINT
+      |        THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
+      |FROM sig ORDER BY doc_id""".stripMargin
 
   /** ANN via random-hyperplane LSH: top-5 for vec_id < 10 (rows-only;
     * recall vs ann_brute_force asserted in ScalaTest). */
@@ -198,7 +219,7 @@ object Pipeline {
     "range_join" -> (rangeJoin _, rangeJoinSql),
     "dedup_embedding_cosine" -> (dedupEmbedding _, dedupEmbeddingSql),
     "dedup_minhash_lsh" -> (dedupMinhash _, ""),
-    "dedup_simhash" -> (dedupSimhash _, ""),
+    "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "ann_lsh_topk" -> (annLsh _, ""),
     "text_langid" -> (langid _, ""),
     "multimodal_features" -> (multimodal _, multimodalSql),
