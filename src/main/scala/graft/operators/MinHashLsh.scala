@@ -61,19 +61,20 @@ object MinHashLsh {
 
   /** Banded LSH candidate pairs: ids sharing ≥1 band bucket. With r = k/bands
     * rows per band, a pair of similarity j collides with probability
-    * 1-(1-j^r)^bands — r=8/b=8 targets the j ≥ 0.7 near-dup regime while
-    * keeping the candidate set tiny on corpora with high baseline overlap. */
+    * 1-(1-j^r)^bands — r=8/b=6 targets the j ≥ 0.7 near-dup regime while
+    * keeping the candidate set tiny on corpora with high baseline overlap.
+    * Buckets key on the raw (band, minhash-slice) pair — not a rehash —
+    * so the candidate set is reproducible by the DuckDB oracle. */
   def candidatePairs(sig: DataFrame, idCol: String, k: Int = 48,
       bands: Int = 6): DataFrame = {
     val rowsPerBand = k / bands
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-        .as(s"bucket_$b")
-    }
     // cached: the self-join below scans buckets twice, and without the
     // cache each side re-runs the whole minhash aggregation
-    val buckets = sig.select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until bands).map(b => col(s"bucket_$b")): _*)).as("bucket"))
+    val buckets = sig.select(col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("v"))): _*))
+        .as("bucket"))
       .cache()
     val a = buckets.as("a"); val b2 = buckets.as("b")
     a.join(b2, col("a.bucket") === col("b.bucket") &&

@@ -13,10 +13,60 @@ import graft.operators.{AnnLsh, LangId, MinHashLsh, Multimodal, SimHash}
   */
 object Pipeline {
 
-  /** MinHash+LSH near-dup pairs verified by exact Jaccard (rows-only). */
+  /** MinHash+LSH near-dup pairs verified by exact Jaccard. The hash
+    * family (md5-base multiply-shift) and raw-slice band buckets are
+    * reproducible in DuckDB, so the full pipeline — signatures, bands,
+    * candidates, exact verification — is hash-checked, not rows-only. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     MinHashLsh.nearDupPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
       .orderBy("id_a", "id_b")
+
+  /** DuckDB replica of the LSH pipeline, with the Spark side's
+    * multiply-shift constants rendered as list literals. */
+  def dedupMinhashSql: String = {
+    val a = graft.functions.MinHashSignature.A.take(48).mkString("[", ", ", "]")
+    val b = graft.functions.MinHashSignature.B.take(48).mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 2)) AS i) g),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, sh,
+       |    (('0x' || substr(md5(sh), 1, 8))::UBIGINT * 4294967296::UBIGINT +
+       |     ('0x' || substr(md5(sh), 9, 8))::UBIGINT)::HUGEINT AS b64
+       |  FROM sh),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |    min((CASE WHEN m >= 9223372036854775808::HUGEINT
+       |              THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT) AS h
+       |  FROM (SELECT doc_id, i,
+       |          (($a)[i + 1]::HUGEINT * b64 + ($b)[i + 1]::HUGEINT)
+       |            % 18446744073709551616::HUGEINT AS m
+       |        FROM base CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS i) gi)
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(h ORDER BY i) AS s FROM hs GROUP BY doc_id),
+       |buckets AS (
+       |  SELECT doc_id, j, s[j*8 + 1 : j*8 + 8] AS band
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) gj),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_int
+       |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+       |              JOIN sh y ON y.doc_id = c.id_b AND y.sh = x.sh
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b,
+       |  round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** SimHash fingerprints (hash-verified against DuckDB: the md5-based
     * token hash is computable bit-identically in both engines). */
@@ -46,14 +96,48 @@ object Pipeline {
       |        THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
       |FROM sig ORDER BY doc_id""".stripMargin
 
-  /** ANN via random-hyperplane LSH: top-5 for vec_id < 10 (rows-only;
-    * recall vs ann_brute_force asserted in ScalaTest). */
+  /** ANN via random-hyperplane LSH: top-5 for vec_id < 10. The seeded
+    * hyperplanes are rendered into the DuckDB oracle as literals, so the
+    * signature, buckets, candidates and re-rank are all hash-checked
+    * (recall vs ann_brute_force is additionally asserted in ScalaTest). */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     AnnLsh.topK(e.select(col("vec_id"), col("embedding")),
       e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", k = 5)
       .orderBy("qid", "rn")
+  }
+
+  /** DuckDB replica of the LSH ANN pipeline (nBits=16, bands=4, dim=64). */
+  def annLshSql: String = {
+    val pLit = AnnLsh.hyperplanes(16, 64)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sigb AS (
+       |  SELECT vec_id, b,
+       |    CASE WHEN list_dot_product(e, ($pLit)[b + 1]) >= 0
+       |         THEN (1::BIGINT << b) ELSE 0 END AS bit
+       |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g),
+       |sig AS (SELECT vec_id, sum(bit)::BIGINT AS s FROM sigb GROUP BY vec_id),
+       |bk AS (
+       |  SELECT vec_id, j, (s >> (j * 4)) & 15 AS band
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) gj),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM bk q JOIN bk c ON q.j = c.j AND q.band = c.band
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |sims AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_dot_product(a.e, b.e) /
+       |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+       |  FROM cand JOIN v a ON a.vec_id = cand.qid
+       |            JOIN v b ON b.vec_id = cand.nid),
+       |ranked AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |SELECT qid, nid, round(sim, 4) AS sim, rn
+       |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
   /** Language-ID heuristic over documents (rows-only; the synthetic corpus
@@ -218,9 +302,9 @@ object Pipeline {
     "asof_join" -> (asofJoin _, asofJoinSql),
     "range_join" -> (rangeJoin _, rangeJoinSql),
     "dedup_embedding_cosine" -> (dedupEmbedding _, dedupEmbeddingSql),
-    "dedup_minhash_lsh" -> (dedupMinhash _, ""),
+    "dedup_minhash_lsh" -> (dedupMinhash _, dedupMinhashSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
-    "ann_lsh_topk" -> (annLsh _, ""),
+    "ann_lsh_topk" -> (annLsh _, annLshSql),
     "text_langid" -> (langid _, ""),
     "multimodal_features" -> (multimodal _, multimodalSql),
   )
