@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the training-data pipeline.
+  *
+  * These are the streaming counterparts of the batch operators in
+  * graft.queries: exact dedup becomes a watermarked streaming dedup, and
+  * sessionization becomes a `flatMapGroupsWithState` operator with
+  * event-time timeouts — state per user is one open session (O(1), not
+  * the event list), so a 1000-executor cluster shards state by user and
+  * each microbatch touches only the groups with new events.
+  */
+object StreamingOps {
+
+  case class Event(userId: Long, ts: Timestamp, eventType: String, value: Double)
+
+  case class SessionState(startMs: Long, lastMs: Long, n: Int, value: Double)
+
+  case class Session(userId: Long, sessionStart: Timestamp, sessionEnd: Timestamp,
+      nEvents: Int, totalValue: Double)
+
+  /** Event-time sessionization: a session closes after `gapMinutes` of
+    * inactivity. Emits closed sessions (append mode) — mid-stream gaps
+    * close sessions immediately, the trailing open session closes via
+    * the event-time timeout once the watermark passes it. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, evs, state) =>
+          if (evs.isEmpty) {
+            // timeout: the watermark passed lastMs + gap — close the session
+            val out = state.getOption.map(s => Session(userId,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.value))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1, e.value)
+              else if (t - cur.lastMs > gapMs) {
+                closed += Session(userId, new Timestamp(cur.startMs),
+                  new Timestamp(cur.lastMs), cur.n, cur.value)
+                cur = SessionState(t, t, 1, e.value)
+              } else cur = cur.copy(lastMs = math.max(cur.lastMs, t),
+                n = cur.n + 1, value = cur.value + e.value)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastMs + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup by content fingerprint: md5 of normalized
+    * text, deduped within the watermark window (state = one fingerprint
+    * per kept row, expired once the watermark passes — bounded state,
+    * unlike a naive global dropDuplicates). */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming per-language quality stats: watermarked tumbling-window
+    * aggregate over the language-ID and quality signals — the streaming
+    * shape of the batch text_lang_stats/text_quality_score queries. */
+  def langQualityStats(docs: DataFrame, tsCol: String, textCol: String,
+      langCol: String, window: String, watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(length(col(textCol))).as("avg_chars"),
+        avg(size(split(trim(col(textCol)), "\\s+"))).as("avg_tokens"))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.readstat.SparkTestBase
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, Session}
+
+/** Stateful streaming operators driven deterministically via MemoryStream. */
+class StreamingOpsSpec extends SparkTestBase {
+
+  // offset from epoch: an event exactly at the initial watermark (0)
+  // would be dropped as late
+  private def ts(min: Long): Timestamp = new Timestamp((1000 + min) * 60000L)
+
+  test("flatMapGroupsWithState sessionization closes sessions by gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // inside the same batch -> first session closes mid-stream
+      input.addData(
+        Event(1L, ts(0), "view", 1.0),
+        Event(1L, ts(10), "view", 2.0),
+        Event(1L, ts(50), "purchase", 5.0))
+      q.processAllAvailable()
+      val mid = spark.sql("SELECT * FROM sess_out").as[Session].collect()
+      assert(mid.length == 1, s"expected 1 mid-stream session, got ${mid.toSeq}")
+      assert(mid(0).userId == 1L && mid(0).nEvents == 2 && mid(0).totalValue == 3.0)
+      assert(mid(0).sessionStart == ts(0) && mid(0).sessionEnd == ts(10))
+
+      // advance the watermark far past user 1's open session (50 + 30 gap)
+      // with unrelated traffic -> the open session closes via timeout
+      input.addData(Event(2L, ts(200), "view", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts(201), "view", 0.5))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT * FROM sess_out ORDER BY userId, sessionStart")
+        .as[Session].collect()
+      assert(all.length == 2, s"expected timed-out session, got ${all.toSeq}")
+      assert(all(1).userId == 1L && all(1).nEvents == 1 &&
+        all(1).sessionStart == ts(50) && all(1).totalValue == 5.0)
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dedup keeps one row per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val out = StreamingOps.dedupStream(docs, "ts", "text", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        (ts(0), "the quick brown fox"),
+        (ts(1), "the  quick   brown fox"), // same fingerprint after normalize
+        (ts(2), "a different document"))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_out").collect()(0).getLong(0)
+      assert(n == 2, s"expected 2 unique docs, got $n")
+    } finally q.stop()
+  }
+
+  test("windowed language/quality stats aggregate under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "text", "lang")
+    val out = StreamingOps.langQualityStats(docs, "ts", "text", "lang",
+      window = "1 hour", watermark = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lq_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        (ts(0), "hello world", "en"),
+        (ts(5), "one two three four", "en"),
+        (ts(10), "bonjour le monde", "fr"))
+      q.processAllAvailable()
+      // close the first window by advancing the watermark
+      input.addData((ts(200), "later doc", "en"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT lang, n_docs, avg_tokens FROM lq_out ORDER BY lang").collect()
+      assert(rows.length == 2, s"expected en+fr windows, got ${rows.toSeq}")
+      assert(rows(0).getString(0) == "en" && rows(0).getLong(1) == 2)
+      assert(rows(0).getDouble(2) == 3.0) // (2 + 4) / 2 tokens
+      assert(rows(1).getString(0) == "fr" && rows(1).getLong(1) == 1)
+    } finally q.stop()
+  }
+}
