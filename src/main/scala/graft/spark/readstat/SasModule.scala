@@ -309,4 +309,152 @@ object SasModule extends FormatModule {
       }
     }
   }
+
+  // ---- vectorized decode path (uncompressed pages only) ----
+
+  override def supportsColumnar(path: String, opts: ReadstatOptions,
+      required: StructType): Boolean = {
+    if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
+      opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
+    val md = metadata(path)
+    if (md.compression != 0) return false
+    val nat = schema(path, opts)
+    val byName = nat.fields.map(f => f.name -> f.dataType).toMap
+    required.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
+  /** One ColumnarBatch per data-bearing page: per-column tight loops over
+    * the page's fixed-width row slots (uncompressed rows never span
+    * pages). */
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+    val md = metadata(part.path)
+    val byName = md.columns.map(_.name).zipWithIndex.toMap
+    // (col or null = row index, kind)
+    val plans: Array[(SasColumn, Kind)] = required.fields.map { f =>
+      if (opts.rowIndexName.contains(f.name)) (null, KNum)
+      else {
+        val c = md.columns(byName(f.name))
+        (c, kindFor(c))
+      }
+    }
+    val rowIndexBase: Long =
+      if (opts.rowIndexName.isDefined) pageRowOffsets(part.path)(part.startRow.toInt)
+      else 0L
+    val cs = md.charset
+    val little = md.little
+    val rowLen = md.rowLength
+    val startPage = part.startRow.toInt
+    val endPage = (part.startRow + part.numRows).toInt
+    val capRows: Long =
+      if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
+
+    val raf = new RandomAccessFile(part.path, "r")
+    raf.seek(md.headerLength.toLong + startPage.toLong * md.pageLength)
+    val page = new Array[Byte](md.pageLength)
+
+    new Iterator[ColumnarBatch] {
+      private var pageIdx = startPage
+      private var emitted = 0L
+      private var pending: Array[Int] = _ // row offsets of the prefetched page
+      private var closed = false
+      private def close(): Unit = if (!closed) { closed = true; raf.close() }
+
+      /** Offsets of the data rows on an uncompressed page. */
+      private def pageDataOffsets(): Array[Int] = {
+        val (pType, blockCount, subCount) = SasCore.readPageHeader(page, md)
+        val pbo = md.pageBitOffset
+        if (pType == PtData) {
+          val off = pbo + 8
+          Array.tabulate(blockCount)(i => off + i * rowLen)
+        } else if (pType == PtMix1 || pType == PtMix2) {
+          var dataStart = pbo + 8 + subCount * 3 * md.intSize
+          if (dataStart % 8 == 4) dataStart += 4
+          val maxFit = math.max(0, md.pageLength - dataStart) / math.max(1, rowLen)
+          val n = math.min(maxFit.toLong,
+            math.min(md.rowCount, md.mixPageRowCount)).toInt
+          Array.tabulate(n)(i => dataStart + i * rowLen)
+        } else Array.emptyIntArray
+      }
+
+      override def hasNext: Boolean = {
+        if (pending != null) return true
+        if (emitted >= capRows) { close(); return false }
+        while (pending == null && pageIdx < endPage) {
+          try raf.readFully(page)
+          catch { case _: java.io.EOFException => close(); return false }
+          pageIdx += 1
+          val offs = pageDataOffsets()
+          if (offs.nonEmpty) pending = offs
+        }
+        if (pending == null) { close(); false } else true
+      }
+
+      override def next(): ColumnarBatch = {
+        if (!hasNext) throw new NoSuchElementException
+        var offs = pending
+        pending = null
+        if (emitted + offs.length > capRows)
+          offs = offs.take((capRows - emitted).toInt)
+        val n = offs.length
+        val startRow = rowIndexBase + emitted
+        emitted += n
+        val vectors = new Array[ColumnVector](plans.length)
+        var c = 0
+        while (c < plans.length) {
+          val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
+          decodeColumn(plans(c), offs, n, startRow, vec)
+          vectors(c) = vec
+          c += 1
+        }
+        new ColumnarBatch(vectors, n)
+      }
+
+      private def decodeColumn(pl: (SasColumn, Kind), offs: Array[Int], n: Int,
+          startRow: Long, vec: OnHeapColumnVector): Unit = {
+        val (col, kind) = pl
+        if (col == null) { // row index
+          var r = 0
+          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          return
+        }
+        if (kind == KChar) {
+          var r = 0
+          while (r < n) {
+            val off = offs(r) + col.offset
+            var end = off + col.length
+            while (end > off && (page(end - 1) == ' ' || page(end - 1) == 0)) end -= 1
+            var stop = off
+            while (stop < end && page(stop) != 0) stop += 1
+            if (stop == off) {
+              if (opts.missingStringAsNull) vec.putNull(r)
+              else vec.putByteArray(r, Array.emptyByteArray, 0, 0)
+            } else {
+              val b = new String(page, off, stop - off, cs)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1
+          }
+        } else {
+          var r = 0
+          while (r < n) {
+            val v = SasCore.incompleteDouble(page, offs(r) + col.offset,
+              col.length, little)
+            if (v.isNaN || v.isInfinite) vec.putNull(r)
+            else kind match {
+              case KDate => vec.putInt(r, SasCore.toDateDays(v))
+              case KDatetime => vec.putLong(r, SasCore.toDatetimeMicros(v))
+              case KTime => vec.putLong(r, SasCore.toTimeNanos(v))
+              case _ => vec.putDouble(r, v)
+            }
+            r += 1
+          }
+        }
+      }
+    }
+  }
 }
