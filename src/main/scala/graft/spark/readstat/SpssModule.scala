@@ -65,7 +65,9 @@ object SpssModule extends FormatModule {
       v.label.foreach(l => mb.putString("readstat.label", l))
       mb.putLong("readstat.format_type", v.formatType.toLong)
       fields += StructField(v.name, sparkTypeOf(v, opts), nullable = true, mb.build())
-      if (opts.informativeNulls)
+      // reference eligibility (lib.rs informative_null_pairs): numeric
+      // vars, plus string vars with declared missing values
+      if (opts.informativeNulls && (!v.isString || v.missingStrings.nonEmpty))
         fields += StructField(v.name + opts.informativeNullSuffix, StringType,
           nullable = true)
     }

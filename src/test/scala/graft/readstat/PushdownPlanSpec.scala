@@ -1,0 +1,62 @@
+package graft.readstat
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: pruning reaches the scan, plain scans run
+  * columnar, and limits cap partition planning — the properties that
+  * keep a 100 TB scan from decoding bytes nobody asked for.
+  */
+class PushdownPlanSpec extends SparkTestBase {
+
+  private lazy val dtaPath: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_plan").toFile
+    d.deleteOnExit()
+    val p = s"${d.getAbsolutePath}/plan.dta"
+    (1 to 50000).map(i => (i, i * 0.5, s"s$i", i % 7))
+      .toDF("a", "b", "s", "g")
+      .write.format("readstat").mode("overwrite").save(p)
+    p
+  }
+
+  test("projection pushdown prunes the scan to the selected columns") {
+    val df = spark.read.format("readstat").load(dtaPath)
+    val q = df.select("a", "b").filter(col("a") > 10)
+    val scans = q.queryExecution.executedPlan.collectLeaves()
+    val desc = scans.map(_.toString).mkString("\n")
+    assert(desc.contains("cols=a,b"), s"scan not pruned:\n$desc")
+    assert(!desc.contains("cols=a,b,s"), s"scan reads extra columns:\n$desc")
+  }
+
+  test("plain scans execute through the columnar path") {
+    val df = spark.read.format("readstat").load(dtaPath)
+    val plan = df.select("a", "b").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+  }
+
+  test("limit pushdown caps partition planning") {
+    val df = spark.read.format("readstat")
+      .option("partitionTargetBytes", "65536").load(dtaPath)
+    val full = df.rdd.getNumPartitions
+    assert(full > 1, s"expected multiple partitions, got $full")
+    val limited = df.limit(5)
+    val parts = limited.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }
+    assert(parts.contains(1), s"limit should plan 1 partition, got $parts")
+  }
+
+  test("label/override scans fall back to the row path with same results") {
+    val plain = spark.read.format("readstat").load(dtaPath)
+      .agg(sum("a"), sum("b")).collect()(0)
+    val overridden = spark.read.format("readstat")
+      .option("schemaOverrides", "a DOUBLE").load(dtaPath)
+      .agg(sum("a"), sum("b")).collect()(0)
+    assert(plain.getLong(0).toDouble == overridden.getDouble(0))
+    assert(plain.getDouble(1) == overridden.getDouble(1))
+  }
+}
