@@ -92,8 +92,10 @@ object SpssSavWriter {
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
     val zlibB = zlib
+    // toRdd: encode straight from InternalRows — df.rdd would deserialize
+    // every row into external Row objects first
     val chunks: Array[(Int, String, Long, Seq[(Int, Int)])] =
-      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val specs = specsB.value
         val f = File.createTempFile(s"graft_sav_${pid}_", ".chunk", new File(scratch))
         val raw = new java.io.BufferedOutputStream(new FileOutputStream(f), 1 << 20)
@@ -241,7 +243,8 @@ object SpssSavWriter {
     }
   }
 
-  private def encodeCell(row: Row, i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
+  private def encodeCell(row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
     val isNull = row.isNullAt(i)
     spec.w match {
       case WNum =>
@@ -249,22 +252,20 @@ object SpssSavWriter {
           if (isNull) SpssCore.MissingBits
           else {
             val d: Double = spec.src match {
-              case DateType =>
-                row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toDouble * 86400.0 +
-                  SpssCore.SecShift
-              case TimestampType =>
-                row.getAs[java.sql.Timestamp](i).getTime / 1000.0 + SpssCore.SecShift
-              case TimestampNTZType =>
-                row.getAs[java.time.LocalDateTime](i)
-                  .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000.0 +
-                  SpssCore.SecShift
+              case DateType => // internal = days since 1970
+                row.getInt(i).toDouble * 86400.0 + SpssCore.SecShift
+              case TimestampType | TimestampNTZType =>
+                // internal = micros since epoch (NTZ identical under the
+                // session UTC timezone) → SPSS seconds
+                row.getLong(i) / 1000000.0 + SpssCore.SecShift
               case ByteType => row.getByte(i).toDouble
               case ShortType => row.getShort(i).toDouble
               case IntegerType => row.getInt(i).toDouble
               case LongType => row.getLong(i).toDouble
               case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
               case FloatType => row.getFloat(i).toDouble
-              case _: DecimalType => row.getDecimal(i).doubleValue()
+              case dt: DecimalType =>
+                row.getDecimal(i, dt.precision, dt.scale).toDouble
               case _ => row.getDouble(i)
             }
             java.lang.Double.doubleToRawLongBits(d)
@@ -275,7 +276,7 @@ object SpssSavWriter {
         val buf = new Array[Byte](storage)
         java.util.Arrays.fill(buf, ' '.toByte)
         if (!isNull) {
-          val s = row.getString(i).getBytes(StandardCharsets.UTF_8)
+          val s = row.getUTF8String(i).getBytes
           if (declLen <= 255) {
             System.arraycopy(s, 0, buf, 0, math.min(s.length, storage))
           } else {

@@ -185,8 +185,10 @@ object StataDtaWriter {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
+    // toRdd: encode straight from InternalRows — df.rdd would deserialize
+    // every row into external Row objects (java.sql.Date etc.) first
     val chunks: Array[(Int, String, String, Long)] = // (pid, dataFile, gsoFile, rows)
-      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val specs = specsB.value
         val dataF = File.createTempFile(s"graft_dta_${pid}_", ".chunk", new File(scratch))
         val gsoF = File.createTempFile(s"graft_gso_${pid}_", ".chunk", new File(scratch))
@@ -247,14 +249,15 @@ object StataDtaWriter {
     candidate
   }
 
-  private def encodeCell(row: Row, i: Int, spec: ColSpec,
+  private def encodeCell(row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, spec: ColSpec,
       out: DataOutputStream, gso: DataOutputStream, v16: Int,
       nextO: () => Long): Unit = {
     val isNull = row.isNullAt(i)
-    // Days since 1960-01-01 for a DateType cell (Stata %td storage).
+    // Days since 1960-01-01 for a DateType cell (Stata %td storage);
+    // DateType's internal representation is days since 1970.
     def stataDays: Long =
-      row.getAs[java.sql.Date](i).toLocalDate.toEpochDay +
-        graft.core.stata.StataTypes.EpochShiftDays
+      row.getInt(i).toLong + graft.core.stata.StataTypes.EpochShiftDays
     def outOfRange(v: Long, lo: Long, hi: Long): Nothing =
       throw new IllegalArgumentException(
         s"stata writer: value $v for column ${spec.stataName} outside " +
@@ -300,15 +303,14 @@ object StataDtaWriter {
         val d: Double =
           if (isNull) java.lang.Double.longBitsToDouble(0x7fe0000000000000L)
           else spec.src match {
-            case TimestampType =>
-              row.getAs[java.sql.Timestamp](i).getTime.toDouble +
-                graft.core.stata.StataTypes.EpochShiftMs
-            case TimestampNTZType =>
-              val ldt = row.getAs[java.time.LocalDateTime](i)
-              ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble +
+            case TimestampType | TimestampNTZType =>
+              // internal = micros since epoch (NTZ identical under the
+              // session UTC timezone) → Stata %tc milliseconds
+              row.getLong(i) / 1000.0 +
                 graft.core.stata.StataTypes.EpochShiftMs
             case LongType => row.getLong(i).toDouble
-            case _: DecimalType => row.getDecimal(i).doubleValue()
+            case dt: DecimalType =>
+              row.getDecimal(i, dt.precision, dt.scale).toDouble
             case ByteType => row.getByte(i).toDouble // promoted
             case ShortType => row.getShort(i).toDouble // promoted
             case IntegerType => row.getInt(i).toDouble // promoted int→double
@@ -317,11 +319,17 @@ object StataDtaWriter {
           }
         if (isNull) Bin.putU64(out, 0x7fe0000000000000L) else Bin.putF64(out, d)
       case WStr(w) =>
-        Bin.putZPad(out, if (isNull) "" else row.getString(i), w, StandardCharsets.UTF_8)
+        val bytes =
+          if (isNull) Array.emptyByteArray
+          else row.getUTF8String(i).getBytes
+        val n = math.min(bytes.length, w)
+        out.write(bytes, 0, n)
+        var z = n
+        while (z < w) { out.write(0); z += 1 }
       case WStrL =>
         if (isNull) { Bin.putU64(out, 0L) } // (0,0) = empty strL ref
         else {
-          val bytes = row.getString(i).getBytes(StandardCharsets.UTF_8)
+          val bytes = row.getUTF8String(i).getBytes
           val o = nextO()
           // data-section ref: v(2) + o(6) little-endian
           Bin.putU16(out, v16)

@@ -66,7 +66,9 @@ object XptWriterImpl {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
-    val chunks = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // toRdd: encode straight from InternalRows — df.rdd would deserialize
+    // every row into external Row objects first
+    val chunks = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val specs = specsB.value
       val f = File.createTempFile(s"graft_xpt_${pid}_", ".chunk", new File(scratch))
       val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
@@ -107,12 +109,13 @@ object XptWriterImpl {
     chunks.foreach(c => new File(c._2).delete())
   }
 
-  private def encodeCell(row: Row, i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
+  private def encodeCell(row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
     if (spec.isChar) {
       val buf = new Array[Byte](spec.width)
       java.util.Arrays.fill(buf, ' '.toByte)
       if (!row.isNullAt(i)) {
-        val s = row.getString(i).getBytes(StandardCharsets.ISO_8859_1)
+        val s = row.getUTF8String(i).toString.getBytes(StandardCharsets.ISO_8859_1)
         System.arraycopy(s, 0, buf, 0, math.min(s.length, spec.width))
       }
       out.write(buf)
@@ -120,15 +123,11 @@ object XptWriterImpl {
       if (row.isNullAt(i)) out.write(Array[Byte]('.', 0, 0, 0, 0, 0, 0, 0))
       else {
         val d: Double = spec.src match {
-          case DateType =>
-            row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toDouble +
-              graft.core.sas.SasCore.EpochShiftDays
-          case TimestampType =>
-            row.getAs[java.sql.Timestamp](i).getTime / 1000.0 +
-              graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
-          case TimestampNTZType =>
-            row.getAs[java.time.LocalDateTime](i)
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000.0 +
+          case DateType => // internal = days since 1970
+            row.getInt(i).toDouble + graft.core.sas.SasCore.EpochShiftDays
+          case TimestampType | TimestampNTZType =>
+            // internal = micros since epoch → SAS datetime seconds
+            row.getLong(i) / 1000000.0 +
               graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
           case ByteType => row.getByte(i).toDouble
           case ShortType => row.getShort(i).toDouble
@@ -136,7 +135,8 @@ object XptWriterImpl {
           case LongType => row.getLong(i).toDouble
           case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
           case FloatType => row.getFloat(i).toDouble
-          case _: DecimalType => row.getDecimal(i).doubleValue()
+          case dt: DecimalType =>
+            row.getDecimal(i, dt.precision, dt.scale).toDouble
           case _ => row.getDouble(i)
         }
         out.write(XptCore.doubleToIbm(d))
