@@ -63,6 +63,69 @@ object Multimodal {
       }(enc)
   }
 
+  /** STUB resize: a real implementation would decode the image, scale to
+    * (w, h) and re-encode. The deterministic fake strides the payload so
+    * the output length tracks the pixel budget — downstream size
+    * accounting and schema handling stay real. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(payload.length, w * h / 8))
+    val out = new Array[Byte](target)
+    val stride = math.max(1, payload.length / target)
+    var i = 0
+    while (i < target) { out(i) = payload(math.min(i * stride, payload.length - 1)); i += 1 }
+    out
+  }
+
+  /** Resize the payload column in bounded per-partition batches; meta is
+    * rewritten to the new byte count + target dims. */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("n_bytes", IntegerType),
+        StructField("declared_format", StringType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType))))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "media_type", "payload")
+      .mapPartitions { it =>
+        it.map { r =>
+          val resized = resizeStub(r.getAs[Array[Byte]](2), w, h)
+          Row(r.getLong(0), r.getString(1), resized,
+            Row(resized.length, "raw", w, h))
+        }
+      }(enc)
+  }
+
+  /** STUB frame sampling: a real implementation would demux the container
+    * and decode every k-th frame. The fake treats the payload as fixed-
+    * size frame slots and emits every k-th slice — one output row per
+    * sampled frame, which is the real explode shape a video pipeline
+    * needs (frame count scales with payload size, not row count). */
+  def sampleFrames(media: DataFrame, everyK: Int, frameSize: Int = 256): DataFrame = {
+    require(everyK >= 1 && frameSize >= 1)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = math.max(1, payload.length / frameSize)
+          Iterator.range(0, nFrames, everyK).map { f =>
+            val from = f * frameSize
+            val until = math.min(payload.length, from + frameSize)
+            Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
+          }
+        }
+      }(enc)
+  }
+
   /** Build a media frame from the documents table (text bytes standing in
     * for opaque payloads — same plumbing, available test data). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =

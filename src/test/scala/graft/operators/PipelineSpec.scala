@@ -98,4 +98,35 @@ class PipelineSpec extends SparkTestBase {
     assert(f1.map(_.getString(3)).toSeq == f2.map(_.getString(3)).toSeq)
     assert(f1(0).getSeq[Float](4).length == 8)
   }
+
+  test("multimodal resize rewrites payload + meta deterministically") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(20))
+    val resized = Multimodal.resizeImages(media, w = 16, h = 16)
+      .orderBy("media_id").collect()
+    assert(resized.length == 20)
+    resized.foreach { r =>
+      val meta = r.getStruct(3)
+      val payload = r.getAs[Array[Byte]](2)
+      assert(meta.getInt(0) == payload.length)
+      assert(meta.getInt(2) == 16 && meta.getInt(3) == 16)
+      assert(payload.length <= 16 * 16 / 8)
+    }
+    val again = Multimodal.resizeImages(media, w = 16, h = 16)
+      .orderBy("media_id").collect()
+    assert(resized.map(_.getAs[Array[Byte]](2).toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]](2).toSeq).toSeq)
+  }
+
+  test("multimodal frame sampling emits every k-th fixed-size slice") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(10))
+    val frames = Multimodal.sampleFrames(media, everyK = 2, frameSize = 64)
+      .collect()
+    val byId = frames.groupBy(_.getLong(0))
+    assert(byId.size == 10)
+    byId.foreach { case (_, fs) =>
+      val idxs = fs.map(_.getInt(1)).sorted.toSeq
+      assert(idxs == idxs.indices.map(_ * 2), s"frame stride wrong: $idxs")
+      fs.foreach(f => assert(f.getAs[Array[Byte]](2).length <= 64))
+    }
+  }
 }

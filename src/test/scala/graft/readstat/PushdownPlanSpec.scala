@@ -50,6 +50,22 @@ class PushdownPlanSpec extends SparkTestBase {
     assert(parts.contains(1), s"limit should plan 1 partition, got $parts")
   }
 
+  test("multi-file load unions partitions across files") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_multi").toFile
+    d.deleteOnExit()
+    val p1 = s"${d.getAbsolutePath}/part1.dta"
+    val p2 = s"${d.getAbsolutePath}/part2.dta"
+    (1 to 100).map(i => (i, s"a$i")).toDF("id", "s")
+      .write.format("readstat").mode("overwrite").save(p1)
+    (101 to 250).map(i => (i, s"a$i")).toDF("id", "s")
+      .write.format("readstat").mode("overwrite").save(p2)
+    val both = spark.read.format("readstat").load(p1, p2)
+    assert(both.count() == 250)
+    assert(both.agg(sum("id")).collect()(0).getLong(0) ==
+      (1 to 250).map(_.toLong).sum)
+  }
+
   test("label/override scans fall back to the row path with same results") {
     val plain = spark.read.format("readstat").load(dtaPath)
       .agg(sum("a"), sum("b")).collect()(0)
