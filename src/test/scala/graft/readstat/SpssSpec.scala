@@ -66,6 +66,17 @@ class SpssSpec extends SparkTestBase {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("reference-produced zsav reads identically under one-row partitions") {
+    val path = s"$fixdir/sample.zsav"
+    val serial = spark.read.format("readstat").load(path)
+    val parallel = spark.read.format("readstat")
+      .option("partitionTargetBytes", "8").load(path)
+    assert(parallel.rdd.getNumPartitions == 5,
+      s"expected 5 partitions, got ${parallel.rdd.getNumPartitions}")
+    assertSameData(parallel.orderBy("mynum"), serial.orderBy("mynum"),
+      "ref-zsav-checkpoint")
+  }
+
   test("bytecode sav checkpoint-partitioned read equals sequential read") {
     // sample.sav is bytecode-compressed (compression=1); a tiny partition
     // target forces one-row partitions, each resuming from a checkpoint
