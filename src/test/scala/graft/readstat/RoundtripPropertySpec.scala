@@ -33,6 +33,52 @@ class RoundtripPropertySpec extends SparkTestBase {
     StructField("d", DoubleType), StructField("i", IntegerType),
     StructField("s", StringType)))
 
+  test("full-domain integer frames roundtrip through dta (promotion paths)") {
+    // full Byte/Short/Int domains, including the Stata missing-sentinel
+    // ranges (byte 101..127, short >= 32741, int >= 2147483621) that
+    // force storage-type promotion, plus dates far from the epoch
+    val genB = Gen.frequency(
+      5 -> Gen.choose(-128, 127).map(v => java.lang.Byte.valueOf(v.toByte)),
+      2 -> Gen.oneOf(100, 101, 127, -127, -128).map(v => java.lang.Byte.valueOf(v.toByte)),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Byte]))
+    val genS = Gen.frequency(
+      5 -> Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)
+        .map(v => java.lang.Short.valueOf(v.toShort)),
+      2 -> Gen.oneOf(32740, 32741, 32767, -32767, -32768)
+        .map(v => java.lang.Short.valueOf(v.toShort)),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Short]))
+    val genI = Gen.frequency(
+      5 -> Gen.choose(Int.MinValue, Int.MaxValue).map(java.lang.Integer.valueOf(_)),
+      2 -> Gen.oneOf(2147483620, 2147483621, Int.MaxValue, -2147483647, Int.MinValue)
+        .map(java.lang.Integer.valueOf(_)),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Integer]))
+    val genD = Gen.frequency(
+      5 -> Gen.choose(-20000L, 40000L).map(d => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d).toString)),
+      1 -> Gen.const(null.asInstanceOf[java.sql.Date]))
+    val intSchema = StructType(Seq(
+      StructField("b", ByteType), StructField("s", ShortType),
+      StructField("i", IntegerType), StructField("dt", DateType)))
+    val genRows = Gen.listOfN(30,
+      Gen.zip(genB, genS, genI, genD).map { case (b, s, i, d) => Row(b, s, i, d) })
+    (1L to 5L).foreach { seed =>
+      val rows = genRows.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2), intSchema)
+      val dir = Files.createTempDirectory("graft_propi").toFile
+      dir.deleteOnExit()
+      val path = s"${dir.getAbsolutePath}/pi.dta"
+      df.write.format("readstat").mode("overwrite").save(path)
+      val back = spark.read.format("readstat").load(path)
+      import org.apache.spark.sql.functions._
+      val key = Seq(col("b").asc_nulls_last, col("s").asc_nulls_last,
+        col("i").asc_nulls_last, col("dt").asc_nulls_last)
+      // assertSameData normalizes all numerics to double, so promoted
+      // storage types still compare by value
+      assertSameData(back.orderBy(key: _*), df.orderBy(key: _*), s"promote-$seed")
+    }
+  }
+
   test("random frames roundtrip through dta and sav") {
     val genRows = Gen.listOfN(25,
       Gen.zip(genDouble, genInt, genStr).map { case (d, i, s) => Row(d, i, s) })
