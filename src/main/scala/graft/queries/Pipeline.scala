@@ -140,14 +140,44 @@ object Pipeline {
        |FROM ranked WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
-  /** Language-ID heuristic over documents (rows-only; the synthetic corpus
-    * is same-vocabulary across langs, so this exercises determinism and
-    * plumbing; linguistic accuracy is asserted in ScalaTest on real
-    * multilingual samples). */
+  /** Language-ID heuristic over documents. The scoring is integer
+    * stopword-intersection counts + a CJK char count — fully
+    * reproducible in DuckDB (profiles rendered into the oracle SQL), so
+    * this query is hash-checked; linguistic accuracy is additionally
+    * asserted in ScalaTest on real multilingual samples. */
   def langid(s: SparkSession, d: String): DataFrame =
     LangId.withLanguage(documents(s, d), "text")
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_pred")
+
+  /** DuckDB replica of the langid heuristic, word lists shared with
+    * [[LangId.profiles]]. Tie-breaks match: struct max compares (score,
+    * lang) field-wise with binary string order in both engines. */
+  def langidSql: String = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val langs = Seq("en", "es", "de", "fr")
+    val scoreCols = langs.map { l =>
+      s"len(list_intersect(toks, ${lst(LangId.profiles(l))})) AS s_$l"
+    }.mkString(",\n    ")
+    val structs = langs.map(l => s"{'score': s_$l, 'lang': '$l'}").mkString(", ")
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, text,
+       |    list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreCols,
+       |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh
+       |  FROM toksrc),
+       |pred AS (
+       |  SELECT CASE WHEN zh > 0 THEN 'zh'
+       |    WHEN greatest(s_en, s_es, s_de, s_fr) > 0 THEN
+       |      (list_aggregate([$structs], 'max')).lang
+       |    ELSE 'und' END AS lang_pred
+       |  FROM sc)
+       |SELECT lang_pred, count(*) AS n
+       |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
 
   /** Multimodal plumbing: opaque binary payloads → batch feature
     * extraction → per-type aggregate. Oracle-checkable because the
@@ -305,7 +335,7 @@ object Pipeline {
     "dedup_minhash_lsh" -> (dedupMinhash _, dedupMinhashSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "ann_lsh_topk" -> (annLsh _, annLshSql),
-    "text_langid" -> (langid _, ""),
+    "text_langid" -> (langid _, langidSql),
     "multimodal_features" -> (multimodal _, multimodalSql),
   )
 }
