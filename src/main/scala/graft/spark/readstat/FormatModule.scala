@@ -51,13 +51,16 @@ final case class SavCheckpoint(uOff: Long, ctrl: Array[Byte], ctrlI: Int)
 /** A contiguous row range of one file. `startRow`/`numRows` are in file row
   * order. `sav` carries the compressed-stream entry point for SPSS
   * bytecode/zsav partitions (None for seekable formats and for legacy
-  * sequential reads).
+  * sequential reads). `rowsBefore` is the exact number of data rows before
+  * this partition's range (SAS page-range partitions: row-index base and
+  * the global row-count cap without a sequential scan).
   */
 final case class RangePartition(
     path: String,
     startRow: Long,
     numRows: Long,
-    sav: Option[SavCheckpoint] = None)
+    sav: Option[SavCheckpoint] = None,
+    rowsBefore: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Scan/write options (mirrors the reference's ScanOptions surface,

@@ -112,15 +112,83 @@ object SasModule extends FormatModule {
     } finally raf.close()
   }
 
+  /** Row slots on one page: (offset, length, needsDecompression). Shared
+    * by the row/columnar decoders and the compressed page-row index. */
+  private def pageRowSlots(page: Array[Byte], md: SasMeta): Seq[(Int, Int, Boolean)] = {
+    val (pType, blockCount, subCount) = SasCore.readPageHeader(page, md)
+    val pbo = md.pageBitOffset
+    val intS = md.intSize
+    val rowLen = md.rowLength
+    if (pType == PtData) {
+      val off = pbo + 8
+      (0 until blockCount).map(i => (off + i * rowLen, rowLen, false))
+    } else if (pType == PtMeta || pType == PtMix1 || pType == PtMix2 || pType == PtAmd) {
+      val subs = SasCore.readSubheaders(page, md, subCount)
+      val dataSubs =
+        if (md.compression == 0) Nil
+        else subs.filter { s =>
+          (s.compression == 4 || s.compression == 0) && s.typ == 1 &&
+            s.length <= rowLen && s.length > 0 &&
+            !SasCore.isKnownMetadataSignature(page, s.offset,
+              math.min(8, md.pageLength - s.offset))
+        }.map(s => (s.offset, s.length, s.length < rowLen))
+      if (dataSubs.nonEmpty) dataSubs
+      else if (pType == PtMix1 || pType == PtMix2) {
+        var dataStart = pbo + 8 + subCount * 3 * intS
+        if (dataStart % 8 == 4) dataStart += 4
+        val maxFit = math.max(0, md.pageLength - dataStart) / math.max(1, rowLen)
+        // cap at min(rowCount, mixPageRowCount): MIX row counts over-
+        // state for small files (reference data.rs PageState::Mix)
+        val n = math.min(maxFit.toLong,
+          math.min(md.rowCount, md.mixPageRowCount)).toInt
+        (0 until n).map(i => (dataStart + i * rowLen, rowLen, false))
+      } else Nil
+    } else Nil
+  }
+
+  /** Prefix sums of data-row-slot counts per page for COMPRESSED files:
+    * one sequential page scan at plan time (IO only, no row decode),
+    * after which page ranges decode independently with exact row-cap
+    * math — the reference's compressed path is strictly serial
+    * (PARALLELIZATION.md: 1.0×), so this is a scale win over it. */
+  private val pagePrefixCache = new ConcurrentHashMap[FileKey, Array[Long]]()
+  private def compressedPagePrefix(path: String): Array[Long] =
+    pagePrefixCache.computeIfAbsent(keyOf(path), _ => {
+      val md = metadata(path)
+      val raf = new RandomAccessFile(path, "r")
+      try {
+        val prefix = new Array[Long](md.pageCount + 1)
+        val page = new Array[Byte](md.pageLength)
+        raf.seek(md.headerLength.toLong)
+        var p = 0
+        var acc = 0L
+        while (p < md.pageCount) {
+          prefix(p) = acc
+          raf.readFully(page)
+          acc += pageRowSlots(page, md).length
+          p += 1
+        }
+        prefix(md.pageCount) = acc
+        prefix
+      } finally raf.close()
+    })
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)
-    if (md.compression != 0)
-      return Seq(RangePartition(path, 0, md.pageCount.toLong))
-    // uncompressed: page-range partitions
     val pagesPerPart = math.max(1L, opts.partitionTargetBytes / math.max(1, md.pageLength))
     val n = md.pageCount.toLong
     if (n == 0) return Seq(RangePartition(path, 0, 0))
+    if (md.compression != 0) {
+      // small file → one partition, no index pass needed
+      if (n <= pagesPerPart) return Seq(RangePartition(path, 0, n))
+      val prefix = compressedPagePrefix(path)
+      return (0L until n by pagesPerPart).map { s =>
+        RangePartition(path, s, math.min(pagesPerPart, n - s),
+          rowsBefore = Some(prefix(s.toInt)))
+      }
+    }
+    // uncompressed: page-range partitions
     (0L until n by pagesPerPart).map { s =>
       RangePartition(path, s, math.min(pagesPerPart, n - s))
     }
@@ -152,10 +220,10 @@ object SasModule extends FormatModule {
         ColPlan(fi, c, kindFor(c), labels, indicator = ind, rowIndex = false)
       }
     }.sortBy(p => if (p.col == null) Int.MaxValue else p.col.offset)
-    val rowIndexBase: Long =
+    val rowIndexBase: Long = part.rowsBefore.getOrElse(
       if (opts.rowIndexName.isDefined && md.compression == 0)
         pageRowOffsets(part.path)(part.startRow.toInt)
-      else 0L
+      else 0L)
     val cs = md.charset
     val little = md.little
     val rowLen = md.rowLength
@@ -165,9 +233,15 @@ object SasModule extends FormatModule {
     val endPage = (part.startRow + part.numRows).toInt
     raf.seek(md.headerLength.toLong + startPage.toLong * md.pageLength)
     val page = new Array[Byte](md.pageLength)
-    // global row cap only enforceable when this partition sees all pages
-    val capRows: Long =
-      if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
+    // global row cap: phantom trailing row subheaders only exist at the
+    // END of the file, so rowCount - rowsBefore caps this partition
+    // exactly; without a prefix the cap is only enforceable for a
+    // partition that sees every page
+    val capRows: Long = part.rowsBefore match {
+      case Some(before) => math.max(0L, md.rowCount - before)
+      case None =>
+        if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
+    }
 
     new Iterator[InternalRow] {
       private var pageIdx = startPage
@@ -187,40 +261,9 @@ object SasModule extends FormatModule {
         try raf.readFully(page)
         catch { case _: java.io.EOFException => close(); return false }
         pageIdx += 1
-        rowsInPage = extractPageRows()
+        rowsInPage = pageRowSlots(page, md)
         rowPos = 0
         advance()
-      }
-
-      private def extractPageRows(): Seq[(Int, Int, Boolean)] = {
-        val (pType, blockCount, subCount) = SasCore.readPageHeader(page, md)
-        val pbo = md.pageBitOffset
-        val intS = md.intSize
-        if (pType == PtData) {
-          val off = pbo + 8
-          (0 until blockCount).map(i => (off + i * rowLen, rowLen, false))
-        } else if (pType == PtMeta || pType == PtMix1 || pType == PtMix2 || pType == PtAmd) {
-          val subs = SasCore.readSubheaders(page, md, subCount)
-          val dataSubs =
-            if (md.compression == 0) Nil
-            else subs.filter { s =>
-              (s.compression == 4 || s.compression == 0) && s.typ == 1 &&
-                s.length <= rowLen && s.length > 0 &&
-                !SasCore.isKnownMetadataSignature(page, s.offset,
-                  math.min(8, md.pageLength - s.offset))
-            }.map(s => (s.offset, s.length, s.length < rowLen))
-          if (dataSubs.nonEmpty) dataSubs
-          else if (pType == PtMix1 || pType == PtMix2) {
-            var dataStart = pbo + 8 + subCount * 3 * intS
-            if (dataStart % 8 == 4) dataStart += 4
-            val maxFit = math.max(0, md.pageLength - dataStart) / math.max(1, rowLen)
-            // cap at min(rowCount, mixPageRowCount): MIX row counts over-
-            // state for small files (reference data.rs PageState::Mix)
-            val n = math.min(maxFit.toLong,
-              math.min(md.rowCount, md.mixPageRowCount)).toInt
-            (0 until n).map(i => (dataStart + i * rowLen, rowLen, false))
-          } else Nil
-        } else Nil
       }
 
       override def hasNext: Boolean = advance()

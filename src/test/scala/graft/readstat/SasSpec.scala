@@ -9,6 +9,31 @@ import java.io.File
   */
 class SasSpec extends SparkTestBase {
 
+  test("compressed sas reads in parallel page partitions == serial") {
+    // test4 = RLE, test15 = RDC; a tiny partition target forces per-page
+    // partitions, each capped by the plan-time page-row prefix index
+    var sawMultiPage = false
+    Seq("test4.sas7bdat", "test15.sas7bdat", "test2.sas7bdat",
+      "dates_binary.sas7bdat").foreach { f =>
+      val path = s"${res("fixtures/sas")}/$f"
+      val pages = graft.spark.readstat.SasModule.metadata(path).pageCount
+      val serial = spark.read.format("readstat").load(path)
+      val parallel = spark.read.format("readstat")
+        .option("partitionTargetBytes", "1").load(path)
+      if (pages > 1) {
+        sawMultiPage = true
+        assert(parallel.rdd.getNumPartitions == pages,
+          s"$f: expected $pages per-page partitions, got ${parallel.rdd.getNumPartitions}")
+      }
+      assert(parallel.count() == serial.count(), f)
+      val cols = serial.columns.map(org.apache.spark.sql.functions.col).toSeq
+      val a = serial.orderBy(cols: _*).collect().map(_.toString).toSeq
+      val b = parallel.orderBy(cols: _*).collect().map(_.toString).toSeq
+      assert(a == b, f)
+    }
+    assert(sawMultiPage, "no multi-page compressed fixture exercised the index")
+  }
+
   test("header text trim keeps trailing bytes >= 0x80 (non-ASCII tails)") {
     // "aé" in latin-1: 0x61 0xE9 — 0xE9 is negative as a signed JVM byte,
     // and the old signed compare (b < 32) stripped it
