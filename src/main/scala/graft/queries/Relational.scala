@@ -316,7 +316,55 @@ object Relational {
       |  round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS qty_r
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Full CUBE over two dimensions (rollup's bigger sibling — grouping
+    * sets land in one shuffle with partial aggregation). */
+  def q16Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("rf", "ls")
+
+  val q16Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |       coalesce(l_linestatus, 'ALL') AS ls,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Running windows: cumulative sum + lag delta per customer over their
+    * order history — the frame-based window shapes q4's rank doesn't
+    * cover. */
+  def q17Running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("run_total"),
+        round(col("o_totalprice") -
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+          .as("delta_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q17Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+      |  round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2)
+      |    AS delta_prev
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q16_cube" -> (q16Cube _, q16Sql),
+    "q17_running_window" -> (q17Running _, q17Sql),
     "q14_percentiles" -> (q14Percentiles _, q14Sql),
     "q15_pivot" -> (q15Pivot _, q15Sql),
     "q1_agg" -> (q1Agg _, q1Sql),
