@@ -7,29 +7,44 @@ import org.apache.spark.sql.functions._
   *
   * Besides the SparkEntry query suite, emits raw stat-file read
   * throughput metrics directly comparable to BASELINE.md: a 10M-row
-  * tall/narrow .dta (mirrors the IPUMS full-read benchmark shape) and
-  * the same table as .sav, generated once into /tmp outside the timed
-  * section and re-used across rounds.
+  * tall/narrow .dta (mirrors the IPUMS full-read benchmark shape), the
+  * same table as .sav, and a 50M-row .dta where decode time dominates
+  * Spark's fixed ~0.3 s planning floor (BASELINE.md caveat). Files are
+  * generated once into /tmp outside the timed section and re-used
+  * across rounds.
+  *
+  * Timing protocol: every raw-read shape is executed once untimed
+  * (warms codegen, page cache, and the scan-planning path), then timed
+  * min-of-3; SparkEntry queries are warmed at sf0.001 and timed
+  * min-of-2. All individual run times are emitted under "runs" so
+  * ambient-load noise is visible in the record rather than silently
+  * inflating the headline number.
   */
 object Bench {
 
-  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String)] = {
+  private def ensureFile(df: DataFrame, path: String): Unit =
+    if (!new java.io.File(path).exists())
+      df.write.format("readstat").mode("overwrite").save(path)
+
+  /** (dta10m, sav10m, dta50m) */
+  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       val dta = s"/tmp/graft_bench/${tag}_big.dta"
       val sav = s"/tmp/graft_bench/${tag}_big.sav"
+      val dta50 = s"/tmp/graft_bench/${tag}_big50.dta"
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
       val base = li.count()
-      val target = 10000000L
-      val copies = math.max(1L, target / math.max(1L, base)).toInt
-      val big = (1 until copies).foldLeft(li)((d, _) => d.unionAll(li))
-      if (!new java.io.File(dta).exists())
-        big.write.format("readstat").mode("overwrite").save(dta)
-      if (!new java.io.File(sav).exists())
-        big.write.format("readstat").mode("overwrite").save(sav)
-      Some((dta, sav))
+      def replicated(target: Long): DataFrame = {
+        val copies = math.max(1L, target / math.max(1L, base)).toInt
+        (1 until copies).foldLeft(li)((d, _) => d.unionAll(li))
+      }
+      ensureFile(replicated(10000000L), dta)
+      ensureFile(replicated(10000000L), sav)
+      ensureFile(replicated(50000000L), dta50)
+      Some((dta, sav, dta50))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
       None
@@ -57,60 +72,78 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    def scan(path: String): DataFrame =
+      spark.read.format("readstat")
+        .option("partitionTargetBytes", "16777216").load(path)
+
     // BASELINE-comparable raw-read metrics (full read, column subset,
-    // subset+filter) over the 10M-row files
+    // subset+filter). The 10M files match the baseline's row count
+    // exactly; the 50M file is the decode-dominated variant where
+    // Spark's fixed planning overhead is amortized away.
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
-      case (dta, sav) => Seq[(String, () => Long)](
+      case (dta, sav, dta50) => Seq[(String, () => Long)](
         ("stata_fullread_10m", () => {
           // full materialization of every column, like the baseline's
           // read-into-frame. toRdd keeps the unprojected schema (count()
           // alone would prune all columns via pushdown) and our reader
           // decodes every required column eagerly per batch.
-          spark.read.format("readstat")
-            .option("partitionTargetBytes", "16777216").load(dta)
-            .queryExecution.toRdd.count()
+          scan(dta).queryExecution.toRdd.count()
         }),
         ("stata_subset_read", () =>
-          spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(dta)
-            .select("l_quantity", "l_returnflag")
+          scan(dta).select("l_quantity", "l_returnflag")
             .agg(count(lit(1))).collect()(0).getLong(0)),
         ("stata_subset_filter", () =>
-          spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(dta)
-            .select("l_quantity", "l_extendedprice")
+          scan(dta).select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
             .agg(count(lit(1))).collect()(0).getLong(0)),
         ("spss_fullread_10m", () =>
-          spark.read.format("readstat")
-            .option("partitionTargetBytes", "16777216").load(sav)
-            .queryExecution.toRdd.count()),
+          scan(sav).queryExecution.toRdd.count()),
         ("spss_subset_read", () =>
-          spark.read.format("readstat").option("partitionTargetBytes", "16777216").load(sav)
-            .select("l_quantity", "l_returnflag")
+          scan(sav).select("l_quantity", "l_returnflag")
+            .agg(count(lit(1))).collect()(0).getLong(0)),
+        ("stata_fullread_50m", () =>
+          scan(dta50).queryExecution.toRdd.count()),
+        ("stata_subset_read_50m", () =>
+          scan(dta50).select("l_quantity", "l_returnflag")
+            .agg(count(lit(1))).collect()(0).getLong(0)),
+        ("stata_subset_filter_50m", () =>
+          scan(dta50).select("l_quantity", "l_extendedprice")
+            .filter(col("l_quantity") > 25)
             .agg(count(lit(1))).collect()(0).getLong(0)))
     }
 
-    // min of two timed runs per query: background machine load varies
-    // several-fold between runs in this environment, and the minimum is
-    // the standard steady-state estimator under external noise
-    def timedMin(f: () => Any): Double = (0 until 2).map { _ =>
+    // warm every raw-read shape with one full untimed execution: the
+    // first run of each shape pays codegen + OS page-cache population
+    // (several seconds) that steady-state reads never see
+    rawReads.foreach { case (_, f) => try f() catch { case _: Throwable => } }
+
+    // timed runs per query: background machine load varies several-fold
+    // between runs in this environment; the minimum is the standard
+    // steady-state estimator under external noise, and the full run
+    // vector is recorded so outliers are auditable
+    def timedRuns(n: Int, f: () => Any): Seq[Double] = (0 until n).map { _ =>
       // queries cache intermediates, and CacheManager matches plans
       // across invocations — clear so every timed run does the full work
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try f() catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
 
-    val rawResults = rawReads.map { case (name, f) => name -> timedMin(f) }
-
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> timedMin(() => fn(spark, sfDir).count())
-    } ++ rawResults
+    val rawResults = rawReads.map { case (name, f) => name -> timedRuns(3, f) }
+    val queryResults = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      name -> timedRuns(2, () => fn(spark, sfDir).count())
+    }
+    val allRuns = queryResults ++ rawResults
+    val results = allRuns.map { case (k, runs) => k -> runs.min }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runsJson = allRuns.map { case (k, runs) =>
+      s"\"" + k + "\":" + runs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,11 +41,12 @@ object Relational {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Top-10 customers by order revenue: shuffle agg on the fact side, then
-    * broadcast join of the (small) per-customer totals with customer dim. */
+    * join with the customer dim. No broadcast hint: customer scales with SF,
+    * so the strategy is left to AQE (which still broadcasts when small). */
   def q2TopCustomers(s: SparkSession, d: String): DataFrame = {
     val perCust = orders(s, d).groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
-    perCust.join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+    perCust.join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
@@ -59,14 +60,15 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q3-style shipping priority: 3-way join with a broadcast dim
-    * filter, aggregation, top-k. */
+  /** TPC-H Q3-style shipping priority: 3-way join with a filtered dim,
+    * aggregation, top-k. No broadcast hint on customer — it scales with
+    * SF; AQE picks broadcast at runtime when the filtered side is small. */
   def q3Shipping(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d)
     val l = lineitem(s, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -259,13 +261,14 @@ object Relational {
       |ORDER BY user_id""".stripMargin
 
   /** Correlated scalar-subquery style: orders above their customer's average
-    * order value (self-join formulation, shuffle agg + broadcast of the
-    * small per-customer aggregate). */
+    * order value (self-join formulation). The per-customer aggregate's
+    * cardinality scales with the customer count, so it is NOT broadcast:
+    * both sides shuffle on o_custkey and AQE may still broadcast at low SF. */
   def q13AboveAvg(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val avgs = o.groupBy(col("o_custkey").as("a_custkey"))
       .agg(avg("o_totalprice").as("avg_price"))
-    o.join(broadcast(avgs), col("o_custkey") === col("a_custkey"))
+    o.join(avgs, col("o_custkey") === col("a_custkey"))
       .filter(col("o_totalprice") > col("avg_price") * 1.5)
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("o_price"))

@@ -66,6 +66,32 @@ class PushdownPlanSpec extends SparkTestBase {
       (1 to 250).map(_.toLong).sum)
   }
 
+  test("SF-scaled tables carry no forced broadcast hint; shuffle count pinned") {
+    // q2/q3/q13 join against tables whose cardinality grows with the scale
+    // factor (customer, a per-customer aggregate). A forced broadcast() on
+    // those sides becomes a multi-GB driver broadcast at 100×; the strategy
+    // must be left to AQE. Pin: no ResolvedHint survives optimization, and
+    // the q13 self-join plans at most 3 shuffles (scan→agg, agg→join,
+    // join→sort) — a regression adding an extra repartition would show here.
+    val sf = "/root/testdata/sf0.001"
+    val plans = Seq(
+      graft.queries.Relational.q2TopCustomers(spark, sf),
+      graft.queries.Relational.q3Shipping(spark, sf),
+      graft.queries.Relational.q13AboveAvg(spark, sf))
+    plans.foreach { df =>
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"broadcast hint on an SF-scaled table:\n${df.queryExecution.analyzed}")
+    }
+    val q13 = graft.queries.Relational.q13AboveAvg(spark, sf)
+    val shuffles = q13.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 3, s"q13 plans ${shuffles.length} shuffles:\n${q13.queryExecution.executedPlan}")
+  }
+
   test("label/override scans fall back to the row path with same results") {
     val plain = spark.read.format("readstat").load(dtaPath)
       .agg(sum("a"), sum("b")).collect()(0)
