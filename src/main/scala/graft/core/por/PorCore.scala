@@ -43,7 +43,8 @@ object PorCore {
     }
   }
 
-  final case class PorMeta(fileLabel: String, vars: Vector[PorVar])
+  final case class PorMeta(fileLabel: String, vars: Vector[PorVar],
+      created: Option[String] = None) // "yyyymmdd hh:mm:ss" as recorded
 
   /** Line-aware logical byte stream with char-table translation. */
   final class PorStream(path: String) {
@@ -203,7 +204,12 @@ object PorCore {
     val sig = new String(stream.readChars(8), StandardCharsets.ISO_8859_1)
     require(sig == "SPSSPORT", s"not a POR file: $sig")
     stream.readChar() // version
-    stream.readStringField(); stream.readStringField() // date, time
+    val creationDate = stream.readStringField()
+    val creationTime = stream.readStringField()
+    val created = s"$creationDate $creationTime".trim match {
+      case "" => None
+      case s => Some(s)
+    }
 
     var vars = Vector.empty[PorVar]
     var done = false
@@ -252,6 +258,6 @@ object PorCore {
           throw new IllegalArgumentException(s"POR: unexpected tag '${other.toChar}'")
       }
     }
-    PorMeta(fileLabel, vars)
+    PorMeta(fileLabel, vars, created)
   }
 }

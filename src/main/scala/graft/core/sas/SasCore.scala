@@ -44,7 +44,9 @@ object SasCore {
       mixPageRowCount: Long,
       columns: Vector[SasColumn],
       firstDataPage: Int,
-      mixDataRows: Long) {
+      mixDataRows: Long,
+      datasetName: String = "",
+      dateCreatedSas: Double = Double.NaN) { // seconds since 1960-01-01
     def charset: Charset = SasCore.charsetFor(encodingByte)
     def pageBitOffset: Int = if (bit64) 32 else 16
     def intSize: Int = if (bit64) 8 else 4
@@ -165,6 +167,11 @@ object SasCore {
       val pageCount = ((raf.length() - headerLength) / math.max(1, pageLength)).toInt
       val encodingByte = head(70) & 0xff
       val sasRelease = Bin.zstr(head, 216 + align1 + align2, 8, StandardCharsets.US_ASCII)
+      // dataset name at 92 (64 bytes); creation timestamp f64 at 164+align1,
+      // seconds since the SAS epoch (reference: src/sas/header.rs:107)
+      val datasetName = Bin.zstr(head, 92, 64, StandardCharsets.US_ASCII).trim
+      val dateCreatedSas =
+        java.lang.Double.longBitsToDouble(Bin.i64(head, 164 + align1, little))
 
       // page scan
       var rowCount = -1L; var rowLength = -1; var mixRowCount = -1L
@@ -312,7 +319,7 @@ object SasCore {
       SasMeta(little, bit64, headerLength, pageLength, pageIdx, encodingByte,
         sasRelease, compression, rowCount, rowLength,
         if (mixRowCount >= 0) mixRowCount else rowCount, cols, firstDataPage,
-        mixDataRows)
+        mixDataRows, datasetName, dateCreatedSas)
     } finally raf.close()
   }
 

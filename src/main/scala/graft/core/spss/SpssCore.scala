@@ -53,7 +53,9 @@ object SpssCore {
       fileLabel: Option[String],
       vars: Vector[SpssVar],
       dataOffset: Long,
-      charset: Charset) {
+      charset: Charset,
+      creationDate: Option[String] = None,  // "dd mmm yy" as recorded
+      creationTime: Option[String] = None) {
     def recordUnits: Int = vars.map(_.widthUnits).sum
     def recordLen: Int = recordUnits * 8
   }
@@ -113,6 +115,12 @@ object SpssCore {
       val s = Bin.zstr(head, 109, 64, StandardCharsets.US_ASCII).trim
       if (s.isEmpty) None else Some(s)
     }
+    def headStr(off: Int, len: Int): Option[String] = {
+      val s = Bin.zstr(head, off, len, StandardCharsets.US_ASCII).trim
+      if (s.isEmpty) None else Some(s)
+    }
+    val creationDate = headStr(92, 9)
+    val creationTime = headStr(101, 8)
     if (magic == "$FL3" && compression < 2) compression = 2
 
     // --- prescan for encoding (subtype 20 wins, else integer-info code) ---
@@ -287,7 +295,8 @@ object SpssCore {
         valueLabelName = labName(idx))
     }
 
-    SpssMeta(little, compression, nCases, bias, fileLabel, out, dataOffset, charset)
+    SpssMeta(little, compression, nCases, bias, fileLabel, out, dataOffset,
+      charset, creationDate, creationTime)
   }
 
   private final case class RawVar(

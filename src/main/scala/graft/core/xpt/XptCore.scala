@@ -17,7 +17,7 @@ object XptCore {
 
   final case class XptMeta(version: Int, tableName: String, fileLabel: String,
       columns: Vector[XptColumn], rowLength: Int, dataOffset: Long,
-      rowCount: Long)
+      rowCount: Long, created: String = "", modified: String = "")
 
   private def str(b: Array[Byte], off: Int, len: Int): String = {
     var end = off + len
@@ -35,7 +35,11 @@ object XptCore {
         if (name0.startsWith("LIBRARY")) 5
         else if (name0.startsWith("LIBV8")) 8
         else throw new IllegalArgumentException(s"not an XPT file (got $name0)")
-      line(); line() // SAS library record + timestamp
+      // SAS library record (created ddMMMyy:hh:mm:ss at 64..80) + timestamp
+      // record (modified at 0..16)
+      val libRec = line(); val tsRec = line()
+      val created = str(libRec, 64, 16)
+      val modified = str(tsRec, 0, 16)
       line()         // MEMBER/MEMBV8
       line()         // DSCRPTR/DSCPTV8
       val memberRec = line()
@@ -110,7 +114,8 @@ object XptCore {
       val rowCount =
         if (rowLength == 0) 0L
         else (raf.length() - dataOffset) / rowLength
-      XptMeta(version, tableName, fileLabel, cols, rowLength, dataOffset, rowCount)
+      XptMeta(version, tableName, fileLabel, cols, rowLength, dataOffset,
+        rowCount, created, modified)
     } finally raf.close()
   }
 

