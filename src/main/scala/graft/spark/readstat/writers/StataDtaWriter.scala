@@ -10,7 +10,15 @@ import org.apache.spark.sql.types._
 
 import graft.core.Bin
 
-/** Distributed .dta (Stata 118) writer.
+/** Distributed .dta writer (versions 114, 117, 118, 119).
+  *
+  * Auto-selection matches the reference (`choose_dta_version`, reference:
+  * writer.rs:528-535): 118 normally, 119 only when the variable count
+  * overflows 118's u16 field. `dtaVersion=114|117` opt in to the legacy
+  * layouts for old-Stata consumers: 117 keeps the xmlish structure with
+  * narrow (33/49/81-byte) metadata records, u32 strL refs and
+  * windows-1252 strings; 114 is the pre-xml binary layout (no strL,
+  * 244-byte string cap).
   *
   * Stat-file headers need row count and max string widths before any row
   * is written, so this is a two-job write mirroring the reference's
@@ -33,6 +41,7 @@ import graft.core.Bin
 object StataDtaWriter {
 
   private val MaxStrWidth = 2045
+  private val MaxStrWidth114 = 244
 
   // Stata's valid value ranges per storage type; everything outside
   // collides with the sysmiss/.a–.z sentinels (byte 0x65+, int 0x7fe5+,
@@ -180,6 +189,36 @@ object StataDtaWriter {
     }
     val rowLen = cols.map(_.w.width).sum
 
+    // ---- version selection (before job 2: 114/117 encode differently) ----
+    // auto matches the reference (writer.rs choose_dta_version): 119
+    // ("wide") only when the 118 u16 variable-count field overflows.
+    // 114/117 are explicit opt-ins for old-Stata consumers.
+    val version = options.getOrElse("dtaVersion", "auto") match {
+      case "auto" => if (cols.length > 32767) 119 else 118
+      case "114" =>
+        require(cols.length <= 32767,
+          s"stata writer: ${cols.length} variables exceed the dta 114 limit")
+        cols.foreach { c => c.w match {
+          case WStrL => throw new IllegalArgumentException(
+            s"stata writer: column ${c.name} exceeds $MaxStrWidth114 bytes — " +
+              "dta 114 has no strL; use dtaVersion=117 or newer")
+          case WStr(w) if w > MaxStrWidth114 => throw new IllegalArgumentException(
+            s"stata writer: column ${c.name} is $w bytes wide — dta 114 caps " +
+              s"strings at $MaxStrWidth114; use dtaVersion=117 or newer")
+          case _ => ()
+        } }
+        114
+      case "117" => require(cols.length <= 32767,
+        s"stata writer: ${cols.length} variables exceed the dta 117 limit"); 117
+      case "118" => require(cols.length <= 32767,
+        s"stata writer: ${cols.length} variables exceed the dta 118 limit"); 118
+      case "119" => 119
+      case other => throw new IllegalArgumentException(
+        s"stata writer: dtaVersion must be auto, 114, 117, 118 or 119 (got $other)")
+    }
+    // strings (names, labels, data) are windows-1252 before 118, UTF-8 after
+    val csName = graft.core.stata.StataTypes.charsetFor(version).name()
+
     // ---- job 2: encode partitions to scratch chunks ----
     val scratch = options.getOrElse("scratchDir",
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
@@ -190,6 +229,7 @@ object StataDtaWriter {
     val chunks: Array[(Int, String, String, Long)] = // (pid, dataFile, gsoFile, rows)
       df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         val specs = specsB.value
+        val cs = java.nio.charset.Charset.forName(csName)
         val dataF = File.createTempFile(s"graft_dta_${pid}_", ".chunk", new File(scratch))
         val gsoF = File.createTempFile(s"graft_gso_${pid}_", ".chunk", new File(scratch))
         val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(dataF), 1 << 20))
@@ -200,7 +240,8 @@ object StataDtaWriter {
         it.foreach { row =>
           var i = 0
           while (i < specs.length) {
-            encodeCell(row, i, specs(i), out, gso, v16, () => { strlIdx += 1; strlIdx })
+            encodeCell(row, i, specs(i), out, gso, v16,
+              () => { strlIdx += 1; strlIdx }, version, cs)
             i += 1
           }
           rows += 1
@@ -213,18 +254,6 @@ object StataDtaWriter {
     val totalRows = ordered.map(_._4).sum
     require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
     require(ordered.length <= 0xFFFE, "too many partitions for strL v field")
-
-    // version selection (reference: writer.rs choose_dta_version): 119
-    // ("wide") only when the 118 u16 variable-count field overflows;
-    // explicit dtaVersion=118|119 overrides
-    val version = options.getOrElse("dtaVersion", "auto") match {
-      case "auto" => if (cols.length > 32767) 119 else 118
-      case "118" => require(cols.length <= 32767,
-        s"stata writer: ${cols.length} variables exceed the dta 118 limit"); 118
-      case "119" => 119
-      case other => throw new IllegalArgumentException(
-        s"stata writer: dtaVersion must be auto, 118 or 119 (got $other)")
-    }
 
     // ---- driver: assemble final file in one forward pass ----
     val dataBytes = ordered.map(c => new File(c._2).length()).sum
@@ -252,7 +281,8 @@ object StataDtaWriter {
   private def encodeCell(row: org.apache.spark.sql.catalyst.InternalRow,
       i: Int, spec: ColSpec,
       out: DataOutputStream, gso: DataOutputStream, v16: Int,
-      nextO: () => Long): Unit = {
+      nextO: () => Long, version: Int,
+      cs: java.nio.charset.Charset): Unit = {
     val isNull = row.isNullAt(i)
     // Days since 1960-01-01 for a DateType cell (Stata %td storage);
     // DateType's internal representation is days since 1970.
@@ -321,7 +351,8 @@ object StataDtaWriter {
       case WStr(w) =>
         val bytes =
           if (isNull) Array.emptyByteArray
-          else row.getUTF8String(i).getBytes
+          else if (cs == StandardCharsets.UTF_8) row.getUTF8String(i).getBytes
+          else row.getUTF8String(i).toString.getBytes(cs) // legacy 1252
         val n = math.min(bytes.length, w)
         out.write(bytes, 0, n)
         var z = n
@@ -329,17 +360,28 @@ object StataDtaWriter {
       case WStrL =>
         if (isNull) { Bin.putU64(out, 0L) } // (0,0) = empty strL ref
         else {
-          val bytes = row.getUTF8String(i).getBytes
+          val bytes =
+            if (cs == StandardCharsets.UTF_8) row.getUTF8String(i).getBytes
+            else row.getUTF8String(i).toString.getBytes(cs)
           val o = nextO()
-          // data-section ref: v(2) + o(6) little-endian
-          Bin.putU16(out, v16)
-          var k = 0
-          var ov = o
-          while (k < 6) { out.write((ov & 0xff).toInt); ov >>= 8; k += 1 }
-          // GSO record: "GSO" v(4) o(8) t(1)=130 len(4) payload+NUL
-          gso.write("GSO".getBytes(StandardCharsets.US_ASCII))
-          Bin.putU32(gso, v16.toLong)
-          Bin.putU64(gso, o)
+          if (version >= 118) {
+            // data-section ref: v(2) + o(6) little-endian
+            Bin.putU16(out, v16)
+            var k = 0
+            var ov = o
+            while (k < 6) { out.write((ov & 0xff).toInt); ov >>= 8; k += 1 }
+            // GSO record: "GSO" v(4) o(8) t(1)=130 len(4) payload+NUL
+            gso.write("GSO".getBytes(StandardCharsets.US_ASCII))
+            Bin.putU32(gso, v16.toLong)
+            Bin.putU64(gso, o)
+          } else {
+            // 117: data ref and GSO both use v(4) + o(4)
+            Bin.putU32(out, v16.toLong)
+            Bin.putU32(out, o)
+            gso.write("GSO".getBytes(StandardCharsets.US_ASCII))
+            Bin.putU32(gso, v16.toLong)
+            Bin.putU32(gso, o)
+          }
           gso.write(0x82)
           Bin.putU32(gso, (bytes.length + 1).toLong)
           gso.write(bytes); gso.write(0)
@@ -347,59 +389,19 @@ object StataDtaWriter {
     }
   }
 
-  private def assembleFile(path: String, version: Int, cols: Array[ColSpec],
-      nObs: Long, rowLen: Int, dataBytes: Long, gsoBytes: Long,
-      chunks: Array[(Int, String, String, Long)],
+  /** Build the per-column value-label tables (n, txtlen, offsets, values,
+    * text) shared by every dta version; text in the version's charset. */
+  private def buildVlTables(cols: Array[ColSpec],
       valueLabels: Map[String, Seq[(Int, String)]],
-      varLabels: Map[String, String] = Map.empty): Unit = {
-    val k = cols.length
-    val bos = new java.io.ByteArrayOutputStream()
-
-    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
-    def tag(s: String): Unit = bos.write(ascii(s))
-
-    // header — 119 ("wide") widens K to u32 and sortlist entries to u32
-    tag(s"<stata_dta><header><release>$version</release><byteorder>LSF</byteorder><K>")
-    if (version >= 119) Bin.putU32(bos, k.toLong) else Bin.putU16(bos, k)
-    tag("</K><N>")
-    Bin.putU64(bos, nObs)
-    tag("</N><label>")
-    Bin.putU16(bos, 0)
-    tag("</label><timestamp>")
-    bos.write(0)
-    tag("</timestamp></header>")
-
-    // section sizes after <map> are all fixed → compute offsets forward
-    val mapOff = bos.size().toLong
-    val mapLen = 5 + 14 * 8 + 6
-    val vtOff = mapOff + mapLen
-    val vtLen = 16 + 2 * k + 17
-    val vnOff = vtOff + vtLen
-    val vnLen = 10 + 129 * k + 11
-    val srtEntryLen = if (version >= 119) 4 else 2
-    val soOff = vnOff + vnLen
-    val soLen = 10 + srtEntryLen * (k + 1) + 11
-    val fmtOff = soOff + soLen
-    val fmtLen = 9 + 57 * k + 10
-    val vlnOff = fmtOff + fmtLen
-    val vlnLen = 19 + 129 * k + 20
-    val vlbOff = vlnOff + vlnLen
-    val vlbLen = 17 + 321 * k + 18
-    val chOff = vlbOff + vlbLen
-    val chLen = 17 + 18
-    val dataOff = chOff + chLen
-    val dataLen = 6 + dataBytes + 7
-    val strlOff = dataOff + dataLen
-    val strlLen = 7 + gsoBytes + 8
-    // value-label section: <lbl> tables for columns with labels
-    val vlTables: Seq[(String, Array[Byte])] = cols.toSeq.flatMap { c =>
+      cs: java.nio.charset.Charset): Seq[(String, Array[Byte])] =
+    cols.toSeq.flatMap { c =>
       valueLabels.get(c.name).filter(_ => c.w == WLong || c.w == WInt || c.w == WByte)
         .map { pairs =>
           val sorted = pairs.sortBy(_._1)
           val txt = new java.io.ByteArrayOutputStream()
           val offs = sorted.map { case (_, label) =>
             val o = txt.size()
-            txt.write(label.getBytes(StandardCharsets.UTF_8)); txt.write(0)
+            txt.write(label.getBytes(cs)); txt.write(0)
             o
           }
           val table = new java.io.ByteArrayOutputStream()
@@ -411,7 +413,81 @@ object StataDtaWriter {
           (c.stataName, table.toByteArray)
         }
     }
-    val vlBody = vlTables.map { case (_, t) => 5 + 4 + 129 + 3 + t.length + 6 }.sum
+
+  private def spliceChunks(ch: java.nio.channels.FileChannel,
+      files: Iterator[String]): Unit =
+    files.foreach { f =>
+      val in = java.nio.channels.FileChannel.open(Paths.get(f), StandardOpenOption.READ)
+      try { var p = 0L; val n = in.size()
+        while (p < n) p += in.transferTo(p, n - p, ch)
+      } finally in.close()
+    }
+
+  private def openOut(path: String): java.nio.channels.FileChannel = {
+    val outPath = Paths.get(path)
+    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    java.nio.channels.FileChannel.open(outPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def assembleFile(path: String, version: Int, cols: Array[ColSpec],
+      nObs: Long, rowLen: Int, dataBytes: Long, gsoBytes: Long,
+      chunks: Array[(Int, String, String, Long)],
+      valueLabels: Map[String, Seq[(Int, String)]],
+      varLabels: Map[String, String] = Map.empty): Unit = {
+    if (version < 117) {
+      assembleLegacy(path, version, cols, nObs, chunks, valueLabels, varLabels)
+      return
+    }
+    val k = cols.length
+    // per-version record widths — same matrix the reader uses
+    val layout = graft.core.stata.StataParser.layoutFor(version)
+    val cs = graft.core.stata.StataTypes.charsetFor(version)
+    val nameLen = layout.varNameLen      // 33 before 118, 129 after
+    val fmtRecLen = layout.fmtLen        // 49 before 118, 57 after
+    val varLabelLen = layout.varLabelLen // 81 before 118, 321 after
+    val bos = new java.io.ByteArrayOutputStream()
+
+    def ascii(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    def tag(s: String): Unit = bos.write(ascii(s))
+
+    // header — 119 ("wide") widens K to u32 and sortlist entries to u32;
+    // 117 narrows N to u32 and the data label length to u8
+    tag(s"<stata_dta><header><release>$version</release><byteorder>LSF</byteorder><K>")
+    if (version >= 119) Bin.putU32(bos, k.toLong) else Bin.putU16(bos, k)
+    tag("</K><N>")
+    if (version >= 118) Bin.putU64(bos, nObs) else Bin.putU32(bos, nObs)
+    tag("</N><label>")
+    if (version >= 118) Bin.putU16(bos, 0) else bos.write(0)
+    tag("</label><timestamp>")
+    bos.write(0)
+    tag("</timestamp></header>")
+
+    // section sizes after <map> are all fixed → compute offsets forward
+    val mapOff = bos.size().toLong
+    val mapLen = 5 + 14 * 8 + 6
+    val vtOff = mapOff + mapLen
+    val vtLen = 16 + 2 * k + 17
+    val vnOff = vtOff + vtLen
+    val vnLen = 10 + nameLen * k + 11
+    val srtEntryLen = layout.srtEntryLen
+    val soOff = vnOff + vnLen
+    val soLen = 10 + srtEntryLen * (k + 1) + 11
+    val fmtOff = soOff + soLen
+    val fmtLen = 9 + fmtRecLen * k + 10
+    val vlnOff = fmtOff + fmtLen
+    val vlnLen = 19 + nameLen * k + 20
+    val vlbOff = vlnOff + vlnLen
+    val vlbLen = 17 + varLabelLen * k + 18
+    val chOff = vlbOff + vlbLen
+    val chLen = 17 + 18
+    val dataOff = chOff + chLen
+    val dataLen = 6 + dataBytes + 7
+    val strlOff = dataOff + dataLen
+    val strlLen = 7 + gsoBytes + 8
+    val vlTables = buildVlTables(cols, valueLabels, cs)
+    val vlBody = vlTables.map { case (_, t) => 5 + 4 + nameLen + 3 + t.length + 6 }.sum
     val vlOff = strlOff + strlLen
     val vlLen = 14 + vlBody + 15
     val endOff = vlOff + vlLen
@@ -426,63 +502,108 @@ object StataDtaWriter {
     cols.foreach(c => Bin.putU16(bos, c.w.typeCode))
     tag("</variable_types>")
     tag("<varnames>")
-    cols.foreach(c => Bin.putZPad(bos, c.stataName, 129, StandardCharsets.UTF_8))
+    cols.foreach(c => Bin.putZPad(bos, c.stataName, nameLen, cs))
     tag("</varnames>")
     tag("<sortlist>")
     (0 to k).foreach(_ =>
       if (version >= 119) Bin.putU32(bos, 0L) else Bin.putU16(bos, 0))
     tag("</sortlist>")
     tag("<formats>")
-    cols.foreach(c => Bin.putZPad(bos, c.fmt, 57, StandardCharsets.UTF_8))
+    cols.foreach(c => Bin.putZPad(bos, c.fmt, fmtRecLen, cs))
     tag("</formats>")
     tag("<value_label_names>")
     cols.foreach { c =>
       val lbl = if (valueLabels.contains(c.name) &&
           (c.w == WLong || c.w == WInt || c.w == WByte)) c.stataName else ""
-      Bin.putZPad(bos, lbl, 129, StandardCharsets.UTF_8)
+      Bin.putZPad(bos, lbl, nameLen, cs)
     }
     tag("</value_label_names>")
     tag("<variable_labels>")
     cols.foreach(c =>
-      Bin.putZPad(bos, varLabels.getOrElse(c.name, ""), 321, StandardCharsets.UTF_8))
+      Bin.putZPad(bos, varLabels.getOrElse(c.name, ""), varLabelLen, cs))
     tag("</variable_labels>")
     tag("<characteristics></characteristics>")
     tag("<data>")
 
-    val outPath = Paths.get(path)
-    Option(outPath.getParent).foreach(Files.createDirectories(_))
-    val ch = java.nio.channels.FileChannel.open(outPath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+    val ch = openOut(path)
     try {
       ch.write(java.nio.ByteBuffer.wrap(bos.toByteArray))
-      // splice data chunks
-      chunks.foreach { c =>
-        val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
-        try { var p = 0L; val n = in.size()
-          while (p < n) p += in.transferTo(p, n - p, ch)
-        } finally in.close()
-      }
-      val tail = new java.io.ByteArrayOutputStream()
-      tail.write(ascii("</data><strls>"))
-      ch.write(java.nio.ByteBuffer.wrap(tail.toByteArray))
-      chunks.foreach { c =>
-        val in = java.nio.channels.FileChannel.open(Paths.get(c._3), StandardOpenOption.READ)
-        try { var p = 0L; val n = in.size()
-          while (p < n) p += in.transferTo(p, n - p, ch)
-        } finally in.close()
-      }
+      spliceChunks(ch, chunks.iterator.map(_._2))
+      ch.write(java.nio.ByteBuffer.wrap(ascii("</data><strls>")))
+      spliceChunks(ch, chunks.iterator.map(_._3))
       val vlOut = new java.io.ByteArrayOutputStream()
       vlOut.write(ascii("</strls><value_labels>"))
       vlTables.foreach { case (name, table) =>
         vlOut.write(ascii("<lbl>"))
         Bin.putU32(vlOut, table.length.toLong)
-        Bin.putZPad(vlOut, name, 129, StandardCharsets.UTF_8)
+        Bin.putZPad(vlOut, name, nameLen, cs)
         vlOut.write(0); vlOut.write(0); vlOut.write(0) // padding
         vlOut.write(table)
         vlOut.write(ascii("</lbl>"))
       }
       vlOut.write(ascii("</value_labels></stata_dta>"))
+      ch.write(java.nio.ByteBuffer.wrap(vlOut.toByteArray))
+    } finally ch.close()
+  }
+
+  /** Pre-xml binary layout (dta 114). Same two-job encode; only the
+    * metadata framing differs: fixed header, one-byte typlist codes,
+    * 5-zero-byte expansion terminator, value-label tables to EOF. */
+  private def assembleLegacy(path: String, version: Int, cols: Array[ColSpec],
+      nObs: Long, chunks: Array[(Int, String, String, Long)],
+      valueLabels: Map[String, Seq[(Int, String)]],
+      varLabels: Map[String, String]): Unit = {
+    require(version == 114, s"legacy dta writer supports 114 (got $version)")
+    val k = cols.length
+    val layout = graft.core.stata.StataParser.layoutFor(version)
+    val cs = graft.core.stata.StataTypes.charsetFor(version)
+    val bos = new java.io.ByteArrayOutputStream()
+
+    // header: version, byteorder (2 = LSF), filetype, unused, K, N
+    bos.write(version); bos.write(0x02); bos.write(0x01); bos.write(0)
+    Bin.putU16(bos, k)
+    Bin.putU32(bos, nObs)
+    Bin.putZPad(bos, "", layout.dataLabelLen, cs)   // data label (81)
+    Bin.putZPad(bos, "", layout.timestampLen, cs)   // timestamp (18)
+
+    // typlist: one byte per var — str widths 1..244 raw, numerics 251..255
+    cols.foreach { c =>
+      val code = c.w match {
+        case WStr(w) => w
+        case WByte => 251
+        case WInt => 252
+        case WLong => 253
+        case WFloat => 254
+        case WDouble => 255
+        case WStrL => throw new IllegalStateException("strL in dta 114")
+      }
+      bos.write(code)
+    }
+    cols.foreach(c => Bin.putZPad(bos, c.stataName, layout.varNameLen, cs))
+    (0 to k).foreach(_ => Bin.putU16(bos, 0)) // srtlist
+    cols.foreach(c => Bin.putZPad(bos, c.fmt, layout.fmtLen, cs))
+    cols.foreach { c =>
+      val lbl = if (valueLabels.contains(c.name) &&
+          (c.w == WLong || c.w == WInt || c.w == WByte)) c.stataName else ""
+      Bin.putZPad(bos, lbl, layout.lblNameLen, cs)
+    }
+    cols.foreach(c =>
+      Bin.putZPad(bos, varLabels.getOrElse(c.name, ""), layout.varLabelLen, cs))
+    // expansion fields: terminator only (type u8 = 0, len u32 = 0)
+    bos.write(0); Bin.putU32(bos, 0L)
+
+    val ch = openOut(path)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(bos.toByteArray))
+      spliceChunks(ch, chunks.iterator.map(_._2))
+      // value-label section runs to EOF: {len, labname[33], pad[3], table}
+      val vlOut = new java.io.ByteArrayOutputStream()
+      buildVlTables(cols, valueLabels, cs).foreach { case (name, table) =>
+        Bin.putU32(vlOut, table.length.toLong)
+        Bin.putZPad(vlOut, name, layout.vlLabnameLen, cs)
+        vlOut.write(0); vlOut.write(0); vlOut.write(0)
+        vlOut.write(table)
+      }
       ch.write(java.nio.ByteBuffer.wrap(vlOut.toByteArray))
     } finally ch.close()
   }

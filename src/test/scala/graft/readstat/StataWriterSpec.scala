@@ -193,6 +193,78 @@ class StataWriterSpec extends SparkTestBase {
     assert(graft.core.stata.StataParser.parse(path118).version == 118)
   }
 
+  test("dtaVersion=117 writes xmlish legacy layout that roundtrips") {
+    import spark.implicits._
+    // covers all storage classes incl. strL (>2045 bytes) and value labels;
+    // é exercises the windows-1252 transcoding of pre-118 strings
+    val df = Seq(
+      (1, 1.5, "café", "x" * 3000, java.sql.Date.valueOf("2020-06-01"), 1),
+      (2, -2.5, "de", "y", java.sql.Date.valueOf("1959-12-31"), 2))
+      .toDF("id", "v", "s", "big", "dt", "code")
+    val path = tmp("v117.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("dtaVersion", "117")
+      .option("valueLabels", "code:1=One,2=Two").save(path)
+    val md = graft.core.stata.StataParser.parse(path)
+    assert(md.version == 117)
+    assert(md.valueLabels.exists(_.mapping == Map(1 -> "One", 2 -> "Two")))
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path).orderBy("id")
+    val got = back.collect()
+    assert(got.length == 2)
+    assert(got(0).getString(2) == "café") // survived 1252 roundtrip
+    assert(got(0).getString(3) == "x" * 3000)  // strL with u32 refs
+    assert(got(0).getDate(4) == java.sql.Date.valueOf("2020-06-01"))
+    assert(got(1).getDouble(1) == -2.5)
+  }
+
+  test("dtaVersion=114 writes the pre-xml binary layout that roundtrips") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1.5f, 2.5, "café", 10.toShort, 3.toByte,
+        java.sql.Date.valueOf("2020-06-01"), 1),
+      (2, -1.5f, -2.5, "s" * 244, (-20).toShort, (-4).toByte,
+        java.sql.Date.valueOf("1959-12-31"), 2))
+      .toDF("id", "f", "d", "s", "i", "b", "dt", "code")
+    val path = tmp("v114.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("dtaVersion", "114")
+      .option("valueLabels", "code:1=One,2=Two").save(path)
+    val md = graft.core.stata.StataParser.parse(path)
+    assert(md.version == 114)
+    assert(md.nObs == 2 && md.nVars == 8)
+    assert(md.valueLabels.exists(_.mapping == Map(1 -> "One", 2 -> "Two")))
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(path).orderBy("id")
+    val got = back.collect()
+    assert(got.length == 2)
+    assert(got(0).getString(3) == "café")
+    assert(got(1).getString(3) == "s" * 244) // max 114 string width
+    assert(got(0).getDate(6) == java.sql.Date.valueOf("2020-06-01"))
+    assert(got(1).getByte(5) == -4.toByte)
+    // nulls map to the version's missing sentinels and read back as null
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, null, "a"), Row(2, 5.0, null)).toIndexedSeq, 1),
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("x", DoubleType), StructField("s", StringType))))
+    val p2 = tmp("v114_nulls.dta")
+    withNulls.write.format("readstat").mode("overwrite")
+      .option("dtaVersion", "114").save(p2)
+    val b2 = spark.read.format("readstat").load(p2).orderBy("id").collect()
+    assert(b2(0).isNullAt(1) && b2(1).isNullAt(2))
+  }
+
+  test("dta 114 rejects over-wide strings with a clear error") {
+    import spark.implicits._
+    val df = Seq((1, "z" * 300)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("dtaVersion", "114").save(tmp("v114_wide.dta"))
+    }
+    assert(e.getMessage.contains("117"))
+  }
+
   test("wide frame (600 columns) roundtrips through dta") {
     val n = 600
     val schema = org.apache.spark.sql.types.StructType(
