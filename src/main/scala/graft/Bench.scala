@@ -26,13 +26,14 @@ object Bench {
     if (!new java.io.File(path).exists())
       df.write.format("readstat").mode("overwrite").save(path)
 
-  /** (dta10m, sav10m, dta50m) */
-  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String)] = {
+  /** (dta10m, sav10m, dta50m, zsav10m) */
+  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       val dta = s"/tmp/graft_bench/${tag}_big.dta"
       val sav = s"/tmp/graft_bench/${tag}_big.sav"
       val dta50 = s"/tmp/graft_bench/${tag}_big50.dta"
+      val zsav = s"/tmp/graft_bench/${tag}_big.zsav"
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
@@ -44,7 +45,8 @@ object Bench {
       ensureFile(replicated(10000000L), dta)
       ensureFile(replicated(10000000L), sav)
       ensureFile(replicated(50000000L), dta50)
-      Some((dta, sav, dta50))
+      ensureFile(replicated(10000000L), zsav)
+      Some((dta, sav, dta50, zsav))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
       None
@@ -81,7 +83,7 @@ object Bench {
     // exactly; the 50M file is the decode-dominated variant where
     // Spark's fixed planning overhead is amortized away.
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
-      case (dta, sav, dta50) => Seq[(String, () => Long)](
+      case (dta, sav, dta50, zsav) => Seq[(String, () => Long)](
         ("stata_fullread_10m", () => {
           // full materialization of every column, like the baseline's
           // read-into-frame. toRdd keeps the unprojected schema (count()
@@ -109,6 +111,13 @@ object Bench {
         ("stata_subset_filter_50m", () =>
           scan(dta50).select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
+            .agg(count(lit(1))).collect()(0).getLong(0)),
+        // compressed read: checkpoint-parallel zlib inflate + columnar
+        // decode (the reference's zsav path is serial, BASELINE.md:45-48)
+        ("zsav_fullread_10m", () =>
+          scan(zsav).queryExecution.toRdd.count()),
+        ("zsav_subset_read", () =>
+          scan(zsav).select("l_quantity", "l_returnflag")
             .agg(count(lit(1))).collect()(0).getLong(0)))
     }
 

@@ -63,10 +63,32 @@ object Multimodal {
       }(enc)
   }
 
-  /** STUB resize: a real implementation would decode the image, scale to
-    * (w, h) and re-encode. The deterministic fake strides the payload so
-    * the output length tracks the pixel budget — downstream size
-    * accounting and schema handling stay real. */
+  /** Real image resize using the JDK's built-in codecs (javax.imageio +
+    * java.awt, headless-safe): decode PNG/JPEG/GIF/BMP, bilinear-scale to
+    * (w, h), re-encode as PNG. Returns None when ImageIO has no decoder
+    * for the payload (audio/video containers, raw bytes). */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val scaled = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** STUB resize for non-image media: a real implementation would hand
+    * audio/video payloads to their codecs (not in the JDK). The
+    * deterministic fake strides the payload so the output length tracks
+    * the pixel budget — downstream size accounting stays real. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val target = math.max(1, math.min(payload.length, w * h / 8))
     val out = new Array[Byte](target)
@@ -77,7 +99,9 @@ object Multimodal {
   }
 
   /** Resize the payload column in bounded per-partition batches; meta is
-    * rewritten to the new byte count + target dims. */
+    * rewritten to the new byte count + target dims. Decodable images go
+    * through the real ImageIO path (declared_format "png"); payloads no
+    * JDK codec accepts fall back to the declared stub ("raw"). */
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -92,9 +116,13 @@ object Multimodal {
     media.select("media_id", "media_type", "payload")
       .mapPartitions { it =>
         it.map { r =>
-          val resized = resizeStub(r.getAs[Array[Byte]](2), w, h)
+          val payload = r.getAs[Array[Byte]](2)
+          val (resized, fmt) = resizeImage(payload, w, h) match {
+            case Some(png) => (png, "png")
+            case None => (resizeStub(payload, w, h), "raw")
+          }
           Row(r.getLong(0), r.getString(1), resized,
-            Row(resized.length, "raw", w, h))
+            Row(resized.length, fmt, w, h))
         }
       }(enc)
   }

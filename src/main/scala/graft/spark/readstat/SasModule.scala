@@ -359,16 +359,16 @@ object SasModule extends FormatModule {
       required: StructType): Boolean = {
     if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
       opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
-    val md = metadata(path)
-    if (md.compression != 0) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
   /** One ColumnarBatch per data-bearing page: per-column tight loops over
-    * the page's fixed-width row slots (uncompressed rows never span
-    * pages). */
+    * the page's fixed-width row slots (rows never span pages). RLE/RDC
+    * pages decompress their row subheaders into one contiguous page-local
+    * buffer first, then run the same column loops over it — compressed
+    * files get the vectorized path too, not the row fallback. */
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -384,16 +384,22 @@ object SasModule extends FormatModule {
         (c, kindFor(c))
       }
     }
-    val rowIndexBase: Long =
-      if (opts.rowIndexName.isDefined) pageRowOffsets(part.path)(part.startRow.toInt)
-      else 0L
+    val rowIndexBase: Long = part.rowsBefore.getOrElse(
+      if (opts.rowIndexName.isDefined && md.compression == 0)
+        pageRowOffsets(part.path)(part.startRow.toInt)
+      else 0L)
     val cs = md.charset
     val little = md.little
     val rowLen = md.rowLength
     val startPage = part.startRow.toInt
     val endPage = (part.startRow + part.numRows).toInt
-    val capRows: Long =
-      if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
+    // same cap math as the row path: phantom trailing row subheaders only
+    // exist at the end of the file
+    val capRows: Long = part.rowsBefore match {
+      case Some(before) => math.max(0L, md.rowCount - before)
+      case None =>
+        if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
+    }
 
     val raf = new RandomAccessFile(part.path, "r")
     raf.seek(md.headerLength.toLong + startPage.toLong * md.pageLength)
@@ -402,44 +408,58 @@ object SasModule extends FormatModule {
     new Iterator[ColumnarBatch] {
       private var pageIdx = startPage
       private var emitted = 0L
-      private var pending: Array[Int] = _ // row offsets of the prefetched page
+      // prefetched page's rows: buffer + per-row offsets (buffer is the
+      // page itself when nothing needed decompression)
+      private var pendingBuf: Array[Byte] = _
+      private var pendingOffs: Array[Int] = _
       private var closed = false
       private def close(): Unit = if (!closed) { closed = true; raf.close() }
 
-      /** Offsets of the data rows on an uncompressed page. */
-      private def pageDataOffsets(): Array[Int] = {
-        val (pType, blockCount, subCount) = SasCore.readPageHeader(page, md)
-        val pbo = md.pageBitOffset
-        if (pType == PtData) {
-          val off = pbo + 8
-          Array.tabulate(blockCount)(i => off + i * rowLen)
-        } else if (pType == PtMix1 || pType == PtMix2) {
-          var dataStart = pbo + 8 + subCount * 3 * md.intSize
-          if (dataStart % 8 == 4) dataStart += 4
-          val maxFit = math.max(0, md.pageLength - dataStart) / math.max(1, rowLen)
-          val n = math.min(maxFit.toLong,
-            math.min(md.rowCount, md.mixPageRowCount)).toInt
-          Array.tabulate(n)(i => dataStart + i * rowLen)
-        } else Array.emptyIntArray
+      /** Materialize one page's data rows: direct page offsets when all
+        * slots are plain, else RLE/RDC-decompress each row subheader into
+        * one contiguous rowLen-strided buffer. */
+      private def materializePage(): Boolean = {
+        val slots = pageRowSlots(page, md)
+        if (slots.isEmpty) return false
+        if (!slots.exists(_._3)) {
+          pendingBuf = page
+          pendingOffs = slots.map(_._1).toArray
+        } else {
+          val buf = new Array[Byte](slots.length * rowLen)
+          var i = 0
+          slots.foreach { case (off, len, needsDecomp) =>
+            if (!needsDecomp) System.arraycopy(page, off, buf, i * rowLen, len)
+            else {
+              val in = java.util.Arrays.copyOfRange(page, off, off + len)
+              val d = if (md.compression == 1) Rle.decompress(in, rowLen)
+                      else Rdc.decompress(in, rowLen)
+              System.arraycopy(d, 0, buf, i * rowLen, math.min(d.length, rowLen))
+            }
+            i += 1
+          }
+          pendingBuf = buf
+          pendingOffs = Array.tabulate(slots.length)(_ * rowLen)
+        }
+        true
       }
 
       override def hasNext: Boolean = {
-        if (pending != null) return true
+        if (pendingOffs != null) return true
         if (emitted >= capRows) { close(); return false }
-        while (pending == null && pageIdx < endPage) {
+        while (pendingOffs == null && pageIdx < endPage) {
           try raf.readFully(page)
           catch { case _: java.io.EOFException => close(); return false }
           pageIdx += 1
-          val offs = pageDataOffsets()
-          if (offs.nonEmpty) pending = offs
+          materializePage()
         }
-        if (pending == null) { close(); false } else true
+        if (pendingOffs == null) { close(); false } else true
       }
 
       override def next(): ColumnarBatch = {
         if (!hasNext) throw new NoSuchElementException
-        var offs = pending
-        pending = null
+        val buf = pendingBuf
+        var offs = pendingOffs
+        pendingBuf = null; pendingOffs = null
         if (emitted + offs.length > capRows)
           offs = offs.take((capRows - emitted).toInt)
         val n = offs.length
@@ -449,14 +469,15 @@ object SasModule extends FormatModule {
         var c = 0
         while (c < plans.length) {
           val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
-          decodeColumn(plans(c), offs, n, startRow, vec)
+          decodeColumn(plans(c), buf, offs, n, startRow, vec)
           vectors(c) = vec
           c += 1
         }
         new ColumnarBatch(vectors, n)
       }
 
-      private def decodeColumn(pl: (SasColumn, Kind), offs: Array[Int], n: Int,
+      private def decodeColumn(pl: (SasColumn, Kind), page: Array[Byte],
+          offs: Array[Int], n: Int,
           startRow: Long, vec: OnHeapColumnVector): Unit = {
         val (col, kind) = pl
         if (col == null) { // row index

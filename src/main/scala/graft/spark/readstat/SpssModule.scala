@@ -243,22 +243,22 @@ object SpssModule extends FormatModule {
   private def formatNum(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  // ---- vectorized decode path (uncompressed sav only) ----
+  // ---- vectorized decode path ----
 
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
     if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
       opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
-    val md = metadata(path)
-    if (md.compression != 0) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
-  /** Per-column tight loops over fixed-width record chunks — the
-    * uncompressed regime is O(1)-seekable, so this mirrors the Stata/XPT
-    * columnar readers. */
+  /** Per-column tight loops over fixed-width record chunks. Uncompressed
+    * files chunk-read straight off an O(1) seek; bytecode/zsav partitions
+    * decompress through their checkpointed RowSource into the same
+    * recordLen-strided chunk buffer, so compressed files get typed column
+    * vectors instead of the per-cell row fallback. */
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -271,15 +271,27 @@ object SpssModule extends FormatModule {
       if (opts.rowIndexName.contains(f.name)) null
       else md.vars(byName(f.name))
     }
-    val raf = new RandomAccessFile(part.path, "r")
-    raf.seek(md.dataOffset + part.startRow * recordLen)
     val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
+    // uncompressed: bulk reads off a seek; compressed: checkpointed
+    // sequential decompression (exactly the row path's source)
+    val raf = if (md.compression == 0) {
+      val r = new RandomAccessFile(part.path, "r")
+      r.seek(md.dataOffset + part.startRow * recordLen)
+      r
+    } else null
+    val rowSource: RowSource = md.compression match {
+      case 0 => null
+      case 1 => new BytecodeRowSource(part, md)
+      case 2 => new ZsavRowSource(part, md)
+      case other => throw new IllegalArgumentException(s"sav compression $other")
+    }
 
     new Iterator[ColumnarBatch] {
       private var remaining = part.numRows
       private var globalRow = part.startRow
       private var closed = false
-      private def close(): Unit = if (!closed) { closed = true; raf.close() }
+      private def close(): Unit =
+        if (!closed) { closed = true; if (raf != null) raf.close() }
 
       override def hasNext: Boolean = {
         if (remaining <= 0) close()
@@ -287,16 +299,27 @@ object SpssModule extends FormatModule {
       }
 
       override def next(): ColumnarBatch = {
-        val n = math.min(chunkRows.toLong, remaining).toInt
+        var n = math.min(chunkRows.toLong, remaining).toInt
         val buf = new Array[Byte](n * recordLen)
-        raf.readFully(buf)
+        if (raf != null) raf.readFully(buf)
+        else {
+          // assemble the chunk from decompressed rows; the source
+          // null-terminates at EOF (checkpoint row counts are exact,
+          // this only tolerates truncated files)
+          var i = 0
+          var eof = false
+          while (i < n && !eof) {
+            if (rowSource.nextRowInto(buf, i * recordLen)) i += 1 else eof = true
+          }
+          if (i < n) { n = i; remaining = n.toLong }
+        }
         val startRow = globalRow
         remaining -= n; globalRow += n
         if (remaining <= 0) close()
         val vectors = new Array[ColumnVector](plans.length)
         var c = 0
         while (c < plans.length) {
-          val vec = new OnHeapColumnVector(n, required.fields(c).dataType)
+          val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
           decodeColumn(plans(c), required.fields(c).dataType, buf, n, startRow, vec)
           vectors(c) = vec
           c += 1
@@ -402,7 +425,10 @@ object SpssModule extends FormatModule {
         val (cOfs, _, cSize) = it.next()
         val b = new Array[Byte](cSize)
         raf.seek(cOfs); raf.readFully(b)
-        new InflaterInputStream(new java.io.ByteArrayInputStream(b))
+        // buffered: the index skim reads 8 bytes at a time, which would
+        // otherwise be one inflater call per control word
+        new BufferedInputStream(
+          new InflaterInputStream(new java.io.ByteArrayInputStream(b)), 1 << 16)
       }
     }
 
@@ -463,7 +489,17 @@ object SpssModule extends FormatModule {
   }
 
   // ---- row sources ----
-  private trait RowSource { def nextRow(): Array[Byte] }
+  private trait RowSource {
+    def nextRow(): Array[Byte]
+    /** Decode the next row directly into dst at off (no per-row
+      * allocation); default delegates to nextRow for sources where the
+      * copy is already the cheap part. */
+    def nextRowInto(dst: Array[Byte], off: Int): Boolean = {
+      val r = nextRow()
+      if (r == null) false
+      else { System.arraycopy(r, 0, dst, off, r.length); true }
+    }
+  }
 
   /** Uncompressed: O(1) seek + bulk chunk reads. */
   private final class SeekRowSource(part: RangePartition, md: SpssMeta)
@@ -526,25 +562,30 @@ object SpssModule extends FormatModule {
     private var toSkip = if (part.sav.isDefined) 0L else part.startRow
 
     override def nextRow(): Array[Byte] = {
-      while (toSkip > 0) { if (readRow() == null) return null; toSkip -= 1 }
-      if (emitted >= part.numRows) { in.close(); return null }
-      val r = readRow()
-      if (r == null) in.close() else emitted += 1
-      r
+      val out = new Array[Byte](recordLen)
+      if (nextRowInto(out, 0)) out else null
     }
 
-    private def readRow(): Array[Byte] = {
-      if (finished) return null
-      val out = new Array[Byte](recordLen)
-      var pos = 0
-      while (pos < recordLen) {
+    override def nextRowInto(dst: Array[Byte], off: Int): Boolean = {
+      while (toSkip > 0) { if (!readRowInto(dst, off)) return false; toSkip -= 1 }
+      if (emitted >= part.numRows) { in.close(); return false }
+      val ok = readRowInto(dst, off)
+      if (!ok) in.close() else emitted += 1
+      ok
+    }
+
+    private def readRowInto(out: Array[Byte], base: Int): Boolean = {
+      if (finished) return false
+      var pos = base
+      val end = base + recordLen
+      while (pos < end) {
         val code = nextControl()
-        if (code < 0) { finished = true; return null }
+        if (code < 0) { finished = true; return false }
         code match {
           case 0 => // padding
-          case 252 => finished = true; return null
+          case 252 => finished = true; return false
           case 253 =>
-            if (!fill(out, pos, 8)) { finished = true; return null }
+            if (!fill(out, pos, 8)) { finished = true; return false }
             pos += 8
           case 254 =>
             java.util.Arrays.fill(out, pos, pos + 8, ' '.toByte)
@@ -565,7 +606,7 @@ object SpssModule extends FormatModule {
             pos += 8
         }
       }
-      out
+      true
     }
 
     private def nextControl(): Int = {
@@ -594,8 +635,9 @@ object SpssModule extends FormatModule {
     }
   }
 
-  /** zsav (compression=2): inflate the zlib block stream, then bytecode-
-    * decode. Blocks are concatenated through a streaming inflater chain. */
+  /** zsav (compression=2): inflate whole zlib blocks into arrays (sizes
+    * come from the trailer), then bytecode-decode straight off the
+    * buffers — no per-byte inflater calls in the hot path. */
   private final class ZsavRowSource(part: RangePartition, md: SpssMeta)
       extends RowSource {
     private val recordLen = md.recordLen
@@ -609,46 +651,61 @@ object SpssModule extends FormatModule {
       while (b + 1 < uPrefix.length - 1 && uPrefix(b + 1) <= startUOff) b += 1
       b
     }
-    private var skipInBlock = startUOff - uPrefix(firstBlock)
-    // lazily inflate blocks into one logical stream
+    private var skipInBlock = (startUOff - uPrefix(firstBlock)).toInt
     private val blockIter = entries.iterator.drop(firstBlock)
-    private val inner = new BytecodeFromStream(recordLen, md, () => nextByteStream(),
+    private val inner = new BytecodeFromStream(recordLen, md, () => nextBlock(),
       part.sav.map(_.ctrl).orNull, part.sav.map(_.ctrlI).getOrElse(8))
     private var emitted = 0L
     private var toSkip = if (part.sav.isDefined) 0L else part.startRow
 
-    private def nextByteStream(): java.io.InputStream = {
+    /** Next fully-inflated block (minus any initial checkpoint skip). */
+    private def nextBlock(): Array[Byte] = {
       if (!blockIter.hasNext) return null
-      val (cOfs, _, cSize) = blockIter.next()
+      val (cOfs, uSize, cSize) = blockIter.next()
       val b = new Array[Byte](cSize)
       raf.seek(cOfs)
       raf.readFully(b)
-      val s = new InflaterInputStream(new java.io.ByteArrayInputStream(b))
-      while (skipInBlock > 0) {
-        val n = s.skip(skipInBlock)
-        if (n > 0) skipInBlock -= n
-        else if (s.read() < 0)
-          throw new java.io.EOFException("zsav: EOF inside checkpoint block")
-        else skipInBlock -= 1
-      }
-      s
+      val out = new Array[Byte](uSize)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(b)
+        var off = 0
+        while (off < uSize && !inf.finished()) {
+          val n = inf.inflate(out, off, uSize - off)
+          if (n == 0 && inf.needsInput())
+            throw new java.io.EOFException("zsav: truncated block")
+          off += n
+        }
+        val res =
+          if (skipInBlock > 0 || off < uSize)
+            java.util.Arrays.copyOfRange(out, math.min(skipInBlock, off), off)
+          else out
+        skipInBlock = 0
+        res
+      } finally inf.end()
     }
 
     override def nextRow(): Array[Byte] = {
-      while (toSkip > 0) { if (inner.readRow() == null) return null; toSkip -= 1 }
-      if (emitted >= part.numRows) { raf.close(); return null }
-      val r = inner.readRow()
-      if (r == null) raf.close() else emitted += 1
-      r
+      val out = new Array[Byte](recordLen)
+      if (nextRowInto(out, 0)) out else null
+    }
+
+    override def nextRowInto(dst: Array[Byte], off: Int): Boolean = {
+      while (toSkip > 0) { if (!inner.readRowInto(dst, off)) return false; toSkip -= 1 }
+      if (emitted >= part.numRows) { raf.close(); return false }
+      val ok = inner.readRowInto(dst, off)
+      if (!ok) raf.close() else emitted += 1
+      ok
     }
   }
 
-  /** Bytecode decoder over a chain of InputStreams (zsav blocks),
+  /** Bytecode decoder over a chain of pre-inflated block buffers (zsav),
     * optionally resuming from a checkpoint's control-byte state. */
   private final class BytecodeFromStream(recordLen: Int, md: SpssMeta,
-      nextStream: () => java.io.InputStream,
+      nextBlock: () => Array[Byte],
       initCtrl: Array[Byte] = null, initCtrlI: Int = 8) {
-    private var in: java.io.InputStream = nextStream()
+    private var buf: Array[Byte] = _
+    private var bufPos = 0
     private val control = new Array[Byte](8)
     private var controlI = initCtrlI
     if (initCtrl != null) System.arraycopy(initCtrl, 0, control, 0, 8)
@@ -660,18 +717,28 @@ object SpssModule extends FormatModule {
       o.toByteArray
     }
 
-    def readRow(): Array[Byte] = {
-      if (finished || in == null) return null
-      val out = new Array[Byte](recordLen)
-      var pos = 0
-      while (pos < recordLen) {
+    /** True while a current block (or a next one) has bytes. */
+    private def ensure(): Boolean = {
+      while (buf == null || bufPos >= buf.length) {
+        buf = nextBlock()
+        bufPos = 0
+        if (buf == null) return false
+      }
+      true
+    }
+
+    def readRowInto(out: Array[Byte], base: Int): Boolean = {
+      if (finished) return false
+      var pos = base
+      val end = base + recordLen
+      while (pos < end) {
         val code = nextControl()
-        if (code < 0) { finished = true; return null }
+        if (code < 0) { finished = true; return false }
         code match {
           case 0 =>
-          case 252 => finished = true; return null
+          case 252 => finished = true; return false
           case 253 =>
-            if (!fill(out, pos, 8)) { finished = true; return null }
+            if (!fill(out, pos, 8)) { finished = true; return false }
             pos += 8
           case 254 =>
             java.util.Arrays.fill(out, pos, pos + 8, ' '.toByte); pos += 8
@@ -689,30 +756,12 @@ object SpssModule extends FormatModule {
             pos += 8
         }
       }
-      out
-    }
-
-    private def readByte(): Int = {
-      if (in == null) return -1
-      var b = in.read()
-      while (b < 0) {
-        in.close()
-        in = nextStream()
-        if (in == null) return -1
-        b = in.read()
-      }
-      b
+      true
     }
 
     private def nextControl(): Int = {
       if (controlI == 8) {
-        var i = 0
-        while (i < 8) {
-          val b = readByte()
-          if (b < 0) return -1
-          control(i) = b.toByte
-          i += 1
-        }
+        if (!fill(control, 0, 8)) return -1
         controlI = 0
       }
       val b = control(controlI) & 0xff
@@ -723,10 +772,11 @@ object SpssModule extends FormatModule {
     private def fill(out: Array[Byte], off: Int, n: Int): Boolean = {
       var got = 0
       while (got < n) {
-        val b = readByte()
-        if (b < 0) return false
-        out(off + got) = b.toByte
-        got += 1
+        if (!ensure()) return false
+        val take = math.min(n - got, buf.length - bufPos)
+        System.arraycopy(buf, bufPos, out, off + got, take)
+        bufPos += take
+        got += take
       }
       true
     }

@@ -117,6 +117,37 @@ class PipelineSpec extends SparkTestBase {
       again.map(_.getAs[Array[Byte]](2).toSeq).toSeq)
   }
 
+  test("real PNG payloads decode, resize and re-encode with correct dims") {
+    import spark.implicits._
+    // build real PNGs with the JDK encoder: 64x48 gradient per id
+    def png(id: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 48)
+        img.setRGB(x, y, (x * 4 << 16) | (y * 5 << 8) | (id * 37 & 0xff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = (1 to 5).map(i => (i.toLong, "image/png", png(i)))
+      .toDF("media_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(media, w = 16, h = 12)
+      .orderBy("media_id").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val meta = r.getStruct(3)
+      assert(meta.getString(1) == "png") // real codec path, not the stub
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(back.getWidth == 16 && back.getHeight == 12)
+    }
+    // undecodable payloads still fall back to the declared stub
+    val junk = Seq((9L, "video/mp4", Array.fill[Byte](500)(7)))
+      .toDF("media_id", "media_type", "payload")
+    val j = Multimodal.resizeImages(junk, w = 16, h = 12).collect()(0)
+    assert(j.getStruct(3).getString(1) == "raw")
+  }
+
   test("multimodal frame sampling emits every k-th fixed-size slice") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10))
     val frames = Multimodal.sampleFrames(media, everyK = 2, frameSize = 64)

@@ -92,6 +92,38 @@ class PushdownPlanSpec extends SparkTestBase {
     assert(shuffles.length <= 3, s"q13 plans ${shuffles.length} shuffles:\n${q13.queryExecution.executedPlan}")
   }
 
+  test("compressed SAS pages (RLE and RDC) run the columnar path") {
+    // test2 = SASYZCRL (RLE), test.sas7bdat = SASYZCR2 (RDC, 10k rows);
+    // both must plan ColumnarToRow and match the row path value-for-value
+    // (row path forced via a no-op schemaOverride on the first column)
+    for (fixture <- Seq("fixtures/sas/test2.sas7bdat", "fixtures/sas/test.sas7bdat")) {
+      val path = res(fixture)
+      val df = spark.read.format("readstat").load(path)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"), s"$fixture not columnar:\n$plan")
+      val f0 = df.schema.fields(0)
+      val rowPath = spark.read.format("readstat")
+        .option("schemaOverrides", s"${f0.name} ${f0.dataType.sql}").load(path)
+      assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assertSameData(df, rowPath, fixture)
+    }
+  }
+
+  test("compressed SPSS (bytecode and zsav) runs the columnar path") {
+    for (fixture <- Seq("fixtures/spss/sample.sav", "fixtures/spss/sample.zsav",
+        "fixtures/spss/sample_large.sav")) {
+      val path = res(fixture)
+      val df = spark.read.format("readstat").load(path)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"), s"$fixture not columnar:\n$plan")
+      val f0 = df.schema.fields(0)
+      val rowPath = spark.read.format("readstat")
+        .option("schemaOverrides", s"${f0.name} ${f0.dataType.sql}").load(path)
+      assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      assertSameData(df, rowPath, fixture)
+    }
+  }
+
   test("label/override scans fall back to the row path with same results") {
     val plain = spark.read.format("readstat").load(dtaPath)
       .agg(sum("a"), sum("b")).collect()(0)
