@@ -190,6 +190,36 @@ object Text {
       |WHERE round(n_int / (sa.n_sh + sb.n_sh - n_int), 4) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup clustering: exact jaccard pairs collapsed into dedup groups
+    * via distributed connected components (hash-min propagation,
+    * Graph.connectedComponents). cluster_id = min doc_id in the group —
+    * the id a pipeline would keep as the canonical representative. The
+    * DuckDB oracle recomputes components with a recursive CTE over the
+    * same exact-jaccard pair set. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String = {
+    val pairsBody = ngramJaccardPairsSql.stripSuffix("ORDER BY id_a, id_b").trim
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM ($pairsBody)
+       |),
+       |edges AS (
+       |  SELECT id_a AS x, id_b AS y FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS x, id_a AS y FROM pairs),
+       |reach AS (
+       |  SELECT x AS src, x AS node FROM (SELECT DISTINCT x FROM edges)
+       |  UNION
+       |  SELECT r.src, e.y AS node FROM reach r JOIN edges e ON e.x = r.node)
+       |SELECT src AS doc_id, min(node) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   /** Language distribution × a cheap heuristic signal (mean token length):
     * groundwork for the langid operator (full n-gram model in
     * graft.functions.LangId, verified in ScalaTest). */
@@ -216,6 +246,7 @@ object Text {
     "text_fingerprint" -> (fingerprint _, fingerprintSql),
     "dedup_exact" -> (dedupExact _, dedupExactSql),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
+    "dedup_clusters" -> (dedupClusters _, dedupClustersSql),
     "text_lang_stats" -> (langStats _, langStatsSql),
   )
 }

@@ -90,6 +90,25 @@ class PipelineSpec extends SparkTestBase {
     assert(got == 5, s"langid got $got/5 correct")
   }
 
+  test("connected components collapse near-dup pairs into clusters") {
+    import spark.implicits._
+    // two chains (diameter > 1 forces multiple propagation rounds),
+    // one triangle, one isolated pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),       // chain -> comp 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle -> comp 10
+      (20L, 21L),                         // pair -> comp 20
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // longer chain -> 30
+    ).toDF("a", "b")
+    val comp = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    assert(Seq(30L, 31L, 32L, 33L, 34L).forall(comp(_) == 30L))
+    assert(comp.size == 14)
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     val media = Multimodal.mediaFromDocuments(docs.limit(50))
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
