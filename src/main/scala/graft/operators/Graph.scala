@@ -32,33 +32,95 @@ object Graph {
     *         returned (isolated docs are their own trivial cluster).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
-      .unionAll(edges.select(col(dstCol).as("x"), col(srcCol).as("y")))
+      maxIter: Int = 25, localEdgeThreshold: Long = 5000000L): DataFrame = {
+    // cache the edge list BEFORE symmetrizing: the unionAll's two branches
+    // are independent plans, so an uncached (possibly expensive) edge
+    // pipeline would be computed twice
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).cache()
+
+    // Cost-based plan choice (same philosophy as the ngram-jaccard
+    // operator): near-dup pair sets are usually orders of magnitude
+    // smaller than the corpus, and the distributed loop pays several
+    // shuffle rounds of fixed overhead. Below the threshold (~80 MB of
+    // long pairs) a driver-side union-find with min-root linking answers
+    // in milliseconds; above it, the shuffle loop scales to graphs no
+    // single machine holds.
+    val integralIds = edges.schema(srcCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (integralIds && e.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      e.collect().foreach { row =>
+        val a = row.get(0) match { case i: Int => i.toLong; case l: Long => l }
+        val b = row.get(1) match { case i: Int => i.toLong; case l: Long => l }
+        val (ra, rb) = (find(a), find(b))
+        // min-root union: the root of every tree is the component minimum
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        else { parent.putIfAbsent(a, a); parent.putIfAbsent(b, b) }
+      }
+      val ids = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      parent.keySet().forEach(k => ids += ((k, find(k))))
+      // roots map to themselves and may be absent from `parent`'s keys
+      val seen = ids.map(_._1).toSet
+      ids.map(_._2).distinct.filterNot(seen).foreach(r => ids += ((r, r)))
+      e.unpersist()
+      import spark.implicits._
+      return ids.toSeq.toDF("id", "comp")
+    }
+    val sym = e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
       .cache()
     var labels = sym.select(col("x").as("id")).distinct()
       .withColumn("comp", col("id"))
       .cache()
+    var prevRound: DataFrame = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // min over self + neighbor labels ...
       val nbrMin = sym.join(labels, sym("y") === labels("id"))
         .groupBy(col("x")).agg(min("comp").as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("x"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("x"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
+      // ... then one pointer jump (comp := label(comp)): halves the
+      // remaining diameter each round, so long chains converge in
+      // O(log D) rounds instead of O(D)
+      val jumped = stepped.as("s")
+        .join(labels.select(col("id").as("jid"), col("comp").as("jcomp")),
+          col("s.comp") === col("jid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.comp"), coalesce(col("jcomp"), col("s.comp"))).as("comp"),
+          col("s.prev").as("prev"))
         .cache()
-      val changed = next.filter(col("comp") < col("prev")).count()
-      val old = labels
-      labels = next.select("id", "comp").cache()
-      labels.count() // materialize before dropping parents
-      next.unpersist()
-      old.unpersist()
+      // single action per round: materializes the cache AND returns the
+      // changed-label count
+      val changed = jumped
+        .agg(sum(when(col("comp") < col("prev"), 1L).otherwise(0L)))
+        .collect()(0).getLong(0)
+      if (prevRound != null) prevRound.unpersist()
+      labels.unpersist()
+      labels = jumped.select("id", "comp") // reads through jumped's cache
+      prevRound = jumped
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 }

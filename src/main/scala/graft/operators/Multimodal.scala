@@ -28,10 +28,11 @@ object Multimodal {
     StructField("fingerprint", StringType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** STUB decode: a real implementation would hand `payload` to an image
-    * or audio codec here. The deterministic fake derives an 8-dim
-    * "feature" from the payload bytes so downstream plumbing (schemas,
-    * similarity joins, aggregations) is exercised with stable values.
+  /** STUB decode for payloads no JDK codec accepts (video containers,
+    * raw text bytes): a real implementation would hand them to an
+    * external codec. The deterministic fake derives an 8-dim "feature"
+    * from the payload bytes so downstream plumbing (schemas, similarity
+    * joins, aggregations) is exercised with stable values.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
@@ -43,9 +44,96 @@ object Multimodal {
     out
   }
 
+  private def magic(p: Array[Byte], at: Int, m: Int*): Boolean =
+    p.length >= at + m.length && m.indices.forall(i => (p(at + i) & 0xff) == m(i))
+
+  /** Cheap container sniff so the 100TB hot path never pays codec-probe
+    * or exception cost on payloads that obviously aren't that medium. */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    magic(p, 0, 0x89, 'P', 'N', 'G') || magic(p, 0, 0xff, 0xd8) ||
+      magic(p, 0, 'G', 'I', 'F', '8') || magic(p, 0, 'B', 'M')
+  def looksLikeAudio(p: Array[Byte]): Boolean =
+    magic(p, 0, 'R', 'I', 'F', 'F') || magic(p, 0, 'F', 'O', 'R', 'M') ||
+      magic(p, 0, '.', 's', 'n', 'd')
+
+  /** Real image features via javax.imageio: decode, then an 8-dim summary
+    * (mean R/G/B, luma mean, luma stddev, width, height, aspect). */
+  def imageFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    if (!looksLikeImage(payload)) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    var sr, sg, sb, sl, sl2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += luma; sl2 += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val lMean = sl / n
+    Some(Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+      lMean.toFloat, math.sqrt(math.max(0, sl2 / n - lMean * lMean)).toFloat,
+      w.toFloat, h.toFloat, w.toFloat / h))
+  }
+
+  /** Real audio features via javax.sound.sampled (WAV/AIFF/AU): decode to
+    * 16-bit PCM mono, then an 8-dim summary (rms, peak, zero-crossing
+    * rate, mean, duration seconds, sample rate/1k, channels, frames/1M). */
+  def audioFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!looksLikeAudio(payload)) return None
+    val in = try {
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: Exception => return None }
+    try {
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        2 * src.getChannels, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val bytes = pcm.readAllBytes()
+      val nCh = fmt.getChannels
+      val nFrames = bytes.length / (2 * nCh)
+      if (nFrames == 0) return None
+      var sum, sum2, peak = 0.0
+      var crossings = 0
+      var prev = 0.0
+      var f = 0
+      while (f < nFrames) {
+        // average channels to mono
+        var acc = 0.0
+        var c = 0
+        while (c < nCh) {
+          val i = (f * nCh + c) * 2
+          acc += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort / 32768.0
+          c += 1
+        }
+        val s = acc / nCh
+        sum += s; sum2 += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        if (f > 0 && (s > 0) != (prev > 0)) crossings += 1
+        prev = s
+        f += 1
+      }
+      Some(Array(math.sqrt(sum2 / nFrames).toFloat, peak.toFloat,
+        crossings.toFloat / nFrames, (sum / nFrames).toFloat,
+        (nFrames / fmt.getSampleRate), fmt.getSampleRate / 1000f,
+        nCh.toFloat, nFrames / 1e6f))
+    } catch { case _: Exception => None } finally in.close()
+  }
+
   /** Batch feature extraction over the media frame: mapPartitions keeps
     * each task's working set to one partition of payloads (the Scala
-    * analog of `mapInPandas` batch processing). */
+    * analog of `mapInPandas` batch processing). Images and audio decode
+    * with the real JDK codecs; payloads neither accepts (video, opaque
+    * bytes) get the declared deterministic stub. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -55,7 +143,9 @@ object Multimodal {
           val id = r.getLong(0)
           val mtype = r.getString(1)
           val payload = r.getAs[Array[Byte]](2)
-          val feat = stubDecode(payload)
+          val feat = imageFeatures(payload)
+            .orElse(audioFeatures(payload))
+            .getOrElse(stubDecode(payload))
           val md5 = java.security.MessageDigest.getInstance("MD5")
             .digest(payload).map("%02x".format(_)).mkString
           Row(id, mtype, payload.length, md5, feat.toSeq)

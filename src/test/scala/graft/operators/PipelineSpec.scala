@@ -100,13 +100,19 @@ class PipelineSpec extends SparkTestBase {
       (20L, 21L),                         // pair -> comp 20
       (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L) // longer chain -> 30
     ).toDF("a", "b")
-    val comp = Graph.connectedComponents(edges, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
-    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
-    assert(Seq(20L, 21L).forall(comp(_) == 20L))
-    assert(Seq(30L, 31L, 32L, 33L, 34L).forall(comp(_) == 30L))
-    assert(comp.size == 14)
+    // both plan choices must agree: driver-local union-find (small side
+    // of the cost switch) and the distributed hash-min loop (forced via
+    // a zero threshold)
+    for (threshold <- Seq(5000000L, 0L)) {
+      val comp = Graph.connectedComponents(edges, "a", "b",
+          localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), s"t=$threshold")
+      assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L), s"t=$threshold")
+      assert(Seq(20L, 21L).forall(comp(_) == 20L), s"t=$threshold")
+      assert(Seq(30L, 31L, 32L, 33L, 34L).forall(comp(_) == 30L), s"t=$threshold")
+      assert(comp.size == 14, s"t=$threshold")
+    }
   }
 
   test("multimodal feature extraction is deterministic and schema-stable") {
@@ -165,6 +171,56 @@ class PipelineSpec extends SparkTestBase {
       .toDF("media_id", "media_type", "payload")
     val j = Multimodal.resizeImages(junk, w = 16, h = 12).collect()(0)
     assert(j.getStruct(3).getString(1) == "raw")
+  }
+
+  test("real WAV and PNG payloads produce real codec features") {
+    import spark.implicits._
+    // 0.5s 440Hz sine at amplitude 0.5, 8kHz mono 16-bit WAV
+    val sr = 8000
+    val n = sr / 2
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val wavBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBos)
+    val wav = wavBos.toByteArray
+
+    val af = Multimodal.audioFeatures(wav).get
+    // sine rms = amp/sqrt(2) ~ 0.354; duration 0.5s; sr 8k
+    assert(math.abs(af(0) - 0.3536f) < 0.01, s"rms ${af(0)}")
+    assert(math.abs(af(1) - 0.5f) < 0.01, s"peak ${af(1)}")
+    assert(math.abs(af(4) - 0.5f) < 0.01, s"duration ${af(4)}")
+    assert(af(5) == 8.0f && af(6) == 1.0f)
+
+    // solid-color PNG: channel means are exact
+    val img = new java.awt.image.BufferedImage(
+      10, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 10; y <- 0 until 20) img.setRGB(x, y, (200 << 16) | (100 << 8) | 50)
+    val pngBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBos)
+    val imf = Multimodal.imageFeatures(pngBos.toByteArray).get
+    assert(imf(0) == 200f && imf(1) == 100f && imf(2) == 50f)
+    assert(imf(4) == 0f) // solid color -> zero luma stddev
+    assert(imf(5) == 10f && imf(6) == 20f)
+
+    // extractFeatures dispatches: wav -> audio path, png -> image path,
+    // junk -> stub (8-dim either way, schema stable)
+    val media = Seq(
+      (1L, "audio/wav", wav),
+      (2L, "image/png", pngBos.toByteArray),
+      (3L, "video/mp4", Array.fill[Byte](100)(9)))
+      .toDF("media_id", "media_type", "payload")
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 3)
+    assert(math.abs(feats(0).getSeq[Float](4).head - 0.3536f) < 0.01)
+    assert(feats(1).getSeq[Float](4).head == 200f)
+    assert(feats.forall(_.getSeq[Float](4).length == 8))
   }
 
   test("multimodal frame sampling emits every k-th fixed-size slice") {
