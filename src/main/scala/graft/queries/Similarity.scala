@@ -99,8 +99,92 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** IVF-style ANN: coarse quantization over K deterministic centroids
+    * (the embeddings of vec_id < K — fixed anchors, so the oracle can
+    * replay the exact same index), each corpus vector assigned to its
+    * nearest centroid cell, queries probing their NPROBE nearest cells
+    * and ranking exactly within them.
+    *
+    * Scale shape: centroids broadcast (K vectors); assignment is one
+    * corpus scan; the candidate join shuffles on cell id, so each query
+    * touches NPROBE/K of the corpus instead of all of it — the standard
+    * trade that makes billion-vector search tractable. LSH (AnnLsh) cuts
+    * by hyperplane bucket; IVF cuts by Voronoi cell. */
+  def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val NPROBE = 4
+    val e = embeddings(s, d)
+    val cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // nearest-centroid cell per corpus vector (ties -> smallest cid)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .withColumn("csim", cosineUnrolled(col("embedding"), col("cvec"), EmbeddingDim))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id").as("nid"), col("embedding").as("cv"),
+        col("cid").as("cell"))
+    // each query probes its NPROBE nearest cells
+    val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cent))
+      .withColumn("qsim", cosineUnrolled(col("qv"), col("cvec"), EmbeddingDim))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NPROBE)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    // exact rank within the probed cells only
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosineUnrolled(col("qv"), col("cv"), EmbeddingDim))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val annIvfTopKSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |asg AS (
+      |  SELECT vec_id AS nid, v AS cv, cid AS cell FROM (
+      |    SELECT c.vec_id, c.v, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.v, ct.cvec) /
+      |          (sqrt(list_dot_product(c.v, c.v)) *
+      |           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid) AS arn
+      |    FROM corpus c, cent ct)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT qid, qv, cid AS cell FROM (
+      |    SELECT q.vec_id AS qid, q.v AS qv, ct.cid,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.v, ct.cvec) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid) AS prn
+      |    FROM corpus q, cent ct WHERE q.vec_id < 10)
+      |  WHERE prn <= 4),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      |  FROM (
+      |    SELECT p.qid, a.nid,
+      |      list_dot_product(p.qv, a.cv) /
+      |        (sqrt(list_dot_product(p.qv, p.qv)) *
+      |         sqrt(list_dot_product(a.cv, a.cv))) AS sim
+      |    FROM probes p JOIN asg a ON p.cell = a.cell
+      |    WHERE p.qid <> a.nid))
+      |SELECT qid, nid, round(sim, 4) AS sim, rn
+      |FROM ranked WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
+    "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
     "sim_label_norms" -> (labelCentroidStats _, labelCentroidStatsSql),
   )
 }

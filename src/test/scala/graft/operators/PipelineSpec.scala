@@ -90,6 +90,18 @@ class PipelineSpec extends SparkTestBase {
     assert(got == 5, s"langid got $got/5 correct")
   }
 
+  test("ann-ivf recall vs brute force") {
+    val exact = graft.queries.Similarity.annBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.queries.Similarity.annIvfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"ivf recall@5 = $recall")
+    // 4 of 16 cells probed; near neighbors concentrate in the query's
+    // cell, so recall should be well above the 25% corpus fraction
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("connected components collapse near-dup pairs into clusters") {
     import spark.implicits._
     // two chains (diameter > 1 forces multiple propagation rounds),
