@@ -198,6 +198,8 @@ object StataDtaWriter {
       case "114" =>
         require(cols.length <= 32767,
           s"stata writer: ${cols.length} variables exceed the dta 114 limit")
+        require(nObs <= 0xFFFFFFFFL,
+          s"stata writer: $nObs rows overflow the dta 114 u32 row count")
         cols.foreach { c => c.w match {
           case WStrL => throw new IllegalArgumentException(
             s"stata writer: column ${c.name} exceeds $MaxStrWidth114 bytes — " +
@@ -208,8 +210,12 @@ object StataDtaWriter {
           case _ => ()
         } }
         114
-      case "117" => require(cols.length <= 32767,
-        s"stata writer: ${cols.length} variables exceed the dta 117 limit"); 117
+      case "117" =>
+        require(cols.length <= 32767,
+          s"stata writer: ${cols.length} variables exceed the dta 117 limit")
+        require(nObs <= 0xFFFFFFFFL,
+          s"stata writer: $nObs rows overflow the dta 117 u32 row count")
+        117
       case "118" => require(cols.length <= 32767,
         s"stata writer: ${cols.length} variables exceed the dta 118 limit"); 118
       case "119" => 119
