@@ -26,8 +26,8 @@ object Bench {
     if (!new java.io.File(path).exists())
       df.write.format("readstat").mode("overwrite").save(path)
 
-  /** (dta10m, sav10m, dta50m, zsav10m) */
-  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String)] = {
+  /** (dta10m, sav10m, dta50m, zsav10m, savWide) */
+  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       val dta = s"/tmp/graft_bench/${tag}_big.dta"
@@ -46,7 +46,18 @@ object Bench {
       ensureFile(replicated(10000000L), sav)
       ensureFile(replicated(50000000L), dta50)
       ensureFile(replicated(10000000L), zsav)
-      Some((dta, sav, dta50, zsav))
+      // ANES-shaped wide file (73,745 x 1,030 doubles) — the exact shape
+      // of BASELINE.md's SPSS full-read benchmark, so that number is
+      // compared apples-to-apples rather than against a tall/narrow file
+      val savWide = s"/tmp/graft_bench/${tag}_wide.sav"
+      if (!new java.io.File(savWide).exists()) {
+        val wide = spark.range(73745L).select(
+          (col("id").cast("double").as("c0") +:
+            (1 until 1030).map(i =>
+              ((col("id") * i) % 997).cast("double").as(s"c$i"))): _*)
+        wide.write.format("readstat").mode("overwrite").save(savWide)
+      }
+      Some((dta, sav, dta50, zsav, savWide))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
       None
@@ -83,7 +94,7 @@ object Bench {
     // exactly; the 50M file is the decode-dominated variant where
     // Spark's fixed planning overhead is amortized away.
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
-      case (dta, sav, dta50, zsav) => Seq[(String, () => Long)](
+      case (dta, sav, dta50, zsav, savWide) => Seq[(String, () => Long)](
         ("stata_fullread_10m", () => {
           // full materialization of every column, like the baseline's
           // read-into-frame. toRdd keeps the unprojected schema (count()
@@ -118,6 +129,13 @@ object Bench {
           scan(zsav).queryExecution.toRdd.count()),
         ("zsav_subset_read", () =>
           scan(zsav).select("l_quantity", "l_returnflag")
+            .agg(count(lit(1))).collect()(0).getLong(0)),
+        // ANES shape: 73,745 x 1,030 — BASELINE.md:19-20 measures 1.09s
+        // full read / 0.15s subset on this geometry
+        ("spss_wide_fullread", () =>
+          scan(savWide).queryExecution.toRdd.count()),
+        ("spss_wide_subset", () =>
+          scan(savWide).select("c1", "c7")
             .agg(count(lit(1))).collect()(0).getLong(0)))
     }
 
