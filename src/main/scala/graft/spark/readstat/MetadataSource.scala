@@ -149,8 +149,13 @@ class ReadstatFileMetadataSource extends TableProvider with DataSourceRegister {
 }
 
 object MetadataPaths {
+  private val StatExts = Seq(".dta", ".sav", ".zsav", ".sas7bdat", ".xpt",
+    ".xpt5", ".xpt8", ".por")
+
   /** DSv2 passes a single `load(p)` as "path" and `load(p1, p2, …)` as a
-    * JSON array under "paths". */
+    * JSON array under "paths". Directories expand to the stat files they
+    * contain (non-recursive), so `load(dir)` fans a whole drop of files
+    * out one-partition-each. */
   def fromProperties(properties: util.Map[String, String]): Seq[String] = {
     val multi = Option(properties.get("paths")).map { js =>
       js.stripPrefix("[").stripSuffix("]").split(",")
@@ -158,9 +163,16 @@ object MetadataPaths {
         .filter(_.nonEmpty)
     }.getOrElse(Nil)
     val single = Option(properties.get("path")).toSeq
-    val all = (single ++ multi).distinct
+    val all = (single ++ multi).distinct.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        f.listFiles().toSeq
+          .filter(c => StatExts.exists(c.getName.toLowerCase.endsWith))
+          .map(_.getAbsolutePath).sorted
+      else Seq(p)
+    }
     if (all.isEmpty)
-      throw new IllegalArgumentException("readstat metadata: no path")
+      throw new IllegalArgumentException("readstat metadata: no stat files under the given path(s)")
     all
   }
 }

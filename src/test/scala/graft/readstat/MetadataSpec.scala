@@ -99,5 +99,12 @@ class MetadataSpec extends SparkTestBase {
     val multi = spark.read.format("readstat-file-metadata").load(xpt, por)
     assert(multi.count() == 2)
     assert(multi.rdd.getNumPartitions == 2)
+
+    // directory load expands to the stat files inside it
+    val byDir = spark.read.format("readstat-file-metadata")
+      .load(dir.getAbsolutePath)
+    assert(byDir.count() == 2)
+    assert(byDir.select("format").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("por", "xpt"))
   }
 }
