@@ -73,6 +73,53 @@ object Text {
       |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing document sketch (Schleimer et al., SIGMOD'03 — the MOSS
+    * fingerprinting algorithm): hash every k-char gram, slide a w-wide
+    * window over the hash sequence, keep each window's minimum; the
+    * distinct minima are the sketch. Guarantees any shared substring of
+    * length ≥ w + k − 1 contributes a shared fingerprint, which is what
+    * makes the sketch usable for partial-overlap (plagiarism-style)
+    * detection where whole-document hashing fails.
+    *
+    * Scale shape: the k-gram explode is O(total chars) rows, all window
+    * work is partition-local after one shuffle on doc_id, and only the
+    * per-doc sketch summary leaves the aggregation. */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val k = 8 // gram length
+    val w = 8 // window width
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(length(text) - ${k - 1}, 0)), " +
+            s"i -> md5(substring(text, i, $k)))")).as(Seq("pos", "h")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("mh", min("h").over(win))
+      .withColumn("full", count(lit(1)).over(win))
+      .filter(col("full") === w) // winnowing uses complete windows only
+      .groupBy("doc_id")
+      .agg(countDistinct(col("mh")).as("sketch_size"),
+        min("mh").as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  val winnowFingerprintSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i)),
+      |w AS (
+      |  SELECT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wcnt
+      |  FROM g)
+      |SELECT doc_id, count(DISTINCT mh) AS sketch_size, min(mh) AS min_fp
+      |FROM w WHERE wcnt = 8
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Exact deduplication summary: group by content fingerprint, keep the
     * lowest doc_id per group. Output: corpus-level stats + number of
     * documents that would be dropped. Only the 16-byte hash shuffles. */
@@ -244,6 +291,7 @@ object Text {
     "text_token_counts" -> (tokenCounts _, tokenCountsSql),
     "text_quality_score" -> (qualityScore _, qualityScoreSql),
     "text_fingerprint" -> (fingerprint _, fingerprintSql),
+    "text_winnow_fingerprint" -> (winnowFingerprint _, winnowFingerprintSql),
     "dedup_exact" -> (dedupExact _, dedupExactSql),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
     "dedup_clusters" -> (dedupClusters _, dedupClustersSql),
