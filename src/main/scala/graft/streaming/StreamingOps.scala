@@ -75,6 +75,30 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming sink into stat-file formats: single-file formats cannot
+    * append, so each microbatch writes one complete file
+    * `<dir>/batch_<id>.<ext>` via the distributed two-job writer — the
+    * stat-format analog of a partitioned streaming parquet sink, and the
+    * streaming counterpart of the reference's `sink_stata`. Consume the
+    * result set with a multi-file `spark.read.format("readstat")` load
+    * over the directory's batch files.
+    *
+    * Returns a started query; caller owns awaitTermination/stop. */
+  def writeStatFiles(df: DataFrame, dir: String, ext: String,
+      checkpoint: String,
+      options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val w = batch.write.format("readstat").mode("overwrite")
+          options.foreach { case (k, v) => w.option(k, v) }
+          w.save(s"$dir/batch_$id.$ext")
+        }
+      }
+      .start()
+
   /** Streaming per-language quality stats: watermarked tumbling-window
     * aggregate over the language-ID and quality signals — the streaming
     * shape of the batch text_lang_stats/text_quality_score queries. */

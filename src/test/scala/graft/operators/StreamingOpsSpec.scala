@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.readstat.SparkTestBase
@@ -49,6 +50,29 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(all(1).userId == 1L && all(1).nEvents == 1 &&
         all(1).sessionStart == ts(50) && all(1).totalValue == 5.0)
     } finally q.stop()
+  }
+
+  test("streaming stat-file sink writes one dta per microbatch, re-readable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toFile
+    dir.deleteOnExit()
+    val input = MemoryStream[Event]
+    val q = StreamingOps.writeStatFiles(
+      input.toDS().toDF().withColumn("v2", col("value") * 2),
+      dir.getAbsolutePath, "dta", s"${dir.getAbsolutePath}/_ckpt")
+    try {
+      input.addData(Event(1L, ts(0), "view", 1.0), Event(2L, ts(1), "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts(2), "buy", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = dir.listFiles().filter(_.getName.endsWith(".dta")).sortBy(_.getName)
+    assert(files.length == 2, files.mkString(","))
+    val back = spark.read.format("readstat")
+      .load(files.map(_.getAbsolutePath).toIndexedSeq: _*)
+    assert(back.count() == 3)
+    assert(back.agg(sum("v2")).collect()(0).getDouble(0) == 12.0)
   }
 
   test("watermarked streaming dedup keeps one row per fingerprint") {
