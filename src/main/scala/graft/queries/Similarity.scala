@@ -116,15 +116,16 @@ object Similarity {
     val e = embeddings(s, d)
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // nearest-centroid cell per corpus vector (ties -> smallest cid)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
+    // nearest-centroid cell per corpus vector (ties -> smallest cid);
+    // max_by instead of a window rank: the argmax collapses the K
+    // candidate rows per vector map-side, so only one row per vector
+    // crosses the shuffle instead of K
     val assigned = e.join(broadcast(cent))
       .withColumn("csim", cosineUnrolled(col("embedding"), col("cvec"), EmbeddingDim))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id").as("nid"), col("embedding").as("cv"),
-        col("cid").as("cell"))
+      .groupBy(col("vec_id").as("nid"))
+      .agg(
+        max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
+        first(col("embedding")).as("cv")) // identical across the K rows
     // each query probes its NPROBE nearest cells
     val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
     val probes = e.filter(col("vec_id") < 10)
