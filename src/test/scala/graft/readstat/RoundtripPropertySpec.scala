@@ -79,6 +79,38 @@ class RoundtripPropertySpec extends SparkTestBase {
     }
   }
 
+  test("random frames roundtrip through legacy dta versions 114 and 117") {
+    // legacy dta is windows-1252: generate only 1252-representable
+    // strings (é/ö survive; CJK would transcode to '?' by design) and
+    // cap widths under 114's 244-byte limit
+    val genStr1252: Gen[String] = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(40)),
+      2 -> Gen.oneOf("", "héllo wörld", "café", "x" * 200),
+      1 -> Gen.const(null))
+    val genRows = Gen.listOfN(25,
+      Gen.zip(genDouble, genInt, genStr1252).map { case (d, i, s) => Row(d, i, s) })
+    (1L to 3L).foreach { seed =>
+      val rows = genRows.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
+      val dir = Files.createTempDirectory("graft_propv").toFile
+      dir.deleteOnExit()
+      Seq("114", "117").foreach { v =>
+        val path = s"${dir.getAbsolutePath}/p$v.dta"
+        df.write.format("readstat").mode("overwrite")
+          .option("dtaVersion", v).save(path)
+        assert(graft.core.stata.StataParser.parse(path).version == v.toInt)
+        val back = spark.read.format("readstat")
+          .option("missingStringAsNull", "false").load(path)
+        import org.apache.spark.sql.functions._
+        val wantDf = df.withColumn("s", coalesce(col("s"), lit("")))
+        val gotDf = back.withColumn("s", coalesce(col("s"), lit("")))
+        val key = Seq(col("d").asc_nulls_last, col("i").asc_nulls_last, col("s"))
+        assertSameData(gotDf.orderBy(key: _*), wantDf.orderBy(key: _*), s"v$v-$seed")
+      }
+    }
+  }
+
   test("random frames roundtrip through dta and sav") {
     val genRows = Gen.listOfN(25,
       Gen.zip(genDouble, genInt, genStr).map { case (d, i, s) => Row(d, i, s) })
