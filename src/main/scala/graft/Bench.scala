@@ -38,9 +38,15 @@ object Bench {
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
       val base = li.count()
+      // single cross-join with a range: one plan node however many copies
+      // (a unionAll fold is quadratic in planning and unusable at small
+      // SF where copies runs to thousands); ceil so the file never holds
+      // fewer rows than the metric name implies — actual counts are
+      // emitted under "rows" in the bench JSON
       def replicated(target: Long): DataFrame = {
-        val copies = math.max(1L, target / math.max(1L, base)).toInt
-        (1 until copies).foldLeft(li)((d, _) => d.unionAll(li))
+        val copies = math.max(1L, (target + base - 1) / math.max(1L, base))
+        li.crossJoin(spark.range(copies).select(col("id").as("__copy")))
+          .drop("__copy")
       }
       ensureFile(replicated(10000000L), dta)
       ensureFile(replicated(10000000L), sav)
@@ -141,8 +147,13 @@ object Bench {
 
     // warm every raw-read shape with one full untimed execution: the
     // first run of each shape pays codegen + OS page-cache population
-    // (several seconds) that steady-state reads never see
-    rawReads.foreach { case (_, f) => try f() catch { case _: Throwable => } }
+    // (several seconds) that steady-state reads never see. The warm run
+    // also captures each metric's ACTUAL row count — replication floors
+    // to whole copies of the base table, so "10m" files hold e.g. 9.6M
+    // rows at sf0.1; the emitted counts keep the record honest.
+    val rowCounts: Map[String, Long] = rawReads.flatMap { case (name, f) =>
+      try Some(name -> f()) catch { case _: Throwable => None }
+    }.toMap
 
     // timed runs per query: background machine load varies several-fold
     // between runs in this environment; the minimum is the standard
@@ -164,13 +175,27 @@ object Bench {
     val allRuns = queryResults ++ rawResults
     val results = allRuns.map { case (k, runs) => k -> runs.min }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // round to 100 µs: run-to-run noise here is >1 ms, and shorter
+    // output shrinks the window for log-line interleaving in capture
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runsJson = allRuns.map { case (k, runs) =>
-      s"\"" + k + "\":" + runs.mkString("[", ",", "]")
+      s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val rowsJson = rowCounts.toSeq.sortBy(_._1).map { case (k, n) =>
+      s"\"" + k + "\":" + n
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"rows":$rowsJson,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing: its shutdown-hook logging otherwise
+    // races this println and can interleave mid-line, corrupting the one
+    // JSON record the driver parses (BENCH_r1–r4 all show parsed:null)
     spark.stop()
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    System.out.flush()
   }
 }

@@ -32,11 +32,15 @@ object Graph {
     *         returned (isolated docs are their own trivial cluster).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, localEdgeThreshold: Long = 5000000L): DataFrame = {
+      maxIter: Int = 25, localEdgeThreshold: Long = 2000000L): DataFrame = {
     // cache the edge list BEFORE symmetrizing: the unionAll's two branches
     // are independent plans, so an uncached (possibly expensive) edge
-    // pipeline would be computed twice
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).cache()
+    // pipeline would be computed twice. Null ids cannot belong to a
+    // component — drop those edges up front rather than letting them
+    // NPE the local path or silently join nothing in the distributed one.
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .cache()
 
     // Cost-based plan choice (same philosophy as the ngram-jaccard
     // operator): near-dup pair sets are usually orders of magnitude
@@ -62,9 +66,12 @@ object Graph {
         }
         r
       }
-      e.collect().foreach { row =>
-        val a = row.get(0) match { case i: Int => i.toLong; case l: Long => l }
-        val b = row.get(1) match { case i: Int => i.toLong; case l: Long => l }
+      // collect as specialized (Long, Long) tuples — ~40 B/edge vs ~10×
+      // that for boxed Row objects, which is what bounds the threshold
+      import spark.implicits._
+      val pairs = e.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect()
+      pairs.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         // min-root union: the root of every tree is the component minimum
         if (ra < rb) parent.put(rb, ra)

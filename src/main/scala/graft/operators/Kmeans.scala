@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the training
+  * path for IVF-style ANN partitioning (AnnIvf's deterministic centroids
+  * are the oracle-replayable stand-in; real pipelines train these).
+  *
+  * Scale shape per iteration: centroids (K × dim doubles — KBs) are
+  * broadcast in the closure; assignment is one linear scan with a tight
+  * per-row argmin loop (no join, no shuffle); the update is one
+  * partial-aggregatable groupBy(cluster) over per-dimension sums, so
+  * only K × dim partial sums per map task cross the wire. Nothing ever
+  * collects the corpus: the driver sees exactly K centroid rows per
+  * round. Deterministic: seeds are the K lowest-id vectors and every
+  * step is order-independent arithmetic on doubles.
+  */
+object Kmeans {
+
+  /** @return (centroids: Array[Array[Double]], inertiaPerIter) */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 10): (Array[Array[Double]], Seq[Double]) = {
+    val spark = emb.sparkSession
+    val vecs = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .cache()
+
+    // deterministic seeding: the K lowest-id vectors (k rows to driver)
+    var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val dim = centroids.head.length
+    val inertias = scala.collection.mutable.ArrayBuffer[Double]()
+
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // one pass: argmin assignment fused with per-cluster partial sums
+      // via an rdd aggregate keyed on cluster — (sum[dim], count, sse)
+      val agg = vecs.select("v").rdd.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        var sse = 0.0
+        it.foreach { r =>
+          val v = r.getSeq[Double](0)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            val cv = cs(c)
+            while (i < dim) { val t = v(i) - cv(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          sse += bestD
+          counts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        }
+        Iterator.single((sums, counts, sse))
+      }.reduce { (a, b) =>
+        val (s1, c1, e1) = a; val (s2, c2, e2) = b
+        var c = 0
+        while (c < s1.length) {
+          var i = 0
+          while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+          c1(c) += c2(c); c += 1
+        }
+        (s1, c1, e1 + e2)
+      }
+      bc.destroy()
+      val (sums, counts, sse) = agg
+      inertias += sse
+      val next = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cluster keeps its seat
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      val moved = centroids.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.max
+      centroids = next
+      done = moved < 1e-12
+      iter += 1
+    }
+    vecs.unpersist()
+    (centroids, inertias.toSeq)
+  }
+
+  /** Assign each vector to its nearest centroid (linear scan, no
+    * shuffle). @return (idCol, cluster) */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val dim = centroids.head.length
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            val cv = cs(c)
+            while (i < dim) { val t = v(i) - cv(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          (id, best)
+        }
+      }.toDF(idCol, "cluster")
+  }
+}

@@ -60,7 +60,12 @@ object Multimodal {
     * (mean R/G/B, luma mean, luma stddev, width, height, aspect). */
   def imageFeatures(payload: Array[Byte]): Option[Array[Float]] = {
     if (!looksLikeImage(payload)) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    // a payload can pass the magic-byte sniff and still be truncated or
+    // corrupt; one bad image must not fail the whole task, so decode
+    // errors fall through to the stub like any other undecodable payload
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: Exception => return None }
     if (img == null) return None
     val w = img.getWidth; val h = img.getHeight
     var sr, sg, sb, sl, sl2 = 0.0
@@ -158,21 +163,24 @@ object Multimodal {
     * (w, h), re-encode as PNG. Returns None when ImageIO has no decoder
     * for the payload (audio/video containers, raw bytes). */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    if (img == null) None
-    else {
-      val scaled = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = scaled.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, w, h, null)
-      } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(scaled, "png", bos)
-      Some(bos.toByteArray)
-    }
+    if (!looksLikeImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scaled = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None } // truncated/corrupt image → stub path
   }
 
   /** STUB resize for non-image media: a real implementation would hand

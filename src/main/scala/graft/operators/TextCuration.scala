@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: global line-level deduplication (the C4
+  * preprocessing step), deterministic hash-based split assignment, and
+  * PII redaction. All are expressed with codegen'd built-ins — the only
+  * shuffles are the ones the semantics force (the global line window and
+  * the per-doc rebuild), and nothing ever collects to the driver, so each
+  * operator scales to corpora far beyond one machine.
+  */
+object TextCuration {
+
+  /** Global line-level dedup (the C4 rule: a line that appears more than
+    * once in the corpus is kept only at its first occurrence). "First" is
+    * the minimal (id, position) pair, a deterministic total order; blank
+    * lines carry no content and are always kept.
+    *
+    * Scale shape: one explode (linear), one shuffle on the line text for
+    * the first-occurrence window, one shuffle on id for the rebuild.
+    * Only (id, pos, line) rows cross the wire — never whole documents —
+    * and the skew magnet (the empty line, duplicated corpus-wide) is
+    * exempted from the window by the always-keep rule.
+    *
+    * @param sepRegex regex that splits `textCol` into lines
+    * @param joinSep  literal separator used to rebuild the kept text
+    * @return one row per input row: (idCol, n_lines, n_kept, rebuilt)
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n", joinSep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__line")))
+    val blank = trim(col("__line")) === ""
+    // first occurrence via groupBy-min, NOT a row_number window: the agg
+    // gets map-side partial aggregation, so a line duplicated a billion
+    // times reduces to one row per map task before the shuffle — a
+    // window would ship every copy of a hot line to a single task. The
+    // join back is a 1:1 enrich AQE can skew-split. Blank lines carry no
+    // content and skip the machinery entirely (always kept).
+    val nonBlank = lines.filter(!blank)
+    val firsts = nonBlank.groupBy("__line")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = nonBlank.join(firsts, "__line")
+      .filter(struct(col("__id"), col("__pos")) === col("__first"))
+      .select("__id", "__pos", "__line")
+      .unionByName(lines.filter(blank))
+    val rebuilt = kept.groupBy("__id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        joinSep).as("rebuilt"))
+    val totals = lines.groupBy("__id").agg(count(lit(1)).as("n_lines"))
+    df.select(col(idCol))
+      .join(totals, col(idCol) === totals("__id"), "left").drop("__id")
+      .join(rebuilt, col(idCol) === rebuilt("__id"), "left").drop("__id")
+      .select(col(idCol), coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+  }
+
+  /** Deterministic train/val/test assignment from a hash of the id —
+    * stable under repartitioning, shuffling, and incremental corpus
+    * growth, unlike anything based on row order or rand(). The bucket
+    * decodes the first 4 md5 hex digits to a uniform 16-bit value, mod
+    * 100 — replayable by any engine with md5 + string ops, which is what
+    * makes the routing auditable. (Two ascii() chars would be biased:
+    * 256 non-uniform combos over 100 buckets skews splits by several
+    * percent; 65536 uniform values keep every bucket within 0.1%.)
+    */
+  def hashSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = hashBucket(idCol)
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Uniform hash bucket (0..99) backing [[hashSplit]], exposed for
+    * stratified reporting. */
+  def hashBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("int") % 100
+
+  // PII patterns restricted to syntax both java.util.regex and RE2
+  // accept (no backrefs, no lookaround), so the redaction a pipeline
+  // applies is exactly replayable by RE2-based engines for audit.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Counts of PII matches per category for `textCol`. */
+  def piiCounts(textCol: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(textCol, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))),
+    size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))))
+
+  /** Redact emails, then phones, then IPv4 literals (application order
+    * matters: an email can contain digits a later pattern would split). */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextCuration
+import Tables._
+
+/** Corpus-curation queries over the `documents` table: Gopher-style
+  * quality filtering (Rae et al. 2021 §A1.1-style heuristics), PII
+  * redaction, deterministic hash splits, and C4-style global line dedup.
+  * Every query has an exact DuckDB oracle; constants are rendered into
+  * both sides so the pair can never drift.
+  */
+object Curation {
+
+  /** Gopher-style quality signals + keep/drop verdict per document. The
+    * signals are the cheap corpus-wide pass a pipeline runs before any
+    * model-based scoring: word count bounds, mean word length, fraction
+    * of words with an alphabetic char, stopword presence, symbol ratios,
+    * and repetition (duplicate-word fraction standing in for the
+    * paper's duplicate-line rules, since this corpus is single-line).
+    * One linear scan, no shuffle until the final order-by.
+    */
+  def gopherFilters(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), split(col("t"), "\\s+").as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_words"),
+        round(length(regexp_replace(col("t"), "\\s+", "")).cast("double")
+          / size(col("tk")), 4).as("mean_word_len"),
+        round(expr("size(filter(tk, x -> x rlike '[a-zA-Z]'))").cast("double")
+          / size(col("tk")), 4).as("alpha_word_ratio"),
+        expr("size(filter(tk, x -> lower(x) IN " +
+          "('the','and','of','to','a','in','that','is','was','it')))")
+          .as("n_stopwords"),
+        round((length(col("t")) - length(expr("replace(t, '#', '')")))
+          .cast("double") / size(col("tk")), 4).as("hash_ratio"),
+        round(((length(col("t")) - length(expr("replace(t, '...', '')"))) / 3)
+          .cast("double") / size(col("tk")), 4).as("ellipsis_ratio"),
+        round(lit(1.0) - size(array_distinct(col("tk"))).cast("double")
+          / size(col("tk")), 4).as("dup_word_ratio"))
+      .withColumn("keep",
+        (col("n_words") >= 10 && col("n_words") <= 5000 &&
+          col("mean_word_len") >= 2 && col("mean_word_len") <= 12 &&
+          col("alpha_word_ratio") >= 0.7 && col("n_stopwords") >= 1 &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
+          col("dup_word_ratio") <= 0.6).cast("int"))
+      .orderBy("doc_id")
+
+  val gopherFiltersSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    len(arr) AS n_words,
+      |    round(length(regexp_replace(t, '\s+', '', 'g')) / len(arr), 4) AS mean_word_len,
+      |    round(len(list_filter(arr, x -> regexp_matches(x, '[a-zA-Z]'))) / len(arr), 4) AS alpha_word_ratio,
+      |    len(list_filter(arr, x -> lower(x) IN
+      |      ('the','and','of','to','a','in','that','is','was','it'))) AS n_stopwords,
+      |    round((length(t) - length(replace(t, '#', ''))) / len(arr), 4) AS hash_ratio,
+      |    round(((length(t) - length(replace(t, '...', ''))) / 3) / len(arr), 4) AS ellipsis_ratio,
+      |    round(1.0 - len(list_distinct(arr)) / len(arr), 4) AS dup_word_ratio
+      |  FROM (SELECT doc_id, trim(text) AS t,
+      |          regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM documents))
+      |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stopwords,
+      |  hash_ratio, ellipsis_ratio, dup_word_ratio,
+      |  CAST(n_words >= 10 AND n_words <= 5000
+      |   AND mean_word_len >= 2 AND mean_word_len <= 12
+      |   AND alpha_word_ratio >= 0.7 AND n_stopwords >= 1
+      |   AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+      |   AND dup_word_ratio <= 0.6 AS INT) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** PII detection + redaction. The corpus itself is synthetic word
+    * streams with no PII, so the query plants deterministic PII (email,
+    * phone, IPv4 derived from doc_id) before scanning — both sides of
+    * the oracle derive the same plant, so match counts and the redacted
+    * text hash verify the actual regex machinery end to end. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-1234 from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+    val (emails, phones, ips) = TextCuration.piiCounts(col("t"))
+    documents(s, d)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        emails.as("n_emails"), phones.as("n_phones"), ips.as("n_ips"),
+        md5(TextCuration.redactPii(col("t"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or call 555-'
+      |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |      || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+      |FROM planted ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash-based train/val/test split (80/10/10): stable
+    * under repartitioning and corpus growth, unlike rand() or row-order
+    * splits. Emits the per-doc assignment so the oracle verifies every
+    * single routing decision, not just the split sizes. */
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TextCuration.hashBucket(col("doc_id")).as("bucket"),
+        TextCuration.hashSplit(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
+  val hashSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** C4-style global line dedup exercised at word granularity: this
+    * corpus is single-line, so each whitespace token plays the role of a
+    * line — the heaviest duplication stress the operator can see (every
+    * common word is a corpus-wide duplicate). A doc keeps a "line" only
+    * at its globally-first (doc_id, pos) occurrence; the rebuilt-text
+    * hash pins the rebuild ordering exactly. */
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    TextCuration.dedupLines(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", sepRegex = "\\s+", joinSep = "\n")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("rebuilt")).as("rebuilt_md5"))
+      .orderBy("doc_id")
+
+  val dedupLinesSql: String =
+    """WITH lines AS (
+      |  SELECT doc_id, i - 1 AS pos, arr[i] AS line
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)),
+      |ranked AS (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |  FROM lines WHERE trim(line) <> ''),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''),
+      |reb AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(line, chr(10) ORDER BY pos) AS rebuilt
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(t.n_lines, 0) AS n_lines,
+      |       coalesce(r.n_kept, 0) AS n_kept,
+      |       md5(coalesce(r.rebuilt, '')) AS rebuilt_md5
+      |FROM documents d
+      |LEFT JOIN tot t ON t.doc_id = d.doc_id
+      |LEFT JOIN reb r ON r.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
+    "text_pii_redact" -> (piiRedact _, piiRedactSql),
+    "sample_hash_split" -> (hashSplit _, hashSplitSql),
+    "dedup_lines" -> (dedupLines _, dedupLinesSql),
+  )
+}

@@ -157,19 +157,26 @@ object MetadataPaths {
     * contain (non-recursive), so `load(dir)` fans a whole drop of files
     * out one-partition-each. */
   def fromProperties(properties: util.Map[String, String]): Seq[String] = {
+    // the "paths" property is a JSON array — parse it as one (a naive
+    // split(",") mangles any path containing a comma or escaped quote)
     val multi = Option(properties.get("paths")).map { js =>
-      js.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(js)
+      require(node.isArray, s"readstat metadata: 'paths' is not a JSON array: $js")
+      (0 until node.size()).map(i => node.get(i).asText()).filter(_.nonEmpty)
     }.getOrElse(Nil)
     val single = Option(properties.get("path")).toSeq
     val all = (single ++ multi).distinct.flatMap { p =>
       val f = new java.io.File(p)
-      if (f.isDirectory)
-        f.listFiles().toSeq
+      if (f.isDirectory) {
+        val children = f.listFiles() // null on permission failure / IO error
+        if (children == null)
+          throw new IllegalArgumentException(
+            s"readstat metadata: cannot list directory $p (unreadable?)")
+        children.toSeq
           .filter(c => StatExts.exists(c.getName.toLowerCase.endsWith))
           .map(_.getAbsolutePath).sorted
-      else Seq(p)
+      } else Seq(p)
     }
     if (all.isEmpty)
       throw new IllegalArgumentException("readstat metadata: no stat files under the given path(s)")

@@ -137,8 +137,19 @@ object StataDtaWriter {
           .cast(LongType)
       case _ => col(name).cast(LongType)
     }
+    // dta <118 encodes strings in windows-1252, where every char is one
+    // byte (unmappable chars degrade to a 1-byte '?'), so the stored
+    // width is the CHAR count; 118/119 store UTF-8, so it's the octet
+    // count. Measuring 114/117 in UTF-8 octets would reject valid writes
+    // (200 'é' chars = 400 octets but only 200 cp1252 bytes).
+    val legacyCharset = options.getOrElse("dtaVersion", "auto") match {
+      case "114" | "117" => true
+      case _ => false
+    }
+    def strWidth(c: String): Column =
+      if (legacyCharset) length(col(c)) else octet_length(col(c))
     val aggs = (count(lit(1)).as("__n") +:
-      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))) ++
+      strCols.map(c => max(strWidth(c)).as(s"__w_$c"))) ++
       rangeCols.flatMap(c => Seq(
         min(storedValue(c)).as(s"__lo_$c"), max(storedValue(c)).as(s"__hi_$c")))
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)

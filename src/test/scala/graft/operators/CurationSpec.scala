@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.readstat.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: global line dedup, hash splits, PII
+  * redaction — plus the decode-robustness guarantees the media operators
+  * make (a corrupt payload must never fail a task).
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("dedupLines keeps first global occurrence, preserves blanks and order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\n\ngamma"),      // "shared" already seen in doc 1
+      (3L, "shared\nalpha\ndelta")  // both dups → only delta survives
+    ).toDF("id", "text")
+    val out = TextCuration.dedupLines(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 3L, 3L)) // n_lines
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L, 1L)) // n_kept
+    assert(out(0).getString(3) == "alpha\nshared\nbeta")
+    // doc 2: blank line survives dedup, "shared" does not
+    assert(out(1).getString(3) == "\ngamma")
+    assert(out(2).getString(3) == "delta")
+  }
+
+  test("dedupLines handles a doc whose every line is a duplicate") {
+    import spark.implicits._
+    val docs = Seq((1L, "x\ny"), (2L, "x\ny")).toDF("id", "text")
+    val out = TextCuration.dedupLines(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getString(3) == "x\ny")
+    assert(out(1).getLong(2) == 0L && out(1).getString(3) == "")
+  }
+
+  test("hashSplit is deterministic, in-range, and roughly 80/10/10") {
+    import spark.implicits._
+    val ids = spark.range(10000).toDF("id")
+    val splits = ids.select(TextCuration.hashBucket(col("id")).as("b"),
+      TextCuration.hashSplit(col("id")).as("s"))
+    assert(splits.filter(col("b") < 0 || col("b") > 99).count() == 0)
+    val bySplit = splits.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySplit("train") - 8000.0) / 8000.0 < 0.03)
+    assert(math.abs(bySplit("val") - 1000.0) / 1000.0 < 0.10)
+    assert(math.abs(bySplit("test") - 1000.0) / 1000.0 < 0.10)
+    // stable across evaluations (pure function of the id)
+    val again = ids.select(TextCuration.hashSplit(col("id")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == bySplit)
+  }
+
+  test("PII counts and redaction on a known string") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "mail a.b-c@test.org and x@y.io, call 555-123-4567, host 192.168.0.1 done"
+    )).toDF("id", "t")
+    val (e, p, ip) = TextCuration.piiCounts(col("t"))
+    val r = df.select(e.as("e"), p.as("p"), ip.as("ip"),
+      TextCuration.redactPii(col("t")).as("red")).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getString(3) ==
+      "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> done")
+  }
+
+  test("corrupt payloads with valid magic bytes never throw in media ops") {
+    // PNG magic followed by garbage: passes the sniff, fails the decode
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill[Byte](64)(0x5a)
+    assert(Multimodal.imageFeatures(corrupt).isEmpty)
+    assert(Multimodal.resizeImage(corrupt, 8, 8).isEmpty)
+    // and a whole frame of them goes through the stub path, not a crash
+    import spark.implicits._
+    val media = Seq((1L, "image/png", corrupt)).toDF("media_id", "media_type", "payload")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 1 && feats(0).getSeq[Float](4).length == 8)
+    val resized = Multimodal.resizeImages(media, 8, 8).collect()
+    assert(resized.length == 1 &&
+      resized(0).getStruct(3).getString(1) == "raw") // stub fallback format
+  }
+
+  test("connectedComponents drops null-id edges and handles int ids locally") {
+    import spark.implicits._
+    val edges = Seq(
+      (Some(1), Some(2)), (Some(2), Some(3)),
+      (None, Some(4)), (Some(5), None), // null edges: ignored entirely
+      (Some(10), Some(11))
+    ).toDF("a", "b")
+    val comp = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+}

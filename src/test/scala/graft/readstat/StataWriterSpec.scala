@@ -265,6 +265,21 @@ class StataWriterSpec extends SparkTestBase {
     assert(e.getMessage.contains("117"))
   }
 
+  test("dta 114 width cap is measured in windows-1252 bytes, not UTF-8") {
+    import spark.implicits._
+    // 200 'é' chars = 400 UTF-8 bytes but only 200 cp1252 bytes — must be
+    // accepted at 114 (cap 244) and survive the transcoding roundtrip
+    val df = Seq((1, "é" * 200), (2, "a" * 244)).toDF("id", "s")
+    val path = tmp("v114_cp1252.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("dtaVersion", "114").save(path)
+    val md = graft.core.stata.StataParser.parse(path)
+    assert(md.version == 114)
+    val back = spark.read.format("readstat").load(path).orderBy("id").collect()
+    assert(back(0).getString(1) == "é" * 200)
+    assert(back(1).getString(1) == "a" * 244)
+  }
+
   test("wide frame (600 columns) roundtrips through dta") {
     val n = 600
     val schema = org.apache.spark.sql.types.StructType(
