@@ -183,9 +183,47 @@ object Similarity {
       |FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  /** Scalar int8 quantization of the embedding corpus
+    * ([[graft.operators.Quantize]]): per-dim global ranges → 0..255
+    * codes. Verified down to every code byte (md5 over the per-vector
+    * code sequence) plus the max reconstruction error — max, not mean,
+    * because max is summation-order-independent and therefore exactly
+    * reproducible across engines. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantize.encode(embeddings(s, d), "vec_id", "embedding")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("dim"), col("code")))),
+            x => x.getField("code").cast("string")),
+          ",")).as("codes_md5"),
+        round(max("err"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+
+  val embedQuantizeSql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)),
+      |ranges AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM dims GROUP BY dim),
+      |codes AS (
+      |  SELECT d.vec_id, d.dim,
+      |    CASE WHEN r.hi > r.lo
+      |         THEN CAST(round((d.x - r.lo) / (r.hi - r.lo) * 255, 0) AS INT)
+      |         ELSE 0 END AS code,
+      |    abs(d.x - CASE WHEN r.hi > r.lo
+      |         THEN r.lo + CAST(round((d.x - r.lo) / (r.hi - r.lo) * 255, 0) AS INT) / 255.0 * (r.hi - r.lo)
+      |         ELSE r.lo END) AS err
+      |  FROM dims d JOIN ranges r USING (dim))
+      |SELECT vec_id, count(*) AS n_dims,
+      |  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS codes_md5,
+      |  round(max(err), 6) AS max_abs_err
+      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
     "sim_label_norms" -> (labelCentroidStats _, labelCentroidStatsSql),
+    "embed_quantize" -> (embedQuantize _, embedQuantizeSql),
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.readstat.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Embedding-layer operators: scalar quantization bounds and k-means
+  * training behavior (the IVF centroid path).
+  */
+class EmbeddingOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("quantize codes are in [0,255] and error is within half a step per dim") {
+    val codes = Quantize.encode(embs, "vec_id", "embedding").cache()
+    assert(codes.filter(col("code") < 0 || col("code") > 255).count() == 0)
+    // max error per dim must be ≤ (hi-lo)/255/2 (+fp slack)
+    val ranges = Quantize.dimRanges(embs, "vec_id", "embedding")
+    val bad = codes.groupBy("dim").agg(max("err").as("maxerr"))
+      .join(ranges, "dim")
+      .filter(col("maxerr") > (col("hi") - col("lo")) / 255.0 / 2.0 * 1.0001)
+      .count()
+    assert(bad == 0)
+    // every vector gets one code per dimension
+    val dimCount = embs.select(size(col("embedding"))).first().getInt(0)
+    val perVec = codes.groupBy("vec_id").count()
+      .filter(col("count") =!= dimCount).count()
+    assert(perVec == 0)
+    codes.unpersist()
+  }
+
+  test("kmeans inertia is non-increasing and assignment is deterministic") {
+    val (cents, inertias) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6)
+    assert(cents.length == 8)
+    assert(inertias.nonEmpty)
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"inertia increased: $a -> $b")
+    }
+    // trained centroids beat the naive seeds they started from
+    assert(inertias.last < inertias.head)
+    val a1 = Kmeans.assign(embs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (cents2, _) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6)
+    val a2 = Kmeans.assign(embs, "vec_id", "embedding", cents2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2) // deterministic end to end
+    // clusters are actually used (no degenerate single-cluster collapse)
+    assert(a1.values.toSet.size >= 4)
+  }
+}
