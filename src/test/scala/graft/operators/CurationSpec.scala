@@ -82,6 +82,29 @@ class CurationSpec extends SparkTestBase {
       resized(0).getStruct(3).getString(1) == "raw") // stub fallback format
   }
 
+  test("curation query plans: no cartesian products, bounded shuffles") {
+    val sf = "/root/testdata/sf0.001"
+    def audit(df: org.apache.spark.sql.DataFrame, name: String, maxShuffles: Int): Unit = {
+      val plan = df.queryExecution.executedPlan
+      val cartesian = plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(cartesian.isEmpty, s"$name plans a product join:\n$plan")
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= maxShuffles,
+        s"$name plans ${shuffles.length} shuffles (max $maxShuffles):\n$plan")
+    }
+    // linear scans: only the final order-by may shuffle
+    audit(graft.queries.Curation.gopherFilters(spark, sf), "gopher", 1)
+    audit(graft.queries.Curation.piiRedact(spark, sf), "pii", 1)
+    audit(graft.queries.Curation.hashSplit(spark, sf), "hash_split", 1)
+    // line dedup: first-occurrence agg + keeper join + rebuild + totals + sort
+    audit(graft.queries.Curation.dedupLines(spark, sf), "dedup_lines", 8)
+  }
+
   test("connectedComponents drops null-id edges and handles int ids locally") {
     import spark.implicits._
     val edges = Seq(
