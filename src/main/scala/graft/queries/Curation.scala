@@ -178,10 +178,81 @@ object Curation {
       |LEFT JOIN reb r ON r.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Gopher repetition signals (the duplicate-n-gram family the flat
+    * [[gopherFilters]] scan can't see): per doc, the occurrence share of
+    * the most frequent word 2-gram and the duplicate-occurrence fraction
+    * of 2-grams and 5-grams. Explode + two-level aggregation keyed on
+    * (doc, gram) — partial aggregation collapses repeats map-side, so
+    * the shuffle carries near-distinct grams, not raw occurrences. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+    def gramStats(n: Int, top: Boolean): DataFrame = {
+      val grams = docs.select(col("doc_id"),
+        explode(expr(
+          s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(tk, i, $n))) " +
+            "ELSE array() END")).as("g"))
+      val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val aggs =
+        Seq(sum("c").as(s"n_${n}grams"),
+          round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 4)
+            .as(s"dup${n}_frac")) ++
+          (if (top) Seq(round(max("c").cast("double") / sum("c"), 4)
+            .as(s"top${n}_frac"))
+          else Nil)
+      counts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+    docs.select("doc_id")
+      .join(gramStats(2, top = true), Seq("doc_id"), "left")
+      .join(gramStats(5, top = false), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"),
+        coalesce(col("n_5grams"), lit(0L)).as("n_5grams"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+      |s2 AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+      |    round(max(c) / sum(c), 4) AS top2_frac,
+      |    round(1.0 - count(*) / sum(c), 4) AS dup2_frac
+      |  FROM c2 GROUP BY doc_id),
+      |g5 AS (
+      |  SELECT doc_id,
+      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 4)) AS i)),
+      |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+      |s5 AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+      |    round(1.0 - count(*) / sum(c), 4) AS dup5_frac
+      |  FROM c5 GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(s2.n_2grams, 0) AS n_2grams,
+      |  coalesce(s2.top2_frac, 0.0) AS top2_frac,
+      |  coalesce(s2.dup2_frac, 0.0) AS dup2_frac,
+      |  coalesce(s5.n_5grams, 0) AS n_5grams,
+      |  coalesce(s5.dup5_frac, 0.0) AS dup5_frac
+      |FROM toks t
+      |LEFT JOIN s2 ON s2.doc_id = t.doc_id
+      |LEFT JOIN s5 ON s5.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
     "sample_hash_split" -> (hashSplit _, hashSplitSql),
     "dedup_lines" -> (dedupLines _, dedupLinesSql),
+    "text_repetition_stats" -> (repetitionStats _, repetitionStatsSql),
   )
 }
