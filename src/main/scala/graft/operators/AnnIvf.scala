@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN over arbitrary centroids — the trained
+  * counterpart of the oracle-replayable fixed-anchor index in
+  * `queries/Similarity.annIvfTopK`. Feed it [[Kmeans.fit]] output for a
+  * real pipeline: train once, search many.
+  *
+  * Scale shape: the centroid table is K rows (KBs–MBs) and broadcasts;
+  * cell assignment is one corpus scan whose K candidate rows per vector
+  * collapse map-side via max_by (one row per vector crosses the
+  * shuffle); the candidate join shuffles on cell id so each query
+  * touches ~nprobe/K of the corpus. Nothing collects the corpus.
+  */
+object AnnIvf {
+
+  /** Lift driver-held centroids (e.g. from [[Kmeans.fit]]) into the
+    * (cid, cvec) shape [[topK]] consumes. K rows — trivially small. */
+  def centroidsDF(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq.toDF("cid", "cvec")
+  }
+
+  /** Exact cosine top-k within the nprobe nearest cells of each query.
+    * @param corpus  (idCol, vecCol) — the searched side, any size
+    * @param queries (idCol, vecCol) — the probing side (small)
+    * @param dim     embedding dimensionality (unrolled codegen'd cosine)
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import graft.queries.Similarity.cosineUnrolled
+    val cent = broadcast(centroids.select(col("cid"), col("cvec")))
+    val assigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("cv0"))
+      .join(cent)
+      .withColumn("csim", cosineUnrolled(col("cv0"), col("cvec"), dim))
+      .groupBy(col("nid"))
+      .agg(max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
+        first(col("cv0")).as("cv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .join(cent)
+      .withColumn("qsim", cosineUnrolled(col("qv"), col("cvec"), dim))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    probes.join(assigned, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosineUnrolled(col("qv"), col("cv"), dim))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rn"))
+  }
+}

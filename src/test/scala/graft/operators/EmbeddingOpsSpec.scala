@@ -29,6 +29,20 @@ class EmbeddingOpsSpec extends SparkTestBase {
     codes.unpersist()
   }
 
+  test("trained-IVF ANN reaches high recall vs exact brute force") {
+    val (cents, _) = Kmeans.fit(embs, "vec_id", "embedding", k = 16, maxIter = 8)
+    val centDf = AnnIvf.centroidsDF(spark, cents)
+    val queries = embs.filter(col("vec_id") < 10)
+    val approx = AnnIvf.topK(embs, queries, "vec_id", "embedding",
+      centDf, dim = 64, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.queries.Similarity.annBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50)
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"trained IVF recall $recall below 0.85")
+  }
+
   test("kmeans inertia is non-increasing and assignment is deterministic") {
     val (cents, inertias) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6)
     assert(cents.length == 8)
