@@ -43,6 +43,33 @@ class EmbeddingOpsSpec extends SparkTestBase {
     assert(recall >= 0.85, s"trained IVF recall $recall below 0.85")
   }
 
+  test("product quantization beats the global-mean baseline and is deterministic") {
+    val model = Pq.fit(embs, "vec_id", "embedding", m = 8, k = 16, maxIter = 5)
+    assert(model.codebooks.length == 8 && model.codebooks.forall(_.length == 16))
+    val codes = Pq.encode(embs, "vec_id", "embedding", model).cache()
+    // every vector gets m codes, all within [0, k)
+    assert(codes.filter(size(col("codes")) =!= 8).count() == 0)
+    assert(codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 15).count() == 0)
+    // reconstruction must beat coding everything to the corpus mean
+    // (= total per-vector variance), the k=1 degenerate codebook
+    val mse = Pq.reconstructionMse(embs, "vec_id", "embedding", model)
+    val mean = embs.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d").agg(avg(col("x").cast("double")).as("mu"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val varTot = embs.select(col("embedding").cast("array<double>").as("v"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](0)
+        v.indices.map(i => { val t = v(i) - mean(i); t * t }).sum
+      }.sum / embs.count()
+    assert(mse < varTot * 0.9, s"PQ mse $mse vs variance $varTot")
+    // deterministic retrain
+    val model2 = Pq.fit(embs, "vec_id", "embedding", m = 8, k = 16, maxIter = 5)
+    val codes2 = Pq.encode(embs, "vec_id", "embedding", model2)
+    assert(codes.except(codes2).count() == 0)
+    codes.unpersist()
+  }
+
   test("kmeans inertia is non-increasing and assignment is deterministic") {
     val (cents, inertias) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6)
     assert(cents.length == 8)
