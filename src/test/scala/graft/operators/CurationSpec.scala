@@ -82,6 +82,48 @@ class CurationSpec extends SparkTestBase {
       resized(0).getStruct(3).getString(1) == "raw") // stub fallback format
   }
 
+  test("dedupLines invariants hold on random multi-line corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genLine = Gen.frequency(
+      6 -> Gen.oneOf("alpha", "beta", "gamma", "delta", "shared line", "x y"),
+      2 -> Gen.alphaNumStr.map(_.take(12)),
+      1 -> Gen.const("")) // blanks
+    val genDoc = Gen.listOfN(6, genLine).map(_.mkString("\n"))
+    (0 until 5).foreach { trial =>
+      val docs = (0 until 20).map { i =>
+        (i.toLong, genDoc(Gen.Parameters.default, Seed(trial * 100 + i)).get)
+      }.toDF("id", "text")
+      val out = TextCuration.dedupLines(docs, "id", "text").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val inLines = docs.collect().map(r => r.getLong(0) -> r.getString(1).split("\n", -1)).toMap
+      // 1) every distinct non-blank line survives exactly once corpus-wide
+      val keptAll = out.values.toSeq.flatMap { r =>
+        val t = r.getString(3)
+        if (t.isEmpty && r.getLong(2) == 0) Nil else t.split("\n", -1).toSeq
+      }
+      val keptNonBlank = keptAll.filter(_.trim.nonEmpty)
+      assert(keptNonBlank.distinct.length == keptNonBlank.length, s"trial $trial: dup kept")
+      val inDistinct = inLines.values.flatten.filter(_.trim.nonEmpty).toSet
+      assert(keptNonBlank.toSet == inDistinct, s"trial $trial: kept set != distinct input")
+      // 2) per-doc: kept text is a subsequence of the original lines
+      out.foreach { case (id, r) =>
+        val orig = inLines(id)
+        val kept = if (r.getLong(2) == 0) Array[String]()
+          else r.getString(3).split("\n", -1)
+        var oi = 0
+        kept.foreach { l =>
+          while (oi < orig.length && orig(oi) != l) oi += 1
+          assert(oi < orig.length, s"trial $trial doc $id: '$l' out of order")
+          oi += 1
+        }
+        // 3) counts are consistent
+        assert(r.getLong(1) == orig.length && r.getLong(2) == kept.length)
+      }
+    }
+  }
+
   test("curation query plans: no cartesian products, bounded shuffles") {
     val sf = "/root/testdata/sf0.001"
     def audit(df: org.apache.spark.sql.DataFrame, name: String, maxShuffles: Int): Unit = {
