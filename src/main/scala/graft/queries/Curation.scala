@@ -248,11 +248,72 @@ object Curation {
       |LEFT JOIN s5 ON s5.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Stratified deterministic sampling: within each language stratum,
+    * keep the docs whose hash bucket falls under 20% — same stable-
+    * under-everything property as [[hashSplit]], but rate-controlled per
+    * group. The md5 over the kept-id list verifies every sampling
+    * decision, not just the rates. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        graft.operators.TextCuration.hashBucket(col("doc_id")).as("bucket"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < 20, 1L).otherwise(0L)).as("n_kept"),
+        md5(coalesce(array_join(
+          transform(array_sort(collect_list(when(col("bucket") < 20, col("doc_id")))),
+            x => x.cast("string")),
+          ","), lit(""))).as("kept_md5"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+      .orderBy("lang")
+
+  val stratifiedSampleSql: String =
+    """WITH b AS (
+      |  SELECT lang, doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+      |        FILTER (WHERE bucket < 20), '')) AS kept_md5,
+      |  round(sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) / count(*), 4) AS kept_frac
+      |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-group top-k selection (the "best documents per language"
+    * pattern every curated-corpus recipe ends with): rank by content
+    * length within each language, keep the top 3. Window + filter —
+    * Catalyst runs it as one shuffle on the group key with a partial
+    * top-k below (TakeOrdered-style) at real scale. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("lang", "rank")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT lang, doc_id, n_chars, rank FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
     "sample_hash_split" -> (hashSplit _, hashSplitSql),
     "dedup_lines" -> (dedupLines _, dedupLinesSql),
     "text_repetition_stats" -> (repetitionStats _, repetitionStatsSql),
+    "sample_stratified" -> (stratifiedSample _, stratifiedSampleSql),
+    "sample_topk_per_group" -> (topkPerGroup _, topkPerGroupSql),
   )
 }
