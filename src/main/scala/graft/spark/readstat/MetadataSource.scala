@@ -168,19 +168,24 @@ object MetadataPaths {
     val single = Option(properties.get("path")).toSeq
     val all = (single ++ multi).distinct.flatMap { p =>
       val f = new java.io.File(p)
-      if (f.isDirectory) {
-        val children = f.listFiles() // null on permission failure / IO error
-        if (children == null)
-          throw new IllegalArgumentException(
-            s"readstat metadata: cannot list directory $p (unreadable?)")
-        children.toSeq
-          .filter(c => StatExts.exists(c.getName.toLowerCase.endsWith))
-          .map(_.getAbsolutePath).sorted
-      } else Seq(p)
+      if (f.isDirectory) expandDirectory(p) else Seq(p)
     }
     if (all.isEmpty)
       throw new IllegalArgumentException("readstat metadata: no stat files under the given path(s)")
     all
+  }
+
+  /** Non-recursive listing of the stat files a directory contains,
+    * sorted for deterministic partition order. Shared by the data and
+    * metadata sources. */
+  def expandDirectory(p: String): Seq[String] = {
+    val children = new java.io.File(p).listFiles() // null on IO/permission error
+    if (children == null)
+      throw new IllegalArgumentException(
+        s"readstat: cannot list directory $p (unreadable?)")
+    children.toSeq
+      .filter(c => StatExts.exists(c.getName.toLowerCase.endsWith))
+      .map(_.getAbsolutePath).sorted
   }
 }
 

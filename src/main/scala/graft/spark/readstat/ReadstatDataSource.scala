@@ -31,11 +31,20 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
-      // Spark encodes multiple load() paths as a JSON array
-      js.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      // Spark encodes multiple load() paths as a JSON array — parse it as
+      // one (naive split(",") mangles paths containing commas/quotes)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      require(node.isArray, s"readstat: 'paths' is not a JSON array: $js")
+      (0 until node.size()).map(i => node.get(i).asText()).filter(_.nonEmpty)
     }
-    val all = single ++ multi
+    // directories expand to the stat files they contain (non-recursive,
+    // same rule as the file-metadata source) so `load(dir)` fans a drop
+    // of same-schema files out one-scan-partition-set-per-file — the
+    // files must share a schema, like spark.read.parquet on a directory
+    val all = (single ++ multi).flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory) MetadataPaths.expandDirectory(p) else Seq(p)
+    }
     require(all.nonEmpty, "readstat: no path specified")
     all
   }

@@ -64,6 +64,11 @@ class PushdownPlanSpec extends SparkTestBase {
     assert(both.count() == 250)
     assert(both.agg(sum("id")).collect()(0).getLong(0) ==
       (1 to 250).map(_.toLong).sum)
+    // a directory load expands to the same-schema stat files it contains
+    val dir = spark.read.format("readstat").load(d.getAbsolutePath)
+    assert(dir.count() == 250)
+    assert(dir.agg(sum("id")).collect()(0).getLong(0) ==
+      (1 to 250).map(_.toLong).sum)
   }
 
   test("SF-scaled tables carry no forced broadcast hint; shuffle count pinned") {
