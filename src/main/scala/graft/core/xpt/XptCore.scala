@@ -114,6 +114,22 @@ object XptCore {
       val rowCount =
         if (rowLength == 0) 0L
         else (raf.length() - dataOffset) / rowLength
+      // The format has no row-count field — rows run to EOF — so a file
+      // truncated mid-row would otherwise silently floor to fewer rows
+      // (data loss at ingest). A valid transport file only ever has
+      // blank/NUL padding after its last whole row; anything else is a
+      // cut-off row. (Truncation at an exact row boundary is
+      // indistinguishable from a valid EOF by design of the format.)
+      if (rowLength != 0 && (raf.length() - dataOffset) % rowLength != 0) {
+        val rem = ((raf.length() - dataOffset) % rowLength).toInt
+        raf.seek(dataOffset + rowCount * rowLength)
+        val tail = new Array[Byte](rem)
+        raf.readFully(tail)
+        if (!tail.forall(b => b == 0x20 || b == 0x00))
+          throw new java.io.IOException(
+            s"xpt: $rem trailing bytes after the last whole row are not " +
+              "record padding — file appears truncated mid-row")
+      }
       XptMeta(version, tableName, fileLabel, cols, rowLength, dataOffset,
         rowCount, created, modified)
     } finally raf.close()
