@@ -142,14 +142,22 @@ object PorCore {
       new String(readChars(len), StandardCharsets.ISO_8859_1)
     }
 
-    /** None = 'Z' end-of-data marker. */
+    /** None = 'Z' end-of-data marker. A raw EOF is NOT a valid end: a
+      * portable file always closes with the 'Z' run, so hitting EOF
+      * first means the file was cut — fail loudly instead of silently
+      * returning the rows read so far. */
+    private def truncated(): Nothing = throw new java.io.IOException(
+      "por: stream ended without the 'Z' end-of-data marker — file truncated")
     def maybeDouble(): Option[Double] = {
       val c = readChar()
-      if (c == 'Z' || c < 0) None else Some(readDoublePeek(c))
+      if (c == 'Z') None
+      else if (c < 0) truncated()
+      else Some(readDoublePeek(c))
     }
     def maybeString(): Option[String] = {
       val c = readChar()
-      if (c == 'Z' || c < 0) None
+      if (c == 'Z') None
+      else if (c < 0) truncated()
       else {
         val len = readDoublePeek(c).toInt
         Some(new String(readChars(len), StandardCharsets.ISO_8859_1))

@@ -115,7 +115,10 @@ object PorModule extends FormatModule {
         if (done) return false
         if (limit <= 0) { done = true; stream.close(); return false }
         if (nextRow == null) {
-          nextRow = try readFullRow() catch { case _: Exception => null }
+          // do NOT catch here: a decode error (truncated stream, corrupt
+          // base-30 digits) must fail the read, not masquerade as a clean
+          // end-of-data — 'Z'/EOF handling lives in readFullRow itself
+          nextRow = readFullRow()
           if (nextRow == null) { done = true; stream.close() }
         }
         nextRow != null
