@@ -225,11 +225,40 @@ object Multimodal {
       }(enc)
   }
 
-  /** STUB frame sampling: a real implementation would demux the container
-    * and decode every k-th frame. The fake treats the payload as fixed-
-    * size frame slots and emits every k-th slice — one output row per
-    * sampled frame, which is the real explode shape a video pipeline
-    * needs (frame count scales with payload size, not row count). */
+  /** Decode every k-th frame of an animated GIF via the JDK's ImageIO
+    * multi-image reader (the one multi-frame container the JDK can
+    * demux), re-encoded as PNG. Returns None when the payload is not a
+    * GIF or fails to decode. */
+  def gifFrames(payload: Array[Byte], everyK: Int): Option[Seq[(Int, Array[Byte])]] = {
+    if (!magic(payload, 0, 'G', 'I', 'F', '8')) return None
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(stream)
+      val n = reader.getNumImages(true)
+      val out = Iterator.range(0, n, everyK).map { i =>
+        val img = reader.read(i)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i, bos.toByteArray)
+      }.toSeq
+      reader.dispose()
+      Some(out)
+    } catch { case _: Exception => None
+    } finally if (stream != null) stream.close()
+  }
+
+  /** Frame sampling: animated GIFs demux for real through the JDK codec
+    * (every k-th frame, PNG-encoded); payloads the JDK cannot demux
+    * (true video containers — no demuxer in the JDK) fall back to the
+    * declared STUB that slices fixed-size frame slots. Either way the
+    * output is one row per sampled frame — the real explode shape a
+    * video pipeline needs (frame count scales with payload size, not
+    * row count). */
   def sampleFrames(media: DataFrame, everyK: Int, frameSize: Int = 256): DataFrame = {
     require(everyK >= 1 && frameSize >= 1)
     val outSchema = StructType(Seq(
@@ -242,11 +271,16 @@ object Multimodal {
         it.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val nFrames = math.max(1, payload.length / frameSize)
-          Iterator.range(0, nFrames, everyK).map { f =>
-            val from = f * frameSize
-            val until = math.min(payload.length, from + frameSize)
-            Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
+          gifFrames(payload, everyK) match {
+            case Some(frames) =>
+              frames.iterator.map { case (i, png) => Row(id, i, png) }
+            case None =>
+              val nFrames = math.max(1, payload.length / frameSize)
+              Iterator.range(0, nFrames, everyK).map { f =>
+                val from = f * frameSize
+                val until = math.min(payload.length, from + frameSize)
+                Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
+              }
           }
         }
       }(enc)

@@ -147,6 +147,38 @@ class CurationSpec extends SparkTestBase {
     audit(graft.queries.Curation.dedupLines(spark, sf), "dedup_lines", 8)
   }
 
+  test("animated GIF payloads demux to real frames; others use the stub") {
+    import javax.imageio.{IIOImage, ImageIO}
+    val gifOut = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(gifOut)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 6).foreach { f =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(f * 40, 10, 10)); g.fillRect(0, 0, 8, 8)
+      g.dispose()
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = gifOut.toByteArray
+
+    val frames = Multimodal.gifFrames(gif, everyK = 2).get
+    assert(frames.map(_._1) == Seq(0, 2, 4))
+    frames.foreach { case (_, png) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 8 && img.getHeight == 8)
+    }
+    import spark.implicits._
+    val media = Seq((7L, gif), (8L, Array.fill[Byte](600)(1)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.sampleFrames(media, everyK = 2).collect()
+    assert(out.count(_.getLong(0) == 7L) == 3) // real GIF frames 0,2,4
+    assert(out.count(_.getLong(0) == 8L) == 1) // stub: 2 slots, step 2 -> idx 0
+  }
+
   test("connectedComponents drops null-id edges and handles int ids locally") {
     import spark.implicits._
     val edges = Seq(
