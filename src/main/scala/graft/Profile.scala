@@ -15,6 +15,21 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `runMain graft.Profile <queryName>`: time one SparkEntry query and exit
+    if (args.nonEmpty) {
+      val name = args(0)
+      val fn = SparkEntry.queries(name)
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      val runs = (0 until 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name min=${runs.min}%.3f runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      spark.stop()
+      return
+    }
+
     def time(name: String)(f: => Any): Unit = {
       val runs = (0 until 3).map { _ =>
         spark.catalog.clearCache()

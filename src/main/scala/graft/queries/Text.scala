@@ -87,11 +87,16 @@ object Text {
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     val k = 8 // gram length
     val w = 8 // window width
+    // explode the positions FIRST and hash as a top-level projection:
+    // an md5 inside a transform() lambda runs interpreted (higher-order
+    // lambdas don't codegen), which made the hash the bottleneck —
+    // hashing after the explode keeps it in whole-stage codegen
     val grams = documents(s, d)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, greatest(length(text) - ${k - 1}, 0)), " +
-            s"i -> md5(substring(text, i, $k)))")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 0))"))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $k)")).as("h"))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     grams
