@@ -30,6 +30,9 @@ object Kmeans {
     // deterministic seeding: the K lowest-id vectors (k rows to driver)
     var centroids: Array[Array[Double]] = vecs.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "kmeans: no non-null vectors to fit")
+    require(centroids.length == k,
+      s"kmeans: corpus has only ${centroids.length} vectors for k=$k")
     val dim = centroids.head.length
     val inertias = scala.collection.mutable.ArrayBuffer[Double]()
 
