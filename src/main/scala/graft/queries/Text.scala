@@ -15,12 +15,20 @@ object Text {
 
   private def toks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
 
-  /** Per-document token counts (whitespace tokenization). */
+  /** GPT-2-style pretokenizer pattern restricted to the java.regex ∩ RE2
+    * subset (no lookahead, ASCII classes): contractions, space-prefixed
+    * word/number/punctuation runs. The BPE-ish estimate a pipeline uses
+    * to budget token counts before running a real tokenizer. */
+  val BpeishRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** Per-document token counts: whitespace tokens + BPE-ish pretokens. */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, 0)
           .otherwise(size(toks(col("text")))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeishRe), lit(0)))
+          .as("n_tokens_bpe"),
         length(col("text")).as("len_chars"))
       .orderBy("doc_id")
 
@@ -28,6 +36,8 @@ object Text {
     """SELECT doc_id,
       |  CASE WHEN length(trim(text)) = 0 THEN 0
       |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |  len(regexp_extract_all(text,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS n_tokens_bpe,
       |  length(text) AS len_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
