@@ -307,6 +307,44 @@ object Curation {
       |  FROM documents)
       |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
 
+  /** Unigram language-model scoring (the CCNet-style perplexity filter
+    * with the corpus itself as the LM): train token frequencies in one
+    * aggregation, score each doc by its mean token negative log
+    * probability — high = rare/garbled vocabulary, the standard cheap
+    * proxy for "would a real LM find this document surprising".
+    *
+    * Scale shape: one explode + one (token) groupBy for the LM (vocab-
+    * sized result), a broadcast-friendly join back (vocab ≪ corpus),
+    * and a per-doc aggregation. The 1-row total crosses as a broadcast
+    * cross join, never a collect. */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").cast("double").as("t"))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("c") / col("t"))), 4).as("avg_neglogp"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lower(arr[i]) AS w
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)),
+      |freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  round(avg(-ln(c / t)), 4) AS avg_neglogp
+      |FROM tok JOIN freq USING (w) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
@@ -315,5 +353,6 @@ object Curation {
     "text_repetition_stats" -> (repetitionStats _, repetitionStatsSql),
     "sample_stratified" -> (stratifiedSample _, stratifiedSampleSql),
     "sample_topk_per_group" -> (topkPerGroup _, topkPerGroupSql),
+    "text_unigram_logprob" -> (unigramLogprob _, unigramLogprobSql),
   )
 }
