@@ -345,6 +345,53 @@ object Curation {
       |FROM tok JOIN freq USING (w) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-document top-3 terms by tf·idf (idf = ln N/df) — the classic
+    * keyword-extraction pass. tf and df are exact integers, so the
+    * score is a deterministic function both engines compute identically;
+    * ties break on the term itself. One token explode, two partial-agg
+    * group-bys (term stats are vocab-sized), a window top-k. */
+  def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).groupBy().agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lower(arr[i]) AS term
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
@@ -354,5 +401,6 @@ object Curation {
     "sample_stratified" -> (stratifiedSample _, stratifiedSampleSql),
     "sample_topk_per_group" -> (topkPerGroup _, topkPerGroupSql),
     "text_unigram_logprob" -> (unigramLogprob _, unigramLogprobSql),
+    "text_tfidf_topk" -> (tfidfTopk _, tfidfTopkSql),
   )
 }
