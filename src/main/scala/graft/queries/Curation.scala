@@ -392,6 +392,64 @@ object Curation {
       |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** C4-style boilerplate/blocklist screening: flag documents containing
+    * web-boilerplate markers or code/markup debris. Pure per-row
+    * predicate work — pushes into any scan, no shuffle before the
+    * order-by. The term list is rendered into both engines so the rule
+    * set can never drift from its oracle. */
+  def boilerplateFlags(s: SparkSession, d: String): DataFrame = {
+    val markers = Seq("lorem ipsum", "cookie policy", "javascript",
+      "terms of service", "all rights reserved")
+    val t = lower(col("text"))
+    val hasMarker = markers.map(m => t.contains(m)).reduce(_ || _)
+    documents(s, d)
+      .select(col("doc_id"),
+        hasMarker.cast("int").as("has_boilerplate"),
+        (t.contains("{") || t.contains("}")).cast("int").as("has_braces"),
+        t.rlike("https?://").cast("int").as("has_url"))
+      .withColumn("drop_flag",
+        (col("has_boilerplate") === 1 || col("has_braces") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateFlagsSql: String =
+    """SELECT doc_id,
+      |  CAST(lower(text) LIKE '%lorem ipsum%'
+      |    OR lower(text) LIKE '%cookie policy%'
+      |    OR lower(text) LIKE '%javascript%'
+      |    OR lower(text) LIKE '%terms of service%'
+      |    OR lower(text) LIKE '%all rights reserved%' AS INT) AS has_boilerplate,
+      |  CAST(lower(text) LIKE '%{%' OR lower(text) LIKE '%}%' AS INT) AS has_braces,
+      |  CAST(regexp_matches(lower(text), 'https?://') AS INT) AS has_url,
+      |  CAST(lower(text) LIKE '%lorem ipsum%'
+      |    OR lower(text) LIKE '%cookie policy%'
+      |    OR lower(text) LIKE '%javascript%'
+      |    OR lower(text) LIKE '%terms of service%'
+      |    OR lower(text) LIKE '%all rights reserved%'
+      |    OR lower(text) LIKE '%{%' OR lower(text) LIKE '%}%' AS INT) AS drop_flag
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The operational output of exact dedup: which doc survives each
+    * content-fingerprint group (the lowest id), and how many copies it
+    * speaks for. Only 16-byte hashes + ids cross the shuffle; the
+    * min-id pick is a partial-aggregatable min, skew-immune like
+    * [[TextCuration.dedupLines]]. */
+  def dedupExactKeep(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
+      .orderBy("keep_id")
+
+  val dedupExactKeepSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, fp
+      |FROM (SELECT doc_id,
+      |        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |      FROM documents)
+      |GROUP BY fp ORDER BY keep_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
@@ -402,5 +460,7 @@ object Curation {
     "sample_topk_per_group" -> (topkPerGroup _, topkPerGroupSql),
     "text_unigram_logprob" -> (unigramLogprob _, unigramLogprobSql),
     "text_tfidf_topk" -> (tfidfTopk _, tfidfTopkSql),
+    "text_boilerplate_flags" -> (boilerplateFlags _, boilerplateFlagsSql),
+    "dedup_exact_keep" -> (dedupExactKeep _, dedupExactKeepSql),
   )
 }
