@@ -450,6 +450,118 @@ object Curation {
       |      FROM documents)
       |GROUP BY fp ORDER BY keep_id""".stripMargin
 
+  /** Benchmark decontamination (the GPT-3 appendix-C recipe): hold out
+    * an eval split via the same auditable md5 routing as [[hashSplit]]
+    * (bucket < 20), collect its distinct word 8-grams, and flag every
+    * training document that shares at least one — those documents would
+    * leak eval answers into training.
+    *
+    * Scale shape: per-doc DISTINCT collapses gram repeats map-side, the
+    * eval-gram set is corpus-scaled so the overlap check is a plain
+    * shuffle hash join on the gram string (never a broadcast), and the
+    * per-doc counts partial-aggregate. Nothing here is quadratic. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val grams = documents(s, d)
+      .select(col("doc_id"),
+        TextCuration.hashBucket(col("doc_id")).as("bucket"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .select(col("doc_id"), col("bucket"),
+        explode(expr(
+          s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(tk, i, $n))) ELSE array() END")).as("g"))
+      .distinct()
+    val evalGrams = grams.filter(col("bucket") < 20).select("g").distinct()
+    val train = grams.filter(col("bucket") >= 20)
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    train.join(evalGrams, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4)
+          .as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, bucket,
+      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' ||
+      |    arr[i+4] || ' ' || arr[i+5] || ' ' || arr[i+6] || ' ' || arr[i+7] AS g
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 7)) AS i)
+      |  WHERE len(arr) >= 8),
+      |eval_g AS (SELECT DISTINCT g FROM grams WHERE bucket < 20),
+      |train AS (SELECT doc_id, g FROM grams WHERE bucket >= 20),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+      |sh AS (SELECT t.doc_id, count(*) AS n_shared
+      |       FROM train t JOIN eval_g USING (g) GROUP BY t.doc_id)
+      |SELECT sh.doc_id, tot.n_grams, sh.n_shared,
+      |  round(sh.n_shared / tot.n_grams, 4) AS overlap_frac
+      |FROM sh JOIN tot USING (doc_id)
+      |ORDER BY sh.doc_id""".stripMargin
+
+  /** Temperature-based language rebalancing (the multilingual-corpus
+    * recipe from mBERT/XLM-R: sample language l with probability
+    * ∝ p_l^α, α = 0.5): per-language keep rate sqrt(n_min / n_l), so
+    * the rarest language keeps everything and dominant languages are
+    * square-root-downsampled. Every keep decision is the same
+    * deterministic 16-bit md5 bucket as [[hashSplit]] — stable under
+    * repartitioning and corpus growth — and the kept-id md5 verifies
+    * each one.
+    *
+    * Scale shape: the rate table is one row per language (bounded, tiny)
+    * so it broadcasts; the corpus is touched by exactly one groupBy on
+    * lang. */
+  def temperatureSample(s: SparkSession, d: String): DataFrame = {
+    val b = documents(s, d).select(col("lang"), col("doc_id"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int").as("bkt"))
+    val counts = b.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min("n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_docs")))
+      .withColumn("thr", floor(col("rate") * 65536).cast("int"))
+      .select("lang", "n_docs", "rate", "thr")
+    b.join(broadcast(rates), "lang")
+      .groupBy("lang")
+      .agg(first("n_docs").as("n_docs"),
+        round(first("rate"), 4).as("rate"),
+        sum(when(col("bkt") < col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        md5(coalesce(array_join(
+          transform(array_sort(collect_list(when(col("bkt") < col("thr"), col("doc_id")))),
+            x => x.cast("string")), ","), lit(""))).as("kept_md5"))
+      .orderBy("lang")
+  }
+
+  val temperatureSampleSql: String =
+    """WITH b AS (
+      |  SELECT lang, doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS bkt
+      |  FROM documents),
+      |cnt AS (SELECT lang, count(*) AS n_docs FROM b GROUP BY lang),
+      |mn AS (SELECT min(n_docs) AS n_min FROM cnt),
+      |r AS (SELECT lang, n_docs, sqrt(n_min / n_docs) AS rate,
+      |        CAST(floor(sqrt(n_min / n_docs) * 65536) AS INT) AS thr
+      |      FROM cnt CROSS JOIN mn)
+      |SELECT b.lang, max(r.n_docs) AS n_docs, round(max(r.rate), 4) AS rate,
+      |  CAST(sum(CASE WHEN b.bkt < r.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(coalesce(string_agg(CAST(b.doc_id AS VARCHAR), ',' ORDER BY b.doc_id)
+      |        FILTER (WHERE b.bkt < r.thr), '')) AS kept_md5
+      |FROM b JOIN r USING (lang)
+      |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
@@ -462,5 +574,7 @@ object Curation {
     "text_tfidf_topk" -> (tfidfTopk _, tfidfTopkSql),
     "text_boilerplate_flags" -> (boilerplateFlags _, boilerplateFlagsSql),
     "dedup_exact_keep" -> (dedupExactKeep _, dedupExactKeepSql),
+    "text_decontaminate" -> (decontaminate _, decontaminateSql),
+    "sample_temperature" -> (temperatureSample _, temperatureSampleSql),
   )
 }

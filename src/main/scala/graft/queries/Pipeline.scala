@@ -302,6 +302,100 @@ object Pipeline {
       |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space coarsely, then prune near-duplicates within each
+    * cluster only — the restriction that makes embedding-level dedup
+    * tractable at corpus scale, because pair work is bounded per cluster
+    * instead of the O(n²) of [[dedupEmbedding]]. A vector is dropped
+    * when a lower-id vector in its cluster has cosine ≥ τ; the per-
+    * cluster kept-id md5 verifies every individual decision.
+    *
+    * Centroids here are the K lowest-id embeddings — deterministic, so
+    * DuckDB can replay the full pipeline (assignment included) — while
+    * real use swaps in trained [[graft.operators.Kmeans]] centroids; the
+    * assignment and prune stages are identical either way. Scale shape:
+    * K centroids broadcast in the task closure, assignment is one
+    * map-side pass, and the prune shuffles each vector once to its
+    * cluster where the O(|c|²) loop runs in tight JVM code — with K
+    * grown ∝ corpus size, |c| stays bounded, exactly the paper's
+    * regime. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val K = 8
+    val Tau = 0.4
+    val cents: Array[(Long, Array[Double], Double)] =
+      embeddings(s, d).select("vec_id", "embedding")
+        .orderBy("vec_id").limit(K).collect()
+        .map { r =>
+          val e = r.getSeq[Float](1).toArray.map(_.toDouble)
+          (r.getLong(0), e, math.sqrt(dot(e, e)))
+        }
+    val assigned = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val v = new Array[Double](emb.length)
+        var i = 0
+        while (i < emb.length) { v(i) = emb(i).toDouble; i += 1 }
+        val vn = math.sqrt(dot(v, v))
+        // Ascending-cid scan with strict > == the oracle's
+        // row_number() OVER (ORDER BY sim DESC, cid) pick.
+        var bestCid = -1L
+        var bestSim = Double.NegativeInfinity
+        cents.foreach { case (cid, ce, cn) =>
+          val sim = dot(v, ce) / (vn * cn)
+          if (sim > bestSim) { bestSim = sim; bestCid = cid }
+        }
+        (bestCid, id, v)
+      }
+    assigned.groupByKey(_._1).mapGroups { (cid, it) =>
+      val items = it.toArray.sortBy(_._2)
+      val norms = items.map(x => math.sqrt(dot(x._3, x._3)))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var nDropped = 0L
+      var i = 0
+      while (i < items.length) {
+        var dup = false
+        var j = 0
+        while (j < i && !dup) {
+          val sim = dot(items(i)._3, items(j)._3) / (norms(i) * norms(j))
+          if (sim >= Tau) dup = true
+          j += 1
+        }
+        if (dup) nDropped += 1 else kept += items(i)._2
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(kept.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (cid, items.length.toLong, nDropped, hex)
+    }.toDF("cid", "n_vecs", "n_dropped", "kept_md5")
+      .orderBy("cid")
+  }
+
+  val dedupSemanticSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |sims AS (SELECT v.vec_id, c.cid,
+      |    list_dot_product(v.e, c.ce) /
+      |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS sim
+      |  FROM v CROSS JOIN c),
+      |assign AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM sims) WHERE rn = 1),
+      |va AS (SELECT a.vec_id, a.cid, v.e FROM assign a JOIN v USING (vec_id)),
+      |drops AS (SELECT DISTINCT a.vec_id
+      |  FROM va a JOIN va b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  WHERE list_dot_product(a.e, b.e) /
+      |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+      |SELECT va.cid, count(*) AS n_vecs, count(d.vec_id) AS n_dropped,
+      |  md5(string_agg(CAST(va.vec_id AS VARCHAR), ',' ORDER BY va.vec_id)
+      |        FILTER (WHERE d.vec_id IS NULL)) AS kept_md5
+      |FROM va LEFT JOIN drops d USING (vec_id)
+      |GROUP BY va.cid ORDER BY va.cid""".stripMargin
+
   /** Range join: error events within 1 hour of a purchase by the same user
     * (bucketed equi-join — exact but bounded per-bucket work). Oracle is
     * the plain inequality join, which DuckDB executes natively as IEJoin. */
@@ -332,6 +426,7 @@ object Pipeline {
     "asof_join" -> (asofJoin _, asofJoinSql),
     "range_join" -> (rangeJoin _, rangeJoinSql),
     "dedup_embedding_cosine" -> (dedupEmbedding _, dedupEmbeddingSql),
+    "dedup_semantic" -> (dedupSemantic _, dedupSemanticSql),
     "dedup_minhash_lsh" -> (dedupMinhash _, dedupMinhashSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "ann_lsh_topk" -> (annLsh _, annLshSql),

@@ -147,6 +147,35 @@ class CurationSpec extends SparkTestBase {
     audit(graft.queries.Curation.dedupLines(spark, sf), "dedup_lines", 8)
   }
 
+  test("decontamination flags only train docs, with sane overlap fractions") {
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.queries.Curation.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty) // the sf0.01 corpus plants near-dup pairs across the split
+    out.foreach { r =>
+      // flagged docs are all on the train side of the hash split
+      val bucket = spark.range(1).select(
+        TextCuration.hashBucket(lit(r.getLong(0)))).collect()(0).getInt(0)
+      assert(bucket >= 20, s"eval doc ${r.getLong(0)} flagged as contaminated")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      val frac = r.getDouble(3)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("temperature sampling keeps all of the rarest language, downsamples the rest") {
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.queries.Curation.temperatureSample(spark, sf).collect()
+    val byRate = out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val minLang = byRate.minBy(_._2)
+    assert(minLang._3 == 1.0 && minLang._4 == minLang._2) // rate 1 → keeps everything
+    byRate.foreach { case (_, n, rate, kept) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(kept <= n)
+      // kept fraction tracks the rate (hash buckets are uniform to ~16 bits)
+      assert(math.abs(kept.toDouble / n - rate) < 0.15)
+    }
+  }
+
   test("animated GIF payloads demux to real frames; others use the stub") {
     import javax.imageio.{IIOImage, ImageIO}
     val gifOut = new java.io.ByteArrayOutputStream()

@@ -70,6 +70,20 @@ class EmbeddingOpsSpec extends SparkTestBase {
     codes.unpersist()
   }
 
+  test("semantic dedup covers the corpus and always keeps a cluster's lowest id") {
+    val out = graft.queries.Pipeline.dedupSemantic(spark, sf).collect()
+    val total = embs.count()
+    assert(out.map(_.getLong(1)).sum == total)      // every vector assigned once
+    out.foreach { r =>
+      val (n, dropped) = (r.getLong(1), r.getLong(2))
+      assert(dropped >= 0 && dropped < n)           // the lowest id can never drop
+      assert(r.getString(3).length == 32)           // md5 over a non-empty kept list
+    }
+    // determinism: identical result on re-run
+    val again = graft.queries.Pipeline.dedupSemantic(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("kmeans inertia is non-increasing and assignment is deterministic") {
     val (cents, inertias) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6)
     assert(cents.length == 8)
