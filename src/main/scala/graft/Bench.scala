@@ -179,7 +179,42 @@ object Bench {
     // output shrinks the window for log-line interleaving in capture
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // the recorded line is the LAST ~2000 chars of sbt output: everything
+    // printed must fit there together with sbt's trailing [success] line,
+    // or the record is truncated mid-JSON and unparseable (the fate of
+    // BENCH_r1–r4). Print 3-decimal values and hard-cap the line; the
+    // full-precision record with per-run vectors and row counts always
+    // goes to BENCH_LOCAL.json in the repo.
+    def fmt3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // priority: BASELINE-comparable raw reads first, then relational
+    // q1–q17, then pipeline operators — later entries drop first if the
+    // char budget is hit
+    val rawNames = rawReads.map(_._1)
+    val priority: Map[String, Int] = results.map { case (k, _) =>
+      k -> (if (rawNames.contains(k)) 0
+            else if (k.matches("q\\d+_.*")) 1 else 2)
+    }.toMap
+    val ordered = results.sortBy { case (k, _) => (priority(k), k) }
+    // 2000-char capture window minus sbt's ~70-char "[success] Total
+    // time: ..." trailer, with margin for timestamp-length variance
+    val budget = 1820
+    val fixedTail = s""","sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{"""
+    val entries = ordered.map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
+    var line = head
+    var kept = 0
+    entries.foreach { e =>
+      val sep = if (kept == 0) "" else ","
+      if (line.length + sep.length + e.length + 1 + fixedTail.length + 16 <= budget) {
+        line += sep + e; kept += 1
+      }
+    }
+    val omitted = entries.length - kept
+    line += "}" + (if (omitted > 0) s""","omitted":$omitted""" else "") + fixedTail
+
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runsJson = allRuns.map { case (k, runs) =>
       s"\"" + k + "\":" + runs.map(fmt).mkString("[", ",", "]")
@@ -187,15 +222,14 @@ object Bench {
     val rowsJson = rowCounts.toSeq.sortBy(_._1).map { case (k, n) =>
       s"\"" + k + "\":" + n
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"rows":$rowsJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"runs":$runsJson,"rows":$rowsJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing: its shutdown-hook logging otherwise
     // races this println and can interleave mid-line, corrupting the one
-    // JSON record the driver parses (BENCH_r1–r4 all show parsed:null)
+    // JSON record the driver parses
     spark.stop()
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes("UTF-8"))
-    println(json)
+      full.getBytes("UTF-8"))
+    println(line)
     System.out.flush()
   }
 }

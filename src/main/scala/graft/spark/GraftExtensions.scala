@@ -1,0 +1,87 @@
+package graft.spark
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{HyperplaneSignature, MinHashSignature}
+import graft.operators.AnnLsh
+
+/** SQL surface for graft's custom Catalyst expressions.
+  *
+  * Registered either cluster-wide via
+  * `--conf spark.sql.extensions=graft.spark.GraftExtensions` (the
+  * standard extension-injection path — the class is instantiated per
+  * session build) or imperatively on an existing session with
+  * `GraftFunctions.register(spark)`.
+  *
+  * Exposed functions:
+  *  - `hyperplane_signature(vec, nBits, dim[, seed])` — the loop-codegen'd
+  *    random-hyperplane LSH signature ([[graft.functions.HyperplaneSignature]]);
+  *    planes are derived deterministically from (nBits, dim, seed), so a
+  *    SQL user gets the exact signatures the Scala API produces.
+  *  - `minhash_signature(expr, k)` — single-buffer k-element MinHash
+  *    aggregate ([[graft.functions.MinHashSignature]]): one pass, k longs
+  *    per group across the shuffle.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos} must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos} must be an integer literal, got $other")
+  }
+
+  private val hyperplaneBuilder: Seq[Expression] => Expression = {
+    case Seq(child, nBits, dim) =>
+      HyperplaneSignature(child, AnnLsh.hyperplanes(
+        intArg(nBits, "hyperplane_signature", 2),
+        intArg(dim, "hyperplane_signature", 3)))
+    case Seq(child, nBits, dim, seed) =>
+      HyperplaneSignature(child, AnnLsh.hyperplanes(
+        intArg(nBits, "hyperplane_signature", 2),
+        intArg(dim, "hyperplane_signature", 3),
+        longArg(seed, "hyperplane_signature", 4)))
+    case args => throw new IllegalArgumentException(
+      s"hyperplane_signature expects (vec, nBits, dim[, seed]), got ${args.length} args")
+  }
+
+  private val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(child, k) =>
+      MinHashSignature(child, intArg(k, "minhash_signature", 2))
+    case args => throw new IllegalArgumentException(
+      s"minhash_signature expects (expr, k), got ${args.length} args")
+  }
+
+  /** (identifier, info, builder) triples in injectFunction's shape. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("hyperplane_signature"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
+      hyperplaneBuilder),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      minhashBuilder))
+
+  /** Imperative registration on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}

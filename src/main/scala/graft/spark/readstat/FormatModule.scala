@@ -79,7 +79,8 @@ final case class ReadstatOptions(
     compress: Boolean = false,
     timeAsTimeType: Boolean = false,
     compressProbeRows: Int = 1000,
-    schemaOverrides: String = "")
+    schemaOverrides: String = "",
+    mergeSchema: Boolean = false)
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
@@ -110,6 +111,7 @@ object ReadstatOptions {
       compress = b("compress", dflt = false),
       timeAsTimeType = b("timeAsTimeType", dflt = false),
       compressProbeRows = parse("compressProbeRows", 1000)(_.toInt),
-      schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""))
+      schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""),
+      mergeSchema = b("mergeSchema", dflt = false))
   }
 }

@@ -51,8 +51,9 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ReadstatOptions.from(options.asCaseSensitiveMap())
-    val path = pathsOf(options).head
-    Formats.effectiveSchema(path, opts)
+    val paths = pathsOf(options)
+    if (opts.mergeSchema && paths.length > 1) Formats.mergedSchema(paths, opts)
+    else Formats.effectiveSchema(paths.head, opts)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -86,6 +87,43 @@ object Formats {
       schema = InformativeNulls.transformSchema(schema, nullPairs,
         opts.informativeNullMode)
     schema
+  }
+
+  /** Union-by-name over every file's effective schema (`mergeSchema`
+    * option — the semantics of spark.read.parquet's mergeSchema, extended
+    * to heterogeneous stat formats: a .dta and a .sav can merge). Name
+    * collisions with different types widen within the numeric tower
+    * (integral→larger integral, anything fractional→double); any other
+    * conflict is an error naming the column and files. Columns absent
+    * from at least one file become nullable (those files null-fill).
+    */
+  def mergedSchema(paths: Seq[String], opts: ReadstatOptions): StructType = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    def widen(a: DataType, b: DataType, name: String): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if integral.contains(x) && integral.contains(y) =>
+        if (x.defaultSize >= y.defaultSize) x else y
+      case (x: NumericType, y: NumericType) => DoubleType
+      case _ => throw new IllegalArgumentException(
+        s"readstat: mergeSchema cannot reconcile column '$name': $a vs $b")
+    }
+    val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    val presentIn = scala.collection.mutable.HashMap[String, Int]()
+    val schemas = paths.map(p => effectiveSchema(p, opts))
+    schemas.foreach { s =>
+      s.fields.foreach { f =>
+        presentIn.updateWith(f.name)(c => Some(c.getOrElse(0) + 1))
+        fields.updateWith(f.name) {
+          case None => Some(f)
+          case Some(ex) => Some(ex.copy(
+            dataType = widen(ex.dataType, f.dataType, f.name),
+            nullable = ex.nullable || f.nullable))
+        }
+      }
+    }
+    StructType(fields.values.map(f =>
+      if (presentIn(f.name) < paths.length) f.copy(nullable = true) else f).toArray)
   }
 
   def moduleFor(path: String): FormatModule = {
@@ -153,17 +191,30 @@ class ReadstatScan(paths: Seq[String], required: StructType,
     paths.flatMap(p => Formats.moduleFor(p).planPartitions(p, opts, limit))
       .toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ReadstatPartitionReaderFactory(required, opts)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Spark requires every partition of a scan to agree on row-vs-columnar
+    // (BatchScanExec rejects mixed partitions), so the decision is made
+    // once per scan across ALL files: any file that can't serve the batch
+    // loaders — unsupported regime, or (merged scans) a missing/pre-
+    // widening required column that the row path must null-fill or cast —
+    // degrades the whole scan to rows.
+    val columnar = paths.forall { p =>
+      val module = Formats.moduleFor(p)
+      val mergeable = !opts.mergeSchema || {
+        val natural = module.schema(p, opts).fields.map(f => f.name -> f.dataType).toMap
+        required.fields.forall(f => natural.get(f.name).contains(f.dataType))
+      }
+      mergeable && module.supportsColumnar(p, opts, required)
+    }
+    new ReadstatPartitionReaderFactory(required, opts, columnar)
+  }
 }
 
 class ReadstatPartitionReaderFactory(required: StructType,
-    opts: ReadstatOptions) extends PartitionReaderFactory {
+    opts: ReadstatOptions, columnar: Boolean) extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = {
-    val part = partition.asInstanceOf[RangePartition]
-    Formats.moduleFor(part.path).supportsColumnar(part.path, opts, required)
-  }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -194,10 +245,52 @@ class ReadstatPartitionReaderFactory(required: StructType,
         wrap(module.rows(part, opts, moduleRequired))
       } else {
         val naturalByName = natural.fields.map(f => f.name -> f).toMap
-        val naturalRequired = StructType(required.fields.map(f =>
-          naturalByName.getOrElse(f.name, f)))
-        Narrowing.castingIterator(
-          module.rows(part, opts, naturalRequired), naturalRequired, required)
+        val absent = required.fields.filterNot(f => naturalByName.contains(f.name))
+        if (absent.isEmpty) {
+          val naturalRequired = StructType(required.fields.map(f =>
+            naturalByName(f.name)))
+          Narrowing.castingIterator(
+            module.rows(part, opts, naturalRequired), naturalRequired, required)
+        } else if (!opts.mergeSchema) {
+          throw new IllegalArgumentException(
+            s"readstat: ${part.path} has no column(s) ${absent.map(_.name).mkString(", ")}" +
+              " — reading files with differing schemas requires .option(\"mergeSchema\", \"true\")")
+        } else {
+          // merged scan over a file missing some columns: decode what the
+          // file has, null-fill the rest at the required positions. If the
+          // file holds NONE of the required columns, drive row cadence off
+          // its first natural column (cheapest way to get the exact row
+          // count in every partition regime) and emit all-null rows.
+          val present = required.fields.filter(f => naturalByName.contains(f.name))
+          if (present.isEmpty) {
+            val pacer = StructType(Array(natural.fields.head))
+            val width = required.fields.length
+            module.rows(part, opts, pacer).map { _ =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                new Array[Any](width))
+            }
+          } else {
+          val naturalPresent = StructType(present.map(f => naturalByName(f.name)))
+          val presentTarget = StructType(present)
+          val inner = Narrowing.castingIterator(
+            module.rows(part, opts, naturalPresent), naturalPresent, presentTarget)
+          val presentPos = present.map(_.name).zipWithIndex.toMap
+          val slots = required.fields.map(f => presentPos.get(f.name))
+          val types = presentTarget.fields.map(_.dataType)
+          inner.map { row =>
+            val out = new Array[Any](slots.length)
+            var i = 0
+            while (i < slots.length) {
+              out(i) = slots(i) match {
+                case Some(j) => if (row.isNullAt(j)) null else row.get(j, types(j))
+                case None => null
+              }
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+          }
+          }
+        }
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.readstat.SparkTestBase
+import graft.spark.{GraftExtensions, GraftFunctions}
+
+/** The SQL surface (GraftExtensions / GraftFunctions) must produce
+  * bit-identical results to the Scala Column API for every registered
+  * function, both when registered imperatively and when injected through
+  * the standard spark.sql.extensions session-build path. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  private def vecs(s: SparkSession) = {
+    import s.implicits._
+    (0 until 20).map { i =>
+      val rnd = new java.util.Random(i)
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("hyperplane_signature SQL matches the Column API") {
+    GraftFunctions.register(spark)
+    vecs(spark).createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, hyperplane_signature(embedding, 16, 8, 42) AS sig " +
+      "FROM ext_vecs ORDER BY vec_id").collect()
+    val planes = graft.operators.AnnLsh.hyperplanes(16, 8, 42L)
+    val viaApi = vecs(spark)
+      .select(col("vec_id"),
+        graft.functions.HyperplaneSignature(col("embedding"), planes).as("sig"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.map(_.getLong(1)).toSeq == viaApi.map(_.getLong(1)).toSeq)
+    // signatures must not be degenerate (all zero / all equal)
+    assert(viaSql.map(_.getLong(1)).distinct.length > 1)
+  }
+
+  test("minhash_signature SQL aggregate matches the Column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely different words live in this one"))
+      .toDF("doc_id", "text")
+    val sh = graft.operators.MinHashLsh.shingles(docs, "doc_id", "text")
+    sh.createOrReplaceTempView("ext_shingles")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_signature(shingle, 32) AS sig " +
+      "FROM ext_shingles GROUP BY doc_id ORDER BY doc_id").collect()
+    val viaApi = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSignature(col("shingle"), 32).as("sig"))
+      .orderBy("doc_id").collect()
+    val sqlSigs = viaSql.map(_.getSeq[Long](1).toSeq).toSeq
+    val apiSigs = viaApi.map(_.getSeq[Long](1).toSeq).toSeq
+    assert(sqlSigs == apiSigs)
+    // near-dup docs 1/2 share most minima; doc 3 shares almost none
+    val shared12 = sqlSigs(0).zip(sqlSigs(1)).count { case (a, b) => a == b }
+    val shared13 = sqlSigs(0).zip(sqlSigs(2)).count { case (a, b) => a == b }
+    assert(shared12 > shared13)
+  }
+
+  test("spark.sql.extensions injection path registers the functions") {
+    // a session already exists for this JVM's SparkContext, so build a
+    // second session against the same context with the extension applied;
+    // restore the shared session as active afterwards
+    val base = spark
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val withExt = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      try {
+        vecs(withExt).createOrReplaceTempView("ext_vecs2")
+        val n = withExt.sql(
+          "SELECT count(DISTINCT hyperplane_signature(embedding, 12, 8)) " +
+          "FROM ext_vecs2").collect()(0).getLong(0)
+        assert(n > 1)
+      } finally {
+        // the new session shares the SparkContext — do NOT stop() it
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
