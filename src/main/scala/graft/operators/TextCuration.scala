@@ -71,6 +71,36 @@ object TextCuration {
     * 256 non-uniform combos over 100 buckets skews splits by several
     * percent; 65536 uniform values keep every bucket within 0.1%.)
     */
+  /** Incremental exact dedup: flag which documents of a NEW ingest batch
+    * already exist (by normalized-content fingerprint) in an existing
+    * corpus, without shuffling the corpus.
+    *
+    * Scale shape: the batch is the small side by definition, so its
+    * fingerprints are sketched into a Bloom filter on the driver and
+    * probed while SCANNING the corpus ([[graft.functions.BloomMightContain]],
+    * codegen'd) — the corpus contributes only ~|batch|·(1+fpp) candidate
+    * rows to the one small shuffle. The exact join on the survivors
+    * removes Bloom false positives, so the output is exact for any fpp.
+    * This is the membership analog of Spark's runtime bloom-filter join
+    * rewrite, available to arbitrary plan shapes.
+    *
+    * @return one row per batch document: (idCol, is_dup 0/1)
+    */
+  def incrementalDupFlags(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    def fp(c: Column) = md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+    val batchFp = batch.select(col(idCol), fp(col(textCol)).as("__fp"))
+    val n = math.max(batchFp.count(), 1L)
+    val bloom = batchFp.stat.bloomFilter("__fp", n, fpp)
+    val candidates = corpus
+      .select(fp(col(textCol)).as("__fp"))
+      .filter(graft.functions.BloomMightContain(col("__fp"), bloom))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    batchFp.join(candidates, Seq("__fp"), "left")
+      .select(col(idCol), col("__hit").isNotNull.cast("int").as("is_dup"))
+  }
+
   def hashSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val bucket = hashBucket(idCol)
     when(bucket < trainPct, "train")

@@ -562,6 +562,40 @@ object Curation {
       |FROM b JOIN r USING (lang)
       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
 
+  /** Incremental ingest dedup: an "existing corpus" (doc_id % 10 <> 0)
+    * and a "new batch" (the % 10 == 0 docs, plus exact copies of some
+    * corpus docs under shifted ids — the planted duplicates an ingest
+    * run must catch). The operator Bloom-sketches the batch fingerprints
+    * and probes them during the corpus scan (codegen'd expression), so
+    * only ~|batch| candidate rows leave the corpus scan; an exact join
+    * then strips Bloom false positives. The oracle replays the same
+    * split with a plain semi-join — results must agree exactly for any
+    * fpp. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val planted = docs.filter(col("doc_id") % 100 === 1)
+      .select((col("doc_id") + lit(1000000)).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(planted)
+    TextCuration.incrementalDupFlags(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
+      |batch AS (
+      |  SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, fp FROM fps WHERE doc_id % 100 = 1)
+      |SELECT b.doc_id, CAST(c.fp IS NOT NULL AS INT) AS is_dup
+      |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
@@ -576,5 +610,6 @@ object Curation {
     "dedup_exact_keep" -> (dedupExactKeep _, dedupExactKeepSql),
     "text_decontaminate" -> (decontaminate _, decontaminateSql),
     "sample_temperature" -> (temperatureSample _, temperatureSampleSql),
+    "dedup_incremental" -> (incrementalDedup _, incrementalDedupSql),
   )
 }

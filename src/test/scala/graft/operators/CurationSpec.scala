@@ -219,4 +219,47 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("incrementalDupFlags is exact for any Bloom fpp, including fp-heavy filters") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "dogs bark loudly"), (3L, "unique corpus line"),
+      (4L, "  the   CAT sat "), // normalizes equal to doc 1
+      (5L, "rain in spain")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the cat sat"),        // dup (exact)
+      (101L, "THE CAT SAT"),        // dup after lower+ws normalization
+      (102L, "never seen before"),  // new
+      (103L, "rain in spain"),      // dup
+      (104L, "also new text")).toDF("doc_id", "text")
+    val expect = Map(100L -> 1, 101L -> 1, 102L -> 0, 103L -> 1, 104L -> 0)
+    // tight and sloppy filters must agree: false positives only cost work,
+    // never correctness (the exact join strips them)
+    for (fpp <- Seq(0.000001, 0.9)) {
+      val got = TextCuration.incrementalDupFlags(corpus, batch, "doc_id", "text", fpp)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expect, s"fpp=$fpp")
+    }
+  }
+
+  test("incrementalDupFlags probes the corpus scan before any join") {
+    import spark.implicits._
+    // corpus goes through parquet so it is a real scan — over a local
+    // relation the optimizer constant-folds the probe away entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toFile
+    dir.deleteOnExit()
+    (0L until 1000L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val batch = Seq((9000L, "corpus doc number 7"), (9001L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = TextCuration.incrementalDupFlags(corpus, batch, "doc_id", "text")
+    // the bloom probe must sit in the corpus-side plan as a Filter on the
+    // scan, upstream of the join
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(2000))
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(9000L -> 1, 9001L -> 0))
+  }
 }
