@@ -63,6 +63,29 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Bounded-parallel, order-preserving map for driver-side planning loops.
+  * Multi-file loads pay one header parse (and, for compressed SPSS, a
+  * control skim) per file at planning time; at directory scale that
+  * sequential loop — not the cluster — becomes the bottleneck, so fan it
+  * out over a transient pool sized to the driver's cores. */
+private[readstat] object DriverPar {
+  def mapOrdered[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val par = math.min(xs.length, Runtime.getRuntime.availableProcessors)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val futures = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(x) })
+        }
+        futures.map { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
+}
+
 /** Extension → format module dispatch. */
 object Formats {
   /** Declared schema + compress narrowing + user overrides + informative-
@@ -110,7 +133,7 @@ object Formats {
     }
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
     val presentIn = scala.collection.mutable.HashMap[String, Int]()
-    val schemas = paths.map(p => effectiveSchema(p, opts))
+    val schemas = DriverPar.mapOrdered(paths)(p => effectiveSchema(p, opts))
     schemas.foreach { s =>
       s.fields.foreach { f =>
         presentIn.updateWith(f.name)(c => Some(c.getOrElse(0) + 1))
@@ -188,8 +211,9 @@ class ReadstatScan(paths: Seq[String], required: StructType,
       limit.map(l => s" limit=$l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
-    paths.flatMap(p => Formats.moduleFor(p).planPartitions(p, opts, limit))
-      .toArray
+    DriverPar.mapOrdered(paths)(p =>
+        Formats.moduleFor(p).planPartitions(p, opts, limit))
+      .flatten.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Spark requires every partition of a scan to agree on row-vs-columnar
