@@ -108,9 +108,14 @@ object Bench {
           // decodes every required column eagerly per batch.
           scan(dta).queryExecution.toRdd.count()
         }),
+        // subset metrics aggregate count(column), NOT count(*): a bare
+        // count(*) is now answered from metadata by aggregate pushdown
+        // and would measure nothing — per-column counts must decode
+        // every selected column
         ("stata_subset_read", () =>
           scan(dta).select("l_quantity", "l_returnflag")
-            .agg(count(lit(1))).collect()(0).getLong(0)),
+            .agg(count(col("l_quantity")), count(col("l_returnflag")))
+            .collect()(0).getLong(0)),
         ("stata_subset_filter", () =>
           scan(dta).select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
@@ -119,12 +124,14 @@ object Bench {
           scan(sav).queryExecution.toRdd.count()),
         ("spss_subset_read", () =>
           scan(sav).select("l_quantity", "l_returnflag")
-            .agg(count(lit(1))).collect()(0).getLong(0)),
+            .agg(count(col("l_quantity")), count(col("l_returnflag")))
+            .collect()(0).getLong(0)),
         ("stata_fullread_50m", () =>
           scan(dta50).queryExecution.toRdd.count()),
         ("stata_subset_read_50m", () =>
           scan(dta50).select("l_quantity", "l_returnflag")
-            .agg(count(lit(1))).collect()(0).getLong(0)),
+            .agg(count(col("l_quantity")), count(col("l_returnflag")))
+            .collect()(0).getLong(0)),
         ("stata_subset_filter_50m", () =>
           scan(dta50).select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
@@ -135,14 +142,16 @@ object Bench {
           scan(zsav).queryExecution.toRdd.count()),
         ("zsav_subset_read", () =>
           scan(zsav).select("l_quantity", "l_returnflag")
-            .agg(count(lit(1))).collect()(0).getLong(0)),
+            .agg(count(col("l_quantity")), count(col("l_returnflag")))
+            .collect()(0).getLong(0)),
         // ANES shape: 73,745 x 1,030 — BASELINE.md:19-20 measures 1.09s
         // full read / 0.15s subset on this geometry
         ("spss_wide_fullread", () =>
           scan(savWide).queryExecution.toRdd.count()),
         ("spss_wide_subset", () =>
           scan(savWide).select("c1", "c7")
-            .agg(count(lit(1))).collect()(0).getLong(0)))
+            .agg(count(col("c1")), count(col("c7")))
+            .collect()(0).getLong(0)))
     }
 
     // warm every raw-read shape with one full untimed execution: the

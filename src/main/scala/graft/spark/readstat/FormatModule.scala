@@ -27,6 +27,13 @@ trait FormatModule extends Serializable {
   def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow]
 
+  /** Exact total data-row count when obtainable from metadata alone
+    * (header fields, record-length arithmetic, page indexes) — the basis
+    * for COUNT(*) aggregate pushdown, where a count never touches row
+    * data. None when the format can only learn the count by decoding
+    * (e.g. POR's end-marker-terminated stream). */
+  def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = None
+
   /** Whether [[columnarRows]] can serve this (path, options, schema)
     * combination. Must be cheap — called at planning time. */
   def supportsColumnar(path: String, opts: ReadstatOptions,

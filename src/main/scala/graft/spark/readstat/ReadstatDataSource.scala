@@ -182,10 +182,12 @@ class ReadstatScanBuilder(paths: Seq[String], full: StructType,
     opts: ReadstatOptions)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var limit: Option[Long] = None
+  private var countStar: Boolean = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve file column order for the pruned subset
@@ -199,8 +201,71 @@ class ReadstatScanBuilder(paths: Seq[String], full: StructType,
     if (paths.length == 1) { limit = Some(n.toLong); true } else false
   }
 
-  override def build(): Scan = new ReadstatScan(paths, required, opts, limit)
+  // COUNT(*) with no grouping answers from metadata alone — header row
+  // counts / record-length arithmetic / page indexes — so a count over a
+  // 100 TB corpus reads zero data bytes. Catalyst only offers the
+  // aggregate when every filter above the scan was pushed down; this
+  // source pushes none, so a filtered count keeps its full scan and
+  // stays exact. Complete pushdown: the scan emits the single final row.
+  private def canPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      paths.forall(p => Formats.moduleFor(p).exactRowCount(p, opts).isDefined)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (canPushCount(agg)) { countStar = true; true } else false
+  }
+
+  override def build(): Scan =
+    if (countStar) new ReadstatCountStarScan(paths, opts)
+    else new ReadstatScan(paths, required, opts, limit)
 }
+
+/** Metadata-only COUNT(*): one partition, one row, zero data bytes read. */
+class ReadstatCountStarScan(paths: Seq[String], opts: ReadstatOptions)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Array(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"readstat count-star (metadata-only) ${paths.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = DriverPar.mapOrdered(paths)(p =>
+      Formats.moduleFor(p).exactRowCount(p, opts).getOrElse(
+        throw new IllegalStateException(s"readstat: no metadata row count for $p")))
+      .sum
+    Array(CountStarPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val total = partition.asInstanceOf[CountStarPartition].count
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](total))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class CountStarPartition(count: Long)
+  extends org.apache.spark.sql.connector.read.InputPartition
 
 class ReadstatScan(paths: Seq[String], required: StructType,
     opts: ReadstatOptions, limit: Option[Long]) extends Scan with Batch {

@@ -173,6 +173,14 @@ object SasModule extends FormatModule {
       } finally raf.close()
     })
 
+  override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
+    val md = metadata(path)
+    // header declares the page grid; a cut file fails the size identity
+    // and falls back to the scan's loud truncation error
+    val need = md.headerLength.toLong + md.pageCount.toLong * md.pageLength
+    if (new java.io.File(path).length() >= need) Some(md.rowCount) else None
+  }
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)

@@ -83,6 +83,30 @@ object SpssModule extends FormatModule {
       (new java.io.File(path).length() - md.dataOffset) / md.recordLen
     else Long.MaxValue // unknown: sequential read until end marker
 
+  override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
+    // never trust a header count blindly: a truncated file must fall back
+    // to the scan (which fails loudly), not return a silent metadata count
+    val md = metadata(path)
+    if (md.compression == 0) {
+      val n = rowCount(path, md)
+      if (n == Long.MaxValue) return None
+      val need = md.dataOffset + n * math.max(1, md.recordLen).toLong
+      if (new java.io.File(path).length() >= need) Some(n) else None
+    } else if (md.compression == 2 && md.nCases >= 0) {
+      // zsav: the trailer block index is at EOF, so reading it (and
+      // checking every block lies within the file) is itself the
+      // truncation probe — a cut file throws or fails the bound
+      try {
+        val (entries, _) = zsavEntries(path, md)
+        val fileLen = new java.io.File(path).length()
+        if (entries.nonEmpty &&
+            entries.forall { case (ofs, _, csz) => ofs + csz <= fileLen })
+          Some(md.nCases)
+        else None
+      } catch { case _: Exception => None }
+    } else None // bytecode: variable-length stream, not verifiable without a skim
+  }
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)

@@ -81,6 +81,15 @@ object StataModule extends FormatModule {
     StructType(fields.result())
   }
 
+  override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
+    val md = metadata(path)
+    // only trust the header count if the fixed-width data section is
+    // actually present — a truncated file must fall back to the scan,
+    // which fails loudly, never to a silent metadata count
+    val need = md.dataOffset + md.nObs * math.max(1, md.rowLen).toLong
+    if (new java.io.File(path).length() >= need) Some(md.nObs) else None
+  }
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)

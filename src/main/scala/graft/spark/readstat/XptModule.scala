@@ -56,6 +56,44 @@ object XptModule extends FormatModule {
     StructType(fields.result())
   }
 
+  /** Metadata count corrected for record padding: the data section is
+    * space-padded to an 80-byte boundary, so file-size arithmetic can
+    * overcount by the phantom all-space rows overlapping the final
+    * 80-byte record. Replays the decoder's exact cut rule over just that
+    * tail zone — one O(80+rowLen)-byte read, no data decode. */
+  override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
+    val md = metadata(path)
+    val rowLen = math.max(1, md.rowLength)
+    val n = md.rowCount
+    if (n == 0) return Some(0L)
+    val fileLen = new java.io.File(path).length()
+    val start = math.max(0L, n - (80L / rowLen + 2))
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      raf.seek(md.dataOffset + start * rowLen)
+      val m = (n - start).toInt
+      val buf = new Array[Byte](m * rowLen)
+      raf.readFully(buf)
+      var r = 0
+      var cut = -1
+      while (cut < 0 && r < m) {
+        val endAbs = md.dataOffset + (start + r + 1) * rowLen
+        if (endAbs > fileLen - 80) {
+          val base = r * rowLen
+          var allSpace = true
+          var i = base
+          while (allSpace && i < base + rowLen) {
+            if (buf(i) != ' ') allSpace = false
+            i += 1
+          }
+          if (allSpace) cut = r
+        }
+        r += 1
+      }
+      Some(if (cut >= 0) start + cut else n)
+    } finally raf.close()
+  }
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)
