@@ -28,7 +28,7 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def rawPathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
       // Spark encodes multiple load() paths as a JSON array — parse it as
@@ -37,15 +37,21 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
       require(node.isArray, s"readstat: 'paths' is not a JSON array: $js")
       (0 until node.size()).map(i => node.get(i).asText()).filter(_.nonEmpty)
     }
+    single ++ multi
+  }
+
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     // directories expand to the stat files they contain (non-recursive,
     // same rule as the file-metadata source) so `load(dir)` fans a drop
     // of same-schema files out one-scan-partition-set-per-file — the
     // files must share a schema, like spark.read.parquet on a directory
-    val all = (single ++ multi).flatMap { p =>
+    val all = rawPathsOf(options).flatMap { p =>
       val f = new java.io.File(p)
       if (f.isDirectory) MetadataPaths.expandDirectory(p) else Seq(p)
     }
-    require(all.nonEmpty, "readstat: no path specified")
+    require(all.nonEmpty, "readstat: no path specified (for streaming, " +
+      "the directory must hold at least one stat file at start, or pass " +
+      "an explicit schema)")
     all
   }
 
@@ -59,7 +65,8 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new ReadstatTable(pathsOf(options), schema, ReadstatOptions.from(properties))
+    new ReadstatTable(pathsOf(options), rawPathsOf(options), schema,
+      ReadstatOptions.from(properties))
   }
 }
 
@@ -162,23 +169,26 @@ object Formats {
   }
 }
 
-class ReadstatTable(paths: Seq[String], tableSchema: StructType,
+class ReadstatTable(paths: Seq[String], rawPaths: Seq[String],
+    tableSchema: StructType,
     opts: ReadstatOptions) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = paths.mkString(",")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ReadstatScanBuilder(paths, tableSchema, opts)
+    new ReadstatScanBuilder(paths, rawPaths, tableSchema, opts)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ReadstatWriteBuilder(paths.head, info.schema(),
       info.options().asCaseSensitiveMap().asScala.toMap)
 }
 
-class ReadstatScanBuilder(paths: Seq[String], full: StructType,
+class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
+    full: StructType,
     opts: ReadstatOptions)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
@@ -227,7 +237,7 @@ class ReadstatScanBuilder(paths: Seq[String], full: StructType,
 
   override def build(): Scan =
     if (countStar) new ReadstatCountStarScan(paths, opts)
-    else new ReadstatScan(paths, required, opts, limit)
+    else new ReadstatScan(paths, rawPaths, required, opts, limit)
 }
 
 /** Metadata-only COUNT(*): one partition, one row, zero data bytes read. */
@@ -267,13 +277,49 @@ class ReadstatCountStarScan(paths: Seq[String], opts: ReadstatOptions)
 final case class CountStarPartition(count: Long)
   extends org.apache.spark.sql.connector.read.InputPartition
 
-class ReadstatScan(paths: Seq[String], required: StructType,
-    opts: ReadstatOptions, limit: Option[Long]) extends Scan with Batch {
+class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
+    required: StructType,
+    opts: ReadstatOptions, limit: Option[Long])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(rawPaths.length == 1 && new java.io.File(rawPaths.head).isDirectory,
+      "readstat streaming requires exactly one directory path " +
+        s"(got: ${rawPaths.mkString(", ")})")
+    new ReadstatMicroBatchStream(rawPaths.head, required, opts)
+  }
   override def description(): String =
     s"readstat ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
       limit.map(l => s" limit=$l").getOrElse("")
+
+  /** Exact stats from metadata: file bytes scaled to the projected
+    * column fraction, plus the metadata row count where the format knows
+    * it. Feeds Catalyst's size estimates so a small stat-file dimension
+    * joins as a broadcast without hints — without this, DSv2 relations
+    * default to spark.sql.defaultSizeInBytes (= "huge") and every join
+    * against a stat file shuffles. */
+  override def estimateStatistics(): Statistics = {
+    val bytes = paths.map(p => new java.io.File(p).length()).sum
+    val fullCols = math.max(1,
+      Formats.effectiveSchema(paths.head, opts).fields.length)
+    val frac = math.min(1.0, required.fields.length.toDouble / fullCols)
+    val scaled = math.max(1L, (bytes * frac).toLong)
+    val rows: Option[Long] =
+      try {
+        val counts = paths.map(p => Formats.moduleFor(p).exactRowCount(p, opts))
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      } catch { case _: Exception => None }
+    val capped = limit.map(l => rows.map(math.min(_, l))).getOrElse(rows)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        capped.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     DriverPar.mapOrdered(paths)(p =>

@@ -69,6 +69,22 @@ class CountPushdownSpec extends SparkTestBase {
       .contains("count-star (metadata-only)"))
   }
 
+  test("scan reports metadata statistics so small stat files auto-broadcast") {
+    import spark.implicits._
+    // a small .dta dimension joined to a larger parquet fact: without
+    // reported statistics, DSv2 relations default to "huge" and the join
+    // shuffles; with exact sizeInBytes/numRows Catalyst picks broadcast
+    // on its own (no hint)
+    val facts = (1L to 50000L).map(i => (i % 257 + 1, i)).toDF("id", "v")
+    val dim = spark.read.format("readstat").load(s"$dir/data.dta")
+      .select(col("id"), col("s"))
+    val joined = facts.join(dim, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected auto-broadcast of the stat-file side: ${plan.take(1200)}")
+    assert(joined.count() == 50000L)
+  }
+
   test("multi-file and merged loads sum metadata counts") {
     val two = spark.read.format("readstat")
       .load(s"$dir/data.dta", s"$dir/data.xpt").agg(count(lit(1)))

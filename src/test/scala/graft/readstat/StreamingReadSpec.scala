@@ -1,0 +1,62 @@
+package graft.readstat
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** readStream over a directory of stat files: files present at start
+  * form the first batch, later drops arrive as new batches exactly once
+  * (offsets are the set of seen file names). */
+class StreamingReadSpec extends SparkTestBase {
+
+  test("stat-file directory streams batches of newly arrived files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream").toFile
+    dir.deleteOnExit()
+    def writeFile(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+        .write.format("readstat").mode("overwrite")
+        .save(s"$dir/$name")
+
+    writeFile("a.dta", 1 to 100)
+    writeFile("b.dta", 101 to 150)
+
+    val stream = spark.readStream.format("readstat").load(dir.getAbsolutePath)
+    val query = stream.writeStream.format("memory")
+      .queryName("readstat_stream").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      query.processAllAvailable()
+      val n1 = spark.table("readstat_stream").count()
+      assert(n1 == 150L, s"first batch: $n1")
+
+      writeFile("c.dta", 151 to 170)
+      query.processAllAvailable()
+      val rows = spark.table("readstat_stream")
+      assert(rows.count() == 170L)
+      // exactly once: no id duplicated across batches
+      assert(rows.select("id").distinct().count() == 170L)
+      // dta has no int64 storage, so ids round-trip as double
+      assert(rows.agg(sum("id").cast("long")).collect()(0).getLong(0) ==
+        (1L to 170L).sum)
+    } finally query.stop()
+  }
+
+  test("streaming a bare file path is rejected with a clear error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream2").toFile
+    dir.deleteOnExit()
+    Seq((1L, "x")).toDF("id", "s")
+      .write.format("readstat").mode("overwrite").save(s"$dir/one.dta")
+    val e = intercept[Exception] {
+      spark.readStream.format("readstat").load(s"$dir/one.dta")
+        .writeStream.format("memory").queryName("readstat_stream_bad")
+        .start().processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("requires exactly one directory")),
+      msgs(e).mkString(" | "))
+  }
+}
