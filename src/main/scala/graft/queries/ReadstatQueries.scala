@@ -203,7 +203,43 @@ object ReadstatQueries {
       |  SELECT 'sav' AS format, count(*) AS row_count, 4 AS var_count FROM customer
       |) ORDER BY format""".stripMargin
 
+  /** Cross-format join: lineitem through .dta, orders through .xpt (IBM
+    * floats + 8-char name truncation), customer through .sav — three
+    * binary formats meeting in one Catalyst plan. Certifies that types,
+    * keys, and values survive each format's encoding well enough to JOIN
+    * exactly, not just aggregate in isolation. */
+  def crossFormatJoin(s: SparkSession, d: String): DataFrame = {
+    val liPath = scratch(d, "xf_lineitem.dta")
+    val ordPath = scratch(d, "xf_orders.xpt")
+    val custPath = scratch(d, "xf_customer.sav")
+    lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.format("readstat").mode("overwrite").save(liPath)
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .write.format("readstat").mode("overwrite").save(ordPath)
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .write.format("readstat").mode("overwrite").save(custPath)
+    val li = s.read.format("readstat").load(liPath)
+    val ord = s.read.format("readstat").load(ordPath) // XPT names: 8-char upper
+    val cust = s.read.format("readstat").load(custPath)
+    li.join(ord, li("l_orderkey") === ord("O_ORDERK"))
+      .join(cust, ord("O_CUSTKE") === cust("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val crossFormatJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
     "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),
     "xpt_roundtrip_agg" -> (xptRoundtrip _, xptRoundtripSql),
