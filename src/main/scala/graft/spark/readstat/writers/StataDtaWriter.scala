@@ -236,6 +236,64 @@ object StataDtaWriter {
     // strings (names, labels, data) are windows-1252 before 118, UTF-8 after
     val csName = graft.core.stata.StataTypes.charsetFor(version).name()
 
+    // ---- multiFile mode: one self-contained .dta per partition ----
+    // `path` becomes a DIRECTORY of part-NNNNN.dta files (parquet-style),
+    // each with the full header/metadata/value-label sections and its own
+    // row count, encoded AND assembled on the executor — the write is
+    // fully parallel with no driver splice, which is the 100 TB write
+    // path (single-file stat formats are inherently single-writer; a
+    // directory of them is not). Global job-1 widths/promotions keep
+    // every part file's schema identical, so `load(dir)` reads the set
+    // back as one frame.
+    if (options.get("multiFile").exists(_.toBoolean)) {
+      val dirF = new File(path)
+      if (dirF.exists() && dirF.isFile) dirF.delete()
+      Files.createDirectories(Paths.get(path))
+      Option(dirF.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.matches("part-\\d{5}\\.dta")) f.delete()
+      })
+      val specsB = spark.sparkContext.broadcast(cols)
+      val vls = valueLabels
+      val mvl = metaVarLabels
+      val counts: Array[Long] =
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val specs = specsB.value
+            val cs2 = java.nio.charset.Charset.forName(csName)
+            val dataF = File.createTempFile(s"graft_mdta_${pid}_", ".chunk")
+            val gsoF = File.createTempFile(s"graft_mgso_${pid}_", ".chunk")
+            val out = new DataOutputStream(new BufferedOutputStream(
+              new FileOutputStream(dataF), 1 << 20))
+            val gso = new DataOutputStream(new BufferedOutputStream(
+              new FileOutputStream(gsoF), 1 << 20))
+            var rows = 0L
+            var strlIdx = 0L
+            it.foreach { row =>
+              var i = 0
+              while (i < specs.length) {
+                // v16 = 1: each part file is self-contained, so strL refs
+                // restart as if it were a single-chunk file
+                encodeCell(row, i, specs(i), out, gso, 1,
+                  () => { strlIdx += 1; strlIdx }, version, cs2)
+                i += 1
+              }
+              rows += 1
+            }
+            out.close(); gso.close()
+            assembleFile(f"$path/part-$pid%05d.dta", version, specs, rows,
+              rowLen, dataF.length(), gsoF.length(),
+              Array((0, dataF.getAbsolutePath, gsoF.getAbsolutePath, rows)),
+              vls, mvl)
+            dataF.delete(); gsoF.delete()
+            Iterator(rows)
+          }
+        }.collect()
+      require(counts.sum == nObs,
+        s"row count drift: agg=$nObs write=${counts.sum}")
+      return
+    }
+
     // ---- job 2: encode partitions to scratch chunks ----
     val scratch = options.getOrElse("scratchDir",
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))

@@ -298,4 +298,44 @@ class StataWriterSpec extends SparkTestBase {
     assert(back.agg(sum("c599")).collect()(0).getDouble(0) ==
       (0 until 50).map(r => (r * n + 599).toDouble).sum)
   }
+
+  test("multiFile write: one self-contained dta per partition, no splice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 5000).map(i =>
+        (i.toLong, s"name$i", i * 1.25, if (i % 2 == 0) 1 else 2,
+          if (i % 100 == 0) s"long$i " * 500 else s"short$i")) // strL mix
+      .toDF("id", "s", "v", "sex", "blob")
+      .repartition(7)
+    val dir = tmp("multi.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("multiFile", "true")
+      .option("valueLabels", "sex:1=Male,2=Female")
+      .save(dir)
+
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-\\d{5}\\.dta")).sortBy(_.getName)
+    assert(parts.length == 7, s"expected 7 part files, got ${parts.length}")
+
+    // the whole directory reads back as one frame with the same data
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() == 5000L)
+    assert(back.agg(sum("v").cast("double")).collect()(0).getDouble(0) ==
+      (1 to 5000).map(_ * 1.25).sum)
+    assert(back.select("s").as[String].collect().toSet ==
+      (1 to 5000).map(i => s"name$i").toSet)
+    // strL payloads (per-file GSO sections with restarted refs) round-trip
+    assert(back.filter(col("id") % 100 === 0).select("blob").as[String]
+      .collect().forall(s => s.startsWith("long") && s.length > 2045))
+
+    // every part file is independently valid, carries the value labels,
+    // and its header row count matches its data
+    val one = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(parts(0).getAbsolutePath)
+    assert(one.select("sex").as[String].collect().toSet.subsetOf(Set("Male", "Female")))
+    val metaCounts = spark.read.format("readstat-file-metadata")
+      .load(parts.map(_.getAbsolutePath).toIndexedSeq: _*)
+      .select("row_count").as[Long].collect()
+    assert(metaCounts.sum == 5000L && metaCounts.forall(_ > 0))
+  }
 }
