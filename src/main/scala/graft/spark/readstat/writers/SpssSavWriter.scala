@@ -92,6 +92,63 @@ object SpssSavWriter {
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
     val zlibB = zlib
+
+    // ---- multiFile mode: one self-contained .sav/.zsav per partition ----
+    // (same contract as the dta writer: `path` becomes a directory of
+    // part files, executor-side assembly, no driver splice; global job-1
+    // widths keep every part's dictionary identical)
+    if (options.get("multiFile").exists(_.toBoolean)) {
+      val ext = if (zlib) "zsav" else "sav"
+      val dirF = new File(path)
+      if (dirF.exists() && dirF.isFile) dirF.delete()
+      Files.createDirectories(Paths.get(path))
+      Option(dirF.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.matches("part-\\d{5}\\.(sav|zsav)")) f.delete()
+      })
+      val vls = valueLabels
+      val counts: Array[Long] =
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val specs = specsB.value
+            val f = File.createTempFile(s"graft_msav_${pid}_", ".chunk")
+            val raw = new java.io.BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+            var rows = 0L
+            var blocks = List.empty[(Int, Int)]
+            if (!zlibB) {
+              val out = new DataOutputStream(raw)
+              it.foreach { row =>
+                var i = 0
+                while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+                rows += 1
+              }
+              out.close()
+            } else {
+              val enc = new ZsavBlockEncoder(raw)
+              val rowBuf = new java.io.ByteArrayOutputStream()
+              val rowOut = new DataOutputStream(rowBuf)
+              it.foreach { row =>
+                rowBuf.reset()
+                var i = 0
+                while (i < specs.length) { encodeCell(row, i, specs(i), rowOut); i += 1 }
+                enc.addRow(rowBuf.toByteArray)
+                rows += 1
+              }
+              blocks = enc.finish()
+              raw.close()
+            }
+            val dictLocal = buildDictionary(specs, rows, zlibB, vls)
+            assembleSav(f"$path/part-$pid%05d.$ext", dictLocal, zlibB,
+              Seq(f.getAbsolutePath), blocks)
+            f.delete()
+            Iterator(rows)
+          }
+        }.collect()
+      require(counts.sum == nObs,
+        s"row count drift: agg=$nObs write=${counts.sum}")
+      return
+    }
+
     // toRdd: encode straight from InternalRows — df.rdd would deserialize
     // every row into external Row objects first
     val chunks: Array[(Int, String, Long, Seq[(Int, Int)])] =
@@ -133,6 +190,15 @@ object SpssSavWriter {
 
     // ---- driver: header + dictionary, then splice chunks ----
     val dict = buildDictionary(cols, nObs, zlib, valueLabels)
+    assembleSav(path, dict, zlib, chunks.map(_._2), chunks.flatMap(_._4))
+    chunks.foreach(c => new File(c._2).delete())
+  }
+
+  /** Header + dictionary, then the data chunks (raw records, or zsav
+    * blocks + zheader/ztrailer). Pure IO — runs on the driver for the
+    * single-file splice and on executors for multiFile part assembly. */
+  private def assembleSav(path: String, dict: Array[Byte], zlib: Boolean,
+      chunkPaths: Seq[String], zsavBlocks: Seq[(Int, Int)]): Unit = {
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))
     val ch = java.nio.channels.FileChannel.open(outPath,
@@ -141,8 +207,8 @@ object SpssSavWriter {
     try {
       ch.write(java.nio.ByteBuffer.wrap(dict))
       if (!zlib) {
-        chunks.foreach { c =>
-          val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+        chunkPaths.foreach { c =>
+          val in = java.nio.channels.FileChannel.open(Paths.get(c), StandardOpenOption.READ)
           try { var p = 0L; val n = in.size()
             while (p < n) p += in.transferTo(p, n - p, ch)
           } finally in.close()
@@ -156,7 +222,7 @@ object SpssSavWriter {
         val endLen = endDef.deflate(endBuf)
         endDef.end()
 
-        val allBlocks = chunks.flatMap(_._4) :+ (8, endLen)
+        val allBlocks = zsavBlocks :+ (8, endLen)
         val zheaderOfs = dict.length.toLong
         val totalCompressed = allBlocks.map(_._2.toLong).sum
         val ztrailerOfs = zheaderOfs + 24 + totalCompressed
@@ -165,8 +231,8 @@ object SpssSavWriter {
         Bin.putU64(hb, ztrailerOfs)
         Bin.putU64(hb, 24L + 24L * allBlocks.length)
         ch.write(java.nio.ByteBuffer.wrap(hb.toByteArray))
-        chunks.foreach { c =>
-          val in = java.nio.channels.FileChannel.open(Paths.get(c._2), StandardOpenOption.READ)
+        chunkPaths.foreach { c =>
+          val in = java.nio.channels.FileChannel.open(Paths.get(c), StandardOpenOption.READ)
           try { var p = 0L; val n = in.size()
             while (p < n) p += in.transferTo(p, n - p, ch)
           } finally in.close()
@@ -188,7 +254,6 @@ object SpssSavWriter {
         ch.write(java.nio.ByteBuffer.wrap(tb.toByteArray))
       }
     } finally ch.close()
-    chunks.foreach(c => new File(c._2).delete())
   }
 
   /** Bytecode+deflate block encoder for zsav: elements become literal

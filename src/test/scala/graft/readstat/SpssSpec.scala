@@ -209,4 +209,27 @@ class SpssSpec extends SparkTestBase {
     assert(s(0) == "10:10:10", s.mkString(","))
     assert(s(4) == null)
   }
+
+  test("multiFile write: directory of self-contained sav and zsav parts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i", i * 0.5))
+      .toDF("id", "s", "v").repartition(5)
+    for (ext <- Seq("sav", "zsav")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_msav").toString + s"/multi.$ext"
+      df.write.format("readstat").mode("overwrite")
+        .option("multiFile", "true").save(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      assert(parts.length == 5, s"$ext: ${parts.length} parts")
+      assert(parts.forall(_.getName.endsWith(s".$ext")))
+      val back = spark.read.format("readstat").load(dir)
+      assert(back.count() == 4000L, ext)
+      assert(back.agg(sum("v").cast("double")).collect()(0).getDouble(0) ==
+        (1 to 4000).map(_ * 0.5).sum, ext)
+      // each part stands alone with a consistent header row count
+      val one = spark.read.format("readstat").load(parts(0).getAbsolutePath)
+      assert(one.count() > 0 && one.columns.toSeq == Seq("id", "s", "v"), ext)
+    }
+  }
 }
