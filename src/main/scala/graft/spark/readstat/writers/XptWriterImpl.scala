@@ -66,6 +66,48 @@ object XptWriterImpl {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
+
+    // ---- multiFile mode: one self-contained .xpt per partition ----
+    // (same contract as the dta/sav writers; the XPT header carries no
+    // row count, so each part is just header + its records + 80-pad)
+    if (options.get("multiFile").exists(_.toBoolean)) {
+      val dirF = new File(path)
+      if (dirF.exists() && dirF.isFile) dirF.delete()
+      Files.createDirectories(Paths.get(path))
+      Option(dirF.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.matches("part-\\d{5}\\.xpt")) f.delete()
+      })
+      val header = buildHeader(cols, version)
+      val counts: Array[Long] =
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val specs = specsB.value
+            val partPath = f"$path/part-$pid%05d.xpt"
+            val out = new DataOutputStream(new BufferedOutputStream(
+              new FileOutputStream(partPath), 1 << 20))
+            out.write(header)
+            var rows = 0L
+            it.foreach { row =>
+              var i = 0
+              while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+              rows += 1
+            }
+            val rem = ((rows * specs.map(_.width).sum) % 80).toInt
+            if (rem != 0) {
+              val pad = new Array[Byte](80 - rem)
+              java.util.Arrays.fill(pad, ' '.toByte)
+              out.write(pad)
+            }
+            out.close()
+            Iterator(rows)
+          }
+        }.collect()
+      require(counts.sum == head.getLong(0),
+        s"row count drift: agg=${head.getLong(0)} write=${counts.sum}")
+      return
+    }
+
     // toRdd: encode straight from InternalRows — df.rdd would deserialize
     // every row into external Row objects first
     val chunks = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>

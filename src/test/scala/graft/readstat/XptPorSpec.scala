@@ -145,4 +145,23 @@ class XptPorSpec extends SparkTestBase {
       .option("rowIndexName", "_i").load(refPor)
     assert(p.select("_i").collect().map(_.getLong(0)).toSeq == (0L until 5L))
   }
+
+  test("multiFile write: directory of self-contained xpt parts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 3000).map(i => (i.toLong, s"n$i", i * 0.25))
+      .toDF("id", "s", "v").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mxpt").toString + "/multi.xpt"
+    df.write.format("readstat").mode("overwrite")
+      .option("multiFile", "true").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-\\d{5}\\.xpt")).sortBy(_.getName)
+    assert(parts.length == 4, s"${parts.length} parts")
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() == 3000L)
+    assert(back.agg(sum("V").cast("double")).collect()(0).getDouble(0) ==
+      (1 to 3000).map(_ * 0.25).sum)
+    val one = spark.read.format("readstat").load(parts(0).getAbsolutePath)
+    assert(one.count() > 0 && one.columns.length == 3)
+  }
 }
