@@ -76,7 +76,35 @@ object PorWriterImpl {
   }
 
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
-    val schema = df.schema
+    // ---- multiFile mode: one self-contained .por per partition ----
+    // POR is an inherently sequential text stream, so the single-file
+    // write streams through the driver; multiFile moves the whole encode
+    // (not just a splice) onto executors — the only parallel write path
+    // the format admits.
+    if (options.get("multiFile").exists(_.toBoolean)) {
+      val dirF = new java.io.File(path)
+      if (dirF.exists() && dirF.isFile) dirF.delete()
+      Files.createDirectories(Paths.get(path))
+      Option(dirF.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.matches("part-\\d{5}\\.por")) f.delete()
+      })
+      val schema = df.schema
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          writeOne(f"$path/part-$pid%05d.por", schema, it.asJava)
+          Iterator(1)
+        }
+      }.count()
+      return
+    }
+    writeOne(path, df.schema, df.toLocalIterator())
+  }
+
+  private def writeOne(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: java.util.Iterator[org.apache.spark.sql.Row]): Unit = {
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))
     val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
@@ -126,9 +154,9 @@ object PorWriterImpl {
       }
       w.byte('F')
 
-      // data (driver-side streaming; see scaladoc)
+      // data (single row stream; see scaladoc)
       val fields = schema.fields
-      df.toLocalIterator().forEachRemaining { row =>
+      rows.forEachRemaining { row =>
         var i = 0
         while (i < fields.length) {
           fields(i).dataType match {

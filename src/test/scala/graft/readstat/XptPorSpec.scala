@@ -164,4 +164,21 @@ class XptPorSpec extends SparkTestBase {
     val one = spark.read.format("readstat").load(parts(0).getAbsolutePath)
     assert(one.count() > 0 && one.columns.length == 3)
   }
+
+  test("multiFile write: directory of self-contained por parts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 900).map(i => (i.toDouble, s"p$i")).toDF("id", "s")
+      .repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mpor").toString + "/multi.por"
+    df.write.format("readstat").mode("overwrite")
+      .option("multiFile", "true").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-\\d{5}\\.por")).sortBy(_.getName)
+    assert(parts.length == 3, s"${parts.length} parts")
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() == 900L)
+    assert(back.agg(sum("ID").cast("double")).collect()(0).getDouble(0) ==
+      (1 to 900).map(_.toDouble).sum)
+  }
 }
