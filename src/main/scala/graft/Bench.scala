@@ -95,6 +95,41 @@ object Bench {
       spark.read.format("readstat")
         .option("partitionTargetBytes", "16777216").load(path)
 
+    // SAS read throughput: no sas7bdat writer exists (read-only format,
+    // same as the reference), so replicate the ACS owner fixture into a
+    // 1000-file directory (~400 MB, ~27.6M rows) — measures the
+    // multi-file page-range scan AND the 1000-header driver-parallel
+    // planning path; the count metric isolates metadata-only planning
+    // (COUNT(*) pushdown reads zero data bytes)
+    val sasDir: Option[String] = try {
+      val src = new java.io.File(
+        "/root/repo/src/test/resources/fixtures/sas/owner.sas7bdat")
+      if (!src.exists()) None
+      else {
+        val dir = new java.io.File("/tmp/graft_bench/sas_dir")
+        dir.mkdirs()
+        if (dir.listFiles().count(_.getName.endsWith(".sas7bdat")) < 1000) {
+          val bytes = java.nio.file.Files.readAllBytes(src.toPath)
+          (0 until 1000).foreach { i =>
+            val f = new java.io.File(dir, f"copy_$i%04d.sas7bdat")
+            if (!f.exists()) java.nio.file.Files.write(f.toPath, bytes)
+          }
+        }
+        Some(dir.getAbsolutePath)
+      }
+    } catch { case _: Throwable => None }
+
+    val sasReads: Seq[(String, () => Long)] = sasDir.toSeq.flatMap { d =>
+      Seq[(String, () => Long)](
+        ("sas_dir1000_fullread", () =>
+          scan(d).queryExecution.toRdd.count()),
+        ("sas_dir1000_subset", () =>
+          scan(d).select("CONTROL")
+            .agg(count(col("CONTROL"))).collect()(0).getLong(0)),
+        ("sas_dir1000_count_meta", () =>
+          scan(d).agg(count(lit(1))).collect()(0).getLong(0)))
+    }
+
     // BASELINE-comparable raw-read metrics (full read, column subset,
     // subset+filter). The 10M files match the baseline's row count
     // exactly; the 50M file is the decode-dominated variant where
@@ -160,7 +195,8 @@ object Bench {
     // also captures each metric's ACTUAL row count — replication floors
     // to whole copies of the base table, so "10m" files hold e.g. 9.6M
     // rows at sf0.1; the emitted counts keep the record honest.
-    val rowCounts: Map[String, Long] = rawReads.flatMap { case (name, f) =>
+    val allRaw = rawReads ++ sasReads
+    val rowCounts: Map[String, Long] = allRaw.flatMap { case (name, f) =>
       try Some(name -> f()) catch { case _: Throwable => None }
     }.toMap
 
@@ -177,7 +213,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val rawResults = rawReads.map { case (name, f) => name -> timedRuns(3, f) }
+    val rawResults = allRaw.map { case (name, f) => name -> timedRuns(3, f) }
     val queryResults = SparkEntry.queries.toSeq.map { case (name, fn) =>
       name -> timedRuns(2, () => fn(spark, sfDir).count())
     }
@@ -200,7 +236,7 @@ object Bench {
     // priority: BASELINE-comparable raw reads first, then relational
     // q1–q17, then pipeline operators — later entries drop first if the
     // char budget is hit
-    val rawNames = rawReads.map(_._1)
+    val rawNames = allRaw.map(_._1)
     val priority: Map[String, Int] = results.map { case (k, _) =>
       k -> (if (rawNames.contains(k)) 0
             else if (k.matches("q\\d+_.*")) 1 else 2)

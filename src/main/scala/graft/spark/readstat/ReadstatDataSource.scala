@@ -277,6 +277,10 @@ class ReadstatCountStarScan(paths: Seq[String], opts: ReadstatOptions)
 final case class CountStarPartition(count: Long)
   extends org.apache.spark.sql.connector.read.InputPartition
 
+/** Several whole small files served by one task (small-file packing). */
+final case class MultiFilePartition(parts: Array[RangePartition])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
 class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     required: StructType,
     opts: ReadstatOptions, limit: Option[Long])
@@ -321,10 +325,34 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    DriverPar.mapOrdered(paths)(p =>
-        Formats.moduleFor(p).planPartitions(p, opts, limit))
-      .flatten.toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val perFile = DriverPar.mapOrdered(paths)(p =>
+      (p, new java.io.File(p).length(),
+        Formats.moduleFor(p).planPartitions(p, opts, limit)))
+    // small-file packing: a directory of many tiny stat files would
+    // otherwise plan one task per file and drown in scheduling overhead
+    // (the classic small-files problem). Whole-file partitions of files
+    // under the byte target are binned together up to the target; files
+    // large enough to have split into ranges keep their own partitions.
+    val packed = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    val bin = scala.collection.mutable.ArrayBuffer[RangePartition]()
+    var binBytes = 0L
+    def flush(): Unit = if (bin.nonEmpty) {
+      packed += (if (bin.length == 1) bin.head else MultiFilePartition(bin.toArray))
+      bin.clear(); binBytes = 0L
+    }
+    perFile.foreach { case (_, fileBytes, parts) =>
+      if (parts.length == 1 && fileBytes < opts.partitionTargetBytes) {
+        if (binBytes + fileBytes > opts.partitionTargetBytes) flush()
+        bin += parts.head; binBytes += fileBytes
+      } else {
+        flush()
+        packed ++= parts
+      }
+    }
+    flush()
+    packed.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Spark requires every partition of a scan to agree on row-vs-columnar
@@ -351,10 +379,16 @@ class ReadstatPartitionReaderFactory(required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
+  private def rangeParts(partition: InputPartition): Seq[RangePartition] =
+    partition match {
+      case m: MultiFilePartition => m.parts.toIndexedSeq
+      case p: RangePartition => Seq(p)
+    }
+
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val part = partition.asInstanceOf[RangePartition]
-    val it = Formats.moduleFor(part.path).columnarRows(part, opts, required)
+    val it = rangeParts(partition).iterator.flatMap(part =>
+      Formats.moduleFor(part.path).columnarRows(part, opts, required))
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
       override def next(): Boolean =
@@ -365,7 +399,17 @@ class ReadstatPartitionReaderFactory(required: StructType,
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[RangePartition]
+    val it0 = rangeParts(partition).iterator.flatMap(rowIterator)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it0.hasNext) { current = it0.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  private def rowIterator(part: RangePartition): Iterator[InternalRow] = {
     val module = Formats.moduleFor(part.path)
     // decode with the format's natural types, then cast to the requested
     // (compress-narrowed / overridden) types; struct/merged informative-
@@ -427,13 +471,7 @@ class ReadstatPartitionReaderFactory(required: StructType,
           }
         }
       }
-    new PartitionReader[InternalRow] {
-      private var current: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { current = it.next(); true } else false
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
-    }
+    it
   }
 }
 
