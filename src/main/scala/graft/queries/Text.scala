@@ -135,6 +135,90 @@ object Text {
       |FROM w WHERE wcnt = 8
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** MOSS-style partial-overlap pairs from the winnowing sketch: two
+    * docs sharing ≥ MinShared distinct window-minimum fingerprints are
+    * candidate partial duplicates (any shared substring of length ≥
+    * w + k − 1 contributes a shared fingerprint — the winnowing
+    * guarantee, which whole-document hashing and even shingle-set
+    * jaccard can miss when overlap is a small fraction of each doc).
+    *
+    * Scale shape: the (doc, fingerprint) set is linear in corpus bytes;
+    * the pair join is bounded by capping fingerprint document frequency
+    * at DfCap (MOSS's "ignore very common fingerprints" rule — a boiler-
+    * plate fingerprint shared by everyone would otherwise explode the
+    * join quadratically, and carries no discriminating signal anyway).
+    */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val w = 8
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 0))"))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $k)")).as("h"))
+      .withColumn("mh", min("h").over(win))
+      .withColumn("full", count(lit(1)).over(win))
+      .filter(col("full") === w)
+      .select("doc_id", "mh").distinct()
+      .cache()
+    // df cap scales with the corpus (min 50, n/10): this synthetic
+    // corpus reuses a small vocabulary, so absolute df grows with SF and
+    // a fixed cap would silently discard the near-dup signal at scale
+    val nDocs = documents(s, d).count()
+    val dfCap = math.max(50L, nDocs / 10)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = fps.groupBy("mh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= dfCap)
+      .select("mh")
+    val fpsF = fps.join(rare, "mh")
+    // normalized overlap (shared / smaller sketch): absolute counts
+    // don't separate signal from chance collisions on a limited
+    // vocabulary, the covered FRACTION of the smaller document does
+    fpsF.as("a").join(fpsF.as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("frac",
+        round(col("n_shared") / least(col("sz_a"), col("sz_b")), 4))
+      .filter(col("frac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("frac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val winnowPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i)),
+      |w AS (
+      |  SELECT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wcnt
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, mh FROM w WHERE wcnt = 8),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+      |rare AS (SELECT mh FROM fps GROUP BY mh
+      |         HAVING count(*) > 1
+      |            AND count(*) <= greatest(50, (SELECT count(*) FROM documents) / 10)),
+      |ff AS (SELECT f.doc_id, f.mh FROM fps f JOIN rare USING (mh)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |  FROM ff a JOIN ff b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_shared,
+      |       round(n_shared / least(sa.sz, sb.sz), 4) AS frac
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(n_shared / least(sa.sz, sb.sz), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Exact deduplication summary: group by content fingerprint, keep the
     * lowest doc_id per group. Output: corpus-level stats + number of
     * documents that would be dropped. Only the 16-byte hash shuffles. */
@@ -307,6 +391,7 @@ object Text {
     "text_quality_score" -> (qualityScore _, qualityScoreSql),
     "text_fingerprint" -> (fingerprint _, fingerprintSql),
     "text_winnow_fingerprint" -> (winnowFingerprint _, winnowFingerprintSql),
+    "dedup_winnow_pairs" -> (winnowPairs _, winnowPairsSql),
     "dedup_exact" -> (dedupExact _, dedupExactSql),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
     "dedup_clusters" -> (dedupClusters _, dedupClustersSql),
