@@ -252,13 +252,60 @@ object Multimodal {
     } finally if (stream != null) stream.close()
   }
 
-  /** Frame sampling: animated GIFs demux for real through the JDK codec
-    * (every k-th frame, PNG-encoded); payloads the JDK cannot demux
-    * (true video containers — no demuxer in the JDK) fall back to the
-    * declared STUB that slices fixed-size frame slots. Either way the
-    * output is one row per sampled frame — the real explode shape a
-    * video pipeline needs (frame count scales with payload size, not
-    * row count). */
+  /** Demux an MJPEG AVI (RIFF container, '00dc'/'00db' chunks holding
+    * one JPEG per frame) with a pure-JVM chunk walk, decoding every k-th
+    * frame through ImageIO and re-encoding as PNG — the same output
+    * contract as [[gifFrames]]. RIFF is a length-prefixed chunk format
+    * (fourcc + u32le size, even-padded; LIST chunks nest), so the walk
+    * needs no codec beyond the JPEG decoder the JDK ships. Returns None
+    * for non-AVI payloads, AVIs whose frames aren't JPEGs (compressed
+    * codecs genuinely need native libs — those stay stubbed), or any
+    * structural corruption. */
+  def aviMjpegFrames(payload: Array[Byte], everyK: Int): Option[Seq[(Int, Array[Byte])]] = {
+    if (payload.length < 12 ||
+      !magic(payload, 0, 'R', 'I', 'F', 'F') ||
+      !magic(payload, 8, 'A', 'V', 'I', ' ')) return None
+    try {
+      def u32(at: Int): Long =
+        (payload(at) & 0xffL) | ((payload(at + 1) & 0xffL) << 8) |
+          ((payload(at + 2) & 0xffL) << 16) | ((payload(at + 3) & 0xffL) << 24)
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val size = u32(p + 4)
+          if (size < 0 || p + 8 + size > until) return
+          val end = p + 8 + size.toInt
+          if (magic(payload, p, 'L', 'I', 'S', 'T')) {
+            walk(p + 12, end) // skip the 4-byte list type, recurse
+          } else if ((magic(payload, p, '0', '0', 'd', 'c') ||
+              magic(payload, p, '0', '0', 'd', 'b')) && size > 0) {
+            frames += java.util.Arrays.copyOfRange(payload, p + 8, end)
+          }
+          p = end + (size.toInt & 1) // chunks are even-padded
+        }
+      }
+      walk(12, math.min(payload.length, 8 + u32(4).toInt))
+      if (frames.isEmpty) return None
+      val out = Iterator.range(0, frames.length, everyK).map { i =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(i)))
+        if (img == null) return None // non-JPEG frames → declared stub
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i, bos.toByteArray)
+      }.toSeq
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** Frame sampling: animated GIFs demux through the JDK codec and MJPEG
+    * AVIs through the pure-JVM RIFF walk (every k-th frame,
+    * PNG-encoded); payloads neither path can demux (compressed video
+    * codecs — no decoder in the JDK) fall back to the declared STUB that
+    * slices fixed-size frame slots. Either way the output is one row per
+    * sampled frame — the real explode shape a video pipeline needs
+    * (frame count scales with payload size, not row count). */
   def sampleFrames(media: DataFrame, everyK: Int, frameSize: Int = 256): DataFrame = {
     require(everyK >= 1 && frameSize >= 1)
     val outSchema = StructType(Seq(
@@ -271,7 +318,7 @@ object Multimodal {
         it.flatMap { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          gifFrames(payload, everyK) match {
+          gifFrames(payload, everyK).orElse(aviMjpegFrames(payload, everyK)) match {
             case Some(frames) =>
               frames.iterator.map { case (i, png) => Row(id, i, png) }
             case None =>

@@ -208,6 +208,75 @@ class CurationSpec extends SparkTestBase {
     assert(out.count(_.getLong(0) == 8L) == 1) // stub: 2 slots, step 2 -> idx 0
   }
 
+  test("MJPEG AVI payloads demux to real frames through the RIFF walk") {
+    import javax.imageio.ImageIO
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, 20, 30)); g.fillRect(0, 0, 12, 10)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(fourcc.getBytes("US-ASCII"))
+      val n = body.length
+      bos.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      bos.write(body)
+      if ((n & 1) == 1) bos.write(0) // even padding
+      bos.toByteArray
+    }
+    val frames = (0 until 5).map(f => jpeg(f * 50))
+    val movi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("movi".getBytes("US-ASCII"))
+      frames.foreach(j => bos.write(chunk("00dc", j)))
+      bos.toByteArray
+    }
+    val avi = {
+      val inner = chunk("LIST", movi)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII"))
+      val n = inner.length + 4
+      bos.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      bos.write("AVI ".getBytes("US-ASCII"))
+      bos.write(inner)
+      bos.toByteArray
+    }
+
+    val got = Multimodal.aviMjpegFrames(avi, everyK = 2).get
+    assert(got.map(_._1) == Seq(0, 2, 4))
+    got.foreach { case (_, png) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 12 && img.getHeight == 10)
+    }
+    // a corrupt AVI (truncated mid-chunk) and a non-JPEG-frame AVI both
+    // decline rather than throw, landing on the declared stub
+    assert(Multimodal.aviMjpegFrames(avi.take(40), 1).isEmpty)
+    val junkAvi = {
+      val inner = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        chunk("00dc", Array.fill[Byte](32)(3)))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII"))
+      val n = inner.length + 4
+      bos.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      bos.write("AVI ".getBytes("US-ASCII")); bos.write(inner)
+      bos.toByteArray
+    }
+    assert(Multimodal.aviMjpegFrames(junkAvi, 1).isEmpty)
+
+    import spark.implicits._
+    val media = Seq((9L, avi)).toDF("media_id", "payload")
+    val out = Multimodal.sampleFrames(media, everyK = 2).collect()
+    assert(out.count(_.getLong(0) == 9L) == 3) // real AVI frames 0,2,4
+  }
+
   test("connectedComponents drops null-id edges and handles int ids locally") {
     import spark.implicits._
     val edges = Seq(
