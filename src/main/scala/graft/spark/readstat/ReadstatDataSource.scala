@@ -40,18 +40,27 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
     single ++ multi
   }
 
-  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def pathsOf(options: CaseInsensitiveStringMap,
+      allowEmptyDirs: Boolean = false): Seq[String] = {
     // directories expand to the stat files they contain (non-recursive,
     // same rule as the file-metadata source) so `load(dir)` fans a drop
     // of same-schema files out one-scan-partition-set-per-file — the
     // files must share a schema, like spark.read.parquet on a directory
-    val all = rawPathsOf(options).flatMap { p =>
+    val raw = rawPathsOf(options)
+    val all = raw.flatMap { p =>
       val f = new java.io.File(p)
       if (f.isDirectory) MetadataPaths.expandDirectory(p) else Seq(p)
     }
-    require(all.nonEmpty, "readstat: no path specified (for streaming, " +
-      "the directory must hold at least one stat file at start, or pass " +
-      "an explicit schema)")
+    // an EMPTY directory is only readable with a user-supplied schema
+    // (the streaming landing-zone case: the dir fills up later; a batch
+    // read of it is simply zero rows) — schema inference has nothing to
+    // parse and keeps erroring
+    require(all.nonEmpty ||
+      (allowEmptyDirs && raw.nonEmpty &&
+        raw.forall(p => new java.io.File(p).isDirectory)),
+      "readstat: no stat files found — schema inference needs at least " +
+        "one file; pass an explicit .schema(...) to read or stream an " +
+        "empty directory")
     all
   }
 
@@ -65,8 +74,10 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new ReadstatTable(pathsOf(options), rawPathsOf(options), schema,
-      ReadstatOptions.from(properties))
+    // reaching here with an empty directory means the schema was user-
+    // supplied (inference would have errored above) — allow it
+    new ReadstatTable(pathsOf(options, allowEmptyDirs = true),
+      rawPathsOf(options), schema, ReadstatOptions.from(properties))
   }
 }
 
@@ -306,6 +317,13 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     * default to spark.sql.defaultSizeInBytes (= "huge") and every join
     * against a stat file shuffles. */
   override def estimateStatistics(): Statistics = {
+    if (paths.isEmpty) // empty landing-zone directory: exactly zero
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(0L)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(0L)
+      }
     val bytes = paths.map(p => new java.io.File(p).length()).sum
     val fullCols = math.max(1,
       Formats.effectiveSchema(paths.head, opts).fields.length)

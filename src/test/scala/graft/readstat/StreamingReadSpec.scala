@@ -43,6 +43,40 @@ class StreamingReadSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("an empty landing zone streams with an explicit schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_empty").toFile
+    dir.deleteOnExit()
+    // batch read of the empty dir with a schema: zero rows, not an error
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id DOUBLE, s STRING")
+    assert(spark.read.format("readstat").schema(schema)
+      .load(dir.getAbsolutePath).count() == 0L)
+    // streaming: start on the empty dir, then drop the first file
+    val stream = spark.readStream.format("readstat").schema(schema)
+      .load(dir.getAbsolutePath)
+    val query = stream.writeStream.format("memory")
+      .queryName("readstat_stream_empty").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("readstat_stream_empty").count() == 0L)
+      Seq((1.0, "a"), (2.0, "b")).toDF("id", "s")
+        .write.format("readstat").mode("overwrite").save(s"$dir/first.dta")
+      query.processAllAvailable()
+      assert(spark.table("readstat_stream_empty").count() == 2L)
+    } finally query.stop()
+  }
+
+  test("schema inference on an empty directory stays a clear error") {
+    val dir = Files.createTempDirectory("graft_stream_empty2").toFile
+    dir.deleteOnExit()
+    val e = intercept[Exception] {
+      spark.read.format("readstat").load(dir.getAbsolutePath)
+    }
+    assert(Option(e.getMessage).exists(_.contains("explicit .schema")), e.getMessage)
+  }
+
   test("streaming a bare file path is rejected with a clear error") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_stream2").toFile
