@@ -101,6 +101,49 @@ object TextCuration {
       .select(col(idCol), col("__hit").isNotNull.cast("int").as("is_dup"))
   }
 
+  /** DSIR-style importance weights (hashed-bigram variant): score each
+    * document by how target-like its hashed-bigram distribution is —
+    * sum over bigrams of log p_target(bucket)/p_raw(bucket), Laplace-
+    * smoothed over `buckets` md5 buckets. Per-bigram ratios are rounded
+    * then summed as DECIMAL (exact, summation-order-independent).
+    *
+    * Scale shape: one explode (linear in corpus tokens), one
+    * buckets-row stat aggregate (broadcasts), one groupBy(id).
+    *
+    * @param isTarget boolean column marking the target-distribution docs
+    * @return (idCol, n_bigrams, logw, keep) — keep = logw > 0
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 256, "dsirWeights: 2..256 buckets")
+    val bg = df
+      .select(col(idCol), isTarget.cast("long").as("__t"),
+        split(trim(col(textCol)), "\\s+").as("tk"))
+      .select(col(idCol), col("__t"),
+        explode(expr(
+          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(tk[i-1], ' ', tk[i])) ELSE array() END")).as("bg"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("int"),
+          lit(buckets)))
+      .cache()
+    val stats = bg.groupBy("__b")
+      .agg(count(lit(1)).as("n_r"), sum("__t").as("n_t"))
+    val tot = bg.agg(count(lit(1)), sum("__t")).collect()(0)
+    val (totR, totT) = (tot.getLong(0), tot.getLong(1))
+    val ratios = stats.select(col("__b"),
+      round(
+        log((col("n_t") + 1).cast("double") / (totT + buckets).toDouble) -
+          log((col("n_r") + 1).cast("double") / (totR + buckets).toDouble), 6)
+        .cast("decimal(18,6)").as("lr"))
+    bg.join(broadcast(ratios), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lr").as("__lw"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lw"), 4).cast("double").as("logw"),
+        (col("__lw") > 0).cast("int").as("keep"))
+  }
+
   def hashSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val bucket = hashBucket(idCol)
     when(bucket < trainPct, "train")

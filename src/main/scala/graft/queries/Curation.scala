@@ -596,6 +596,54 @@ object Curation {
       |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
       |ORDER BY b.doc_id""".stripMargin
 
+  /** DSIR-style importance weights (data selection with importance
+    * resampling, hashed-n-gram variant): score every raw document by how
+    * target-like its hashed-bigram distribution is. Features are word
+    * bigrams hashed into 256 md5 buckets; the target set is the English
+    * slice; bucket probabilities are Laplace-smoothed; a doc's weight is
+    * the sum of per-bigram log p_target/p_raw. keep = (logw > 0) — "more
+    * target-like than raw" — a local, shuffle-free rule (a global top-k%
+    * would need a corpus-wide sort).
+    *
+    * Determinism: per-bigram log-ratios are rounded then summed as
+    * DECIMAL, which is exact and summation-order-independent — a double
+    * sum would diverge from the oracle in the last bits under Spark's
+    * partition-order-dependent aggregation.
+    *
+    * Scale shape: one explode (linear in corpus tokens), one 256-row
+    * bucket-stat aggregate (broadcasts), one groupBy(doc). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    TextCuration.dsirWeights(documents(s, d), "doc_id", "text",
+      isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
+  val dsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS arr
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang, arr[i] || ' ' || arr[i+1] AS bg,
+      |    (strpos('0123456789abcdef', substr(md5(arr[i] || ' ' || arr[i+1]), 1, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(arr[i] || ' ' || arr[i+1]), 2, 1)) - 1) AS b
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) g
+      |  WHERE len(arr) >= 2),
+      |tot AS (SELECT count(*) AS n_r,
+      |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t FROM bg),
+      |stats AS (
+      |  SELECT b, count(*) AS n_r,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+      |  FROM bg GROUP BY b),
+      |ratios AS (
+      |  SELECT b, CAST(round(
+      |      ln((stats.n_t + 1) / (tot.n_t + 256.0)) -
+      |      ln((stats.n_r + 1) / (tot.n_r + 256.0)), 6) AS DECIMAL(18,6)) AS lr
+      |  FROM stats, tot)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(round(sum(lr), 4) AS DOUBLE) AS logw,
+      |       CAST(sum(lr) > 0 AS INT) AS keep
+      |FROM bg JOIN ratios USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
@@ -611,5 +659,6 @@ object Curation {
     "text_decontaminate" -> (decontaminate _, decontaminateSql),
     "sample_temperature" -> (temperatureSample _, temperatureSampleSql),
     "dedup_incremental" -> (incrementalDedup _, incrementalDedupSql),
+    "sample_dsir" -> (dsirWeights _, dsirWeightsSql),
   )
 }

@@ -289,6 +289,26 @@ class CurationSpec extends SparkTestBase {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dsirWeights separates target-vocabulary docs from the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val targetWords = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val otherWords = Array("zeta", "eta", "theta", "iota", "kappa")
+    def doc(words: Array[String]) =
+      Array.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+    // raw corpus: 30 docs with the target vocabulary (10 marked target),
+    // 30 with a disjoint vocabulary
+    val rows = (0 until 30).map(i => (i.toLong, doc(targetWords), i < 10)) ++
+      (30 until 60).map(i => (i.toLong, doc(otherWords), false))
+    val df = rows.toDF("id", "text", "is_t")
+    val out = TextCuration.dsirWeights(df, "id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    // every target-vocabulary doc scores positive, every other negative
+    (0L until 30L).foreach(i => assert(out(i)._1 > 0 && out(i)._2 == 1, s"doc $i"))
+    (30L until 60L).foreach(i => assert(out(i)._1 < 0 && out(i)._2 == 0, s"doc $i"))
+  }
+
   test("incrementalDupFlags is exact for any Bloom fpp, including fp-heavy filters") {
     import spark.implicits._
     val corpus = Seq(
