@@ -49,4 +49,34 @@ class TruncatedFileSpec extends SparkTestBase {
       n.foreach(c => fail(s"$ext: truncated read silently returned $c rows"))
     }
   }
+
+  test("truncation fails loudly at every cut fraction, count and collect") {
+    import spark.implicits._
+    // XPT cut exactly at a row boundary is indistinguishable from valid
+    // EOF by design of the format (no row count field), so XPT gets the
+    // weaker guarantee: never the FULL count, either an error or fewer
+    // rows. Header-counted formats must always throw.
+    for (ext <- Seq("dta", "sav", "zsav", "xpt", "por")) {
+      val full = Files.createTempDirectory("graft_trunc_prop").toString + s"/full.$ext"
+      (1 to 4000).map(i => (i, i * 2.5, s"text$i")).toDF("id", "v", "s")
+        .write.format("readstat").mode("overwrite").save(full)
+      val fullRows = 4000L
+      for (frac <- Seq(0.31, 0.52, 0.74, 0.9, 0.985)) {
+        val part = truncated(full, frac)
+        val viaCount = try Some(spark.read.format("readstat").load(part).count())
+          catch { case _: Throwable => None }
+        val viaCollect = try Some(spark.read.format("readstat").load(part)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.col("id"))).collect()(0).getLong(0))
+          catch { case _: Throwable => None }
+        if (ext == "xpt" || ext == "por") {
+          viaCount.foreach(c => assert(c < fullRows, s"$ext@$frac count=$c"))
+          viaCollect.foreach(c => assert(c < fullRows, s"$ext@$frac collect=$c"))
+        } else {
+          assert(viaCount.isEmpty, s"$ext@$frac count returned $viaCount")
+          assert(viaCollect.isEmpty, s"$ext@$frac collect returned $viaCollect")
+        }
+      }
+    }
+  }
 }
