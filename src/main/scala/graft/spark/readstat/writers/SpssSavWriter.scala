@@ -60,7 +60,7 @@ object SpssSavWriter {
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
-    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val nObs = head.getLong(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
@@ -190,7 +190,8 @@ object SpssSavWriter {
 
     // ---- driver: header + dictionary, then splice chunks ----
     val dict = buildDictionary(cols, nObs, zlib, valueLabels)
-    assembleSav(path, dict, zlib, chunks.map(_._2), chunks.flatMap(_._4))
+    assembleSav(path, dict, zlib, chunks.map(_._2).toIndexedSeq,
+      chunks.flatMap(_._4).toIndexedSeq)
     chunks.foreach(c => new File(c._2).delete())
   }
 

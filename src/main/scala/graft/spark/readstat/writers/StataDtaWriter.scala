@@ -152,7 +152,7 @@ object StataDtaWriter {
       strCols.map(c => max(strWidth(c)).as(s"__w_$c"))) ++
       rangeCols.flatMap(c => Seq(
         min(storedValue(c)).as(s"__lo_$c"), max(storedValue(c)).as(s"__hi_$c")))
-    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val nObs = head.getLong(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))

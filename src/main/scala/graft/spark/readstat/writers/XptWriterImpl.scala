@@ -37,7 +37,7 @@ object XptWriterImpl {
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
-    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else math.min(200, head.getInt(i + 1)))
     }.toMap

@@ -7,7 +7,7 @@ object DevProf {
     spark.sparkContext.setLogLevel("WARN")
     try spark.read.format("readstat").option("partitionTargetBytes", "garbage")
       .load("/root/repo/src/test/resources/fixtures/spss/sample.sav").count()
-    catch { case e: Throwable => println("PROBE: " + e.getMessage.linesIterator.next.take(120)) }
+    catch { case e: Throwable => println("PROBE: " + e.getMessage.linesIterator.next().take(120)) }
     spark.stop()
   }
 }
