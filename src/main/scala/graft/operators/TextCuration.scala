@@ -126,11 +126,28 @@ object TextCuration {
       .withColumn("__b",
         pmod(conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("int"),
           lit(buckets)))
-      .cache()
-    val stats = bg.groupBy("__b")
+    // The bucket stats are at most `buckets` (≤256) rows: collect them and
+    // continue from a driver-local frame instead of caching the exploded
+    // bigram frame (linear in corpus tokens — a cache that outlives the
+    // call and accumulates executor storage across a long session). The
+    // exploded frame is scanned exactly twice — once here, once in the
+    // final join — matching the old cache-write-plus-two-reads cost with
+    // zero retained storage. Totals derive from the same collected rows.
+    val spark = df.sparkSession
+    val statRows = bg.groupBy("__b")
       .agg(count(lit(1)).as("n_r"), sum("__t").as("n_t"))
-    val tot = bg.agg(count(lit(1)), sum("__t")).collect()(0)
-    val (totR, totT) = (tot.getLong(0), tot.getLong(1))
+      .collect()
+    val totR = statRows.map(_.getLong(1)).sum
+    val totT = statRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(statRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_r",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_t",
+          org.apache.spark.sql.types.LongType))))
     val ratios = stats.select(col("__b"),
       round(
         log((col("n_t") + 1).cast("double") / (totT + buckets).toDouble) -

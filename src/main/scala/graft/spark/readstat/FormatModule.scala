@@ -87,7 +87,8 @@ final case class ReadstatOptions(
     timeAsTimeType: Boolean = false,
     compressProbeRows: Int = 1000,
     schemaOverrides: String = "",
-    mergeSchema: Boolean = false)
+    mergeSchema: Boolean = false,
+    streamStabilityMs: Long = 100L)
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
@@ -119,6 +120,7 @@ object ReadstatOptions {
       timeAsTimeType = b("timeAsTimeType", dflt = false),
       compressProbeRows = parse("compressProbeRows", 1000)(_.toInt),
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""),
-      mergeSchema = b("mergeSchema", dflt = false))
+      mergeSchema = b("mergeSchema", dflt = false),
+      streamStabilityMs = parse("streamStabilityMs", 100L)(_.toLong))
   }
 }

@@ -167,6 +167,22 @@ object Formats {
       if (presentIn(f.name) < paths.length) f.copy(nullable = true) else f).toArray)
   }
 
+  /** Memoized [[FormatModule.exactRowCount]], keyed by (path, length,
+    * mtime, options). Pushdown negotiation, statistics, and count-star
+    * planning each ask for the same count during a single plan — and for
+    * zsav every un-memoized call re-reads and validates the full trailer
+    * block index, so a 1000-file directory would pay that skim several
+    * times over at planning time. */
+  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, ReadstatOptions), Option[Long]]()
+
+  def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
+    val f = new java.io.File(path)
+    val key = (path, f.length(), f.lastModified(), opts)
+    if (rowCountCache.size > 8192) rowCountCache.clear()
+    rowCountCache.computeIfAbsent(key, _ => moduleFor(path).exactRowCount(path, opts))
+  }
+
   def moduleFor(path: String): FormatModule = {
     val lower = path.toLowerCase
     if (lower.endsWith(".dta")) StataModule
@@ -193,9 +209,17 @@ class ReadstatTable(paths: Seq[String], rawPaths: Seq[String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReadstatScanBuilder(paths, rawPaths, tableSchema, opts)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ReadstatWriteBuilder(paths.head, info.schema(),
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // write to the path the USER named, not the directory-expanded file
+    // list: re-running an overwrite of an existing multiFile directory
+    // must target the directory itself (expansion would aim the writer at
+    // <dir>/part-00000.<ext>, leaving stale part files to read back as
+    // duplicated data), and an existing-but-empty directory has an empty
+    // expansion (paths.head would throw)
+    require(rawPaths.nonEmpty, "readstat: write requires a target path")
+    new ReadstatWriteBuilder(rawPaths.head, info.schema(),
       info.options().asCaseSensitiveMap().asScala.toMap)
+  }
 }
 
 class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
@@ -235,7 +259,7 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      paths.forall(p => Formats.moduleFor(p).exactRowCount(p, opts).isDefined)
+      paths.forall(p => Formats.exactRowCount(p, opts).isDefined)
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -263,7 +287,7 @@ class ReadstatCountStarScan(paths: Seq[String], opts: ReadstatOptions)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = DriverPar.mapOrdered(paths)(p =>
-      Formats.moduleFor(p).exactRowCount(p, opts).getOrElse(
+      Formats.exactRowCount(p, opts).getOrElse(
         throw new IllegalStateException(s"readstat: no metadata row count for $p")))
       .sum
     Array(CountStarPartition(total))
@@ -331,7 +355,7 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     val scaled = math.max(1L, (bytes * frac).toLong)
     val rows: Option[Long] =
       try {
-        val counts = paths.map(p => Formats.moduleFor(p).exactRowCount(p, opts))
+        val counts = paths.map(p => Formats.exactRowCount(p, opts))
         if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
       } catch { case _: Exception => None }
     val capped = limit.map(l => rows.map(math.min(_, l))).getOrElse(rows)

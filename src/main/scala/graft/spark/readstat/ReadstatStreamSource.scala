@@ -19,7 +19,15 @@ import org.apache.spark.sql.types.StructType
 class ReadstatMicroBatchStream(dir: String, required: StructType,
     opts: ReadstatOptions) extends MicroBatchStream {
 
-  private def listNow(): Seq[String] = MetadataPaths.expandDirectory(dir).sorted
+  // Files admitted into offsets so far. Offsets must grow monotonically,
+  // so admission is remembered here rather than re-derived per listing.
+  private val admitted = scala.collection.mutable.TreeSet[String]()
+
+  private def signatures(): Map[String, (Long, Long)] =
+    MetadataPaths.expandDirectory(dir).map { p =>
+      val f = new java.io.File(p)
+      p -> (f.length(), f.lastModified())
+    }.toMap
 
   private case class FilesOffset(files: Seq[String]) extends Offset {
     override def json(): String = {
@@ -32,7 +40,28 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
 
   override def initialOffset(): Offset = FilesOffset(Nil)
 
-  override def latestOffset(): Offset = FilesOffset(listNow())
+  /** Admit a file only once it looks fully written. This repo's own
+    * writers create files in place at their final name (no atomic
+    * rename), so a file listed the instant it appears can be half-written
+    * — and for XPT a prefix read succeeds silently, making the short read
+    * permanent data loss once the offset marks it consumed. A new file is
+    * admitted only when its (size, mtime) signature is unchanged across
+    * two listings `streamStabilityMs` apart (re-checked within the call
+    * so a quiesced landing zone is never delayed a full trigger; a file
+    * still changing stays pending and is re-examined next trigger).
+    * `streamStabilityMs=0` disables the check for landing zones with an
+    * enforced atomic rename-into-place drop convention. */
+  override def latestOffset(): Offset = synchronized {
+    val first = signatures()
+    val fresh = first.keySet.diff(admitted)
+    if (fresh.isEmpty || opts.streamStabilityMs <= 0) admitted ++= fresh
+    else {
+      Thread.sleep(opts.streamStabilityMs)
+      val second = signatures()
+      fresh.foreach { p => if (second.get(p).contains(first(p))) admitted += p }
+    }
+    FilesOffset(admitted.toList)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)

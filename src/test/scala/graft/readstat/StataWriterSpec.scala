@@ -338,4 +338,27 @@ class StataWriterSpec extends SparkTestBase {
       .select("row_count").as[Long].collect()
     assert(metaCounts.sum == 5000L && metaCounts.forall(_ > 0))
   }
+
+  test("multiFile overwrite re-run targets the directory, no stale parts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("multi_rerun.dta")
+    def write(n: Int, parts: Int): Unit =
+      (1 to n).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .repartition(parts)
+        .write.format("readstat").mode("overwrite")
+        .option("multiFile", "true").save(dir)
+    write(1000, 6)
+    // second run writes into the now-EXISTING directory: the write must
+    // target the directory the user named (not an expanded part file) and
+    // leave no stale parts from the larger first run behind
+    write(40, 2)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-\\d{5}\\.dta"))
+    assert(files.length == 2, s"stale part files: ${files.length}")
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() == 40L)
+    assert(back.agg(sum("v").cast("double")).collect()(0).getDouble(0) ==
+      (1 to 40).map(_ * 2.0).sum)
+  }
 }

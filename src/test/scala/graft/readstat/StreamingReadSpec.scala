@@ -68,6 +68,31 @@ class StreamingReadSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("a file still being written is not admitted until its bytes settle") {
+    val dir = Files.createTempDirectory("graft_stream_stab").toFile
+    dir.deleteOnExit()
+    val stream = new graft.spark.readstat.ReadstatMicroBatchStream(
+      dir.getAbsolutePath,
+      org.apache.spark.sql.types.StructType.fromDDL("id DOUBLE"),
+      graft.spark.readstat.ReadstatOptions())
+    val f = new java.io.File(dir, "grow.dta")
+    val out = new java.io.FileOutputStream(f)
+    out.write(new Array[Byte](16)); out.flush()
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      while (!stop) { out.write(1); out.flush(); Thread.sleep(20) }
+    })
+    writer.start()
+    try {
+      // actively growing: both stability listings see different sizes
+      val o1 = stream.latestOffset().json()
+      assert(!o1.contains("grow.dta"), s"admitted a half-written file: $o1")
+    } finally { stop = true; writer.join(); out.close() }
+    // quiesced: admitted within a single latestOffset call
+    val o2 = stream.latestOffset().json()
+    assert(o2.contains("grow.dta"), o2)
+  }
+
   test("schema inference on an empty directory stays a clear error") {
     val dir = Files.createTempDirectory("graft_stream_empty2").toFile
     dir.deleteOnExit()
