@@ -91,31 +91,23 @@ object Text {
     * makes the sketch usable for partial-overlap (plagiarism-style)
     * detection where whole-document hashing fails.
     *
-    * Scale shape: the k-gram explode is O(total chars) rows, all window
-    * work is partition-local after one shuffle on doc_id, and only the
-    * per-doc sketch summary leaves the aggregation. */
+    * Scale shape: the whole sketch is computed INSIDE the scan by the
+    * one-pass [[graft.functions.WinnowSketch]] expression (monotonic
+    * deque, O(w) memory, one md5 per char position) — no per-gram rows
+    * exist, so nothing gram-sized is ever shuffled or sorted; only the
+    * per-doc sketch summary leaves the scan. (The declarative explode +
+    * Window.partitionBy(doc_id) plan it replaced shuffled one row per
+    * corpus character.) */
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     val k = 8 // gram length
     val w = 8 // window width
-    // explode the positions FIRST and hash as a top-level projection:
-    // an md5 inside a transform() lambda runs interpreted (higher-order
-    // lambdas don't codegen), which made the hash the bottleneck —
-    // hashing after the explode keeps it in whole-stage codegen
-    val grams = documents(s, d)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 0))"))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos, $k)")).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("mh", min("h").over(win))
-      .withColumn("full", count(lit(1)).over(win))
-      .filter(col("full") === w) // winnowing uses complete windows only
-      .groupBy("doc_id")
-      .agg(countDistinct(col("mh")).as("sketch_size"),
-        min("mh").as("min_fp"))
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WinnowSketch(col("text"), k, w).as("sk"))
+      .filter(size(col("sk")) > 0) // docs too short for one full window
+      .select(col("doc_id"),
+        size(col("sk")).cast("long").as("sketch_size"),
+        element_at(col("sk"), 1).as("min_fp")) // sketch is sorted ascending
       .orderBy("doc_id")
   }
 
@@ -150,19 +142,20 @@ object Text {
     */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
     val k = 8; val w = 8
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
+    // the sketch expression emits each doc's DISTINCT minima already, so
+    // exploding it yields the (doc, fingerprint) set directly — no gram
+    // rows, no gram shuffle, no distinct
     val fps = documents(s, d)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 0))"))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos, $k)")).as("h"))
-      .withColumn("mh", min("h").over(win))
-      .withColumn("full", count(lit(1)).over(win))
-      .filter(col("full") === w)
-      .select("doc_id", "mh").distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSketch(col("text"), k, w)).as("mh"))
       .cache()
+    // materialize the cache NOW: the pair plan consumes fps from six
+    // independent exchanges, and with no shuffle boundary inside the
+    // cached subtree a cold cache would recompute the sketch expression
+    // once per concurrently-launching stage (shuffle map outputs are
+    // reused across consumers; uncached in-memory-relation children are
+    // not)
+    fps.count()
     // df cap scales with the corpus (min 50, n/10): this synthetic
     // corpus reuses a small vocabulary, so absolute df grows with SF and
     // a fixed cap would silently discard the near-dup signal at scale
