@@ -173,6 +173,44 @@ object TextCuration {
   def hashBucket(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("int") % 100
 
+  /** GPT-style sequence packing (concatenate-then-chunk): every document
+    * is laid into fixed-`seqLen`-token training sequences in deterministic
+    * order, documents splitting across sequence boundaries exactly as a
+    * pretraining data loader would split them. Returns, per document, the
+    * shard it packs into, its first/last sequence index within the shard,
+    * its token offset inside the first sequence, and how many sequences
+    * it spans.
+    *
+    * Scale shape: one shuffle on the hash shard, then a per-shard running
+    * sum (window). Shard count bounds both the sort size and the
+    * parallelism — at corpus scale pick shards ≈ a few × cores so each
+    * shard's (id-ordered) prefix sum stays partition-local; packing is
+    * embarrassingly parallel ACROSS shards by construction, and the
+    * md5 shard assignment is stable under corpus growth, so incremental
+    * batches repack only their own tokens.
+    *
+    * @param nTokCol token count per document (must be >= 1; zero-token
+    *                docs have nothing to pack and are dropped)
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1 && nShards >= 1, "packSequences: seqLen/nShards >= 1")
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % nShards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(idCol), shard, col(nTokCol).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum", sum("n_tok").over(w))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        expr(s"(cum - n_tok) div $seqLen").as("seq_first"),
+        expr(s"(cum - 1) div $seqLen").as("seq_last"),
+        expr(s"(cum - n_tok) % $seqLen").as("offset"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
   // PII patterns restricted to syntax both java.util.regex and RE2
   // accept (no backrefs, no lookaround), so the redaction a pipeline
   // applies is exactly replayable by RE2-based engines for audit.

@@ -644,7 +644,46 @@ object Curation {
       |FROM bg JOIN ratios USING (b)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** GPT-style sequence packing over the corpus's whitespace token
+    * counts ([[TextCuration.packSequences]]): 8 hash shards, 512-token
+    * sequences — where every document lands in the training stream
+    * (first/last sequence, offset, span). The same running-sum layout a
+    * pretraining loader derives when it concatenates shard text and
+    * chunks every 512 tokens. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val withTok = documents(s, d)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tok"))
+    TextCuration.packSequences(withTok, "doc_id", "n_tok",
+        seqLen = 512, nShards = 8)
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |   ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 8 AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t WHERE n_tok > 0)
+      |SELECT doc_id, shard, n_tok,
+      |  (cum - n_tok) // 512 AS seq_first,
+      |  (cum - 1) // 512 AS seq_last,
+      |  (cum - n_tok) % 512 AS "offset",
+      |  (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS n_seqs
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sample_pack_sequences" -> (packSequences _, packSequencesSql),
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),
     "sample_hash_split" -> (hashSplit _, hashSplitSql),

@@ -351,4 +351,39 @@ class CurationSpec extends SparkTestBase {
     val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(9000L -> 1, 9001L -> 0))
   }
+
+  test("packSequences lays tokens into gapless fixed-length sequences per shard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 500L).map(id => (id, 1 + rnd.nextInt(300)))
+      .toDF("id", "n_tok")
+    val L = 128; val shards = 4
+    val packed = TextCuration.packSequences(docs, "id", "n_tok", L, shards)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(packed.length == 500)
+    packed.foreach { case (id, shard, n, sf, sl, off, ns) =>
+      assert(shard >= 0 && shard < shards, s"doc $id shard $shard")
+      assert(off >= 0 && off < L, s"doc $id offset $off")
+      assert(ns == sl - sf + 1 && ns >= 1, s"doc $id spans $ns")
+      // a doc's global token interval [start, start + n) maps exactly to
+      // its claimed sequence range
+      val start = sf * L + off
+      assert((start + n - 1) / L == sl, s"doc $id end seq")
+    }
+    // within each shard, ordered by id, documents tile the token stream
+    // with no gaps and no overlaps from offset 0
+    packed.groupBy(_._2).foreach { case (_, ds) =>
+      var cursor = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, sf, _, off, _) =>
+        assert(sf * L + off == cursor, s"doc $id starts at ${sf * L + off}, want $cursor")
+        cursor += n
+      }
+    }
+    // zero-token docs have nothing to pack
+    val withEmpty = Seq((1L, 0), (2L, 5)).toDF("id", "n_tok")
+    assert(TextCuration.packSequences(withEmpty, "id", "n_tok", L, shards)
+      .count() == 1L)
+  }
 }
