@@ -26,9 +26,19 @@ class ReadstatMetadataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
+    val raw = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("readstat-metadata: no path"))
-    new MetadataTable(path)
+    val path = MetadataPaths.localPath(raw)
+    // a directory (e.g. a multiFile dataset) is ONE dataset whose parts
+    // share a schema, so its per-variable metadata is the first file's;
+    // per-FILE rows live in readstat-file-metadata
+    val resolved =
+      if (new java.io.File(path).isDirectory)
+        MetadataPaths.expandDirectory(path).headOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"readstat-metadata: no stat files under directory $path"))
+      else path
+    new MetadataTable(resolved)
   }
 }
 
@@ -152,6 +162,23 @@ object MetadataPaths {
   private val StatExts = Seq(".dta", ".sav", ".zsav", ".sas7bdat", ".xpt",
     ".xpt5", ".xpt8", ".por")
 
+  /** Normalize a `file:` URI to a plain local path. The session catalog
+    * qualifies table locations to URIs (`CREATE TABLE ... USING readstat`
+    * hands the connector `file:/tmp/x.dta`), while every decoder here
+    * opens `java.io` local files. Non-file schemes are rejected with a
+    * clear error instead of a FileNotFoundException naming a path that
+    * plainly exists. */
+  def localPath(p: String): String =
+    if (!p.contains(":") || p.startsWith("/")) p
+    else if (p.startsWith("file:")) {
+      try new java.io.File(new java.net.URI(p)).getPath
+      catch { case _: Exception => p.replaceFirst("^file:(//)?", "/").replaceFirst("^//+", "/") }
+    } else if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
+      throw new IllegalArgumentException(
+        s"readstat: unsupported URI scheme in '$p' — the connector reads " +
+          "local/shared-filesystem paths (mount remote storage or copy locally)")
+    else p
+
   /** DSv2 passes a single `load(p)` as "path" and `load(p1, p2, …)` as a
     * JSON array under "paths". Directories expand to the stat files they
     * contain (non-recursive), so `load(dir)` fans a whole drop of files
@@ -166,7 +193,7 @@ object MetadataPaths {
       (0 until node.size()).map(i => node.get(i).asText()).filter(_.nonEmpty)
     }.getOrElse(Nil)
     val single = Option(properties.get("path")).toSeq
-    val all = (single ++ multi).distinct.flatMap { p =>
+    val all = (single ++ multi).map(localPath).distinct.flatMap { p =>
       val f = new java.io.File(p)
       if (f.isDirectory) expandDirectory(p) else Seq(p)
     }

@@ -37,7 +37,8 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
       require(node.isArray, s"readstat: 'paths' is not a JSON array: $js")
       (0 until node.size()).map(i => node.get(i).asText()).filter(_.nonEmpty)
     }
-    single ++ multi
+    // the session catalog qualifies CREATE TABLE locations to file: URIs
+    (single ++ multi).map(MetadataPaths.localPath)
   }
 
   private def pathsOf(options: CaseInsensitiveStringMap,
