@@ -173,6 +173,36 @@ object TextCuration {
   def hashBucket(idCol: Column): Column =
     conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10).cast("int") % 100
 
+  /** Mixture rebalancing by explicit per-group epoch targets — the
+    * "2.5 epochs of wiki, 0.3 of crawl" knob of a pretraining data mix.
+    * Every document gets a deterministic repeat count: `floor(e)` full
+    * epochs plus one more for the md5-selected `frac(e)` fraction of its
+    * group (16-bit bucket, so the realized mixture converges to the
+    * target at corpus scale and is exactly reproducible under
+    * repartitioning and corpus growth). `e = 0` drops the group,
+    * `0 < e < 1` downsamples, `e > 1` upsamples. Pure per-row
+    * expressions: no shuffle, pushes into any scan; materialize repeats
+    * with `explode(sequence(1, n_repeats))` when the loader needs
+    * physical rows.
+    */
+  def mixtureEpochs(df: DataFrame, idCol: String, groupCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "mixtureEpochs: epoch targets must be >= 0")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (g, v)) =>
+      when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val bucket16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    df.select(col(idCol), col(groupCol), e.as("epochs"),
+        bucket16.as("__b"))
+      .withColumn("n_repeats",
+        (floor(col("epochs")) +
+          when(col("__b") < round((col("epochs") - floor(col("epochs"))) * 65536),
+            1).otherwise(0)).cast("long"))
+      .drop("__b")
+  }
+
   /** GPT-style sequence packing (concatenate-then-chunk): every document
     * is laid into fixed-`seqLen`-token training sequences in deterministic
     * order, documents splitting across sequence boundaries exactly as a

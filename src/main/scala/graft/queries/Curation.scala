@@ -682,7 +682,34 @@ object Curation {
       |  (cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS n_seqs
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Mixture rebalancing over `source` ([[TextCuration.mixtureEpochs]]):
+    * src0 upsampled to 2.5 epochs, src3 downsampled to 0.25, src7
+    * dropped, everything else 1 epoch. Constants rendered into both
+    * engines so the deterministic fractional-epoch selection can never
+    * drift. */
+  def mixtureEpochs(s: SparkSession, d: String): DataFrame =
+    TextCuration.mixtureEpochs(documents(s, d), "doc_id", "source",
+        Map("src0" -> 2.5, "src3" -> 0.25, "src7" -> 0.0))
+      .orderBy("doc_id")
+
+  val mixtureEpochsSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src3' THEN 0.25
+      |                WHEN 'src7' THEN 0.0 ELSE 1.0 END AS epochs,
+      |   ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS b
+      |  FROM documents)
+      |SELECT doc_id, source, epochs,
+      |  CAST(floor(epochs) +
+      |       CASE WHEN b < round((epochs - floor(epochs)) * 65536)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      |FROM e ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sample_mixture_epochs" -> (mixtureEpochs _, mixtureEpochsSql),
     "sample_pack_sequences" -> (packSequences _, packSequencesSql),
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),
     "text_pii_redact" -> (piiRedact _, piiRedactSql),

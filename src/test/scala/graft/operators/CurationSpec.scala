@@ -352,6 +352,28 @@ class CurationSpec extends SparkTestBase {
     assert(got == Map(9000L -> 1, 9001L -> 0))
   }
 
+  test("mixtureEpochs hits epoch targets in expectation, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 20000L).map(id => (id, s"g${id % 4}")).toDF("id", "grp")
+    val targets = Map("g0" -> 2.5, "g1" -> 0.25, "g2" -> 0.0)
+    val out = TextCuration.mixtureEpochs(docs, "id", "grp", targets)
+    val rep = out.groupBy("grp")
+      .agg(avg("n_repeats").as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rep("g0") - 2.5) < 0.05, s"g0 ${rep("g0")}")
+    assert(math.abs(rep("g1") - 0.25) < 0.05, s"g1 ${rep("g1")}")
+    assert(rep("g2") == 0.0)
+    assert(rep("g3") == 1.0) // default
+    // whole-epoch floor: every g0 doc repeats at least twice, at most 3
+    val g0 = out.filter($"grp" === "g0").select("n_repeats").as[Long].collect()
+    assert(g0.forall(r => r == 2L || r == 3L))
+    // deterministic under recomputation and repartitioning
+    val again = TextCuration.mixtureEpochs(docs.repartition(13), "id", "grp",
+      targets).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == first)
+  }
+
   test("packSequences lays tokens into gapless fixed-length sequences per shard") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
