@@ -107,8 +107,15 @@ object TextCuration {
     * smoothed over `buckets` md5 buckets. Per-bigram ratios are rounded
     * then summed as DECIMAL (exact, summation-order-independent).
     *
-    * Scale shape: one explode (linear in corpus tokens), one
-    * buckets-row stat aggregate (broadcasts), one groupBy(id).
+    * Scale shape: the bigram features never become rows — the one-pass
+    * [[graft.functions.HashedBigramHistogram]] expression folds each doc
+    * into a `buckets`-long histogram inside the scan, so the only
+    * corpus-sized work is two scans (bucket totals, then scoring) with
+    * nothing gram-sized shuffled, cached, or retained. Bucket totals
+    * (≤ 256 rows) are collected; the per-bucket log-ratios are computed
+    * with the SAME Spark expressions on a driver-local frame (bit-exact
+    * vs the exploded formulation) and scoring is an exact DECIMAL dot
+    * product of histogram × ratios.
     *
     * @param isTarget boolean column marking the target-distribution docs
     * @return (idCol, n_bigrams, logw, keep) — keep = logw > 0
@@ -116,29 +123,19 @@ object TextCuration {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= 256, "dsirWeights: 2..256 buckets")
-    val bg = df
-      .select(col(idCol), isTarget.cast("long").as("__t"),
-        split(trim(col(textCol)), "\\s+").as("tk"))
-      .select(col(idCol), col("__t"),
-        explode(expr(
-          "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), " +
-            "i -> concat(tk[i-1], ' ', tk[i])) ELSE array() END")).as("bg"))
-      .withColumn("__b",
-        pmod(conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("int"),
-          lit(buckets)))
-    // The bucket stats are at most `buckets` (≤256) rows: collect them and
-    // continue from a driver-local frame instead of caching the exploded
-    // bigram frame (linear in corpus tokens — a cache that outlives the
-    // call and accumulates executor storage across a long session). The
-    // exploded frame is scanned exactly twice — once here, once in the
-    // final join — matching the old cache-write-plus-two-reads cost with
-    // zero retained storage. Totals derive from the same collected rows.
     val spark = df.sparkSession
-    val statRows = bg.groupBy("__b")
-      .agg(count(lit(1)).as("n_r"), sum("__t").as("n_t"))
+    val docs = df.select(col(idCol), isTarget.cast("long").as("__t"),
+      graft.functions.HashedBigramHistogram(
+        split(trim(col(textCol)), "\\s+"), buckets).as("__h"))
+    // bucket totals: posexplode the histograms (`buckets` short rows per
+    // doc, no text) and collect — n_r/n_t per bucket, totals derived
+    val statRows = docs
+      .select(col("__t"), posexplode(col("__h")).as(Seq("__b", "__c")))
+      .groupBy("__b")
+      .agg(sum("__c").as("n_r"), sum(col("__c") * col("__t")).as("n_t"))
       .collect()
     val totR = statRows.map(_.getLong(1)).sum
-    val totT = statRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+    val totT = statRows.map(_.getLong(2)).sum
     val stats = spark.createDataFrame(
       java.util.Arrays.asList(statRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -148,14 +145,27 @@ object TextCuration {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("n_t",
           org.apache.spark.sql.types.LongType))))
-    val ratios = stats.select(col("__b"),
-      round(
-        log((col("n_t") + 1).cast("double") / (totT + buckets).toDouble) -
-          log((col("n_r") + 1).cast("double") / (totR + buckets).toDouble), 6)
-        .cast("decimal(18,6)").as("lr"))
-    bg.join(broadcast(ratios), "__b")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum("lr").as("__lw"))
+    val lrByBucket: Array[java.math.BigDecimal] = {
+      val rows = stats.select(col("__b"),
+        round(
+          log((col("n_t") + 1).cast("double") / (totT + buckets).toDouble) -
+            log((col("n_r") + 1).cast("double") / (totR + buckets).toDouble), 6)
+          .cast("decimal(18,6)").as("lr"))
+        .collect()
+      val arr = new Array[java.math.BigDecimal](buckets)
+      rows.foreach(r => arr(r.getInt(0)) = r.getDecimal(1))
+      arr
+    }
+    val lrArr = array(lrByBucket.toIndexedSeq.map(bd =>
+      lit(bd).cast("decimal(18,6)")): _*)
+    docs
+      .withColumn("n_bigrams",
+        aggregate(col("__h"), lit(0L), (a, x) => a + x))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("__lw",
+        aggregate(zip_with(col("__h"), lrArr, (c, l) => c * l),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+          (a, x) => a + x))
       .select(col(idCol), col("n_bigrams"),
         round(col("__lw"), 4).cast("double").as("logw"),
         (col("__lw") > 0).cast("int").as("keep"))

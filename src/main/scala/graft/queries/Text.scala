@@ -145,17 +145,17 @@ object Text {
     // the sketch expression emits each doc's DISTINCT minima already, so
     // exploding it yields the (doc, fingerprint) set directly — no gram
     // rows, no gram shuffle, no distinct
+    // repartition on mh INSIDE the cached subtree: the shuffle boundary
+    // means the sketch expression runs exactly once even when the pair
+    // plan's concurrent stages hit a cold cache (shuffle map outputs are
+    // reused across consumers; shuffle-free cached subtrees are
+    // recomputed per stage), and the mh hash-partitioning feeds the df
+    // groupBy and the self-join with no further exchange
     val fps = documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.WinnowSketch(col("text"), k, w)).as("mh"))
+      .repartition(col("mh"))
       .cache()
-    // materialize the cache NOW: the pair plan consumes fps from six
-    // independent exchanges, and with no shuffle boundary inside the
-    // cached subtree a cold cache would recompute the sketch expression
-    // once per concurrently-launching stage (shuffle map outputs are
-    // reused across consumers; uncached in-memory-relation children are
-    // not)
-    fps.count()
     // df cap scales with the corpus (min 50, n/10): this synthetic
     // corpus reuses a small vocabulary, so absolute df grows with SF and
     // a fixed cap would silently discard the near-dup signal at scale
