@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * `queries/Similarity.annIvfTopK`. Feed it [[Kmeans.fit]] output for a
   * real pipeline: train once, search many.
   *
-  * Scale shape: the centroid table is K rows (KBs–MBs) and broadcasts;
-  * cell assignment is one corpus scan whose K candidate rows per vector
-  * collapse map-side via max_by (one row per vector crosses the
-  * shuffle); the candidate join shuffles on cell id so each query
-  * touches ~nprobe/K of the corpus. Nothing collects the corpus.
+  * Scale shape: the centroid table is K rows (KBs–MBs), collected once
+  * and folded into a per-row argmax expression
+  * ([[graft.functions.NearestCentroid]]) — cell assignment runs inside
+  * the corpus scan with no join, no row multiplication, and no shuffle;
+  * the candidate join then shuffles on cell id so each query touches
+  * ~nprobe/K of the corpus. Nothing collects the corpus.
   */
 object AnnIvf {
 
@@ -34,13 +35,24 @@ object AnnIvf {
       centroids: DataFrame, dim: Int, k: Int = 5, nprobe: Int = 4): DataFrame = {
     import graft.queries.Similarity.cosineUnrolled
     val cent = broadcast(centroids.select(col("cid"), col("cvec")))
+    // K centroid rows collected once (ordered by cid so the expression's
+    // lowest-index tie-break is the lowest-cid tie-break), assignment is
+    // a pure map inside the corpus scan
+    val centRows = centroids.select(col("cid"), col("cvec")).orderBy("cid").collect()
+    val cids = centRows.map(_.getInt(0))
+    val centVecs: Array[Array[Double]] = centRows.map(_.getSeq[Any](1).toArray.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"AnnIvf: centroid element $other is not float/double")
+    })
+    val cellOf = element_at(
+      array(cids.toIndexedSeq.map(lit(_)): _*),
+      graft.functions.NearestCentroid(col("cv0"), centVecs) + 1)
     val assigned = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("cv0"))
-      .join(cent)
-      .withColumn("csim", cosineUnrolled(col("cv0"), col("cvec"), dim))
-      .groupBy(col("nid"))
-      .agg(max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
-        first(col("cv0")).as("cv"))
+      .withColumn("cell", cellOf)
+      .select(col("nid"), col("cell"), col("cv0").as("cv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))

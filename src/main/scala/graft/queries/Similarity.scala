@@ -105,27 +105,28 @@ object Similarity {
     * nearest centroid cell, queries probing their NPROBE nearest cells
     * and ranking exactly within them.
     *
-    * Scale shape: centroids broadcast (K vectors); assignment is one
-    * corpus scan; the candidate join shuffles on cell id, so each query
-    * touches NPROBE/K of the corpus instead of all of it — the standard
-    * trade that makes billion-vector search tractable. LSH (AnnLsh) cuts
-    * by hyperplane bucket; IVF cuts by Voronoi cell. */
+    * Scale shape: cell assignment is a pure per-row argmax against the
+    * K constant centroid vectors ([[graft.functions.NearestCentroid]],
+    * arithmetic bit-identical to the join+max_by formulation) — the
+    * corpus is never shuffled or row-multiplied for assignment; the
+    * candidate join shuffles on cell id, so each query touches NPROBE/K
+    * of the corpus instead of all of it — the standard trade that makes
+    * billion-vector search tractable. LSH (AnnLsh) cuts by hyperplane
+    * bucket; IVF cuts by Voronoi cell. */
   def annIvfTopK(s: SparkSession, d: String): DataFrame = {
     val K = 16
     val NPROBE = 4
     val e = embeddings(s, d)
     val cent = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // nearest-centroid cell per corpus vector (ties -> smallest cid);
-    // max_by instead of a window rank: the argmax collapses the K
-    // candidate rows per vector map-side, so only one row per vector
-    // crosses the shuffle instead of K
-    val assigned = e.join(broadcast(cent))
-      .withColumn("csim", cosineUnrolled(col("embedding"), col("cvec"), EmbeddingDim))
-      .groupBy(col("vec_id").as("nid"))
-      .agg(
-        max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cell"),
-        first(col("embedding")).as("cv")) // identical across the K rows
+    // nearest-centroid cell per corpus vector (ties -> smallest cid):
+    // the K anchors are collected once (cid 0..K-1 = array index) and
+    // the assignment runs inside the scan, no join, no shuffle
+    val centLocal: Array[Array[Double]] = cent.orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val assigned = e.select(col("vec_id").as("nid"),
+      col("embedding").as("cv"),
+      graft.functions.NearestCentroid(col("embedding"), centLocal).as("cell"))
     // each query probes its NPROBE nearest cells
     val wProbe = Window.partitionBy("qid").orderBy(col("qsim").desc, col("cid"))
     val probes = e.filter(col("vec_id") < 10)
