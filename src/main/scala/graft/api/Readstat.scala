@@ -1,0 +1,64 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** One-call facade over the connector, mapping 1:1 to the reference's
+  * public API so a `polars_readstat` user can switch without learning
+  * the DataSource surface first (reference: polars_readstat/__init__.py —
+  * `scan_readstat` :498, `read_readstat` :680, `write_readstat` :708,
+  * `read_sas7bcat` :386):
+  *
+  *  - `Readstat.scan(spark, path)` — lazy DataFrame (Spark frames are
+  *    always lazy, so scan == read; both names exist for familiarity)
+  *  - `Readstat.read(spark, path)` — same
+  *  - `Readstat.write(df, path)` — extension-dispatched write
+  *  - `Readstat.readSas7bcat(path)` — catalog `format → (code → label)`
+  *  - `Readstat.metadata(spark, path)` — 12-col per-variable frame
+  *  - `Readstat.fileMetadata(spark, paths)` — one row per file
+  *
+  * All options of the `readstat` format apply (valueLabelsAsStrings,
+  * informativeNulls, compress, mergeSchema, multiFile, dtaVersion, …).
+  */
+object Readstat {
+
+  private def reader(spark: SparkSession,
+      options: Map[String, String]): DataFrameReader =
+    spark.read.format("readstat").options(options)
+
+  /** Lazy scan of one or more stat files / directories. */
+  def scan(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    reader(spark, options).load(path)
+
+  /** Alias of [[scan]] — Spark DataFrames are lazy either way. */
+  def read(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    scan(spark, path, options)
+
+  /** Multi-path variant (mixable formats with `mergeSchema`). */
+  def scanAll(spark: SparkSession, paths: Seq[String],
+      options: Map[String, String] = Map.empty): DataFrame =
+    reader(spark, options).load(paths: _*)
+
+  /** Write `df` to the stat format named by `path`'s extension
+    * (.dta/.sav/.zsav/.xpt/.por/.csv bundle). `multiFile=true` writes a
+    * directory of self-contained part files instead of one file. */
+  def write(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("readstat").options(options)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save(path)
+
+  /** SAS format catalog as plain maps: numeric and string value-label
+    * sets keyed by format name (reference `read_sas7bcat`). */
+  def readSas7bcat(path: String): graft.core.sas.SasCatalog.Catalog =
+    graft.core.sas.SasCatalog.read(path)
+
+  /** The reference's canonical 12-column per-variable metadata frame. */
+  def metadata(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("readstat-metadata").load(path)
+
+  /** One row per file: row count, encoding, file label, created
+    * timestamp, format-specific details JSON. */
+  def fileMetadata(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.format("readstat-file-metadata").load(paths: _*)
+}
