@@ -212,6 +212,85 @@ object Text {
       |WHERE round(n_shared / least(sa.sz, sb.sz), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Region-level duplicate flagging (the span analogue of Lee et al.'s
+    * exact-substring dedup): for every document, which character ranges
+    * are covered by winnow-selected k-grams that also occur in ANOTHER
+    * document, merged into maximal spans. The winnowing guarantee makes
+    * this a sound detector for shared substrings of length ≥ w + k − 1:
+    * every such region contributes at least one shared fingerprint, and
+    * every flagged char is part of a k-gram that literally exists
+    * elsewhere in the corpus — so a pipeline can cut duplicated REGIONS
+    * (boilerplate, quoted blocks) instead of dropping whole documents.
+    *
+    * Scale shape: fingerprints+positions are computed inside the scan
+    * ([[graft.functions.WinnowSpans]], no gram rows); only the sketch-
+    * sized (doc, fp, pos) set shuffles (once, on fp); the span merge is
+    * a per-doc window over each doc's own shared fingerprints. */
+  def spanFlags(s: SparkSession, d: String): DataFrame = {
+    val k = 8; val w = 8
+    val fp = documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowSpans(col("text"), k, w)).as("f"))
+      .select(col("doc_id"), col("f.mh").as("mh"), col("f.pos").as("pos"))
+      .repartition(col("mh")) // shuffle boundary: sketch computed once
+      .cache()
+    val shared = fp.groupBy("mh")
+      .agg(countDistinct(col("doc_id")).as("dd"))
+      .filter(col("dd") > 1).select("mh")
+    val spans = fp.join(shared, "mh")
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + (k - 1)).as("e"))
+    // merge overlapping/adjacent spans per doc (gaps and islands)
+    val wPrev = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDoc = spans
+      .withColumn("brk",
+        when(col("s") > coalesce(max("e").over(wPrev) + 1, col("s") - 1), 1)
+          .otherwise(0))
+      .withColumn("grp", sum("brk").over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("s").as("ss"), max("e").as("ee"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss") + 1).as("dup_chars"))
+    perDoc
+      .join(documents(s, d).select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id")
+      .select(col("doc_id"), col("n_spans"),
+        col("dup_chars").cast("long").as("dup_chars"),
+        round(col("dup_chars") / col("len"), 4).as("frac_dup"))
+      .orderBy("doc_id")
+  }
+
+  val spanFlagsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+      |  FROM documents,
+      |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i)),
+      |w AS (
+      |  SELECT doc_id, i,
+      |    min(struct_pack(h := h, p := i)) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wcnt
+      |  FROM g),
+      |fp AS (SELECT DISTINCT doc_id, m.h AS mh, m.p AS pos FROM w WHERE wcnt = 8),
+      |shared AS (SELECT mh FROM fp GROUP BY mh HAVING count(DISTINCT doc_id) > 1),
+      |sp AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM fp JOIN shared USING (mh)),
+      |m1 AS (SELECT doc_id, s, e,
+      |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, s - 1)
+      |  THEN 1 ELSE 0 END AS brk FROM sp),
+      |m2 AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m1),
+      |merged AS (SELECT doc_id, min(s) AS ss, max(e) AS ee FROM m2 GROUP BY doc_id, grp)
+      |SELECT m.doc_id, count(*) AS n_spans,
+      |  CAST(sum(ee - ss + 1) AS BIGINT) AS dup_chars,
+      |  round(CAST(sum(ee - ss + 1) AS BIGINT) / max(length(d.text)), 4) AS frac_dup
+      |FROM merged m JOIN documents d ON d.doc_id = m.doc_id
+      |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin
+
   /** Exact deduplication summary: group by content fingerprint, keep the
     * lowest doc_id per group. Output: corpus-level stats + number of
     * documents that would be dropped. Only the 16-byte hash shuffles. */
@@ -385,6 +464,7 @@ object Text {
     "text_fingerprint" -> (fingerprint _, fingerprintSql),
     "text_winnow_fingerprint" -> (winnowFingerprint _, winnowFingerprintSql),
     "dedup_winnow_pairs" -> (winnowPairs _, winnowPairsSql),
+    "dedup_span_flags" -> (spanFlags _, spanFlagsSql),
     "dedup_exact" -> (dedupExact _, dedupExactSql),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
     "dedup_clusters" -> (dedupClusters _, dedupClustersSql),

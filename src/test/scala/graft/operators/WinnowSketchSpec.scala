@@ -87,6 +87,37 @@ class WinnowSketchSpec extends SparkTestBase {
     assert(raw.find(_.getLong(0) == 3L).get.isNullAt(1))
   }
 
+  test("WinnowSpans positions match min(struct(hash, pos)) over the window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L).map { id =>
+      val len = rnd.nextInt(100)
+      (id, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 8), (3, 4))) {
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+      val want = docs.filter(length(col("text")) >= k)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 0))"))
+            .as("pos"))
+        .select(col("doc_id"), col("pos"),
+          md5(expr(s"substring(text, pos, $k)")).as("h"))
+        .withColumn("m", min(struct(col("h"), col("pos"))).over(win))
+        .withColumn("full", count(lit(1)).over(win))
+        .filter(col("full") === w)
+        .select(col("doc_id"), col("m.h").as("mh"), col("m.pos").as("p"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val got = docs
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowSpans(col("text"), k, w)).as("f"))
+        .select(col("doc_id"), col("f.mh"), col("f.pos"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == want, s"k=$k w=$w: ${got.diff(want)} / ${want.diff(got)}")
+    }
+  }
+
   test("sketch on real documents agrees with the window plan end-to-end") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
