@@ -102,7 +102,14 @@ object PorWriterImpl {
     writeOne(path, df.schema, df.toLocalIterator())
   }
 
+  /** Emit via a same-directory temp + atomic rename (no partial files
+    * at the final name). */
   private def writeOne(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: java.util.Iterator[org.apache.spark.sql.Row]): Unit =
+    AtomicFile.write(path)(tmp => writeOneRaw(tmp, schema, rows))
+
+  private def writeOneRaw(path: String,
       schema: org.apache.spark.sql.types.StructType,
       rows: java.util.Iterator[org.apache.spark.sql.Row]): Unit = {
     val outPath = Paths.get(path)

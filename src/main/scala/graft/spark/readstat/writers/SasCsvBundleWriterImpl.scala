@@ -42,9 +42,9 @@ object SasCsvBundleWriter {
       .option("header", "false").option("nullValue", "")
       .csv(scratch.getAbsolutePath)
 
-    // driver splice: header + part files in order
-    val outPath = Paths.get(path)
-    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    // driver splice: header + part files in order (temp + atomic rename)
+    AtomicFile.write(path) { tmpOut =>
+    val outPath = Paths.get(tmpOut)
     val ch = java.nio.channels.FileChannel.open(outPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
@@ -59,6 +59,7 @@ object SasCsvBundleWriter {
           } finally in.close()
         }
     } finally ch.close()
+    }
     scratch.listFiles().foreach(_.delete()); scratch.delete()
 
     // generated SAS import script
@@ -96,6 +97,7 @@ object SasCsvBundleWriter {
         sb.append(s"  format ${f.name} ${f.name}_fmt.;\n")
     }
     sb.append("run;\n")
-    Files.writeString(Paths.get(path.stripSuffix(".csv") + ".sas"), sb.toString)
+    AtomicFile.write(path.stripSuffix(".csv") + ".sas")(tmp =>
+      Files.writeString(Paths.get(tmp), sb.toString))
   }
 }

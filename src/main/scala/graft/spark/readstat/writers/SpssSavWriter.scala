@@ -197,8 +197,14 @@ object SpssSavWriter {
 
   /** Header + dictionary, then the data chunks (raw records, or zsav
     * blocks + zheader/ztrailer). Pure IO — runs on the driver for the
-    * single-file splice and on executors for multiFile part assembly. */
+    * single-file splice and on executors for multiFile part assembly.
+    * Emits via a same-directory temp + atomic rename (no partial files
+    * at the final name). */
   private def assembleSav(path: String, dict: Array[Byte], zlib: Boolean,
+      chunkPaths: Seq[String], zsavBlocks: Seq[(Int, Int)]): Unit =
+    AtomicFile.write(path)(tmp => assembleSavRaw(tmp, dict, zlib, chunkPaths, zsavBlocks))
+
+  private def assembleSavRaw(path: String, dict: Array[Byte], zlib: Boolean,
       chunkPaths: Seq[String], zsavBlocks: Seq[(Int, Int)]): Unit = {
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))

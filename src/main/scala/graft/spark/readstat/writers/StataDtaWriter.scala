@@ -506,11 +506,21 @@ object StataDtaWriter {
       StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Assemble the final .dta via a same-directory temp + atomic rename
+    * (partial files are never visible at the target name). */
   private def assembleFile(path: String, version: Int, cols: Array[ColSpec],
       nObs: Long, rowLen: Int, dataBytes: Long, gsoBytes: Long,
       chunks: Array[(Int, String, String, Long)],
       valueLabels: Map[String, Seq[(Int, String)]],
-      varLabels: Map[String, String] = Map.empty): Unit = {
+      varLabels: Map[String, String] = Map.empty): Unit =
+    AtomicFile.write(path)(tmp => assembleFileRaw(tmp, version, cols, nObs,
+      rowLen, dataBytes, gsoBytes, chunks, valueLabels, varLabels))
+
+  private def assembleFileRaw(path: String, version: Int, cols: Array[ColSpec],
+      nObs: Long, rowLen: Int, dataBytes: Long, gsoBytes: Long,
+      chunks: Array[(Int, String, String, Long)],
+      valueLabels: Map[String, Seq[(Int, String)]],
+      varLabels: Map[String, String]): Unit = {
     if (version < 117) {
       assembleLegacy(path, version, cols, nObs, chunks, valueLabels, varLabels)
       return

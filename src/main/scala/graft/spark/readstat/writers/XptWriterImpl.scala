@@ -84,10 +84,11 @@ object XptWriterImpl {
           else {
             val specs = specsB.value
             val partPath = f"$path/part-$pid%05d.xpt"
-            val out = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(partPath), 1 << 20))
-            out.write(header)
             var rows = 0L
+            AtomicFile.write(partPath) { tmp =>
+            val out = new DataOutputStream(new BufferedOutputStream(
+              new FileOutputStream(tmp), 1 << 20))
+            out.write(header)
             it.foreach { row =>
               var i = 0
               while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
@@ -100,6 +101,7 @@ object XptWriterImpl {
               out.write(pad)
             }
             out.close()
+            }
             Iterator(rows)
           }
         }.collect()
@@ -125,8 +127,8 @@ object XptWriterImpl {
     }.collect().sortBy(_._1)
 
     val header = buildHeader(cols, version)
-    val outPath = Paths.get(path)
-    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    AtomicFile.write(path) { tmpOut =>
+    val outPath = Paths.get(tmpOut)
     val ch = java.nio.channels.FileChannel.open(outPath,
       StandardOpenOption.CREATE, StandardOpenOption.WRITE,
       StandardOpenOption.TRUNCATE_EXISTING)
@@ -148,6 +150,7 @@ object XptWriterImpl {
         ch.write(java.nio.ByteBuffer.wrap(pad))
       }
     } finally ch.close()
+    }
     chunks.foreach(c => new File(c._2).delete())
   }
 
