@@ -526,13 +526,20 @@ class ReadstatPartitionReaderFactory(required: StructType,
   */
 class ReadstatWriteBuilder(path: String, schema: StructType,
     options: Map[String, String]) extends WriteBuilder with SupportsOverwrite {
-  override def overwrite(filters: Array[Filter]): WriteBuilder = this
-  override def truncate(): WriteBuilder = this
+  // mode("overwrite") reaches a V1 fallback as a truncate()/overwrite()
+  // call on the builder — insert()'s boolean stays false in that flow,
+  // so the mode is remembered here
+  private var truncateAll = false
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    truncateAll = true; this
+  }
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
   override def build(): V1Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          graft.spark.readstat.writers.StatWriters.write(data, path, options)
+          graft.spark.readstat.writers.StatWriters.write(data, path, options,
+            overwrite || truncateAll)
       }
   }
 }

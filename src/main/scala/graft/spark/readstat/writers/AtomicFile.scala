@@ -13,6 +13,24 @@ import java.nio.file.{AtomicMoveNotSupportedException, Files, StandardCopyOption
   * temp name is invisible to the directory expansion, which matches on
   * stat-file extensions.
   */
+/** Shared prep for multiFile directory writes: overwrite clears every
+  * existing part of the extension; append keeps them and returns a
+  * run-unique part prefix so new parts never collide with old ones. */
+private[writers] object MultiFileParts {
+  def prepare(dir: java.io.File, ext: String,
+      options: Map[String, String]): String = {
+    val overwrite = options.getOrElse("__overwrite", "true").toBoolean
+    if (dir.exists() && dir.isFile) dir.delete()
+    java.nio.file.Files.createDirectories(dir.toPath)
+    if (overwrite) {
+      Option(dir.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.matches(s"part-.*\\.$ext")) f.delete()
+      })
+      "part-"
+    } else s"part-${java.util.UUID.randomUUID.toString.take(8)}-"
+  }
+}
+
 private[writers] object AtomicFile {
   def write(path: String)(body: String => Unit): Unit = {
     val target = new File(path).getAbsoluteFile

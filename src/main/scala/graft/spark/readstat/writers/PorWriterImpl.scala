@@ -82,18 +82,13 @@ object PorWriterImpl {
     // (not just a splice) onto executors — the only parallel write path
     // the format admits.
     if (options.get("multiFile").exists(_.toBoolean)) {
-      val dirF = new java.io.File(path)
-      if (dirF.exists() && dirF.isFile) dirF.delete()
-      Files.createDirectories(Paths.get(path))
-      Option(dirF.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.matches("part-\\d{5}\\.por")) f.delete()
-      })
+      val partPrefix = MultiFileParts.prepare(new java.io.File(path), "por", options)
       val schema = df.schema
       df.rdd.mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
           import scala.jdk.CollectionConverters._
-          writeOne(f"$path/part-$pid%05d.por", schema, it.asJava)
+          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it.asJava)
           Iterator(1)
         }
       }.count()

@@ -99,12 +99,7 @@ object SpssSavWriter {
     // widths keep every part's dictionary identical)
     if (options.get("multiFile").exists(_.toBoolean)) {
       val ext = if (zlib) "zsav" else "sav"
-      val dirF = new File(path)
-      if (dirF.exists() && dirF.isFile) dirF.delete()
-      Files.createDirectories(Paths.get(path))
-      Option(dirF.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.matches("part-\\d{5}\\.(sav|zsav)")) f.delete()
-      })
+      val partPrefix = MultiFileParts.prepare(new File(path), "(sav|zsav)", options)
       val vls = valueLabels
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -138,7 +133,7 @@ object SpssSavWriter {
               raw.close()
             }
             val dictLocal = buildDictionary(specs, rows, zlibB, vls)
-            assembleSav(f"$path/part-$pid%05d.$ext", dictLocal, zlibB,
+            assembleSav(s"$path/$partPrefix" + f"$pid%05d.$ext", dictLocal, zlibB,
               Seq(f.getAbsolutePath), blocks)
             f.delete()
             Iterator(rows)

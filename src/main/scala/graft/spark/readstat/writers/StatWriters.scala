@@ -7,8 +7,25 @@ import org.apache.spark.sql.DataFrame
   * `write_readstat` dispatch (reference: __init__.py:708-878).
   */
 object StatWriters {
-  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+  def write(df: DataFrame, path: String, options: Map[String, String],
+      overwrite: Boolean = true): Unit = {
     val lower = path.toLowerCase
+    // append (mode("append") / INSERT INTO) only makes sense for
+    // multiFile directories, where it adds new uniquely-named parts;
+    // a single stat file has one header and cannot be appended to.
+    // Silently overwriting on append would DROP existing data.
+    if (!overwrite && new java.io.File(path).exists()) {
+      require(options.get("multiFile").exists(_.toBoolean),
+        s"readstat writer: append to $path requires multiFile=true — " +
+          "single stat files have one header and cannot be appended; " +
+          "use mode(\"overwrite\") or a multiFile directory")
+    }
+    val opts = options + ("__overwrite" -> overwrite.toString)
+    write0(df, path, opts, lower)
+  }
+
+  private def write0(df: DataFrame, path: String,
+      options: Map[String, String], lower: String): Unit = {
     if (lower.endsWith(".dta")) StataDtaWriter.write(df, path, options)
     else if (lower.endsWith(".sav")) SpssSavWriter.write(df, path, options, zlib = false)
     else if (lower.endsWith(".zsav")) SpssSavWriter.write(df, path, options, zlib = true)

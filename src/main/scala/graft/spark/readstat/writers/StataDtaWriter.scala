@@ -246,12 +246,7 @@ object StataDtaWriter {
     // every part file's schema identical, so `load(dir)` reads the set
     // back as one frame.
     if (options.get("multiFile").exists(_.toBoolean)) {
-      val dirF = new File(path)
-      if (dirF.exists() && dirF.isFile) dirF.delete()
-      Files.createDirectories(Paths.get(path))
-      Option(dirF.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.matches("part-\\d{5}\\.dta")) f.delete()
-      })
+      val partPrefix = MultiFileParts.prepare(new File(path), "dta", options)
       val specsB = spark.sparkContext.broadcast(cols)
       val vls = valueLabels
       val mvl = metaVarLabels
@@ -281,7 +276,7 @@ object StataDtaWriter {
               rows += 1
             }
             out.close(); gso.close()
-            assembleFile(f"$path/part-$pid%05d.dta", version, specs, rows,
+            assembleFile(s"$path/$partPrefix" + f"$pid%05d.dta", version, specs, rows,
               rowLen, dataF.length(), gsoF.length(),
               Array((0, dataF.getAbsolutePath, gsoF.getAbsolutePath, rows)),
               vls, mvl)

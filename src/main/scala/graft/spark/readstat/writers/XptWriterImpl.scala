@@ -71,19 +71,14 @@ object XptWriterImpl {
     // (same contract as the dta/sav writers; the XPT header carries no
     // row count, so each part is just header + its records + 80-pad)
     if (options.get("multiFile").exists(_.toBoolean)) {
-      val dirF = new File(path)
-      if (dirF.exists() && dirF.isFile) dirF.delete()
-      Files.createDirectories(Paths.get(path))
-      Option(dirF.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.matches("part-\\d{5}\\.xpt")) f.delete()
-      })
+      val partPrefix = MultiFileParts.prepare(new File(path), "xpt", options)
       val header = buildHeader(cols, version)
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
           else {
             val specs = specsB.value
-            val partPath = f"$path/part-$pid%05d.xpt"
+            val partPath = s"$path/$partPrefix" + f"$pid%05d.xpt"
             var rows = 0L
             AtomicFile.write(partPath) { tmp =>
             val out = new DataOutputStream(new BufferedOutputStream(

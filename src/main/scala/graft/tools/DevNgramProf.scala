@@ -45,6 +45,16 @@ object DevNgramProf {
         .agg(count(lit(1)).as("n_int")).count()
       println("  intersecting pairs: " + n)
     }
+    t("explain inter join") {
+      val shF0 = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
+      val plan0 = shF0.as("a").join(shF0.as("b"), col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_int")).queryExecution.executedPlan.toString
+      println(plan0.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Aggregate"))
+        .mkString("\n"))
+    }
     t("variant A: cached shF") {
       val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh").cache()
       shF.count()

@@ -339,6 +339,48 @@ class StataWriterSpec extends SparkTestBase {
     assert(metaCounts.sum == 5000L && metaCounts.forall(_ > 0))
   }
 
+  test("append adds parts to a multiFile directory; single-file append errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("multi_append.dta")
+    def df(r: Range) = r.map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+    df(1 to 100).repartition(2)
+      .write.format("readstat").mode("overwrite")
+      .option("multiFile", "true").save(dir)
+    df(101 to 130).repartition(1)
+      .write.format("readstat").mode("append")
+      .option("multiFile", "true").save(dir)
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() == 130L)
+    assert(back.agg(sum("v").cast("double")).collect()(0).getDouble(0) ==
+      (1 to 130).map(_.toDouble).sum)
+    // appended parts coexist with the originals (unique run prefix)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-.*\\.dta"))
+    assert(parts.length == 3, parts.map(_.getName).mkString(","))
+    // a later overwrite clears BOTH naming schemes
+    df(1 to 10).repartition(1)
+      .write.format("readstat").mode("overwrite")
+      .option("multiFile", "true").save(dir)
+    assert(spark.read.format("readstat").load(dir).count() == 10L)
+
+    // single-file append to an existing file is a clear error, not a
+    // silent overwrite
+    val single = tmp("single.dta")
+    df(1 to 5).write.format("readstat").mode("overwrite").save(single)
+    val e = intercept[Exception] {
+      df(6 to 9).write.format("readstat").mode("append").save(single)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("requires multiFile=true")),
+      msgs(e).mkString(" | "))
+    // appending to a NOT-yet-existing single file is just a write
+    val fresh = tmp("fresh.dta")
+    df(1 to 4).write.format("readstat").mode("append").save(fresh)
+    assert(spark.read.format("readstat").load(fresh).count() == 4L)
+  }
+
   test("multiFile overwrite re-run targets the directory, no stale parts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
