@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{HyperplaneSignature, MinHashSignature}
+import graft.functions.{HashedBigramHistogram, HyperplaneSignature, MinHashSignature, WinnowSketch, WinnowSpans}
 import graft.operators.AnnLsh
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -68,8 +68,38 @@ object GraftFunctions {
       s"minhash_signature expects (expr, k), got ${args.length} args")
   }
 
+  private val winnowSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(child, k, w) =>
+      WinnowSketch(child, intArg(k, "winnow_sketch", 2), intArg(w, "winnow_sketch", 3))
+    case args => throw new IllegalArgumentException(
+      s"winnow_sketch expects (text, k, w), got ${args.length} args")
+  }
+
+  private val winnowSpansBuilder: Seq[Expression] => Expression = {
+    case Seq(child, k, w) =>
+      WinnowSpans(child, intArg(k, "winnow_spans", 2), intArg(w, "winnow_spans", 3))
+    case args => throw new IllegalArgumentException(
+      s"winnow_spans expects (text, k, w), got ${args.length} args")
+  }
+
+  private val bigramHistBuilder: Seq[Expression] => Expression = {
+    case Seq(child, buckets) =>
+      HashedBigramHistogram(child, intArg(buckets, "hashed_bigram_histogram", 2))
+    case args => throw new IllegalArgumentException(
+      s"hashed_bigram_histogram expects (tokens, buckets), got ${args.length} args")
+  }
+
   /** (identifier, info, builder) triples in injectFunction's shape. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("winnow_sketch"),
+      new ExpressionInfo(classOf[WinnowSketch].getName, "winnow_sketch"),
+      winnowSketchBuilder),
+    (FunctionIdentifier("winnow_spans"),
+      new ExpressionInfo(classOf[WinnowSpans].getName, "winnow_spans"),
+      winnowSpansBuilder),
+    (FunctionIdentifier("hashed_bigram_histogram"),
+      new ExpressionInfo(classOf[HashedBigramHistogram].getName, "hashed_bigram_histogram"),
+      bigramHistBuilder),
     (FunctionIdentifier("hyperplane_signature"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
       hyperplaneBuilder),

@@ -60,6 +60,46 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(shared12 > shared13)
   }
 
+  test("winnow_sketch / winnow_spans / hashed_bigram_histogram SQL match the Column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox naps all day long"),
+      (3L, "completely different content here")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+
+    val skSql = spark.sql(
+      "SELECT doc_id, winnow_sketch(text, 8, 8) AS sk FROM ext_docs ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val skApi = docs
+      .select(col("doc_id"), graft.functions.WinnowSketch(col("text"), 8, 8).as("sk"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(skSql.toSeq == skApi.toSeq)
+    assert(skSql.exists(_._2.nonEmpty))
+
+    val spSql = spark.sql(
+      "SELECT doc_id, size(winnow_spans(text, 8, 8)) AS n FROM ext_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val spApi = docs
+      .select(col("doc_id"),
+        size(graft.functions.WinnowSpans(col("text"), 8, 8)).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(spSql.toSeq == spApi.toSeq)
+
+    val hSql = spark.sql(
+      "SELECT doc_id, hashed_bigram_histogram(split(trim(text), '\\\\s+'), 32) AS h " +
+      "FROM ext_docs ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val hApi = docs
+      .select(col("doc_id"), graft.functions.HashedBigramHistogram(
+        split(trim(col("text")), "\\s+"), 32).as("h"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(hSql.toSeq == hApi.toSeq)
+    assert(hApi.forall { case (_, h) => h.length == 32 && h.sum > 0 })
+  }
+
   test("spark.sql.extensions injection path registers the functions") {
     // a session already exists for this JVM's SparkContext, so build a
     // second session against the same context with the extension applied;
