@@ -184,6 +184,67 @@ object Similarity {
       |FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  /** Cluster-balanced sampling: assign every vector to its nearest of K
+    * fixed anchor centroids ([[graft.functions.NearestCentroid]], no
+    * shuffle) and downsample each cell to the mean cell size with a
+    * deterministic md5 keep — the embedding-space diversity balancer
+    * (dominant modes thin out, rare modes survive whole) a pipeline
+    * runs before pretraining on skewed corpora. Cell rates derive from
+    * one K-row aggregate; the keep decision is a pure per-row
+    * expression, stable under repartitioning and corpus growth. */
+  def clusterBalance(s: SparkSession, d: String): DataFrame = {
+    val K = 16
+    val e = embeddings(s, d)
+    val cent = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val centLocal: Array[Array[Double]] = cent.orderBy("cid").collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val assigned = e.select(col("vec_id"),
+      graft.functions.NearestCentroid(col("embedding"), centLocal).as("cell"))
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("cell"),
+        col("n_cell"),
+        least(lit(1.0), (col("n_total").cast("double") / K) / col("n_cell"))
+          .as("rate"))
+    assigned.join(broadcast(rates), "cell")
+      .select(col("vec_id"), col("cell"), col("n_cell"),
+        round(col("rate"), 4).as("rate"),
+        (graft.operators.TextCuration.hashBucket(col("vec_id")) <
+          round(col("rate") * 100)).cast("int").as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val clusterBalanceSql: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      |  FROM embeddings WHERE vec_id < 16),
+      |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |asg AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT c.vec_id, ct.cid,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.v, ct.cvec) /
+      |          (sqrt(list_dot_product(c.v, c.v)) *
+      |           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid) AS arn
+      |    FROM corpus c, cent ct)
+      |  WHERE arn = 1),
+      |counts AS (SELECT cell, count(*) AS n_cell FROM asg GROUP BY cell),
+      |tot AS (SELECT count(*) AS n_total FROM asg),
+      |rates AS (
+      |  SELECT cell, n_cell,
+      |    least(1.0, (n_total / 16.0) / n_cell) AS rate
+      |  FROM counts, tot)
+      |SELECT a.vec_id, a.cell, r.n_cell, round(r.rate, 4) AS rate,
+      |  CAST(((strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(a.vec_id AS VARCHAR)), 4, 1)) - 1)) % 100
+      |    < round(r.rate * 100) AS INT) AS keep
+      |FROM asg a JOIN rates r USING (cell)
+      |ORDER BY a.vec_id""".stripMargin
+
   /** Scalar int8 quantization of the embedding corpus
     * ([[graft.operators.Quantize]]): per-dim global ranges → 0..255
     * codes. Verified down to every code byte (md5 over the per-vector
@@ -224,6 +285,7 @@ object Similarity {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
+    "sample_cluster_balance" -> (clusterBalance _, clusterBalanceSql),
     "sim_label_norms" -> (labelCentroidStats _, labelCentroidStatsSql),
     "embed_quantize" -> (embedQuantize _, embedQuantizeSql),
   )
