@@ -93,6 +93,30 @@ class StreamingReadSpec extends SparkTestBase {
     assert(o2.contains("grow.dta"), o2)
   }
 
+  test("leftover .inprogress temps are invisible to directory reads and streams") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inprog").toFile
+    dir.deleteOnExit()
+    Seq((1.0, "a"), (2.0, "b")).toDF("id", "s")
+      .write.format("readstat").mode("overwrite").save(s"$dir/ok.dta")
+    // a crashed writer's residue: valid-looking prefix at a temp name
+    val residue = new java.io.File(dir, ".ok.dta.12345.inprogress")
+    java.nio.file.Files.copy(new java.io.File(s"$dir/ok.dta").toPath,
+      residue.toPath)
+    val junk = new java.io.FileOutputStream(residue, true)
+    junk.write(new Array[Byte](7)); junk.close() // corrupt the tail
+    assert(spark.read.format("readstat").load(dir.getAbsolutePath)
+      .count() == 2L)
+    assert(spark.read.format("readstat-file-metadata")
+      .load(dir.getAbsolutePath).count() == 1L)
+    val stream = new graft.spark.readstat.ReadstatMicroBatchStream(
+      dir.getAbsolutePath,
+      org.apache.spark.sql.types.StructType.fromDDL("id DOUBLE, s STRING"),
+      graft.spark.readstat.ReadstatOptions())
+    val off = stream.latestOffset().json()
+    assert(off.contains("ok.dta") && !off.contains("inprogress"), off)
+  }
+
   test("schema inference on an empty directory stays a clear error") {
     val dir = Files.createTempDirectory("graft_stream_empty2").toFile
     dir.deleteOnExit()
