@@ -27,6 +27,9 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
 
   require(centroids.nonEmpty, "nearest_centroid: at least one centroid")
+  require(centroids.forall(_.length == centroids(0).length),
+    s"nearest_centroid: centroids have mixed dimensions " +
+      s"(${centroids.map(_.length).distinct.mkString(", ")})")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -56,6 +59,12 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // a dimension mismatch must FAIL, not truncate: a silently shortened
+    // dot product yields a plausible-but-wrong cell id (round-6 advice)
+    if (n != centroids(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: input vector has $n elements but centroids " +
+          s"have ${centroids(0).length} — mixed-dimension embedding column?")
     var na = 0.0
     var j = 0
     while (j < n) { val x = elem(v, j); na += x * x; j += 1 }
@@ -68,7 +77,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val c = centroids(cid)
       var dot = 0.0
       j = 0
-      val d = math.min(n, c.length)
+      val d = n
       while (j < d) { dot += elem(v, j) * c(j); j += 1 }
       val sim = dot / (sna * centroidNorms(cid))
       // Spark ordering: NaN > any double; ties keep the LOWER cid

@@ -27,6 +27,15 @@ object AnnIvf {
   }
 
   /** Exact cosine top-k within the nprobe nearest cells of each query.
+    *
+    * NOTE: the centroid table is EAGERLY collected (one Spark job) when
+    * this method is called — plan construction is not fully lazy. That
+    * is deliberate: K centroid rows are driver-sized, and folding them
+    * into the [[graft.functions.NearestCentroid]] argmax turns cell
+    * assignment into a pure map inside the corpus scan. The same
+    * collected rows also build the broadcast probe side, so the centroid
+    * plan (possibly a full k-means job) is evaluated exactly once.
+    *
     * @param corpus  (idCol, vecCol) — the searched side, any size
     * @param queries (idCol, vecCol) — the probing side (small)
     * @param dim     embedding dimensionality (unrolled codegen'd cosine)
@@ -34,7 +43,6 @@ object AnnIvf {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, dim: Int, k: Int = 5, nprobe: Int = 4): DataFrame = {
     import graft.queries.Similarity.cosineUnrolled
-    val cent = broadcast(centroids.select(col("cid"), col("cvec")))
     // K centroid rows collected once (ordered by cid so the expression's
     // lowest-index tie-break is the lowest-cid tie-break), assignment is
     // a pure map inside the corpus scan
@@ -46,6 +54,15 @@ object AnnIvf {
       case other => throw new IllegalArgumentException(
         s"AnnIvf: centroid element $other is not float/double")
     })
+    // probe side rebuilt from the SAME collected rows (float centroids
+    // widened to double — exactly what both cosine paths do internally),
+    // not from the incoming plan: evaluating `centroids` twice would
+    // re-run whatever produced it (round-6 advice)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = broadcast(
+      cids.zip(centVecs).map { case (c, v) => (c, v.toSeq) }.toSeq
+        .toDF("cid", "cvec"))
     val cellOf = element_at(
       array(cids.toIndexedSeq.map(lit(_)): _*),
       graft.functions.NearestCentroid(col("cv0"), centVecs) + 1)

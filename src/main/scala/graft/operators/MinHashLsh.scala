@@ -68,14 +68,16 @@ object MinHashLsh {
   def candidatePairs(sig: DataFrame, idCol: String, k: Int = 48,
       bands: Int = 6): DataFrame = {
     val rowsPerBand = k / bands
-    // cached: the self-join below scans buckets twice, and without the
-    // cache each side re-runs the whole minhash aggregation
+    // no cache: the self-join's two sides are identical subtrees, so the
+    // Exchange(hash(bucket)) each side plans is deduped by ReuseExchange —
+    // the minhash aggregation runs once per execution and both join sides
+    // read the same shuffle map outputs, with no persistent RDD left in
+    // the session afterwards
     val buckets = sig.select(col(idCol),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("v"))): _*))
         .as("bucket"))
-      .cache()
     val a = buckets.as("a"); val b2 = buckets.as("b")
     a.join(b2, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
@@ -87,10 +89,23 @@ object MinHashLsh {
     * shingle Jaccard ≥ threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 48, bands: Int = 6): DataFrame = {
-    val sh = shingles(df, idCol, textCol).cache()
+    // repartition(id), no cache: signatures/sizes groupBys and the id_a
+    // probe all consume this one reused exchange (the shingling flatMap
+    // runs once per execution); the (id_b, shingle) probe re-shuffles on
+    // top of it. Alias-aware output partitioning carries hash(id) through
+    // the renames.
+    // explicit null filter aligns each consumer branch's inferred
+    // constraints so the exchange canonicalizes equal across branches
+    val sh = shingles(df, idCol, textCol)
+      .filter(col(idCol).isNotNull && col("shingle").isNotNull)
+      .repartition(col(idCol))
     val sig = signatures(sh, idCol, k)
     val cand = candidatePairs(sig, idCol, k, bands)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    // count(shingle) not count(1): keeps this branch referencing both
+    // columns so its subtree canonicalizes equal with sig's and the
+    // exchange is reused rather than recomputed (values identical —
+    // shingle is non-null by the filter in `sh`)
+    val sizes = sh.groupBy(idCol).agg(count(col("shingle")).as("n_sh"))
     // exact intersection counts for CANDIDATE pairs only: expand each
     // candidate pair with id_a's shingles, then probe id_b's shingle set.
     // This keeps the verify cost proportional to |candidates| × doc size,

@@ -88,7 +88,14 @@ final case class ReadstatOptions(
     compressProbeRows: Int = 1000,
     schemaOverrides: String = "",
     mergeSchema: Boolean = false,
-    streamStabilityMs: Long = 100L)
+    // 0 = admit new stream files immediately (this library's writers
+    // rename atomically into place and .inprogress temps are filtered,
+    // so presence == completeness — same contract as Spark's built-in
+    // file source). Set >0 for landing zones written by foreign
+    // NON-atomic writers: a file is then admitted only after its
+    // (size, mtime) signature has been stable that long across triggers
+    // (non-blocking; admission lags arrival by >= one trigger interval).
+    streamStabilityMs: Long = 0L)
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
@@ -121,6 +128,6 @@ object ReadstatOptions {
       compressProbeRows = parse("compressProbeRows", 1000)(_.toInt),
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""),
       mergeSchema = b("mergeSchema", dflt = false),
-      streamStabilityMs = parse("streamStabilityMs", 100L)(_.toLong))
+      streamStabilityMs = parse("streamStabilityMs", 0L)(_.toLong))
   }
 }

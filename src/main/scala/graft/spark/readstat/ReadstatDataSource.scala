@@ -169,17 +169,44 @@ object Formats {
   }
 
   /** Memoized [[FormatModule.exactRowCount]], keyed by (path, length,
-    * mtime, options). Pushdown negotiation, statistics, and count-star
-    * planning each ask for the same count during a single plan — and for
-    * zsav every un-memoized call re-reads and validates the full trailer
-    * block index, so a 1000-file directory would pay that skim several
-    * times over at planning time. */
+    * mtime, content stamp, options). Pushdown negotiation, statistics,
+    * and count-star planning each ask for the same count during a single
+    * plan — and for zsav every un-memoized call re-reads and validates
+    * the full trailer block index, so a 1000-file directory would pay
+    * that skim several times over at planning time.
+    *
+    * The content stamp (first+last 64 bytes hashed) closes the
+    * (length, mtime) collision window: the atomic-rename writers make
+    * replacing a file in place under its old name a NORMAL operation,
+    * and a same-length replacement within the filesystem's mtime
+    * granularity would otherwise serve a stale count — which COUNT(*)
+    * pushdown would then return as a wrong query result. 128 bytes per
+    * file keeps count-star planning metadata-only; the tail bytes are
+    * value/trailer data in every supported format, so equal-layout
+    * files with different contents stamp differently. */
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long, ReadstatOptions), Option[Long]]()
+    (String, Long, Long, Long, ReadstatOptions), Option[Long]]()
+
+  private[readstat] def contentStamp(f: java.io.File, len: Long): Long =
+    try {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val n = math.min(64L, math.max(0L, len)).toInt
+        val head = new Array[Byte](n); val tail = new Array[Byte](n)
+        if (n > 0) { raf.readFully(head); raf.seek(len - n); raf.readFully(tail) }
+        var h = 1125899906842597L
+        var i = 0
+        while (i < n) { h = h * 31 + head(i); i += 1 }
+        i = 0
+        while (i < n) { h = h * 31 + tail(i); i += 1 }
+        h
+      } finally raf.close()
+    } catch { case _: java.io.IOException => 0L } // unreadable: let the module throw
 
   def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
     val f = new java.io.File(path)
-    val key = (path, f.length(), f.lastModified(), opts)
+    val len = f.length()
+    val key = (path, len, f.lastModified(), contentStamp(f, len), opts)
     if (rowCountCache.size > 8192) rowCountCache.clear()
     rowCountCache.computeIfAbsent(key, _ => moduleFor(path).exactRowCount(path, opts))
   }

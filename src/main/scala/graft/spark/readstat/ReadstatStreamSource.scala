@@ -22,6 +22,14 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
   // Files admitted into offsets so far. Offsets must grow monotonically,
   // so admission is remembered here rather than re-derived per listing.
   private val admitted = scala.collection.mutable.TreeSet[String]()
+  // Admission candidates: signature + when that signature was first seen.
+  // A file is admitted once its signature has been stable for
+  // streamStabilityMs across latestOffset calls — no in-call sleep.
+  private val pending =
+    scala.collection.mutable.HashMap[String, ((Long, Long), Long)]()
+  // Last engine-committed offset's file set: files the stream has fully
+  // consumed. Used to prune `admitted` safely (see latestOffset).
+  @volatile private var committedFiles: Set[String] = Set.empty
 
   private def signatures(): Map[String, (Long, Long)] =
     MetadataPaths.expandDirectory(dir).map { p =>
@@ -40,25 +48,43 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
 
   override def initialOffset(): Offset = FilesOffset(Nil)
 
-  /** Admit a file only once it looks fully written. This repo's own
-    * writers create files in place at their final name (no atomic
-    * rename), so a file listed the instant it appears can be half-written
-    * — and for XPT a prefix read succeeds silently, making the short read
+  /** Admit a file only once it looks fully written: a foreign writer may
+    * create files in place at their final name (no atomic rename), and
+    * for XPT a prefix read succeeds silently, making a short read
     * permanent data loss once the offset marks it consumed. A new file is
-    * admitted only when its (size, mtime) signature is unchanged across
-    * two listings `streamStabilityMs` apart (re-checked within the call
-    * so a quiesced landing zone is never delayed a full trigger; a file
-    * still changing stays pending and is re-examined next trigger).
+    * admitted only when its (size, mtime) signature has stayed unchanged
+    * for at least `streamStabilityMs`, compared ACROSS latestOffset calls
+    * — never with an in-call sleep, which would stall the micro-batch
+    * planning thread by the full stability interval on every trigger
+    * that sees any new file (round-6 advice). A file still changing has
+    * its signature clock reset and is re-examined next trigger.
     * `streamStabilityMs=0` disables the check for landing zones with an
-    * enforced atomic rename-into-place drop convention. */
+    * enforced atomic rename-into-place drop convention.
+    *
+    * Pruning: an admitted-but-not-yet-committed file that disappears
+    * from the directory is dropped from `admitted` again — otherwise the
+    * next batch plans a scan of a missing file and the stream fails
+    * permanently. Names that were already COMMITTED stay remembered for
+    * the lifetime of the stream even if the file is cleaned up (they are
+    * part of the offset history; re-using a consumed file's name for new
+    * data is not supported — drop new files under new names). */
   override def latestOffset(): Offset = synchronized {
-    val first = signatures()
-    val fresh = first.keySet.diff(admitted)
-    if (fresh.isEmpty || opts.streamStabilityMs <= 0) admitted ++= fresh
-    else {
-      Thread.sleep(opts.streamStabilityMs)
-      val second = signatures()
-      fresh.foreach { p => if (second.get(p).contains(first(p))) admitted += p }
+    val now = System.currentTimeMillis()
+    val listed = signatures()
+    // prune: vanished before commit — un-admit (never consumed, and a
+    // plan over it would fail); vanished pending entries just reset
+    admitted.retain(p => listed.contains(p) || committedFiles.contains(p))
+    pending.retain { case (p, _) => listed.contains(p) }
+    val fresh = listed.keySet.diff(admitted)
+    if (opts.streamStabilityMs <= 0) admitted ++= fresh
+    else fresh.foreach { p =>
+      val sig = listed(p)
+      pending.get(p) match {
+        case Some((`sig`, t0)) if now - t0 >= opts.streamStabilityMs =>
+          pending.remove(p); admitted += p
+        case Some((`sig`, _)) => // stable but young: keep waiting
+        case _ => pending(p) = (sig, now) // new or still changing: reset
+      }
     }
     FilesOffset(admitted.toList)
   }
@@ -82,6 +108,10 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
     // stream start, and Spark requires uniform row-vs-columnar partitions
     new ReadstatPartitionReaderFactory(required, opts, columnar = false)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = end match {
+    case FilesOffset(files) => committedFiles = files.toSet
+    case other => committedFiles = deserializeOffset(other.json())
+      .asInstanceOf[FilesOffset].files.toSet
+  }
   override def stop(): Unit = ()
 }

@@ -71,10 +71,11 @@ class StreamingReadSpec extends SparkTestBase {
   test("a file still being written is not admitted until its bytes settle") {
     val dir = Files.createTempDirectory("graft_stream_stab").toFile
     dir.deleteOnExit()
+    val stabilityMs = 300L
     val stream = new graft.spark.readstat.ReadstatMicroBatchStream(
       dir.getAbsolutePath,
       org.apache.spark.sql.types.StructType.fromDDL("id DOUBLE"),
-      graft.spark.readstat.ReadstatOptions())
+      graft.spark.readstat.ReadstatOptions(streamStabilityMs = stabilityMs))
     val f = new java.io.File(dir, "grow.dta")
     val out = new java.io.FileOutputStream(f)
     out.write(new Array[Byte](16)); out.flush()
@@ -84,13 +85,53 @@ class StreamingReadSpec extends SparkTestBase {
     })
     writer.start()
     try {
-      // actively growing: both stability listings see different sizes
-      val o1 = stream.latestOffset().json()
-      assert(!o1.contains("grow.dta"), s"admitted a half-written file: $o1")
+      // actively growing: the signature keeps changing between calls,
+      // and each call must return WITHOUT sleeping out the stability
+      // window (round-6 advice: no Thread.sleep in latestOffset)
+      (0 until 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        val o = stream.latestOffset().json()
+        val ms = (System.nanoTime() - t0) / 1e6
+        assert(!o.contains("grow.dta"), s"admitted a half-written file: $o")
+        assert(ms < stabilityMs, s"latestOffset blocked ${ms}ms")
+        Thread.sleep(50)
+      }
     } finally { stop = true; writer.join(); out.close() }
-    // quiesced: admitted within a single latestOffset call
-    val o2 = stream.latestOffset().json()
+    // quiesced: admitted once the signature has been stable for the
+    // window across calls — admission lags by >= one trigger, never 0
+    val deadline = System.currentTimeMillis() + 5000
+    var o2 = stream.latestOffset().json()
+    while (!o2.contains("grow.dta") && System.currentTimeMillis() < deadline) {
+      Thread.sleep(60)
+      o2 = stream.latestOffset().json()
+    }
     assert(o2.contains("grow.dta"), o2)
+  }
+
+  test("an admitted file deleted before commit is un-admitted; committed names survive cleanup") {
+    val dir = Files.createTempDirectory("graft_stream_prune").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    val stream = new graft.spark.readstat.ReadstatMicroBatchStream(
+      dir.getAbsolutePath,
+      org.apache.spark.sql.types.StructType.fromDDL("id DOUBLE, s STRING"),
+      graft.spark.readstat.ReadstatOptions())
+    Seq((1.0, "a")).toDF("id", "s")
+      .write.format("readstat").mode("overwrite").save(s"$dir/one.dta")
+    val o1 = stream.latestOffset().json()
+    assert(o1.contains("one.dta"))
+    // vanishes before any batch commits it: the next offset must drop
+    // it, or planInputPartitions would scan a missing file forever
+    assert(new java.io.File(dir, "one.dta").delete())
+    assert(!stream.latestOffset().json().contains("one.dta"))
+    // committed files stay in the offset even after landing-zone cleanup
+    Seq((2.0, "b")).toDF("id", "s")
+      .write.format("readstat").mode("overwrite").save(s"$dir/two.dta")
+    val o2 = stream.latestOffset()
+    assert(o2.json().contains("two.dta"))
+    stream.commit(o2)
+    assert(new java.io.File(dir, "two.dta").delete())
+    assert(stream.latestOffset().json().contains("two.dta"))
   }
 
   test("leftover .inprogress temps are invisible to directory reads and streams") {
