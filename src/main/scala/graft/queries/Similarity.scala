@@ -184,6 +184,93 @@ object Similarity {
       |FROM ranked WHERE rn <= 5
       |ORDER BY qid, rn""".stripMargin
 
+  /** The TRAINED ANN pipeline end-to-end: [[graft.operators.Kmeans.fit]]
+    * (deterministic — seeds are the K lowest-id vectors, exactly 3
+    * Lloyd's rounds) feeding [[graft.operators.AnnIvf.topK]]. This is
+    * the production shape (train once, search many) whose
+    * fixed-anchor stand-in is [[annIvfTopK]]; here the oracle REPLAYS
+    * the training itself as three chained CTE rounds (euclidean argmin
+    * assignment → per-dimension mean, empty cells keep their seat) and
+    * then replays the cosine cell search, so the whole trained pipeline
+    * is hash-checked, not just the search half. Engine-order float
+    * summation differences are absorbed by round(sim, 4). */
+  def annIvfTrained(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val e = embeddings(s, d)
+    val (cents, _) = graft.operators.Kmeans.fit(
+      e, "vec_id", "embedding", K, maxIter = 3)
+    val centDf = graft.operators.AnnIvf.centroidsDF(s, cents)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.AnnIvf.topK(
+        e.select(col("vec_id"), col("embedding")), q,
+        "vec_id", "embedding", centDf, EmbeddingDim, k = 5, nprobe = 3)
+      .withColumn("sim", round(col("sim"), 4))
+      .orderBy("qid", "rn")
+  }
+
+  val annIvfTrainedSql: String = {
+    // one Lloyd's round: euclidean argmin assignment against c$p, then
+    // per-dimension means; a cell that captured nothing keeps its seat
+    def round(p: Int, n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT c.vec_id, c.v, t.cid,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_distance(c.v, t.cv), t.cid) AS rn
+         |    FROM corpus c, c$p t) WHERE rn = 1),
+         |m$n AS (
+         |  SELECT cid, list(mx ORDER BY i) AS cv FROM (
+         |    SELECT a.cid, i, avg(a.v[i]) AS mx
+         |    FROM a$n a,
+         |         LATERAL (SELECT unnest(generate_series(1, len(a.v))) AS i) g
+         |    GROUP BY a.cid, i)
+         |  GROUP BY cid),
+         |c$n AS (
+         |  SELECT s.cid, coalesce(m.cv, s.cv) AS cv
+         |  FROM c$p s LEFT JOIN m$n m USING (cid))""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+       |${round(0, 1)},
+       |${round(1, 2)},
+       |${round(2, 3)},
+       |cent AS (SELECT cid, cv AS cvec FROM c3),
+       |asg AS (
+       |  SELECT vec_id AS nid, v AS cv, cid AS cell FROM (
+       |    SELECT c.vec_id, c.v, ct.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.v, ct.cvec) /
+       |          (sqrt(list_dot_product(c.v, c.v)) *
+       |           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid) AS arn
+       |    FROM corpus c, cent ct)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT qid, qv, cid AS cell FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, ct.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.v, ct.cvec) /
+       |          (sqrt(list_dot_product(q.v, q.v)) *
+       |           sqrt(list_dot_product(ct.cvec, ct.cvec))) DESC, ct.cid) AS prn
+       |    FROM corpus q, cent ct WHERE q.vec_id < 10)
+       |  WHERE prn <= 3),
+       |ranked AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM (
+       |    SELECT p.qid, a.nid,
+       |      list_dot_product(p.qv, a.cv) /
+       |        (sqrt(list_dot_product(p.qv, p.qv)) *
+       |         sqrt(list_dot_product(a.cv, a.cv))) AS sim
+       |    FROM probes p JOIN asg a ON p.cell = a.cell
+       |    WHERE p.qid <> a.nid))
+       |SELECT qid, nid, round(sim, 4) AS sim, rn
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   /** Cluster-balanced sampling: assign every vector to its nearest of K
     * fixed anchor centroids ([[graft.functions.NearestCentroid]], no
     * shuffle) and downsample each cell to the mean cell size with a
@@ -285,6 +372,7 @@ object Similarity {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
+    "ann_ivf_trained" -> (annIvfTrained _, annIvfTrainedSql),
     "sample_cluster_balance" -> (clusterBalance _, clusterBalanceSql),
     "sim_label_norms" -> (labelCentroidStats _, labelCentroidStatsSql),
     "embed_quantize" -> (embedQuantize _, embedQuantizeSql),
