@@ -33,6 +33,26 @@ class CacheHygieneSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("EVERY SparkEntry query leaves the session cache-clean at sf0.001") {
+    // session-lifetime invariant across the whole suite: operators may
+    // cache DURING execution (Kmeans.fit, Graph CC) but must unpersist
+    // before returning control — a leak here is unbounded in a
+    // long-lived session serving many queries
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val leaked = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try fn(spark, sf).collect()
+      catch { case e: Throwable =>
+        fail(s"query $name threw at sf0.001: ${e.getMessage}") }
+      if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
+        leaked += name
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+    }
+    assert(leaked.isEmpty, s"queries leaking persistent RDDs: $leaked")
+  }
+
   test("winnow pair plan reuses the sketch exchange instead of recomputing it") {
     // under AQE exchange reuse happens at query-stage creation, so the
     // final (post-execution) plan is what shows the ReusedExchange nodes
