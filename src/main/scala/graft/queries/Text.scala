@@ -157,11 +157,19 @@ object Text {
     // different per-branch null constraints from each consumer's join
     // keys, the exchanges stop canonicalizing equal, and one branch
     // silently re-runs the whole sketch computation
+    // EXPLICIT partition count (REPARTITION_BY_NUM): AQE coalesces
+    // exchanges by map-output SIZE, but the self-join below fans out
+    // quadratically in per-fingerprint df — size-based coalescing
+    // starves that join of parallelism (measured 1.5x slower at sf0.1
+    // when AQE shrank this exchange). Pinning to the session's shuffle
+    // partitions keeps the pair join wide; at cluster scale that knob
+    // is already sized to the cluster.
+    val nP = s.sessionState.conf.numShufflePartitions
     val fps = documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.WinnowSketch(col("text"), k, w)).as("mh"))
       .filter(col("doc_id").isNotNull && col("mh").isNotNull)
-      .repartition(col("mh"))
+      .repartition(nP, col("mh"))
     // df cap scales with the corpus (min 50, n/10): this synthetic
     // corpus reuses a small vocabulary, so absolute df grows with SF and
     // a fixed cap would silently discard the near-dup signal at scale.
@@ -366,6 +374,10 @@ object Text {
     val shRaw = graft.operators.MinHashLsh
       .shingles(documents(s, d), "doc_id", "text")
       .withColumnRenamed("shingle", "sh")
+    // by-col (AQE-coalescible), unlike winnowPairs's by-num: this
+    // pipeline bounds its join fan-out (singleton drop / PPJoin
+    // prefixes), so coalescing helps — measured faster than pinning
+    // the partition count at sf0.1
     val sh = shRaw
       .filter(col("doc_id").isNotNull && col("sh").isNotNull)
       .repartition(col("sh"))

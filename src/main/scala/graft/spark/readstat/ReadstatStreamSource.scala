@@ -73,8 +73,8 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
     val listed = signatures()
     // prune: vanished before commit — un-admit (never consumed, and a
     // plan over it would fail); vanished pending entries just reset
-    admitted.retain(p => listed.contains(p) || committedFiles.contains(p))
-    pending.retain { case (p, _) => listed.contains(p) }
+    admitted.filterInPlace(p => listed.contains(p) || committedFiles.contains(p))
+    pending.filterInPlace { case (p, _) => listed.contains(p) }
     val fresh = listed.keySet.diff(admitted)
     if (opts.streamStabilityMs <= 0) admitted ++= fresh
     else fresh.foreach { p =>
