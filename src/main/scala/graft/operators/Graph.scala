@@ -30,6 +30,15 @@ object Graph {
     * @return (id, component) — component is the minimum node id
     *         reachable from `id`; only nodes that appear in `edges` are
     *         returned (isolated docs are their own trivial cluster).
+    *
+    * Cache ownership: the driver-local path (the normal case — near-dup
+    * edge sets are small) returns a plain local DataFrame and leaves
+    * nothing persisted. The DISTRIBUTED path returns the final
+    * iteration's cached labels — already materialized by the
+    * convergence check; unpersisting it before returning would force a
+    * full recompute of the iterative lineage on first use. Callers
+    * running many large CC jobs in one session should
+    * `result.unpersist()` once they have consumed the labels.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, localEdgeThreshold: Long = 2000000L): DataFrame = {
