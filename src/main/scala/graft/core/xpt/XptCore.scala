@@ -164,6 +164,32 @@ object XptCore {
   }
 
   /** IEEE double → IBM hex float bytes (inverse; xpt_writer.rs:33-70). */
+  /** Allocation-free variant of [[doubleToIbm]]: encodes into `out` at
+    * `off` (8 bytes). Used by the xpt writer's per-row encode loop. */
+  def doubleToIbmInto(value: Double, out: Array[Byte], off: Int): Unit = {
+    java.util.Arrays.fill(out, off, off + 8, 0.toByte)
+    if (value.isNaN || value.isInfinite) { out(off) = '.'; return }
+    if (value == 0.0) return
+    val bits = java.lang.Double.doubleToRawLongBits(value)
+    val sign = (bits >>> 63).toInt
+    val ieeeExp = ((bits >>> 52) & 0x7FF).toInt
+    val ieeeFrac = bits & 0x000FFFFFFFFFFFFFL
+    if (ieeeExp == 0) return // subnormal → zero
+    val s = (1L << 52) | ieeeFrac
+    val adj = java.lang.Math.floorMod(ieeeExp - 763, 4)
+    val ibmExp = (ieeeExp - 763 - adj) / 4
+    if (ibmExp < 0 || ibmExp > 127) { out(off) = '.'; return }
+    val mantissa = s << adj
+    out(off) = (((sign << 7) | ibmExp) & 0xff).toByte
+    out(off + 1) = ((mantissa >>> 48) & 0xff).toByte
+    out(off + 2) = ((mantissa >>> 40) & 0xff).toByte
+    out(off + 3) = ((mantissa >>> 32) & 0xff).toByte
+    out(off + 4) = ((mantissa >>> 24) & 0xff).toByte
+    out(off + 5) = ((mantissa >>> 16) & 0xff).toByte
+    out(off + 6) = ((mantissa >>> 8) & 0xff).toByte
+    out(off + 7) = (mantissa & 0xff).toByte
+  }
+
   def doubleToIbm(value: Double): Array[Byte] = {
     if (value.isNaN || value.isInfinite) return Array[Byte]('.', 0, 0, 0, 0, 0, 0, 0)
     if (value == 0.0) return new Array[Byte](8)

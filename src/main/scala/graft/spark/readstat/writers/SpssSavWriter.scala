@@ -1,6 +1,6 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.io.{BufferedOutputStream, File, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
@@ -110,26 +110,22 @@ object SpssSavWriter {
             val raw = new java.io.BufferedOutputStream(new FileOutputStream(f), 1 << 20)
             var rows = 0L
             var blocks = List.empty[(Int, Int)]
+            val enc = new SavRowEncoder(specs)
             if (!zlibB) {
-              val out = new DataOutputStream(raw)
               it.foreach { row =>
-                var i = 0
-                while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+                enc.encode(row)
+                raw.write(enc.buf, 0, enc.recordLen)
                 rows += 1
               }
-              out.close()
+              raw.close()
             } else {
-              val enc = new ZsavBlockEncoder(raw)
-              val rowBuf = new java.io.ByteArrayOutputStream()
-              val rowOut = new DataOutputStream(rowBuf)
+              val zenc = new ZsavBlockEncoder(raw)
               it.foreach { row =>
-                rowBuf.reset()
-                var i = 0
-                while (i < specs.length) { encodeCell(row, i, specs(i), rowOut); i += 1 }
-                enc.addRow(rowBuf.toByteArray)
+                enc.encode(row)
+                zenc.addRow(enc.buf, 0, enc.recordLen)
                 rows += 1
               }
-              blocks = enc.finish()
+              blocks = zenc.finish()
               raw.close()
             }
             val dictLocal = buildDictionary(specs, rows, zlibB, vls)
@@ -153,28 +149,24 @@ object SpssSavWriter {
         val raw = new java.io.BufferedOutputStream(new FileOutputStream(f), 1 << 20)
         var rows = 0L
         var blocks = List.empty[(Int, Int)]
+        val enc = new SavRowEncoder(specs)
         if (!zlibB) {
-          val out = new DataOutputStream(raw)
           it.foreach { row =>
-            var i = 0
-            while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
+            enc.encode(row)
+            raw.write(enc.buf, 0, enc.recordLen)
             rows += 1
           }
-          out.close()
+          raw.close()
         } else {
           // zsav: bytecode-encode (all-literal 253 codes, control groups of
           // 8 padded with 0s) into ~4 MB blocks, deflate each block
-          val enc = new ZsavBlockEncoder(raw)
-          val rowBuf = new java.io.ByteArrayOutputStream()
-          val rowOut = new DataOutputStream(rowBuf)
+          val zenc = new ZsavBlockEncoder(raw)
           it.foreach { row =>
-            rowBuf.reset()
-            var i = 0
-            while (i < specs.length) { encodeCell(row, i, specs(i), rowOut); i += 1 }
-            enc.addRow(rowBuf.toByteArray)
+            enc.encode(row)
+            zenc.addRow(enc.buf, 0, enc.recordLen)
             rows += 1
           }
-          blocks = enc.finish()
+          blocks = zenc.finish()
           raw.close()
         }
         Iterator((pid, f.getAbsolutePath, rows, blocks: Seq[(Int, Int)]))
@@ -269,9 +261,12 @@ object SpssSavWriter {
     private val payloads = new java.io.ByteArrayOutputStream(8 * 8)
     private var blocks = List.newBuilder[(Int, Int)]
 
-    def addRow(row: Array[Byte]): Unit = {
-      var off = 0
-      while (off < row.length) {
+    def addRow(row: Array[Byte]): Unit = addRow(row, 0, row.length)
+
+    def addRow(row: Array[Byte], off0: Int, len: Int): Unit = {
+      var off = off0
+      val end = off0 + len
+      while (off < end) {
         ctrl(ctrlN) = 253.toByte; ctrlN += 1
         payloads.write(row, off, 8)
         off += 8
@@ -310,54 +305,75 @@ object SpssSavWriter {
     }
   }
 
-  private def encodeCell(row: org.apache.spark.sql.catalyst.InternalRow,
-      i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
-    val isNull = row.isNullAt(i)
-    spec.w match {
+  /** Per-partition specialized row encoder (same rationale as the dta
+    * writer's RowEncoder): each column's (storage, source-type) pairing
+    * resolves once into a cell closure writing into a reusable
+    * little-endian record buffer, so the per-cell cost is one closure
+    * call instead of a double pattern-match plus per-byte
+    * DataOutputStream writes. Callers emit `buf[0, recordLen)` per row.
+    */
+  private final class SavRowEncoder(specs: Array[ColSpec]) {
+    val recordLen: Int = specs.map(_.widthUnits).sum * 8
+    val buf = new Array[Byte](math.max(recordLen, 1))
+    private val bb =
+      java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    private type Cell = org.apache.spark.sql.catalyst.InternalRow => Unit
+
+    private def buildCell(spec: ColSpec, i: Int): Cell = spec.w match {
       case WNum =>
-        val bits: Long =
-          if (isNull) SpssCore.MissingBits
-          else {
-            val d: Double = spec.src match {
-              case DateType => // internal = days since 1970
-                row.getInt(i).toDouble * 86400.0 + SpssCore.SecShift
-              case TimestampType | TimestampNTZType =>
-                // internal = micros since epoch (NTZ identical under the
-                // session UTC timezone) → SPSS seconds
-                row.getLong(i) / 1000000.0 + SpssCore.SecShift
-              case ByteType => row.getByte(i).toDouble
-              case ShortType => row.getShort(i).toDouble
-              case IntegerType => row.getInt(i).toDouble
-              case LongType => row.getLong(i).toDouble
-              case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
-              case FloatType => row.getFloat(i).toDouble
-              case dt: DecimalType =>
-                row.getDecimal(i, dt.precision, dt.scale).toDouble
-              case _ => row.getDouble(i)
-            }
-            java.lang.Double.doubleToRawLongBits(d)
+        val get: (org.apache.spark.sql.catalyst.InternalRow, Int) => Double =
+          spec.src match {
+            case DateType => // internal = days since 1970
+              (r, j) => r.getInt(j).toDouble * 86400.0 + SpssCore.SecShift
+            case TimestampType | TimestampNTZType =>
+              // internal = micros since epoch (NTZ identical under the
+              // session UTC timezone) → SPSS seconds
+              (r, j) => r.getLong(j) / 1000000.0 + SpssCore.SecShift
+            case ByteType => (r, j) => r.getByte(j).toDouble
+            case ShortType => (r, j) => r.getShort(j).toDouble
+            case IntegerType => (r, j) => r.getInt(j).toDouble
+            case LongType => (r, j) => r.getLong(j).toDouble
+            case BooleanType => (r, j) => if (r.getBoolean(j)) 1.0 else 0.0
+            case FloatType => (r, j) => r.getFloat(j).toDouble
+            case dt: DecimalType =>
+              (r, j) => r.getDecimal(j, dt.precision, dt.scale).toDouble
+            case _ => (r, j) => r.getDouble(j)
           }
-        Bin.putU64(out, bits)
+        row => bb.putLong(
+          if (row.isNullAt(i)) SpssCore.MissingBits
+          else java.lang.Double.doubleToRawLongBits(get(row, i)))
       case WStr(declLen) =>
         val storage = spec.widthUnits * 8
-        val buf = new Array[Byte](storage)
-        java.util.Arrays.fill(buf, ' '.toByte)
-        if (!isNull) {
-          val s = row.getUTF8String(i).getBytes
-          if (declLen <= 255) {
-            System.arraycopy(s, 0, buf, 0, math.min(s.length, storage))
-          } else {
-            // 255 payload bytes per 256-byte chunk
-            var src = 0; var dst = 0
-            while (src < s.length && dst < storage) {
-              val chunk = math.min(255, math.min(s.length - src, storage - dst))
-              System.arraycopy(s, src, buf, dst, chunk)
-              src += chunk
-              dst += 256
+        row => {
+          val start = bb.position()
+          java.util.Arrays.fill(buf, start, start + storage, ' '.toByte)
+          if (!row.isNullAt(i)) {
+            val s = row.getUTF8String(i).getBytes
+            if (declLen <= 255) {
+              System.arraycopy(s, 0, buf, start, math.min(s.length, storage))
+            } else {
+              // 255 payload bytes per 256-byte chunk
+              var src = 0; var dst = 0
+              while (src < s.length && dst < storage) {
+                val chunk = math.min(255, math.min(s.length - src, storage - dst))
+                System.arraycopy(s, src, buf, start + dst, chunk)
+                src += chunk
+                dst += 256
+              }
             }
           }
+          bb.position(start + storage)
         }
-        out.write(buf)
+    }
+
+    private val cells: Array[Cell] =
+      specs.zipWithIndex.map { case (s, i) => buildCell(s, i) }
+
+    def encode(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      bb.clear()
+      var i = 0
+      while (i < cells.length) { cells(i)(row); i += 1 }
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.io.{BufferedOutputStream, File, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
@@ -81,14 +81,11 @@ object XptWriterImpl {
             val partPath = s"$path/$partPrefix" + f"$pid%05d.xpt"
             var rows = 0L
             AtomicFile.write(partPath) { tmp =>
-            val out = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(tmp), 1 << 20))
+            val out = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20)
             out.write(header)
-            it.foreach { row =>
-              var i = 0
-              while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
-              rows += 1
-            }
+            val enc = new XptRowEncoder(specs, out)
+            it.foreach(enc.encode)
+            rows = enc.rows
             val rem = ((rows * specs.map(_.width).sum) % 80).toInt
             if (rem != 0) {
               val pad = new Array[Byte](80 - rem)
@@ -110,15 +107,11 @@ object XptWriterImpl {
     val chunks = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val specs = specsB.value
       val f = File.createTempFile(s"graft_xpt_${pid}_", ".chunk", new File(scratch))
-      val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f), 1 << 20))
-      var rows = 0L
-      it.foreach { row =>
-        var i = 0
-        while (i < specs.length) { encodeCell(row, i, specs(i), out); i += 1 }
-        rows += 1
-      }
+      val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+      val enc = new XptRowEncoder(specs, out)
+      it.foreach(enc.encode)
       out.close()
-      Iterator((pid, f.getAbsolutePath, rows))
+      Iterator((pid, f.getAbsolutePath, enc.rows))
     }.collect().sortBy(_._1)
 
     val header = buildHeader(cols, version)
@@ -149,38 +142,64 @@ object XptWriterImpl {
     chunks.foreach(c => new File(c._2).delete())
   }
 
-  private def encodeCell(row: org.apache.spark.sql.catalyst.InternalRow,
-      i: Int, spec: ColSpec, out: DataOutputStream): Unit = {
-    if (spec.isChar) {
-      val buf = new Array[Byte](spec.width)
-      java.util.Arrays.fill(buf, ' '.toByte)
-      if (!row.isNullAt(i)) {
-        val s = row.getUTF8String(i).toString.getBytes(StandardCharsets.ISO_8859_1)
-        System.arraycopy(s, 0, buf, 0, math.min(s.length, spec.width))
-      }
-      out.write(buf)
-    } else {
-      if (row.isNullAt(i)) out.write(Array[Byte]('.', 0, 0, 0, 0, 0, 0, 0))
-      else {
-        val d: Double = spec.src match {
-          case DateType => // internal = days since 1970
-            row.getInt(i).toDouble + graft.core.sas.SasCore.EpochShiftDays
-          case TimestampType | TimestampNTZType =>
-            // internal = micros since epoch → SAS datetime seconds
-            row.getLong(i) / 1000000.0 +
-              graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
-          case ByteType => row.getByte(i).toDouble
-          case ShortType => row.getShort(i).toDouble
-          case IntegerType => row.getInt(i).toDouble
-          case LongType => row.getLong(i).toDouble
-          case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
-          case FloatType => row.getFloat(i).toDouble
-          case dt: DecimalType =>
-            row.getDecimal(i, dt.precision, dt.scale).toDouble
-          case _ => row.getDouble(i)
+  /** Per-partition specialized row encoder (same rationale as the
+    * dta/sav writers): source-type dispatch resolves once per column and
+    * each row encodes into a reusable buffer with one stream write. */
+  private final class XptRowEncoder(specs: Array[ColSpec],
+      out: java.io.OutputStream) {
+    private val rowLen = specs.map(_.width).sum
+    private val buf = new Array[Byte](math.max(rowLen, 1))
+    private val offs = specs.scanLeft(0)(_ + _.width)
+    var rows = 0L
+
+    private type Cell = org.apache.spark.sql.catalyst.InternalRow => Unit
+
+    private def buildCell(spec: ColSpec, i: Int): Cell = {
+      val off = offs(i)
+      if (spec.isChar) {
+        val w = spec.width
+        row => {
+          java.util.Arrays.fill(buf, off, off + w, ' '.toByte)
+          if (!row.isNullAt(i)) {
+            val s = row.getUTF8String(i).toString.getBytes(StandardCharsets.ISO_8859_1)
+            System.arraycopy(s, 0, buf, off, math.min(s.length, w))
+          }
         }
-        out.write(XptCore.doubleToIbm(d))
+      } else {
+        val get: (org.apache.spark.sql.catalyst.InternalRow, Int) => Double =
+          spec.src match {
+            case DateType => // internal = days since 1970
+              (r, j) => r.getInt(j).toDouble + graft.core.sas.SasCore.EpochShiftDays
+            case TimestampType | TimestampNTZType =>
+              // internal = micros since epoch → SAS datetime seconds
+              (r, j) => r.getLong(j) / 1000000.0 +
+                graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
+            case ByteType => (r, j) => r.getByte(j).toDouble
+            case ShortType => (r, j) => r.getShort(j).toDouble
+            case IntegerType => (r, j) => r.getInt(j).toDouble
+            case LongType => (r, j) => r.getLong(j).toDouble
+            case BooleanType => (r, j) => if (r.getBoolean(j)) 1.0 else 0.0
+            case FloatType => (r, j) => r.getFloat(j).toDouble
+            case dt: DecimalType =>
+              (r, j) => r.getDecimal(j, dt.precision, dt.scale).toDouble
+            case _ => (r, j) => r.getDouble(j)
+          }
+        row =>
+          if (row.isNullAt(i)) {
+            java.util.Arrays.fill(buf, off, off + 8, 0.toByte)
+            buf(off) = '.'
+          } else XptCore.doubleToIbmInto(get(row, i), buf, off)
       }
+    }
+
+    private val cells: Array[Cell] =
+      specs.zipWithIndex.map { case (s, i) => buildCell(s, i) }
+
+    def encode(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      var i = 0
+      while (i < cells.length) { cells(i)(row); i += 1 }
+      out.write(buf, 0, rowLen)
+      rows += 1
     }
   }
 
