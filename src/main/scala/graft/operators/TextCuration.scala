@@ -251,6 +251,35 @@ object TextCuration {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
   }
 
+  /** Deterministic global shuffle + fixed-size shard assignment — the
+    * "shuffle and shard" step that serializes a curated corpus into
+    * training order. The permutation is md5(id) (tiebreak: id), so it is
+    * seedable-by-convention and replayable by any engine; positions are
+    * global, shards are exactly `shardSize` rows (last shard ragged).
+    *
+    * Scale shape: the sort is a range-partitioned exchange (Spark
+    * samples boundaries; no single-partition window — `row_number()
+    * OVER (ORDER BY …)` would funnel the corpus through one task), and
+    * the global index comes from `zipWithIndex`'s per-partition offsets
+    * (one extra count-only job). Assignment stays fully parallel at any
+    * corpus size.
+    *
+    * @return (idCol, shard, pos_in_shard)
+    */
+  def shardAssign(df: DataFrame, idCol: String, shardSize: Long): DataFrame = {
+    require(shardSize >= 1, "shardAssign: shardSize >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy("h", "id")
+    sorted.select("id").as[Long].rdd
+      .zipWithIndex()
+      .map { case (id, pos) => (id, pos / shardSize, pos % shardSize) }
+      .toDF(idCol, "shard", "pos_in_shard")
+  }
+
   // PII patterns restricted to syntax both java.util.regex and RE2
   // accept (no backrefs, no lookaround), so the redaction a pipeline
   // applies is exactly replayable by RE2-based engines for audit.

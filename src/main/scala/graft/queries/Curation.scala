@@ -708,7 +708,26 @@ object Curation {
       |            THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
       |FROM e ORDER BY doc_id""".stripMargin
 
+  /** Deterministic shuffle + 64-row shard assignment
+    * ([[TextCuration.shardAssign]]): the training-order serialization
+    * step. The DuckDB oracle replays the same md5 permutation with a
+    * window; the Spark side deliberately does NOT use a global window
+    * (range-sort + partition-offset indexing instead — see the operator
+    * scaladoc for the 100 TB reasoning). */
+  def shardAssign(s: SparkSession, d: String): DataFrame =
+    TextCuration.shardAssign(documents(s, d), "doc_id", 64L)
+      .orderBy("doc_id")
+
+  val shardAssignSql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+      |  FROM documents)
+      |SELECT doc_id, pos // 64 AS shard, pos % 64 AS pos_in_shard
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sample_shard_assign" -> (shardAssign _, shardAssignSql),
     "sample_mixture_epochs" -> (mixtureEpochs _, mixtureEpochsSql),
     "sample_pack_sequences" -> (packSequences _, packSequencesSql),
     "text_gopher_filters" -> (gopherFilters _, gopherFiltersSql),

@@ -507,7 +507,94 @@ object Text {
       |  round(avg(length(text) / len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tok_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Per-document code-point statistics via the one-pass
+    * [[graft.functions.CharStats]] expression: length in code points,
+    * distinct code points, Shannon entropy (bits/char). Near-zero
+    * entropy flags repeated-character filler, abnormally high entropy
+    * flags base64/binary spill — the classic pre-tokenizer junk filter.
+    * The oracle recomputes entropy by exploding characters (exactly the
+    * shuffle the expression exists to avoid). */
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), graft.functions.CharStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_cp").as("n_cp"),
+        col("st.n_distinct").cast("long").as("n_distinct"),
+        round(col("st.entropy"), 4).as("entropy"))
+      .orderBy("doc_id")
+
+  val charEntropySql: String =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cp,
+      |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+      |  round(entropy(ch), 4) AS entropy
+      |FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |      FROM documents WHERE len(text) > 0)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact n-gram containment (overlap-coefficient) pairs:
+    * C(a,b) = |A∩B| / min(|A|,|B|) ≥ 0.5 — the asymmetric complement to
+    * [[ngramJaccardPairs]]. A short document quoted inside a long one
+    * has high containment but diluted Jaccard, so containment is what
+    * catches sub-document duplication (wrappers, quotes, boilerplate
+    * around a copied core).
+    *
+    * Same inverted-index shape as the Jaccard benign-skew branch:
+    * shingles repartitioned once (exchange-reused by every consumer),
+    * df=1 singletons dropped before the self-join (they cannot
+    * intersect). Containment has no sound single-sided prefix bound —
+    * the min is pair-dependent — so the skew-corpus path is sketch
+    * candidates (dedup_minhash_lsh) + this exact verification, not a
+    * PPJoin rewrite.
+    */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.operators.MinHashLsh
+      .shingles(documents(s, d), "doc_id", "text")
+      .withColumnRenamed("shingle", "sh")
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull)
+      .repartition(col("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(col("sh")).as("n_sh"))
+    val dfc = sh.groupBy("sh").agg(count(col("doc_id")).as("df"))
+    val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
+    val inter = shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("containment",
+        round(col("n_int").cast("double") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val containmentPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr) - 2)) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       round(n_int / least(sa.n_sh, sb.n_sh), 4) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(n_int / least(sa.n_sh, sb.n_sh), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_char_entropy" -> (charEntropy _, charEntropySql),
+    "dedup_containment" -> (containmentPairs _, containmentPairsSql),
     "text_token_counts" -> (tokenCounts _, tokenCountsSql),
     "text_quality_score" -> (qualityScore _, qualityScoreSql),
     "text_fingerprint" -> (fingerprint _, fingerprintSql),

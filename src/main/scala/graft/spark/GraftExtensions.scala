@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{HashedBigramHistogram, HyperplaneSignature, MinHashSignature, WinnowSketch, WinnowSpans}
+import graft.functions.{CharStats, HashedBigramHistogram, HyperplaneSignature, MinHashSignature, WinnowSketch, WinnowSpans}
 import graft.operators.AnnLsh
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -89,8 +89,17 @@ object GraftFunctions {
       s"hashed_bigram_histogram expects (tokens, buckets), got ${args.length} args")
   }
 
+  private val charStatsBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => CharStats(child)
+    case args => throw new IllegalArgumentException(
+      s"char_stats expects (text), got ${args.length} args")
+  }
+
   /** (identifier, info, builder) triples in injectFunction's shape. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("char_stats"),
+      new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
+      charStatsBuilder),
     (FunctionIdentifier("winnow_sketch"),
       new ExpressionInfo(classOf[WinnowSketch].getName, "winnow_sketch"),
       winnowSketchBuilder),
