@@ -21,23 +21,24 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Same dot product unrolled to a fixed-dimension expression chain:
-    * left-associative like the fold (bit-identical result) but fully
-    * whole-stage-codegen'd — higher-order lambdas are interpreted and
-    * ~30x slower in tight pairwise loops. */
+  /** Fixed-dimension dot product via the loop-codegen'd
+    * [[graft.functions.DotProduct]]: left-to-right double summation
+    * (bit-identical to the fold AND to the unrolled `element_at` chain
+    * this replaced — the chain's ~200-node tree cost ~0.5 s of janino
+    * compile per query; the loop's generated code is constant-size).
+    * Higher-order lambdas (`aggregate`/`zip_with`) stay out of the hot
+    * path: they are interpreted and ~30x slower in tight pairwise loops. */
   def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(i =>
-      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
-      .reduce(_ + _)
+    graft.functions.VecSim.dot(a, b, dim)
 
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
 
   /** Codegen'd fixed-dimension cosine — identical value to [[cosine]]
-    * (same left-to-right summation order) but whole-stage-codegen'd. */
+    * (same left-to-right summation order); one fused loop computes
+    * dot/norm/norm ([[graft.functions.CosineSim]]). */
   def cosineUnrolled(a: Column, b: Column, dim: Int): Column =
-    dotUnrolled(a, b, dim) /
-      (sqrt(dotUnrolled(a, a, dim)) * sqrt(dotUnrolled(b, b, dim)))
+    graft.functions.VecSim.cosine(a, b, dim)
 
   /** Embedding dimension of the test corpus (embeddings.parquet). */
   val EmbeddingDim = 64

@@ -102,4 +102,26 @@ class EmbeddingOpsSpec extends SparkTestBase {
     // clusters are actually used (no degenerate single-cluster collapse)
     assert(a1.values.toSet.size >= 4)
   }
+
+  test("kmeans local and distributed paths agree") {
+    // default threshold takes the local path on this corpus; threshold 0
+    // forces the distributed fused assign+partial-sum pass — same
+    // seeding/update rule, FP summation order is the only difference
+    val (local, li) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6)
+    val (dist, di) = Kmeans.fit(embs, "vec_id", "embedding", k = 8, maxIter = 6,
+      localThreshold = 0)
+    assert(li.length == di.length)
+    li.zip(di).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)))
+    }
+    local.zip(dist).foreach { case (lv, dv) =>
+      lv.zip(dv).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // and the assignments they induce are identical
+    val a1 = Kmeans.assign(embs, "vec_id", "embedding", local)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Kmeans.assign(embs, "vec_id", "embedding", dist)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
 }

@@ -98,6 +98,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
     assert(hSql.toSeq == hApi.toSeq)
     assert(hApi.forall { case (_, h) => h.length == 32 && h.sum > 0 })
+
+    val csSql = spark.sql(
+      "SELECT doc_id, char_stats(text).n_cp AS n, char_stats(text).entropy AS e " +
+      "FROM ext_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val csApi = docs
+      .select(col("doc_id"), graft.functions.CharStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_cp"), col("st.entropy"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(csSql.toSeq == csApi.toSeq)
+    assert(csApi.forall(_._3 > 0.0))
   }
 
   test("spark.sql.extensions injection path registers the functions") {
