@@ -111,6 +111,55 @@ class RoundtripPropertySpec extends SparkTestBase {
     }
   }
 
+  test("random frames roundtrip through xpt v5 and v8 (IBM float exactness)") {
+    // IEEE→IBM is exact (52-bit mantissa shifts into IBM's 56); the
+    // reverse direction can round, so generate doubles with headroom:
+    // int/1024 fractions and sentinel-adjacent integers. Strings are
+    // ISO-8859-1 (xpt's charset), space-padded on disk — trailing
+    // whitespace is not representable, so the generator avoids it.
+    val genD: Gen[java.lang.Double] = Gen.frequency(
+      5 -> Gen.choose(-(1L << 40), 1L << 40).map(v =>
+        java.lang.Double.valueOf(v / 1024.0)),
+      2 -> Gen.oneOf(0.0, -0.0, 1.5, -2.25, 16777216.0, -16777216.0)
+        .map(java.lang.Double.valueOf(_)),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Double]))
+    val genS1: Gen[String] = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(40)),
+      2 -> Gen.oneOf("", "héllo wörld", "café", "x" * 120),
+      1 -> Gen.const(null))
+    val genDt = Gen.frequency(
+      5 -> Gen.choose(-20000L, 40000L).map(d => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d).toString)),
+      1 -> Gen.const(null.asInstanceOf[java.sql.Date]))
+    val xptSchema = StructType(Seq(
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("dt", DateType)))
+    val genRows = Gen.listOfN(25,
+      Gen.zip(genD, genS1, genDt).map { case (d, s, dt) => Row(d, s, dt) })
+    (1L to 3L).foreach { seed =>
+      val rows = genRows.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2), xptSchema)
+      val dir = Files.createTempDirectory("graft_propx").toFile
+      dir.deleteOnExit()
+      Seq("5", "8").foreach { v =>
+        val path = s"${dir.getAbsolutePath}/p$v.xpt"
+        df.write.format("readstat").mode("overwrite")
+          .option("xptVersion", v).save(path)
+        // xpt variable names are 8-char UPPERCASE shorts; compare by
+        // position with the original names restored
+        val back = spark.read.format("readstat")
+          .option("missingStringAsNull", "false").load(path)
+          .toDF("d", "s", "dt")
+        import org.apache.spark.sql.functions._
+        val wantDf = df.withColumn("s", coalesce(col("s"), lit("")))
+        val gotDf = back.withColumn("s", coalesce(col("s"), lit("")))
+        val key = Seq(col("d").asc_nulls_last, col("s"), col("dt").asc_nulls_last)
+        assertSameData(gotDf.orderBy(key: _*), wantDf.orderBy(key: _*), s"xpt$v-$seed")
+      }
+    }
+  }
+
   test("random frames roundtrip through dta and sav") {
     val genRows = Gen.listOfN(25,
       Gen.zip(genDouble, genInt, genStr).map { case (d, i, s) => Row(d, i, s) })
