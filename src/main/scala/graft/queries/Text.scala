@@ -69,6 +69,45 @@ object Text {
       |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS ttr
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quality-score decile binning — the cut a curriculum/mixture pass
+    * makes before deciding per-bin sampling rates ("train more on the
+    * top deciles"). Documents rank by (alpha_ratio, doc_id) and split
+    * into 10 equal-count bins.
+    *
+    * Scale shape: same no-global-window trick as `sample_shard_assign` —
+    * `ntile(10) OVER (ORDER BY …)` funnels the corpus through ONE task,
+    * so the rank comes from a range-partitioned sort + `zipWithIndex`
+    * partition offsets, and bin = pos·10 / n (exact equal-count cuts,
+    * deterministic in both engines; n is one count-star job).
+    */
+  def qualityBins(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = documents(s, d).count()
+    val scored = documents(s, d)
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")), 4).as("score"))
+      .orderBy("score", "doc_id")
+    scored.as[(Long, Double)].rdd
+      .zipWithIndex()
+      .map { case ((id, sc), pos) => (id, sc, pos * 10L / n) }
+      .toDF("doc_id", "score", "bin")
+      .orderBy("doc_id")
+  }
+
+  val qualityBinsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, score,
+      |    row_number() OVER (ORDER BY score, doc_id) - 1 AS pos,
+      |    count(*) OVER () AS n
+      |  FROM s)
+      |SELECT doc_id, score, pos * 10 // n AS bin
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
     * text. This is the exact-dedup key at scale (hash, not full text,
     * crosses the shuffle). */
@@ -594,6 +633,7 @@ object Text {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_char_entropy" -> (charEntropy _, charEntropySql),
+    "sample_quality_bins" -> (qualityBins _, qualityBinsSql),
     "dedup_containment" -> (containmentPairs _, containmentPairsSql),
     "text_token_counts" -> (tokenCounts _, tokenCountsSql),
     "text_quality_score" -> (qualityScore _, qualityScoreSql),
