@@ -345,6 +345,56 @@ object Curation {
       |FROM tok JOIN freq USING (w) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus-trained BIGRAM language-model scoring — the next signal up
+    * from [[unigramLogprob]] (CCNet uses a 5-gram KenLM; the Laplace-
+    * smoothed conditional here is the same shape at n=2):
+    * mean ln P(w2|w1) with P = (c(w1,w2) + 0.5) / (c(w1·) + 0.5·V),
+    * c(w1·) the bigram-prefix count and V the corpus vocabulary. Low
+    * scores flag word-salad/boilerplate docs whose unigram stats look
+    * normal. Shuffle profile: one bigram explode, two vocab-sized
+    * partial-agg group-bys, broadcast V — same scale shape as the
+    * unigram pass. Docs with < 2 tokens have no bigrams and drop. */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cPre = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocab = documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    bg.join(cBg, Seq("w1", "w2"))
+      .join(cPre, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c") + lit(0.5)) / (col("cw") + lit(0.5) * col("v")))), 4)
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLogprobSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+      |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i)
+      |  WHERE len(arr) >= 2),
+      |cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |cpre AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(arr) AS w FROM tk))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln((c + 0.5) / (cw + 0.5 * v))), 4) AS mean_logprob
+      |FROM bg JOIN cbg USING (w1, w2) JOIN cpre USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-document top-3 terms by tf·idf (idf = ln N/df) — the classic
     * keyword-extraction pass. tf and df are exact integers, so the
     * score is a deterministic function both engines compute identically;
@@ -738,6 +788,7 @@ object Curation {
     "sample_stratified" -> (stratifiedSample _, stratifiedSampleSql),
     "sample_topk_per_group" -> (topkPerGroup _, topkPerGroupSql),
     "text_unigram_logprob" -> (unigramLogprob _, unigramLogprobSql),
+    "text_bigram_logprob" -> (bigramLogprob _, bigramLogprobSql),
     "text_tfidf_topk" -> (tfidfTopk _, tfidfTopkSql),
     "text_boilerplate_flags" -> (boilerplateFlags _, boilerplateFlagsSql),
     "dedup_exact_keep" -> (dedupExactKeep _, dedupExactKeepSql),
