@@ -402,7 +402,13 @@ object Text {
     *    prefixes. Candidates are then verified with exact intersection
     *    counts — cost proportional to candidates, not df².
     */
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsImpl(s, d, forcePrefix = None)
+
+  /** @param forcePrefix Some(true/false) pins the branch (spec use:
+    *                    branch-parity tests); None = cost-based. */
+  private[graft] def ngramJaccardPairsImpl(s: SparkSession, d: String,
+      forcePrefix: Option[Boolean]): DataFrame = {
     val t = 0.2
     // sh feeds df-counts, sizes, the join and the verification probes.
     // The repartition(sh) boundary (not a cache — round-6 flagged the
@@ -428,11 +434,12 @@ object Text {
     // cost stat is a separate action (can't share the main plan's
     // exchanges) — take it off shRaw so it ships partial-agg (sh, count)
     // pairs instead of paying the full repartition shuffle
-    val joinRows = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+    def joinRows: Long = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
       .collect()(0).getLong(0)
+    val usePrefix = forcePrefix.getOrElse(joinRows > 200000000L)
     val inter =
-      if (joinRows <= 200000000L) {
+      if (!usePrefix) {
         // singletons (df=1) cannot intersect anything — drop before join
         val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
         shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
@@ -578,27 +585,73 @@ object Text {
     * catches sub-document duplication (wrappers, quotes, boilerplate
     * around a copied core).
     *
-    * Same inverted-index shape as the Jaccard benign-skew branch:
-    * shingles repartitioned once (exchange-reused by every consumer),
-    * df=1 singletons dropped before the self-join (they cannot
-    * intersect). Containment has no sound single-sided prefix bound —
-    * the min is pair-dependent — so the skew-corpus path is sketch
-    * candidates (dedup_minhash_lsh) + this exact verification, not a
-    * PPJoin rewrite.
+    * Cost-based like the Jaccard pair (same sum(df²) statistic), exact
+    * either way:
+    *
+    *  - benign skew → inverted-index self-join with df=1 singletons
+    *    dropped (they cannot intersect);
+    *  - heavy skew  → ASYMMETRIC prefix filtering: for C(a,b) ≥ t with
+    *    n_a ≤ n_b, |A∩B| ≥ ⌈t·n_a⌉, so under the global
+    *    ascending-df shingle order the SMALLER doc must share one of
+    *    its first n_a − ⌈t·n_a⌉ + 1 shingles with the larger doc
+    *    (anywhere in it — the min is pair-dependent, so only the
+    *    smaller side's prefix is sound, unlike Jaccard's two-sided
+    *    PPJoin bound). Candidates = prefix(smaller) ⋈ full index,
+    *    then the same exact intersection verify.
     */
-  def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = graft.operators.MinHashLsh
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsImpl(s, d, forcePrefix = None)
+
+  /** @param forcePrefix Some(true/false) pins the branch (spec use:
+    *                    branch-parity tests); None = cost-based. */
+  private[graft] def containmentPairsImpl(s: SparkSession, d: String,
+      forcePrefix: Option[Boolean]): DataFrame = {
+    val t = 0.5
+    val shRaw = graft.operators.MinHashLsh
       .shingles(documents(s, d), "doc_id", "text")
       .withColumnRenamed("shingle", "sh")
+    val sh = shRaw
       .filter(col("doc_id").isNotNull && col("sh").isNotNull)
       .repartition(col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(col("sh")).as("n_sh"))
     val dfc = sh.groupBy("sh").agg(count(col("doc_id")).as("df"))
-    val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
-    val inter = shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_int"))
+    def joinRows: Long = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+      .collect()(0).getLong(0)
+    val usePrefix = forcePrefix.getOrElse(joinRows > 200000000L)
+    val inter = if (!usePrefix) {
+      val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
+      shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_int"))
+    } else {
+      // dropping singletons before ranking only ENLARGES the kept prefix
+      // (they sort first) — superset of the exact prefix, same move as
+      // the Jaccard branch
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      val pref = sh.join(dfc.filter(col("df") > 1), "sh")
+        .withColumn("rn", row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <= col("n_sh") - ceil(lit(t) * col("n_sh")) + 1)
+        .select(col("doc_id"), col("sh"), col("n_sh"))
+      val full = sh.join(sizes, "doc_id")
+      // x = the smaller side (prefix applies to it); size ties break on
+      // doc id so each unordered pair is generated exactly once
+      val cand = pref.as("x").join(full.as("y"),
+          col("x.sh") === col("y.sh") &&
+            (col("x.n_sh") < col("y.n_sh") ||
+              (col("x.n_sh") === col("y.n_sh") &&
+                col("x.doc_id") < col("y.doc_id"))))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"))
+        .distinct()
+      val a = sh.withColumnRenamed("doc_id", "id_a")
+      val b = sh.withColumnRenamed("doc_id", "id_b")
+      cand.join(a, "id_a")
+        .join(b, Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_int"))
+    }
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("n_sh", "n_a"), "id_a")
