@@ -178,7 +178,16 @@ object Text {
     * at DfCap (MOSS's "ignore very common fingerprints" rule — a boiler-
     * plate fingerprint shared by everyone would otherwise explode the
     * join quadratically, and carries no discriminating signal anyway).
-    */
+    *
+    * Measured dead end (don't retry): an asymmetric PPJoin-style prefix
+    * filter on the overlap coefficient (rank each doc's fps by df, join
+    * only the first sz−⌈t·sz⌉+1 of the smaller side, like
+    * [[Curation.containmentPairs]]) is ~10× SLOWER here (40 s vs 3.6 s
+    * at sf0.1): winnow sketches are small (tens of fps/doc) and df-
+    * capped, so the pair join is already cheap, while the filter adds a
+    * per-doc row_number window plus a candidate→verify re-join that
+    * re-shuffles the full fp set twice. Prefix filtering pays off for
+    * large shingle sets (containment), not for winnowed sketches. */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
     val k = 8; val w = 8
     // the sketch expression emits each doc's DISTINCT minima already, so
