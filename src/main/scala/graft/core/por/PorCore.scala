@@ -49,6 +49,13 @@ object PorCore {
   /** Line-aware logical byte stream with char-table translation. */
   final class PorStream(path: String) {
     private val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
+    // each translated char is ≥1 file byte, so no in-stream length field
+    // (string widths, label counts) can legitimately exceed the file size
+    // — corrupt lengths must throw, not size a multi-GB allocation
+    private val fileLen = new java.io.File(path).length()
+    private def checkLen(n: Int): Unit =
+      require(n >= 0 && n <= fileLen,
+        s"corrupt por: length field $n exceeds the $fileLen-byte file")
     private var pos = 0
     private var pendingSpaces = 0
     private var space: Byte = ' '
@@ -81,6 +88,7 @@ object PorCore {
     }
 
     def readNRaw(n: Int): Array[Byte] = {
+      checkLen(n)
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
@@ -107,6 +115,7 @@ object PorCore {
     }
 
     def readChars(n: Int): Array[Byte] = {
+      checkLen(n)
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) { out(i) = readChar().toByte; i += 1 }

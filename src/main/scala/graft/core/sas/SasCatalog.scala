@@ -37,10 +37,16 @@ object SasCatalog {
     val encodingByte = hdr0(70) & 0xff
     val cs = SasCore.charsetFor(encodingByte)
     val headerSize = Bin.i32(hdr0, 196 + pad1, little).toLong
+    // in-file lengths size the allocations below — corrupt values must
+    // throw, not allocate gigabytes
+    require(headerSize >= 288 && headerSize <= raf.length(),
+      s"corrupt sas7bcat: header size $headerSize outside [288, ${raf.length()}]")
     val hdr = new Array[Byte](math.max(288, headerSize.toInt))
     System.arraycopy(hdr0, 0, hdr, 0, 288)
     if (headerSize > 288) raf.readFully(hdr, 288, headerSize.toInt - 288)
     val pageSize = Bin.i32(hdr, 200 + pad1, little).toLong
+    require(pageSize > 0 && pageSize <= raf.length(),
+      s"corrupt sas7bcat: page size $pageSize outside (0, ${raf.length()}]")
     val pageCount = Bin.i32(hdr, 204 + pad1, little).toLong
 
     val xlsrSize = 212 + pad1 + (if (u64) 72 else 0)

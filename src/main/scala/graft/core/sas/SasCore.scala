@@ -156,12 +156,18 @@ object SasCore {
       val align1 = if (head0(35) == '3') 4 else 0
       val align2 = if (bit64) 4 else 0
       val headerLength = Bin.i32(head0, 196 + align1, little)
+      // in-file lengths bound every allocation below; a corrupted header
+      // must throw a clean error, not feed a multi-GB allocation
+      require(headerLength >= 288 && headerLength <= raf.length(),
+        s"corrupt sas7bdat: header length $headerLength outside [288, ${raf.length()}]")
       val head = new Array[Byte](headerLength)
       System.arraycopy(head0, 0, head, 0, math.min(288, headerLength))
       if (headerLength > 288) {
         raf.seek(288); raf.readFully(head, 288, headerLength - 288)
       }
       val pageLength = Bin.i32(head, 200 + align1, little)
+      require(pageLength > 0 && pageLength <= raf.length(),
+        s"corrupt sas7bdat: page length $pageLength outside (0, ${raf.length()}]")
       // the header's page count is unreliable (0 in some 64-bit BE files);
       // derive from file size like the reference's EOF-driven scan
       val pageCount = ((raf.length() - headerLength) / math.max(1, pageLength)).toInt
@@ -292,6 +298,10 @@ object SasCore {
         else if (colCountP1 >= 0 && colCountP2 >= 0) (colCountP1 + colCountP2).toInt
         else math.max(names.length, attrs.length)
       require(rowCount >= 0 && rowLength > 0, "missing SAS row-size metadata")
+      // rows never span pages in sas7bdat, so a row length beyond the page
+      // length is corruption — and it sizes per-row decompress buffers
+      require(rowLength <= pageLength,
+        s"corrupt sas7bdat: row length $rowLength exceeds page length $pageLength")
 
       def textAt(idx0: Int, off: Int, len: Int): String = {
         if (colTextsV.isEmpty || len == 0) return ""

@@ -63,7 +63,14 @@ object SpssCore {
   private class Cur(raf: RandomAccessFile, val little: Boolean) {
     def pos: Long = raf.getFilePointer
     def seek(p: Long): Unit = raf.seek(p)
-    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); raf.readFully(b); b }
+    // in-file length fields (record counts, label/string widths) size the
+    // allocations here; corrupt values must throw, not allocate gigabytes
+    def bytes(n: Int): Array[Byte] = {
+      require(n >= 0 && n <= raf.length() - raf.getFilePointer,
+        s"corrupt sav: field of $n bytes exceeds the " +
+          s"${raf.length() - raf.getFilePointer} remaining in the file")
+      val b = new Array[Byte](n); raf.readFully(b); b
+    }
     def u8(): Int = raf.readUnsignedByte()
     def i32(): Int = Bin.i32(bytes(4), 0, little)
     def i64(): Long = Bin.i64(bytes(8), 0, little)
@@ -295,8 +302,14 @@ object SpssCore {
         valueLabelName = labName(idx))
     }
 
-    SpssMeta(little, compression, nCases, bias, fileLabel, out, dataOffset,
-      charset, creationDate, creationTime)
+    val meta = SpssMeta(little, compression, nCases, bias, fileLabel, out,
+      dataOffset, charset, creationDate, creationTime)
+    // recordLen sizes every row/batch buffer downstream; SPSS widths are
+    // at most 32767 bytes per variable (segments of ≤255 units), so a
+    // record beyond 64 MiB only arises from corrupt width fields
+    require(meta.recordLen >= 0 && meta.recordLen <= (1 << 26),
+      s"corrupt sav: record length ${meta.recordLen} exceeds the 64 MiB sanity bound")
+    meta
   }
 
   private final case class RawVar(

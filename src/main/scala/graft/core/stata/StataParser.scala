@@ -62,10 +62,22 @@ object StataParser {
   private final class Cur(raf: RandomAccessFile) {
     def pos: Long = raf.getFilePointer
     def seek(p: Long): Unit = raf.seek(p)
+    // every variable-length field in the format (strL GSOs, labels,
+    // expansion blocks) sizes an allocation from in-file bytes; a
+    // corrupted length must throw cleanly, never allocate gigabytes
+    private def checkLen(n: Int): Unit =
+      require(n >= 0 && n <= raf.length() - raf.getFilePointer,
+        s"corrupt dta: field of $n bytes exceeds the " +
+          s"${raf.length() - raf.getFilePointer} remaining in the file")
     def bytes(n: Int): Array[Byte] = {
+      checkLen(n)
       val b = new Array[Byte](n); raf.readFully(b); b
     }
     def bytesOrNone(n: Int): Option[Array[Byte]] = {
+      // probe read: callers pass constant sizes and treat "not enough
+      // bytes left" as EOF (the pre-117 label loop), so answer None
+      // rather than the corrupt-length error
+      if (n < 0 || n > raf.length() - raf.getFilePointer) return None
       val b = new Array[Byte](n)
       var got = 0
       while (got < n) {

@@ -415,7 +415,12 @@ object SpssModule extends FormatModule {
       val nBlocks = Bin.i32(th, 20, md.little)
       val es = (0 until nBlocks).map { _ =>
         val e = new Array[Byte](24); raf.readFully(e)
-        (Bin.i64(e, 8, md.little), Bin.i32(e, 16, md.little), Bin.i32(e, 20, md.little))
+        val (uSize, cSize) = (Bin.i32(e, 16, md.little), Bin.i32(e, 20, md.little))
+        // block sizes drive the inflate allocations; the writer emits
+        // ≤0x3FF000-byte blocks, so anything past 64 MiB is corruption
+        require(uSize >= 0 && uSize <= (1 << 26) && cSize >= 0 && cSize <= (1 << 26),
+          s"corrupt zsav: block sizes u=$uSize c=$cSize exceed the 64 MiB sanity bound")
+        (Bin.i64(e, 8, md.little), uSize, cSize)
       }
       (es, es.scanLeft(0L)(_ + _._2.toLong).toArray)
     } finally raf.close()
