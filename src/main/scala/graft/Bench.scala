@@ -254,6 +254,24 @@ object Bench {
       if (r < rawRounds)
         allRaw.foreach { case (n, f) => runsAcc(n) :+= timeOne(f) }
     }
+    // rescue pass: interleaving protects against one burst, but a query
+    // whose every round still landed in bursts shows up as high
+    // dispersion (round-7 observation: stata_subset_read_50m ran
+    // [6.96, 2.27, 6.74] while its idle-machine time is 0.36 s — load
+    // average 5.8 from neighbor sandboxes). Any query whose max run
+    // exceeds 2.5x its min gets up to two extra runs, placed after all
+    // rounds so they sit minutes away from the original burst. The
+    // 50 ms floor keeps sub-planning-time queries (which jitter
+    // multi-fold naturally) out of the rescue set.
+    val fnByName: Map[String, () => Any] = (queryFns ++ allRaw).toMap
+    for (_ <- 0 until 2) {
+      val suspects = runsAcc.collect { case (n, rs)
+        if rs.nonEmpty && rs.max > 2.5 * math.max(rs.min, 0.05) => n }.toSeq
+      if (suspects.nonEmpty) {
+        noise += timeOne(() => sentinel())
+        suspects.foreach { n => runsAcc(n) :+= timeOne(fnByName(n)) }
+      }
+    }
     val allRuns: Seq[(String, Seq[Double])] = runsAcc.toSeq
     def median(rs: Seq[Double]): Double = {
       val s = rs.sorted
