@@ -693,7 +693,141 @@ object Text {
       |WHERE round(n_int / least(sa.n_sh, sb.n_sh), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Canonical text normalization: NFC unicode form (custom codegen
+    * expression — Spark has no builtin), control/format chars to spaces,
+    * whitespace collapsed, trimmed. Emits the canonical fingerprint a
+    * dedup pass would key on plus the normalized length, not the full
+    * text (at 100 TB the normalized corpus is written by the caller;
+    * this query shape verifies the canonicalization itself).
+    *
+    * Scale shape: pure per-row codegen'd map work — no shuffle at all
+    * except the verification ORDER BY.
+    */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(
+        graft.functions.UnicodeNormalize(col("text"), "NFC"),
+        "[\\p{Cc}\\p{Cf}]", " "),
+      "\\s+", " "))
+    documents(s, d)
+      .select(col("doc_id"), canon.as("__c"), col("text"))
+      .select(col("doc_id"),
+        md5(col("__c")).as("norm_fp"),
+        length(col("__c")).as("n_chars_norm"),
+        (col("__c") =!= col("text")).cast("int").as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |              '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS ct
+      |  FROM documents)
+      |SELECT doc_id, md5(ct) AS norm_fp,
+      |       CAST(length(ct) AS INT) AS n_chars_norm,
+      |       CAST(ct <> text AS INT) AS changed
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level most-frequent word trigrams — the corpus-statistics
+    * pass a pipeline runs for contamination screening and boilerplate
+    * discovery (a trigram appearing in thousands of documents is
+    * template text).
+    *
+    * Scale shape: trigrams are generated inside the projection
+    * (`transform` over the token array — codegen, no intermediate
+    * table), counted with map-side partial aggregation (only distinct
+    * grams shuffle), and the top k is a TakeOrdered — no global sort of
+    * the gram space.
+    */
+  def ngramTopk(s: SparkSession, d: String): DataFrame = {
+    val a = toks(col("text"))
+    // sequence(1, n-2) needs n >= 3: Spark's sequence DESCENDS when
+    // start > stop, so shorter docs must be filtered out, not clamped
+    val grams = transform(
+      sequence(lit(1), size(a) - 2),
+      i => concat_ws(" ",
+        element_at(a, i), element_at(a, i + 1), element_at(a, i + 2)))
+    documents(s, d)
+      .where(size(toks(col("text"))) >= 3)
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(20)
+  }
+
+  val ngramTopkSql: String =
+    """WITH t AS (
+      |  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+      |  FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, len(a) - 1),
+      |                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS ngram
+      |  FROM t WHERE len(a) >= 3)
+      |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM g GROUP BY ngram
+      |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin
+
+  /** Pairwise cross-source content overlap: for every pair of sources,
+    * how many distinct normalized-content fingerprints they share, and
+    * the exact Jaccard of their fingerprint sets. The corpus-merge
+    * question ("how much of source B is already in source A?") answered
+    * before committing to a full dedup of the union.
+    *
+    * Scale shape: only (source, 16-byte fp) rows ever shuffle — one
+    * distinct, one count-per-source (both map-side combinable), and a
+    * fp-equi self-join whose output is bounded by the true overlap. The
+    * per-source totals (|sources| rows) broadcast onto the pair counts;
+    * source-pair space is |sources|² driver-trivial rows.
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val h = documents(s, d)
+      .select(col("source"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .distinct()
+    val counts = h.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = h.as("a")
+      .join(h.as("b"), col("a.fp") === col("b.fp") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    counts.as("ca").join(counts.as("cb"),
+        col("ca.source") < col("cb.source"))
+      .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT source,
+      |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |           FROM h GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT ca.source AS src_a, cb.source AS src_b, ca.n AS n_a,
+      |       cb.n AS n_b, COALESCE(i.n_shared, 0) AS n_shared,
+      |       round(COALESCE(i.n_shared, 0) /
+      |             (ca.n + cb.n - COALESCE(i.n_shared, 0)), 6) AS jaccard
+      |FROM counts ca JOIN counts cb ON ca.source < cb.source
+      |LEFT JOIN inter i ON i.src_a = ca.source AND i.src_b = cb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_normalize" -> (normalize _, normalizeSql),
+    "text_ngram_topk" -> (ngramTopk _, ngramTopkSql),
+    "corpus_overlap" -> (sourceOverlap _, sourceOverlapSql),
     "text_char_entropy" -> (charEntropy _, charEntropySql),
     "sample_quality_bins" -> (qualityBins _, qualityBinsSql),
     "dedup_containment" -> (containmentPairs _, containmentPairsSql),

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-import graft.functions.{CharStats, HashedBigramHistogram, HyperplaneSignature, MinHashSignature, WinnowSketch, WinnowSpans}
+import graft.functions.{CharStats, HashedBigramHistogram, HyperplaneSignature, MinHashSignature, UnicodeNormalize, WinnowSketch, WinnowSpans}
 import graft.operators.AnnLsh
 
 /** SQL surface for graft's custom Catalyst expressions.
@@ -95,6 +95,14 @@ object GraftFunctions {
       s"char_stats expects (text), got ${args.length} args")
   }
 
+  private val unicodeNormalizeBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => UnicodeNormalize(child, "NFC")
+    case Seq(child, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      UnicodeNormalize(child, f.toString)
+    case args => throw new IllegalArgumentException(
+      s"unicode_normalize expects (text[, form]), got ${args.length} args")
+  }
+
   /** (identifier, info, builder) triples in injectFunction's shape. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("char_stats"),
@@ -112,6 +120,9 @@ object GraftFunctions {
     (FunctionIdentifier("hyperplane_signature"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_signature"),
       hyperplaneBuilder),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      unicodeNormalizeBuilder),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       minhashBuilder))

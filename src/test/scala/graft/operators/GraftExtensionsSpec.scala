@@ -35,6 +35,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("unicode_normalize SQL matches the Column API and defaults to NFC") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("Cafe\u0301", "\ufb01le").toDF("s").createOrReplaceTempView("ext_norm")
+    val rows = spark.sql(
+      "SELECT unicode_normalize(s) AS nfc, unicode_normalize(s, 'NFKC') AS nfkc " +
+      "FROM ext_norm ORDER BY s").collect()
+    val byNfc = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(byNfc.contains(("Caf\u00e9", "Caf\u00e9")))
+    assert(byNfc.contains(("\ufb01le", "file")))
+  }
+
   test("minhash_signature SQL aggregate matches the Column API") {
     import spark.implicits._
     GraftFunctions.register(spark)
