@@ -14,6 +14,47 @@ import org.apache.spark.sql.functions._
   */
 object TextCuration {
 
+  /** Pairwise cross-source content overlap: for every pair of values of
+    * `srcCol`, how many distinct normalized-content fingerprints both
+    * contain, and the exact Jaccard of the two fingerprint sets — the
+    * corpus-merge question ("how much of source B is already in A?")
+    * answered before committing to a full dedup of the union.
+    *
+    * Scale shape: only (source, 16-byte fp) rows ever shuffle. The
+    * distinct lands behind an explicit fp-hash repartition so all
+    * consumers below (the per-source counts and both self-join sides)
+    * share one scan+distinct via ReuseExchange, and the join sides
+    * arrive already partitioned by the join key. Per-source totals
+    * (|sources| rows) broadcast onto pair counts bounded by the true
+    * overlap; the source-pair space is |sources|² driver-trivial rows.
+    *
+    * The self-join renames each side through `toDF` BEFORE joining:
+    * joining two aliases of the same plan with `col("a.fp")` resolves
+    * both to one attribute, the condition folds to a constant, and
+    * empty-relation propagation silently deletes the whole join — the
+    * renamed projections give the sides distinct attribute ids.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val h = df
+      .select(col(srcCol).as("src"),
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
+      .distinct()
+      .repartition(col("fp"))
+    val counts = h.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = h.toDF("src_a", "fp").join(h.toDF("src_b", "fp"), Seq("fp"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    counts.toDF("src_a", "n_a")
+      .join(counts.toDF("src_b", "n_b"), col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Global line-level dedup (the C4 rule: a line that appears more than
     * once in the corpus is kept only at its first occurrence). "First" is
     * the minimal (id, position) pair, a deterministic total order; blank

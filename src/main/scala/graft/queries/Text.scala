@@ -781,34 +781,26 @@ object Text {
     * source-pair space is |sources|² driver-trivial rows.
     */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val h = documents(s, d)
-      .select(col("source"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
-      .distinct()
-    val counts = h.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = h.as("a")
-      .join(h.as("b"), col("a.fp") === col("b.fp") &&
-        col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    counts.as("ca").join(counts.as("cb"),
-        col("ca.source") < col("cb.source"))
-      .select(col("ca.source").as("src_a"), col("cb.source").as("src_b"),
-        col("ca.n").as("n_a"), col("cb.n").as("n_b"))
-      .join(inter, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)) /
-          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))), 6)
-          .as("jaccard"))
-      .orderBy("src_a", "src_b")
+    // the natural corpus has ZERO cross-source duplicate texts, which
+    // would leave the overlap join vacuously checked — plant a pseudo
+    // source copying every 7th doc so every real source has a provably
+    // nonzero intersection with it (mirrored in the oracle SQL)
+    val docs0 = documents(s, d)
+    val docs = docs0.select(col("source"), col("text")).unionAll(
+      docs0.filter(col("doc_id") % 7 === 3)
+        .select(lit("zz_planted").as("source"), col("text")))
+    graft.operators.TextCuration.sourceOverlap(docs, "source", "text")
   }
 
   val sourceOverlapSql: String =
-    """WITH h AS (
+    """WITH docs AS (
+      |  SELECT source, text FROM documents
+      |  UNION ALL
+      |  SELECT 'zz_planted' AS source, text FROM documents WHERE doc_id % 7 = 3),
+      |h AS (
       |  SELECT DISTINCT source,
       |         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-      |  FROM documents),
+      |  FROM docs),
       |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n
       |           FROM h GROUP BY source),
       |inter AS (

@@ -76,8 +76,9 @@ class TextNormalizeSpec extends SparkTestBase {
   test("source overlap covers every pair once with exact jaccard") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.queries.Text.sourceOverlap(spark, sf).collect()
+    // +1: the query plants a pseudo-source to make overlap nonzero
     val nSrc = graft.queries.Tables.documents(spark, sf)
-      .select("source").distinct().count()
+      .select("source").distinct().count() + 1
     assert(rows.length == nSrc * (nSrc - 1) / 2)
     rows.foreach { r =>
       val (na, nb, sh) = (r.getLong(2), r.getLong(3), r.getLong(4))
@@ -85,5 +86,23 @@ class TextNormalizeSpec extends SparkTestBase {
       assert(sh <= math.min(na, nb))
       assert(math.abs(j - sh.toDouble / (na + nb - sh)) < 1e-6)
     }
+    // the planted source duplicates real docs, so SOME pair must share
+    // content — this is what catches a silently-eliminated self-join
+    assert(rows.exists(_.getLong(4) > 0), "no pair shares any content")
+  }
+
+  test("source overlap counts an engineered intersection exactly") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x x"), ("a", "y"), ("a", "z"),
+      ("b", "x  x"), ("b", "y"), ("b", "q"),   // x/y shared with a (ws-normalized)
+      ("c", "only c")
+    ).toDF("source", "text")
+    val got = TextCuration.sourceOverlap(df, "source", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("a", "b")) == ((3L, 3L, 2L, 0.5)))      // 2 shared of 4 union
+    assert(got(("a", "c")) == ((3L, 1L, 0L, 0.0)))
+    assert(got(("b", "c")) == ((3L, 1L, 0L, 0.0)))
   }
 }
