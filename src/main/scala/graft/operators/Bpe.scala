@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: merge-table training over the corpus
+  * and a codegen'd encoder applying the learned merges — the real
+  * version of the BPE-ish token-count estimate in `text_token_counts`
+  * (reference scope: the reference ships no tokenizer; this is part of
+  * the training-data-pipeline layer).
+  *
+  * Training is the classic Sennrich algorithm over the word-frequency
+  * table, which is corpus-DISTINCT-sized, not corpus-sized: one linear
+  * scan builds (word, freq), and every merge round after that touches
+  * only distinct words. Scale shape per round: adjacent symbol pairs
+  * are generated inside the projection (transform over the split symbol
+  * string — nothing gram-sized is materialized), summed with map-side
+  * partial aggregation, and only the single argmax pair is collected.
+  * The merge itself is a pure `regexp_replace` on the separator-joined
+  * symbol string — whole-stage codegen, no custom expression, and the
+  * sentinel-separator pattern with a lookahead reproduces BPE's
+  * left-to-right non-overlapping merge order exactly.
+  *
+  * Cost-based dispatch mirrors [[Kmeans.fit]]: a driver-sized
+  * vocabulary (≤ `localVocabLimit` distinct words) trains in-memory in
+  * one collect; larger vocabularies run the distributed rounds with
+  * per-round cache/unpersist (the [[Graph]] iteration pattern) so
+  * lineage stays shallow and nothing leaks. Both paths implement the
+  * same deterministic tie-break (max count, then lexicographically
+  * smallest pair) and are pinned equal by BpeSpec.
+  *
+  * Determinism caveat: symbols are code points of the word text as-is
+  * (no case folding); words containing the U+0001 separator sentinel
+  * are dropped from TRAINING (they cannot be represented) but encode
+  * fine.
+  */
+object Bpe {
+
+  private val SEP = "\u0001"
+
+  /** One learned merge: rank r merges (left, right) into left+right. */
+  final case class Merge(rank: Int, left: String, right: String)
+
+  /** Learn up to `numMerges` merges from `textCol` of `docs`.
+    *
+    * @param minPairFreq stop when no pair reaches this weighted count
+    * @param localVocabLimit distinct-word count at or below which the
+    *        driver-local path runs (the vocabulary is then at most a few
+    *        MB — same trade as Kmeans.fit's local fit)
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairFreq: Long = 2L, localVocabLimit: Long = 200000L): Seq[Merge] = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .where(col("w") =!= "" && !col("w").contains(SEP))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val vocabSize = words.count()
+    if (vocabSize == 0) return Seq.empty
+    if (vocabSize <= localVocabLimit) {
+      val local = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(local, numMerges, minPairFreq)
+    } else trainDistributed(spark, words, numMerges, minPairFreq)
+  }
+
+  /** Driver-local training for driver-sized vocabularies. */
+  private[operators] def trainLocal(vocab: Array[(String, Long)],
+      numMerges: Int, minPairFreq: Long): Seq[Merge] = {
+    // split by CODE POINT (not char) to match the distributed path's
+    // regex `.`, which matches a full code point
+    var syms: Array[(Array[String], Long)] = vocab.map { case (w, f) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      (b.result(), f)
+    }
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var continue = true
+    while (r < numMerges && continue) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      syms.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.put(k, counts.getOrDefault(k, 0L) + f)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestN = minPairFreq - 1
+      counts.forEach { (k, n) =>
+        if (n > bestN || (n == bestN && best != null &&
+            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+          best = k; bestN = n
+        }
+      }
+      if (best == null) continue = false
+      else {
+        merges += Merge(r, best._1, best._2)
+        val joined = best._1 + best._2
+        syms = syms.map { case (s, f) =>
+          if (s.length < 2) (s, f)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+                out += joined; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed training rounds over the word-frequency frame. */
+  private def trainDistributed(spark: SparkSession, words: DataFrame,
+      numMerges: Int, minPairFreq: Long): Seq[Merge] = {
+    import org.apache.spark.storage.StorageLevel
+    // sentinel-wrapped separator-joined symbols: |c|a|t|
+    var cur = words.select(
+      concat(lit(SEP), regexp_replace(col("w"), "(?s)(.)", "$1" + SEP)).as("syms"),
+      col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var continue = true
+    while (r < numMerges && continue) {
+      // adjacent pairs from the split symbol string, generated in the
+      // projection; map-side combine reduces the pair stream before the
+      // shuffle. The split of |c|a|t| yields ["","c","a","t",""], so
+      // symbols sit at 0-based indices 1..size-2 and pairs need
+      // size >= 4 (>= 2 symbols) — the where-guard matters because
+      // sequence(2, 1) would DESCEND and index out of bounds
+      val best = cur.select(col("freq"), split(col("syms"), SEP).as("a"))
+        .where(size(col("a")) >= 4)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(2, size(a) - 2), i -> struct(a[i-1] AS l, a[i] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum("freq").as("n"))
+        .where(col("n") >= minPairFreq)
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val (l, rt) = (best(0).getString(0), best(0).getString(1))
+        merges += Merge(r, l, rt)
+        // left-to-right non-overlapping merge: consume |l|r and require
+        // (not consume) the trailing separator, so runs like |a|a|a|
+        // merge the first pair only — exactly BPE's order
+        val pat = java.util.regex.Pattern.quote(SEP + l + SEP + rt) + "(?=" + SEP + ")"
+        val next = cur.select(
+          regexp_replace(col("syms"), pat, SEP + l + rt).as("syms"),
+          col("freq"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+        r += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** Encode a text column into BPE tokens with a learned merge table
+    * (codegen expression; merge ranks ride along as a plan reference).
+    */
+  def encodeTokens(c: org.apache.spark.sql.Column, merges: Seq[Merge]): org.apache.spark.sql.Column =
+    graft.functions.BpeEncode(c, merges.map(m => (m.left, m.right, m.rank)))
+}

@@ -816,7 +816,32 @@ object Text {
       |LEFT JOIN inter i ON i.src_a = ca.source AND i.src_b = cb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Real BPE tokenization: train a 40-merge table on the corpus (the
+    * [[graft.operators.Bpe]] cost-based train), then encode every doc
+    * and emit the token count plus a content hash of the token stream.
+    *
+    * The ONLY rows-only query in the suite: BPE training is an
+    * iterative argmax no SQL oracle can replay, so exactness is pinned
+    * instead by BpeSpec's independent-implementation parity (naive
+    * reference + local/distributed path equality).
+    *
+    * Scale shape: training touches the distinct-word table, not the
+    * corpus; encoding is one codegen'd map pass with the rank table
+    * shipped once per executor as a plan reference.
+    */
+  def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe.train(documents(s, d), "text", 40)
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.Bpe.encodeTokens(col("text"), merges).as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_tokens_bpe"),
+        md5(concat_ws(" ", col("__t"))).as("token_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_bpe_tokens" -> (bpeTokens _, ""),
     "text_normalize" -> (normalize _, normalizeSql),
     "text_ngram_topk" -> (ngramTopk _, ngramTopkSql),
     "corpus_overlap" -> (sourceOverlap _, sourceOverlapSql),
