@@ -370,8 +370,68 @@ object Similarity {
       |  round(max(err), 6) AS max_abs_err
       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** k-NN majority-vote classification: predict each held-out query
+    * vector's label from its 10 nearest corpus neighbors (cosine) — the
+    * standard embedding-quality evaluation a pipeline runs after
+    * training an encoder. Ties break toward the smallest label.
+    *
+    * Scale shape: same as [[annBruteForce]] — the held-out query set
+    * broadcasts (driver-sized by construction), the corpus side stays
+    * partitioned, per-query top-k is a window over the query key, and
+    * the vote count is a tiny (queries × labels) aggregate. For
+    * corpus-sized query sets the LSH/IVF paths replace the exact join.
+    */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        col("embedding").as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val votes = c.join(broadcast(q))
+      .withColumn("sim", cosineUnrolled(col("qv"), col("cv"), EmbeddingDim))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy("qid", "true_label", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("qid").orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("qid"), col("true_label"), col("nlabel").as("pred_label"),
+        col("votes"),
+        (col("nlabel") === col("true_label")).cast("int").as("correct"))
+      .orderBy("qid")
+  }
+
+  val knnClassifySql: String =
+    """WITH q AS (SELECT vec_id AS qid, label AS true_label,
+      |                  embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS nid, label AS nlabel, embedding::DOUBLE[] AS cv
+      |      FROM embeddings WHERE vec_id >= 20),
+      |ranked AS (
+      |  SELECT qid, true_label, nid, nlabel,
+      |    row_number() OVER (PARTITION BY qid ORDER BY
+      |      list_dot_product(qv, cv) /
+      |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+      |      DESC, nid) AS rn
+      |  FROM q, c),
+      |votes AS (
+      |  SELECT qid, true_label, nlabel, CAST(count(*) AS BIGINT) AS votes
+      |  FROM ranked WHERE rn <= 10 GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT qid, true_label, nlabel, votes,
+      |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel) AS vr
+      |  FROM votes)
+      |SELECT qid, true_label, nlabel AS pred_label, votes,
+      |       CAST(nlabel = true_label AS INT) AS correct
+      |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
+    "embed_knn_classify" -> (knnClassify _, knnClassifySql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
     "ann_ivf_trained" -> (annIvfTrained _, annIvfTrainedSql),
     "sample_cluster_balance" -> (clusterBalance _, clusterBalanceSql),

@@ -816,6 +816,96 @@ object Text {
       |LEFT JOIN inter i ON i.src_a = ca.source AND i.src_b = cb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Context-window chunking: split every document into fixed-size
+    * character windows (win=200) with a fixed stride (150, i.e. 50-char
+    * overlap) — the pre-tokenization pass that turns documents into
+    * training-context candidates. The chunk list is generated inside
+    * the projection (`transform` over a `sequence` of window starts —
+    * codegen, no intermediate gram table); short documents yield one
+    * (possibly short) chunk, never zero.
+    *
+    * Scale shape: pure per-row map + explode — no shuffle at all except
+    * the verification ORDER BY; output partitioning inherits the scan.
+    */
+  def chunkWindows(s: SparkSession, d: String): DataFrame = {
+    val win = 200
+    val stride = 150
+    // sequence(0, m) is inclusive: m = ceil((len - win)/stride) extra
+    // chunks past the first, clamped at 0 so len <= win gives 1 chunk
+    val chunks = expr(
+      s"""transform(
+         |  sequence(0, greatest(0,
+         |    cast(ceil((length(text) - $win) / cast($stride as double)) as int))),
+         |  i -> substring(text, i * $stride + 1, $win))""".stripMargin)
+    documents(s, d)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkWindowsSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |         greatest(0, CAST(ceil((length(text) - 200) / 150.0) AS BIGINT)) AS m
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text, unnest(generate_series(0, m)) AS i FROM n)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |       CAST(length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS INT) AS chunk_len,
+      |       md5(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Sorted-neighborhood near-duplicate scan (the record-linkage
+    * classic): canonicalize every document to a bounded sort key
+    * (lowercased whitespace-collapsed first 100 chars), sort the corpus
+    * once, and compare each document ONLY to its immediate neighbor in
+    * sort order with a real edit distance. One sort + n-1 comparisons
+    * replaces the all-pairs n²/2 — the cheap first-pass screen before
+    * the MinHash/winnow passes.
+    *
+    * Scale shape: global positions come from the range-partitioned sort
+    * + `zipWithIndex` partition offsets (the [[qualityBins]] pattern —
+    * NO single-partition window), and adjacent pairing is a pos = pos+1
+    * equi-join, so nothing ever concentrates on one executor; the
+    * 100-char key cap bounds every levenshtein call.
+    */
+  def sortedNeighbors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = substring(
+      lower(regexp_replace(trim(col("text")), "\\s+", " ")), 1, 100)
+    val pos = documents(s, d)
+      .select(col("doc_id"), key.as("k"))
+      .orderBy("k", "doc_id")
+      .as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((id, k), p) => (p, id, k) }
+      .toDF("pos", "doc_id", "k")
+    // toDF-renamed sides (alias self-joins on a repeated subtree get
+    // silently eliminated — see DevSelfJoin)
+    val a = pos.toDF("pos", "id_a", "k_a")
+    val b = pos.select((col("pos") - 1).as("pos"),
+      col("doc_id").as("id_b"), col("k").as("k_b"))
+    a.join(b, "pos")
+      .select(col("pos"), col("id_a"), col("id_b"),
+        levenshtein(col("k_a"), col("k_b")).as("dist"))
+      .withColumn("near_dup", (col("dist") <= 20).cast("int"))
+      .orderBy("pos")
+  }
+
+  val sortedNeighborsSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |         substring(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 100) AS k
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+      |  FROM k)
+      |SELECT a.pos AS pos, a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(levenshtein(a.k, b.k) AS INT) AS dist,
+      |       CAST(levenshtein(a.k, b.k) <= 20 AS INT) AS near_dup
+      |FROM r a JOIN r b ON b.pos = a.pos + 1
+      |ORDER BY pos""".stripMargin
+
   /** Real BPE tokenization: train a 40-merge table on the corpus (the
     * [[graft.operators.Bpe]] cost-based train), then encode every doc
     * and emit the token count plus a content hash of the token stream.
@@ -842,6 +932,8 @@ object Text {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_bpe_tokens" -> (bpeTokens _, ""),
+    "text_chunk_windows" -> (chunkWindows _, chunkWindowsSql),
+    "dedup_sorted_neighbors" -> (sortedNeighbors _, sortedNeighborsSql),
     "text_normalize" -> (normalize _, normalizeSql),
     "text_ngram_topk" -> (ngramTopk _, ngramTopkSql),
     "corpus_overlap" -> (sourceOverlap _, sourceOverlapSql),
