@@ -776,7 +776,73 @@ object Curation {
       |SELECT doc_id, pos // 64 AS shard, pos % 64 AS pos_in_shard
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary-coverage evaluation: train a top-1000 frequency vocab
+    * on the corpus (ties break lexicographically), then score every
+    * document by its out-of-vocabulary token fraction — the standard
+    * "will my tokenizer/vocab cover this data" audit, and a cheap
+    * domain-shift detector between corpus snapshots.
+    *
+    * Scale shape: the word-count aggregate is map-side combinable and
+    * vocab-sized; the top-1000 is a TakeOrdered (never a global sort);
+    * the 1000-row vocab BROADCASTS back onto the exploded tokens (the
+    * corpus side never shuffles for the join), and the per-doc re-agg
+    * partially combines before its shuffle since a doc's tokens stay
+    * in the partition that exploded them. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1000)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tok"), 4).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lower(arr[i]) AS w
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)),
+      |vocab AS (
+      |  SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+      |  ORDER BY c DESC, w LIMIT 1000)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) / count(*), 4) AS oov_ratio
+      |FROM tok t LEFT JOIN vocab v USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact-N deterministic uniform sample: rank every document by the
+    * md5 of its id and keep the first 100 — the "give me exactly N
+    * random-but-reproducible docs from the corpus" primitive
+    * ([[hashSplit]] gives a fraction, [[stratifiedSample]] a per-group
+    * rate; neither an exact count).
+    *
+    * Scale shape: a TakeOrdered top-N (per-partition heaps + driver
+    * merge of N·partitions candidates) — the corpus is never globally
+    * sorted and nothing but the winners leaves an executor. */
+  def fixedNSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("fixn:"), col("doc_id"))).as("samp_key"))
+      .orderBy("samp_key")
+      .limit(100)
+
+  val fixedNSampleSql: String =
+    """SELECT doc_id, md5('fixn:' || doc_id) AS samp_key
+      |FROM documents ORDER BY samp_key LIMIT 100""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_oov_rate" -> (oovRate _, oovRateSql),
+    "sample_fixed_n" -> (fixedNSample _, fixedNSampleSql),
     "sample_shard_assign" -> (shardAssign _, shardAssignSql),
     "sample_mixture_epochs" -> (mixtureEpochs _, mixtureEpochsSql),
     "sample_pack_sequences" -> (packSequences _, packSequencesSql),
