@@ -17,9 +17,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    * LongType under spark.sql.legacy.parquet.nanosAsLong — normalize it
-    * back to a (microsecond) timestamp here so queries see TimestampType.
+  /** Normalize `events.ts` to TimestampType regardless of how the parquet
+    * file stores it, so every downstream consumer (instant arithmetic via
+    * `unix_micros`, streaming watermarks) sees a concrete instant type:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 reads it as LongType only under
+    *    spark.sql.legacy.parquet.nanosAsLong — rebuild micros from nanos.
+    *  - timestamp[us] with no timezone: Spark reads TIMESTAMP_NTZ, which
+    *    `unix_micros` / watermarks reject. Cast to TimestampType — the
+    *    session timezone is pinned to UTC (build.sbt), so the cast is an
+    *    identity on the underlying micros value.
+    *
+    * This mirrors how the reference lands file temporals on concrete
+    * dtypes before any expression work (polars_readstat,
+    * src/stata/polars_output.rs:782-828).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = t(s, d, "events")
@@ -28,6 +39,10 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -17,6 +17,20 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object StreamingOps {
 
+  /** Watermarks require an instant (TimestampType); parquet `timestamp[us]`
+    * without a timezone arrives as TIMESTAMP_NTZ and is rejected with
+    * EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Normalize here so every
+    * watermarked operator below is safe regardless of the file's temporal
+    * flavor (the session timezone is pinned to UTC, so the cast preserves
+    * the stored micros exactly). */
+  def withInstantTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   case class Event(userId: Long, ts: Timestamp, eventType: String, value: Double)
 
   case class SessionState(startMs: Long, lastMs: Long, n: Int, value: Double)
@@ -70,7 +84,7 @@ object StreamingOps {
     * unlike a naive global dropDuplicates). */
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
       watermark: String): DataFrame =
-    docs
+    withInstantTime(docs, tsCol)
       .withColumn("fp", md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
@@ -104,7 +118,7 @@ object StreamingOps {
     * shape of the batch text_lang_stats/text_quality_score queries. */
   def langQualityStats(docs: DataFrame, tsCol: String, textCol: String,
       langCol: String, window: String, watermark: String): DataFrame =
-    docs
+    withInstantTime(docs, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
         col(langCol))

@@ -14,11 +14,13 @@ class StreamingCsvSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val schema = spark.read.parquet(srcFile).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val ts = org.apache.spark.sql.types.LongType
-    val withTs =
-      if (schema("ts").dataType == ts)
+    // nanosAsLong sessions see LongType nanos; plain sessions see
+    // TIMESTAMP_NTZ from timestamp[us] files — normalize both to an instant
+    val withTs = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-      else stream
+      case _ => graft.streaming.StreamingOps.withInstantTime(stream, "ts")
+    }
     val agg = withTs
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
