@@ -121,7 +121,41 @@ object Bpe {
     merges.result()
   }
 
-  /** Distributed training rounds over the word-frequency frame. */
+  /** Distributed training rounds over the word-frequency frame.
+    *
+    * Cost model / intended regime: ONE Spark job per merge round (the
+    * argmax collect doubles as the materialization of that round's
+    * cached frame — there is no separate count). At local-scheduler
+    * latencies that is ~0.1 s of fixed cost per merge, so a 32k-merge
+    * production vocabulary costs ~1 h of driver round-trips regardless
+    * of cluster size — acceptable as a one-off tokenizer-training job,
+    * but the local path (vocabularies ≤ `localVocabLimit` distinct
+    * words, the common case even for multi-TB corpora after the word
+    * de-dup) is the intended fast path: it collects the word table once
+    * and runs every round in driver memory. Use the distributed path
+    * only when the distinct-word table itself exceeds driver memory
+    * (web-scale corpora with unbounded token diversity).
+    *
+    * Iteration plumbing (all three are load-bearing; DevBpeScale is the
+    * repro that found each limit):
+    *  - every round's frame is re-rooted on its execution RDD
+    *    ([[org.apache.spark.sql.GraftColumnBridge.rerootOnRdd]]):
+    *    chained round frames embed the previous round's
+    *    InMemoryRelation in every plan, and IMR tree printing
+    *    (duplicated per level under AQE) grows explain strings
+    *    geometrically — the driver OOMs near 300 chained rounds.
+    *    Leaf-plan frames keep per-round planning O(1).
+    *  - every 24 rounds the frame is reliably checkpointed: task
+    *    serialization walks the RDD graph recursively, and an unbounded
+    *    round-over-round RDD chain StackOverflows the scheduler near
+    *    ~200 rounds. Checkpointing truncates the graph (GraphX-style
+    *    periodic checkpoint). A checkpoint dir is defaulted under
+    *    java.io.tmpdir when the session has none — set a durable one
+    *    (HDFS/S3) on a real cluster.
+    *  - each round's frame is persisted and the parent released one
+    *    round later, so a lost block recomputes at most one frame back
+    *    (to the previous cache or checkpoint).
+    */
   private def trainDistributed(spark: SparkSession, words: DataFrame,
       numMerges: Int, minPairFreq: Long): Seq[Merge] = {
     import org.apache.spark.storage.StorageLevel
@@ -130,7 +164,10 @@ object Bpe {
       concat(lit(SEP), regexp_replace(col("w"), "(?s)(.)", "$1" + SEP)).as("syms"),
       col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+    // parent frame of `cur`, kept cached until `cur` itself materializes
+    // (inside the next argmax job) so each round's merge projection
+    // reads the parent's cache, never replayed lineage
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var continue = true
@@ -150,6 +187,9 @@ object Bpe {
         .where(col("n") >= minPairFreq)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      // this collect was the round's one job: it materialized `cur`'s
+      // cache on first touch, so the parent frame can go now
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) continue = false
       else {
         val (l, rt) = (best(0).getString(0), best(0).getString(1))
@@ -158,17 +198,36 @@ object Bpe {
         // (not consume) the trailing separator, so runs like |a|a|a|
         // merge the first pair only — exactly BPE's order
         val pat = java.util.regex.Pattern.quote(SEP + l + SEP + rt) + "(?=" + SEP + ")"
-        val next = cur.select(
-          regexp_replace(col("syms"), pat, SEP + l + rt).as("syms"),
-          col("freq"))
+        // the .toRdd capture happens while `cur` is still registered, so
+        // the captured physical plan reads cur's cache; the re-rooted
+        // frame's LOGICAL plan is a leaf (see rerootOnRdd scaladoc)
+        // copyRows=false: `next` is always persisted and first touched
+        // by its own columnar cache build, which copies values
+        val next = org.apache.spark.sql.GraftColumnBridge.rerootOnRdd(
+          cur.select(
+            regexp_replace(col("syms"), pat, SEP + l + rt).as("syms"),
+            col("freq")),
+          copyRows = false)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cur.unpersist(blocking = false)
+        prev = cur
         cur = next
         r += 1
+        if (r % 24 == 0) {
+          if (spark.sparkContext.getCheckpointDir.isEmpty)
+            spark.sparkContext.setCheckpointDir(java.nio.file.Files
+              .createTempDirectory("graft-bpe-ckpt").toString)
+          // eager: one job that executes `cur` (reading prev's cache)
+          // and writes checkpoint files, truncating the RDD graph. The
+          // pre-checkpoint frame's (never-materialized) persist goes;
+          // the checkpointed frame takes over its cache slot.
+          val ck = cur.checkpoint(eager = true)
+          cur.unpersist(blocking = false)
+          cur = ck.persist(StorageLevel.MEMORY_AND_DISK)
+        }
       }
     }
     cur.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     merges.result()
   }
 

@@ -365,7 +365,64 @@ object Relational {
       |FROM orders WHERE o_custkey < 100
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Sequential event funnel over the events stream: per user, the
+    * earliest view, the earliest click strictly after it, and the
+    * earliest purchase strictly after that; output is the per-stage
+    * user count plus the total view→purchase conversion seconds.
+    *
+    * Scale shape: each stage is a pushed-down scan (event_type filter +
+    * two-column projection reach parquet) feeding a map-side-combinable
+    * min-per-user aggregate — the shuffled rows are user-level, never
+    * event-level — and the stage joins are user_id equi-joins AQE can
+    * re-plan on skew. The alternative single-shuffle formulation (sort
+    * every user's events in one window pass) moves the FULL event
+    * stream through one shuffle; three pruned scans are cheaper at
+    * 100 TB because each reads two columns of a filtered fraction of
+    * the data. */
+  def q18Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts"))
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("t1"))
+    val c = stage("click").join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t1").as("t1"))
+    val n1 = v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"),
+      lit(0L).as("conv_seconds"))
+    val n2 = c.agg(count(lit(1)).as("n")).select(lit("2_click").as("stage"), col("n"),
+      lit(0L).as("conv_seconds"))
+    val n3 = p.agg(count(lit(1)).as("n"),
+        coalesce(sum(floor((unix_micros(col("t3")) - unix_micros(col("t1"))) / 1000000L)
+          .cast("long")), lit(0L)).as("conv_seconds"))
+      .select(lit("3_purchase").as("stage"), col("n"), col("conv_seconds"))
+    n1.union(n2).union(n3).orderBy("stage")
+  }
+
+  val q18Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3, min(c.t1) AS t1
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+      |SELECT stage, n, conv_seconds FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n, 0 AS conv_seconds FROM v
+      |  UNION ALL
+      |  SELECT '2_click', count(*), 0 FROM c
+      |  UNION ALL
+      |  SELECT '3_purchase', count(*),
+      |         CAST(coalesce(sum(floor((epoch_us(t3) - epoch_us(t1)) / 1000000)), 0) AS BIGINT)
+      |  FROM p)
+      |ORDER BY stage""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q18_funnel" -> (q18Funnel _, q18Sql),
     "q16_cube" -> (q16Cube _, q16Sql),
     "q17_running_window" -> (q17Running _, q17Sql),
     "q14_percentiles" -> (q14Percentiles _, q14Sql),

@@ -429,7 +429,45 @@ object Similarity {
       |       CAST(nlabel = true_label AS INT) AS correct
       |FROM best WHERE vr = 1 ORDER BY qid""".stripMargin
 
+  /** Recall@5 of the IVF index against exact brute force, per query —
+    * the evaluation loop every ANN deployment runs to tune K/NPROBE
+    * before committing to an index layout. Composes the two existing
+    * queries; recall = |ivf top-5 ∩ exact top-5| / 5.
+    *
+    * Scale shape: inherits both inputs' shapes (broadcast query set,
+    * cell-pruned candidate join); the eval join itself is on
+    * (qid, nid) — output-of-top-k sized, i.e. tiny — and aggregates to
+    * one row per query. At 100 TB this runs on a sampled query set
+    * while the corpus-side work stays identical to the production
+    * search path, so measured recall transfers. */
+  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+    val exact = annBruteForce(s, d).select(col("qid"), col("nid"))
+    val approx = annIvfTopK(s, d)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"), count(col("anid")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+      .orderBy("qid")
+  }
+
+  val annRecallEvalSql: String =
+    s"""WITH exact AS (
+       |  SELECT qid, nid FROM (
+       |${annBruteForceSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |approx AS (
+       |  SELECT qid AS aqid, nid AS anid FROM (
+       |${annIvfTopKSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ))
+       |SELECT e.qid, count(*) AS n_exact, count(a.anid) AS n_hit,
+       |       round(count(a.anid) / count(*), 4) AS recall
+       |FROM exact e LEFT JOIN approx a ON e.qid = a.aqid AND e.nid = a.anid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "ann_recall_eval" -> (annRecallEval _, annRecallEvalSql),
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
     "embed_knn_classify" -> (knnClassify _, knnClassifySql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),

@@ -741,7 +741,14 @@ object Text {
     * the gram space.
     */
   def ngramTopk(s: SparkSession, d: String): DataFrame = {
-    val a = toks(col("text"))
+    // Project the token array into a bound column FIRST: referencing the
+    // raw `split(trim(text))` expression from inside the `transform`
+    // lambda re-evaluates the full regexp split per gram index (three
+    // element_at calls x O(tokens) grams = O(tokens^2) splits per doc,
+    // inside a CodegenFallback HOF) — measured 11x slower at sf0.1
+    // (7.4 s vs 0.61 s). Bound to "a", each element_at is an O(1) array
+    // index into one materialized split.
+    val a = col("a")
     // sequence(1, n-2) needs n >= 3: Spark's sequence DESCENDS when
     // start > stop, so shorter docs must be filtered out, not clamped
     val grams = transform(
@@ -749,7 +756,8 @@ object Text {
       i => concat_ws(" ",
         element_at(a, i), element_at(a, i + 1), element_at(a, i + 2)))
     documents(s, d)
-      .where(size(toks(col("text"))) >= 3)
+      .select(toks(col("text")).as("a"))
+      .where(size(a) >= 3)
       .select(explode(grams).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
@@ -930,8 +938,125 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Fixed, data-independent BPE merge table (well-formed: every
+    * compound symbol is only consumed by later-rank merges, and left !=
+    * right for every pair). Those two properties make the priority
+    * encode loop ([[graft.functions.BpeEncode]]) provably equal to
+    * applying the merges sequentially in rank order with global
+    * left-to-right replacement — which IS expressible in SQL, giving
+    * the encoder a full hash oracle that the learned-table query
+    * (text_bpe_tokens) cannot have.
+    */
+  private val bpeFixedMerges: Seq[graft.operators.Bpe.Merge] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"), ("e", "n"),
+    ("a", "t"), ("o", "u"), ("in", "g"), ("an", "d"), ("e", "s"),
+    ("l", "e")).zipWithIndex.map { case ((l, r), i) =>
+    graft.operators.Bpe.Merge(i, l, r)
+  }
+
+  /** BPE encode with the fixed merge table above: per doc, the token
+    * count and an md5 of the space-joined token stream. Exercises the
+    * codegen encode path ([[graft.functions.BpeEncode]]) under a full
+    * rows+schema+hash oracle: DuckDB replays the merges as a recursive
+    * CTE over the sentinel-joined text (8 regexp passes per merge —
+    * separator-adjacent occurrence chains halve per pass, so 8 covers
+    * chains up to ~2^8; validated equal to an independent priority-loop
+    * implementation on every doc).
+    *
+    * Scale shape: identical to text_bpe_tokens' encode half — one
+    * codegen'd map pass, merge table ships once per executor as a plan
+    * reference, no shuffle except the verification ORDER BY.
+    */
+  def bpeFixedEncode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.Bpe.encodeTokens(col("text"), bpeFixedMerges).as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).as("n_tokens_bpe_fixed"),
+        md5(concat_ws(" ", col("__t"))).as("token_fp"))
+      .orderBy("doc_id")
+
+  val bpeFixedEncodeSql: String = {
+    val passes = 8
+    val vals = bpeFixedMerges
+      .map(m => s"(${m.rank}, '${m.left}', '${m.right}')").mkString(", ")
+    val nSteps = bpeFixedMerges.size * passes
+    s"""WITH RECURSIVE m(rank, l, r) AS (VALUES $vals),
+       |base AS (
+       |  SELECT doc_id,
+       |         chr(1) || regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+       |                                  '(.)', '\\1' || chr(1), 'g') AS syms
+       |  FROM documents),
+       |enc(doc_id, syms, step) AS (
+       |  SELECT doc_id, syms, 0 FROM base
+       |  UNION ALL
+       |  SELECT e.doc_id,
+       |         regexp_replace(e.syms,
+       |           chr(1) || m.l || chr(1) || m.r || chr(1),
+       |           chr(1) || m.l || m.r || chr(1), 'g'),
+       |         e.step + 1
+       |  FROM enc e JOIN m ON m.rank = e.step // $passes
+       |  WHERE e.step < $nSteps),
+       |toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(syms, chr(1)),
+       |                     x -> x <> '' AND x <> ' ') AS t
+       |  FROM enc WHERE step = $nSteps)
+       |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens_bpe_fixed,
+       |       md5(array_to_string(t, ' ')) AS token_fp
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
+  /** Capped inverted index over rare terms: alphabetic terms (≥3 chars,
+    * lowercased) appearing in 2–10 documents, each with its document
+    * frequency and sorted posting list — the exact-match retrieval /
+    * contamination-lookup structure a pipeline builds next to the
+    * n-gram decontaminator.
+    *
+    * Scale shape: the (doc, term) pair stream is deduped per doc inside
+    * the projection (array_distinct before explode — nothing leaves the
+    * scan twice), document frequency is a map-side-combinable count,
+    * and ONLY terms passing the df band get their postings collected —
+    * the df filter runs before the collect_list, so no posting list
+    * ever exceeds the band's upper bound (10 here). The unbounded
+    * variant (collect every term's full postings) is the classic
+    * build-an-index-out-of-memory trap; banding df first keeps the
+    * grouped state O(band width) per term at any corpus size. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("term"))
+      .where(col("term").rlike("^[a-z]{3,}$"))
+    val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 10))
+    pairs.join(dfreq, "term")
+      .groupBy("term", "df")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+  }
+
+  val invertedIndexSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, t AS term
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |        FROM documents)
+      |  WHERE regexp_matches(t, '^[a-z]{3,}$')),
+      |d AS (
+      |  SELECT term, count(*) AS df FROM pairs GROUP BY term
+      |  HAVING count(*) BETWEEN 2 AND 10)
+      |SELECT p.term, d.df,
+      |       string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+      |FROM pairs p JOIN d USING (term)
+      |GROUP BY p.term, d.df
+      |ORDER BY d.df DESC, p.term LIMIT 100""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_bpe_tokens" -> (bpeTokens _, ""),
+    "text_bpe_fixed_encode" -> (bpeFixedEncode _, bpeFixedEncodeSql),
+    "text_inverted_index" -> (invertedIndex _, invertedIndexSql),
     "text_chunk_windows" -> (chunkWindows _, chunkWindowsSql),
     "dedup_sorted_neighbors" -> (sortedNeighbors _, sortedNeighborsSql),
     "text_normalize" -> (normalize _, normalizeSql),

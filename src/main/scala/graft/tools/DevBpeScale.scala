@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Repro harness for the distributed-BPE 300-merge scale test: watches
+  * logical-plan string size, persistent-RDD count, and heap across
+  * rounds to pin down what grows. (Dev tool backing the plan-truncation
+  * design in Bpe.trainDistributed.)
+  */
+object DevBpeScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("dev-bpe-scale")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val words = (0 until 400).map { i =>
+      java.lang.Long.toString(100000L + i.toLong * 37L, 5)
+        .map(c => ('a' + (c - '0')).toChar).mkString + "ing"
+    }
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    val t0 = System.nanoTime()
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 300,
+      minPairFreq = 1L, localVocabLimit = 0L)
+    println(s"merges=${merges.size} in ${(System.nanoTime()-t0)/1e9}s " +
+      s"persistentRDDs=${spark.sparkContext.getPersistentRDDs.size}")
+    spark.stop()
+  }
+}

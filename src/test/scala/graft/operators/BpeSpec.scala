@@ -134,6 +134,30 @@ class BpeSpec extends SparkTestBase {
     assert(one.map(m => (m.left, m.right)) == Seq(("a", "b")))
   }
 
+  test("a few hundred merges: local and distributed agree, caches stay clean") {
+    // 300 rounds crosses the distributed path's 32-round plan-truncation
+    // boundary nine times, so this also pins the re-rooted-RDD frames
+    // against both result drift and cache leaks. The testdata documents
+    // table has only 31 distinct words (synthetic corpus) and collapses
+    // after ~89 merges, so the vocabulary here is generated: 400
+    // deterministic pseudo-words (base-5 digits of a spread counter
+    // mapped to letters) with a shared suffix, ~3k mergeable pairs.
+    val words = (0 until 400).map { i =>
+      java.lang.Long.toString(100000L + i.toLong * 37L, 5)
+        .map(c => ('a' + (c - '0')).toChar).mkString + "ing"
+    }
+    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // minPairFreq=1: every word is distinct, so no pair reaches 2
+    val local = Bpe.train(docs, "text", numMerges = 300, minPairFreq = 1L)
+    assert(local.size >= 250, s"corpus too poor for the test: ${local.size} merges")
+    val dist = Bpe.train(docs, "text", numMerges = 300, minPairFreq = 1L,
+      localVocabLimit = 0L)
+    assert(dist.map(m => (m.left, m.right)) == local.map(m => (m.left, m.right)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"Bpe.train leaked cached RDDs: $leaked")
+  }
+
   test("surrogate-pair code points survive both paths intact") {
     val emoji = new String(Character.toChars(0x1F600)) // astral code point
     val df = Seq(s"$emoji$emoji a$emoji a$emoji").toDF("text")
