@@ -422,7 +422,47 @@ object Pipeline {
       | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
       |ORDER BY p_id, e_id""".stripMargin
 
+  /** Hot-key join via [[graft.operators.SkewJoin.salted]]: events
+    * joined to a 5-row category dimension on event_type — a maximally
+    * skewed key (every key is ~20% of the stream). The salted plan
+    * spreads each hot key over 8 reducers; the oracle is the PLAIN
+    * join, pinning that salting is result-invisible.
+    *
+    * Scale shape: at 100 TB the same query with a plain shuffle join
+    * puts one event_type's full volume on one task; salted, the right
+    * side (5 rows × 8 replicas) is noise and the left spreads
+    * uniformly. (Broadcast would also work for a 5-row dim — the query
+    * exists to pin the salting operator used where the right side is
+    * too big to broadcast; see SkewJoinSpec for the partition-spread
+    * assertion.) */
+  def skewJoinHot(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val cat = ev.select(col("event_type")).distinct()
+      .withColumn("category",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    graft.operators.SkewJoin.salted(
+        ev.select(col("event_type"), col("value")), cat,
+        Seq("event_type"), salt = 8)
+      .groupBy("category", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("category", "event_type")
+  }
+
+  val skewJoinHotSql: String =
+    """WITH cat AS (
+      |  SELECT DISTINCT event_type,
+      |         CASE WHEN event_type IN ('purchase', 'signup')
+      |              THEN 'conversion' ELSE 'engagement' END AS category
+      |  FROM events)
+      |SELECT c.category, e.event_type, count(*) AS n,
+      |       round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN cat c USING (event_type)
+      |GROUP BY c.category, e.event_type
+      |ORDER BY c.category, e.event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "skewjoin_events_hot" -> (skewJoinHot _, skewJoinHotSql),
     "asof_join" -> (asofJoin _, asofJoinSql),
     "range_join" -> (rangeJoin _, rangeJoinSql),
     "dedup_embedding_cosine" -> (dedupEmbedding _, dedupEmbeddingSql),
