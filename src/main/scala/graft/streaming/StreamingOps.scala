@@ -78,6 +78,76 @@ object StreamingOps {
       }
   }
 
+  /** Per-user funnel progress for [[FunnelState]]: micros of the
+    * earliest view, the earliest click strictly after it, and the
+    * earliest purchase strictly after that. */
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+
+  case class FunnelCompletion(userId: Long, viewTs: Timestamp,
+      purchaseTs: Timestamp, convSeconds: Long)
+
+  /** Streaming counterpart of the batch q18_funnel: per user, track the
+    * earliest view → first click after it → first purchase after that,
+    * and emit one completion row the moment the third stage lands.
+    *
+    * State per user is three longs (O(1) — never the event list), so a
+    * 1000-executor cluster shards funnel tracking by user exactly like
+    * sessionization. Disorder handling, honestly stated: within a
+    * micro-batch events are sorted by time, so any same-batch disorder
+    * is exact; across batches a stage timestamp only moves EARLIER
+    * (min) and dependent stages reset when an earlier upstream arrival
+    * invalidates them — but a downstream event DISCARDED in an earlier
+    * batch (because its upstream stage hadn't arrived yet) is not
+    * replayed; the funnel then completes on the next qualifying event
+    * instead. Exactness beyond that would require buffering candidate
+    * events per user (unbounded state) — the O(1)-state trade every
+    * streaming funnel makes. State expires via event-time timeout
+    * `expireMinutes` past the last update.
+    */
+  def funnelStream(events: Dataset[Event], expireMinutes: Int,
+      watermark: String = "1 hour"): Dataset[FunnelCompletion] = {
+    import events.sparkSession.implicits._
+    val U = Long.MaxValue
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, evs, state) =>
+          if (evs.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(U, U, U))
+            val done0 = st.purchaseUs != U
+            var lastMs = 0L
+            evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+              val t = e.ts.getTime * 1000L
+              lastMs = math.max(lastMs, e.ts.getTime)
+              e.eventType match {
+                case "view" if t < st.viewUs =>
+                  // earlier view: later stages stay valid only if still after it
+                  st = FunnelState(t,
+                    if (st.clickUs > t) st.clickUs else U,
+                    if (st.clickUs > t && st.purchaseUs > st.clickUs) st.purchaseUs else U)
+                case "click" if st.viewUs != U && t > st.viewUs && t < st.clickUs =>
+                  st = FunnelState(st.viewUs, t,
+                    if (st.purchaseUs > t) st.purchaseUs else U)
+                case "purchase" if st.clickUs != U && t > st.clickUs && t < st.purchaseUs =>
+                  st = FunnelState(st.viewUs, st.clickUs, t)
+                case _ =>
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(lastMs + expireMinutes * 60000L)
+            if (!done0 && st.purchaseUs != U)
+              Iterator.single(FunnelCompletion(userId,
+                new Timestamp(st.viewUs / 1000L),
+                new Timestamp(st.purchaseUs / 1000L),
+                (st.purchaseUs - st.viewUs) / 1000000L))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup by content fingerprint: md5 of normalized
     * text, deduped within the watermark window (state = one fingerprint
     * per kept row, expired once the watermark passes — bounded state,

@@ -127,17 +127,18 @@ class CurationSpec extends SparkTestBase {
   test("curation query plans: no cartesian products, bounded shuffles") {
     val sf = "/root/testdata/sf0.001"
     def audit(df: org.apache.spark.sql.DataFrame, name: String, maxShuffles: Int): Unit = {
-      val plan = df.queryExecution.executedPlan
-      val cartesian = plan.collect {
-        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
-      }
-      assert(cartesian.isEmpty, s"$name plans a product join:\n$plan")
-      val shuffles = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      assert(shuffles.length <= maxShuffles,
-        s"$name plans ${shuffles.length} shuffles (max $maxShuffles):\n$plan")
+      // string-based: node collect can't see through AdaptiveSparkPlanExec
+      // (children are fields, not tree children), so the collect-based
+      // form of this audit passed vacuously on any AQE-wrapped plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a product join:\n$plan")
+      val shuffles =
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+          .findAllIn(plan).size
+      assert(shuffles <= maxShuffles,
+        s"$name plans $shuffles shuffles (max $maxShuffles):\n$plan")
     }
     // linear scans: only the final order-by may shuffle
     audit(graft.queries.Curation.gopherFilters(spark, sf), "gopher", 1)

@@ -52,6 +52,50 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel emits one completion when view->click->purchase lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = StreamingOps.funnelStream(input.toDS(), expireMinutes = 120)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1 completes across batches; user 2 clicks before viewing
+      // (no completion); user 3 views only
+      input.addData(
+        Event(1L, ts(0), "view", 1.0),
+        Event(2L, ts(0), "click", 1.0),
+        Event(3L, ts(0), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(1L, ts(10), "click", 1.0),
+        Event(2L, ts(10), "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM funnel_out").count() == 0)
+      input.addData(
+        // completes user 1; the second, later purchase must NOT emit a
+        // second completion
+        Event(1L, ts(30), "purchase", 9.0),
+        Event(1L, ts(40), "purchase", 2.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM funnel_out")
+        .as[StreamingOps.FunnelCompletion].collect()
+      assert(got.length == 1, got.toSeq.toString)
+      assert(got(0).userId == 1L && got(0).viewTs == ts(0) &&
+        got(0).purchaseTs == ts(30) && got(0).convSeconds == 30 * 60)
+
+      // user 2 completes the proper order after the early click
+      input.addData(Event(2L, ts(20), "click", 1.0),
+        Event(2L, ts(25), "purchase", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT * FROM funnel_out ORDER BY userId")
+        .as[StreamingOps.FunnelCompletion].collect()
+      assert(all.length == 2 && all(1).userId == 2L &&
+        all(1).convSeconds == 15 * 60)
+    } finally q.stop()
+  }
+
   test("streaming stat-file sink writes one dta per microbatch, re-readable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
