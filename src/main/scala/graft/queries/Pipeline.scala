@@ -422,6 +422,54 @@ object Pipeline {
       | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
       |ORDER BY p_id, e_id""".stripMargin
 
+  /** LSH quality evaluation — the dedup analog of `ann_recall_eval`:
+    * how much of the EXACT near-dup pair set (n-gram Jaccard ≥ 0.5,
+    * same shingling) does the banded MinHash pipeline recover, and how
+    * much of what it emits is real. Precision is 1.0 by construction
+    * (LSH candidates are exactly verified before emission); recall < 1
+    * measures pairs whose signatures never collided in any band — the
+    * number a pipeline watches when tuning k/bands against corpus
+    * drift.
+    *
+    * Scale shape: both inputs keep their own (audited) shapes; the
+    * comparison is a full-outer join on pair ids — output-of-dedup
+    * sized, trivial against corpus cost. */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = Text.ngramJaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val lsh = MinHashLsh.nearDupPairs(documents(s, d), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id_a").as("la"), col("id_b").as("lb"))
+    exact.join(lsh, col("id_a") === col("la") && col("id_b") === col("lb"),
+        "full_outer")
+      .agg(count(col("id_a")).as("n_exact"),
+        count(col("la")).as("n_lsh"),
+        count(when(col("id_a").isNotNull && col("la").isNotNull, 1)).as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        round(col("n_hit") / col("n_exact"), 4).as("recall"),
+        round(col("n_hit") / col("n_lsh"), 4).as("precision"))
+  }
+
+  def lshRecallSql: String =
+    s"""WITH exact AS (
+       |  SELECT id_a, id_b FROM (
+       |${Text.ngramJaccardPairsSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) WHERE jaccard >= 0.5),
+       |lsh AS (
+       |  SELECT id_a AS la, id_b AS lb FROM (
+       |${dedupMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ))
+       |SELECT count(e.id_a) AS n_exact, count(l.la) AS n_lsh,
+       |       count(CASE WHEN e.id_a IS NOT NULL AND l.la IS NOT NULL
+       |                  THEN 1 END) AS n_hit,
+       |       round(count(CASE WHEN e.id_a IS NOT NULL AND l.la IS NOT NULL
+       |                        THEN 1 END) / count(e.id_a), 4) AS recall,
+       |       round(count(CASE WHEN e.id_a IS NOT NULL AND l.la IS NOT NULL
+       |                        THEN 1 END) / count(l.la), 4) AS precision
+       |FROM exact e FULL OUTER JOIN lsh l
+       |  ON e.id_a = l.la AND e.id_b = l.lb""".stripMargin
+
   /** Hot-key join via [[graft.operators.SkewJoin.salted]]: events
     * joined to a 5-row category dimension on event_type — a maximally
     * skewed key (every key is ~20% of the stream). The salted plan
@@ -462,6 +510,7 @@ object Pipeline {
       |ORDER BY c.category, e.event_type""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_lsh_recall" -> (lshRecall _, lshRecallSql),
     "skewjoin_events_hot" -> (skewJoinHot _, skewJoinHotSql),
     "asof_join" -> (asofJoin _, asofJoinSql),
     "range_join" -> (rangeJoin _, rangeJoinSql),
