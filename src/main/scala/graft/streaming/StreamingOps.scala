@@ -148,6 +148,38 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream time-range join: the streaming counterpart of
+    * [[graft.operators.RangeJoin.withinTolerance]] — pair rows of two
+    * live streams sharing `key` whose event times lie within
+    * `toleranceMinutes` of each other.
+    *
+    * Spark can only evict stream-stream join state when BOTH a
+    * watermark and a time-range predicate bound how long a row can
+    * still match; this op supplies both, so each side's state holds
+    * only rows younger than watermark + tolerance — bounded at any
+    * stream rate, sharded by key. (Without the range predicate the
+    * state grows forever; that formulation is rejected by Spark for
+    * append sinks anyway.)
+    *
+    * Both inputs must share ONLY the key column name; time columns are
+    * normalized to instants (TIMESTAMP_NTZ-proof) before watermarking.
+    */
+  def streamRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, toleranceMinutes: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared == Set(key),
+      s"sides must share only the key column '$key', shared: $shared")
+    val l = withInstantTime(left, leftTs).withWatermark(leftTs, watermark)
+    val r = withInstantTime(right, rightTs).withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, "__rkey")
+    l.join(r,
+      col(key) === col("__rkey") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $toleranceMinutes MINUTES") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $toleranceMinutes MINUTES"))
+      .drop("__rkey")
+  }
+
   /** Streaming exact dedup by content fingerprint: md5 of normalized
     * text, deduped within the watermark window (state = one fingerprint
     * per kept row, expired once the watermark passes — bounded state,

@@ -96,6 +96,42 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream range join pairs events within tolerance, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = StreamingOps.streamRangeJoin(
+      purchases.toDS().toDF("userId", "p_ts", "p_type", "p_value"),
+      errors.toDS().toDF("userId", "e_ts", "e_type", "e_value"),
+      key = "userId", leftTs = "p_ts", rightTs = "e_ts",
+      toleranceMinutes = 60, watermark = "30 minutes")
+    val q = joined.select("userId", "p_ts", "e_ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rj_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      purchases.addData(Event(1L, ts(100), "purchase", 1.0),
+        Event(2L, ts(100), "purchase", 1.0))
+      errors.addData(
+        Event(1L, ts(130), "error", 0.0),   // within 60 min -> match
+        Event(2L, ts(300), "error", 0.0))   // 200 min away -> no match
+      q.processAllAvailable()
+      // push both watermarks forward so the joined rows become emittable
+      purchases.addData(Event(9L, ts(500), "purchase", 0.0))
+      errors.addData(Event(9L, ts(510), "error", 0.0))
+      q.processAllAvailable()
+      purchases.addData(Event(8L, ts(700), "purchase", 0.0))
+      errors.addData(Event(8L, ts(800), "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT userId FROM rj_out ORDER BY userId")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.contains(1L), s"in-tolerance pair missing: $got")
+      assert(!got.contains(2L), s"out-of-tolerance pair emitted: $got")
+      assert(got.contains(9L), s"same-batch pair missing: $got")
+    } finally q.stop()
+  }
+
   test("streaming stat-file sink writes one dta per microbatch, re-readable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
