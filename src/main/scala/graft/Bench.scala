@@ -235,8 +235,12 @@ object Bench {
       val t0 = System.nanoTime()
       try { f(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case t: Throwable =>
+        // strip EVERY character that would need JSON escaping: quotes,
+        // backslashes, and the whole C0 control range (codec/native-lib
+        // messages can carry ANSI escapes or NULs)
         errAcc(name) = (t.getClass.getSimpleName + ": " +
-          String.valueOf(t.getMessage)).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          String.valueOf(t.getMessage))
+          .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
         None
       }
     }
@@ -352,9 +356,19 @@ object Bench {
       .map(k => s"\"" + k + "\":" + fmt3(medians(k))).mkString("{", ",", "}")
     val noiseJson = noise.map(fmt3).mkString("[", ",", "]")
     // failed queries ride in the guaranteed tail so the driver-visible
-    // record always shows them, even under the char budget
+    // record always shows them, even under the char budget — but the
+    // tail itself must stay bounded: a systemic regression failing most
+    // of the registry would otherwise overflow the capture window and
+    // truncate the one parseable record mid-JSON (the BENCH_r1-r4
+    // failure mode). Cap at 8 names + a count; the full map is always
+    // in BENCH_LOCAL.json.
     val errTail = if (failed.isEmpty) ""
-      else s""","errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else {
+        val shown = failed.take(8).map("\"" + _ + "\"")
+        val more = failed.length - shown.length
+        s""","errors":${shown.mkString("[", ",", "]")}""" +
+          (if (more > 0) s""","errors_omitted":$more""" else "")
+      }
     val fixedTail =
       s""","med":$medJson,"noise":$noiseJson$errTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{"""

@@ -200,29 +200,41 @@ object Bpe {
         val pat = java.util.regex.Pattern.quote(SEP + l + SEP + rt) + "(?=" + SEP + ")"
         // the .toRdd capture happens while `cur` is still registered, so
         // the captured physical plan reads cur's cache; the re-rooted
-        // frame's LOGICAL plan is a leaf (see rerootOnRdd scaladoc)
-        // copyRows=false: `next` is always persisted and first touched
-        // by its own columnar cache build, which copies values
-        val next = org.apache.spark.sql.GraftColumnBridge.rerootOnRdd(
+        // frame's LOGICAL plan is a leaf (see rerootOnRdd scaladoc).
+        // copyRows=false is safe on both branches below: the persist
+        // branch's columnar cache build copies values, and
+        // Dataset.checkpoint copies rows internally.
+        val projected = org.apache.spark.sql.GraftColumnBridge.rerootOnRdd(
           cur.select(
             regexp_replace(col("syms"), pat, SEP + l + rt).as("syms"),
             col("freq")),
           copyRows = false)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        prev = cur
-        cur = next
         r += 1
         if (r % 24 == 0) {
-          if (spark.sparkContext.getCheckpointDir.isEmpty)
+          if (spark.sparkContext.getCheckpointDir.isEmpty) {
+            // a driver-local temp dir only works when executors share
+            // the driver's filesystem — on a real cluster each executor
+            // would write its partitions to its OWN disk and later reads
+            // from other executors fail. Fail fast with the remedy
+            // rather than dying cryptically mid-train at round 24.
+            require(spark.sparkContext.isLocal,
+              "distributed BPE training needs a cluster-visible checkpoint " +
+                "dir (HDFS/S3): call sparkContext.setCheckpointDir first")
             spark.sparkContext.setCheckpointDir(java.nio.file.Files
               .createTempDirectory("graft-bpe-ckpt").toString)
-          // eager: one job that executes `cur` (reading prev's cache)
-          // and writes checkpoint files, truncating the RDD graph. The
-          // pre-checkpoint frame's (never-materialized) persist goes;
-          // the checkpointed frame takes over its cache slot.
-          val ck = cur.checkpoint(eager = true)
+          }
+          // checkpoint the UNPERSISTED projection: the eager checkpoint
+          // job reads `cur`'s cache and writes the files directly —
+          // persisting first would build a full columnar cache of a
+          // corpus-distinct-sized table only to discard it right after.
+          // Once the files exist the old cache can go; the checkpointed
+          // frame takes the cache slot (rebuilt lazily from files).
+          val ck = projected.checkpoint(eager = true)
           cur.unpersist(blocking = false)
           cur = ck.persist(StorageLevel.MEMORY_AND_DISK)
+        } else {
+          prev = cur
+          cur = projected.persist(StorageLevel.MEMORY_AND_DISK)
         }
       }
     }

@@ -35,11 +35,19 @@ object SkewJoin {
     require(salt > 1, "salt must be > 1")
     require(supported.contains(joinType.toLowerCase.replace("_", "")),
       s"join type '$joinType' not supported by salted join (right rows replicate)")
-    // deterministic scatter: row id modulo salt (uniform per partition
-    // layout; ANY value in [0, salt) is correct, distribution only
-    // affects balance)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs must not already have a __salt column")
+    // scatter value must be DETERMINISTIC PER ROW CONTENT, not per
+    // physical position: monotonically_increasing_id/rand change across
+    // task recomputes, and a fetch-failure retry would re-salt rows onto
+    // different reducers — some reducers see a row twice, others never
+    // (the SPARK-23207 round-robin hazard). hash(all left columns) is
+    // recompute-stable; ANY value in [0, salt) is correct, so the only
+    // cost is that fully-identical hot-key rows share a salt (they
+    // carry no distinguishing bits to scatter by — callers with such
+    // data should add a stable id column first).
     val l = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, keys :+ "__salt", joinType).drop("__salt")

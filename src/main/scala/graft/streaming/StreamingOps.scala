@@ -119,8 +119,15 @@ object StreamingOps {
             var st = state.getOption.getOrElse(FunnelState(U, U, U))
             val done0 = st.purchaseUs != U
             var lastMs = 0L
-            evs.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
-              val t = e.ts.getTime * 1000L
+            // true microseconds: Timestamp.getTime is MILLIS-truncated,
+            // the sub-millisecond part lives in getNanos — without it a
+            // click 500 µs after its view compares equal and the strict
+            // ordering guard drops it (diverging from the batch funnel's
+            // unix_micros comparison)
+            def micros(t: Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            evs.toSeq.sortBy(e => (micros(e.ts), e.eventType)).foreach { e =>
+              val t = micros(e.ts)
               lastMs = math.max(lastMs, e.ts.getTime)
               e.eventType match {
                 case "view" if t < st.viewUs =>
@@ -138,10 +145,14 @@ object StreamingOps {
             }
             state.update(st)
             state.setTimeoutTimestamp(lastMs + expireMinutes * 60000L)
+            def toTs(us: Long): Timestamp = {
+              val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+              t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+              t
+            }
             if (!done0 && st.purchaseUs != U)
               Iterator.single(FunnelCompletion(userId,
-                new Timestamp(st.viewUs / 1000L),
-                new Timestamp(st.purchaseUs / 1000L),
+                toTs(st.viewUs), toTs(st.purchaseUs),
                 (st.purchaseUs - st.viewUs) / 1000000L))
             else Iterator.empty
           }

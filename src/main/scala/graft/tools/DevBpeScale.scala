@@ -8,6 +8,20 @@ import org.apache.spark.sql.SparkSession
   * design in Bpe.trainDistributed.)
   */
 object DevBpeScale {
+
+  /** 400 deterministic pseudo-words (base-5 digits of a spread counter
+    * mapped to letters, shared "ing" suffix): ~3k mergeable pairs —
+    * rich enough to sustain 300 BPE merges, which the 31-distinct-word
+    * testdata corpus is not. Shared by BpeSpec's 300-merge test so the
+    * repro and the test can never drift apart. */
+  def syntheticWords: Seq[String] = (0 until 400).map { i =>
+    java.lang.Long.toString(100000L + i.toLong * 37L, 5)
+      .map(c => ('a' + (c - '0')).toChar).mkString + "ing"
+  }
+
+  def syntheticDocs: Seq[String] =
+    syntheticWords.grouped(40).map(_.mkString(" ")).toSeq
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -18,11 +32,7 @@ object DevBpeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val words = (0 until 400).map { i =>
-      java.lang.Long.toString(100000L + i.toLong * 37L, 5)
-        .map(c => ('a' + (c - '0')).toChar).mkString + "ing"
-    }
-    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    val docs = syntheticDocs.toDF("text")
     val t0 = System.nanoTime()
     val merges = graft.operators.Bpe.train(docs, "text", numMerges = 300,
       minPairFreq = 1L, localVocabLimit = 0L)

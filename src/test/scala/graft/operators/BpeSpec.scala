@@ -135,18 +135,13 @@ class BpeSpec extends SparkTestBase {
   }
 
   test("a few hundred merges: local and distributed agree, caches stay clean") {
-    // 300 rounds crosses the distributed path's 32-round plan-truncation
-    // boundary nine times, so this also pins the re-rooted-RDD frames
-    // against both result drift and cache leaks. The testdata documents
-    // table has only 31 distinct words (synthetic corpus) and collapses
-    // after ~89 merges, so the vocabulary here is generated: 400
-    // deterministic pseudo-words (base-5 digits of a spread counter
-    // mapped to letters) with a shared suffix, ~3k mergeable pairs.
-    val words = (0 until 400).map { i =>
-      java.lang.Long.toString(100000L + i.toLong * 37L, 5)
-        .map(c => ('a' + (c - '0')).toChar).mkString + "ing"
-    }
-    val docs = words.grouped(40).map(_.mkString(" ")).toSeq.toDF("text")
+    // 300 rounds crosses the distributed path's checkpoint boundary
+    // multiple times, so this also pins the re-rooted/checkpointed
+    // frames against both result drift and cache leaks. The testdata
+    // documents table has only 31 distinct words and collapses after
+    // ~89 merges, so the vocabulary is the DevBpeScale generator's
+    // (shared with the repro tool so they cannot drift apart).
+    val docs = graft.tools.DevBpeScale.syntheticDocs.toDF("text")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     // minPairFreq=1: every word is distinct, so no pair reaches 2
     val local = Bpe.train(docs, "text", numMerges = 300, minPairFreq = 1L)

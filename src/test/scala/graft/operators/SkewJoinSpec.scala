@@ -46,19 +46,28 @@ class SkewJoinSpec extends SparkTestBase {
     }
   }
 
-  test("the shuffle partitions on (key, salt), spreading the hot key") {
+  test("the join's own shuffle partitions on (key, salt), spreading the hot key") {
     val (left, right) = skewed
-    val salted = SkewJoin.salted(left, right, Seq("k"), salt = 7)
-    val plan = salted.queryExecution.executedPlan.toString
-    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
-    // empirically: the hot key's rows land in >1 shuffle partition.
-    // hashpartitioning(k, __salt) sends each (hot, s) bucket elsewhere;
-    // count distinct partitions holding hot rows after an explicit
-    // repartition on the same keys the join uses
-    // explicit partition count: AQE would coalesce this tiny shuffle to
-    // one partition and hide the spread being asserted
+    // disable broadcast: the operator's target regime is a right side
+    // too big to broadcast, where the join must SHUFFLE on (key, salt) —
+    // with the 51-row test dim Spark would otherwise broadcast and plan
+    // no exchange at all
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SkewJoin.salted(left, right, Seq("k"), salt = 7)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // the actual join plan must shuffle on BOTH key and salt — a
+    // regression to joining on the key alone (or losing the salt from
+    // the partitioning) would pass a mere column-presence check
+    assert("hashpartitioning\\(k#\\d+L?, __salt#\\d+".r.findFirstIn(plan).isDefined,
+      s"join does not partition on (k, __salt):\n$plan")
+    // empirically: hot-key rows (distinct payloads) land on >1 partition
+    // under the operator's content-hash salt. Explicit partition count:
+    // AQE would coalesce this tiny shuffle to one partition
     val parts = left.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(7L)).cast("int"))
+        pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(7)))
       .repartition(8, col("k"), col("__salt"))
       .filter(col("k") === "hot")
       .select(spark_partition_id().as("p")).distinct().count()
