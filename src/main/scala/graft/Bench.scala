@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Render a throwable as a JSON-string-safe error entry: strips every
+    * character that would need escaping (quotes, backslashes, the whole
+    * C0 control range — codec/native-lib messages can carry ANSI
+    * escapes or NULs) so the one driver-parsed record line can never be
+    * corrupted by exception text. Pure so BenchRecordSpec can pin it. */
+  def sanitizeErr(t: Throwable): String =
+    (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+      .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
+
   private def ensureFile(df: DataFrame, path: String): Unit =
     if (!new java.io.File(path).exists())
       df.write.format("readstat").mode("overwrite").save(path)
@@ -235,12 +244,7 @@ object Bench {
       val t0 = System.nanoTime()
       try { f(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case t: Throwable =>
-        // strip EVERY character that would need JSON escaping: quotes,
-        // backslashes, and the whole C0 control range (codec/native-lib
-        // messages can carry ANSI escapes or NULs)
-        errAcc(name) = (t.getClass.getSimpleName + ": " +
-          String.valueOf(t.getMessage))
-          .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
+        errAcc(name) = sanitizeErr(t)
         None
       }
     }
