@@ -918,10 +918,11 @@ object Text {
     * [[graft.operators.Bpe]] cost-based train), then encode every doc
     * and emit the token count plus a content hash of the token stream.
     *
-    * The ONLY rows-only query in the suite: BPE training is an
-    * iterative argmax no SQL oracle can replay, so exactness is pinned
-    * instead by BpeSpec's independent-implementation parity (naive
-    * reference + local/distributed path equality).
+    * Fully oracle-checked since round 8: [[bpeTokensSql]] unrolls the
+    * 40 deterministic training rounds into chained DuckDB CTEs (see its
+    * scaladoc for the left-to-right fold and the encode-equals-training
+    * argument), on top of BpeSpec's independent-implementation parity
+    * (naive reference + local/distributed path equality).
     *
     * Scale shape: training touches the distinct-word table, not the
     * corpus; encoding is one codegen'd map pass with the rank table
@@ -1008,6 +1009,89 @@ object Text {
        |FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  /** Full SQL oracle for text_bpe_tokens: the 40 training rounds are
+    * UNROLLED into chained materialized CTEs (one (pairs, argmax, merge)
+    * triple per round), so DuckDB independently replays the exact
+    * deterministic algorithm of [[graft.operators.Bpe.train]]:
+    * weighted adjacent-pair counts over the distinct-word table, argmax
+    * with the (max count, lexicographically smallest pair) tie-break,
+    * minimum pair frequency 2, and left-to-right non-overlapping merge
+    * application.
+    *
+    * The merge application is a `list_reduce` fold over the symbol
+    * list (accumulator = separator-joined tokens), which IS the
+    * left-to-right single pass — unlike the multi-pass regexp trick in
+    * [[bpeFixedEncodeSql]], it stays exact for learned left==right
+    * merges on symbol runs of length ≥ 5, where global regexp
+    * replacement merges the wrong occurrence order.
+    *
+    * The encode half needs no separate replay: every document word is
+    * in the training vocabulary (same corpus), and for a learned table
+    * the priority encode loop ([[graft.functions.BpeEncode]]) equals
+    * sequential rank-order application — a merge's compound symbol can
+    * only feed LATER-rank pairs, so the lowest-present-rank loop visits
+    * merges in rank order — which in turn is exactly the training
+    * evolution of that word. Per-doc tokens are therefore reassembled
+    * by joining doc words (in position order) to the round-40 word
+    * states. Validated value-equal to an independent Python
+    * train+encode implementation at sf0.001 and sf0.01.
+    *
+    * Early-stop parity: if a round has no pair with weighted count ≥ 2
+    * Spark stops training; the SQL substitutes an inert sentinel merge
+    * (chr(2), chr(2)) that can never match, so later rounds are
+    * no-ops and both sides encode with the same effective table.
+    */
+  val bpeTokensSql: String = {
+    val rounds = (0 until 40).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a[i] AS l, a[i+1] AS r, sum(freq) AS n FROM (
+         |    SELECT string_split(syms, chr(1)) AS a, freq,
+         |           unnest(generate_series(2, len(string_split(syms, chr(1))) - 2)) AS i
+         |    FROM w$k)
+         |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
+         |b$k AS MATERIALIZED (
+         |  (SELECT l, r FROM p$k ORDER BY n DESC, l, r LIMIT 1)
+         |  UNION ALL
+         |  (SELECT chr(2), chr(2) WHERE NOT EXISTS (SELECT 1 FROM p$k))),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT w.w,
+         |    CASE WHEN b.l = chr(2) THEN w.syms ELSE
+         |      list_reduce(
+         |        list_prepend(chr(1), list_filter(string_split(w.syms, chr(1)), x -> x <> '')),
+         |        (acc, x) -> CASE WHEN x = b.r AND suffix(acc, chr(1) || b.l || chr(1))
+         |                    THEN substr(acc, 1, length(acc) - 1 - length(b.l)) || b.l || x || chr(1)
+         |                    ELSE acc || x || chr(1) END)
+         |    END AS syms, w.freq
+         |  FROM w$k w CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE w <> '' AND NOT contains(w, chr(1))
+       |  GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS syms, freq
+       |  FROM words),
+       |$rounds,
+       |vocab AS (
+       |  SELECT w, list_filter(string_split(syms, chr(1)), x -> x <> '') AS toks
+       |  FROM w40),
+       |docw AS (
+       |  SELECT doc_id, unnest(a) AS w, unnest(generate_series(1, len(a))) AS pos
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a FROM documents)),
+       |agg AS (
+       |  SELECT d.doc_id, sum(len(v.toks)) AS n_tok,
+       |         string_agg(array_to_string(v.toks, ' '), ' ' ORDER BY d.pos) AS stream
+       |  FROM docw d JOIN vocab v ON v.w = d.w
+       |  WHERE d.w <> ''
+       |  GROUP BY d.doc_id)
+       |SELECT doc.doc_id,
+       |       CAST(coalesce(a.n_tok, 0) AS INT) AS n_tokens_bpe,
+       |       md5(coalesce(a.stream, '')) AS token_fp
+       |FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   /** Capped inverted index over rare terms: alphabetic terms (≥3 chars,
     * lowercased) appearing in 2–10 documents, each with its document
     * frequency and sorted posting list — the exact-match retrieval /
@@ -1054,7 +1138,7 @@ object Text {
       |ORDER BY d.df DESC, p.term LIMIT 100""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "text_bpe_tokens" -> (bpeTokens _, ""),
+    "text_bpe_tokens" -> (bpeTokens _, bpeTokensSql),
     "text_bpe_fixed_encode" -> (bpeFixedEncode _, bpeFixedEncodeSql),
     "text_inverted_index" -> (invertedIndex _, invertedIndexSql),
     "text_chunk_windows" -> (chunkWindows _, chunkWindowsSql),
