@@ -139,4 +139,104 @@ object Graph {
     e.unpersist()
     labels
   }
+
+  /** PageRank by fixed-iteration power method:
+    * rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u).
+    *
+    * Edges are DIRECTED as given (symmetrize before calling for an
+    * undirected similarity graph — every node then has outdeg ≥ 1, so
+    * no dangling-mass correction is needed; with genuinely dangling
+    * nodes the leaked mass simply shrinks the total, which is fine for
+    * rank ORDERING, the thing pipelines consume). Node set = every id
+    * appearing as src or dst.
+    *
+    * Scale shape: the degree-annotated edge list and the node list are
+    * computed once and cached — they are read by every round. Each
+    * round is one join keyed on src + one aggregation keyed on dst
+    * (both map-side combinable / AQE-coalesced); rounds chain LAZILY
+    * (no per-round action — fixed iterations need no convergence
+    * count), with a persist+materialize checkpoint every
+    * `materializeEvery` rounds so failure recompute and lineage depth
+    * stay bounded. The returned DISTRIBUTED-path frame is the final
+    * round's cache — callers running many large jobs should
+    * `result.unpersist()` after consuming it (same contract as
+    * [[connectedComponents]]); below `localEdgeThreshold` edges (the
+    * normal near-dup-graph case) a driver-local power iteration answers
+    * without persisting anything, the same cost-based dispatch as
+    * [[connectedComponents]] / Kmeans.fit / Bpe.train.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 8, damping: Double = 0.85,
+      materializeEvery: Int = 4, localEdgeThreshold: Long = 2000000L): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val eCached = e0.cache()
+    if (eCached.count() <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val pairs = eCached.as[(Long, Long)].collect()
+      eCached.unpersist()
+      val nodeIds = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+      if (nodeIds.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("id", "rank")
+      val n = nodeIds.length
+      val idx = nodeIds.zipWithIndex.toMap
+      val deg = new Array[Long](n)
+      pairs.foreach { case (u, _) => deg(idx(u)) += 1 }
+      var ranks = Array.fill(n)(1.0 / n)
+      val base = (1.0 - damping) / n
+      var it = 0
+      while (it < iters) {
+        val next = Array.fill(n)(0.0)
+        pairs.foreach { case (u, v) =>
+          next(idx(v)) += ranks(idx(u)) / deg(idx(u))
+        }
+        var i = 0
+        while (i < n) { next(i) = base + damping * next(i); i += 1 }
+        ranks = next
+        it += 1
+      }
+      return nodeIds.zip(ranks).toSeq.toDF("id", "rank")
+    }
+    val e = eCached
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct().cache()
+    val n = nodes.count() // materializes the node cache too
+    if (n == 0) {
+      nodes.unpersist()
+      return nodes.withColumn("rank", lit(0.0))
+    }
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outDeg, "src").cache() // (src, dst, deg)
+    val base = (1.0 - damping) / n
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var lastMat: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+      val next = nodes.as("nd")
+        .join(contrib, col("nd.id") === contrib("dst"), "left")
+        .select(col("nd.id").as("id"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      it += 1
+      if (it % materializeEvery == 0 || it == iters) {
+        val m = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        if (lastMat != null) lastMat.unpersist(blocking = false)
+        lastMat = m
+        ranks = m
+      } else ranks = next
+    }
+    // the final round is materialized, so the inputs' caches can go
+    withDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    eCached.unpersist(blocking = false)
+    ranks
+  }
 }

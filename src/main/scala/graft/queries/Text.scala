@@ -542,6 +542,116 @@ object Text {
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  /** Cluster-representative selection — the curation step AFTER
+    * near-dup clustering: inside every duplicate cluster keep exactly
+    * one document, the highest-quality member (alpha ratio, ties to the
+    * smallest doc_id), and mark the rest for dropping. Emits every doc
+    * with its cluster, cluster size, quality, and keep flag.
+    *
+    * Scale shape: the corpus never shuffles. The cluster map (CC over
+    * the near-dup pairs) and the per-cluster argmax are PAIR-SET-sized
+    * and broadcast; singleton docs — the overwhelming majority at any
+    * scale — take the broadcast-anti-join branch and are emitted
+    * directly with is_kept=1. The argmax itself is a map-side-combinable
+    * `min(struct(-quality, doc_id))`, not a window.
+    */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d) // (doc_id, cluster_id), paired docs only
+    val q = documents(s, d)
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text")), 4).as("q"))
+    val paired = q.join(broadcast(clusters), Seq("doc_id"))
+    val best = paired.groupBy("cluster_id")
+      .agg(min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"),
+        count(lit(1)).as("cluster_size"))
+    val pairedOut = paired.join(broadcast(best), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("q"),
+        (col("doc_id") === col("m.id")).cast("int").as("is_kept"))
+    val singles = q.join(broadcast(clusters), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"), col("q"), lit(1).as("is_kept"))
+    pairedOut.unionByName(singles).orderBy("doc_id")
+  }
+
+  val keepBestSql: String = {
+    val ccBody = dedupClustersSql.stripSuffix("ORDER BY doc_id").trim
+    s"""WITH clusters AS ($ccBody),
+       |q AS (
+       |  SELECT doc_id,
+       |         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |               / length(text), 4) AS q
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT q.doc_id, c.cluster_id, q.q,
+       |         row_number() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY q.q DESC, q.doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+       |  FROM q JOIN clusters c USING (doc_id))
+       |SELECT doc_id, cluster_id, cluster_size, q,
+       |       CAST(rn = 1 AS INT) AS is_kept
+       |FROM ranked
+       |UNION ALL
+       |SELECT doc_id, doc_id AS cluster_id, 1 AS cluster_size, q, 1 AS is_kept
+       |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM ranked)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** PageRank over the near-dup similarity graph (symmetrized n-gram
+    * jaccard pairs, 8 power iterations, damping 0.85): duplication
+    * centrality — documents sitting at the core of large duplicate
+    * neighborhoods score high, the web-graph quality-weighting analog
+    * for a corpus whose only link structure is similarity. Ranks are
+    * rounded to 6 dp (FP sum order differs per engine/partitioning).
+    *
+    * Scale shape: see [[graft.operators.Graph.pageRank]] — per-round
+    * one src-keyed join + one dst-keyed map-side-combinable sum, lazy
+    * round chaining with bounded-depth materialization, cached
+    * degree-annotated edges. The pair graph is near-dup-sized, not
+    * corpus-sized.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    val sym = pairs.unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val pr = graft.operators.Graph.pageRank(sym, "id_a", "id_b", iters = 8)
+    pr.select(col("id").as("doc_id"), round(col("rank"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
+  val pagerankSql: String = {
+    val pairsBody = ngramJaccardPairsSql.stripSuffix("ORDER BY id_a, id_b").trim
+    val rounds = (0 until 8).map { k =>
+      s"""r${k + 1} AS MATERIALIZED (
+         |  SELECT nd.id,
+         |         (SELECT b FROM consts)
+         |           + CAST(0.85 AS DOUBLE) * coalesce(c.c, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, sum(r.rank / e.deg) AS c
+         |    FROM dedges e JOIN r$k r ON r.id = e.src
+         |    GROUP BY e.dst) c ON c.dst = nd.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM ($pairsBody)),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |dedges AS MATERIALIZED (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+       |consts AS MATERIALIZED (
+       |  -- (1.0d - 0.85d) replays Spark's exact IEEE base term, which is
+       |  -- one ulp off the nearest double to 0.15
+       |  SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / count(*) AS b,
+       |         CAST(1.0 AS DOUBLE) / count(*) AS r_init
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, (SELECT r_init FROM consts) AS rank FROM nodes),
+       |$rounds
+       |SELECT id AS doc_id, round(rank, 6) AS pr FROM r8 ORDER BY doc_id""".stripMargin
+  }
+
   /** Language distribution × a cheap heuristic signal (mean token length):
     * groundwork for the langid operator (full n-gram model in
     * graft.functions.LangId, verified in ScalaTest). */
@@ -1158,6 +1268,8 @@ object Text {
     "dedup_exact" -> (dedupExact _, dedupExactSql),
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
     "dedup_clusters" -> (dedupClusters _, dedupClustersSql),
+    "dedup_keep_best" -> (keepBest _, keepBestSql),
+    "graph_pagerank" -> (pagerank _, pagerankSql),
     "text_lang_stats" -> (langStats _, langStatsSql),
   )
 }
