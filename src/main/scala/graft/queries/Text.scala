@@ -548,30 +548,52 @@ object Text {
     * smallest doc_id), and mark the rest for dropping. Emits every doc
     * with its cluster, cluster size, quality, and keep flag.
     *
-    * Scale shape: the corpus never shuffles. The cluster map (CC over
-    * the near-dup pairs) and the per-cluster argmax are PAIR-SET-sized
-    * and broadcast; singleton docs — the overwhelming majority at any
-    * scale — take the broadcast-anti-join branch and are emitted
-    * directly with is_kept=1. The argmax itself is a map-side-combinable
-    * `min(struct(-quality, doc_id))`, not a window.
+    * Scale shape: the cluster map (CC over the near-dup pairs) and the
+    * per-cluster argmax are PAIR-SET-sized and broadcast; singleton
+    * docs — the overwhelming majority at any scale — pass straight
+    * through the left joins with null cluster columns and coalesce to
+    * themselves. The argmax itself is a map-side-combinable
+    * `min(struct(-quality, doc_id))`, not a window. The quality
+    * projection sits behind a doc_id repartition boundary so both of
+    * its consumers (the argmax input and the output dataflow) reuse
+    * one exchange of 16-byte (doc_id, q) rows instead of re-scanning
+    * the text column — the winnowPairs ReuseExchange pattern, with the
+    * output shaped as ONE left-outer dataflow rather than a
+    * paired/singleton union: a left ANTI branch would be sunk below
+    * the repartition by PushDownLeftSemiAntiJoin, de-canonicalizing
+    * the subtree and forcing a third text scan (measured in the
+    * executed plan). The alternative window-over-cluster_id
+    * formulation would shuffle the corpus WITH cluster keys; this
+    * shape shuffles the same tiny rows and keeps the singleton
+    * majority out of any grouped state.
     */
   def keepBest(s: SparkSession, d: String): DataFrame = {
     val clusters = dedupClusters(s, d) // (doc_id, cluster_id), paired docs only
+    val nP = s.sessionState.conf.numShufflePartitions
     val q = documents(s, d)
       .select(col("doc_id"),
         round(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
           .cast("double") / length(col("text")), 4).as("q"))
+      // doc_id isNotNull aligns the inner-join consumer's inferred
+      // constraints with the left-outer one's (which infers none) so the
+      // exchange subtrees canonicalize equal — the winnowPairs lesson.
+      // No q filter: nothing joins on q, and empty-text docs (null q)
+      // must survive to the output like the oracle keeps them.
+      .filter(col("doc_id").isNotNull)
+      .repartition(nP, col("doc_id"))
     val paired = q.join(broadcast(clusters), Seq("doc_id"))
     val best = paired.groupBy("cluster_id")
       .agg(min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"),
         count(lit(1)).as("cluster_size"))
-    val pairedOut = paired.join(broadcast(best), Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("q"),
-        (col("doc_id") === col("m.id")).cast("int").as("is_kept"))
-    val singles = q.join(broadcast(clusters), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"),
-        lit(1L).as("cluster_size"), col("q"), lit(1).as("is_kept"))
-    pairedOut.unionByName(singles).orderBy("doc_id")
+    q.join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(broadcast(best), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("q"),
+        when(col("cluster_id").isNull, lit(1))
+          .otherwise((col("doc_id") === col("m.id")).cast("int")).as("is_kept"))
+      .orderBy("doc_id")
   }
 
   val keepBestSql: String = {

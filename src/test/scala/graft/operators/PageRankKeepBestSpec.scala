@@ -28,6 +28,11 @@ class PageRankKeepBestSpec extends SparkTestBase {
   }
 
   test("pageRank matches a local power iteration on a directed graph") {
+    // other suites legitimately leave their returned-frame caches (the
+    // CC/pageRank caller-unpersists contract) — clear so the leak
+    // assertions below see only THIS test's caches
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // two triangles bridged by one edge, plus a dangling sink (5 -> none)
     val edges: Seq[(Long, Long)] = Seq(
       (1L, 2L), (2L, 3L), (3L, 1L),
@@ -47,6 +52,8 @@ class PageRankKeepBestSpec extends SparkTestBase {
   }
 
   test("distributed path agrees with the local path and cleans its caches") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val edges: Seq[(Long, Long)] = Seq(
       (1L, 2L), (2L, 3L), (3L, 1L),
       (10L, 11L), (11L, 12L), (12L, 10L),

@@ -35,7 +35,8 @@ class PlanPropertiesSpec extends SparkTestBase {
     "sample_cluster_balance" -> "1-row mean-cell-size scalar broadcast",
     "text_unigram_logprob" -> "1-row corpus-total scalar broadcast",
     "text_bigram_logprob" -> "1-row corpus-total scalar broadcast",
-    "text_tfidf_topk" -> "1-row corpus-size scalar broadcast")
+    "text_tfidf_topk" -> "1-row corpus-size scalar broadcast",
+    "profile_lineitem" -> "cross-join of five 1-row aggregate results")
 
   test("no registry query plans a cartesian product; BNLJ only where declared") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
