@@ -134,6 +134,195 @@ object Multimodal {
     } catch { case _: Exception => None } finally in.close()
   }
 
+  /** Decode any javax.sound-supported container (WAV/AIFF/AU) to mono
+    * [-1, 1) samples + sample rate. Channel-averaged 16-bit PCM —
+    * the same normalization [[audioFeatures]] applies. */
+  private[operators] def decodeMono(payload: Array[Byte]): Option[(Array[Double], Float)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!looksLikeAudio(payload)) return None
+    val in = try {
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: Exception => return None }
+    try {
+      val src = in.getFormat
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        2 * src.getChannels, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(fmt, in)
+      val bytes = pcm.readAllBytes()
+      val nCh = fmt.getChannels
+      val nFrames = bytes.length / (2 * nCh)
+      if (nFrames == 0) return None
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < nCh) {
+          val i = (f * nCh + c) * 2
+          acc += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort / 32768.0
+          c += 1
+        }
+        mono(f) = acc / nCh
+        f += 1
+      }
+      Some((mono, fmt.getSampleRate))
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (re/im parallel
+    * arrays, length a power of two). Pure JVM — no codec or native
+    * dependency — so spectral features stay inside the executor task. */
+  private[operators] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"fft length must be a power of two, got $n")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr0 = re(blk + k + len / 2); val vi0 = im(blk + k + len / 2)
+          val vr = vr0 * cr - vi0 * ci
+          val vi = vr0 * ci + vi0 * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  private def hzToMel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+  private def melToHz(m: Double): Double = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+
+  /** Triangular mel filterbank (HTK scale): `nMels` filters over FFT
+    * bins 0..nFft/2 at the given sample rate. Returned as per-filter
+    * (startBin, weights) so application is a tight dot product. */
+  private[operators] def melFilters(nFft: Int, sr: Double, nMels: Int): Array[(Int, Array[Double])] = {
+    val nBins = nFft / 2 + 1
+    val melPts = {
+      val lo = hzToMel(0.0); val hi = hzToMel(sr / 2.0)
+      Array.tabulate(nMels + 2)(i => lo + (hi - lo) * i / (nMels + 1))
+    }
+    val binOf = melPts.map(m => melToHz(m) * nFft / sr)
+    Array.tabulate(nMels) { m =>
+      val (l, c, r) = (binOf(m), binOf(m + 1), binOf(m + 2))
+      val from = math.max(0, math.ceil(l).toInt)
+      val until = math.min(nBins - 1, math.floor(r).toInt)
+      val w = (from to until).map { b =>
+        if (b <= c) (b - l) / math.max(c - l, 1e-12)
+        else (r - b) / math.max(r - c, 1e-12)
+      }.map(math.max(_, 0.0)).toArray
+      (from, w)
+    }
+  }
+
+  /** Clip-level log-mel features: Hann-windowed `nFft` frames at `hop`,
+    * power spectrum via [[fft]], `nMels` triangular mel bands, log
+    * energies averaged over time — 2×nMels floats (per-band mean and
+    * stddev), the standard clip embedding a speech/audio curation
+    * pipeline computes before clustering or quality filtering. Returns
+    * None for payloads javax.sound cannot decode or clips shorter than
+    * one frame. */
+  def audioLogMel(payload: Array[Byte], nFft: Int = 512, hop: Int = 256,
+      nMels: Int = 26): Option[Array[Float]] = {
+    decodeMono(payload).flatMap { case (mono, sr) =>
+      if (mono.length < nFft) None
+      else {
+        val window = Array.tabulate(nFft)(i =>
+          0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (nFft - 1)))
+        val filters = melFilters(nFft, sr, nMels)
+        val nFrames = (mono.length - nFft) / hop + 1
+        val sum = new Array[Double](nMels)
+        val sum2 = new Array[Double](nMels)
+        val re = new Array[Double](nFft)
+        val im = new Array[Double](nFft)
+        var f = 0
+        while (f < nFrames) {
+          var i = 0
+          while (i < nFft) {
+            re(i) = mono(f * hop + i) * window(i); im(i) = 0.0
+            i += 1
+          }
+          fft(re, im)
+          var m = 0
+          while (m < nMels) {
+            val (from, w) = filters(m)
+            var acc = 0.0
+            var k = 0
+            while (k < w.length) {
+              val b = from + k
+              acc += (re(b) * re(b) + im(b) * im(b)) * w(k)
+              k += 1
+            }
+            val logE = math.log(acc + 1e-10)
+            sum(m) += logE; sum2(m) += logE * logE
+            m += 1
+          }
+          f += 1
+        }
+        val out = new Array[Float](2 * nMels)
+        var m = 0
+        while (m < nMels) {
+          val mean = sum(m) / nFrames
+          out(m) = mean.toFloat
+          out(nMels + m) = math.sqrt(math.max(0.0, sum2(m) / nFrames - mean * mean)).toFloat
+          m += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
+  /** Batch log-mel extraction over a media frame — same mapPartitions
+    * batch shape as [[extractFeatures]]; non-audio payloads yield null
+    * features rather than a stub (a spectral fake would poison any
+    * downstream clustering). */
+  def extractMelFeatures(media: DataFrame, nFft: Int = 512, hop: Int = 256,
+      nMels: Int = 26): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_mel", IntegerType),
+      StructField("mel", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "payload")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          audioLogMel(payload, nFft, hop, nMels) match {
+            case Some(feat) => Row(id, nMels, feat.toSeq)
+            case None => Row(id, 0, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Batch feature extraction over the media frame: mapPartitions keeps
     * each task's working set to one partition of payloads (the Scala
     * analog of `mapInPandas` batch processing). Images and audio decode
