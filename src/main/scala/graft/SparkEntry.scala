@@ -20,7 +20,7 @@ object SparkEntry {
   private val registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Relational.all ++ Text.all ++ Similarity.all ++
     _root_.graft.queries.ReadstatQueries.all ++ _root_.graft.queries.Pipeline.all ++
-    _root_.graft.queries.Curation.all
+    _root_.graft.queries.Curation.all ++ _root_.graft.queries.Analytics.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,6 +36,7 @@ class PlanPropertiesSpec extends SparkTestBase {
     "text_unigram_logprob" -> "1-row corpus-total scalar broadcast",
     "text_bigram_logprob" -> "1-row corpus-total scalar broadcast",
     "text_tfidf_topk" -> "1-row corpus-size scalar broadcast",
+    "text_bm25_topk" -> "1-row corpus-stats (N, avgdl, df) scalar broadcast",
     "profile_lineitem" -> "cross-join of five 1-row aggregate results")
 
   test("no registry query plans a cartesian product; BNLJ only where declared") {
