@@ -239,4 +239,52 @@ object Graph {
     eCached.unpersist(blocking = false)
     ranks
   }
+
+  /** Exact triangle enumeration over an undirected graph, degree-ordered
+    * (the compact-forward algorithm, Latapy 2008 / Schank & Wagner 2005).
+    * Input edges are canonicalized (self-loops dropped, endpoints sorted,
+    * distinct); output is one row per triangle with nodes ascending —
+    * the near-dup-graph consumer reads a triangle as three mutually
+    * similar documents (a tighter signal than a connected component,
+    * which a chain of pairwise matches can stretch).
+    *
+    * Scale shape: enumerating wedges around EVERY node is Σ deg(v)² —
+    * quadratic at hubs. Instead each edge is ORIENTED from its lower-
+    * (degree, id) endpoint to the higher, wedges form only around the
+    * LOWER endpoint, and a wedge (a, b) closes iff the oriented edge
+    * a→b exists (a precedes b in the same total order, so the
+    * orientation is known — no symmetric lookup, no dedup pass: each
+    * triangle has exactly one minimum vertex). Out-degrees under this
+    * orientation are O(√m), bounding wedge volume by O(m^{3/2})
+    * regardless of hub skew — the standard arboricity bound. Three
+    * hash-joins, all equi-keyed; nothing is collected.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val annotated = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = annotated.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+      when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dhi"))
+    val o1 = oriented.select(col("lo"), col("hi").as("a"), col("dhi").as("da"))
+    val o2 = oriented.select(col("lo"), col("hi").as("b"), col("dhi").as("db"))
+    val wedges = o1.join(o2, Seq("lo"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    wedges
+      .join(oriented.select(col("lo").as("a"), col("hi").as("b")), Seq("a", "b"))
+      .select(sort_array(array(col("lo"), col("a"), col("b"))).as("t"))
+      .select(col("t").getItem(0).as("id_a"), col("t").getItem(1).as("id_b"),
+        col("t").getItem(2).as("id_c"))
+  }
 }

@@ -272,11 +272,353 @@ object Analytics {
       |  ON a.user_id = s.user_id AND a.day = s.day
       |ORDER BY s.user_id, s.day""".stripMargin
 
+  // ------------------------------------------------- KMV distinct sketch
+
+  /** Distinct users per event type via the KMV sketch
+    * ([[graft.operators.KmvDistinct]], k = 65,536).
+    *
+    * At the oracle scale factors the per-group user space (150–1,500) is
+    * far below k, so the sketch holds every distinct hash and the
+    * estimate IS the exact COUNT(DISTINCT) — what the oracle checks.
+    * The point at 100 TB is the memory/shuffle contract exact distinct
+    * cannot make: COUNT(DISTINCT user_id) shuffles every distinct key to
+    * the aggregator, while the sketch condenses each task to ≤ k longs
+    * map-side and only sketches cross the shuffle — and unlike HLL the
+    * same sketch column is exact below capacity and storable/unionable
+    * across partitions or days. The approximate regime's ~1/√k error is
+    * pinned by `KmvSpec`. */
+  def distinctKmv(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(graft.operators.KmvDistinct(col("user_id"), 65536).as("s"))
+      .select(col("event_type"), col("s.estimate").as("n_users"),
+        col("s.is_exact").cast("int").as("is_exact"))
+      .orderBy("event_type")
+
+  val distinctKmvSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |       CAST(1 AS INT) AS is_exact
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- rolling anomaly scan
+
+  /** Rolling z-score anomaly detection: flag events whose value is ≥ 2.2
+    * sample standard deviations from the mean of that user's previous 20
+    * events (at least 10 priors required).
+    *
+    * Determinism across engines is the subtle part: windowed SUMs of
+    * doubles are order-of-summation dependent (Spark's sliding
+    * aggregation vs DuckDB's segment trees), so the moments are
+    * accumulated in DECIMAL(18,6) — exact, order-independent (the DSIR
+    * lesson) — and converted to double only for the final pointwise
+    * arithmetic, which is IEEE-identical everywhere. Variance is the
+    * exact-moment form ((E[x²] − μ²)·n/(n−1)) on those exact sums.
+    *
+    * Scale shape: ONE shuffle on user_id; both window frames and the
+    * filters run inside that partitioning, state per row is the 21-row
+    * frame. This is the streaming-friendly formulation (same moments
+    * maintain incrementally in `mapGroupsWithState`). */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("s1", sum(col("v")).over(w))
+      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .withColumn("nprev", count(col("v")).over(w))
+      .where(col("nprev") >= 10)
+      .withColumn("mu", col("s1").cast("double") / col("nprev"))
+      .withColumn("ex2", col("s2").cast("double") / col("nprev"))
+      .withColumn("vr",
+        (col("ex2") - col("mu") * col("mu")) * col("nprev") / (col("nprev") - 1))
+      .where(col("vr") > 1e-9)
+      .withColumn("z", (col("v").cast("double") - col("mu")) / sqrt(col("vr")))
+      .where(abs(col("z")) >= 2.2)
+      // display columns truncate via floor, not round: both engines hold
+      // bit-identical doubles here, and floor of an identical double is
+      // identical, while round() implementations legitimately disagree
+      // when mu (a 2-decimal sum over n) lands exactly on a .00005
+      // boundary — Spark rounds the double's exact binary expansion,
+      // DuckDB the scaled value (observed: 1e-4 mu diffs at sf0.01)
+      .select(col("user_id"), col("event_id"),
+        round(col("v").cast("double"), 2).as("value"),
+        (floor(col("mu") * 1e4) / 1e4).as("mu"),
+        (floor(col("z") * 1e3) / 1e3).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH st AS (
+      |  SELECT user_id, event_id,
+      |    CAST(value AS DECIMAL(18,6)) AS v,
+      |    sum(CAST(value AS DECIMAL(18,6))) OVER w AS s1,
+      |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+      |      OVER w AS s2,
+      |    count(value) OVER w AS nprev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT user_id, event_id, v, nprev,
+      |    CAST(s1 AS DOUBLE) / nprev AS mu,
+      |    CAST(s2 AS DOUBLE) / nprev AS ex2
+      |  FROM st WHERE nprev >= 10),
+      |sc AS (
+      |  SELECT user_id, event_id, v, mu,
+      |    ((ex2 - mu * mu) * nprev) / (nprev - 1) AS vr
+      |  FROM m)
+      |SELECT user_id, event_id,
+      |  round(CAST(v AS DOUBLE), 2) AS value,
+      |  floor(mu * 1e4) / 1e4 AS mu,
+      |  floor(((CAST(v AS DOUBLE) - mu) / sqrt(vr)) * 1e3) / 1e3 AS z
+      |FROM sc
+      |WHERE vr > 1e-9
+      |  AND abs((CAST(v AS DOUBLE) - mu) / sqrt(vr)) >= 2.2
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // --------------------------------------------- histogram quantile sketch
+
+  /** Per-event-type p50/p90/p99 via a 1,000-bin equi-width histogram —
+    * the scale path for quantiles. Exact percentiles (`q14_percentiles`)
+    * need a global per-group sort; the histogram needs two
+    * map-side-combinable aggregates (min/max, then bin counts) and a
+    * window over at most 1,000 bins per group, so nothing corpus-sized
+    * ever sorts or shuffles. The estimate is deterministic (lower edge of
+    * the first bin whose cumulative count reaches ⌈q·n⌉), error bounded
+    * by one bin width — and the ORACLE REPLAYS THE SAME HISTOGRAM, so
+    * the check is an exact hash match on the deterministic estimator,
+    * not a tolerance comparison. All bin math is pointwise IEEE double
+    * arithmetic on exact inputs — identical in both engines. */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val mm = ev.groupBy("event_type").agg(
+      min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+    val binned = ev.join(broadcast(mm), "event_type")
+      .withColumn("bin", least(
+        floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 1000),
+        lit(999L)))
+    val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+    val cum = hist.withColumn("cum", sum("c").over(w))
+      .join(broadcast(mm), "event_type")
+    def pick(p: Double): Column =
+      min(when(col("cum") >= col("n") * p, col("bin")))
+    def edge(bin: Column): Column =
+      round(col("mn") + bin * (col("mx") - col("mn")) / 1000.0, 4)
+    cum.groupBy("event_type")
+      .agg(pick(0.5).as("b50"), pick(0.9).as("b90"), pick(0.99).as("b99"),
+        first("mn").as("mn"), first("mx").as("mx"))
+      .select(col("event_type"), edge(col("b50")).as("p50"),
+        edge(col("b90")).as("p90"), edge(col("b99")).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val histQuantilesSql: String =
+    """WITH mm AS (
+      |  SELECT event_type, min(value) AS mn, max(value) AS mx,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT e.event_type,
+      |    least(CAST(floor((value - mn) / (mx - mn) * 1000) AS BIGINT),
+      |          999) AS bin
+      |  FROM events e JOIN mm USING (event_type)),
+      |h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bin,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM h),
+      |pick AS (
+      |  SELECT c.event_type,
+      |    min(CASE WHEN cum >= n * 0.5  THEN bin END) AS b50,
+      |    min(CASE WHEN cum >= n * 0.9  THEN bin END) AS b90,
+      |    min(CASE WHEN cum >= n * 0.99 THEN bin END) AS b99
+      |  FROM cum c JOIN mm USING (event_type)
+      |  GROUP BY 1)
+      |SELECT p.event_type,
+      |  round(mn + b50 * (mx - mn) / 1000.0, 4) AS p50,
+      |  round(mn + b90 * (mx - mn) / 1000.0, 4) AS p90,
+      |  round(mn + b99 * (mx - mn) / 1000.0, 4) AS p99
+      |FROM pick p JOIN mm USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------- interval overlap
+
+  /** Incident-impact audit via the interval-overlap join
+    * ([[graft.operators.IntervalJoin]]): per sampled error "incident"
+    * (a 10-minute window around every ~101st error event), how many
+    * user-day activity spans [first event, last event] overlap it.
+    *
+    * Scale shape: the overlap predicate is NOT an equi-join — raw Spark
+    * plans it as a nested loop. IntervalJoin tiles both sides into
+    * 1-hour buckets (a day-span explodes to ≤ 25 tiles, an incident to
+    * ≤ 2), equi-joins on the tile, and keeps each pair only in the
+    * bucket holding the overlap's start — exactly-once emission with NO
+    * distinct pass, so the counts aggregate straight off the join. Every
+    * timestamp is integer seconds (`unix_micros div 1000000`), keeping
+    * the whole pipeline in exact integer arithmetic. */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+    val spans = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("sec").as("a0"), max("sec").as("a1"))
+    val incidents = ev
+      .where(col("event_type") === "error" && col("event_id") % 101 === 0)
+      .select(col("event_id").as("incident_id"), col("sec").as("b0"),
+        (col("sec") + 600L).as("b1"))
+    graft.operators.IntervalJoin
+      .overlap(spans, incidents, "a0", "a1", "b0", "b1", 3600L)
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_spans"), countDistinct("user_id").as("n_users"))
+      .orderBy("incident_id")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH ev AS (
+      |  SELECT *, epoch_us(ts) // 1000000 AS sec FROM events),
+      |spans AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         min(sec) AS a0, max(sec) AS a1
+      |  FROM ev GROUP BY 1, 2),
+      |inc AS (
+      |  SELECT event_id AS incident_id, sec AS b0, sec + 600 AS b1
+      |  FROM ev WHERE event_type = 'error' AND event_id % 101 = 0)
+      |SELECT incident_id, count(*) AS n_spans,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM spans JOIN inc ON a0 <= b1 AND b0 <= a1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ triangles
+
+  /** Top-100 parts by triangle count in the co-occurrence graph (parts
+    * are linked when they appear in the same order) — the market-basket
+    * community-density signal: a part in many triangles sits inside
+    * tightly-bound product clusters, not just popular pairs.
+    *
+    * Scale shape: the per-order clique expansion is bounded by TPC-H's
+    * ≤ 7 lineitems per order (C(7,2) pairs), and both self-join sides
+    * reuse ONE l_orderkey exchange. Triangle enumeration is
+    * [[graft.operators.Graph.triangles]] — edges oriented low-degree →
+    * high-degree so wedge volume is O(m^{3/2}) no matter how skewed the
+    * part popularity is, each triangle found exactly once (single
+    * minimum vertex — no dedup shuffle). Per-node counts then explode 3
+    * rows per triangle and TakeOrdered the top 100. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey")
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    graft.operators.Graph.triangles(e, "u", "v")
+      .select(explode(array(col("id_a"), col("id_b"), col("id_c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("part"))
+      .limit(100)
+  }
+
+  val graphTrianglesSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nodes AS (
+      |  SELECT x AS part FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT part, count(*) AS n_tri
+      |FROM nodes GROUP BY 1
+      |ORDER BY n_tri DESC, part LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------ sequence mining
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next event type | current), the behavioral-model /
+    * next-action-prediction baseline.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window; the
+    * (from, to) pair counts partially aggregate map-side (25 cells),
+    * and the row-normalizing total reuses the pair aggregate (a 25-row
+    * window, not a second pass over events). Probability is an
+    * integer/integer division (identical doubles cross-engine),
+    * floor-truncated for display — the same round()-mismatch
+    * guard as [[eventsAnomaly]]. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy("from_type")
+    events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        floor(col("n") / sum(col("n")).over(wf) * 1e4) / 1e4)
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventsMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  floor(n / (sum(n) OVER (PARTITION BY from_type)) * 1e4) / 1e4 AS p
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin
+
+  /** Top-20 most frequent 3-step event paths (consecutive triples per
+    * user) — the funnel-discovery complement of `q18_funnel`, which
+    * checks ONE known path; this mines which paths dominate.
+    *
+    * Scale shape: the same single user_id partitioning serves both
+    * lead() columns; triples partially aggregate map-side (≤ 125
+    * distinct cells regardless of corpus size) and the top-20 is a
+    * TakeOrdered. Pure integer counts — no FP anywhere. */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+        col("e3").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(20)
+  }
+
+  val eventPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT s1, s2, s3, count(*) AS n
+      |FROM seq WHERE s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "events_markov" -> (eventsMarkov _, eventsMarkovSql),
+    "events_paths" -> (eventPaths _, eventPathsSql),
+    "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "text_bm25_topk" -> (bm25Topk _, bm25TopkSql),
     "freq_heavy_hitters" -> (heavyHitters _, heavyHittersSql),
     "cdc_latest_state" -> (cdcLatestState _, cdcLatestStateSql),
     "cdc_scd2_intervals" -> (cdcScd2Intervals _, cdcScd2IntervalsSql),
     "events_gapfill" -> (eventsGapfill _, eventsGapfillSql),
+    "distinct_kmv" -> (distinctKmv _, distinctKmvSql),
+    "events_anomaly" -> (eventsAnomaly _, eventsAnomalySql),
+    "events_hist_quantiles" -> (histQuantiles _, histQuantilesSql),
+    "interval_overlap_join" -> (intervalOverlap _, intervalOverlapSql),
   )
 }

@@ -840,7 +840,48 @@ object Curation {
     """SELECT doc_id, md5('fixn:' || doc_id) AS samp_key
       |FROM documents ORDER BY samp_key LIMIT 100""".stripMargin
 
+  /** Exact-N WEIGHTED sample without replacement (Efraimidis–Spirakis,
+    * IPL 2006): doc i gets key ln(uᵢ)/wᵢ with uᵢ ∈ (0,1) uniform and
+    * wᵢ = its length in chars; the N largest keys are a weighted sample
+    * without replacement (longer docs proportionally likelier, every doc
+    * still possible). Completes the sampling suite: [[fixedNSample]] is
+    * the unweighted exact-N, [[temperatureSample]] reweights sources,
+    * this one reweights individual rows.
+    *
+    * Determinism: uᵢ is the first 48 bits of md5("wt:"+doc_id) — no RNG,
+    * stable under repartition/re-run, replayable in the oracle (DuckDB
+    * casts the same hex prefix via '0x…'). The key is ONE ln() per row
+    * on identical doubles; engines could in principle differ by an ulp
+    * in ln, but a selection flip needs two keys within that ulp —
+    * vanishing, and the rounded output column never shows it.
+    *
+    * Scale shape: a pure projection then TakeOrdered top-N — per-
+    * partition heaps, only N·partitions candidate rows reach the driver,
+    * the corpus is never sorted or shuffled. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("wt:"), col("doc_id"))), 1, 12),
+      16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(281474976710656.0)
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (log(u) / w).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"), round(col("k") * 1e6, 4).as("key_ppm"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST(concat('0x', substr(md5('wt:' || doc_id), 1, 12)) AS BIGINT)
+      |          + 0.5) / 281474976710656.0)
+      |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+      |  FROM documents)
+      |SELECT doc_id, n_chars, round(k * 1e6, 4) AS key_ppm
+      |FROM k ORDER BY k DESC, doc_id LIMIT 100""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sample_weighted" -> (weightedSample _, weightedSampleSql),
     "text_oov_rate" -> (oovRate _, oovRateSql),
     "sample_fixed_n" -> (fixedNSample _, fixedNSampleSql),
     "sample_shard_assign" -> (shardAssign _, shardAssignSql),

@@ -466,7 +466,74 @@ object Similarity {
        |FROM exact e LEFT JOIN approx a ON e.qid = a.aqid AND e.nid = a.anid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** Sparse term-frequency cosine near-dup pairs over the documents
+    * table — the LEXICAL counterpart of [[annBruteForce]]'s dense
+    * embedding cosine: each doc is its tf vector over lowercased
+    * whitespace tokens, pairs are found through an inverted index on
+    * shared terms, and cos = Σ tfₐ·tf_b / (‖a‖·‖b‖) ≥ 0.85 is exact.
+    *
+    * Scale shape: the postings self-join is the same skew surface as
+    * `dedup_ngram_jaccard` — a term shared by df docs contributes df²
+    * candidate rows — so terms with df outside [2, 450] are dropped
+    * BEFORE the join: df=1 cannot pair, and the high-df band (stopwords,
+    * template boilerplate) is both the entire quadratic blow-up and the
+    * least discriminative signal. The cap bounds join volume by
+    * cap · Σdf (linear in corpus size per unit cap); at larger corpora
+    * the cap stays a fixed small fraction of N, exactly like PPJoin's
+    * prefix bound, and the cost-based prefix-filter branch of the
+    * jaccard op applies unchanged if the capped join still skews.
+    * Determinism: dot and squared norms are INTEGER sums (order-free);
+    * sqrt/divide are pointwise IEEE on those exact integers, identical
+    * in both engines. */
+  def sparseCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val kept = tf.join(
+      tf.groupBy("w").agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 450)).select("w"), "w")
+    val norms = kept.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+    val dot = kept.as("a").join(kept.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .where(col("cos") >= 0.85)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val sparseCosinePairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lower(arr[i]) AS w
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |kept AS (
+      |  SELECT t.doc_id, t.w, t.tf FROM tf t JOIN dfc USING (w)
+      |  WHERE df BETWEEN 2 AND 450),
+      |norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM kept GROUP BY 1),
+      |dot AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+      |  FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+      |FROM dot
+      |JOIN norms na ON na.doc_id = id_a
+      |JOIN norms nb ON nb.doc_id = id_b
+      |WHERE dot / (na.nrm * nb.nrm) >= 0.85
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sim_sparse_cosine" -> (sparseCosinePairs _, sparseCosinePairsSql),
     "ann_recall_eval" -> (annRecallEval _, annRecallEvalSql),
     "ann_brute_force" -> (annBruteForce _, annBruteForceSql),
     "embed_knn_classify" -> (knnClassify _, knnClassifySql),
