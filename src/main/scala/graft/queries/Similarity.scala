@@ -491,9 +491,13 @@ object Similarity {
         explode(split(trim(col("text")), "\\s+")).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // repartition boundary: `kept` feeds the two postings-join sides AND
+    // the norm aggregate; keyed on w (the join key) so both sides read
+    // one shuffle instead of recomputing the tf/df subtree per consumer
     val kept = tf.join(
       tf.groupBy("w").agg(count(lit(1)).as("df"))
         .where(col("df").between(2, 450)).select("w"), "w")
+      .repartition(col("w"))
     val norms = kept.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
     val dot = kept.as("a").join(kept.as("b"),
