@@ -159,6 +159,91 @@ object StreamingOps {
       }
   }
 
+  case class VEvent(userId: Long, eventId: Long, ts: Timestamp, value: Double)
+
+  case class AnomalyFlag(userId: Long, eventId: Long, value: Double,
+      mu: Double, z: Double)
+
+  /** Rolling window of the last `cap` values, micro-unit scaled longs,
+    * newest last — O(cap) state per user, never the event history. */
+  case class RollState(vals: List[Long])
+
+  /** Streaming counterpart of the batch `events_anomaly` query: flag an
+    * event whose value is ≥ `zThreshold` sample standard deviations from
+    * the mean of that user's previous `cap` events (at least `minPrior`
+    * priors required), emitting flags as events arrive.
+    *
+    * Numeric parity with the batch query is EXACT by construction: the
+    * batch side accumulates moments in DECIMAL(18,6) and converts to
+    * double only for pointwise IEEE arithmetic; here values are
+    * half-up-scaled to micro-unit longs (the same rounding the decimal
+    * cast applies), summed exactly in Long (v² sums are pico-units:
+    * 20 · (5.6e8)² ≈ 6e18 still fits), and converted to double through
+    * BigDecimal — the identical correctly-rounded rational → double
+    * mapping. `StreamingOpsSpec` pins stream == batch on real testdata.
+    *
+    * State per user is ≤ cap longs, sharded by user like sessionize;
+    * event-time timeout drops idle users. Ordering, honestly stated:
+    * within a micro-batch events are sorted by (time, id) — identical
+    * to the batch window order; across batches an out-of-order
+    * straggler is scored against the window as of its ARRIVAL (the
+    * batch query would score it against its event-time position).
+    * Exactness under disorder would need buffering up to the watermark
+    * delay per user; this is the O(cap)-state trade. */
+  def anomalyStream(events: Dataset[VEvent], cap: Int = 20, minPrior: Int = 10,
+      zThreshold: Double = 2.2, expireMinutes: Int = 120,
+      watermark: String = "1 hour"): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[RollState, AnomalyFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, evs, state) =>
+          if (evs.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            def micros(t: Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            var vals = state.getOption.map(_.vals).getOrElse(Nil)
+            val out = Seq.newBuilder[AnomalyFlag]
+            var lastMs = 0L
+            evs.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
+              lastMs = math.max(lastMs, e.ts.getTime)
+              // half-up to 6 dp — exactly Spark's cast(value as decimal(18,6))
+              val scaled = new java.math.BigDecimal(e.value)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+              val n = vals.length
+              if (n >= minPrior) {
+                var s1 = 0L; var s2 = 0L
+                vals.foreach { v => s1 += v; s2 += v * v }
+                // BigDecimal(unscaled, scale).doubleValue is the same
+                // correctly-rounded rational→double map as the decimal cast
+                val mu = java.math.BigDecimal.valueOf(s1, 6).doubleValue / n
+                val ex2 = java.math.BigDecimal.valueOf(s2, 12).doubleValue / n
+                val vr = (ex2 - mu * mu) * n / (n - 1)
+                if (vr > 1e-9) {
+                  val vD = java.math.BigDecimal.valueOf(scaled, 6).doubleValue
+                  val z = (vD - mu) / math.sqrt(vr)
+                  if (math.abs(z) >= zThreshold)
+                    out += AnomalyFlag(userId, e.eventId,
+                      // round half-up like the batch round(v, 2) — floor
+                      // would turn the double 133.3799… into 133.37
+                      new java.math.BigDecimal(vD)
+                        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue,
+                      math.floor(mu * 1e4) / 1e4,
+                      math.floor(z * 1e3) / 1e3)
+                }
+              }
+              vals = (vals :+ scaled).takeRight(cap)
+            }
+            state.update(RollState(vals))
+            state.setTimeoutTimestamp(lastMs + expireMinutes * 60000L)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream time-range join: the streaming counterpart of
     * [[graft.operators.RangeJoin.withinTolerance]] — pair rows of two
     * live streams sharing `key` whose event times lie within

@@ -242,4 +242,64 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(rows(1).getString(0) == "fr" && rows(1).getLong(1) == 1)
     } finally q.stop()
   }
+
+  test("streaming anomaly flags agree exactly with the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real testdata in ONE batch: the in-batch (time, id) sort makes
+    // delivery order identical to the batch window order, so the flag
+    // sets — and every numeric column — must match bit-for-bit
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[(Long, Long, Timestamp, Double)].collect()
+      .map { case (id, u, t, v) => StreamingOps.VEvent(u, id, t, v) }
+    val input = MemoryStream[StreamingOps.VEvent]
+    val out = StreamingOps.anomalyStream(input.toDS(), expireMinutes = 100000)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anom_parity")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(ev.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+        """SELECT userId, eventId, value, mu, z FROM anom_parity
+          |ORDER BY userId, eventId""".stripMargin)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val batch = graft.queries.Analytics
+      .eventsAnomaly(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"), col("value"), col("mu"), col("z"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(batch.nonEmpty, "no anomalies at sf0.001 — parity test is vacuous")
+    assert(streamed == batch,
+      s"stream/batch divergence:\nstream: ${streamed.take(5)}…\nbatch: ${batch.take(5)}…")
+  }
+
+  test("streaming anomaly scores cross-batch against prior-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.VEvent]
+    val out = StreamingOps.anomalyStream(input.toDS(),
+      cap = 20, minPrior = 10, zThreshold = 2.2, expireMinutes = 100000)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anom_xbatch")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: ten calm events (value 10) — builds state, no flags
+      input.addData((0 until 10).map(i =>
+        StreamingOps.VEvent(7L, i.toLong, ts(i.toLong), 10.0)): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM anom_xbatch").count() == 0)
+      // batch 2: one calm then one wild event — only the wild one flags,
+      // scored against state carried over from batch 1
+      input.addData(
+        StreamingOps.VEvent(7L, 100L, ts(20), 10.1),
+        StreamingOps.VEvent(7L, 101L, ts(21), 500.0))
+      q.processAllAvailable()
+      val flags = spark.sql(
+          "SELECT userId, eventId FROM anom_xbatch ORDER BY eventId")
+        .as[(Long, Long)].collect().toSeq
+      assert(flags == Seq((7L, 101L)), s"got $flags")
+    } finally q.stop()
+  }
 }
