@@ -522,6 +522,143 @@ object Multimodal {
       }(enc)
   }
 
+  /** DCT perceptual hash (pHash) of an image payload: decode via the real
+    * JDK codec, average-pool the luma plane to 32×32 (pure pixel math —
+    * no Graphics2D rendering, whose interpolation is implementation-
+    * defined), 2-D DCT-II, then one bit per coefficient of the top-left
+    * 8×8 low-frequency block: set iff the coefficient exceeds the
+    * block's mean (DC excluded from the mean — it only encodes overall
+    * brightness). Re-encodes, resizes, small edits, and brightness
+    * shifts move few bits; structurally different images differ in
+    * ~half — the classic image near-dup signal, and the multimodal
+    * counterpart of [[SimHash]] for text.
+    *
+    * None for payloads ImageIO cannot decode (same contract as
+    * [[imageFeatures]]). */
+  def imagePhash(payload: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(payload)) return None
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: Exception => return None }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w == 0 || h == 0) return None
+    val n = 32
+    // average-pool luma into an n×n grid: each cell averages its exact
+    // pixel rectangle (deterministic across JDKs, unlike Graphics2D)
+    val grid = Array.ofDim[Double](n, n)
+    var gy = 0
+    while (gy < n) {
+      val y0 = gy * h / n; val y1 = math.max((gy + 1) * h / n, y0 + 1)
+      var gx = 0
+      while (gx < n) {
+        val x0 = gx * w / n; val x1 = math.max((gx + 1) * w / n, x0 + 1)
+        var s = 0.0; var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val cnt = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        grid(gy)(gx) = s / math.max(cnt, 1L)
+        gx += 1
+      }
+      gy += 1
+    }
+    // separable 2-D DCT-II, direct form with a precomputed cosine table
+    // (n = 32: ~65k multiplies, negligible next to the decode)
+    val cosT = Array.tabulate(n, n)((k, i) =>
+      math.cos((2 * i + 1) * k * math.Pi / (2.0 * n)))
+    val tmp = Array.ofDim[Double](n, n)
+    var k = 0
+    while (k < n) { // DCT along rows
+      var r = 0
+      while (r < n) {
+        var s = 0.0; var i = 0
+        while (i < n) { s += grid(r)(i) * cosT(k)(i); i += 1 }
+        tmp(r)(k) = s
+        r += 1
+      }
+      k += 1
+    }
+    val dct = Array.ofDim[Double](8, 8) // only the low-frequency block
+    var ky = 0
+    while (ky < 8) { // DCT along columns, top-left 8×8 only
+      var kx = 0
+      while (kx < 8) {
+        var s = 0.0; var i = 0
+        while (i < n) { s += tmp(i)(kx) * cosT(ky)(i); i += 1 }
+        dct(ky)(kx) = s
+        kx += 1
+      }
+      ky += 1
+    }
+    var mean = 0.0
+    ky = 0
+    while (ky < 8) {
+      var kx = 0
+      while (kx < 8) { if (ky != 0 || kx != 0) mean += dct(ky)(kx); kx += 1 }
+      ky += 1
+    }
+    mean /= 63.0
+    var bits = 0L; var bit = 0
+    ky = 0
+    while (ky < 8) {
+      var kx = 0
+      while (kx < 8) {
+        if (dct(ky)(kx) > mean) bits |= (1L << bit)
+        bit += 1; kx += 1
+      }
+      ky += 1
+    }
+    Some(bits)
+  }
+
+  /** Image near-duplicate pairs by pHash Hamming distance ≤ `maxDist`.
+    *
+    * Scale shape: the [[SimHash]] banding argument, applied to images —
+    * the 64-bit hash splits into 8 disjoint 8-bit bands, and any pair
+    * within Hamming distance 7 (so any `maxDist` ≤ 7) agrees on at
+    * least one band by pigeonhole. Candidates come from 8 band-keyed
+    * equi-joins (hashes only — payloads never shuffle), distinct to one
+    * row per pair, then exact verification with codegen'd
+    * `bit_count(a ^ b)`. Hashing itself is one mapPartitions over the
+    * payload partition — the corpus is touched once.
+    */
+  def phashPairs(media: DataFrame, maxDist: Int = 6): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      "banding guarantees recall only for maxDist <= 7")
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+    val hashes = media.select("media_id", "payload")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          imagePhash(r.getAs[Array[Byte]](1)).map(hc => Row(r.getLong(0), hc))
+        }
+      }(enc)
+    val banded = hashes.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("key", expr("shiftrightunsigned(phash, band * 8)")
+        .bitwiseAND(lit(255L)))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Build a media frame from the documents table (text bytes standing in
     * for opaque payloads — same plumbing, available test data). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
