@@ -607,7 +607,78 @@ object Analytics {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- trend fitting
+
+  /** Per-event-type least-squares trend of value over time (slope per
+    * day, intercept at the corpus start, Pearson r) — drift detection
+    * over the event log.
+    *
+    * Scale shape: ONE map-side-combinable aggregate per group over five
+    * moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — no sort, no window, no
+    * second pass over events; the global time origin is a 1-row min
+    * that broadcasts back via crossJoin (the bm25 stats shape).
+    * Numerics: x is integer seconds FROM THE CORPUS START (raw epoch
+    * seconds would make nΣx² − (Σx)² cancel catastrophically at 1e27
+    * scale), y is DECIMAL(18,6); every sum is exact DECIMAL
+    * (order-independent), and the closed-form slope/intercept/r are
+    * pointwise IEEE on those exact sums — identical doubles in any
+    * engine, floor-truncated for display. */
+  def eventsTrend(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value").cast("decimal(18,6)").as("y"))
+    val origin = ev.agg(min("sec").as("x0"))
+    val m = ev.crossJoin(broadcast(origin))
+      .withColumn("x", (col("sec") - col("x0")).cast("decimal(12,0)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"), col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    m.select(col("event_type"), col("n"),
+        (floor(slope * 86400 * 1e6) / 1e6).as("slope_per_day"),
+        (floor((col("sy") - slope * col("sx")) / col("n") * 1e4) / 1e4)
+          .as("intercept"),
+        (floor(covN / sqrt(varXN * varYN) * 1e4) / 1e4).as("r"))
+      .orderBy("event_type")
+  }
+
+  val eventsTrendSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+      |         CAST(value AS DECIMAL(18,6)) AS y
+      |  FROM events),
+      |o AS (SELECT min(sec) AS x0 FROM ev),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM (SELECT event_type, CAST(sec - x0 AS DECIMAL(12,0)) AS x, y
+      |        FROM ev CROSS JOIN o)
+      |  GROUP BY 1)
+      |SELECT event_type, n,
+      |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400 * 1e6) / 1e6
+      |    AS slope_per_day,
+      |  floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e4)
+      |    / 1e4 AS intercept,
+      |  floor((n * sxy - sx * sy)
+      |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e4) / 1e4 AS r
+      |FROM m ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "events_trend" -> (eventsTrend _, eventsTrendSql),
     "events_markov" -> (eventsMarkov _, eventsMarkovSql),
     "events_paths" -> (eventPaths _, eventPathsSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.TextCuration
 import Tables._
 
@@ -880,7 +881,66 @@ object Curation {
       |SELECT doc_id, n_chars, round(k * 1e6, 4) AS key_ppm
       |FROM k ORDER BY k DESC, doc_id LIMIT 100""".stripMargin
 
+  /** Percentile-rank normalization of the per-doc quality score (alpha
+    * ratio) via a broadcast ECDF: every document gets "what fraction of
+    * the corpus is at or below my quality bin" — the curriculum/
+    * filtering signal usually computed with `cume_dist()`.
+    *
+    * Scale shape: `cume_dist` needs a GLOBAL sort of the corpus; here
+    * quality lives in [0,1] so a fixed 1,000-bin histogram (one
+    * map-side-combinable aggregate) plus a cumulative window over the
+    * ≤ 1,000-row BIN TABLE — bin-table-sized, not corpus-sized —
+    * yields an ECDF that broadcasts back onto the scan. Resolution is
+    * one bin (1e-3 of quality), the estimator is deterministic, and the
+    * oracle replays the identical histogram, so the gate is an exact
+    * hash match. Docs with empty text (null quality) pass through with
+    * null percentile, like the window formulation would emit. */
+  def qualityPercentile(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text"))).as("q"))
+      .withColumn("bin",
+        when(col("q").isNotNull, least(floor(col("q") * 1000), lit(999L))))
+    val hist = docs.where(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = hist
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+      .select(col("bin"), (col("cum") / col("n")).as("pct"))
+    docs.join(broadcast(ecdf), Seq("bin"), "left")
+      .select(col("doc_id"), (floor(col("q") * 1e4) / 1e4).as("q"),
+        (floor(col("pct") * 1e4) / 1e4).as("pct"))
+      .orderBy("doc_id")
+  }
+
+  val qualityPercentileSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS q
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, q,
+      |    CASE WHEN q IS NOT NULL
+      |         THEN least(CAST(floor(q * 1000) AS BIGINT), 999) END AS bin
+      |  FROM docs),
+      |hist AS (
+      |  SELECT bin, count(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY 1),
+      |ecdf AS (
+      |  SELECT bin,
+      |    CAST(sum(c) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / (SELECT CAST(sum(c) AS DOUBLE) FROM hist) AS pct
+      |  FROM hist)
+      |SELECT doc_id, floor(q * 1e4) / 1e4 AS q,
+      |       floor(pct * 1e4) / 1e4 AS pct
+      |FROM b LEFT JOIN ecdf USING (bin)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "quality_percentile" -> (qualityPercentile _, qualityPercentileSql),
     "sample_weighted" -> (weightedSample _, weightedSampleSql),
     "text_oov_rate" -> (oovRate _, oovRateSql),
     "sample_fixed_n" -> (fixedNSample _, fixedNSampleSql),
