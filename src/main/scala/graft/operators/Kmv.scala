@@ -54,10 +54,7 @@ case class KmvDistinct(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("estimate", LongType, nullable = false),
-    StructField("is_exact", BooleanType, nullable = false),
-    StructField("kept", IntegerType, nullable = false)))
+  override def dataType: DataType = KmvEstimate.dataType
   override def prettyName: String = "kmv_distinct"
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
@@ -73,18 +70,9 @@ case class KmvDistinct(
     buffer
   }
 
-  override def eval(buffer: KmvBuffer): Any = {
-    val kept = buffer.size
-    if (kept < k) {
-      InternalRow(kept.toLong, true, kept)
-    } else {
-      // normalize the k-th smallest signed hash onto (0, 1)
-      val kth = buffer.maxKept
-      val u = (kth.toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19
-      val est = math.max(kept.toLong, math.round((k - 1).toDouble / u))
-      InternalRow(est, false, kept)
-    }
-  }
+  // normalization of the k-th smallest signed hash onto (0,1) and the
+  // (k−1)/u(k) estimator live in KmvEstimate, shared with KmvMerge
+  override def eval(buffer: KmvBuffer): Any = KmvEstimate.eval(buffer, k)
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = buffer.toBytes
   override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
@@ -112,6 +100,131 @@ object KmvDistinct {
     GraftColumnBridge.column(
       KmvDistinct(GraftColumnBridge.expression(guarded), k).toAggregateExpression())
   }
+}
+
+/** Shared estimator: (estimate, is_exact, kept) from a KMV buffer. */
+private[operators] object KmvEstimate {
+  val dataType: StructType = StructType(Seq(
+    StructField("estimate", LongType, nullable = false),
+    StructField("is_exact", BooleanType, nullable = false),
+    StructField("kept", IntegerType, nullable = false)))
+
+  def eval(buffer: KmvBuffer, k: Int): InternalRow = {
+    val kept = buffer.size
+    if (kept < k) {
+      InternalRow(kept.toLong, true, kept)
+    } else {
+      val kth = buffer.maxKept
+      val u = (kth.toDouble - Long.MinValue.toDouble) / 1.8446744073709552e19
+      val est = math.max(kept.toLong, math.round((k - 1).toDouble / u))
+      InternalRow(est, false, kept)
+    }
+  }
+}
+
+/** The SKETCH ITSELF as a column: the k minimum hashes, ascending —
+  * what makes KMV more than an estimator. Store one per group /
+  * partition / day, union later with [[KmvMerge]], and the estimate of
+  * the union is exactly what a single pass over the union would have
+  * produced (set-union-then-trim is associative and lossless w.r.t.
+  * the k minima). This is the sketch-column workflow HLL offers in
+  * lakehouse engines, with the added exact-below-capacity property —
+  * pinned end-to-end by the `distinct_kmv_union` oracle query. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 16, "k must be at least 16")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buffer.mergeIn(other); buffer
+  }
+  override def eval(buffer: KmvBuffer): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.sortedHashes.map(x => x: Any))
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren.head)
+}
+
+object KmvSketchAgg {
+  /** `kmv_sketch(col, k)` — null-guarded xxhash64 like [[KmvDistinct]]. */
+  def apply(c: Column, k: Int): Column = {
+    val guarded = org.apache.spark.sql.functions.when(
+      c.isNotNull, org.apache.spark.sql.functions.xxhash64(c))
+    GraftColumnBridge.column(
+      KmvSketchAgg(GraftColumnBridge.expression(guarded), k).toAggregateExpression())
+  }
+}
+
+/** Union previously-materialized KMV sketches (array<long> columns from
+  * [[KmvSketchAgg]]) and estimate the distinct count of the union —
+  * the "merge daily sketches into a monthly distinct" step. */
+case class KmvMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 16, "k must be at least 16")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = KmvEstimate.dataType
+  override def prettyName: String = "kmv_merge"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) { buffer.add(arr.getLong(i)); i += 1 }
+    }
+    buffer
+  }
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buffer.mergeIn(other); buffer
+  }
+  override def eval(buffer: KmvBuffer): Any = KmvEstimate.eval(buffer, k)
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMerge =
+    copy(child = newChildren.head)
+}
+
+object KmvMerge {
+  def apply(c: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      KmvMerge(GraftColumnBridge.expression(c), k).toAggregateExpression())
 }
 
 /** Mutable sketch state: the k smallest distinct hash values, as a

@@ -300,6 +300,27 @@ object Analytics {
       |       CAST(1 AS INT) AS is_exact
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sketch-COLUMN workflow: materialize one KMV sketch per event type
+    * (`KmvSketchAgg`, an array<long> column you could store per
+    * partition or day), then union the five sketches with `KmvMerge`
+    * and estimate distinct users overall. Below capacity the union
+    * estimate IS the exact global COUNT(DISTINCT) — the oracle pins
+    * that the two-level sketch algebra loses nothing vs a single pass,
+    * which is the property that makes incremental distinct maintenance
+    * (daily sketches → monthly rollup, no raw-key reprocessing) sound
+    * at 100 TB. */
+  def distinctKmvUnion(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(graft.operators.KmvSketchAgg(col("user_id"), 65536).as("sk"))
+      .agg(graft.operators.KmvMerge(col("sk"), 65536).as("s"))
+      .select(col("s.estimate").as("n_users"),
+        col("s.is_exact").cast("int").as("is_exact"))
+
+  val distinctKmvUnionSql: String =
+    """SELECT count(DISTINCT user_id) AS n_users, CAST(1 AS INT) AS is_exact
+      |FROM events""".stripMargin
+
   // ------------------------------------------------- rolling anomaly scan
 
   /** Rolling z-score anomaly detection: flag events whose value is ≥ 2.2
@@ -535,6 +556,64 @@ object Analytics {
       |FROM nodes GROUP BY 1
       |ORDER BY n_tri DESC, part LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------ skew diagnostics
+
+  /** Join-key skew diagnostics for the two natural fact keys: rows,
+    * distinct keys, the hottest key's share, the top-10 keys' share,
+    * and the Gini coefficient of the key-count distribution — the
+    * numbers that decide between a plain shuffle join, AQE skew
+    * handling, and [[graft.operators.SkewJoin]]'s key salting.
+    *
+    * Scale shape: the per-key count is a map-side-combinable aggregate;
+    * everything after runs on the KEY TABLE (thousands to millions of
+    * rows — the thing that still fits when the fact table doesn't).
+    * The rank window sorts that key table, not the corpus; at extreme
+    * key cardinality the same shares/Gini come off the histogram-ECDF
+    * construction of `quality_percentile` instead. All stats are exact
+    * integer arithmetic until the final pointwise divisions,
+    * floor-truncated for display. */
+  def skewStats(s: SparkSession, d: String): DataFrame = {
+    def stats(df: DataFrame, key: String, source: String): DataFrame = {
+      val cnt = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c"), col("k"))
+      val ranked = cnt
+        .withColumn("i", row_number().over(w))
+        .withColumn("nk", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      ranked
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_c"), sum(col("i") * col("c")).as("ic"),
+          sum(when(col("i") > col("nk") - 10, col("c")).otherwise(0L)).as("top10"))
+        .select(lit(source).as("source"), col("n_rows"), col("n_keys"),
+          (floor(col("max_c") / col("n_rows") * 1e6) / 1e6).as("max_share"),
+          (floor(col("top10") / col("n_rows") * 1e6) / 1e6).as("top10_share"),
+          (floor((lit(2.0) * col("ic") / (col("n_keys") * col("n_rows"))
+            - (col("n_keys") + lit(1.0)) / col("n_keys")) * 1e6) / 1e6).as("gini"))
+    }
+    stats(lineitem(s, d), "l_partkey", "lineitem.l_partkey")
+      .unionAll(stats(events(s, d), "user_id", "events.user_id"))
+      .orderBy("source")
+  }
+
+  val skewStatsSql: String = {
+    def block(table: String, key: String, source: String): String =
+      s"""SELECT '$source' AS source,
+         |  CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |  floor(max(c) / sum(c) * 1e6) / 1e6 AS max_share,
+         |  floor(sum(CASE WHEN i > nk - 10 THEN c ELSE 0 END)
+         |        / sum(c) * 1e6) / 1e6 AS top10_share,
+         |  floor((2.0 * sum(i * c) / (count(*) * sum(c))
+         |         - (count(*) + 1.0) / count(*)) * 1e6) / 1e6 AS gini
+         |FROM (
+         |  SELECT c, row_number() OVER (ORDER BY c, k) AS i,
+         |         count(*) OVER () AS nk
+         |  FROM (SELECT $key AS k, count(*) AS c FROM $table GROUP BY 1))""".stripMargin
+    s"""${block("lineitem", "l_partkey", "lineitem.l_partkey")}
+       |UNION ALL
+       |${block("events", "user_id", "events.user_id")}
+       |ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------ sequence mining
 
   /** First-order Markov transition matrix over each user's event
@@ -679,6 +758,7 @@ object Analytics {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "events_trend" -> (eventsTrend _, eventsTrendSql),
+    "skew_stats" -> (skewStats _, skewStatsSql),
     "events_markov" -> (eventsMarkov _, eventsMarkovSql),
     "events_paths" -> (eventPaths _, eventPathsSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
@@ -688,6 +768,7 @@ object Analytics {
     "cdc_scd2_intervals" -> (cdcScd2Intervals _, cdcScd2IntervalsSql),
     "events_gapfill" -> (eventsGapfill _, eventsGapfillSql),
     "distinct_kmv" -> (distinctKmv _, distinctKmvSql),
+    "distinct_kmv_union" -> (distinctKmvUnion _, distinctKmvUnionSql),
     "events_anomaly" -> (eventsAnomaly _, eventsAnomalySql),
     "events_hist_quantiles" -> (histQuantiles _, histQuantilesSql),
     "interval_overlap_join" -> (intervalOverlap _, intervalOverlapSql),

@@ -45,6 +45,23 @@ class KmvSpec extends SparkTestBase {
     assert(est == 2L && exact)
   }
 
+  test("sketch-column algebra: per-group sketches merged == single pass") {
+    // approximate regime on purpose: k=1024 with 200k distinct values
+    // split across 7 groups — union-then-trim must reconstruct exactly
+    // the k global minima a single pass would keep
+    val df = (0L until 200000L).map(v => (v % 7, v)).toDF("g", "v")
+      .repartition(8)
+    val merged = df.groupBy("g")
+      .agg(KmvSketchAgg(col("v"), 1024).as("sk"))
+      .agg(KmvMerge(col("sk"), 1024).as("s"))
+      .select($"s.estimate", $"s.is_exact", $"s.kept")
+      .as[(Long, Boolean, Int)].collect().head
+    val single = df.agg(KmvDistinct(col("v"), 1024).as("s"))
+      .select($"s.estimate", $"s.is_exact", $"s.kept")
+      .as[(Long, Boolean, Int)].collect().head
+    assert(merged == single, s"merged $merged vs single-pass $single")
+  }
+
   test("buffer serialization roundtrip preserves the sketch") {
     val buf = new KmvBuffer(16)
     (0 until 1000).foreach(i => buf.add(i.toLong * 7919 - 500000))
