@@ -556,6 +556,52 @@ object Analytics {
       |FROM nodes GROUP BY 1
       |ORDER BY n_tri DESC, part LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------- DAU/WAU
+
+  /** Daily and trailing-7-day active users with the DAU/WAU stickiness
+    * ratio — the product-engagement rollup every event log grows.
+    *
+    * Scale shape: raw events collapse to the USER-DAY table first (one
+    * map-side-combinable dedup — the bounded thing at 100 TB); each
+    * user-day then contributes to exactly the 7 window days it can
+    * affect via a `sequence` explode OF THAT TABLE (×7, never ×|events|),
+    * and the per-day distinct count runs on (day, user) pairs. A sliding
+    * COUNT(DISTINCT) window cannot express this (distinct doesn't
+    * decompose over frames); the explode formulation is exact and
+    * partially aggregates. At extreme user cardinality the same shape
+    * carries [[graft.operators.KmvSketchAgg]] sketches per day and
+    * merges 7 of them per window instead. */
+  def dauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (floor(col("dau") / col("wau") * 1e4) / 1e4).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val dauWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |contrib AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM ud),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+      |       floor(d.dau / w.wau * 1e4) / 1e4 AS stickiness
+      |FROM dau d JOIN wau w USING (day)
+      |ORDER BY day""".stripMargin
+
   // ------------------------------------------------------ skew diagnostics
 
   /** Join-key skew diagnostics for the two natural fact keys: rows,
@@ -758,6 +804,7 @@ object Analytics {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "events_trend" -> (eventsTrend _, eventsTrendSql),
+    "events_dau_wau" -> (dauWau _, dauWauSql),
     "skew_stats" -> (skewStats _, skewStatsSql),
     "events_markov" -> (eventsMarkov _, eventsMarkovSql),
     "events_paths" -> (eventPaths _, eventPathsSql),
