@@ -556,6 +556,59 @@ object Analytics {
       |FROM nodes GROUP BY 1
       |ORDER BY n_tri DESC, part LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------------ z-order
+
+  /** Z-order layout audit: Morton-code lineitem on (l_partkey,
+    * l_suppkey) ([[graft.operators.ZOrder]]), split the curve into 64
+    * equal z-range buckets, and report each bucket's row count and
+    * per-key min/max — the numbers that show why `OPTIMIZE ZORDER BY`
+    * works: every bucket covers a NARROW range of BOTH keys (≈ 1/8 of
+    * each dimension at 64 buckets), so min/max file stats can skip on
+    * predicates over either column. A plain sort gives this for its
+    * leading key only; `ZOrderSpec` quantifies the difference.
+    *
+    * Scale shape: the z-value is a pure codegen'd bit-expression (no
+    * UDF), bounds come from a broadcast 1-row min/max aggregate, and
+    * the bucket rollup is map-side combinable — the full layout rewrite
+    * would add only the range-partitioned sort every OPTIMIZE pays.
+    * Exact integer arithmetic throughout (explicit floor: Spark's long
+    * cast truncates, DuckDB's rounds). */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val z = graft.operators.ZOrder.withZval(
+      lineitem(s, d).select("l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey")
+    z.withColumn("zbucket", floor(col("zval") / 67108864.0))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+        min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+      .orderBy("zbucket")
+  }
+
+  val zorderLayoutSql: String = {
+    // joined on ONE line: a leading "|" on a continuation line would be
+    // eaten by stripMargin as a margin delimiter, corrupting the OR
+    val inter = (0 until 16).map(i =>
+      s"((((na >> $i) & 1) << ${2 * i}) | (((nb >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS amn, max(l_partkey) AS amx,
+       |         min(l_suppkey) AS bmn, max(l_suppkey) AS bmx
+       |  FROM lineitem),
+       |nrm AS (
+       |  SELECT CAST(floor((l_partkey - amn) * 65535 / (amx - amn)) AS BIGINT) AS na,
+       |         CAST(floor((l_suppkey - bmn) * 65535 / (bmx - bmn)) AS BIGINT) AS nb,
+       |         l_partkey, l_suppkey
+       |  FROM lineitem CROSS JOIN b),
+       |z AS (
+       |  SELECT ($inter) AS zval, l_partkey, l_suppkey FROM nrm)
+       |SELECT CAST(floor(zval / 67108864.0) AS BIGINT) AS zbucket,
+       |       count(*) AS n,
+       |       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       |       min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------- DAU/WAU
 
   /** Daily and trailing-7-day active users with the DAU/WAU stickiness
@@ -805,6 +858,7 @@ object Analytics {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "events_trend" -> (eventsTrend _, eventsTrendSql),
     "events_dau_wau" -> (dauWau _, dauWauSql),
+    "zorder_layout" -> (zorderLayout _, zorderLayoutSql),
     "skew_stats" -> (skewStats _, skewStatsSql),
     "events_markov" -> (eventsMarkov _, eventsMarkovSql),
     "events_paths" -> (eventPaths _, eventPathsSql),

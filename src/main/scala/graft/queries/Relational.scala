@@ -260,6 +260,50 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Per-session rows via Spark's NATIVE `session_window` aggregation —
+    * q12 counts sessions with a manual lag/flag window; this pins the
+    * builtin's session semantics (window end = last event + gap; a gap
+    * of EXACTLY 30 min merges, matching q12's `diff > gap` split —
+    * Spark merges sessions whose intervals touch) against a DuckDB
+    * gaps-and-islands replay of the same rule. Session value sums run
+    * in DECIMAL (order-free) as always.
+    *
+    * Scale shape: session_window is a first-class aggregate — one
+    * shuffle on user_id, sessions merged inside the aggregation; no
+    * per-event window state survives the batch. */
+  def q20SessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("sess_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sess_value"))
+      .orderBy("user_id", "start_us")
+
+  val q20Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         CAST(value AS DECIMAL(18,6)) AS v,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                 ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |flag AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                 THEN 1 ELSE 0 END AS ns
+      |  FROM seq),
+      |sid AS (
+      |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flag)
+      |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      |       count(*) AS n_events,
+      |       CAST(round(sum(v), 2) AS DOUBLE) AS sess_value
+      |FROM sid GROUP BY user_id, sess
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** Correlated scalar-subquery style: orders above their customer's average
     * order value (self-join formulation). The per-customer aggregate's
     * cardinality scales with the customer count, so it is NOT broadcast:
@@ -557,6 +601,7 @@ object Relational {
     "q10_events_hourly" -> (q10EventsHourly _, q10Sql),
     "q11_json_extract" -> (q11Json _, q11Sql),
     "q12_sessionize" -> (q12Sessionize _, q12Sql),
+    "q20_session_window" -> (q20SessionWindow _, q20Sql),
     "q13_above_avg" -> (q13AboveAvg _, q13Sql),
   )
 }

@@ -39,7 +39,8 @@ class PlanPropertiesSpec extends SparkTestBase {
     "text_bm25_topk" -> "1-row corpus-stats (N, avgdl, df) scalar broadcast",
     "profile_lineitem" -> "cross-join of five 1-row aggregate results",
     "events_trend" -> "1-row time-origin (min sec) scalar broadcast",
-    "quality_percentile" -> "1-row histogram-total scalar broadcast")
+    "quality_percentile" -> "1-row histogram-total scalar broadcast",
+    "zorder_layout" -> "1-row key-bounds (min/max) scalar broadcast")
 
   test("no registry query plans a cartesian product; BNLJ only where declared") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
