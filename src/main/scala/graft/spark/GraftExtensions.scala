@@ -103,8 +103,59 @@ object GraftFunctions {
       s"unicode_normalize expects (text[, form]), got ${args.length} args")
   }
 
+  // sketch aggregates: the analyzer wraps a bare AggregateFunction from a
+  // registry builder in an AggregateExpression, same as builtin aggs.
+  // kmv_* hash through the same null-guarded xxhash64 the Column API uses
+  // (xxhash64 of a NULL child returns the bare seed, which would count
+  // null as a value).
+  private def guardedHash(child: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.IsNull(child),
+      Literal.create(null, LongType),
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(child), 42L))
+
+  private val spaceSavingBuilder: Seq[Expression] => Expression = {
+    case Seq(child, cap) =>
+      graft.operators.SpaceSavingTopK(child, intArg(cap, "space_saving_topk", 2))
+    case args => throw new IllegalArgumentException(
+      s"space_saving_topk expects (key, capacity), got ${args.length} args")
+  }
+
+  private val kmvDistinctBuilder: Seq[Expression] => Expression = {
+    case Seq(child, k) =>
+      graft.operators.KmvDistinct(guardedHash(child), intArg(k, "kmv_distinct", 2))
+    case args => throw new IllegalArgumentException(
+      s"kmv_distinct expects (expr, k), got ${args.length} args")
+  }
+
+  private val kmvSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(child, k) =>
+      graft.operators.KmvSketchAgg(guardedHash(child), intArg(k, "kmv_sketch", 2))
+    case args => throw new IllegalArgumentException(
+      s"kmv_sketch expects (expr, k), got ${args.length} args")
+  }
+
+  private val kmvMergeBuilder: Seq[Expression] => Expression = {
+    case Seq(child, k) =>
+      graft.operators.KmvMerge(child, intArg(k, "kmv_merge", 2))
+    case args => throw new IllegalArgumentException(
+      s"kmv_merge expects (sketch, k), got ${args.length} args")
+  }
+
   /** (identifier, info, builder) triples in injectFunction's shape. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("space_saving_topk"),
+      new ExpressionInfo(classOf[graft.operators.SpaceSavingTopK].getName, "space_saving_topk"),
+      spaceSavingBuilder),
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.operators.KmvDistinct].getName, "kmv_distinct"),
+      kmvDistinctBuilder),
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.operators.KmvSketchAgg].getName, "kmv_sketch"),
+      kmvSketchBuilder),
+    (FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[graft.operators.KmvMerge].getName, "kmv_merge"),
+      kmvMergeBuilder),
     (FunctionIdentifier("char_stats"),
       new ExpressionInfo(classOf[CharStats].getName, "char_stats"),
       charStatsBuilder),

@@ -244,6 +244,40 @@ object StreamingOps {
       }
   }
 
+  case class HHEntry(shard: Int, key: String, count: Long, err: Long)
+
+  /** Streaming heavy hitters: the [[graft.operators.SpaceSavingTopK]]
+    * sketch as CONTINUOUS state — per trigger, each shard folds its new
+    * keys into a Space-Saving buffer and re-emits its current top
+    * `emitK` (Update mode).
+    *
+    * Sharding is BY KEY HASH, so every key lives in exactly one shard
+    * and per-key counts are exact below the per-shard capacity (the
+    * same exact-regime contract as the batch sketch, pinned by the
+    * stream==batch parity spec); shard tops are a superset of the
+    * global top (merge client-side by count). State per shard is ≤
+    * capacity triples — bounded forever, no per-key state entries, and
+    * shards scale the aggregation like any keyed state operator.
+    * The buffer serializes through its own byte codec (the aggregate's
+    * shuffle format), so state storage is the sketch itself. */
+  def heavyHittersStream(keys: Dataset[String], capacity: Int,
+      shards: Int = 8, emitK: Int = 20): Dataset[HHEntry] = {
+    import keys.sparkSession.implicits._
+    keys
+      .groupByKey(k => math.floorMod(if (k == null) 0 else k.hashCode, shards))
+      .flatMapGroupsWithState[Array[Byte], HHEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, it, state) =>
+          val buf = state.getOption
+            .map(graft.operators.SpaceSavingBuffer.fromBytes)
+            .getOrElse(new graft.operators.SpaceSavingBuffer(capacity))
+          it.foreach(k => if (k != null) buf.add(k))
+          state.update(buf.toBytes)
+          buf.sortedEntries.iterator.take(emitK)
+            .map { case (k, c, e) => HHEntry(shard, k, c, e) }
+      }
+  }
+
   /** Stream-stream time-range join: the streaming counterpart of
     * [[graft.operators.RangeJoin.withinTolerance]] — pair rows of two
     * live streams sharing `key` whose event times lie within

@@ -151,4 +151,48 @@ class GraftExtensionsSpec extends SparkTestBase {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("sketch aggregates from SQL match the Column API exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (0 until 5000).map(i => (s"g${i % 3}", (i % 97).toLong))
+      .toDF("g", "v")
+    df.createOrReplaceTempView("ext_sketch")
+
+    val kmvSql = spark.sql(
+      """SELECT g, kmv_distinct(v, 256).estimate AS est,
+        |       CAST(kmv_distinct(v, 256).is_exact AS INT) AS ex
+        |FROM ext_sketch GROUP BY g ORDER BY g""".stripMargin).collect()
+    val kmvApi = df.groupBy("g")
+      .agg(KmvDistinct(col("v"), 256).as("s"))
+      .select(col("g"), col("s.estimate"), col("s.is_exact").cast("int"))
+      .orderBy("g").collect()
+    assert(kmvSql.map(r => (r.getLong(1), r.getInt(2))).toSeq ==
+      kmvApi.map(r => (r.getLong(1), r.getInt(2))).toSeq)
+
+    // two-level sketch algebra from pure SQL
+    val union = spark.sql(
+      """SELECT kmv_merge(sk, 256).estimate AS est FROM (
+        |  SELECT g, kmv_sketch(v, 256) AS sk FROM ext_sketch GROUP BY g)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(union == 97L, s"merged estimate $union")
+
+    val ssSql = spark.sql(
+      """SELECT e.key, e.count FROM (
+        |  SELECT explode(space_saving_topk(CAST(v AS STRING), 256)) AS e
+        |  FROM ext_sketch) ORDER BY e.count DESC, e.key LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ssApi = df.agg(SpaceSavingTopK(col("v").cast("string"), 256).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select($"e.key", $"e.count")
+      .orderBy(col("count").desc, col("key")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ssSql == ssApi && ssSql.nonEmpty)
+
+    // null inputs ignored through the SQL path too
+    val withNulls = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("v")
+    withNulls.createOrReplaceTempView("ext_nulls")
+    assert(spark.sql("SELECT kmv_distinct(v, 64).estimate FROM ext_nulls")
+      .collect()(0).getLong(0) == 2L)
+  }
 }

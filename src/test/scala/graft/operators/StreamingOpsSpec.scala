@@ -243,6 +243,34 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters match batch counts exactly below capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed keys fed across two batches; capacity >= distinct per shard
+    val batch1 = (0 until 2000).map(i => s"k${i % 37}")
+    val batch2 = (0 until 3000).map(i => s"k${i % 53}")
+    val input = MemoryStream[String]
+    val out = StreamingOps.heavyHittersStream(input.toDS(),
+      capacity = 256, shards = 4, emitK = 256)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("hh_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // Update mode re-emits per trigger: the latest count per key is the max
+    val streamed = spark.sql(
+        "SELECT key, max(count) AS c, max(err) AS e FROM hh_out GROUP BY key")
+      .as[(String, Long, Long)].collect()
+    val truth = (batch1 ++ batch2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(streamed.map(_._1).toSet == truth.keySet)
+    streamed.foreach { case (k, c, e) =>
+      assert(c == truth(k), s"$k: streamed $c vs true ${truth(k)}")
+      assert(e == 0L, s"$k: nonzero error below capacity")
+    }
+  }
+
   test("streaming anomaly flags agree exactly with the batch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
