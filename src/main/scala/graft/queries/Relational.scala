@@ -283,6 +283,100 @@ object Relational {
         col("n_events"), col("sess_value"))
       .orderBy("user_id", "start_us")
 
+  /** TPC-H Q21's correlated-subquery shape on our schema: suppliers
+    * whose RETURNED lineitem sits in a multi-supplier order where no
+    * OTHER supplier had a return — "the supplier kept the order
+    * waiting". Written as `spark.sql` with correlated EXISTS / NOT
+    * EXISTS on purpose: it exercises Catalyst's subquery DECORRELATION
+    * (RewritePredicateSubquery turns both subqueries into one left-semi
+    * and one left-anti join on l_orderkey), a relational surface the
+    * DataFrame-built queries never touch. The oracle runs the identical
+    * SQL in DuckDB.
+    *
+    * Scale shape: after decorrelation all three lineitem references
+    * equi-join on l_orderkey — one key partitioning, no per-row
+    * subquery execution anywhere. */
+  def q21ExistsAnti(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("q21_lineitem")
+    s.sql(q21Body("q21_lineitem"))
+  }
+
+  private def q21Body(t: String): String =
+    s"""SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+       |FROM $t l1
+       |WHERE l1.l_returnflag = 'R'
+       |  AND EXISTS (
+       |    SELECT 1 FROM $t l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM $t l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_returnflag = 'R')
+       |GROUP BY l1.l_suppkey
+       |ORDER BY numwait DESC, suppkey
+       |LIMIT 20""".stripMargin
+
+  val q21Sql: String = q21Body("lineitem")
+
+  /** Near-dup clustering AGAIN — but as a pure `WITH RECURSIVE` SQL
+    * query executed by Spark 4.1's recursive-CTE support, pinned
+    * against DuckDB running the structurally identical recursion. Spark
+    * only supports UNION ALL recursion (UNION_NOT_SUPPORTED_IN_
+    * RECURSIVE_CTE), so the closure is a bounded-hop BFS (hop ≤ 4 — ≥
+    * any near-dup cluster's diameter here; both engines compute the
+    * same bounded answer by construction either way) with an in-step
+    * DISTINCT holding path multiplicity to one row per (src, node,
+    * hop).
+    *
+    * Scale shape: each recursion level is one equi-join + distinct on
+    * the frontier — exactly the iterative-union formulation.
+    * [[graft.operators.Graph.connectedComponents]]'s hash-min
+    * propagation stays the production path (O(log diameter) rounds,
+    * no per-source path state); this query's value is pinning the SQL
+    * recursion SEMANTICS, and that the relational surface includes
+    * recursive CTEs at all. */
+  def q22RecursiveClusters(s: SparkSession, d: String): DataFrame = {
+    Text.ngramJaccardPairs(s, d).select("id_a", "id_b")
+      .createOrReplaceTempView("q22_pairs")
+    s.sql(
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM q22_pairs
+        |  UNION ALL
+        |  SELECT id_b AS x, id_a AS y FROM q22_pairs),
+        |nodes AS (SELECT DISTINCT x AS id FROM edges),
+        |reach(src, node, hop) AS (
+        |  SELECT id AS src, id AS node, 0 AS hop FROM nodes
+        |  UNION ALL
+        |  SELECT DISTINCT r.src, e.y AS node, r.hop + 1 AS hop
+        |  FROM reach r JOIN edges e ON e.x = r.node
+        |  WHERE r.hop < 4)
+        |SELECT src AS doc_id, min(node) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+  }
+
+  val q22Sql: String = {
+    val pairsBody = Text.ngramJaccardPairsSql
+      .stripSuffix("ORDER BY id_a, id_b").trim
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT id_a, id_b FROM ($pairsBody)),
+       |edges AS (
+       |  SELECT id_a AS x, id_b AS y FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS x, id_a AS y FROM pairs),
+       |nodes AS (SELECT DISTINCT x AS id FROM edges),
+       |reach(src, node, hop) AS (
+       |  SELECT id AS src, id AS node, 0 AS hop FROM nodes
+       |  UNION ALL
+       |  SELECT DISTINCT r.src, e.y AS node, r.hop + 1 AS hop
+       |  FROM reach r JOIN edges e ON e.x = r.node
+       |  WHERE r.hop < 4)
+       |SELECT src AS doc_id, min(node) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   val q20Sql: String =
     """WITH seq AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -602,6 +696,8 @@ object Relational {
     "q11_json_extract" -> (q11Json _, q11Sql),
     "q12_sessionize" -> (q12Sessionize _, q12Sql),
     "q20_session_window" -> (q20SessionWindow _, q20Sql),
+    "q21_exists_anti" -> (q21ExistsAnti _, q21Sql),
+    "q22_recursive_clusters" -> (q22RecursiveClusters _, q22Sql),
     "q13_above_avg" -> (q13AboveAvg _, q13Sql),
   )
 }
