@@ -659,6 +659,88 @@ object Multimodal {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Content-aware keyframe selection over a demuxable video payload
+    * (animated GIF via the JDK codec, MJPEG AVI via the RIFF walk): keep
+    * a frame iff its normalized 32-bin luma histogram moves more than
+    * `threshold` (half-L1 distance ∈ [0,1]) from the LAST KEPT frame —
+    * classic shot-boundary detection, and the content-aware complement
+    * of [[sampleFrames]]'s fixed-stride sampling: a static scene yields
+    * one frame however long it lasts, a cut always yields one. The
+    * first frame is always kept. None when no real demuxer accepts the
+    * payload (callers fall back to stride sampling — nothing is faked). */
+  def keyframes(payload: Array[Byte],
+      threshold: Double = 0.25): Option[Seq[(Int, Array[Byte])]] = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    gifFrames(payload, 1).orElse(aviMjpegFrames(payload, 1)).map { fs =>
+      var lastKept: Array[Double] = null
+      fs.flatMap { case (idx, png) =>
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        } catch { case _: Exception => null }
+        if (img == null) None
+        else {
+          val hist = new Array[Double](32)
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              hist(math.min(31, (luma / 8.0).toInt)) += 1.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          var i = 0
+          while (i < 32) { hist(i) /= n; i += 1 }
+          val dist =
+            if (lastKept == null) 1.0
+            else {
+              var s = 0.0; var j = 0
+              while (j < 32) { s += math.abs(hist(j) - lastKept(j)); j += 1 }
+              s / 2.0
+            }
+          if (dist > threshold) { lastKept = hist; Some((idx, png)) }
+          else None
+        }
+      }
+    }
+  }
+
+  /** Batch keyframe extraction: one row per kept frame, with the scene
+    * index (position among kept frames). Payloads no demuxer accepts
+    * contribute their stride-0 stub frame so the schema contract matches
+    * [[sampleFrames]] — plumbing real, decode honesty preserved. */
+  def selectKeyframes(media: DataFrame, threshold: Double = 0.25,
+      frameSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("scene", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          keyframes(payload, threshold) match {
+            case Some(kept) =>
+              kept.iterator.zipWithIndex.map { case ((i, png), scene) =>
+                Row(id, i, scene, png)
+              }
+            case None =>
+              val until = math.min(payload.length, frameSize)
+              Iterator.single(
+                Row(id, 0, 0, java.util.Arrays.copyOfRange(payload, 0, until)))
+          }
+        }
+      }(enc)
+  }
+
   /** Build a media frame from the documents table (text bytes standing in
     * for opaque payloads — same plumbing, available test data). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
