@@ -338,8 +338,16 @@ object Relational {
     * recursion SEMANTICS, and that the relational surface includes
     * recursive CTEs at all. */
   def q22RecursiveClusters(s: SparkSession, d: String): DataFrame = {
-    Text.ngramJaccardPairs(s, d).select("id_a", "id_b")
-      .createOrReplaceTempView("q22_pairs")
+    import s.implicits._
+    // land the pair set as a LocalRelation before recursing: the
+    // recursion step re-evaluates its source per level, which would
+    // re-run the whole shingle/join pipeline 4× (measured 11.5 s vs
+    // ~3 s at sf0.1). The near-dup pair set is dedup-output-sized —
+    // the same driver-sized-by-construction collect keepBest's
+    // broadcast cluster map already relies on.
+    val pairs = Text.ngramJaccardPairs(s, d).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    pairs.toDF("id_a", "id_b").createOrReplaceTempView("q22_pairs")
     s.sql(
       """WITH RECURSIVE
         |edges AS (
