@@ -278,6 +278,47 @@ object StreamingOps {
       }
   }
 
+  case class DistinctEstimate(group: String, estimate: Long, isExact: Boolean)
+
+  /** Streaming distinct counting per group (e.g. daily active users as
+    * events arrive) with [[graft.operators.KmvBuffer]] state — the
+    * streaming member of the KMV triad (batch `distinct_kmv`, sketch
+    * algebra `distinct_kmv_union`, and this). State per group is ≤ k
+    * longs FOREVER — a naive streaming COUNT(DISTINCT) holds the whole
+    * key set per group. Values hash through the same xxhash64(seed 42)
+    * the batch Column API applies to a LongType column, so below
+    * capacity the streamed estimate is EXACTLY the batch
+    * COUNT(DISTINCT) (pinned by `StreamingOpsSpec`); above it the
+    * (k−1)/u(k) estimator applies with ~1/√k error. Emits the current
+    * estimate per updated group each trigger (Update mode). */
+  def distinctStream(pairs: Dataset[(String, Long)],
+      k: Int): Dataset[DistinctEstimate] = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], DistinctEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group, it, state) =>
+          val buf = state.getOption
+            .map(graft.operators.KmvBuffer.fromBytes)
+            .getOrElse(new graft.operators.KmvBuffer(k))
+          it.foreach { case (_, v) =>
+            buf.add(org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(v, 42L))
+          }
+          state.update(buf.toBytes)
+          val kept = buf.size
+          val est =
+            if (kept < k) kept.toLong
+            else {
+              val u = (buf.maxKept.toDouble - Long.MinValue.toDouble) /
+                1.8446744073709552e19
+              math.max(kept.toLong, math.round((k - 1).toDouble / u))
+            }
+          Iterator.single(DistinctEstimate(group, est, kept < k))
+      }
+  }
+
   /** Stream-stream time-range join: the streaming counterpart of
     * [[graft.operators.RangeJoin.withinTolerance]] — pair rows of two
     * live streams sharing `key` whose event times lie within

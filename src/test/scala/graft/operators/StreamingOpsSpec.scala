@@ -271,6 +271,38 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming per-group distinct matches batch COUNT(DISTINCT) exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two days of user ids with heavy repetition, split across batches
+    val b1 = (0 until 3000).map(i => ("d1", (i % 211).toLong)) ++
+      (0 until 1000).map(i => ("d2", (i % 97).toLong))
+    val b2 = (0 until 2000).map(i => ("d1", (i % 307).toLong)) ++
+      (0 until 500).map(i => ("d2", (i % 89).toLong))
+    val input = MemoryStream[(String, Long)]
+    val out = StreamingOps.distinctStream(input.toDS(), k = 1024)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("dist_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // latest estimate per group = the max (kept-set size is monotone)
+    val streamed = spark.sql(
+        "SELECT `group`, max(estimate), min(CAST(isExact AS INT)) " +
+        "FROM dist_out GROUP BY `group`")
+      .as[(String, Long, Int)].collect()
+      .map { case (g, v, e) => g -> ((v, e)) }.toMap
+    val truth = (b1 ++ b2).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(streamed.keySet == truth.keySet)
+    truth.foreach { case (g, n) =>
+      assert(streamed(g)._1 == n, s"$g: streamed ${streamed(g)._1} vs true $n")
+      assert(streamed(g)._2 == 1, s"$g: below capacity must be exact")
+    }
+  }
+
   test("streaming anomaly flags agree exactly with the batch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
