@@ -52,7 +52,7 @@ object Bpe {
       minPairFreq: Long = 2L, localVocabLimit: Long = 200000L): Seq[Merge] = {
     val spark = docs.sparkSession
     val words = docs
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(explode(split(trim(col(textCol)), graft.queries.Tables.Ws)).as("w"))
       .where(col("w") =!= "" && !col("w").contains(SEP))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     val vocabSize = words.count()

@@ -22,7 +22,7 @@ object LangId {
 
   /** Per-language stopword hit counts + CJK char count. */
   def scores(textCol: Column): Map[String, Column] = {
-    val toks = array_distinct(split(lower(trim(textCol)), "\\s+"))
+    val toks = array_distinct(split(lower(trim(textCol)), graft.queries.Tables.Ws))
     profiles.map { case (lang, words) =>
       lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     } + ("zh" -> length(regexp_replace(textCol, "[^\\u4e00-\\u9fff]", "")))

@@ -31,7 +31,7 @@ object MinHashLsh {
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
-          val toks = text.trim.split("\\s+")
+          val toks = text.trim.split(graft.queries.Tables.Ws)
           if (toks.length < n) Iterator.empty
           else {
             val seen = new java.util.HashSet[String]()

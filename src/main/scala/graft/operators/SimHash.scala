@@ -26,7 +26,7 @@ object SimHash {
   /** (id, simhash: long) per document. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      explode(split(trim(col(textCol)), graft.queries.Tables.Ws)).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -37,7 +37,7 @@ object TextCuration {
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
     val h = df
       .select(col(srcCol).as("src"),
-        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))).as("fp"))
+        md5(lower(regexp_replace(trim(col(textCol)), graft.queries.Tables.Ws, " "))).as("fp"))
       .distinct()
       .repartition(col("fp"))
     val counts = h.groupBy("src").agg(count(lit(1)).as("n"))
@@ -129,7 +129,7 @@ object TextCuration {
     */
   def incrementalDupFlags(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
-    def fp(c: Column) = md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+    def fp(c: Column) = md5(lower(regexp_replace(trim(c), graft.queries.Tables.Ws, " ")))
     val batchFp = batch.select(col(idCol), fp(col(textCol)).as("__fp"))
     val n = math.max(batchFp.count(), 1L)
     val bloom = batchFp.stat.bloomFilter("__fp", n, fpp)
@@ -167,7 +167,7 @@ object TextCuration {
     val spark = df.sparkSession
     val docs = df.select(col(idCol), isTarget.cast("long").as("__t"),
       graft.functions.HashedBigramHistogram(
-        split(trim(col(textCol)), "\\s+"), buckets).as("__h"))
+        split(trim(col(textCol)), graft.queries.Tables.Ws), buckets).as("__h"))
     // bucket totals: posexplode the histograms (`buckets` short rows per
     // doc, no text) and collect — n_r/n_t per bucket, totals derived
     val statRows = docs

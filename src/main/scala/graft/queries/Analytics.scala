@@ -39,7 +39,7 @@ object Analytics {
     val k1 = 1.2
     val b = 0.75
     val toks = documents(s, d).select(col("doc_id"),
-      split(lower(trim(col("text"))), "\\s+").as("a"))
+      split(lower(trim(col("text"))), graft.queries.Tables.Ws).as("a"))
     val per = toks.select(
       col("doc_id") +: size(col("a")).as("dl") +:
         terms.map(t => size(filter(col("a"), x => x === t)).as(s"tf_$t")): _*)
@@ -415,10 +415,15 @@ object Analytics {
     val ev = events(s, d).select(col("event_type"), col("value"))
     val mm = ev.groupBy("event_type").agg(
       min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+    // mx == mn (a constant-valued group) would make the bin ratio 0/0 —
+    // a DIVIDE_BY_ZERO throw under Spark 4's default ANSI mode; pin the
+    // degenerate group to bin 0, whose lower edge is mn = mx (exact)
     val binned = ev.join(broadcast(mm), "event_type")
-      .withColumn("bin", least(
-        floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 1000),
-        lit(999L)))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * 1000),
+            lit(999L))))
     val hist = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("event_type").orderBy("bin")
     val cum = hist.withColumn("cum", sum("c").over(w))
@@ -442,8 +447,9 @@ object Analytics {
       |  FROM events GROUP BY 1),
       |b AS (
       |  SELECT e.event_type,
-      |    least(CAST(floor((value - mn) / (mx - mn) * 1000) AS BIGINT),
-      |          999) AS bin
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE least(CAST(floor((value - mn) / (mx - mn) * 1000) AS BIGINT),
+      |                    999) END AS bin
       |  FROM events e JOIN mm USING (event_type)),
       |h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
       |cum AS (

@@ -25,11 +25,11 @@ object Curation {
   def gopherFilters(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), trim(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), split(col("t"), "\\s+").as("tk"))
+      .select(col("doc_id"), col("t"), split(col("t"), graft.queries.Tables.Ws).as("tk"))
       .select(
         col("doc_id"),
         size(col("tk")).as("n_words"),
-        round(length(regexp_replace(col("t"), "\\s+", "")).cast("double")
+        round(length(regexp_replace(col("t"), graft.queries.Tables.Ws, "")).cast("double")
           / size(col("tk")), 4).as("mean_word_len"),
         round(expr("size(filter(tk, x -> x rlike '[a-zA-Z]'))").cast("double")
           / size(col("tk")), 4).as("alpha_word_ratio"),
@@ -147,7 +147,7 @@ object Curation {
   def dedupLines(s: SparkSession, d: String): DataFrame =
     TextCuration.dedupLines(
       documents(s, d).select(col("doc_id"), col("text")),
-      "doc_id", "text", sepRegex = "\\s+", joinSep = "\n")
+      "doc_id", "text", sepRegex = graft.queries.Tables.Ws, joinSep = "\n")
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         md5(col("rebuilt")).as("rebuilt_md5"))
       .orderBy("doc_id")
@@ -187,7 +187,7 @@ object Curation {
     * the shuffle carries near-distinct grams, not raw occurrences. */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+      .select(col("doc_id"), split(trim(col("text")), graft.queries.Tables.Ws).as("tk"))
     def gramStats(n: Int, top: Boolean): DataFrame = {
       val grams = docs.select(col("doc_id"),
         explode(expr(
@@ -321,7 +321,7 @@ object Curation {
   def unigramLogprob(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w0"))
+        explode(split(trim(col("text")), graft.queries.Tables.Ws)).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum("c").cast("double").as("t"))
@@ -358,7 +358,7 @@ object Curation {
   def bigramLogprob(s: SparkSession, d: String): DataFrame = {
     val bg = documents(s, d)
       .select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("tk"))
+        split(lower(trim(col("text"))), graft.queries.Tables.Ws).as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
@@ -367,7 +367,7 @@ object Curation {
     val cBg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val cPre = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
     val vocab = documents(s, d)
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(explode(split(lower(trim(col("text"))), graft.queries.Tables.Ws)).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("v"))
     bg.join(cBg, Seq("w1", "w2"))
       .join(cPre, Seq("w1"))
@@ -405,7 +405,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val tok = documents(s, d)
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w0"))
+        explode(split(trim(col("text")), graft.queries.Tables.Ws)).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -488,7 +488,7 @@ object Curation {
   def dedupExactKeep(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        md5(lower(regexp_replace(trim(col("text")), graft.queries.Tables.Ws, " "))).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fp"))
@@ -516,7 +516,7 @@ object Curation {
     val grams = documents(s, d)
       .select(col("doc_id"),
         TextCuration.hashBucket(col("doc_id")).as("bucket"),
-        split(lower(trim(col("text"))), "\\s+").as("tk"))
+        split(lower(trim(col("text"))), graft.queries.Tables.Ws).as("tk"))
       .select(col("doc_id"), col("bucket"),
         explode(expr(
           s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk) - ${n - 1}), " +
@@ -705,7 +705,7 @@ object Curation {
     val withTok = documents(s, d)
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, 0)
-          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tok"))
+          .otherwise(size(split(trim(col("text")), graft.queries.Tables.Ws))).as("n_tok"))
     TextCuration.packSequences(withTok, "doc_id", "n_tok",
         seqLen = 512, nShards = 8)
       .orderBy("doc_id")
@@ -792,7 +792,7 @@ object Curation {
   def oovRate(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w0"))
+        explode(split(trim(col("text")), graft.queries.Tables.Ws)).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
     val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(1000)
@@ -896,10 +896,14 @@ object Curation {
     * hash match. Docs with empty text (null quality) pass through with
     * null percentile, like the window formulation would emit. */
   def qualityPercentile(s: SparkSession, d: String): DataFrame = {
+    // empty text → null q, NOT 0/0: Spark 4 defaults ANSI on, so an
+    // unguarded divide throws DIVIDE_BY_ZERO on the first empty document;
+    // the guard also makes the docstring's null-quality passthrough real
     val docs = documents(s, d)
       .select(col("doc_id"),
-        (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-          .cast("double") / length(col("text"))).as("q"))
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))).as("q"))
       .withColumn("bin",
         when(col("q").isNotNull, least(floor(col("q") * 1000), lit(999L))))
     val hist = docs.where(col("bin").isNotNull)
@@ -919,7 +923,9 @@ object Curation {
   val qualityPercentileSql: String =
     """WITH docs AS (
       |  SELECT doc_id,
-      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS q
+      |    CASE WHEN length(text) > 0
+      |         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |              / length(text) END AS q
       |  FROM documents),
       |b AS (
       |  SELECT doc_id, q,

@@ -488,7 +488,7 @@ object Similarity {
   def sparseCosinePairs(s: SparkSession, d: String): DataFrame = {
     val tf = documents(s, d)
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w0"))
+        explode(split(trim(col("text")), graft.queries.Tables.Ws)).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     // repartition boundary: `kept` feeds the two postings-join sides AND

@@ -7,6 +7,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same code runs at any scale factor.
   */
 object Tables {
+  /** Whitespace token boundary, spelled as an explicit character class so
+    * the java.util.regex side and the DuckDB (RE2) oracle side agree BY
+    * CONSTRUCTION: RE2's \s is exactly [ \t\n\f\r], while Java's \s also
+    * includes \x0B (vertical tab) — a document containing \x0B would
+    * tokenize differently across engines and break the hash gate. Every
+    * Spark-side whitespace tokenizer uses this constant; oracle SQL may
+    * keep RE2 \s (the identical set). */
+  val Ws = "[ \\t\\n\\f\\r]+"
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -13,13 +13,16 @@ import Tables._
   */
 object Text {
 
-  private def toks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+  private def toks(c: org.apache.spark.sql.Column) = split(trim(c), graft.queries.Tables.Ws)
 
   /** GPT-2-style pretokenizer pattern restricted to the java.regex ∩ RE2
     * subset (no lookahead, ASCII classes): contractions, space-prefixed
     * word/number/punctuation runs. The BPE-ish estimate a pipeline uses
     * to budget token counts before running a real tokenizer. */
-  val BpeishRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+  // the whitespace in the final negated class is the EXPLICIT RE2 \s set
+  // [ \t\n\f\r] — Java's \s also covers \x0B and would disagree with the
+  // DuckDB oracle's RE2 \s on documents containing a vertical tab
+  val BpeishRe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r']+"
 
   /** Per-document token counts: whitespace tokens + BPE-ish pretokens. */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
@@ -51,20 +54,27 @@ object Text {
         length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
         toks(col("text")).as("tk"))
       .select(col("doc_id"),
-        round(col("n_alpha").cast("double") / col("n"), 4).as("alpha_ratio"),
-        round(col("n_digit").cast("double") / col("n"), 4).as("digit_ratio"),
-        round((col("n") - col("n_alpha") - col("n_digit")).cast("double")
-          / col("n"), 4).as("other_ratio"),
+        // n = 0 (empty text) → null ratios, not an ANSI 0/0 throw
+        when(col("n") > 0,
+          round(col("n_alpha").cast("double") / col("n"), 4)).as("alpha_ratio"),
+        when(col("n") > 0,
+          round(col("n_digit").cast("double") / col("n"), 4)).as("digit_ratio"),
+        when(col("n") > 0,
+          round((col("n") - col("n_alpha") - col("n_digit")).cast("double")
+            / col("n"), 4)).as("other_ratio"),
         round(size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 4)
           .as("ttr"))
       .orderBy("doc_id")
 
   val qualityScoreSql: String =
     """SELECT doc_id,
-      |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4) AS alpha_ratio,
-      |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 4) AS digit_ratio,
-      |  round((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-      |         - length(regexp_replace(text, '[^0-9]', '', 'g'))) / length(text), 4) AS other_ratio,
+      |  CASE WHEN length(text) > 0 THEN
+      |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4) END AS alpha_ratio,
+      |  CASE WHEN length(text) > 0 THEN
+      |    round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 4) END AS digit_ratio,
+      |  CASE WHEN length(text) > 0 THEN
+      |    round((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |           - length(regexp_replace(text, '[^0-9]', '', 'g'))) / length(text), 4) END AS other_ratio,
       |  round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
       |        / len(regexp_split_to_array(trim(text), '\s+')), 4) AS ttr
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -83,10 +93,14 @@ object Text {
   def qualityBins(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = documents(s, d).count()
+    // empty text scores 0.0 (no alpha chars), coalesced on BOTH sides —
+    // a null score would ANSI-throw here and null-ORDER differently per
+    // engine (Spark sorts nulls first asc, DuckDB last)
     val scored = documents(s, d)
       .select(col("doc_id"),
-        round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
-          / length(col("text")), 4).as("score"))
+        coalesce(when(length(col("text")) > 0,
+          round(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+            / length(col("text")), 4)), lit(0.0)).as("score"))
       .orderBy("score", "doc_id")
     scored.as[(Long, Double)].rdd
       .zipWithIndex()
@@ -98,7 +112,9 @@ object Text {
   val qualityBinsSql: String =
     """WITH s AS (
       |  SELECT doc_id,
-      |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4) AS score
+      |    coalesce(CASE WHEN length(text) > 0 THEN
+      |      round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+      |            / length(text), 4) END, 0.0) AS score
       |  FROM documents),
       |r AS (
       |  SELECT doc_id, score,
@@ -114,7 +130,7 @@ object Text {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        md5(lower(regexp_replace(trim(col("text")), graft.queries.Tables.Ws, " "))).as("fp"))
       .orderBy("doc_id")
 
   val fingerprintSql: String =
@@ -376,7 +392,7 @@ object Text {
   def dedupExact(s: SparkSession, d: String): DataFrame = {
     val fp = documents(s, d)
       .select(col("doc_id"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        md5(lower(regexp_replace(trim(col("text")), graft.queries.Tables.Ws, " "))).as("fp"))
     fp.groupBy("fp").agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_unique"),
         sum("c").as("n_docs"),
@@ -572,8 +588,11 @@ object Text {
     val nP = s.sessionState.conf.numShufflePartitions
     val q = documents(s, d)
       .select(col("doc_id"),
-        round(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-          .cast("double") / length(col("text")), 4).as("q"))
+        // empty text → null q (the documented passthrough), not an ANSI
+        // 0/0 throw
+        when(length(col("text")) > 0,
+          round(length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text")), 4)).as("q"))
       // doc_id isNotNull aligns the inner-join consumer's inferred
       // constraints with the left-outer one's (which infers none) so the
       // exchange subtrees canonicalize equal — the winnowPairs lesson.
@@ -601,8 +620,9 @@ object Text {
     s"""WITH clusters AS ($ccBody),
        |q AS (
        |  SELECT doc_id,
-       |         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-       |               / length(text), 4) AS q
+       |         CASE WHEN length(text) > 0 THEN
+       |           round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+       |                 / length(text), 4) END AS q
        |  FROM documents),
        |ranked AS (
        |  SELECT q.doc_id, c.cluster_id, q.q,
@@ -840,7 +860,7 @@ object Text {
       regexp_replace(
         graft.functions.UnicodeNormalize(col("text"), "NFC"),
         "[\\p{Cc}\\p{Cf}]", " "),
-      "\\s+", " "))
+      graft.queries.Tables.Ws, " "))
     documents(s, d)
       .select(col("doc_id"), canon.as("__c"), col("text"))
       .select(col("doc_id"),
@@ -1013,7 +1033,7 @@ object Text {
   def sortedNeighbors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val key = substring(
-      lower(regexp_replace(trim(col("text")), "\\s+", " ")), 1, 100)
+      lower(regexp_replace(trim(col("text")), graft.queries.Tables.Ws, " ")), 1, 100)
     val pos = documents(s, d)
       .select(col("doc_id"), key.as("k"))
       .orderBy("k", "doc_id")
@@ -1242,7 +1262,7 @@ object Text {
   def invertedIndex(s: SparkSession, d: String): DataFrame = {
     val pairs = documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(split(lower(trim(col("text"))), "\\s+"))).as("term"))
+        explode(array_distinct(split(lower(trim(col("text"))), graft.queries.Tables.Ws))).as("term"))
       .where(col("term").rlike("^[a-z]{3,}$"))
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df").between(2, 10))

@@ -189,7 +189,12 @@ object StreamingOps {
     * straggler is scored against the window as of its ARRIVAL (the
     * batch query would score it against its event-time position).
     * Exactness under disorder would need buffering up to the watermark
-    * delay per user; this is the O(cap)-state trade. */
+    * delay per user; this is the O(cap)-state trade.
+    *
+    * Input bound: |value| must stay under ~sqrt(2^63 / (cap·1e12))
+    * (≈ 679 at cap = 20) so the exact long moment sums fit; beyond it
+    * the operator throws ArithmeticException rather than silently
+    * wrapping (the batch DECIMAL(37,12) sums cannot overflow). */
   def anomalyStream(events: Dataset[VEvent], cap: Int = 20, minPrior: Int = 10,
       zThreshold: Double = 2.2, expireMinutes: Int = 120,
       watermark: String = "1 hour"): Dataset[AnomalyFlag] = {
@@ -209,14 +214,26 @@ object StreamingOps {
             var lastMs = 0L
             evs.toSeq.sortBy(e => (micros(e.ts), e.eventId)).foreach { e =>
               lastMs = math.max(lastMs, e.ts.getTime)
-              // half-up to 6 dp — exactly Spark's cast(value as decimal(18,6))
-              val scaled = new java.math.BigDecimal(e.value)
+              // half-up to 6 dp — exactly Spark's cast(value as decimal(18,6)).
+              // valueOf (Double.toString-based) matches Spark's
+              // Decimal(double), which rounds the SHORTEST decimal repr;
+              // new BigDecimal(double) would round the binary expansion and
+              // diverge on ties at the 6-dp boundary (2.675 → 2.67 vs 2.68)
+              val scaled = java.math.BigDecimal.valueOf(e.value)
                 .setScale(6, java.math.RoundingMode.HALF_UP)
                 .unscaledValue().longValueExact()
               val n = vals.length
               if (n >= minPrior) {
+                // exact-ops so a window whose v² sum exceeds Long range
+                // (|value| beyond ~679 at cap=20: 20·(6.8e8)² ≈ 9.2e18)
+                // fails LOUDLY instead of silently wrapping and corrupting
+                // z-scores — the batch path's DECIMAL(37,12) cannot
+                // overflow, so a wrap here would be a silent divergence
                 var s1 = 0L; var s2 = 0L
-                vals.foreach { v => s1 += v; s2 += v * v }
+                vals.foreach { v =>
+                  s1 = Math.addExact(s1, v)
+                  s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                }
                 // BigDecimal(unscaled, scale).doubleValue is the same
                 // correctly-rounded rational→double map as the decimal cast
                 val mu = java.math.BigDecimal.valueOf(s1, 6).doubleValue / n
@@ -228,8 +245,10 @@ object StreamingOps {
                   if (math.abs(z) >= zThreshold)
                     out += AnomalyFlag(userId, e.eventId,
                       // round half-up like the batch round(v, 2) — floor
-                      // would turn the double 133.3799… into 133.37
-                      new java.math.BigDecimal(vD)
+                      // would turn the double 133.3799… into 133.37; and
+                      // valueOf, not new BigDecimal: Spark's Round works on
+                      // the shortest decimal repr (round(2.675, 2) = 2.68)
+                      java.math.BigDecimal.valueOf(vD)
                         .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue,
                       math.floor(mu * 1e4) / 1e4,
                       math.floor(z * 1e3) / 1e3)
@@ -358,7 +377,7 @@ object StreamingOps {
   def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
       watermark: String): DataFrame =
     withInstantTime(docs, tsCol)
-      .withColumn("fp", md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " "))))
+      .withColumn("fp", md5(lower(regexp_replace(trim(col(textCol)), graft.queries.Tables.Ws, " "))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
@@ -397,5 +416,5 @@ object StreamingOps {
         col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         avg(length(col(textCol))).as("avg_chars"),
-        avg(size(split(trim(col(textCol)), "\\s+"))).as("avg_tokens"))
+        avg(size(split(trim(col(textCol)), graft.queries.Tables.Ws))).as("avg_tokens"))
 }

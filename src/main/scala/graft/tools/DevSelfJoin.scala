@@ -23,7 +23,7 @@ object DevSelfJoin {
       ("c", "only c")).toDF("source", "text")
 
     val h = docs.select(col("source"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        md5(lower(regexp_replace(trim(col("text")), graft.queries.Tables.Ws, " "))).as("fp"))
       .distinct()
 
     // formulation 1: alias self-join (the shape that got eliminated)
