@@ -32,4 +32,20 @@ class PairBranchParitySpec extends SparkTestBase {
     assert(direct.nonEmpty)
     assert(direct == prefix)
   }
+
+  test("keepBest: shuffle-join dispatch == broadcast dispatch") {
+    val bc = rows(Text.keepBestImpl(spark, d, Some(true)))
+    val sj = rows(Text.keepBestImpl(spark, d, Some(false)))
+    assert(bc.nonEmpty)
+    assert(bc == sj)
+  }
+
+  test("q22 pair-set collect fails loudly over its driver bound") {
+    val e = intercept[IllegalStateException] {
+      graft.queries.Relational.q22RecursiveClustersImpl(spark, d,
+        maxLocalPairs = 1).collect()
+    }
+    assert(e.getMessage.contains("dedup_clusters"),
+      "the error must point at the production clustering path")
+  }
 }
