@@ -238,7 +238,81 @@ object ReadstatQueries {
       |JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** orders → .dta with WRITE-SIDE COMPRESS → read → aggregate, plus the
+    * read-back storage types as literal columns so the oracle certifies
+    * the narrowing actually happened on disk (o_orderkey long → int16 or
+    * int32 depending on the SF's key range — the oracle derives the same
+    * expectation from max(o_orderkey); the 0/1 flag → boolean → stata
+    * byte). Values prove the compressed encoding decodes exactly. */
+  def dtaCompressRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_compress.dta")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_orderkey") % 2 === 0).cast("double").as("even_flag"))
+      .write.format("readstat").option("compress", "true")
+      .mode("overwrite").save(path)
+    val back = s.read.format("readstat").load(path)
+    val types = back.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    back.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        sum(col("even_flag").cast("long")).as("n_even"))
+      .withColumn("key_storage", lit(types("o_orderkey")))
+      .withColumn("flag_storage", lit(types("even_flag")))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaCompressRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_even,
+      |  (SELECT CASE WHEN max(o_orderkey) <= 100 THEN 'tinyint'
+      |               WHEN max(o_orderkey) <= 32740 THEN 'smallint'
+      |               WHEN max(o_orderkey) <= 2147483620 THEN 'int'
+      |               ELSE 'double' END FROM orders) AS key_storage,
+      |  'tinyint' AS flag_storage
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Heterogeneous DIRECTORY read: customer split into a .dta half (even
+    * keys, 3 columns) and a .sav half (odd keys, + c_nationkey), loaded
+    * back as ONE directory with mergeSchema — union-by-name, null-fill
+    * for the dta half's missing column, int/double widening across
+    * formats. The aggregate's n_sav/sum_nation only see the .sav rows,
+    * so the oracle check certifies per-file column routing, not just the
+    * union row count. */
+  def mixedDirMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "mixed_dir")
+    val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"),
+      col("c_mktsegment"), col("c_nationkey"))
+    base.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .write.format("readstat").mode("overwrite").save(s"$dir/even.dta")
+    base.filter(col("c_custkey") % 2 === 1)
+      .write.format("readstat").mode("overwrite").save(s"$dir/odd.sav")
+    s.read.format("readstat").option("mergeSchema", "true").load(dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum("c_acctbal"), 2).as("sum_bal"),
+        count(col("c_nationkey")).as("n_sav"),
+        round(sum(coalesce(col("c_nationkey"), lit(0.0))), 2).as("sum_nation"))
+      .orderBy("c_mktsegment")
+  }
+
+  val mixedDirMergeSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  round(sum(c_acctbal), 2) AS sum_bal,
+      |  CAST(count(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_sav,
+      |  round(sum(CASE WHEN c_custkey % 2 = 1
+      |            THEN CAST(c_nationkey AS DOUBLE) ELSE 0.0 END), 2)
+      |    AS sum_nation
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "stata_compress_roundtrip" -> (dtaCompressRoundtrip _, dtaCompressRoundtripSql),
+    "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
     "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),

@@ -610,8 +610,11 @@ object Text {
     * trap this shape avoids. */
   def keepBestImpl(s: SparkSession, d: String,
       forceBroadcast: Option[Boolean]): DataFrame = {
+    // no extra cache: connectedComponents already returns either a
+    // driver-local frame (count is a LocalRelation scan) or its own
+    // cached labels (count reads the cache) — re-caching here would
+    // leak a persistent RDD past the query (CacheHygieneSpec)
     val clusters = dedupClusters(s, d) // (doc_id, cluster_id), paired docs only
-      .cache()
     val useBroadcast = forceBroadcast.getOrElse(
       clusters.count() <= KeepBestBroadcastRows)
     def hinted(df: DataFrame): DataFrame =

@@ -21,7 +21,16 @@ object StatWriters {
           "use mode(\"overwrite\") or a multiFile directory")
     }
     val opts = options + ("__overwrite" -> overwrite.toString)
-    write0(df, path, opts, lower)
+    // write-side compress (reference `with_compress`): one exact
+    // distributed stats pass, then the narrowed frame feeds any writer —
+    // the reference only wires compress into its Stata writer, but the
+    // pre-cast is format-independent so every sink gets it here
+    val out =
+      if (options.get("compress").exists(_.toBoolean))
+        WriteCompress(df, WriteCompress.Opts.from(options,
+          isDta = lower.endsWith(".dta")))
+      else df
+    write0(out, path, opts, lower)
   }
 
   private def write0(df: DataFrame, path: String,

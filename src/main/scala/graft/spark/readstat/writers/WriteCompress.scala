@@ -1,0 +1,178 @@
+package graft.spark.readstat.writers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Write-side type compression — the Spark analog of the reference
+  * writer's `with_compress` / `compress_df` pre-pass (reference:
+  * crates/polars_readstat_rs/src/stata/writer.rs:185-230,
+  * src/stata/compress.rs:82-202): before encoding, downcast each column
+  * to the narrowest type that holds every value, so a user writing f64
+  * columns that happen to hold small integers gets compact int storage
+  * in one call instead of pre-casting by hand.
+  *
+  * Semantics per column (reference `CompressOptions` defaults):
+  *  - float32/64 whose every non-null value is integral → Boolean when
+  *    all values ∈ {0, 1} (unless `compressNoBoolean`), else the
+  *    narrowest of int8/int16/int32 whose bounds fit min/max, else
+  *    float64;
+  *  - integer/boolean columns re-narrow the same way (an int64 whose
+  *    values exceed int32 bounds becomes float64, like the reference);
+  *  - timestamp columns whose every value is midnight → date
+  *    (`compressCheckDateTime`, default on);
+  *  - all-null columns → Boolean (`compressAllNullToBoolean`, default on);
+  *  - string columns that fully parse as numbers → float64
+  *    (`compressCheckString`, default OFF like the reference), then the
+  *    parsed values re-enter the numeric narrowing;
+  *  - `compressCols` restricts the pass to a named subset.
+  *
+  * Bounds: for .dta targets the Stata missing-sentinel-aware bounds
+  * apply by default (int8 ≤ 100, int16 ≤ 32740, int32 ≤ 2147483620 —
+  * reference writer.rs:25-39); other formats use the full two's-
+  * complement ranges. Override with `compressStataBounds`.
+  *
+  * Scale shape — and the one deliberate divergence from the reference:
+  * the reference probes a materialized local frame; here the stats come
+  * from ONE distributed aggregate job over the outgoing DataFrame
+  * (min/max/integrality per column, all map-side combinable), so the
+  * narrowing is EXACT over every row — no probe-undersampling failure
+  * mode, no strict-cast surprise in a later partition — and the frame
+  * itself never lands anywhere. One extra pass over data that is about
+  * to be written once is the right trade for a deterministic schema.
+  */
+object WriteCompress {
+
+  /** Stata missing-value-aware integer bounds (reference writer.rs:25-39:
+    * values above these encode missing sentinels). */
+  private val StataBounds = ((-127L, 100L), (-32767L, 32740L),
+    (-2147483647L, 2147483620L))
+  private val StandardBounds = ((Byte.MinValue.toLong, Byte.MaxValue.toLong),
+    (Short.MinValue.toLong, Short.MaxValue.toLong),
+    (Int.MinValue.toLong, Int.MaxValue.toLong))
+
+  case class Opts(cols: Option[Set[String]], noBoolean: Boolean,
+      stataBounds: Boolean, checkString: Boolean, checkDateTime: Boolean,
+      allNullToBoolean: Boolean)
+
+  object Opts {
+    def from(options: Map[String, String], isDta: Boolean): Opts = Opts(
+      cols = options.get("compressCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      noBoolean = options.get("compressNoBoolean").exists(_.toBoolean),
+      stataBounds = options.get("compressStataBounds")
+        .map(_.toBoolean).getOrElse(isDta),
+      checkString = options.get("compressCheckString").exists(_.toBoolean),
+      checkDateTime = options.get("compressCheckDateTime")
+        .forall(_.toBoolean),
+      allNullToBoolean = options.get("compressAllNullToBoolean")
+        .forall(_.toBoolean))
+  }
+
+  def apply(df: DataFrame, opts: Opts): DataFrame = {
+    val targeted = df.schema.fields.filter(f => opts.cols.forall(_(f.name)))
+
+    // the numeric view of each column that participates in narrowing:
+    // floats/ints as themselves; strings only under checkString, parsed
+    // (empty → null, like the reference's try_parse)
+    def numericView(f: StructField): Option[Column] = f.dataType match {
+      case DoubleType | FloatType | ByteType | ShortType | IntegerType |
+           LongType => Some(col(f.name))
+      case BooleanType => Some(col(f.name).cast(IntegerType))
+      case StringType if opts.checkString =>
+        Some(when(length(trim(col(f.name))) === 0, lit(null))
+          .otherwise(trim(col(f.name)).try_cast(DoubleType)))
+      case _ => None
+    }
+
+    def isTemporal(f: StructField): Boolean = f.dataType match {
+      case TimestampType | TimestampNTZType => opts.checkDateTime
+      case _ => false
+    }
+
+    // ---- one aggregate job: per-column (count, integral?, min, max, …)
+    val aggExprs = targeted.zipWithIndex.flatMap { case (f, i) =>
+      val base = Seq(count(col(f.name)).as(s"c$i"))
+      val num = numericView(f).toSeq.flatMap { v =>
+        val d = v.cast(DoubleType)
+        Seq(
+          // NaN/±Inf are never integral; round(double) is rint
+          coalesce(bool_and(!isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+            && d === round(d)), lit(true)).as(s"i$i"),
+          min(d).as(s"mn$i"), max(d).as(s"mx$i")) ++
+          (if (f.dataType == StringType)
+            // a single unparseable non-empty string vetoes the column
+            Seq(coalesce(bool_and(
+              length(trim(col(f.name))) === 0 ||
+                trim(col(f.name)).try_cast(DoubleType).isNotNull),
+              lit(true)).as(s"p$i"))
+          else Nil)
+      }
+      val temporal = if (isTemporal(f))
+        Seq(coalesce(bool_and(
+          col(f.name) === date_trunc("DAY", col(f.name))), lit(true))
+          .as(s"m$i"))
+      else Nil
+      base ++ num ++ temporal
+    }
+    if (aggExprs.isEmpty) return df
+    // __total guards the all-null → Boolean rule: the reference applies
+    // it only to frames with rows (compress.rs:123 `s.len() > 0`)
+    val withTotal = count(lit(1)).as("__total") +: aggExprs
+    val stats = df.agg(withTotal.head, withTotal.tail: _*).collect()(0)
+    val totalRows = stats.getAs[Long]("__total")
+
+    val ((b8lo, b8hi), (b16lo, b16hi), (b32lo, b32hi)) =
+      if (opts.stataBounds) StataBounds else StandardBounds
+
+    def narrowType(i: Int, f: StructField): DataType = {
+      val cnt = stats.getAs[Long](s"c$i")
+      if (cnt == 0L)
+        return if (opts.allNullToBoolean && totalRows > 0L) BooleanType
+               else f.dataType
+      def numericTarget(asFloat64: DataType): DataType = {
+        val integral = stats.getAs[Boolean](s"i$i")
+        if (!integral) return f.dataType
+        val mn = stats.getAs[Double](s"mn$i")
+        val mx = stats.getAs[Double](s"mx$i")
+        if (!opts.noBoolean && mn >= 0.0 && mx <= 1.0) BooleanType
+        else if (mn >= b8lo && mx <= b8hi) ByteType
+        else if (mn >= b16lo && mx <= b16hi) ShortType
+        else if (mn >= b32lo && mx <= b32hi) IntegerType
+        else asFloat64
+      }
+      f.dataType match {
+        case DoubleType | FloatType => numericTarget(DoubleType)
+        case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+          numericTarget(DoubleType)
+        case TimestampType | TimestampNTZType if isTemporal(f) &&
+            stats.getAs[Boolean](s"m$i") => DateType
+        case StringType if opts.checkString && stats.getAs[Boolean](s"p$i") =>
+          // parseable strings become f64 even when non-integral
+          // (reference: try_parse runs BEFORE numeric narrowing)
+          val t = numericTarget(DoubleType)
+          if (t == StringType) DoubleType else t
+        case other => other
+      }
+    }
+
+    val idx = targeted.map(_.name).zipWithIndex.toMap
+    val outCols = df.schema.fields.map { f =>
+      idx.get(f.name) match {
+        case Some(i) =>
+          val to = narrowType(i, f)
+          if (to == f.dataType) col(f.name)
+          else f.dataType match {
+            case StringType if to != BooleanType =>
+              // parsed-string path: empty → null, then numeric cast
+              when(length(trim(col(f.name))) === 0, lit(null))
+                .otherwise(trim(col(f.name)).try_cast(DoubleType))
+                .cast(to).as(f.name)
+            case _ => col(f.name).cast(to).as(f.name)
+          }
+        case None => col(f.name)
+      }
+    }
+    df.select(outCols.toIndexedSeq: _*)
+  }
+}

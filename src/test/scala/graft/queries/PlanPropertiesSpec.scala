@@ -27,6 +27,7 @@ class PlanPropertiesSpec extends SparkTestBase {
     "text_decontaminate" -> "8 broadcast benchmark docs x corpus n-gram sets",
     "asof_join" -> "bucket-neighbor non-equi against broadcast bucketed right side",
     "sample_temperature" -> "per-source rates (5 rows) broadcast onto the corpus",
+    "text_inverted_index" -> "1-row corpus-count stats frame broadcast onto the df table",
     "text_langid" -> "constant 2-row language-profile frame",
     "text_lang_stats" -> "constant language-profile frame x per-lang aggregates",
     "ann_ivf_topk" -> "10 query vectors x 16 broadcast centroids (probe ranking)",
