@@ -268,6 +268,15 @@ object Graph {
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      // redundant by construction (least/greatest of non-nulls), but it
+      // ALIGNS the inferred constraints of this subtree's three consumers
+      // (deg-u infers isnotnull(u), deg-v isnotnull(v), annotate both):
+      // without it each consumer pushes a different isnotnull set below
+      // the distinct, the exchange subtrees stop canonicalizing equal,
+      // and the WHOLE upstream edge build executes three times — the
+      // winnowPairs ReuseExchange lesson (measured 3 edge-build
+      // exchanges → 1 at sf0.01)
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .distinct()
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))

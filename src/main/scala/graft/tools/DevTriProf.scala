@@ -14,14 +14,30 @@ object DevTriProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    def once(): Double = {
+    def time(f: () => Unit): Double = {
       val t0 = System.nanoTime()
-      graft.queries.Analytics.graphTriangles(spark, d).collect()
+      f()
       (System.nanoTime() - t0) / 1e9
     }
-    once() // warm
-    val runs = Seq.fill(3)(once())
-    println(f"[triprof] runs=${runs.map(r => f"$r%.2f").mkString(",")} min=${runs.min}%.2f s")
+    // phase split: edge build (intra-order self-join + distinct) vs the
+    // compact-forward triangle enumeration that consumes it
+    def edges() = {
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    }
+    def full(): Unit = { graft.queries.Analytics.graphTriangles(spark, d).collect(); () }
+    def edgeOnly(): Unit = { edges().queryExecution.toRdd.count(); () }
+    full(); edgeOnly() // warm
+    val fullRuns = Seq.fill(3)(time(full))
+    val edgeRuns = Seq.fill(3)(time(edgeOnly))
+    println(f"[triprof] full=${fullRuns.map(r => f"$r%.2f").mkString(",")} min=${fullRuns.min}%.2f s " +
+      f"edges=${edgeRuns.map(r => f"$r%.2f").mkString(",")} min=${edgeRuns.min}%.2f s " +
+      f"(n_edges=${edges().count()})")
     spark.stop()
   }
 }
