@@ -69,6 +69,16 @@ object WriteCompress {
         .forall(_.toBoolean))
   }
 
+  /** The reference's `try_parse_string_to_f64` view: empty → null, else
+    * a non-throwing numeric parse (compress.rs:150-170). Every consumer
+    * of a checkString column — stats, null count, and the final cast —
+    * goes through THIS expression, never the raw string. */
+  private def parsedString(name: String): Column =
+    when(length(trim(col(name))) === 0, lit(null))
+      .otherwise(trim(col(name)).try_cast(DoubleType))
+
+  private val MillisPerDay = 86400000L
+
   def apply(df: DataFrame, opts: Opts): DataFrame = {
     val targeted = df.schema.fields.filter(f => opts.cols.forall(_(f.name)))
 
@@ -79,9 +89,7 @@ object WriteCompress {
       case DoubleType | FloatType | ByteType | ShortType | IntegerType |
            LongType => Some(col(f.name))
       case BooleanType => Some(col(f.name).cast(IntegerType))
-      case StringType if opts.checkString =>
-        Some(when(length(trim(col(f.name))) === 0, lit(null))
-          .otherwise(trim(col(f.name)).try_cast(DoubleType)))
+      case StringType if opts.checkString => Some(parsedString(f.name))
       case _ => None
     }
 
@@ -92,7 +100,13 @@ object WriteCompress {
 
     // ---- one aggregate job: per-column (count, integral?, min, max, …)
     val aggExprs = targeted.zipWithIndex.flatMap { case (f, i) =>
-      val base = Seq(count(col(f.name)).as(s"c$i"))
+      // checkString columns count the PARSED view, not the raw column:
+      // the reference applies its all-null rule AFTER parsing, so a
+      // column of empty strings is all-null → boolean, never numeric
+      val base = Seq((f.dataType match {
+        case StringType if opts.checkString => count(parsedString(f.name))
+        case _ => count(col(f.name))
+      }).as(s"c$i"))
       val num = numericView(f).toSeq.flatMap { v =>
         val d = v.cast(DoubleType)
         Seq(
@@ -108,11 +122,22 @@ object WriteCompress {
               lit(true)).as(s"p$i"))
           else Nil)
       }
-      val temporal = if (isTemporal(f))
-        Seq(coalesce(bool_and(
-          col(f.name) === date_trunc("DAY", col(f.name))), lit(true))
-          .as(s"m$i"))
-      else Nil
+      // midnight check: zoned timestamps use epoch millis % 86400000 == 0
+      // (UTC), exactly the reference's physical check — date_trunc("DAY")
+      // on TimestampType would make the narrowing depend on
+      // spark.sql.session.timeZone. NTZ has no zone, so wall-clock
+      // midnight (date_trunc) IS the stable semantic there.
+      val temporal = f.dataType match {
+        case TimestampType if opts.checkDateTime =>
+          Seq(coalesce(bool_and(
+            pmod(unix_millis(col(f.name)), lit(MillisPerDay)) === lit(0L)),
+            lit(true)).as(s"m$i"))
+        case TimestampNTZType if opts.checkDateTime =>
+          Seq(coalesce(bool_and(
+            col(f.name) === date_trunc("DAY", col(f.name))), lit(true))
+            .as(s"m$i"))
+        case _ => Nil
+      }
       base ++ num ++ temporal
     }
     if (aggExprs.isEmpty) return df
@@ -127,9 +152,9 @@ object WriteCompress {
 
     def narrowType(i: Int, f: StructField): DataType = {
       val cnt = stats.getAs[Long](s"c$i")
-      if (cnt == 0L)
-        return if (opts.allNullToBoolean && totalRows > 0L) BooleanType
-               else f.dataType
+      def allNull: DataType =
+        if (opts.allNullToBoolean && totalRows > 0L) BooleanType
+        else f.dataType
       def numericTarget(asFloat64: DataType): DataType = {
         val integral = stats.getAs[Boolean](s"i$i")
         if (!integral) return f.dataType
@@ -142,16 +167,24 @@ object WriteCompress {
         else asFloat64
       }
       f.dataType match {
+        case StringType if opts.checkString =>
+          // reference ordering (compress.rs): parse → all-null → numeric.
+          // An unparseable value vetoes the whole column FIRST; cnt is
+          // the post-parse count, so all-empty columns take the
+          // all-null rule instead of unboxing null stats to 0.0.
+          if (!stats.getAs[Boolean](s"p$i")) f.dataType
+          else if (cnt == 0L) allNull
+          else {
+            // parseable strings become f64 even when non-integral
+            val t = numericTarget(DoubleType)
+            if (t == StringType) DoubleType else t
+          }
+        case _ if cnt == 0L => allNull
         case DoubleType | FloatType => numericTarget(DoubleType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType =>
           numericTarget(DoubleType)
         case TimestampType | TimestampNTZType if isTemporal(f) &&
             stats.getAs[Boolean](s"m$i") => DateType
-        case StringType if opts.checkString && stats.getAs[Boolean](s"p$i") =>
-          // parseable strings become f64 even when non-integral
-          // (reference: try_parse runs BEFORE numeric narrowing)
-          val t = numericTarget(DoubleType)
-          if (t == StringType) DoubleType else t
         case other => other
       }
     }
@@ -163,11 +196,18 @@ object WriteCompress {
           val to = narrowType(i, f)
           if (to == f.dataType) col(f.name)
           else f.dataType match {
-            case StringType if to != BooleanType =>
-              // parsed-string path: empty → null, then numeric cast
-              when(length(trim(col(f.name))) === 0, lit(null))
-                .otherwise(trim(col(f.name)).try_cast(DoubleType))
-                .cast(to).as(f.name)
+            case StringType =>
+              // parsed-string path for EVERY numeric target, boolean
+              // included: a raw cast('' / '1.0' as boolean) throws
+              // under ANSI where the reference's parse-then-cast works
+              parsedString(f.name).cast(to).as(f.name)
+            case TimestampType if to == DateType =>
+              // UTC-day extraction matching the midnight check above;
+              // a plain cast(ts as date) would re-introduce the
+              // session-timezone dependence. Division is exact: the
+              // check guarantees millis is a multiple of 86400000.
+              date_from_unix_date(floor(unix_millis(col(f.name)) /
+                lit(MillisPerDay.toDouble)).cast(IntegerType)).as(f.name)
             case _ => col(f.name).cast(to).as(f.name)
           }
         case None => col(f.name)

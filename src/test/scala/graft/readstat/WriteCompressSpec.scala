@@ -1,6 +1,7 @@
 package graft.readstat
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.timestamp_seconds
 import org.apache.spark.sql.types._
 import graft.spark.readstat.writers.WriteCompress
 
@@ -80,6 +81,45 @@ class WriteCompressSpec extends SparkTestBase {
       .schema("v").dataType == StringType)
     // default: strings untouched (reference check_string = false)
     assert(WriteCompress(nums, opts()).schema("v").dataType == StringType)
+  }
+
+  test("string 0/1 columns narrow to boolean through the parsed path (ANSI-safe)") {
+    // raw cast('' as boolean) / cast('1.0' as boolean) throws under
+    // Spark 4 ANSI; the reference parses to f64 first and succeeds
+    val df = Seq("0", "1.0", " 1 ", "").toDF("v")
+    val out = WriteCompress(df, opts("compressCheckString" -> "true"))
+    assert(out.schema("v").dataType == BooleanType)
+    assert(out.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(false), Some(true), Some(true), None))
+  }
+
+  test("all-empty-string column is all-null POST-PARSE → boolean, not numeric") {
+    val df = Seq("", "  ", "").toDF("v")
+    val out = WriteCompress(df, opts("compressCheckString" -> "true"))
+    assert(out.schema("v").dataType == BooleanType)
+    assert(out.collect().forall(_.isNullAt(0)))
+    // with the all-null rule off, the column stays a string
+    assert(WriteCompress(df, opts("compressCheckString" -> "true",
+      "compressAllNullToBoolean" -> "false")).schema("v").dataType == StringType)
+  }
+
+  test("zoned-timestamp midnight check is UTC epoch-based, not session-TZ") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // UTC midnights (epoch multiples of 86400s) — NOT local midnights
+      val utcMid = Seq(19723L * 86400, 19724L * 86400).toDF("s")
+        .select(timestamp_seconds($"s").as("t"))
+      val out = WriteCompress(utcMid, opts())
+      assert(out.schema("t").dataType == DateType)
+      // and the extracted dates are the UTC days, independent of session TZ
+      assert(out.orderBy("t").collect().map(_.getDate(0).toString).toSeq ==
+        Seq("2024-01-01", "2024-01-02"))
+      // local (EST) midnight = 05:00 UTC → must NOT compress
+      val localMid = Seq(19723L * 86400 + 5 * 3600).toDF("s")
+        .select(timestamp_seconds($"s").as("t"))
+      assert(WriteCompress(localMid, opts()).schema("t").dataType == TimestampType)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("int64 out of int32 bounds becomes float64, like the reference") {
