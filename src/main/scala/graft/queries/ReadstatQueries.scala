@@ -276,6 +276,48 @@ object ReadstatQueries {
       |  'tinyint' AS flag_storage
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** orders → .sav with write-side compress INCLUDING the string-parse
+    * path (`compressCheckString`, reference compress.rs try_parse):
+    * a numeric-string column must land on disk as a sav NUMERIC (read
+    * back double — sav stores all numerics as f64, so 'double' is the
+    * deterministic tag), a 0/1 double flag routes through boolean, and
+    * an all-midnight timestamp narrows to DateType which survives as a
+    * sav DATE format — the one narrowing that is type-visible after a
+    * sav roundtrip. Values certify the parse didn't corrupt anything. */
+  def savCompressRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_compress.sav")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_custkey").cast("string").as("custkey_str"),
+        (col("o_orderkey") % 2 === 0).cast("double").as("even_flag"),
+        col("o_orderdate").cast("timestamp_ntz").as("od_ts"))
+      .write.format("readstat")
+      .option("compress", "true").option("compressCheckString", "true")
+      .mode("overwrite").save(path)
+    val back = s.read.format("readstat").load(path)
+    val types = back.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    back.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("custkey_str").cast("long")).as("sum_cust"),
+        sum(col("even_flag").cast("long")).as("n_even"),
+        date_format(min("od_ts"), "yyyy-MM-dd").as("min_od"),
+        date_format(max("od_ts"), "yyyy-MM-dd").as("max_od"))
+      .withColumn("cust_storage", lit(types("custkey_str")))
+      .withColumn("date_storage", lit(types("od_ts")))
+      .orderBy("o_orderstatus")
+  }
+
+  val savCompressRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_even,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_od,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_od,
+      |  'double' AS cust_storage,
+      |  'date' AS date_storage
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Heterogeneous DIRECTORY read: customer split into a .dta half (even
     * keys, 3 columns) and a .sav half (odd keys, + c_nationkey), loaded
     * back as ONE directory with mergeSchema — union-by-name, null-fill
@@ -312,6 +354,7 @@ object ReadstatQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "stata_compress_roundtrip" -> (dtaCompressRoundtrip _, dtaCompressRoundtripSql),
+    "spss_compress_roundtrip" -> (savCompressRoundtrip _, savCompressRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
