@@ -258,26 +258,69 @@ object Bench {
       sentinel()
       (System.nanoTime() - t0) / 1e9
     }
+    // IO sentinel: the r9 record proved the CPU gauge is blind to the
+    // contention class that actually hit the raw-read metrics — the CPU
+    // sentinel gated 0.05-0.07 s "clean" while IO-bound reads inflated
+    // 2-6x with byte-identical reader code. Time a fixed 256 MB
+    // sequential read of an already-generated bench file (same /tmp
+    // filesystem, same page-cache regime as the timed reads) so
+    // filesystem/memory-bandwidth pressure from neighbor sandboxes is
+    // visible to the gate. The checksum fold keeps the read from being
+    // dead-code-eliminated.
+    val ioSentinelPath: Option[String] =
+      bigFiles.map(_._1).filter(p => new java.io.File(p).exists())
+    def timeIoSentinel(): Double = ioSentinelPath match {
+      case None => 0.0
+      case Some(p) =>
+        val buf = java.nio.ByteBuffer.allocateDirect(8 << 20)
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(p))
+        val t0 = System.nanoTime()
+        try {
+          var remaining = math.min(ch.size(), 256L << 20)
+          var sink = 0L
+          while (remaining > 0) {
+            buf.clear()
+            if (remaining < buf.capacity()) buf.limit(remaining.toInt)
+            val n = ch.read(buf)
+            if (n <= 0) remaining = 0
+            else {
+              sink += buf.get(0).toLong + n
+              remaining -= n
+            }
+          }
+          if (sink == Long.MinValue) println(sink) // defeat DCE
+        } finally ch.close()
+        (System.nanoTime() - t0) / 1e9
+    }
+    timeIoSentinel() // warm (populates the page cache for the slice)
     // load-gate: neighbor-sandbox bursts made the r7 medians meaningless.
-    // Measure the sentinel before each round; while it exceeds 1.5x its
-    // quiet baseline, wait out the burst (bounded: ~2 min per round) and
-    // re-measure. The time actually recorded in `noise` is the gate's
-    // final measurement, so residual contamination stays visible.
+    // Measure BOTH sentinels before each round; while either exceeds
+    // 1.5x its quiet baseline, wait out the burst (bounded: ~2 min per
+    // round) and re-measure. The times actually recorded in
+    // `noise`/`noise_io` are the gate's final measurements, so residual
+    // contamination stays visible.
     // baseline = the fastest sentinel seen so far: the FIRST measurement
     // can itself land in a burst, and anchoring the gate to it would
     // disarm the gate for the whole run
     var sentinelBest = timeSentinel()
-    def gatedSentinel(): Double = {
+    var ioBest = timeIoSentinel()
+    def gatedSentinel(): (Double, Double) = {
       var s = timeSentinel()
+      var io = timeIoSentinel()
       if (s < sentinelBest) sentinelBest = s
+      if (io < ioBest) ioBest = io
       var tries = 0
-      while (s > 1.5 * sentinelBest && tries < 6) {
+      while ((s > 1.5 * sentinelBest || io > 1.5 * math.max(ioBest, 0.01))
+          && tries < 6) {
         Thread.sleep(20000L)
         s = timeSentinel()
+        io = timeIoSentinel()
         if (s < sentinelBest) sentinelBest = s
+        if (io < ioBest) ioBest = io
         tries += 1
       }
-      s
+      (s, io)
     }
 
     val rawRounds = 3
@@ -287,10 +330,16 @@ object Bench {
         name -> (() => fn(spark, sfDir).count())
       }
     val noise = scala.collection.mutable.ArrayBuffer[Double]()
+    val noiseIo = scala.collection.mutable.ArrayBuffer[Double]()
+    def recordGate(): Unit = {
+      val (s, io) = gatedSentinel()
+      noise += s
+      noiseIo += io
+    }
     val runsAcc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     (queryFns.map(_._1) ++ allRaw.map(_._1)).foreach(runsAcc(_) = Vector())
     for (r <- 0 until math.max(rawRounds, queryRounds)) {
-      noise += gatedSentinel()
+      recordGate()
       if (r < queryRounds)
         queryFns.foreach { case (n, f) => timeOne(n, f).foreach(runsAcc(n) :+= _) }
       if (r < rawRounds)
@@ -310,7 +359,7 @@ object Bench {
       val suspects = runsAcc.collect { case (n, rs)
         if rs.nonEmpty && rs.max > 2.5 * math.max(rs.min, 0.05) => n }.toSeq
       if (suspects.nonEmpty) {
-        noise += gatedSentinel()
+        recordGate()
         suspects.foreach { n => timeOne(n, fnByName(n)).foreach(runsAcc(n) :+= _) }
       }
     }
@@ -359,6 +408,7 @@ object Bench {
     val medJson = allRaw.map(_._1).filter(medians.contains)
       .map(k => s"\"" + k + "\":" + fmt3(medians(k))).mkString("{", ",", "}")
     val noiseJson = noise.map(fmt3).mkString("[", ",", "]")
+    val noiseIoJson = noiseIo.map(fmt3).mkString("[", ",", "]")
     // failed queries ride in the guaranteed tail so the driver-visible
     // record always shows them, even under the char budget — but the
     // tail itself must stay bounded: a systemic regression failing most
@@ -374,7 +424,7 @@ object Bench {
           (if (more > 0) s""","errors_omitted":$more""" else "")
       }
     val fixedTail =
-      s""","med":$medJson,"noise":$noiseJson$errTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s""","med":$medJson,"noise":$noiseJson,"noise_io":$noiseIoJson$errTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{"""
     val entries = ordered.map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
     var line = head
@@ -402,7 +452,7 @@ object Bench {
     val errJson = errAcc.toSeq.map { case (k, m) =>
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"med":$medFull,"noise":$noiseJson,"runs":$runsJson,"rows":$rowsJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"med":$medFull,"noise":$noiseJson,"noise_io":$noiseIoJson,"runs":$runsJson,"rows":$rowsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing: its shutdown-hook logging otherwise
     // races this println and can interleave mid-line, corrupting the one
     // JSON record the driver parses
