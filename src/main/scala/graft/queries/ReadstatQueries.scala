@@ -318,6 +318,57 @@ object ReadstatQueries {
       |  'date' AS date_storage
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** End-to-end STREAMING path: orders lands in a stat-file landing zone,
+    * a Structured Streaming query reads it with the readstat stream
+    * source and appends into the SINGLE-FILE streaming .dta sink
+    * (reference `sink_stata` analog — one valid file, epoch-committed),
+    * then the batch reader aggregates the sunk file against the DuckDB
+    * oracle on the original parquet. Certifies the whole streaming
+    * write path (chunk encode, epoch splice, header/map rewrite,
+    * declared widths) value-exactly cross-engine. */
+  def dtaStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val landing = scratch(d, "stream_landing")
+    val sink = scratch(d, "stream_single.dta")
+    val ckpt = scratch(d, "stream_ckpt")
+    // deterministic re-runs: clear sink, sidecar state, and checkpoint
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(sink, sink + ".stream_state", ckpt)
+      .foreach(p => rm(new java.io.File(p)))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
+    val q = s.readStream.format("readstat")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey DOUBLE, o_totalprice DOUBLE, " +
+          "o_orderstatus STRING, o_orderdate TIMESTAMP_NTZ"))
+      .load(landing)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", ckpt)
+      .option("strWidth.o_orderstatus", "8")
+      .start(sink)
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("readstat").load(sink)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        date_format(min("o_orderdate"), "yyyy-MM-dd").as("min_od"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_od"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaStreamSinkRoundtripSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  strftime(min(o_orderdate), '%Y-%m-%d') AS min_od,
+      |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_od
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Heterogeneous DIRECTORY read: customer split into a .dta half (even
     * keys, 3 columns) and a .sav half (odd keys, + c_nationkey), loaded
     * back as ONE directory with mergeSchema — union-by-name, null-fill
@@ -355,6 +406,7 @@ object ReadstatQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "stata_compress_roundtrip" -> (dtaCompressRoundtrip _, dtaCompressRoundtripSql),
     "spss_compress_roundtrip" -> (savCompressRoundtrip _, savCompressRoundtripSql),
+    "stata_stream_sink" -> (dtaStreamSinkRoundtrip _, dtaStreamSinkRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),

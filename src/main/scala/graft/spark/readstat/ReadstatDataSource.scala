@@ -232,7 +232,7 @@ class ReadstatTable(paths: Seq[String], rawPaths: Seq[String],
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ReadstatScanBuilder(paths, rawPaths, tableSchema, opts)
@@ -568,5 +568,17 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
           graft.spark.readstat.writers.StatWriters.write(data, path, options,
             overwrite || truncateAll)
       }
+    // `df.writeStream.format("readstat").start(path)` — the single-file
+    // streaming sink (reference `sink_stata`): every epoch appends into
+    // ONE valid .dta. Only .dta has the fixed-width in-place-append
+    // layout; other formats stream via foreachBatch + multiFile.
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(path.toLowerCase.endsWith(".dta"),
+        "readstat streaming sink: only .dta supports single-file " +
+          "streaming (reference sink_stata parity); for other formats " +
+          "use foreachBatch with a multiFile directory")
+      new graft.spark.readstat.writers.StataStreamingWrite(path, schema, options)
+    }
   }
 }

@@ -40,7 +40,7 @@ import graft.core.Bin
   */
 object StataDtaWriter {
 
-  private val MaxStrWidth = 2045
+  private[writers] val MaxStrWidth = 2045
   private val MaxStrWidth114 = 244
 
   // Stata's valid value ranges per storage type; everything outside
@@ -56,16 +56,16 @@ object StataDtaWriter {
   private[writers] val IntMin  = -32767L;      private[writers] val IntMax  = 32740L
   private[writers] val LongMin = -2147483647L; private[writers] val LongMax = 2147483620L
 
-  private sealed trait W { def width: Int; def typeCode: Int }
-  private case object WByte extends W { val width = 1; val typeCode = 65530 }
-  private case object WInt extends W { val width = 2; val typeCode = 65529 }
-  private case object WLong extends W { val width = 4; val typeCode = 65528 }
-  private case object WFloat extends W { val width = 4; val typeCode = 65527 }
-  private case object WDouble extends W { val width = 8; val typeCode = 65526 }
-  private case class WStr(w: Int) extends W { def width: Int = w; def typeCode: Int = w }
-  private case object WStrL extends W { val width = 8; val typeCode = 32768 }
+  private[writers] sealed trait W { def width: Int; def typeCode: Int }
+  private[writers] case object WByte extends W { val width = 1; val typeCode = 65530 }
+  private[writers] case object WInt extends W { val width = 2; val typeCode = 65529 }
+  private[writers] case object WLong extends W { val width = 4; val typeCode = 65528 }
+  private[writers] case object WFloat extends W { val width = 4; val typeCode = 65527 }
+  private[writers] case object WDouble extends W { val width = 8; val typeCode = 65526 }
+  private[writers] case class WStr(w: Int) extends W { def width: Int = w; def typeCode: Int = w }
+  private[writers] case object WStrL extends W { val width = 8; val typeCode = 32768 }
 
-  private case class ColSpec(name: String, stataName: String, w: W,
+  private[writers] case class ColSpec(name: String, stataName: String, w: W,
       fmt: String, src: DataType)
 
   /** Parse the `valueLabels` option: "col:1=Male,2=Female|col2:0=No,1=Yes". */
@@ -313,7 +313,7 @@ object StataDtaWriter {
     ordered.foreach { c => new File(c._2).delete(); new File(c._3).delete() }
   }
 
-  private def stataName(name: String, used: scala.collection.mutable.Set[String]): String = {
+  private[writers] def stataName(name: String, used: scala.collection.mutable.Set[String]): String = {
     var s = name.map(c =>
       if (c.isLetterOrDigit && c < 128 || c == '_') c else '_').mkString
     if (s.isEmpty || (!s(0).isLetter && s(0) != '_')) s = "_" + s
@@ -336,7 +336,7 @@ object StataDtaWriter {
     * measured ~12 MB/s per thread on the encode-bound roundtrips; this
     * removes all per-cell dispatch, so the encode job tracks IO speed.
     */
-  private final class RowEncoder(specs: Array[ColSpec], version: Int,
+  private[writers] final class RowEncoder(specs: Array[ColSpec], version: Int,
       cs: java.nio.charset.Charset, v16: Int,
       out: java.io.OutputStream, gso: java.io.OutputStream) {
     private val rowLen = specs.map(_.w.width).sum
@@ -352,8 +352,10 @@ object StataDtaWriter {
       throw new IllegalArgumentException(
         s"stata writer: value $v for column ${spec.stataName} outside " +
           s"[$lo, $hi] — collides with Stata missing sentinels " +
-          "(NumericOutOfRange); job-1 promotion should have widened this " +
-          "column, so the source data changed between jobs")
+          "(NumericOutOfRange). Batch writes widen storage from observed " +
+          "ranges in job 1, so this means the source changed between " +
+          "jobs; the streaming sink maps types directly (future batches " +
+          "are unknowable), so pre-cast the column to a wider type")
 
     private type Cell = org.apache.spark.sql.catalyst.InternalRow => Unit
 
@@ -488,7 +490,7 @@ object StataDtaWriter {
 
   /** Build the per-column value-label tables (n, txtlen, offsets, values,
     * text) shared by every dta version; text in the version's charset. */
-  private def buildVlTables(cols: Array[ColSpec],
+  private[writers] def buildVlTables(cols: Array[ColSpec],
       valueLabels: Map[String, Seq[(Int, String)]],
       cs: java.nio.charset.Charset): Seq[(String, Array[Byte])] =
     cols.toSeq.flatMap { c =>

@@ -4,19 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** The streaming WRITE path: `writeStream.foreachBatch` + append-mode
-  * multiFile directories is this library's analog of the reference's
-  * `sink_stata` (reference: crates/polars_readstat/src/pybindings.rs:951-1096)
-  * — each micro-batch lands as new self-contained part files.
+/** The streaming WRITE paths.
   *
-  * Crash-safety contract under test: every part is written to a
-  * same-directory `.inprogress` temp and atomically renamed into place
-  * (AtomicFile), and readers filter `.inprogress` residue — so a reader
-  * racing the stream (or surviving a writer crash) sees only complete
-  * parts, never a half-written file. Delivery is at-least-once: a batch
-  * retried after a crash mid-write re-appends under a fresh unique run
-  * prefix (readers may then see duplicates; exactly-once needs
-  * idempotent downstream dedup, e.g. on a key column).
+  * 1. SINGLE-FILE sink (`writeStream.format("readstat").start(p.dta)`) —
+  *    the direct analog of the reference's `sink_stata` (reference:
+  *    crates/polars_readstat_bindings/src/pybindings.rs:951-1096): every
+  *    epoch appends into ONE .dta that is complete and valid between
+  *    commits, exactly-once across restarts via the sidecar epoch state.
+  *
+  * 2. `foreachBatch` + append-mode multiFile directories — the
+  *    parallel-write path (each micro-batch lands as self-contained
+  *    part files). Crash-safety contract under test: every part is
+  *    written to a same-directory `.inprogress` temp and atomically
+  *    renamed into place (AtomicFile), and readers filter `.inprogress`
+  *    residue — so a reader racing the stream (or surviving a writer
+  *    crash) sees only complete parts, never a half-written file.
+  *    Delivery is at-least-once: a batch retried after a crash mid-write
+  *    re-appends under a fresh unique run prefix (readers may then see
+  *    duplicates; exactly-once needs idempotent downstream dedup).
   */
 class StreamingWriteSpec extends SparkTestBase {
 
@@ -63,6 +68,96 @@ class StreamingWriteSpec extends SparkTestBase {
     val residue = new java.io.File(sink, ".part-junk.dta.999.inprogress")
     java.nio.file.Files.write(residue.toPath, Array[Byte](1, 2, 3))
     assert(spark.read.format("readstat").load(sink).count() == 5L)
+  }
+
+  test("single-file streaming sink: epochs append into ONE valid .dta") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfsink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.dta"
+
+    val input = MemoryStream[(Long, Double, String)]
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("strWidth.s", "8")
+      .start(sink)
+    try {
+      input.addData((1L, 1.5, "aa"), (2L, 2.5, "bb"))
+      query.processAllAvailable()
+      // the file is a COMPLETE valid .dta between epochs
+      val mid = spark.read.format("readstat").load(sink)
+      assert(mid.count() == 2L)
+      input.addData((3L, 3.5, "cc"))
+      query.processAllAvailable()
+      input.addData((4L, 4.5, null))
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink).orderBy("id")
+      assert(back.count() == 4L)
+      val rows = back.collect()
+      assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5, 4.5))
+      // fixed-width str#: null stores as empty, reader surfaces null
+      assert(rows.map(r => Option(r.getString(2)).getOrElse("-")).toSeq ==
+        Seq("aa", "bb", "cc", "-"))
+      // ONE file plus sidecar state — no parts directory
+      assert(new java.io.File(sink).isFile)
+      assert(new java.io.File(sink + ".stream_state").isFile)
+    } finally query.stop()
+
+    // restart from the SAME checkpoint: no data re-appended (exactly-once
+    // across restarts — a replayed epoch is detected by id and skipped)
+    val input2 = MemoryStream[(Long, Double, String)]
+    // fresh source means fresh offsets; instead replay commitEpoch directly
+    val st = graft.spark.readstat.writers.StataStreamSink.readState(sink).get
+    graft.spark.readstat.writers.StataStreamSink.commitEpoch(
+      sink, st.epoch, Nil, // same epoch id → must be skipped even with no chunks
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id DOUBLE, v DOUBLE, s STRING"), Map("strWidth.s" -> "8"))
+    assert(spark.read.format("readstat").load(sink).count() == 4L)
+    assert(input2 != null)
+  }
+
+  test("single-file sink rejects over-width strings loudly, never truncates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfw").toFile
+    dir.deleteOnExit()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDF().toDF("id", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("strWidth.s", "4")
+      .start(s"$dir/narrow.dta")
+    try {
+      input.addData((1L, "toolongforwidth4"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("strWidth.s")), msgs(e).mkString(" | "))
+    } finally query.stop()
+  }
+
+  test("single-file sink: non-dta target is refused with a pointer to multiFile") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfbad").toFile
+    dir.deleteOnExit()
+    val input = MemoryStream[(Long, Double)]
+    val e = intercept[Exception] {
+      val q = input.toDF().toDF("id", "v").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start(s"$dir/out.sav")
+      try { input.addData((1L, 1.0)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("multiFile")), msgs(e).mkString(" | "))
   }
 
   test("streamed roundtrip: stat-file landing zone in, foreachBatch stat sink out") {
