@@ -119,6 +119,55 @@ class StreamingWriteSpec extends SparkTestBase {
     assert(input2 != null)
   }
 
+  test("single-file sink: crash mid-splice heals on the next commit") {
+    import graft.spark.readstat.writers.StataStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/heal.dta"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id DOUBLE, v DOUBLE")
+    val opts = Map.empty[String, String]
+    def chunk(rows: Seq[(Double, Double)]): (Int, String, Long) = {
+      val f = java.io.File.createTempFile("graft_healchunk", ".chunk")
+      val bb = java.nio.ByteBuffer.allocate(rows.length * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { case (a, b) => bb.putDouble(a); bb.putDouble(b) }
+      java.nio.file.Files.write(f.toPath, bb.array())
+      (0, f.getAbsolutePath, rows.length.toLong)
+    }
+    StataStreamSink.commitEpoch(sink, 0L, Seq(chunk(Seq((1.0, 10.0)))), schema, opts)
+    StataStreamSink.commitEpoch(sink, 1L, Seq(chunk(Seq((2.0, 20.0)))), schema, opts)
+    assert(spark.read.format("readstat").load(sink).count() == 2L)
+
+    // simulate a crash AFTER bytes hit the file but BEFORE the state
+    // update: garbage appended past the committed boundary, state at
+    // epoch 1 / 2 rows
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(sink),
+      java.nio.file.StandardOpenOption.WRITE, java.nio.file.StandardOpenOption.APPEND)
+    ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](37)(0x7f)))
+    ch.close()
+
+    // next epoch re-truncates to the committed row boundary and appends
+    StataStreamSink.commitEpoch(sink, 2L, Seq(chunk(Seq((3.0, 30.0)))), schema, opts)
+    val back = spark.read.format("readstat").load(sink).orderBy("id")
+    assert(back.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq ==
+      Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)))
+
+    // replayed epoch (restart from checkpoint): skipped by id
+    StataStreamSink.commitEpoch(sink, 2L, Seq(chunk(Seq((99.0, 99.0)))), schema, opts)
+    assert(spark.read.format("readstat").load(sink).count() == 3L)
+
+    // multi-partition epoch: chunks splice in partition order
+    val c1 = chunk(Seq((5.0, 50.0)))
+    val c0 = chunk(Seq((4.0, 40.0)))
+    StataStreamSink.commitEpoch(sink, 3L,
+      Seq((1, c1._2, 1L), (0, c0._2, 1L)), schema, opts)
+    val all = spark.read.format("readstat").load(sink)
+      .withColumn("ord", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .orderBy("ord").collect().map(_.getDouble(0)).toSeq
+    assert(all == Seq(1.0, 2.0, 3.0, 4.0, 5.0), all)
+  }
+
   test("single-file sink rejects over-width strings loudly, never truncates") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
