@@ -569,16 +569,21 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
             overwrite || truncateAll)
       }
     // `df.writeStream.format("readstat").start(path)` — the single-file
-    // streaming sink (reference `sink_stata`): every epoch appends into
-    // ONE valid .dta. Only .dta has the fixed-width in-place-append
-    // layout; other formats stream via foreachBatch + multiFile.
+    // streaming sink (reference `sink_stata`, extended to .sav): every
+    // epoch appends into ONE valid file. Only fixed-width-record
+    // formats can in-place-append; others stream via foreachBatch +
+    // multiFile.
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(path.toLowerCase.endsWith(".dta"),
-        "readstat streaming sink: only .dta supports single-file " +
-          "streaming (reference sink_stata parity); for other formats " +
-          "use foreachBatch with a multiFile directory")
-      new graft.spark.readstat.writers.StataStreamingWrite(path, schema, options)
+      val lower = path.toLowerCase
+      if (lower.endsWith(".dta"))
+        new graft.spark.readstat.writers.StataStreamingWrite(path, schema, options)
+      else if (lower.endsWith(".sav"))
+        new graft.spark.readstat.writers.SavStreamingWrite(path, schema, options)
+      else throw new IllegalArgumentException(
+        "readstat streaming sink: single-file streaming supports .dta " +
+          "(reference sink_stata parity) and uncompressed .sav; for " +
+          "zsav/xpt/por use foreachBatch with a multiFile directory")
     }
   }
 }

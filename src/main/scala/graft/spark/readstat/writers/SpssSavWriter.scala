@@ -26,11 +26,11 @@ import graft.core.spss.SpssCore
   */
 object SpssSavWriter {
 
-  private sealed trait W
-  private case object WNum extends W
-  private case class WStr(declLen: Int) extends W
+  private[writers] sealed trait W
+  private[writers] case object WNum extends W
+  private[writers] case class WStr(declLen: Int) extends W
 
-  private case class ColSpec(name: String, short: String, w: W,
+  private[writers] case class ColSpec(name: String, short: String, w: W,
       fmtType: Int, fmtWidth: Int, fmtDec: Int, src: DataType) {
     def segmentSizes: Seq[Int] = w match {
       case WNum => Seq.empty
@@ -312,7 +312,7 @@ object SpssSavWriter {
     * call instead of a double pattern-match plus per-byte
     * DataOutputStream writes. Callers emit `buf[0, recordLen)` per row.
     */
-  private final class SavRowEncoder(specs: Array[ColSpec]) {
+  private[writers] final class SavRowEncoder(specs: Array[ColSpec]) {
     val recordLen: Int = specs.map(_.widthUnits).sum * 8
     val buf = new Array[Byte](math.max(recordLen, 1))
     private val bb =
@@ -377,7 +377,7 @@ object SpssSavWriter {
     }
   }
 
-  private def buildDictionary(cols: Array[ColSpec], nObs: Long,
+  private[writers] def buildDictionary(cols: Array[ColSpec], nObs: Long,
       zlib: Boolean, valueLabels: Map[String, Seq[(Int, String)]]): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = Bin.putU32(o, v)

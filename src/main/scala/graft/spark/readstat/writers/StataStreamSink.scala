@@ -65,7 +65,7 @@ object StataStreamSink {
     }
   }
 
-  private def writeState(path: String, st: StreamState): Unit = {
+  private[writers] def writeState(path: String, st: StreamState): Unit = {
     val tmp = Paths.get(statePath(path) + ".tmp")
     Files.write(tmp,
       s"""{"epoch":${st.epoch},"rows":${st.rows},"rowLen":${st.rowLen}}"""

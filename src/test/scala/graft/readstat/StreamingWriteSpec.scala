@@ -190,7 +190,34 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
-  test("single-file sink: non-dta target is refused with a pointer to multiFile") {
+  test("single-file streaming .sav sink: epochs append into ONE valid sav") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_savsink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.sav"
+    val input = MemoryStream[(Long, Double, String)]
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("strWidth.s", "6")
+      .start(sink)
+    try {
+      input.addData((1L, 1.5, "ab"), (2L, 2.5, "cd"))
+      query.processAllAvailable()
+      assert(spark.read.format("readstat").load(sink).count() == 2L)
+      input.addData((3L, 3.5, "ef"))
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink).orderBy("id")
+      val rows = back.collect()
+      assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5))
+      assert(rows.map(_.getString(2).trim).toSeq == Seq("ab", "cd", "ef"))
+      assert(new java.io.File(sink).isFile)
+    } finally query.stop()
+  }
+
+  test("single-file sink: non-appendable format is refused with a pointer to multiFile") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sfbad").toFile
@@ -200,7 +227,7 @@ class StreamingWriteSpec extends SparkTestBase {
       val q = input.toDF().toDF("id", "v").writeStream
         .format("readstat")
         .option("checkpointLocation", s"$dir/ckpt")
-        .start(s"$dir/out.sav")
+        .start(s"$dir/out.zsav")
       try { input.addData((1L, 1.0)); q.processAllAvailable() }
       finally q.stop()
     }
