@@ -190,6 +190,32 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("single-file sink carries value labels through every epoch commit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sflbl").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/lbl.dta"
+    val input = MemoryStream[(Long, Int)]
+    val query = input.toDF().toDF("id", "sex").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("valueLabels", "sex:1=Male,2=Female")
+      .start(sink)
+    try {
+      input.addData((1L, 1), (2L, 2))
+      query.processAllAvailable()
+      input.addData((3L, 1))
+      query.processAllAvailable()
+      // labels decode via the reader's label switch after BOTH commits
+      // (the trailer is rewritten per epoch — labels must survive)
+      val labeled = spark.read.format("readstat")
+        .option("valueLabelsAsStrings", "true").load(sink)
+      assert(labeled.select("sex").as[String].collect().sorted.toSeq ==
+        Seq("Female", "Male", "Male"))
+    } finally query.stop()
+  }
+
   test("single-file streaming .sav sink: epochs append into ONE valid sav") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
