@@ -48,6 +48,24 @@ object Readstat {
     df.write.format("readstat").options(options)
       .mode(org.apache.spark.sql.SaveMode.Overwrite).save(path)
 
+  /** The reference's `sink_stata` (pybindings.rs:951-1096) as one call:
+    * start a Structured Streaming query that appends every micro-batch
+    * into ONE valid .dta (or, beyond the reference, uncompressed .sav).
+    * String widths are declared via `strWidth.<col>` / `defaultStrWidth`
+    * options — an unbounded stream cannot be pre-passed for widths like
+    * the reference's finite lazy frame. Returns the running query;
+    * callers stop it (or `awaitTermination`) like any stream. */
+  def sink(df: DataFrame, path: String, checkpoint: String,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(df.isStreaming,
+      "Readstat.sink expects a STREAMING DataFrame; use Readstat.write for batch")
+    df.writeStream.format("readstat")
+      .option("checkpointLocation", checkpoint)
+      .options(options)
+      .start(path)
+  }
+
   /** SAS format catalog as plain maps: numeric and string value-label
     * sets keyed by format name (reference `read_sas7bcat`). */
   def readSas7bcat(path: String): graft.core.sas.SasCatalog.Catalog =

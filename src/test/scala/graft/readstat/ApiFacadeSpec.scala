@@ -37,6 +37,26 @@ class ApiFacadeSpec extends SparkTestBase {
     assert(merged.columns.toSet == Set("id", "s", "v", "extra"))
   }
 
+  test("Readstat.sink streams into one .dta like the reference's sink_stata") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_apisink").toFile
+    dir.deleteOnExit()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = Readstat.sink(input.toDF().toDF("id", "v"),
+      s"$dir/s.dta", s"$dir/ckpt")
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      assert(Readstat.read(spark, s"$dir/s.dta").count() == 2L)
+    } finally q.stop()
+    // batch frames are redirected to write()
+    val e = intercept[IllegalArgumentException] {
+      Readstat.sink(Seq((1L, 1.0)).toDF("id", "v"), s"$dir/x.dta", s"$dir/ck2")
+    }
+    assert(e.getMessage.contains("STREAMING"))
+  }
+
   test("readSas7bcat exposes the catalog label maps") {
     val cat = Readstat.readSas7bcat(
       "/root/reference/crates/polars_readstat_rs/tests/sas/data/data_gov/formats.sas7bcat")
