@@ -580,10 +580,12 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
         new graft.spark.readstat.writers.StataStreamingWrite(path, schema, options)
       else if (lower.endsWith(".sav"))
         new graft.spark.readstat.writers.SavStreamingWrite(path, schema, options)
+      else if (lower.endsWith(".xpt"))
+        new graft.spark.readstat.writers.XptStreamingWrite(path, schema, options)
       else throw new IllegalArgumentException(
         "readstat streaming sink: single-file streaming supports .dta " +
-          "(reference sink_stata parity) and uncompressed .sav; for " +
-          "zsav/xpt/por use foreachBatch with a multiFile directory")
+          "(reference sink_stata parity), uncompressed .sav, and .xpt; " +
+          "for zsav/por use foreachBatch with a multiFile directory")
     }
   }
 }

@@ -1,0 +1,172 @@
+package graft.spark.readstat.writers
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+/** SINGLE-FILE streaming .xpt sink — BEYOND the reference (streaming
+  * sink is Stata-only there). XPT is the simplest append format of the
+  * three: the header carries NO row count, records are fixed-width, and
+  * the only invariant is that the data section is space-padded to an
+  * 80-byte boundary at EOF. An epoch commit writes the constant header
+  * once, splices new chunks at `header + rows·rowLen` (over the previous
+  * commit's padding), re-pads, truncates, and fsyncs. Row count lives
+  * ONLY in the sidecar state — exactly the property that makes the
+  * format appendable. Same declared-width/exactly-once/crash-healing
+  * contract as [[StataStreamSink]].
+  */
+object XptStreamSink {
+
+  import XptWriterImpl.ColSpec
+
+  private[writers] def streamColSpecs(schema: StructType,
+      options: Map[String, String]): (Array[ColSpec], Int) = {
+    val version = options.getOrElse("xptVersion", "5") match {
+      case "5" => 5
+      case "8" => 8
+      case other => throw new IllegalArgumentException(
+        s"xpt streaming sink: xptVersion must be 5 or 8 (got $other)")
+    }
+    val defaultW = options.get("defaultStrWidth").map(_.toInt).getOrElse(64)
+    require(defaultW >= 1 && defaultW <= 200,
+      "defaultStrWidth must be in [1, 200] for xpt")
+    val used = scala.collection.mutable.Set[String]()
+    val cols = schema.fields.map { f =>
+      var short = f.name.toUpperCase.filter(c => c.isLetterOrDigit || c == '_').take(8)
+      if (short.isEmpty || !short(0).isLetter) short = ("V" + short).take(8)
+      var cand = short; var i = 1
+      while (!used.add(cand)) { val s = i.toString; cand = short.take(8 - s.length) + s; i += 1 }
+      f.dataType match {
+        case StringType =>
+          val dw = options.get(s"strWidth.${f.name}").map(_.toInt)
+            .getOrElse(defaultW)
+          require(dw >= 1 && dw <= 200,
+            s"strWidth.${f.name} must be in [1, 200] (xpt char cap)")
+          ColSpec(f.name, cand, isChar = true, dw, "", f.dataType)
+        case DateType => ColSpec(f.name, cand, isChar = false, 8, "DATE9", f.dataType)
+        case TimestampType | TimestampNTZType =>
+          ColSpec(f.name, cand, isChar = false, 8, "DATETIME20", f.dataType)
+        case ByteType | ShortType | IntegerType | LongType | BooleanType |
+             FloatType | DoubleType | _: DecimalType =>
+          ColSpec(f.name, cand, isChar = false, 8, "", f.dataType)
+        case other => throw new IllegalArgumentException(
+          s"xpt streaming sink: unsupported type $other for ${f.name}")
+      }
+    }
+    (cols, version)
+  }
+
+  def commitEpoch(path: String, epochId: Long,
+      chunks: Seq[(Int, String, Long)], schema: StructType,
+      options: Map[String, String]): Unit = synchronized {
+    val (cols, version) = streamColSpecs(schema, options)
+    val rowLen = cols.map(_.width).sum
+    val state = StataStreamSink.readState(path)
+    try {
+      state match {
+        case Some(st) if epochId <= st.epoch => return
+        case Some(st) => require(st.rowLen == rowLen,
+          s"xpt streaming sink: schema drift — committed rowLen ${st.rowLen} " +
+            s"vs current $rowLen for $path")
+        case None => ()
+      }
+      val prevRows = state.map(_.rows).getOrElse(0L)
+      val total = prevRows + chunks.map(_._3).sum
+      val header = XptWriterImpl.buildHeader(cols, version)
+      val p = Paths.get(path)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      val ch = FileChannel.open(p, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE)
+      try {
+        ch.position(0L)
+        ch.write(ByteBuffer.wrap(header))
+        ch.position(header.length + prevRows * rowLen)
+        chunks.sortBy(_._1).foreach { case (_, f, _) =>
+          val in = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
+          try { var pos = 0L; val n = in.size()
+            while (pos < n) pos += in.transferTo(pos, n - pos, ch)
+          } finally in.close()
+        }
+        require(ch.position() == header.length + total * rowLen,
+          s"xpt streaming sink: chunk byte drift at epoch $epochId")
+        val rem = ((total * rowLen) % 80).toInt
+        if (rem != 0) {
+          val pad = new Array[Byte](80 - rem)
+          java.util.Arrays.fill(pad, ' '.toByte)
+          ch.write(ByteBuffer.wrap(pad))
+        }
+        ch.truncate(ch.position())
+        ch.force(true)
+      } finally ch.close()
+      StataStreamSink.writeState(path,
+        StataStreamSink.StreamState(epochId, total, rowLen))
+    } finally chunks.foreach { case (_, f, _) => new File(f).delete() }
+  }
+}
+
+class XptStreamingWrite(path: String, schema: StructType,
+    options: Map[String, String]) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new XptStreamWriterFactory(schema, options)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    XptStreamSink.commitEpoch(path, epochId,
+      messages.collect { case m: StataChunkMessage => (m.pid, m.file, m.rows) },
+      schema, options)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: StataChunkMessage => new File(m.file).delete()
+      case _ => ()
+    }
+}
+
+class XptStreamWriterFactory(schema: StructType,
+    options: Map[String, String]) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new XptChunkWriter(schema, options, partitionId)
+}
+
+class XptChunkWriter(schema: StructType, options: Map[String, String],
+    pid: Int) extends DataWriter[InternalRow] {
+  private val (cols, _) = XptStreamSink.streamColSpecs(schema, options)
+  private val scratch = options.getOrElse("scratchDir",
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  private val chunk = File.createTempFile(s"graft_sxpt_${pid}_", ".chunk",
+    new File(scratch))
+  private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
+  private val enc = new XptWriterImpl.XptRowEncoder(cols, out)
+  private val strChecks: Array[(Int, Int, String)] =
+    cols.zipWithIndex.collect {
+      case (c, i) if c.isChar => (i, c.width, c.name)
+    }
+
+  override def write(row: InternalRow): Unit = {
+    var j = 0
+    while (j < strChecks.length) {
+      val (i, w, name) = strChecks(j)
+      // xpt chars are ISO-8859-1 on disk; byte length == char length
+      if (!row.isNullAt(i) && row.getUTF8String(i).toString.length > w)
+        throw new IllegalArgumentException(
+          s"xpt streaming sink: string in column '$name' exceeds the " +
+            s"declared width $w — raise .option(\"strWidth.$name\", ...) (max 200)")
+      j += 1
+    }
+    enc.encode(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StataChunkMessage(pid, chunk.getAbsolutePath, enc.rows)
+  }
+  override def abort(): Unit = { out.close(); chunk.delete() }
+  override def close(): Unit = ()
+}

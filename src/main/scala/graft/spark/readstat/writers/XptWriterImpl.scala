@@ -19,7 +19,7 @@ import graft.core.xpt.XptCore
   */
 object XptWriterImpl {
 
-  private case class ColSpec(name: String, short: String, isChar: Boolean,
+  private[writers] case class ColSpec(name: String, short: String, isChar: Boolean,
       width: Int, fmt: String, src: DataType)
 
   private val Ts = "01JAN26:00:00:00"
@@ -145,7 +145,7 @@ object XptWriterImpl {
   /** Per-partition specialized row encoder (same rationale as the
     * dta/sav writers): source-type dispatch resolves once per column and
     * each row encodes into a reusable buffer with one stream write. */
-  private final class XptRowEncoder(specs: Array[ColSpec],
+  private[writers] final class XptRowEncoder(specs: Array[ColSpec],
       out: java.io.OutputStream) {
     private val rowLen = specs.map(_.width).sum
     private val buf = new Array[Byte](math.max(rowLen, 1))
@@ -203,7 +203,7 @@ object XptWriterImpl {
     }
   }
 
-  private def buildHeader(cols: Array[ColSpec], version: Int): Array[Byte] = {
+  private[writers] def buildHeader(cols: Array[ColSpec], version: Int): Array[Byte] = {
     val v8 = version >= 8
     val o = new java.io.ByteArrayOutputStream()
     def rec(s: String): Unit = {

@@ -243,6 +243,36 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("single-file streaming .xpt sink: pad-to-80 re-append stays valid") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_xptsink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.xpt"
+    val input = MemoryStream[(Long, Double, String)]
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("strWidth.s", "5")
+      .start(sink)
+    try {
+      // rowLen = 8 + 8 + 5 = 21, coprime with 80 → every commit ends
+      // mid-block and the next must append OVER the previous padding
+      input.addData((1L, 1.5, "ab"), (2L, 2.5, "cd"))
+      query.processAllAvailable()
+      assert(spark.read.format("readstat").load(sink).count() == 2L)
+      assert(new java.io.File(sink).length() % 80 == 0, "80-byte blocking")
+      input.addData((3L, 3.5, "ef"))
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink).orderBy("ID")
+      val rows = back.collect()
+      assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+      assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5))
+      assert(rows.map(_.getString(2).trim).toSeq == Seq("ab", "cd", "ef"))
+      assert(new java.io.File(sink).length() % 80 == 0)
+    } finally query.stop()
+  }
+
   test("single-file sink: non-appendable format is refused with a pointer to multiFile") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
