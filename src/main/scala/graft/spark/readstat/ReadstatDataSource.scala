@@ -576,16 +576,20 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val lower = path.toLowerCase
-      if (lower.endsWith(".dta"))
-        new graft.spark.readstat.writers.StataStreamingWrite(path, schema, options)
-      else if (lower.endsWith(".sav"))
-        new graft.spark.readstat.writers.SavStreamingWrite(path, schema, options)
-      else if (lower.endsWith(".xpt"))
-        new graft.spark.readstat.writers.XptStreamingWrite(path, schema, options)
-      else throw new IllegalArgumentException(
-        "readstat streaming sink: single-file streaming supports .dta " +
-          "(reference sink_stata parity), uncompressed .sav, and .xpt; " +
-          "for zsav/por use foreachBatch with a multiFile directory")
+      val fmt: Option[graft.spark.readstat.writers.StreamSinkCore.Format] =
+        if (lower.endsWith(".dta"))
+          Some(graft.spark.readstat.writers.StataStreamSink)
+        else if (lower.endsWith(".sav"))
+          Some(graft.spark.readstat.writers.SavStreamSink)
+        else if (lower.endsWith(".xpt"))
+          Some(graft.spark.readstat.writers.XptStreamSink)
+        else None
+      fmt.map(f => new graft.spark.readstat.writers.FixedWidthStreamingWrite(
+        path, schema, options, f))
+        .getOrElse(throw new IllegalArgumentException(
+          "readstat streaming sink: single-file streaming supports .dta " +
+            "(reference sink_stata parity), uncompressed .sav, and .xpt; " +
+            "for zsav/por use foreachBatch with a multiFile directory"))
     }
   }
 }

@@ -1,13 +1,9 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
-import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.io.{BufferedOutputStream, FileOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
-import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 import org.apache.spark.sql.types._
 
 /** SINGLE-FILE streaming .sav sink — BEYOND the reference (its streaming
@@ -19,14 +15,15 @@ import org.apache.spark.sql.types._
   * chunks at the record boundary, truncates, and fsyncs — the file is a
   * complete valid .sav between commits.
   *
-  * Same contract as [[StataStreamSink]]: declared string widths
-  * (`strWidth.<col>` / `defaultStrWidth`, over-width strings fail
-  * loudly), exactly-once across restarts via the sidecar epoch state,
-  * crash-healing by re-truncation. zsav is refused: deflate blocks plus
-  * a block-count ztrailer make in-place append a rewrite-the-world
-  * operation, which is what multiFile is for.
+  * Same contract as [[StataStreamSink]] (shared [[StreamSinkCore]]
+  * protocol): declared string widths (`strWidth.<col>` /
+  * `defaultStrWidth`, over-width strings fail loudly), exactly-once
+  * across restarts via the sidecar epoch state, crash-healing by
+  * re-truncation. zsav is refused: deflate blocks plus a block-count
+  * ztrailer make in-place append a rewrite-the-world operation, which
+  * is what multiFile is for.
   */
-object SavStreamSink {
+object SavStreamSink extends StreamSinkCore.Format {
 
   import SpssSavWriter.{ColSpec, WNum, WStr}
 
@@ -57,83 +54,33 @@ object SavStreamSink {
     }
   }
 
+  override def commit(path: String, epochId: Long,
+      chunks: Seq[(Int, String, Long)], schema: StructType,
+      options: Map[String, String]): Unit =
+    commitEpoch(path, epochId, chunks, schema, options)
+
   def commitEpoch(path: String, epochId: Long,
       chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String]): Unit = synchronized {
+      options: Map[String, String]): Unit = {
     val cols = streamColSpecs(schema, options)
     val recordLen = cols.map(_.widthUnits).sum * 8
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
-    val state = StataStreamSink.readState(path)
-    try {
-      state match {
-        case Some(st) if epochId <= st.epoch => return
-        case Some(st) => require(st.rowLen == recordLen,
-          s"sav streaming sink: schema drift — committed recordLen " +
-            s"${st.rowLen} vs current $recordLen for $path")
-        case None => ()
-      }
-      val prevRows = state.map(_.rows).getOrElse(0L)
-      val total = prevRows + chunks.map(_._3).sum
-      val dict = SpssSavWriter.buildDictionary(cols, total, zlib = false,
-        valueLabels)
-      val p = Paths.get(path)
-      Option(p.getParent).foreach(Files.createDirectories(_))
-      val ch = FileChannel.open(p, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE)
-      try {
-        ch.position(0L)
-        ch.write(ByteBuffer.wrap(dict))
-        ch.position(dict.length + prevRows * recordLen)
-        chunks.sortBy(_._1).foreach { case (_, f, _) =>
-          val in = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
-          try { var pos = 0L; val n = in.size()
-            while (pos < n) pos += in.transferTo(pos, n - pos, ch)
-          } finally in.close()
-        }
-        require(ch.position() == dict.length + total * recordLen,
-          s"sav streaming sink: chunk byte drift at epoch $epochId")
-        ch.truncate(ch.position())
-        ch.force(true)
-      } finally ch.close()
-      StataStreamSink.writeState(path,
-        StataStreamSink.StreamState(epochId, total, recordLen))
-    } finally chunks.foreach { case (_, f, _) => new File(f).delete() }
+    StreamSinkCore.commitEpoch("sav", path, epochId, chunks, recordLen,
+      total => SpssSavWriter.buildDictionary(cols, total, zlib = false,
+        valueLabels),
+      _ => Array.emptyByteArray)
   }
-}
 
-class SavStreamingWrite(path: String, schema: StructType,
-    options: Map[String, String]) extends StreamingWrite {
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new SavStreamWriterFactory(schema, options)
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    SavStreamSink.commitEpoch(path, epochId,
-      messages.collect { case m: StataChunkMessage => (m.pid, m.file, m.rows) },
-      schema, options)
-  override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: StataChunkMessage => new File(m.file).delete()
-      case _ => ()
-    }
-}
-
-class SavStreamWriterFactory(schema: StructType,
-    options: Map[String, String]) extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new SavChunkWriter(schema, options, partitionId)
+  override def chunkWriter(schema: StructType, options: Map[String, String],
+      pid: Int): DataWriter[InternalRow] =
+    new SavChunkWriter(schema, options, pid)
 }
 
 class SavChunkWriter(schema: StructType, options: Map[String, String],
     pid: Int) extends DataWriter[InternalRow] {
   private val cols = SavStreamSink.streamColSpecs(schema, options)
-  private val scratch = options.getOrElse("scratchDir",
-    sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-  private val chunk = File.createTempFile(s"graft_ssav_${pid}_", ".chunk",
-    new File(scratch))
+  private val chunk = StreamSinkCore.scratchFile(options, "ssav", pid)
   private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
   private val enc = new SpssSavWriter.SavRowEncoder(cols)
   private var rows = 0L

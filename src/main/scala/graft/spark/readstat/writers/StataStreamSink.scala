@@ -1,14 +1,10 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
-import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
+import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
-import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 import org.apache.spark.sql.types._
 
 import graft.core.Bin
@@ -36,43 +32,17 @@ import StataDtaWriter.{ColSpec, RowEncoder, W, WByte, WDouble, WFloat, WInt, WLo
   * rewrites the (small) prefix with the updated row count and map
   * offsets, splices the new row chunks at the fixed-width data end, and
   * rewrites the trailer — O(new rows + constant) IO per epoch, valid
-  * file at every point.
-  *
-  * Exactly-once: executors encode partitions to scratch chunk files (the
-  * CPU-bound part, fully distributed, same shape as the batch writer's
-  * job 2); the driver's epoch commit splices them and then atomically
-  * updates a sidecar state file (`<path>.stream_state`) recording
-  * (epochId, rows). A replayed epoch (restart from checkpoint) is
-  * detected by id and skipped; a crash mid-splice is healed because the
-  * next attempt re-truncates to the last committed row boundary before
-  * appending. On a multi-node cluster `scratchDir` must be shared
-  * storage, like the batch writer.
+  * file at every point. The commit protocol, exactly-once sidecar
+  * state, and crash-healing live in [[StreamSinkCore]], shared with
+  * the sav/xpt sinks; on a multi-node cluster `scratchDir` must be
+  * shared storage, like the batch writer.
   */
-object StataStreamSink {
+object StataStreamSink extends StreamSinkCore.Format {
 
-  case class StreamState(epoch: Long, rows: Long, rowLen: Int)
-
-  private def statePath(path: String) = path + ".stream_state"
-
-  def readState(path: String): Option[StreamState] = {
-    val f = new File(statePath(path))
-    if (!f.exists()) None
-    else {
-      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-      Some(StreamState(m.get("epoch").asLong(), m.get("rows").asLong(),
-        m.get("rowLen").asInt()))
-    }
-  }
-
-  private[writers] def writeState(path: String, st: StreamState): Unit = {
-    val tmp = Paths.get(statePath(path) + ".tmp")
-    Files.write(tmp,
-      s"""{"epoch":${st.epoch},"rows":${st.rows},"rowLen":${st.rowLen}}"""
-        .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(statePath(path)),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+  // spec-facing aliases (the sidecar protocol itself is format-shared)
+  type StreamState = StreamSinkCore.StreamState
+  def readState(path: String): Option[StreamSinkCore.StreamState] =
+    StreamSinkCore.readState(path)
 
   /** Column specs for streaming: direct dtype mapping (no job-1 range
     * probe — future batches are unknowable), declared string widths.
@@ -218,94 +188,39 @@ object StataStreamSink {
     (prefix, t.toByteArray)
   }
 
-  /** Driver-side epoch commit: idempotent splice + prefix/trailer rewrite. */
+  /** Driver-side epoch commit (spec-facing signature; the splice and
+    * exactly-once state protocol live in [[StreamSinkCore]]). */
   def commitEpoch(path: String, epochId: Long,
       chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String]): Unit = synchronized {
+      options: Map[String, String]): Unit = {
     val (cols, version) = colSpecs(schema, options)
     val rowLen = cols.map(_.w.width).sum
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
-    val state = readState(path)
-    try {
-      state match {
-        case Some(st) if epochId <= st.epoch => return // replayed epoch
-        case Some(st) => require(st.rowLen == rowLen,
-          s"stata streaming sink: schema drift — committed rowLen ${st.rowLen} " +
-            s"vs current $rowLen for $path; streams cannot change schema mid-file")
-        case None => ()
-      }
-      val prevRows = state.map(_.rows).getOrElse(0L)
-      val newRows = chunks.map(_._3).sum
-      val total = prevRows + newRows
-      val (prefix, trailer) = frame(version, cols, total, valueLabels, Map.empty)
-      val p = Paths.get(path)
-      Option(p.getParent).foreach(Files.createDirectories(_))
-      val ch = FileChannel.open(p, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE)
-      try {
-        ch.position(0L)
-        ch.write(ByteBuffer.wrap(prefix))
-        ch.position(prefix.length + prevRows * rowLen)
-        chunks.sortBy(_._1).foreach { case (_, f, _) =>
-          val in = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
-          try { var pos = 0L; val n = in.size()
-            while (pos < n) pos += in.transferTo(pos, n - pos, ch)
-          } finally in.close()
-        }
-        require(ch.position() == prefix.length + total * rowLen,
-          s"stata streaming sink: chunk byte drift at epoch $epochId")
-        ch.write(ByteBuffer.wrap(trailer))
-        ch.truncate(ch.position())
-        ch.force(true)
-      } finally ch.close()
-      writeState(path, StreamState(epochId, total, rowLen))
-    } finally chunks.foreach { case (_, f, _) => new File(f).delete() }
+    StreamSinkCore.commitEpoch("stata", path, epochId, chunks, rowLen,
+      total => frame(version, cols, total, valueLabels, Map.empty)._1,
+      total => frame(version, cols, total, valueLabels, Map.empty)._2)
   }
-}
 
-/** DSv2 StreamingWrite for `.dta` targets: executor-side encode to chunk
-  * files, driver-side epoch splice via [[StataStreamSink.commitEpoch]]. */
-class StataStreamingWrite(path: String, schema: StructType,
-    options: Map[String, String]) extends StreamingWrite {
+  override def commit(path: String, epochId: Long,
+      chunks: Seq[(Int, String, Long)], schema: StructType,
+      options: Map[String, String]): Unit =
+    commitEpoch(path, epochId, chunks, schema, options)
 
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new StataStreamWriterFactory(schema, options)
-
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    StataStreamSink.commitEpoch(path, epochId,
-      messages.collect { case m: StataChunkMessage => (m.pid, m.file, m.rows) },
-      schema, options)
-
-  override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: StataChunkMessage => new File(m.file).delete()
-      case _ => ()
-    }
+  override def chunkWriter(schema: StructType, options: Map[String, String],
+      pid: Int): DataWriter[InternalRow] =
+    new StataChunkWriter(schema, options, pid)
 }
 
 case class StataChunkMessage(pid: Int, file: String, rows: Long)
   extends WriterCommitMessage
-
-class StataStreamWriterFactory(schema: StructType,
-    options: Map[String, String]) extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new StataChunkWriter(schema, options, partitionId)
-}
 
 /** Encodes one partition's rows to a scratch chunk (fixed-width records
   * only — reusing the batch writer's codegen-free hot encoder). */
 class StataChunkWriter(schema: StructType, options: Map[String, String],
     pid: Int) extends DataWriter[InternalRow] {
   private val (cols, version) = StataStreamSink.colSpecs(schema, options)
-  private val scratch = options.getOrElse("scratchDir",
-    sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-  private val chunk = File.createTempFile(s"graft_sdta_${pid}_", ".chunk",
-    new File(scratch))
+  private val chunk = StreamSinkCore.scratchFile(options, "sdta", pid)
   private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
   // no strL in the streaming sink → the GSO stream must stay empty
   private val gsoGuard = new java.io.OutputStream {

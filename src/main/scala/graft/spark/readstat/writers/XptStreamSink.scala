@@ -1,13 +1,9 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
-import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.io.{BufferedOutputStream, FileOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
-import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 import org.apache.spark.sql.types._
 
 /** SINGLE-FILE streaming .xpt sink — BEYOND the reference (streaming
@@ -19,9 +15,9 @@ import org.apache.spark.sql.types._
   * commit's padding), re-pads, truncates, and fsyncs. Row count lives
   * ONLY in the sidecar state — exactly the property that makes the
   * format appendable. Same declared-width/exactly-once/crash-healing
-  * contract as [[StataStreamSink]].
+  * contract as [[StataStreamSink]] (shared [[StreamSinkCore]] protocol).
   */
-object XptStreamSink {
+object XptStreamSink extends StreamSinkCore.Format {
 
   import XptWriterImpl.ColSpec
 
@@ -62,86 +58,31 @@ object XptStreamSink {
     (cols, version)
   }
 
+  override def commit(path: String, epochId: Long,
+      chunks: Seq[(Int, String, Long)], schema: StructType,
+      options: Map[String, String]): Unit =
+    commitEpoch(path, epochId, chunks, schema, options)
+
   def commitEpoch(path: String, epochId: Long,
       chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String]): Unit = synchronized {
+      options: Map[String, String]): Unit = {
     val (cols, version) = streamColSpecs(schema, options)
     val rowLen = cols.map(_.width).sum
-    val state = StataStreamSink.readState(path)
-    try {
-      state match {
-        case Some(st) if epochId <= st.epoch => return
-        case Some(st) => require(st.rowLen == rowLen,
-          s"xpt streaming sink: schema drift — committed rowLen ${st.rowLen} " +
-            s"vs current $rowLen for $path")
-        case None => ()
-      }
-      val prevRows = state.map(_.rows).getOrElse(0L)
-      val total = prevRows + chunks.map(_._3).sum
-      val header = XptWriterImpl.buildHeader(cols, version)
-      val p = Paths.get(path)
-      Option(p.getParent).foreach(Files.createDirectories(_))
-      val ch = FileChannel.open(p, StandardOpenOption.CREATE,
-        StandardOpenOption.WRITE)
-      try {
-        ch.position(0L)
-        ch.write(ByteBuffer.wrap(header))
-        ch.position(header.length + prevRows * rowLen)
-        chunks.sortBy(_._1).foreach { case (_, f, _) =>
-          val in = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
-          try { var pos = 0L; val n = in.size()
-            while (pos < n) pos += in.transferTo(pos, n - pos, ch)
-          } finally in.close()
-        }
-        require(ch.position() == header.length + total * rowLen,
-          s"xpt streaming sink: chunk byte drift at epoch $epochId")
-        val rem = ((total * rowLen) % 80).toInt
-        if (rem != 0) {
-          val pad = new Array[Byte](80 - rem)
-          java.util.Arrays.fill(pad, ' '.toByte)
-          ch.write(ByteBuffer.wrap(pad))
-        }
-        ch.truncate(ch.position())
-        ch.force(true)
-      } finally ch.close()
-      StataStreamSink.writeState(path,
-        StataStreamSink.StreamState(epochId, total, rowLen))
-    } finally chunks.foreach { case (_, f, _) => new File(f).delete() }
+    StreamSinkCore.commitEpoch("xpt", path, epochId, chunks, rowLen,
+      _ => XptWriterImpl.buildHeader(cols, version),
+      _ => Array.emptyByteArray,
+      padBlock = 80)
   }
-}
 
-class XptStreamingWrite(path: String, schema: StructType,
-    options: Map[String, String]) extends StreamingWrite {
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new XptStreamWriterFactory(schema, options)
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    XptStreamSink.commitEpoch(path, epochId,
-      messages.collect { case m: StataChunkMessage => (m.pid, m.file, m.rows) },
-      schema, options)
-  override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case m: StataChunkMessage => new File(m.file).delete()
-      case _ => ()
-    }
-}
-
-class XptStreamWriterFactory(schema: StructType,
-    options: Map[String, String]) extends StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new XptChunkWriter(schema, options, partitionId)
+  override def chunkWriter(schema: StructType, options: Map[String, String],
+      pid: Int): DataWriter[InternalRow] =
+    new XptChunkWriter(schema, options, pid)
 }
 
 class XptChunkWriter(schema: StructType, options: Map[String, String],
     pid: Int) extends DataWriter[InternalRow] {
   private val (cols, _) = XptStreamSink.streamColSpecs(schema, options)
-  private val scratch = options.getOrElse("scratchDir",
-    sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-  private val chunk = File.createTempFile(s"graft_sxpt_${pid}_", ".chunk",
-    new File(scratch))
+  private val chunk = StreamSinkCore.scratchFile(options, "sxpt", pid)
   private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
   private val enc = new XptWriterImpl.XptRowEncoder(cols, out)
   private val strChecks: Array[(Int, Int, String)] =
