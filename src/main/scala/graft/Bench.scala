@@ -269,10 +269,14 @@ object Bench {
     // dead-code-eliminated.
     val ioSentinelPath: Option[String] =
       bigFiles.map(_._1).filter(p => new java.io.File(p).exists())
+    // one reusable direct buffer: allocating 8 MB of off-heap per call
+    // would itself perturb the memory pressure the sentinel measures
+    // (direct buffers free only at GC)
+    val ioBuf = java.nio.ByteBuffer.allocateDirect(8 << 20)
     def timeIoSentinel(): Double = ioSentinelPath match {
       case None => 0.0
       case Some(p) =>
-        val buf = java.nio.ByteBuffer.allocateDirect(8 << 20)
+        val buf = ioBuf
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(p))
         val t0 = System.nanoTime()

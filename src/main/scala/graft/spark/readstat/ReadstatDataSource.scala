@@ -246,7 +246,7 @@ class ReadstatTable(paths: Seq[String], rawPaths: Seq[String],
     // expansion (paths.head would throw)
     require(rawPaths.nonEmpty, "readstat: write requires a target path")
     new ReadstatWriteBuilder(rawPaths.head, info.schema(),
-      info.options().asCaseSensitiveMap().asScala.toMap)
+      info.options().asCaseSensitiveMap().asScala.toMap, info.queryId())
   }
 }
 
@@ -552,7 +552,8 @@ class ReadstatPartitionReaderFactory(required: StructType,
   * (reference: pybindings.rs:951-1096). See graft.spark.readstat.writers.
   */
 class ReadstatWriteBuilder(path: String, schema: StructType,
-    options: Map[String, String]) extends WriteBuilder with SupportsOverwrite {
+    options: Map[String, String], queryId: String = "")
+  extends WriteBuilder with SupportsOverwrite {
   // mode("overwrite") reaches a V1 fallback as a truncate()/overwrite()
   // call on the builder — insert()'s boolean stays false in that flow,
   // so the mode is remembered here
@@ -585,7 +586,7 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
           Some(graft.spark.readstat.writers.XptStreamSink)
         else None
       fmt.map(f => new graft.spark.readstat.writers.FixedWidthStreamingWrite(
-        path, schema, options, f))
+        path, schema, options, queryId, f))
         .getOrElse(throw new IllegalArgumentException(
           "readstat streaming sink: single-file streaming supports .dta " +
             "(reference sink_stata parity), uncompressed .sav, and .xpt; " +

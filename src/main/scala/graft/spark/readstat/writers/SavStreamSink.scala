@@ -1,9 +1,8 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, FileOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.DataWriter
 import org.apache.spark.sql.types._
 
 /** SINGLE-FILE streaming .sav sink — BEYOND the reference (its streaming
@@ -54,22 +53,27 @@ object SavStreamSink extends StreamSinkCore.Format {
     }
   }
 
-  override def commit(path: String, epochId: Long,
+  override def commit(path: String, epochId: Long, queryId: String,
       chunks: Seq[(Int, String, Long)], schema: StructType,
       options: Map[String, String]): Unit =
-    commitEpoch(path, epochId, chunks, schema, options)
+    commitEpoch(path, epochId, chunks, schema, options, queryId)
 
   def commitEpoch(path: String, epochId: Long,
       chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String]): Unit = {
+      options: Map[String, String], queryId: String = ""): Unit = {
+    require(!options.contains("metadataPath"),
+      "sav streaming sink: metadataPath is not supported — pass " +
+        "valueLabels as an option, or use the batch writer")
     val cols = streamColSpecs(schema, options)
     val recordLen = cols.map(_.widthUnits).sum * 8
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
-    StreamSinkCore.commitEpoch("sav", path, epochId, chunks, recordLen,
-      total => SpssSavWriter.buildDictionary(cols, total, zlib = false,
-        valueLabels),
-      _ => Array.emptyByteArray)
+    val schemaHash = StreamSinkCore.hashSpecs(
+      cols.map(c => s"${c.name}|${c.w}|${c.fmtType}").toIndexedSeq)
+    StreamSinkCore.commitEpoch("sav", path, epochId, queryId, schemaHash,
+      chunks, recordLen,
+      total => (SpssSavWriter.buildDictionary(cols, total, zlib = false,
+        valueLabels), Array.emptyByteArray))
   }
 
   override def chunkWriter(schema: StructType, options: Map[String, String],
@@ -78,12 +82,11 @@ object SavStreamSink extends StreamSinkCore.Format {
 }
 
 class SavChunkWriter(schema: StructType, options: Map[String, String],
-    pid: Int) extends DataWriter[InternalRow] {
+    pid: Int) extends ChunkWriterBase(options, "ssav", pid) {
   private val cols = SavStreamSink.streamColSpecs(schema, options)
-  private val chunk = StreamSinkCore.scratchFile(options, "ssav", pid)
-  private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
   private val enc = new SpssSavWriter.SavRowEncoder(cols)
   private var rows = 0L
+  override protected def rowsWritten: Long = rows
   private val strChecks: Array[(Int, Int, String)] =
     cols.zipWithIndex.collect {
       case (c, i) if c.src == StringType =>
@@ -105,10 +108,4 @@ class SavChunkWriter(schema: StructType, options: Map[String, String],
     rows += 1
   }
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    StataChunkMessage(pid, chunk.getAbsolutePath, rows)
-  }
-  override def abort(): Unit = { out.close(); chunk.delete() }
-  override def close(): Unit = ()
 }

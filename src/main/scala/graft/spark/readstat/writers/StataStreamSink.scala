@@ -1,10 +1,9 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.DataWriter
 import org.apache.spark.sql.types._
 
 import graft.core.Bin
@@ -192,36 +191,38 @@ object StataStreamSink extends StreamSinkCore.Format {
     * exactly-once state protocol live in [[StreamSinkCore]]). */
   def commitEpoch(path: String, epochId: Long,
       chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String]): Unit = {
+      options: Map[String, String], queryId: String = ""): Unit = {
+    // the batch writer's metadataPath needs a SparkSession mid-commit;
+    // silently dropping it would lose every label the user asked for
+    require(!options.contains("metadataPath"),
+      "stata streaming sink: metadataPath is not supported — pass " +
+        "valueLabels as an option, or use the batch writer")
     val (cols, version) = colSpecs(schema, options)
     val rowLen = cols.map(_.w.width).sum
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
-    StreamSinkCore.commitEpoch("stata", path, epochId, chunks, rowLen,
-      total => frame(version, cols, total, valueLabels, Map.empty)._1,
-      total => frame(version, cols, total, valueLabels, Map.empty)._2)
+    val schemaHash = StreamSinkCore.hashSpecs(
+      cols.map(c => s"${c.name}|${c.w}|${c.fmt}").toIndexedSeq)
+    StreamSinkCore.commitEpoch("stata", path, epochId, queryId, schemaHash,
+      chunks, rowLen,
+      total => frame(version, cols, total, valueLabels, Map.empty))
   }
 
-  override def commit(path: String, epochId: Long,
+  override def commit(path: String, epochId: Long, queryId: String,
       chunks: Seq[(Int, String, Long)], schema: StructType,
       options: Map[String, String]): Unit =
-    commitEpoch(path, epochId, chunks, schema, options)
+    commitEpoch(path, epochId, chunks, schema, options, queryId)
 
   override def chunkWriter(schema: StructType, options: Map[String, String],
       pid: Int): DataWriter[InternalRow] =
     new StataChunkWriter(schema, options, pid)
 }
 
-case class StataChunkMessage(pid: Int, file: String, rows: Long)
-  extends WriterCommitMessage
-
 /** Encodes one partition's rows to a scratch chunk (fixed-width records
   * only — reusing the batch writer's codegen-free hot encoder). */
 class StataChunkWriter(schema: StructType, options: Map[String, String],
-    pid: Int) extends DataWriter[InternalRow] {
+    pid: Int) extends ChunkWriterBase(options, "sdta", pid) {
   private val (cols, version) = StataStreamSink.colSpecs(schema, options)
-  private val chunk = StreamSinkCore.scratchFile(options, "sdta", pid)
-  private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
   // no strL in the streaming sink → the GSO stream must stay empty
   private val gsoGuard = new java.io.OutputStream {
     override def write(b: Int): Unit = throw new IllegalStateException(
@@ -253,11 +254,5 @@ class StataChunkWriter(schema: StructType, options: Map[String, String],
     enc.encode(row)
   }
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    StataChunkMessage(pid, chunk.getAbsolutePath, enc.rows)
-  }
-
-  override def abort(): Unit = { out.close(); chunk.delete() }
-  override def close(): Unit = ()
+  override protected def rowsWritten: Long = enc.rows
 }

@@ -1,6 +1,6 @@
 package graft.spark.readstat.writers
 
-import java.io.File
+import java.io.{BufferedOutputStream, File, FileOutputStream}
 import java.nio.ByteBuffer
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
@@ -21,15 +21,24 @@ import org.apache.spark.sql.types.StructType
   * prefix/trailer bytes and its per-partition row encoder.
   *
   * Exactly-once protocol (shared): the sidecar `<path>.stream_state`
-  * records (epochId, rows, rowLen) and is atomically REPLACE_EXISTING-
-  * moved into place only AFTER the splice + fsync succeed. A replayed
-  * epoch (restart from checkpoint) is skipped by id; a crash between
-  * splice and state update is healed because the next commit positions
-  * at the last COMMITTED row boundary, overwriting any partial bytes.
+  * records (epochId, rows, rowLen, queryId, schemaHash) and is
+  * atomically REPLACE_EXISTING-moved into place only AFTER the splice +
+  * fsync succeed. Replay detection is scoped to the QUERY: a restarted
+  * query (same checkpoint → same stable streaming query id) replays its
+  * last epoch, which is skipped by id; a NEW query writing to the same
+  * file legitimately restarts epoch numbering at 0 and APPENDS — a bare
+  * `epochId <= committed` guard would silently discard its every batch.
+  * A crash between splice and state update is healed because the next
+  * commit positions at the last COMMITTED row boundary, overwriting any
+  * partial bytes. The schema fingerprint (names + storage types +
+  * widths) must match across every append to a file — matching only the
+  * record LENGTH would let a same-width column permutation silently
+  * corrupt all previously committed rows.
   */
 object StreamSinkCore {
 
-  case class StreamState(epoch: Long, rows: Long, rowLen: Int)
+  case class StreamState(epoch: Long, rows: Long, rowLen: Int,
+      queryId: String, schemaHash: String)
 
   private def statePath(path: String) = path + ".stream_state"
 
@@ -39,47 +48,62 @@ object StreamSinkCore {
     else {
       val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      def str(k: String): String =
+        if (m.has(k)) m.get(k).asText() else ""
       Some(StreamState(m.get("epoch").asLong(), m.get("rows").asLong(),
-        m.get("rowLen").asInt()))
+        m.get("rowLen").asInt(), str("queryId"), str("schemaHash")))
     }
   }
 
   def writeState(path: String, st: StreamState): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("epoch", st.epoch); node.put("rows", st.rows)
+    node.put("rowLen", st.rowLen); node.put("queryId", st.queryId)
+    node.put("schemaHash", st.schemaHash)
     val tmp = Paths.get(statePath(path) + ".tmp")
-    Files.write(tmp,
-      s"""{"epoch":${st.epoch},"rows":${st.rows},"rowLen":${st.rowLen}}"""
-        .getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, om.writeValueAsBytes(node))
     Files.move(tmp, Paths.get(statePath(path)),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Deterministic fingerprint of a format's resolved column specs. */
+  def hashSpecs(parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(p => md.update(p.getBytes(StandardCharsets.UTF_8)))
+    md.digest().map(b => f"$b%02x").mkString
   }
 
   /** The one commit algorithm: rewrite prefix, splice chunks at the
     * committed row boundary, rewrite trailer, pad, truncate, fsync,
     * then (and only then) advance the sidecar state.
     *
-    * @param prefix   pre-data bytes for a given row total; its LENGTH
-    *                 must not depend on the total
-    * @param trailer  post-data bytes for a given row total; same rule
+    * @param frame    (prefix, trailer) bytes for a given row total;
+    *                 their LENGTHS must not depend on the total
     * @param padBlock if > 0, space-pad the end to this block size (xpt)
     */
   def commitEpoch(label: String, path: String, epochId: Long,
+      queryId: String, schemaHash: String,
       chunks: Seq[(Int, String, Long)], rowLen: Int,
-      prefix: Long => Array[Byte], trailer: Long => Array[Byte],
+      frame: Long => (Array[Byte], Array[Byte]),
       padBlock: Int = 0): Unit = synchronized {
     val state = readState(path)
     try {
-      state match {
-        case Some(st) if epochId <= st.epoch => return // replayed epoch
-        case Some(st) => require(st.rowLen == rowLen,
-          s"$label streaming sink: schema drift — committed rowLen " +
-            s"${st.rowLen} vs current $rowLen for $path; streams cannot " +
+      val replayed = state.exists(st =>
+        st.queryId == queryId && epochId <= st.epoch)
+      if (replayed) return
+      state.foreach { st =>
+        require(st.rowLen == rowLen &&
+            (st.schemaHash.isEmpty || st.schemaHash == schemaHash),
+          s"$label streaming sink: schema drift — the file at $path was " +
+            s"committed with a different column layout (rowLen ${st.rowLen}" +
+            s", fingerprint ${st.schemaHash}) than this query produces " +
+            s"(rowLen $rowLen, fingerprint $schemaHash); appends cannot " +
             "change schema mid-file")
-        case None => ()
       }
       val prevRows = state.map(_.rows).getOrElse(0L)
       val total = prevRows + chunks.map(_._3).sum
-      val pre = prefix(total)
-      val post = trailer(total)
+      val (pre, post) = frame(total)
       val p = Paths.get(path)
       Option(p.getParent).foreach(Files.createDirectories(_))
       val ch = FileChannel.open(p, StandardOpenOption.CREATE,
@@ -108,7 +132,7 @@ object StreamSinkCore {
         ch.truncate(ch.position())
         ch.force(true)
       } finally ch.close()
-      writeState(path, StreamState(epochId, total, rowLen))
+      writeState(path, StreamState(epochId, total, rowLen, queryId, schemaHash))
     } finally chunks.foreach { case (_, f, _) => new File(f).delete() }
   }
 
@@ -118,7 +142,8 @@ object StreamSinkCore {
   trait Format extends Serializable {
     def chunkWriter(schema: StructType, options: Map[String, String],
         pid: Int): DataWriter[InternalRow]
-    def commit(path: String, epochId: Long, chunks: Seq[(Int, String, Long)],
+    def commit(path: String, epochId: Long, queryId: String,
+        chunks: Seq[(Int, String, Long)],
         schema: StructType, options: Map[String, String]): Unit
   }
 
@@ -130,10 +155,30 @@ object StreamSinkCore {
   }
 }
 
+/** One commit message shape for every format's chunk. */
+case class ChunkMessage(pid: Int, file: String, rows: Long)
+  extends WriterCommitMessage
+
+/** Shared executor-side scaffold: scratch chunk + buffered stream +
+  * commit/abort/close; formats implement only the per-row encode. */
+abstract class ChunkWriterBase(options: Map[String, String], tag: String,
+    pid: Int) extends DataWriter[InternalRow] {
+  protected val chunk: File = StreamSinkCore.scratchFile(options, tag, pid)
+  protected val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
+  protected def rowsWritten: Long
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ChunkMessage(pid, chunk.getAbsolutePath, rowsWritten)
+  }
+  override def abort(): Unit = { out.close(); chunk.delete() }
+  override def close(): Unit = ()
+}
+
 /** One DSv2 StreamingWrite for every fixed-width single-file format. */
 class FixedWidthStreamingWrite(path: String, schema: StructType,
-    options: Map[String, String], fmt: StreamSinkCore.Format)
-  extends StreamingWrite {
+    options: Map[String, String], queryId: String,
+    fmt: StreamSinkCore.Format) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -141,14 +186,14 @@ class FixedWidthStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    fmt.commit(path, epochId,
-      messages.collect { case m: StataChunkMessage => (m.pid, m.file, m.rows) },
+    fmt.commit(path, epochId, queryId,
+      messages.collect { case m: ChunkMessage => (m.pid, m.file, m.rows) },
       schema, options)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: StataChunkMessage => new File(m.file).delete()
+      case m: ChunkMessage => new File(m.file).delete()
       case _ => ()
     }
 }

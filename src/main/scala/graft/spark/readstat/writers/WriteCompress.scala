@@ -196,6 +196,12 @@ object WriteCompress {
           val to = narrowType(i, f)
           if (to == f.dataType) col(f.name)
           else f.dataType match {
+            case _ if stats.getAs[Long](s"c$i") == 0L =>
+              // all-null narrowing (→ boolean by default): every value is
+              // null by construction, so emit typed nulls directly — a
+              // raw cast(timestamp AS boolean) would throw DATATYPE_
+              // MISMATCH under ANSI even though no value is ever cast
+              lit(null).cast(to).as(f.name)
             case StringType =>
               // parsed-string path for EVERY numeric target, boolean
               // included: a raw cast('' / '1.0' as boolean) throws

@@ -1,9 +1,8 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedOutputStream, FileOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.DataWriter
 import org.apache.spark.sql.types._
 
 /** SINGLE-FILE streaming .xpt sink — BEYOND the reference (streaming
@@ -58,19 +57,23 @@ object XptStreamSink extends StreamSinkCore.Format {
     (cols, version)
   }
 
-  override def commit(path: String, epochId: Long,
+  override def commit(path: String, epochId: Long, queryId: String,
       chunks: Seq[(Int, String, Long)], schema: StructType,
       options: Map[String, String]): Unit =
-    commitEpoch(path, epochId, chunks, schema, options)
+    commitEpoch(path, epochId, chunks, schema, options, queryId)
 
   def commitEpoch(path: String, epochId: Long,
       chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String]): Unit = {
+      options: Map[String, String], queryId: String = ""): Unit = {
+    require(!options.contains("metadataPath"),
+      "xpt streaming sink: metadataPath is not supported — use the batch writer")
     val (cols, version) = streamColSpecs(schema, options)
     val rowLen = cols.map(_.width).sum
-    StreamSinkCore.commitEpoch("xpt", path, epochId, chunks, rowLen,
-      _ => XptWriterImpl.buildHeader(cols, version),
-      _ => Array.emptyByteArray,
+    val schemaHash = StreamSinkCore.hashSpecs(
+      cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq)
+    StreamSinkCore.commitEpoch("xpt", path, epochId, queryId, schemaHash,
+      chunks, rowLen,
+      _ => (XptWriterImpl.buildHeader(cols, version), Array.emptyByteArray),
       padBlock = 80)
   }
 
@@ -80,11 +83,10 @@ object XptStreamSink extends StreamSinkCore.Format {
 }
 
 class XptChunkWriter(schema: StructType, options: Map[String, String],
-    pid: Int) extends DataWriter[InternalRow] {
+    pid: Int) extends ChunkWriterBase(options, "sxpt", pid) {
   private val (cols, _) = XptStreamSink.streamColSpecs(schema, options)
-  private val chunk = StreamSinkCore.scratchFile(options, "sxpt", pid)
-  private val out = new BufferedOutputStream(new FileOutputStream(chunk), 1 << 20)
   private val enc = new XptWriterImpl.XptRowEncoder(cols, out)
+  override protected def rowsWritten: Long = enc.rows
   private val strChecks: Array[(Int, Int, String)] =
     cols.zipWithIndex.collect {
       case (c, i) if c.isChar => (i, c.width, c.name)
@@ -94,8 +96,15 @@ class XptChunkWriter(schema: StructType, options: Map[String, String],
     var j = 0
     while (j < strChecks.length) {
       val (i, w, name) = strChecks(j)
-      // xpt chars are ISO-8859-1 on disk; byte length == char length
-      if (!row.isNullAt(i) && row.getUTF8String(i).toString.length > w)
+      // xpt chars are ISO-8859-1 on disk: one byte per UTF-16 unit. For
+      // ASCII (numBytes == numChars) the byte length IS numChars — the
+      // allocation-free hot path; only non-ASCII strings fall back to a
+      // materialized String for the exact UTF-16 length.
+      if (!row.isNullAt(i) && {
+        val u = row.getUTF8String(i)
+        val nb = u.numBytes()
+        (if (nb == u.numChars()) nb else u.toString.length) > w
+      })
         throw new IllegalArgumentException(
           s"xpt streaming sink: string in column '$name' exceeds the " +
             s"declared width $w — raise .option(\"strWidth.$name\", ...) (max 200)")
@@ -104,10 +113,4 @@ class XptChunkWriter(schema: StructType, options: Map[String, String],
     enc.encode(row)
   }
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    StataChunkMessage(pid, chunk.getAbsolutePath, enc.rows)
-  }
-  override def abort(): Unit = { out.close(); chunk.delete() }
-  override def close(): Unit = ()
 }

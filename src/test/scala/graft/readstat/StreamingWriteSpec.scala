@@ -106,17 +106,55 @@ class StreamingWriteSpec extends SparkTestBase {
       assert(new java.io.File(sink + ".stream_state").isFile)
     } finally query.stop()
 
-    // restart from the SAME checkpoint: no data re-appended (exactly-once
-    // across restarts — a replayed epoch is detected by id and skipped)
-    val input2 = MemoryStream[(Long, Double, String)]
-    // fresh source means fresh offsets; instead replay commitEpoch directly
+    // restart replay: a commit with the SAME query id and an already-
+    // committed epoch id must be skipped (exactly-once across restarts)
     val st = graft.spark.readstat.writers.StataStreamSink.readState(sink).get
     graft.spark.readstat.writers.StataStreamSink.commitEpoch(
-      sink, st.epoch, Nil, // same epoch id → must be skipped even with no chunks
+      sink, st.epoch, Nil,
       org.apache.spark.sql.types.StructType.fromDDL(
-        "id DOUBLE, v DOUBLE, s STRING"), Map("strWidth.s" -> "8"))
+        "id DOUBLE, v DOUBLE, s STRING"), Map("strWidth.s" -> "8"),
+      queryId = st.queryId)
     assert(spark.read.format("readstat").load(sink).count() == 4L)
-    assert(input2 != null)
+  }
+
+  test("a NEW query appending to an existing sink is NOT mistaken for replay") {
+    // a fresh checkpoint restarts epoch numbering at 0; a bare
+    // `epochId <= committed` guard would silently discard its batches
+    // (r10 review finding) — replay detection must be query-scoped
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_newq").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/append.dta"
+    val in1 = MemoryStream[(Long, Double)]
+    val q1 = in1.toDF().toDF("id", "v").writeStream.format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt1").start(sink)
+    try {
+      in1.addData((1L, 1.0), (2L, 2.0)); q1.processAllAvailable()
+      in1.addData((3L, 3.0)); q1.processAllAvailable()
+    } finally q1.stop()
+    // committed epoch is now >= 1; the new query's epochs start at 0
+    val in2 = MemoryStream[(Long, Double)]
+    val q2 = in2.toDF().toDF("id", "v").writeStream.format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt2").start(sink)
+    try {
+      in2.addData((4L, 4.0)); q2.processAllAvailable()
+    } finally q2.stop()
+    val back = spark.read.format("readstat").load(sink)
+    assert(back.count() == 4L, "the new query's rows must not be dropped")
+    assert(back.agg(org.apache.spark.sql.functions.sum("v"))
+      .collect()(0).getDouble(0) == 10.0)
+    // but a SCHEMA change on append is refused before bytes are mixed
+    val in3 = MemoryStream[(Double, Long)]
+    val q3 = in3.toDF().toDF("v", "id").writeStream.format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt3").start(sink)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { in3.addData((9.0, 9L)); q3.processAllAvailable() }
+      finally q3.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("schema drift")), msgs(e).mkString(" | "))
   }
 
   test("single-file sink: crash mid-splice heals on the next commit") {

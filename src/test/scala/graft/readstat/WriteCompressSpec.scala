@@ -103,6 +103,20 @@ class WriteCompressSpec extends SparkTestBase {
       "compressAllNullToBoolean" -> "false")).schema("v").dataType == StringType)
   }
 
+  test("all-null temporal columns narrow to typed nulls without an ANSI cast crash") {
+    // cast(timestamp AS boolean) is DATATYPE_MISMATCH under ANSI even
+    // when every value is null — the all-null rule must emit typed nulls
+    val ts = Seq((1.0, None: Option[java.sql.Timestamp]))
+      .toDF("a", "t").select($"a", $"t".cast("timestamp"))
+    val out = WriteCompress(ts, opts())
+    assert(out.schema("t").dataType == BooleanType)
+    assert(out.collect().forall(_.isNullAt(1)))
+    val dt = Seq((1.0, None: Option[java.sql.Date])).toDF("a", "d")
+    val out2 = WriteCompress(dt, opts())
+    assert(out2.schema("d").dataType == BooleanType)
+    assert(out2.collect().forall(_.isNullAt(1)))
+  }
+
   test("zoned-timestamp midnight check is UTC epoch-based, not session-TZ") {
     val prior = spark.conf.get("spark.sql.session.timeZone")
     try {
