@@ -68,6 +68,17 @@ object StataDtaWriter {
   private[writers] case class ColSpec(name: String, stataName: String, w: W,
       fmt: String, src: DataType)
 
+  /** Parse the `varLabels` option: "col:Label text|col2:Other label" —
+    * the option-level form of the reference's `variable_labels` dict
+    * (write_readstat kwarg / sink_stata, pybindings.rs:963). */
+  def parseVarLabels(spec: String): Map[String, String] =
+    if (spec == null || spec.trim.isEmpty) Map.empty
+    else spec.split("\\|").flatMap { part =>
+      val i = part.indexOf(':')
+      if (i <= 0) None
+      else Some(part.substring(0, i).trim -> part.substring(i + 1))
+    }.toMap
+
   /** Parse the `valueLabels` option: "col:1=Male,2=Female|col2:0=No,1=Yes". */
   def parseValueLabels(spec: String): Map[String, Seq[(Int, String)]] =
     if (spec == null || spec.trim.isEmpty) Map.empty
@@ -117,9 +128,11 @@ object StataDtaWriter {
     val (metaVarLabels, metaValLabels) = options.get("metadataPath")
       .map(p => fromMetadataDf(spark, p))
       .getOrElse((Map.empty[String, String], Map.empty[String, Seq[(Int, String)]]))
-    // explicit valueLabels option wins over metadata-df entries
+    // explicit valueLabels/varLabels options win over metadata-df entries
     val valueLabels = metaValLabels ++
       parseValueLabels(options.getOrElse("valueLabels", ""))
+    val varLabels = metaVarLabels ++
+      parseVarLabels(options.getOrElse("varLabels", ""))
 
     // ---- job 1: row count + max string byte-widths + numeric ranges ----
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -249,7 +262,7 @@ object StataDtaWriter {
       val partPrefix = MultiFileParts.prepare(new File(path), "dta", options)
       val specsB = spark.sparkContext.broadcast(cols)
       val vls = valueLabels
-      val mvl = metaVarLabels
+      val mvl = varLabels
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -309,7 +322,7 @@ object StataDtaWriter {
     val dataBytes = ordered.map(c => new File(c._2).length()).sum
     val gsoBytes = ordered.map(c => new File(c._3).length()).sum
     assembleFile(path, version, cols, nObs, rowLen, dataBytes, gsoBytes, ordered,
-      valueLabels, metaVarLabels)
+      valueLabels, varLabels)
     ordered.foreach { c => new File(c._2).delete(); new File(c._3).delete() }
   }
 

@@ -201,11 +201,16 @@ object StataStreamSink extends StreamSinkCore.Format {
     val rowLen = cols.map(_.w.width).sum
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
+    // variable labels ride in fixed-width zero-padded records, so they
+    // never change the prefix length (reference sink_stata accepts the
+    // same variable_labels dict, pybindings.rs:963)
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.w}|${c.fmt}").toIndexedSeq)
     StreamSinkCore.commitEpoch("stata", path, epochId, queryId, schemaHash,
       chunks, rowLen,
-      total => frame(version, cols, total, valueLabels, Map.empty))
+      total => frame(version, cols, total, valueLabels, varLabels))
   }
 
   override def commit(path: String, epochId: Long, queryId: String,

@@ -129,6 +129,20 @@ class StataWriterSpec extends SparkTestBase {
     assert(vals == Seq("option a", "4"), vals.toString)
   }
 
+  test("varLabels option writes variable labels (reference variable_labels dict)") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0)).toDF("income", "age")
+    val p = tmp("varlabels.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("varLabels", "income:Household income|age:Age in years")
+      .save(p)
+    val back = spark.read.format("readstat").load(p)
+    def label(c: String): String =
+      back.schema(c).metadata.getString("readstat.label")
+    assert(label("income") == "Household income")
+    assert(label("age") == "Age in years")
+  }
+
   test("values in Stata missing ranges promote the storage type (no corruption)") {
     import spark.implicits._
     // byte 101..127 collide with .a-.z sentinels; short >= 32741 with int

@@ -252,6 +252,23 @@ class StreamingWriteSpec extends SparkTestBase {
       assert(labeled.select("sex").as[String].collect().sorted.toSeq ==
         Seq("Female", "Male", "Male"))
     } finally query.stop()
+
+    // variable labels stream through too (reference sink_stata's
+    // variable_labels dict) — epoch-rewritten prefix must carry them
+    val sink2 = s"$dir/lbl2.dta"
+    val input2 = MemoryStream[(Long, Int)]
+    val q2 = input2.toDF().toDF("id", "sex").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .option("varLabels", "sex:Respondent sex")
+      .start(sink2)
+    try {
+      input2.addData((1L, 1)); q2.processAllAvailable()
+      input2.addData((2L, 2)); q2.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink2)
+      assert(back.schema("sex").metadata.getString("readstat.label") ==
+        "Respondent sex")
+    } finally q2.stop()
   }
 
   test("single-file streaming .sav sink: epochs append into ONE valid sav") {
