@@ -68,12 +68,16 @@ object SavStreamSink extends StreamSinkCore.Format {
     val recordLen = cols.map(_.widthUnits).sum * 8
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
+    // fixed label text per query → the dictionary length stays constant
+    // across commits, which the epoch-append protocol requires
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.w}|${c.fmtType}").toIndexedSeq)
     StreamSinkCore.commitEpoch("sav", path, epochId, queryId, schemaHash,
       chunks, recordLen,
       total => (SpssSavWriter.buildDictionary(cols, total, zlib = false,
-        valueLabels), Array.emptyByteArray))
+        valueLabels, varLabels), Array.emptyByteArray))
   }
 
   override def chunkWriter(schema: StructType, options: Map[String, String],

@@ -56,6 +56,8 @@ object SpssSavWriter {
     val schema = df.schema
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
@@ -101,6 +103,7 @@ object SpssSavWriter {
       val ext = if (zlib) "zsav" else "sav"
       val partPrefix = MultiFileParts.prepare(new File(path), "(sav|zsav)", options)
       val vls = valueLabels
+      val vlbB = varLabels
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -128,7 +131,7 @@ object SpssSavWriter {
               blocks = zenc.finish()
               raw.close()
             }
-            val dictLocal = buildDictionary(specs, rows, zlibB, vls)
+            val dictLocal = buildDictionary(specs, rows, zlibB, vls, vlbB)
             assembleSav(s"$path/$partPrefix" + f"$pid%05d.$ext", dictLocal, zlibB,
               Seq(f.getAbsolutePath), blocks)
             f.delete()
@@ -176,7 +179,7 @@ object SpssSavWriter {
     require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
 
     // ---- driver: header + dictionary, then splice chunks ----
-    val dict = buildDictionary(cols, nObs, zlib, valueLabels)
+    val dict = buildDictionary(cols, nObs, zlib, valueLabels, varLabels)
     assembleSav(path, dict, zlib, chunks.map(_._2).toIndexedSeq,
       chunks.flatMap(_._4).toIndexedSeq)
     chunks.foreach(c => new File(c._2).delete())
@@ -378,7 +381,8 @@ object SpssSavWriter {
   }
 
   private[writers] def buildDictionary(cols: Array[ColSpec], nObs: Long,
-      zlib: Boolean, valueLabels: Map[String, Seq[(Int, String)]]): Array[Byte] = {
+      zlib: Boolean, valueLabels: Map[String, Seq[(Int, String)]],
+      varLabels: Map[String, String] = Map.empty): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = Bin.putU32(o, v)
     def ascii(s: String, len: Int): Unit =
@@ -398,24 +402,40 @@ object SpssSavWriter {
     ascii("", 64) // file label
     ascii("", 3)  // padding
 
-    // variable records
+    // variable records; the reference SPSS writer supports per-variable
+    // labels (has_var_label + length-prefixed text padded to 4 bytes) —
+    // attached to the primary record only, never continuations/segments
+    def varLabel(name: String): Unit = varLabels.get(name) match {
+      case Some(lbl) =>
+        val b = lbl.getBytes(StandardCharsets.UTF_8)
+        val len = math.min(b.length, 255)
+        u32(len.toLong)
+        o.write(b, 0, len)
+        val padded = (len + 3) / 4 * 4
+        (len until padded).foreach(_ => o.write(' '))
+      case None => ()
+    }
     cols.foreach { c =>
       c.w match {
         case WNum =>
-          u32(2); u32(0); u32(0); u32(0)
+          u32(2); u32(0)
+          u32(if (varLabels.contains(c.name)) 1 else 0); u32(0)
           u32(((c.fmtType.toLong << 16) | (c.fmtWidth.toLong << 8) | c.fmtDec))
           u32(((c.fmtType.toLong << 16) | (c.fmtWidth.toLong << 8) | c.fmtDec))
           ascii(c.short, 8)
+          varLabel(c.name)
         case WStr(_) =>
           val segs = c.segmentSizes
           segs.zipWithIndex.foreach { case (segLen, si) =>
             val segName =
               if (si == 0) c.short
               else c.short.take(5) + (if (si < 10) ('0' + si).toChar else ('A' + si - 10).toChar)
-            u32(2); u32(segLen.toLong); u32(0); u32(0)
+            u32(2); u32(segLen.toLong)
+            u32(if (si == 0 && varLabels.contains(c.name)) 1 else 0); u32(0)
             val fmt = (1L << 16) | (math.min(segLen, 255).toLong << 8)
             u32(fmt); u32(fmt)
             ascii(segName, 8)
+            if (si == 0) varLabel(c.name)
             // continuation records for this segment's extra 8-byte units
             val units = (math.min(segLen, 255) + 7) / 8
             (1 until units).foreach { _ =>

@@ -181,6 +181,29 @@ class SpssSpec extends SparkTestBase {
       Seq("Male", "Female", "Male"))
   }
 
+  test("sav variable labels write + read back, numeric and segmented strings") {
+    import spark.implicits._
+    // a >255-byte string forces segmentation: the label must attach to
+    // the FIRST segment's record only, and pyreadstat-style readers
+    // (and ours) surface it on the reassembled column
+    val long = "z" * 300
+    val df = Seq((1.0, "ab", long)).toDF("sex", "s", "txt")
+    val path = tmp("varlab.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("varLabels", "sex:Respondent sex|txt:Long free text")
+      .save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.schema("sex").metadata.getString("readstat.label") ==
+      "Respondent sex")
+    assert(back.schema("txt").metadata.getString("readstat.label") ==
+      "Long free text")
+    assert(!back.schema("s").metadata.contains("readstat.label"))
+    // data is unharmed by the variable-record layout change
+    val r = back.collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getString(1) == "ab" &&
+      r.getString(2) == long)
+  }
+
   test("zsav write roundtrips through our zsav reader") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))
