@@ -58,6 +58,8 @@ object SpssSavWriter {
       options.getOrElse("valueLabels", ""))
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
+    val varMeasures = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varMeasures", ""))
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
@@ -104,6 +106,7 @@ object SpssSavWriter {
       val partPrefix = MultiFileParts.prepare(new File(path), "(sav|zsav)", options)
       val vls = valueLabels
       val vlbB = varLabels
+      val vmB = varMeasures
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -131,7 +134,7 @@ object SpssSavWriter {
               blocks = zenc.finish()
               raw.close()
             }
-            val dictLocal = buildDictionary(specs, rows, zlibB, vls, vlbB)
+            val dictLocal = buildDictionary(specs, rows, zlibB, vls, vlbB, vmB)
             assembleSav(s"$path/$partPrefix" + f"$pid%05d.$ext", dictLocal, zlibB,
               Seq(f.getAbsolutePath), blocks)
             f.delete()
@@ -179,7 +182,8 @@ object SpssSavWriter {
     require(totalRows == nObs, s"row count drift: agg=$nObs write=$totalRows")
 
     // ---- driver: header + dictionary, then splice chunks ----
-    val dict = buildDictionary(cols, nObs, zlib, valueLabels, varLabels)
+    val dict = buildDictionary(cols, nObs, zlib, valueLabels, varLabels,
+      varMeasures)
     assembleSav(path, dict, zlib, chunks.map(_._2).toIndexedSeq,
       chunks.flatMap(_._4).toIndexedSeq)
     chunks.foreach(c => new File(c._2).delete())
@@ -382,7 +386,8 @@ object SpssSavWriter {
 
   private[writers] def buildDictionary(cols: Array[ColSpec], nObs: Long,
       zlib: Boolean, valueLabels: Map[String, Seq[(Int, String)]],
-      varLabels: Map[String, String] = Map.empty): Array[Byte] = {
+      varLabels: Map[String, String] = Map.empty,
+      varMeasures: Map[String, String] = Map.empty): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = Bin.putU32(o, v)
     def ascii(s: String, len: Int): Unit =
@@ -484,6 +489,28 @@ object SpssSavWriter {
       val b = vl.getBytes(StandardCharsets.US_ASCII)
       u32(7); u32(14); u32(1); u32(b.length.toLong)
       o.write(b)
+    }
+    // subtype 11: display parameters (measure / display width /
+    // alignment), written only when the user declares measures — the
+    // reference SPSS writer exposes the same per-variable measure dict.
+    // One triple per FINAL column; undeclared columns get the SPSS
+    // defaults (scale + right for numeric, nominal + left for strings).
+    if (varMeasures.nonEmpty) {
+      u32(7); u32(11); u32(4); u32(3L * cols.length)
+      cols.foreach { c =>
+        val isNum = c.w == WNum
+        val m = varMeasures.get(c.name).map(_.trim.toLowerCase) match {
+          case Some("nominal") => 1L
+          case Some("ordinal") => 2L
+          case Some("scale") => 3L
+          case Some(other) => throw new IllegalArgumentException(
+            s"sav writer: varMeasures.${c.name} must be nominal|ordinal|scale (got $other)")
+          case None => if (isNum) 3L else 1L
+        }
+        u32(m)
+        u32(c.fmtWidth.toLong.max(1L))
+        u32(if (isNum) 1L else 0L)
+      }
     }
     // subtype 20: encoding
     val enc = "UTF-8".getBytes(StandardCharsets.US_ASCII)

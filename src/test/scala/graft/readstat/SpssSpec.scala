@@ -204,6 +204,22 @@ class SpssSpec extends SparkTestBase {
       r.getString(2) == long)
   }
 
+  test("sav varMeasures writes subtype-11 display params (measure/width/align)") {
+    import spark.implicits._
+    val df = Seq((1.0, 3.0, "ab")).toDF("rating", "income", "s")
+    val path = tmp("measures.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("varMeasures", "rating:ordinal|income:scale")
+      .save(path)
+    val md = spark.read.format("readstat-metadata").load(path)
+      .select("name", "measure", "alignment").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(md("rating") == (("Ordinal", "Right")))
+    assert(md("income") == (("Scale", "Right")))
+    // undeclared string column gets the SPSS default nominal + left
+    assert(md("s") == (("Nominal", "Left")))
+  }
+
   test("zsav write roundtrips through our zsav reader") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))
