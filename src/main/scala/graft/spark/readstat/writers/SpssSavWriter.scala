@@ -60,6 +60,14 @@ object SpssSavWriter {
       options.getOrElse("varLabels", ""))
     val varMeasures = StataDtaWriter.parseVarLabels(
       options.getOrElse("varMeasures", ""))
+    // per-variable print formats (reference SPSS writer's formats dict):
+    // "price:DOLLAR12.2|score:F8.4". Numeric columns only — a string's
+    // A-format is bound to its storage width. NOTE: date/time format
+    // classes change the READ-BACK Spark type (DATE → DateType), which
+    // is the SPSS semantic: the format IS the type annotation.
+    val varFormats: Map[String, (Int, Int, Int)] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
+        .map { case (c, spec) => c -> parseSavFormat(c, spec) }
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
@@ -87,6 +95,11 @@ object SpssSavWriter {
           ColSpec(f.name, short, WNum, 5, 8, 2, f.dataType)
         case other => throw new IllegalArgumentException(
           s"sav writer: unsupported type $other for ${f.name}")
+      }
+    }.map { c =>
+      varFormats.get(c.name).filter(_ => c.w == WNum) match {
+        case Some((t, wd, d)) => c.copy(fmtType = t, fmtWidth = wd, fmtDec = d)
+        case None => c
       }
     }
     val recordLen = cols.map(_.widthUnits).sum * 8
@@ -188,6 +201,27 @@ object SpssSavWriter {
       chunks.flatMap(_._4).toIndexedSeq)
     chunks.foreach(c => new File(c._2).delete())
   }
+
+  /** SPSS print-format spec "NAME[width[.dec]]" → (type code, width,
+    * decimals). Codes are the public sav spec's format-type table. */
+  private val SavFmtCodes = Map(
+    "COMMA" -> 3, "DOLLAR" -> 4, "F" -> 5, "Z" -> 15, "N" -> 16, "E" -> 17,
+    "DATE" -> 20, "TIME" -> 21, "DATETIME" -> 22, "ADATE" -> 23,
+    "JDATE" -> 24, "PCT" -> 31, "DOT" -> 32, "EDATE" -> 38, "SDATE" -> 39)
+  private val SavFmtRe = "([A-Za-z]+)(\\d+)?(?:\\.(\\d+))?".r
+
+  private def parseSavFormat(col: String, spec: String): (Int, Int, Int) =
+    spec.trim match {
+      case SavFmtRe(name, w, d) =>
+        val t = SavFmtCodes.getOrElse(name.toUpperCase,
+          throw new IllegalArgumentException(
+            s"sav writer: varFormats.$col: unknown format '$name' " +
+              s"(supported: ${SavFmtCodes.keys.toSeq.sorted.mkString(", ")})"))
+        (t, Option(w).map(_.toInt).getOrElse(8),
+          Option(d).map(_.toInt).getOrElse(0))
+      case other => throw new IllegalArgumentException(
+        s"sav writer: varFormats.$col: cannot parse format '$other'")
+    }
 
   /** Header + dictionary, then the data chunks (raw records, or zsav
     * blocks + zheader/ztrailer). Pure IO — runs on the driver for the

@@ -133,6 +133,13 @@ object StataDtaWriter {
       parseValueLabels(options.getOrElse("valueLabels", ""))
     val varLabels = metaVarLabels ++
       parseVarLabels(options.getOrElse("varLabels", ""))
+    // per-variable display formats (reference `variable_formats` dict,
+    // writer.rs merge_variable_formats): "col:%9.2f|dt:%tdCCYY-NN-DD".
+    // Overrides the derived format only — storage type is unaffected.
+    val varFormats = parseVarLabels(options.getOrElse("varFormats", ""))
+    varFormats.foreach { case (c, f) =>
+      require(f.startsWith("%"),
+        s"stata writer: varFormats.$c must be a %-format (got $f)") }
 
     // ---- job 1: row count + max string byte-widths + numeric ranges ----
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -202,13 +209,13 @@ object StataDtaWriter {
           throw new IllegalArgumentException(
             s"stata writer: unsupported type $other for column ${f.name}")
       }
-      val fmt = f.dataType match {
+      val fmt = varFormats.getOrElse(f.name, f.dataType match {
         case DateType => "%td"
         case TimestampType | TimestampNTZType => "%tc"
         case StringType => s"%${math.min(widths(f.name), MaxStrWidth)}s"
         case FloatType | DoubleType | LongType | _: DecimalType => "%10.0g"
         case _ => "%8.0g"
-      }
+      })
       ColSpec(f.name, stataName(f.name, usedNames), w, fmt, f.dataType)
     }
     val rowLen = cols.map(_.w.width).sum

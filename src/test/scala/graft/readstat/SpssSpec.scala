@@ -220,6 +220,29 @@ class SpssSpec extends SparkTestBase {
     assert(md("s") == (("Nominal", "Left")))
   }
 
+  test("sav varFormats writes custom print formats; DATE formats type the read") {
+    import spark.implicits._
+    val df = Seq((12.5, 19723.0)).toDF("price", "d")
+    val path = tmp("fmt.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("varFormats", "price:DOLLAR12.2")
+      .save(path)
+    val md = spark.read.format("readstat-metadata").load(path)
+      .select("name", "format_type", "format_width", "format_decimals")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(md("price") == ((4, 12, 2))) // DOLLAR
+    assert(md("d") == ((5, 8, 2)))      // derived F8.2 default
+    assert(spark.read.format("readstat").load(path)
+      .collect()(0).getDouble(0) == 12.5)
+    // unknown format name is rejected with the supported list
+    val e = intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varFormats", "price:BOGUS9").save(tmp("fmtbad.sav"))
+    }
+    assert(e.getMessage.contains("unknown format"))
+  }
+
   test("zsav write roundtrips through our zsav reader") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))

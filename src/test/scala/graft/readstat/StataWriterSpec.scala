@@ -143,6 +143,29 @@ class StataWriterSpec extends SparkTestBase {
     assert(label("age") == "Age in years")
   }
 
+  test("varFormats option overrides per-variable display formats") {
+    import spark.implicits._
+    val df = Seq((12.5, 3.0)).toDF("price", "n")
+    val p = tmp("varformats.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("varFormats", "price:%9.2f")
+      .save(p)
+    val md = spark.read.format("readstat-metadata").load(p)
+      .select("name", "format").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(md("price") == "%9.2f")
+    assert(md("n") == "%10.0g") // derived default untouched
+    // data decodes regardless of display format
+    val r = spark.read.format("readstat").load(p).collect()(0)
+    assert(r.getDouble(0) == 12.5 && r.getDouble(1) == 3.0)
+    // a non-% string is rejected before any bytes land
+    val e = intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varFormats", "price:9.2f").save(tmp("bad.dta"))
+    }
+    assert(e.getMessage.contains("varFormats"))
+  }
+
   test("values in Stata missing ranges promote the storage type (no corruption)") {
     import spark.implicits._
     // byte 101..127 collide with .a-.z sentinels; short >= 32741 with int
