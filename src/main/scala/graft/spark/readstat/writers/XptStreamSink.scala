@@ -69,11 +69,14 @@ object XptStreamSink extends StreamSinkCore.Format {
       "xpt streaming sink: metadataPath is not supported — use the batch writer")
     val (cols, version) = streamColSpecs(schema, options)
     val rowLen = cols.map(_.width).sum
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq)
     StreamSinkCore.commitEpoch("xpt", path, epochId, queryId, schemaHash,
       chunks, rowLen,
-      _ => (XptWriterImpl.buildHeader(cols, version), Array.emptyByteArray),
+      _ => (XptWriterImpl.buildHeader(cols, version, varLabels),
+        Array.emptyByteArray),
       padBlock = 80)
   }
 

@@ -34,6 +34,8 @@ object XptWriterImpl {
         s"xpt writer: xptVersion must be 5 or 8 (got $other)")
     }
 
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
@@ -72,7 +74,7 @@ object XptWriterImpl {
     // row count, so each part is just header + its records + 80-pad)
     if (options.get("multiFile").exists(_.toBoolean)) {
       val partPrefix = MultiFileParts.prepare(new File(path), "xpt", options)
-      val header = buildHeader(cols, version)
+      val header = buildHeader(cols, version, varLabels)
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -114,7 +116,7 @@ object XptWriterImpl {
       Iterator((pid, f.getAbsolutePath, enc.rows))
     }.collect().sortBy(_._1)
 
-    val header = buildHeader(cols, version)
+    val header = buildHeader(cols, version, varLabels)
     AtomicFile.write(path) { tmpOut =>
     val outPath = Paths.get(tmpOut)
     val ch = java.nio.channels.FileChannel.open(outPath,
@@ -203,7 +205,8 @@ object XptWriterImpl {
     }
   }
 
-  private[writers] def buildHeader(cols: Array[ColSpec], version: Int): Array[Byte] = {
+  private[writers] def buildHeader(cols: Array[ColSpec], version: Int,
+      varLabels: Map[String, String] = Map.empty): Array[Byte] = {
     val v8 = version >= 8
     val o = new java.io.ByteArrayOutputStream()
     def rec(s: String): Unit = {
@@ -247,7 +250,9 @@ object XptWriterImpl {
       u16(c.width)                // nlng
       u16(i + 1)                  // nvar0
       pad(c.short, 8)             // nname
-      pad(c.name.take(40), 40)    // nlabel (long name as label)
+      // nlabel: user-declared variable label (reference xpt writer's
+      // labels support), else the long column name as before
+      pad(varLabels.getOrElse(c.name, c.name).take(40), 40)
       pad(fmtName, 8)             // nform
       u16(fmtW); u16(fmtD)        // nfl/nfd
       u16(0)                      // nfj

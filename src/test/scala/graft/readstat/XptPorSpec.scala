@@ -107,6 +107,22 @@ class XptPorSpec extends SparkTestBase {
     assert(graft.core.xpt.XptCore.parse(p5).version == 5)
   }
 
+  test("xpt varLabels write into namestr label fields and read back") {
+    import spark.implicits._
+    val df = Seq((1.0, "a")).toDF("income", "grp")
+    val path = tmp("xptlbl.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("varLabels", "income:Household income").save(path)
+    // xpt v5 has only 8-char uppercase short names — labels are where
+    // the original mixed-case identity survives
+    val back = spark.read.format("readstat").load(path)
+    assert(back.schema("INCOME").metadata.getString("readstat.label") ==
+      "Household income")
+    // unlabeled column keeps the long-name-as-label default
+    assert(back.schema("GRP").metadata.getString("readstat.label") == "grp")
+    assert(back.collect()(0).getDouble(0) == 1.0)
+  }
+
   test("xpt multi-partition write and parallel read") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"r$i")).toDF("v", "s").repartition(4)
