@@ -336,6 +336,10 @@ object Bench {
     val noise = scala.collection.mutable.ArrayBuffer[Double]()
     val noiseIo = scala.collection.mutable.ArrayBuffer[Double]()
     def recordGate(): Unit = {
+      // nudge the collector between rounds: 135 queries accumulate
+      // broadcast blocks whose cleanup is GC-triggered, and a major GC
+      // mid-timed-query is exactly the noise the gate exists to reject
+      System.gc()
       val (s, io) = gatedSentinel()
       noise += s
       noiseIo += io
