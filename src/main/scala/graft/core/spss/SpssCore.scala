@@ -324,12 +324,23 @@ object SpssCore {
     val aligns = Array.fill[Option[String]](n)(None)
     val widths = Array.fill[Option[Int]](n)(None)
     params.foreach { vals =>
+      // three counting conventions exist in the wild; vars here are the
+      // POST-coalescing logical columns:
+      //  - one entry per logical variable,
+      //  - one per DICTIONARY variable (very-long-string segments each
+      //    count, continuations don't — the SPSS/PSPP spec convention),
+      //  - one per 8-byte record unit (continuations count).
       val totalSeg = vars.map(v => math.max(1, v.widthUnits)).sum
-      val (per, segBased) =
-        if (vals.length == n * 3) (3, false)
-        else if (vals.length == n * 2) (2, false)
-        else if (vals.length == totalSeg * 3) (3, true)
-        else if (vals.length == totalSeg * 2) (2, true)
+      def dictSegs(v: RawVar): Int =
+        if (v.typ > 255) (v.typ + 251) / 252 else 1
+      val totalDict = vars.map(dictSegs).sum
+      val (per, step): (Int, RawVar => Int) =
+        if (vals.length == n * 3) (3, _ => 1)
+        else if (vals.length == n * 2) (2, _ => 1)
+        else if (vals.length == totalDict * 3) (3, dictSegs)
+        else if (vals.length == totalDict * 2) (2, dictSegs)
+        else if (vals.length == totalSeg * 3) (3, v => math.max(1, v.widthUnits))
+        else if (vals.length == totalSeg * 2) (2, v => math.max(1, v.widthUnits))
         else return (measures, aligns, widths)
       var pos = 0
       vars.zipWithIndex.foreach { case (v, i) =>
@@ -348,7 +359,7 @@ object SpssCore {
             case 0 => Some("Left"); case 1 => Some("Right")
             case 2 => Some("Center"); case _ => None
           }
-          pos += per * (if (segBased) math.max(1, v.widthUnits) else 1)
+          pos += per * step(v)
         }
       }
     }

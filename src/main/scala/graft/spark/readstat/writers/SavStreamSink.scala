@@ -31,6 +31,10 @@ object SavStreamSink extends StreamSinkCore.Format {
     val defaultW = options.get("defaultStrWidth").map(_.toInt).getOrElse(256)
     require(defaultW >= 1 && defaultW <= 32767,
       "defaultStrWidth must be in [1, 32767] for sav")
+    // same per-variable format option as the batch writer (numeric
+    // columns only — validated there); the packed format word keeps the
+    // dictionary length unmoved
+    val varFormats = SpssSavWriter.parseStreamFormats(schema, options)
     schema.fields.zipWithIndex.map { case (f, i) =>
       val short = s"V${i + 1}"
       f.dataType match {
@@ -50,6 +54,11 @@ object SavStreamSink extends StreamSinkCore.Format {
         case other => throw new IllegalArgumentException(
           s"sav streaming sink: unsupported type $other for ${f.name}")
       }
+    }.map { c =>
+      varFormats.get(c.name).filter(_ => c.w == WNum) match {
+        case Some((t, wd, d)) => c.copy(fmtType = t, fmtWidth = wd, fmtDec = d)
+        case None => c
+      }
     }
   }
 
@@ -68,16 +77,22 @@ object SavStreamSink extends StreamSinkCore.Format {
     val recordLen = cols.map(_.widthUnits).sum * 8
     val valueLabels = StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
-    // fixed label text per query → the dictionary length stays constant
-    // across commits, which the epoch-append protocol requires
+    // fixed label/measure text per query → the dictionary length stays
+    // constant across commits within a query; cross-query drift is
+    // refused by the core's preLen guard before any row is shifted
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
+    val varMeasures = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varMeasures", ""))
+    varMeasures.values.foreach(v => require(
+      Set("nominal", "ordinal", "scale")(v.trim.toLowerCase),
+      s"sav streaming sink: varMeasures values must be nominal|ordinal|scale (got $v)"))
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.w}|${c.fmtType}").toIndexedSeq)
     StreamSinkCore.commitEpoch("sav", path, epochId, queryId, schemaHash,
       chunks, recordLen,
       total => (SpssSavWriter.buildDictionary(cols, total, zlib = false,
-        valueLabels, varLabels), Array.emptyByteArray))
+        valueLabels, varLabels, varMeasures), Array.emptyByteArray))
   }
 
   override def chunkWriter(schema: StructType, options: Map[String, String],

@@ -68,6 +68,26 @@ object SpssSavWriter {
     val varFormats: Map[String, (Int, Int, Int)] =
       StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
         .map { case (c, spec) => c -> parseSavFormat(c, spec) }
+    // fail typos and wasted jobs EARLY, on the driver, before the
+    // width-agg and encode jobs run: unknown columns, bad measure
+    // values, and formats on string columns (a string's A-format is
+    // bound to its storage width and cannot be overridden)
+    val colNames = schema.fieldNames.toSet
+    Seq("varFormats" -> varFormats.keySet,
+        "varMeasures" -> varMeasures.keySet,
+        "varLabels" -> varLabels.keySet)
+      .foreach { case (opt, keys) =>
+        val unknown = keys.diff(colNames)
+        require(unknown.isEmpty,
+          s"sav writer: $opt names unknown column(s): ${unknown.mkString(", ")}")
+      }
+    varMeasures.values.foreach(v => require(
+      Set("nominal", "ordinal", "scale")(v.trim.toLowerCase),
+      s"sav writer: varMeasures values must be nominal|ordinal|scale (got $v)"))
+    varFormats.keys.foreach(c => require(
+      schema(c).dataType != StringType,
+      s"sav writer: varFormats.$c targets a string column — string " +
+        "A-formats are bound to the storage width and cannot be overridden"))
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
@@ -217,11 +237,35 @@ object SpssSavWriter {
           throw new IllegalArgumentException(
             s"sav writer: varFormats.$col: unknown format '$name' " +
               s"(supported: ${SavFmtCodes.keys.toSeq.sorted.mkString(", ")})"))
-        (t, Option(w).map(_.toInt).getOrElse(8),
-          Option(d).map(_.toInt).getOrElse(0))
+        // the packed format word holds one byte each of width/decimals:
+        // out-of-range values would bleed into the neighboring byte and
+        // silently corrupt the recorded format type
+        val width = Option(w).map(v => BigInt(v)).getOrElse(BigInt(8))
+        val dec = Option(d).map(v => BigInt(v)).getOrElse(BigInt(0))
+        require(width >= 1 && width <= 255,
+          s"sav writer: varFormats.$col: width $width outside [1, 255]")
+        require(dec >= 0 && dec <= width,
+          s"sav writer: varFormats.$col: decimals $dec outside [0, width]")
+        (t, width.toInt, dec.toInt)
       case other => throw new IllegalArgumentException(
         s"sav writer: varFormats.$col: cannot parse format '$other'")
     }
+
+  /** Validated `varFormats` parse for the streaming sink: numeric
+    * columns only, same spec grammar as the batch writer. */
+  private[writers] def parseStreamFormats(schema: StructType,
+      options: Map[String, String]): Map[String, (Int, Int, Int)] = {
+    val parsed = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varFormats", ""))
+      .map { case (c, spec) => c -> parseSavFormat(c, spec) }
+    val colNames = schema.fieldNames.toSet
+    val unknown = parsed.keySet.diff(colNames)
+    require(unknown.isEmpty,
+      s"sav streaming sink: varFormats names unknown column(s): ${unknown.mkString(", ")}")
+    parsed.keys.foreach(c => require(schema(c).dataType != StringType,
+      s"sav streaming sink: varFormats.$c targets a string column"))
+    parsed
+  }
 
   /** Header + dictionary, then the data chunks (raw records, or zsav
     * blocks + zheader/ztrailer). Pure IO — runs on the driver for the
@@ -447,7 +491,11 @@ object SpssSavWriter {
     def varLabel(name: String): Unit = varLabels.get(name) match {
       case Some(lbl) =>
         val b = lbl.getBytes(StandardCharsets.UTF_8)
-        val len = math.min(b.length, 255)
+        var len = math.min(b.length, 255)
+        // never cut mid-codepoint: back off past UTF-8 continuation
+        // bytes so the stored label stays valid UTF-8
+        while (len > 0 && len < b.length && (b(len) & 0xC0) == 0x80)
+          len -= 1
         u32(len.toLong)
         o.write(b, 0, len)
         val padded = (len + 3) / 4 * 4
@@ -530,7 +578,12 @@ object SpssSavWriter {
     // One triple per FINAL column; undeclared columns get the SPSS
     // defaults (scale + right for numeric, nominal + left for strings).
     if (varMeasures.nonEmpty) {
-      u32(7); u32(11); u32(4); u32(3L * cols.length)
+      // one (measure, width, alignment) triple per DICTIONARY VARIABLE:
+      // very-long-string SEGMENTS each count (they have their own
+      // rec_type-2 record), continuation records do not — the counting
+      // rule real SPSS/PSPP readers apply
+      val nDictVars = cols.map(c => math.max(1, c.segmentSizes.length)).sum
+      u32(7); u32(11); u32(4); u32(3L * nDictVars)
       cols.foreach { c =>
         val isNum = c.w == WNum
         val m = varMeasures.get(c.name).map(_.trim.toLowerCase) match {
@@ -541,9 +594,11 @@ object SpssSavWriter {
             s"sav writer: varMeasures.${c.name} must be nominal|ordinal|scale (got $other)")
           case None => if (isNum) 3L else 1L
         }
-        u32(m)
-        u32(c.fmtWidth.toLong.max(1L))
-        u32(if (isNum) 1L else 0L)
+        (0 until math.max(1, c.segmentSizes.length)).foreach { _ =>
+          u32(m)
+          u32(c.fmtWidth.toLong.max(1L))
+          u32(if (isNum) 1L else 0L)
+        }
       }
     }
     // subtype 20: encoding

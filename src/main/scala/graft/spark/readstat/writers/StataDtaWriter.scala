@@ -73,10 +73,15 @@ object StataDtaWriter {
     * (write_readstat kwarg / sink_stata, pybindings.rs:963). */
   def parseVarLabels(spec: String): Map[String, String] =
     if (spec == null || spec.trim.isEmpty) Map.empty
-    else spec.split("\\|").flatMap { part =>
+    else spec.split("\\|").map { part =>
       val i = part.indexOf(':')
-      if (i <= 0) None
-      else Some(part.substring(0, i).trim -> part.substring(i + 1))
+      // a colon-less segment is a typo'd separator or a '|' inside a
+      // label — silently dropping it would silently lose the label
+      require(i > 0,
+        s"cannot parse per-variable entry '$part' — expected " +
+          "'col:value' segments separated by '|' (the separator cannot " +
+          "appear inside values)")
+      part.substring(0, i).trim -> part.substring(i + 1)
     }.toMap
 
   /** Parse the `valueLabels` option: "col:1=Male,2=Female|col2:0=No,1=Yes". */
@@ -140,6 +145,17 @@ object StataDtaWriter {
     varFormats.foreach { case (c, f) =>
       require(f.startsWith("%"),
         s"stata writer: varFormats.$c must be a %-format (got $f)") }
+    // typo'd column names in the explicit options fail loudly (metadata-
+    // df entries may legitimately describe absent variables)
+    val colNames = schema.fieldNames.toSet
+    Seq("varFormats" -> varFormats.keySet,
+        "varLabels" -> parseVarLabels(options.getOrElse("varLabels", "")).keySet,
+        "valueLabels" -> parseValueLabels(options.getOrElse("valueLabels", "")).keySet)
+      .foreach { case (opt, keys) =>
+        val unknown = keys.diff(colNames)
+        require(unknown.isEmpty,
+          s"stata writer: $opt names unknown column(s): ${unknown.mkString(", ")}")
+      }
 
     // ---- job 1: row count + max string byte-widths + numeric ranges ----
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -255,6 +271,16 @@ object StataDtaWriter {
     }
     // strings (names, labels, data) are windows-1252 before 118, UTF-8 after
     val csName = graft.core.stata.StataTypes.charsetFor(version).name()
+    // custom formats must fit the version's fixed fmt record (NUL-
+    // terminated) — putZPad would otherwise truncate mid-spec silently
+    if (varFormats.nonEmpty) {
+      val maxFmt = graft.core.stata.StataParser.layoutFor(
+        math.max(version, 117)).fmtLen - 1
+      varFormats.foreach { case (c, f) =>
+        require(f.getBytes(csName).length <= maxFmt,
+          s"stata writer: varFormats.$c exceeds the dta $version format " +
+            s"field ($maxFmt bytes)") }
+    }
 
     // ---- multiFile mode: one self-contained .dta per partition ----
     // `path` becomes a DIRECTORY of part-NNNNN.dta files (parquet-style),

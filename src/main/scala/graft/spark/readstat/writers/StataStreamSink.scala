@@ -52,6 +52,14 @@ object StataStreamSink extends StreamSinkCore.Format {
     val defaultW = options.get("defaultStrWidth").map(_.toInt).getOrElse(256)
     require(defaultW >= 1 && defaultW <= StataDtaWriter.MaxStrWidth,
       s"defaultStrWidth must be in [1, ${StataDtaWriter.MaxStrWidth}]")
+    // per-variable display formats, same option as the batch writer;
+    // dta fmt records are fixed-width, so the prefix length is unmoved
+    val varFormats = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varFormats", ""))
+    varFormats.foreach { case (c, f) =>
+      require(f.startsWith("%") && f.getBytes("UTF-8").length <= 56,
+        s"stata streaming sink: varFormats.$c must be a %-format of at " +
+          "most 56 bytes") }
     val used = scala.collection.mutable.Set[String]()
     val cols = schema.fields.map { f =>
       val w: W = f.dataType match {
@@ -71,13 +79,13 @@ object StataStreamSink extends StreamSinkCore.Format {
         case other => throw new IllegalArgumentException(
           s"stata streaming sink: unsupported type $other for ${f.name}")
       }
-      val fmt = f.dataType match {
+      val fmt = varFormats.getOrElse(f.name, f.dataType match {
         case DateType => "%td"
         case TimestampType | TimestampNTZType => "%tc"
         case StringType => s"%${w.width}s"
         case FloatType | DoubleType | LongType | _: DecimalType => "%10.0g"
         case _ => "%8.0g"
-      }
+      })
       ColSpec(f.name, StataDtaWriter.stataName(f.name, used), w, fmt, f.dataType)
     }
     val version = if (cols.length > 32767) 119 else 118

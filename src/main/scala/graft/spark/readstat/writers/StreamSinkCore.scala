@@ -38,7 +38,7 @@ import org.apache.spark.sql.types.StructType
 object StreamSinkCore {
 
   case class StreamState(epoch: Long, rows: Long, rowLen: Int,
-      queryId: String, schemaHash: String)
+      queryId: String, schemaHash: String, preLen: Long = -1L)
 
   private def statePath(path: String) = path + ".stream_state"
 
@@ -51,7 +51,8 @@ object StreamSinkCore {
       def str(k: String): String =
         if (m.has(k)) m.get(k).asText() else ""
       Some(StreamState(m.get("epoch").asLong(), m.get("rows").asLong(),
-        m.get("rowLen").asInt(), str("queryId"), str("schemaHash")))
+        m.get("rowLen").asInt(), str("queryId"), str("schemaHash"),
+        if (m.has("preLen")) m.get("preLen").asLong() else -1L))
     }
   }
 
@@ -60,7 +61,7 @@ object StreamSinkCore {
     val node = om.createObjectNode()
     node.put("epoch", st.epoch); node.put("rows", st.rows)
     node.put("rowLen", st.rowLen); node.put("queryId", st.queryId)
-    node.put("schemaHash", st.schemaHash)
+    node.put("schemaHash", st.schemaHash); node.put("preLen", st.preLen)
     val tmp = Paths.get(statePath(path) + ".tmp")
     Files.write(tmp, om.writeValueAsBytes(node))
     Files.move(tmp, Paths.get(statePath(path)),
@@ -104,6 +105,14 @@ object StreamSinkCore {
       val prevRows = state.map(_.rows).getOrElse(0L)
       val total = prevRows + chunks.map(_._3).sum
       val (pre, post) = frame(total)
+      // the prefix length is the data section's base offset: ANY change
+      // (e.g. a cross-query append declaring different label text in a
+      // format whose label records are length-prefixed) would shift all
+      // previously committed rows — refuse before corrupting them
+      state.foreach(st => require(st.preLen < 0 || st.preLen == pre.length,
+        s"$label streaming sink: pre-data section length changed " +
+          s"(${st.preLen} -> ${pre.length}) for $path — appends must " +
+          "declare the same labels/formats as the original write"))
       val p = Paths.get(path)
       Option(p.getParent).foreach(Files.createDirectories(_))
       val ch = FileChannel.open(p, StandardOpenOption.CREATE,
@@ -132,7 +141,8 @@ object StreamSinkCore {
         ch.truncate(ch.position())
         ch.force(true)
       } finally ch.close()
-      writeState(path, StreamState(epochId, total, rowLen, queryId, schemaHash))
+      writeState(path, StreamState(epochId, total, rowLen, queryId,
+        schemaHash, pre.length.toLong))
     } finally chunks.foreach { case (_, f, _) => new File(f).delete() }
   }
 

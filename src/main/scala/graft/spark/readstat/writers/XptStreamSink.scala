@@ -71,6 +71,7 @@ object XptStreamSink extends StreamSinkCore.Format {
     val rowLen = cols.map(_.width).sum
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
+    XptWriterImpl.validateXptLabels(varLabels, schema.fieldNames.toSet)
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq)
     StreamSinkCore.commitEpoch("xpt", path, epochId, queryId, schemaHash,

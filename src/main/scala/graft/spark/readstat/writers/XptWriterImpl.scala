@@ -36,6 +36,7 @@ object XptWriterImpl {
 
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
+    validateXptLabels(varLabels, schema.fieldNames.toSet)
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
@@ -202,6 +203,23 @@ object XptWriterImpl {
       while (i < cells.length) { cells(i)(row); i += 1 }
       out.write(buf, 0, rowLen)
       rows += 1
+    }
+  }
+
+  /** XPT namestr labels are 40 bytes of ISO-8859-1: reject longer or
+    * non-Latin-1 labels loudly instead of writing '????' mojibake or a
+    * silent cut (LABELV8 long-label records are not implemented). */
+  private[writers] def validateXptLabels(varLabels: Map[String, String],
+      colNames: Set[String]): Unit = {
+    val unknown = varLabels.keySet.diff(colNames)
+    require(unknown.isEmpty,
+      s"xpt writer: varLabels names unknown column(s): ${unknown.mkString(", ")}")
+    varLabels.foreach { case (c, l) =>
+      require(l.length <= 40,
+        s"xpt writer: varLabels.$c exceeds the 40-character namestr label field")
+      require(l.forall(_ <= 0xFF),
+        s"xpt writer: varLabels.$c contains non-Latin-1 characters — " +
+          "xpt labels are ISO-8859-1")
     }
   }
 

@@ -206,7 +206,10 @@ class SpssSpec extends SparkTestBase {
 
   test("sav varMeasures writes subtype-11 display params (measure/width/align)") {
     import spark.implicits._
-    val df = Seq((1.0, 3.0, "ab")).toDF("rating", "income", "s")
+    // the >255-byte string writes TWO segment variables: the subtype-11
+    // record must carry one triple per dictionary variable (segments
+    // count), or external readers misalign every following column
+    val df = Seq((1.0, "z" * 300, 3.0, "ab")).toDF("rating", "txt", "income", "s")
     val path = tmp("measures.sav")
     df.write.format("readstat").mode("overwrite")
       .option("varMeasures", "rating:ordinal|income:scale")
@@ -216,8 +219,19 @@ class SpssSpec extends SparkTestBase {
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     assert(md("rating") == (("Ordinal", "Right")))
     assert(md("income") == (("Scale", "Right")))
-    // undeclared string column gets the SPSS default nominal + left
+    // undeclared string columns get the SPSS default nominal + left —
+    // including the ones AFTER the segmented string
+    assert(md("txt") == (("Nominal", "Left")))
     assert(md("s") == (("Nominal", "Left")))
+    // typo'd measure value and unknown column fail before any job runs
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varMeasures", "rating:ordnial").save(tmp("m1.sav"))
+    }.getMessage.contains("nominal|ordinal|scale"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varMeasures", "ratng:ordinal").save(tmp("m2.sav"))
+    }.getMessage.contains("unknown column"))
   }
 
   test("sav varFormats writes custom print formats; DATE formats type the read") {

@@ -271,6 +271,50 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("malformed per-variable option segments fail loudly, never drop entries") {
+    import spark.implicits._
+    // a '|' inside a label splits into a colon-less segment — the old
+    // silent-drop behavior would truncate the label to 'Male' quietly
+    val e = intercept[IllegalArgumentException] {
+      Seq((1.0, 2.0)).toDF("sex", "v").write.format("readstat")
+        .mode("overwrite")
+        .option("varLabels", "sex:Male|Female indicator")
+        .save(java.nio.file.Files.createTempDirectory("graft_badopt")
+          .resolve("x.dta").toString)
+    }
+    assert(e.getMessage.contains("cannot parse"), e.getMessage)
+  }
+
+  test("sav sink refuses a cross-query append that would shift the dictionary") {
+    // different varLabels change the sav dictionary LENGTH; an append
+    // from a new query must be refused before old rows are shifted
+    // (r10 second-review finding — preLen guard)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_prelen").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/drift.sav"
+    val in1 = MemoryStream[(Long, Double)]
+    val q1 = in1.toDF().toDF("id", "v").writeStream.format("readstat")
+      .option("checkpointLocation", s"$dir/c1").start(sink)
+    try { in1.addData((1L, 1.0)); q1.processAllAvailable() } finally q1.stop()
+    val in2 = MemoryStream[(Long, Double)]
+    val q2 = in2.toDF().toDF("id", "v").writeStream.format("readstat")
+      .option("checkpointLocation", s"$dir/c2")
+      .option("varLabels", "v:Some value label text")
+      .start(sink)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { in2.addData((2L, 2.0)); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pre-data section length")),
+      msgs(e).mkString(" | "))
+    // the original row is untouched
+    assert(spark.read.format("readstat").load(sink).count() == 1L)
+  }
+
   test("single-file streaming .sav sink: epochs append into ONE valid sav") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

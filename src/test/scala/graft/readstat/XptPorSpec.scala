@@ -123,6 +123,24 @@ class XptPorSpec extends SparkTestBase {
     assert(back.collect()(0).getDouble(0) == 1.0)
   }
 
+  test("xpt varLabels rejects over-long and non-Latin-1 labels loudly") {
+    import spark.implicits._
+    val df = Seq((1.0, "a")).toDF("income", "grp")
+    // 41 chars: one past the namestr label field
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varLabels", s"income:${"x" * 41}").save(tmp("long.xpt"))
+    }.getMessage.contains("40-character"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varLabels", "income:收入").save(tmp("cjk.xpt"))
+    }.getMessage.contains("ISO-8859-1"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varLabels", "incme:x").save(tmp("typo.xpt"))
+    }.getMessage.contains("unknown column"))
+  }
+
   test("xpt multi-partition write and parallel read") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"r$i")).toDF("v", "s").repartition(4)
