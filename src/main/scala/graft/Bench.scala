@@ -327,7 +327,10 @@ object Bench {
       (s, io)
     }
 
-    val rawRounds = 3
+    // 5 raw-read rounds: the BASELINE-comparable reads run 0.1-0.3 s,
+    // where a single scheduler hiccup doubles a med-of-3 — five samples
+    // keep the median a steady-state estimator (min was already robust)
+    val rawRounds = 5
     val queryRounds = 2
     val queryFns: Seq[(String, () => Any)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
