@@ -46,13 +46,25 @@ object StreamSinkCore {
     val f = new File(statePath(path))
     if (!f.exists()) None
     else {
-      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-      def str(k: String): String =
-        if (m.has(k)) m.get(k).asText() else ""
-      Some(StreamState(m.get("epoch").asLong(), m.get("rows").asLong(),
-        m.get("rowLen").asInt(), str("queryId"), str("schemaHash"),
-        if (m.has("preLen")) m.get("preLen").asLong() else -1L))
+      // a corrupt sidecar must STOP the stream loudly: treating it as
+      // absent would restart the append at offset 0 over committed rows
+      try {
+        val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+        def str(k: String): String =
+          if (m.has(k)) m.get(k).asText() else ""
+        require(m.has("epoch") && m.has("rows") && m.has("rowLen"),
+          "missing required fields")
+        Some(StreamState(m.get("epoch").asLong(), m.get("rows").asLong(),
+          m.get("rowLen").asInt(), str("queryId"), str("schemaHash"),
+          if (m.has("preLen")) m.get("preLen").asLong() else -1L))
+      } catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"streaming sink: unreadable state file ${statePath(path)} — " +
+            "refusing to append blindly over committed data; delete BOTH " +
+            "the sink file and its .stream_state to restart from scratch " +
+            s"(${e.getMessage})", e)
+      }
     }
   }
 

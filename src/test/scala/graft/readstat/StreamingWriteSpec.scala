@@ -285,6 +285,18 @@ class StreamingWriteSpec extends SparkTestBase {
     assert(e.getMessage.contains("cannot parse"), e.getMessage)
   }
 
+  test("a corrupt sidecar state stops the stream instead of restarting at offset 0") {
+    import graft.spark.readstat.writers.StreamSinkCore
+    val dir = java.nio.file.Files.createTempDirectory("graft_badstate").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/x.dta"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sink + ".stream_state"),
+      "{not json".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { StreamSinkCore.readState(sink) }
+    assert(e.getMessage.contains("refusing to append blindly"), e.getMessage)
+  }
+
   test("sav sink refuses a cross-query append that would shift the dictionary") {
     // different varLabels change the sav dictionary LENGTH; an append
     // from a new query must be refused before old rows are shifted
