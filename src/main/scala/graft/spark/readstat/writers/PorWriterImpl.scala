@@ -76,6 +76,16 @@ object PorWriterImpl {
   }
 
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    // reference PorWriteOptions parity: file_label (vanity row 1, 20
+    // chars) + variable_labels (tag-'C' records after each variable)
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
+    val unknown = varLabels.keySet.diff(df.schema.fieldNames.toSet)
+    require(unknown.isEmpty,
+      s"por writer: varLabels names unknown column(s): ${unknown.mkString(", ")}")
+    val fileLabel = options.getOrElse("fileLabel", "")
+    require(fileLabel.length <= 20 && fileLabel.forall(_ <= 0x7E),
+      "por writer: fileLabel must be at most 20 printable-ASCII characters")
     // ---- multiFile mode: one self-contained .por per partition ----
     // POR is an inherently sequential text stream, so the single-file
     // write streams through the driver; multiFile moves the whole encode
@@ -88,25 +98,31 @@ object PorWriterImpl {
         if (!it.hasNext) Iterator.empty
         else {
           import scala.jdk.CollectionConverters._
-          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it.asJava)
+          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it.asJava,
+            varLabels, fileLabel)
           Iterator(1)
         }
       }.count()
       return
     }
-    writeOne(path, df.schema, df.toLocalIterator())
+    writeOne(path, df.schema, df.toLocalIterator(), varLabels, fileLabel)
   }
 
   /** Emit via a same-directory temp + atomic rename (no partial files
     * at the final name). */
   private def writeOne(path: String,
       schema: org.apache.spark.sql.types.StructType,
-      rows: java.util.Iterator[org.apache.spark.sql.Row]): Unit =
-    AtomicFile.write(path)(tmp => writeOneRaw(tmp, schema, rows))
+      rows: java.util.Iterator[org.apache.spark.sql.Row],
+      varLabels: Map[String, String] = Map.empty,
+      fileLabel: String = ""): Unit =
+    AtomicFile.write(path)(tmp =>
+      writeOneRaw(tmp, schema, rows, varLabels, fileLabel))
 
   private def writeOneRaw(path: String,
       schema: org.apache.spark.sql.types.StructType,
-      rows: java.util.Iterator[org.apache.spark.sql.Row]): Unit = {
+      rows: java.util.Iterator[org.apache.spark.sql.Row],
+      varLabels: Map[String, String],
+      fileLabel: String): Unit = {
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))
     val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
@@ -117,6 +133,8 @@ object PorWriterImpl {
       val banner = "ASCII SPSS PORT FILE".getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(banner, 0, vanity, 40, banner.length)
       java.util.Arrays.fill(vanity, 60, 80, ' '.toByte)
+      val flb = fileLabel.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(flb, 0, vanity, 60, math.min(flb.length, 20))
       w.bytes(vanity)
       // identity character table
       val lookup = Array.fill[Byte](256)('0')
@@ -153,6 +171,9 @@ object PorWriterImpl {
         w.stringField(short)
         w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(0)
         w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(0)
+        varLabels.get(f.name).foreach { lbl =>
+          w.byte('C'); w.stringField(lbl)
+        }
       }
       w.byte('F')
 

@@ -123,6 +123,29 @@ class XptPorSpec extends SparkTestBase {
     assert(back.collect()(0).getDouble(0) == 1.0)
   }
 
+  test("por varLabels + fileLabel roundtrip (reference PorWriteOptions)") {
+    import spark.implicits._
+    val df = Seq((1.0, "a")).toDF("income", "grp")
+    val path = tmp("porlbl.por")
+    df.write.format("readstat").mode("overwrite")
+      .option("varLabels", "income:Household income")
+      .option("fileLabel", "MY PORT FILE")
+      .save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.schema("INCOME").metadata.getString("readstat.label") ==
+      "Household income")
+    assert(!back.schema("GRP").metadata.contains("readstat.label"))
+    assert(back.collect()(0).getDouble(0) == 1.0)
+    val fm = spark.read.format("readstat-file-metadata").load(path)
+      .select("file_label").collect()(0).getString(0)
+    assert(fm == "MY PORT FILE", fm)
+    // over-long file label is rejected, not silently cut
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("fileLabel", "x" * 21).save(tmp("fl.por"))
+    }.getMessage.contains("20"))
+  }
+
   test("xpt varLabels rejects over-long and non-Latin-1 labels loudly") {
     import spark.implicits._
     val df = Seq((1.0, "a")).toDF("income", "grp")
