@@ -37,6 +37,14 @@ object XptWriterImpl {
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     validateXptLabels(varLabels, schema.fieldNames.toSet)
+    val tableName = options.getOrElse("tableName", "")
+    val maxName = if (version >= 8) 32 else 8
+    require(tableName.length <= maxName && tableName.forall(_ <= 0x7E),
+      s"xpt writer: tableName must be at most $maxName printable-ASCII " +
+        s"characters for xpt v$version")
+    val fileLabel = options.getOrElse("fileLabel", "")
+    require(fileLabel.length <= 40 && fileLabel.forall(_ <= 0xFF),
+      "xpt writer: fileLabel must be at most 40 Latin-1 characters")
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
@@ -75,7 +83,7 @@ object XptWriterImpl {
     // row count, so each part is just header + its records + 80-pad)
     if (options.get("multiFile").exists(_.toBoolean)) {
       val partPrefix = MultiFileParts.prepare(new File(path), "xpt", options)
-      val header = buildHeader(cols, version, varLabels)
+      val header = buildHeader(cols, version, varLabels, tableName, fileLabel)
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -117,7 +125,7 @@ object XptWriterImpl {
       Iterator((pid, f.getAbsolutePath, enc.rows))
     }.collect().sortBy(_._1)
 
-    val header = buildHeader(cols, version, varLabels)
+    val header = buildHeader(cols, version, varLabels, tableName, fileLabel)
     AtomicFile.write(path) { tmpOut =>
     val outPath = Paths.get(tmpOut)
     val ch = java.nio.channels.FileChannel.open(outPath,
@@ -224,7 +232,8 @@ object XptWriterImpl {
   }
 
   private[writers] def buildHeader(cols: Array[ColSpec], version: Int,
-      varLabels: Map[String, String] = Map.empty): Array[Byte] = {
+      varLabels: Map[String, String] = Map.empty,
+      tableName: String = "", fileLabel: String = ""): Array[Byte] = {
     val v8 = version >= 8
     val o = new java.io.ByteArrayOutputStream()
     def rec(s: String): Unit = {
@@ -240,11 +249,14 @@ object XptWriterImpl {
     rec(Ts)
     hdr(if (v8) "MEMBV8" else "MEMBER", 0, 0, 0, 160, 0, 140)
     hdr(if (v8) "DSCPTV8" else "DSCRPTR", 0, 0, 0, 0, 0, 0)
+    // dataset name (reference with_table_name: 8 chars at v5, 32 at v8)
+    // and the 40-char dataset label (with_file_label)
+    val dsName = if (tableName.isEmpty) "DATASET" else tableName
     if (v8) // member record carries a 32-char dataset name in v8
-      rec(f"${"SAS"}%-8s${"DATASET"}%-32s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s$Ts%16s")
+      rec(f"${"SAS"}%-8s$dsName%-32s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s$Ts%16s")
     else
-      rec(f"${"SAS"}%-8s${"DATASET"}%-8s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
-    rec(f"$Ts%16s${""}%16s${""}%-40s${""}%-8s")
+      rec(f"${"SAS"}%-8s$dsName%-8s${"SASDATA"}%-8s${"6.06"}%-8s${"bsd4.2"}%-8s${""}%-24s$Ts%16s")
+    rec(f"$Ts%16s${""}%16s$fileLabel%-40s${""}%-8s")
     hdr(if (v8) "NAMSTV8" else "NAMESTR", 0, cols.length, 0, 0, 0, 0)
 
     // namestrs (140 bytes each), then pad to 80-byte boundary

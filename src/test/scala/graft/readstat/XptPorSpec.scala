@@ -123,6 +123,29 @@ class XptPorSpec extends SparkTestBase {
     assert(back.collect()(0).getDouble(0) == 1.0)
   }
 
+  test("xpt tableName and fileLabel write into the member records") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val path = tmp("named.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("tableName", "MYDATA")
+      .option("fileLabel", "Quarterly extract")
+      .save(path)
+    val fm = spark.read.format("readstat-file-metadata").load(path)
+      .select("file_label").collect()(0).getString(0)
+    assert(fm == "Quarterly extract", fm)
+    val bytes = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(path).toPath), "ISO-8859-1")
+    assert(bytes.contains("MYDATA"))
+    // v5 caps the dataset name at 8 chars — loud, not truncated
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("tableName", "WAYTOOLONGNAME").save(tmp("n2.xpt"))
+    }.getMessage.contains("8"))
+    // data still reads
+    assert(spark.read.format("readstat").load(path).count() == 1L)
+  }
+
   test("por varLabels + fileLabel roundtrip (reference PorWriteOptions)") {
     import spark.implicits._
     val df = Seq((1.0, "a")).toDF("income", "grp")
