@@ -43,13 +43,14 @@ object XptStreamSink extends StreamSinkCore.Format {
             .getOrElse(defaultW)
           require(dw >= 1 && dw <= 200,
             s"strWidth.${f.name} must be in [1, 200] (xpt char cap)")
-          ColSpec(f.name, cand, isChar = true, dw, "", f.dataType)
-        case DateType => ColSpec(f.name, cand, isChar = false, 8, "DATE9", f.dataType)
+          ColSpec(f.name, cand, isChar = true, dw, "", 0, 0, f.dataType)
+        case DateType =>
+          ColSpec(f.name, cand, isChar = false, 8, "DATE", 9, 0, f.dataType)
         case TimestampType | TimestampNTZType =>
-          ColSpec(f.name, cand, isChar = false, 8, "DATETIME20", f.dataType)
+          ColSpec(f.name, cand, isChar = false, 8, "DATETIME", 20, 0, f.dataType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType |
              FloatType | DoubleType | _: DecimalType =>
-          ColSpec(f.name, cand, isChar = false, 8, "", f.dataType)
+          ColSpec(f.name, cand, isChar = false, 8, "", 0, 0, f.dataType)
         case other => throw new IllegalArgumentException(
           s"xpt streaming sink: unsupported type $other for ${f.name}")
       }

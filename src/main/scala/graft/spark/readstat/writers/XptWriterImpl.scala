@@ -20,7 +20,27 @@ import graft.core.xpt.XptCore
 object XptWriterImpl {
 
   private[writers] case class ColSpec(name: String, short: String, isChar: Boolean,
-      width: Int, fmt: String, src: DataType)
+      width: Int, fmtName: String, fmtW: Int, fmtD: Int, src: DataType)
+
+  /** Parse a SAS format spec ("DATE9", "F8.2", "DOLLAR12.2", trailing dot
+    * optional) into (name, width, decimals) — reference
+    * xpt_writer.rs:76-90 `parse_format`. */
+  private[writers] def parseXptFormat(spec: String): (String, Int, Int) = {
+    val s = spec.trim
+    val i = s.indexWhere(_.isDigit) match { case -1 => s.length; case n => n }
+    val name = s.substring(0, i).reverse.dropWhile(_ == '.').reverse.toUpperCase
+    val rest = s.substring(i)
+    def num(t: String): Int = {
+      val c = t.reverse.dropWhile(_ == '.').reverse
+      if (c.isEmpty) 0
+      else try c.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"xpt writer: cannot parse format spec '$spec'") }
+    }
+    val dot = rest.indexOf('.')
+    if (dot >= 0) (name, num(rest.substring(0, dot)), num(rest.substring(dot + 1)))
+    else (name, num(rest), 0)
+  }
 
   private val Ts = "01JAN26:00:00:00"
 
@@ -45,6 +65,38 @@ object XptWriterImpl {
     val fileLabel = options.getOrElse("fileLabel", "")
     require(fileLabel.length <= 40 && fileLabel.forall(_ <= 0xFF),
       "xpt writer: fileLabel must be at most 40 Latin-1 characters")
+
+    // per-variable SAS display formats (reference xpt_writer.rs
+    // with_variable_formats + parse_format): "col:F8.2|d:DATE9."
+    val varFormats: Map[String, (String, Int, Int)] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
+        .map { case (c, f) => c -> parseXptFormat(f) }
+    val unknownFmt = varFormats.keySet.diff(schema.fieldNames.toSet)
+    require(unknownFmt.isEmpty,
+      s"xpt writer: varFormats names unknown column(s): ${unknownFmt.mkString(", ")}")
+    varFormats.foreach { case (c, (n, _, _)) =>
+      require(n.length <= 8,
+        s"xpt writer: varFormats.$c format name '$n' exceeds the 8-byte namestr field")
+    }
+
+    // per-variable byte storage widths (reference xpt_writer.rs:470-499
+    // with_storage_widths). Numeric: 3-8 bytes, the IBM float is cut to
+    // the leading w bytes (loud range check where the reference clamps
+    // silently — a clamp would hide a typo'd width). Character: the
+    // declared width may PAD beyond the observed maximum (stable layout
+    // across files) but never truncate data — the reference always uses
+    // the observed width and only warns; truncation here is an error.
+    val storageWidths: Map[String, Int] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("storageWidths", ""))
+        .map { case (c, v) =>
+          val w = try v.trim.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"xpt writer: storageWidths.$c must be an integer (got '$v')") }
+          c -> w
+        }
+    val unknownW = storageWidths.keySet.diff(schema.fieldNames.toSet)
+    require(unknownW.isEmpty,
+      s"xpt writer: storageWidths names unknown column(s): ${unknownW.mkString(", ")}")
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
@@ -59,14 +111,44 @@ object XptWriterImpl {
       if (short.isEmpty || !short(0).isLetter) short = ("V" + short).take(8)
       var cand = short; var i = 1
       while (!used.add(cand)) { val s = i.toString; cand = short.take(8 - s.length) + s; i += 1 }
+      // user format wins; Date/Datetime keep their defaults otherwise
+      // (reference default_format_for_kind, xpt_writer.rs:135-142)
+      def fmtFor(dflt: String): (String, Int, Int) =
+        varFormats.getOrElse(f.name,
+          if (dflt.isEmpty) ("", 0, 0) else parseXptFormat(dflt))
+      def numWidth: Int = storageWidths.get(f.name) match {
+        case Some(w) =>
+          require(w >= 3 && w <= 8,
+            s"xpt writer: storageWidths.${f.name} must be 3-8 bytes for a " +
+              s"numeric column (got $w)")
+          w
+        case None => 8
+      }
+      def charWidth: Int = {
+        val observed = widths(f.name)
+        storageWidths.get(f.name) match {
+          case Some(w) =>
+            require(w >= observed,
+              s"xpt writer: storageWidths.${f.name}=$w would truncate data " +
+                s"(observed maximum string length $observed bytes)")
+            w
+          case None => observed
+        }
+      }
       f.dataType match {
-        case StringType => ColSpec(f.name, cand, isChar = true, widths(f.name), "", f.dataType)
-        case DateType => ColSpec(f.name, cand, isChar = false, 8, "DATE9", f.dataType)
+        case StringType =>
+          val (n, w, d) = fmtFor("")
+          ColSpec(f.name, cand, isChar = true, charWidth, n, w, d, f.dataType)
+        case DateType =>
+          val (n, w, d) = fmtFor("DATE9")
+          ColSpec(f.name, cand, isChar = false, numWidth, n, w, d, f.dataType)
         case TimestampType | TimestampNTZType =>
-          ColSpec(f.name, cand, isChar = false, 8, "DATETIME20", f.dataType)
+          val (n, w, d) = fmtFor("DATETIME20")
+          ColSpec(f.name, cand, isChar = false, numWidth, n, w, d, f.dataType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType |
              FloatType | DoubleType | _: DecimalType =>
-          ColSpec(f.name, cand, isChar = false, 8, "", f.dataType)
+          val (n, w, d) = fmtFor("")
+          ColSpec(f.name, cand, isChar = false, numWidth, n, w, d, f.dataType)
         case other => throw new IllegalArgumentException(
           s"xpt writer: unsupported type $other for ${f.name}")
       }
@@ -195,11 +277,26 @@ object XptWriterImpl {
               (r, j) => r.getDecimal(j, dt.precision, dt.scale).toDouble
             case _ => (r, j) => r.getDouble(j)
           }
-        row =>
+        val w = spec.width
+        if (w == 8) { row =>
           if (row.isNullAt(i)) {
             java.util.Arrays.fill(buf, off, off + 8, 0.toByte)
             buf(off) = '.'
           } else XptCore.doubleToIbmInto(get(row, i), buf, off)
+        } else {
+          // truncated numeric storage (3-8 bytes): the leading w bytes of
+          // the IBM float, like the reference (xpt_writer.rs:735-736);
+          // readers zero-pad the mantissa tail back out
+          val tmp = new Array[Byte](8)
+          row =>
+            if (row.isNullAt(i)) {
+              java.util.Arrays.fill(buf, off, off + w, 0.toByte)
+              buf(off) = '.'
+            } else {
+              XptCore.doubleToIbmInto(get(row, i), tmp, 0)
+              System.arraycopy(tmp, 0, buf, off, w)
+            }
+        }
       }
     }
 
@@ -270,11 +367,7 @@ object XptWriterImpl {
     }
     var pos = 0
     cols.zipWithIndex.foreach { case (c, i) =>
-      val (fmtName, fmtW, fmtD) = c.fmt match {
-        case "DATE9" => ("DATE", 9, 0)
-        case "DATETIME20" => ("DATETIME", 20, 0)
-        case _ => ("", 0, 0)
-      }
+      val (fmtName, fmtW, fmtD) = (c.fmtName, c.fmtW, c.fmtD)
       u16(if (c.isChar) 2 else 1) // ntype
       u16(0)                      // nhfun
       u16(c.width)                // nlng

@@ -123,6 +123,60 @@ class XptPorSpec extends SparkTestBase {
     assert(back.collect()(0).getDouble(0) == 1.0)
   }
 
+  test("xpt varFormats write into namestr format fields (reference variable_format)") {
+    import spark.implicits._
+    val df = Seq((1.5, java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-03-02")))
+      .toDF("amount", "d1", "d2")
+    val path = tmp("xptfmt.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("varFormats", "amount:DOLLAR12.2|d1:YYMMDD10.").save(path)
+    val meta = spark.read.format("readstat-metadata").load(path)
+      .select("name", "format").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(meta("AMOUNT") == "DOLLAR12.2", meta)
+    assert(meta("D1") == "YYMMDD10", meta)
+    // unspecified date column keeps the DATE9 default
+    assert(meta("D2") == "DATE9", meta)
+    // format names longer than the 8-byte namestr field are loud
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varFormats", "amount:WAYTOOLONGFMT12.2").save(tmp("xf2.xpt"))
+    }.getMessage.contains("8-byte"))
+    // unknown column is loud
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varFormats", "nosuch:F8.2").save(tmp("xf3.xpt"))
+    }.getMessage.contains("unknown"))
+  }
+
+  test("xpt storageWidths: truncated numerics and padded chars roundtrip") {
+    import spark.implicits._
+    val df = Seq((1234.0, 1L, "ab"), (-98765.0, 2L, "wxyz"), (0.5, 3L, "q"))
+      .toDF("v", "k", "s")
+    val path = tmp("xptwid.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("storageWidths", "v:4|s:20").save(path)
+    // namestr nlng carries the declared widths
+    val meta = spark.read.format("readstat-metadata").load(path)
+      .select("name", "string_width_bytes").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(meta("S") == 20, meta)
+    // 4-byte IBM floats keep 3 mantissa bytes — these values are exact
+    val back = spark.read.format("readstat").load(path)
+      .orderBy("K").collect()
+    assert(back.map(_.getDouble(0)).toSeq == Seq(1234.0, -98765.0, 0.5))
+    assert(back.map(_.getString(2)).toSeq == Seq("ab", "wxyz", "q"))
+    // numeric width outside 3-8 is loud
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("storageWidths", "v:2").save(tmp("xw2.xpt"))
+    }.getMessage.contains("3-8"))
+    // char width below the observed maximum would truncate — loud
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("storageWidths", "s:3").save(tmp("xw3.xpt"))
+    }.getMessage.contains("truncate"))
+  }
+
   test("xpt tableName and fileLabel write into the member records") {
     import spark.implicits._
     val df = Seq((1.0, 2.0)).toDF("a", "b")
