@@ -10,14 +10,56 @@ import org.apache.spark.sql.types._
 
 /** SAS import bundle: there is no public sas7bdat *write* format, so —
   * like the reference (src/sas/writer.rs:55-494) — we emit a CSV plus a
-  * generated `.sas` script (DATA step with INFILE/INFORMAT/FORMAT/LABEL,
-  * temporal columns pre-converted to SAS epoch values) that recreates the
-  * dataset inside SAS.
+  * generated `.sas` script (DATA step with INFILE/LENGTH/FORMAT/LABEL/
+  * INPUT, temporal columns pre-converted to SAS epoch values) that
+  * recreates the dataset inside SAS.
+  *
+  * Options (reference write_sas_csv_import kwargs):
+  *   - `datasetName`: DATA-step dataset name (default: file stem),
+  *     sanitized to SAS rules (alnum+underscore, letter start, ≤32)
+  *   - `valueLabels`: "col:1=A,2=B|col2:x=Left" — numeric codes become
+  *     `value` formats, string codes on char columns `value $` formats
+  *   - `varLabels`: "col:Label text|…" → LABEL statement
+  *   - `library`: emits `libname <lib> "<dir>";` and `data <lib>.<ds>`
+  *   - `deleteCsvOnImport`: script deletes the CSV via %sysfunc(fdelete)
   *
   * The CSV body is written distributed (per-partition chunks, driver
   * splice); the script is pure driver-side templating.
   */
 object SasCsvBundleWriter {
+
+  /** SAS identifier rules: alphanumeric + underscore, starts with a
+    * letter or underscore, max 32 chars (reference sanitize rules;
+    * duplicates after sanitization get a numeric suffix). */
+  private[writers] def sasName(raw: String, used: scala.collection.mutable.Set[String]): String = {
+    var s = raw.replaceAll("[^A-Za-z0-9_]", "_")
+    if (s.isEmpty || !(s(0).isLetter || s(0) == '_')) s = "_" + s
+    s = s.take(32)
+    var cand = s; var i = 1
+    while (!used.add(cand.toLowerCase)) {
+      val suf = i.toString; cand = s.take(32 - suf.length) + suf; i += 1
+    }
+    cand
+  }
+
+  private def sasQuote(s: String): String = s.replace("\"", "\"\"")
+
+  /** Parse valueLabels allowing string codes: "col:1=A|grp:x=Left".
+    * Returns col → Seq[(code, label)] with the raw code text. */
+  private[writers] def parseAnyValueLabels(spec: String): Map[String, Seq[(String, String)]] =
+    if (spec == null || spec.trim.isEmpty) Map.empty
+    else spec.split("\\|").flatMap { part =>
+      val i = part.indexOf(':')
+      if (i <= 0) None
+      else {
+        val colName = part.substring(0, i).trim
+        val pairs = part.substring(i + 1).split(",").flatMap { kv =>
+          val j = kv.indexOf('=')
+          if (j <= 0) None else Some(kv.substring(0, j).trim -> kv.substring(j + 1))
+        }
+        Some(colName -> pairs.toSeq)
+      }
+    }.toMap
 
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val schema = df.schema
@@ -35,6 +77,19 @@ object SasCsvBundleWriter {
         case _ => col(f.name)
       }
     }
+
+    // one distributed stats pass: max observed string widths drive the
+    // LENGTH statements and $w. informats (reference max_string_width)
+    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val widths: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.map(c => max(octet_length(col(c))).as(c))
+        val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+        strCols.zipWithIndex.map { case (c, i) =>
+          c -> math.max(1, if (head.isNullAt(i)) 1 else head.getInt(i))
+        }.toMap
+      }
 
     val scratch = Files.createTempDirectory("graft_sascsv").toFile
     df.select(csvCols.toIndexedSeq: _*)
@@ -62,41 +117,114 @@ object SasCsvBundleWriter {
     }
     scratch.listFiles().foreach(_.delete()); scratch.delete()
 
-    // generated SAS import script
-    val dsName = new File(path).getName.stripSuffix(".csv")
-      .replaceAll("[^A-Za-z0-9_]", "_").take(32)
-    val valueLabels = StataDtaWriter.parseValueLabels(
-      options.getOrElse("valueLabels", ""))
-    val sb = new StringBuilder
+    // ---- generated SAS import script (reference writer.rs:330-470) ----
+    val usedNames = scala.collection.mutable.Set[String]()
+    val dsDefault = new File(path).getName.stripSuffix(".csv")
+    val dsName = sasName(options.getOrElse("datasetName", dsDefault), usedNames)
+    // column identifiers, sanitized + deduplicated in schema order
+    val colIds: Map[String, String] = {
+      val u = scala.collection.mutable.Set[String]()
+      schema.fieldNames.map(n => n -> sasName(n, u)).toMap
+    }
+
+    val valueLabels = parseAnyValueLabels(options.getOrElse("valueLabels", ""))
+    val unknownVl = valueLabels.keySet.diff(schema.fieldNames.toSet)
+    require(unknownVl.isEmpty,
+      s"sas bundle: valueLabels names unknown column(s): ${unknownVl.mkString(", ")}")
+    val varLabels = StataDtaWriter.parseVarLabels(options.getOrElse("varLabels", ""))
+    val unknownL = varLabels.keySet.diff(schema.fieldNames.toSet)
+    require(unknownL.isEmpty,
+      s"sas bundle: varLabels names unknown column(s): ${unknownL.mkString(", ")}")
+    val library = options.getOrElse("library", "")
+    require(library.isEmpty || library.matches("[A-Za-z_][A-Za-z0-9_]{0,7}"),
+      s"sas bundle: library must be a valid 8-char SAS libref (got '$library')")
+    val deleteCsv = options.get("deleteCsvOnImport").exists(_.toBoolean)
+
+    // char vs numeric decides $-format and quoted codes (reference
+    // format_name_for_column); string codes on numeric columns are loud
+    val isChar: Map[String, Boolean] =
+      schema.fields.map(f => f.name -> (f.dataType == StringType)).toMap
     valueLabels.foreach { case (c, pairs) =>
-      sb.append(s"proc format;\n  value ${c}_fmt\n")
-      pairs.foreach { case (code, label) =>
-        sb.append(s"""    $code = "${label.replace("\"", "\"\"")}"\n""")
+      if (!isChar(c)) pairs.foreach { case (code, _) =>
+        require(code.matches("-?\\d+(\\.\\d+)?"),
+          s"sas bundle: valueLabels.$c has string code '$code' on a numeric column")
       }
-      sb.append("  ;\nrun;\n\n")
     }
-    sb.append(s"data $dsName;\n")
-    sb.append(s"""  infile "${new File(path).getName}" dsd firstobs=2 truncover;\n""")
-    sb.append("  input\n")
+
+    val sb = new StringBuilder
+    if (library.nonEmpty) {
+      val dir = new File(path).getAbsoluteFile.getParent
+      sb.append(s"""libname $library "$dir";\n\n""")
+    }
+    sb.append("proc format;\n")
+    valueLabels.foreach { case (c, pairs) =>
+      if (pairs.nonEmpty) {
+        val dollar = if (isChar(c)) "$" else ""
+        sb.append(s"  value $dollar${colIds(c)}_fmt\n")
+        pairs.foreach { case (code, label) =>
+          val key = if (isChar(c)) "\"" + sasQuote(code) + "\"" else code
+          sb.append(s"""    $key = "${sasQuote(label)}"\n""")
+        }
+        sb.append("  ;\n")
+      }
+    }
+    sb.append("run;\n\n")
+
+    val target = if (library.nonEmpty) s"$library.$dsName" else dsName
+    sb.append(s"data $target;\n")
+    sb.append(s"""  infile "${new File(path).getName}" dsd dlm=',' firstobs=2 truncover encoding='utf-8';\n""")
+    // LENGTH: exact char widths, then narrowed numeric storage
+    // (reference sas_numeric_length: Int8/Bool→3, Int16/Float→4, Int32→5)
     schema.fields.foreach { f =>
-      val spec = f.dataType match {
-        case StringType => s"${f.name} : $$255."
-        case _ => s"${f.name}"
-      }
-      sb.append(s"    $spec\n")
+      if (f.dataType == StringType)
+        sb.append(s"  length ${colIds(f.name)} $$${widths(f.name)};\n")
     }
-    sb.append("  ;\n")
+    schema.fields.foreach { f =>
+      val len = f.dataType match {
+        case BooleanType | ByteType => Some(3)
+        case ShortType | FloatType => Some(4)
+        case IntegerType => Some(5)
+        case _ => None
+      }
+      len.foreach(l => sb.append(s"  length ${colIds(f.name)} $l;\n"))
+    }
+    // FORMAT: value-label formats + temporal display formats
+    val fmtParts = scala.collection.mutable.ArrayBuffer[String]()
+    valueLabels.foreach { case (c, pairs) =>
+      if (pairs.nonEmpty) {
+        val dollar = if (isChar(c)) "$" else ""
+        fmtParts += s"${colIds(c)} $dollar${colIds(c)}_fmt."
+      }
+    }
     schema.fields.foreach { f =>
       f.dataType match {
-        case DateType => sb.append(s"  format ${f.name} date9.;\n")
+        case DateType => fmtParts += s"${colIds(f.name)} yymmdd10."
         case TimestampType | TimestampNTZType =>
-          sb.append(s"  format ${f.name} datetime20.;\n")
+          fmtParts += s"${colIds(f.name)} datetime19."
         case _ =>
       }
-      if (valueLabels.contains(f.name))
-        sb.append(s"  format ${f.name} ${f.name}_fmt.;\n")
     }
-    sb.append("run;\n")
+    if (fmtParts.nonEmpty)
+      sb.append("  format " + fmtParts.mkString(" ") + ";\n")
+    if (varLabels.nonEmpty) {
+      val parts = schema.fieldNames.toSeq.flatMap(n =>
+        varLabels.get(n).map(l => s"""${colIds(n)} = "${sasQuote(l)}""""))
+      sb.append("  label " + parts.mkString(" ") + ";\n")
+    }
+    sb.append("  input\n")
+    schema.fields.foreach { f =>
+      val informat = f.dataType match {
+        case StringType => s"$$${widths(f.name)}."
+        case _ => "best32."
+      }
+      sb.append(s"    ${colIds(f.name)} : $informat\n")
+    }
+    sb.append("  ;\nrun;\n")
+    if (deleteCsv)
+      sb.append(
+        s"""\nfilename _grfcsv "${new File(path).getName}";\n""" +
+          "%let _grfrc = %sysfunc(fdelete(_grfcsv));\nfilename _grfcsv clear;\n")
+
     AtomicFile.write(path.stripSuffix(".csv") + ".sas")(tmp =>
       Files.writeString(Paths.get(tmp), sb.toString))
   }

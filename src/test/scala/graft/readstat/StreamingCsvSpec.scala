@@ -52,7 +52,45 @@ class StreamingCsvSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"${d.getAbsolutePath}/export.sas")))
     assert(sas.contains("proc format"))
     assert(sas.contains("infile"))
-    assert(sas.contains("format d date9."))
+    assert(sas.contains("format id id_fmt. d yymmdd10."), sas)
     assert(sas.contains("\"One\""))
+    // exact-width informat and LENGTH from the observed string widths
+    assert(sas.contains("length s $1;"), sas)
+    assert(sas.contains("s : $1."), sas)
+    assert(sas.contains("length id 5;"), sas)
+  }
+
+  test("sas csv bundle: labels, library, string codes, delete-on-import") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_csv2").toFile
+    val df = Seq((1, "x"), (2, "yy")).toDF("id", "2 bad name")
+    val path = s"${d.getAbsolutePath}/ex2.csv"
+    graft.spark.readstat.writers.StatWriters.write(df, path,
+      Map("datasetName" -> "my extract",
+        "varLabels" -> "id:Person id|2 bad name:Group code",
+        "valueLabels" -> "2 bad name:x=Left,yy=Right",
+        "library" -> "mylib",
+        "deleteCsvOnImport" -> "true"))
+    val sas = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${d.getAbsolutePath}/ex2.sas")))
+    // dataset + column names sanitized to SAS rules
+    assert(sas.contains("data mylib.my_extract;"), sas)
+    assert(sas.contains("libname mylib"), sas)
+    // string codes on a char column become a $-format with quoted keys
+    assert(sas.contains("value $_2_bad_name_fmt"), sas)
+    assert(sas.contains("\"x\" = \"Left\""), sas)
+    assert(sas.contains("format _2_bad_name $_2_bad_name_fmt."), sas)
+    assert(sas.contains("label id = \"Person id\" _2_bad_name = \"Group code\";"), sas)
+    assert(sas.contains("%sysfunc(fdelete"), sas)
+    // string code on a NUMERIC column is loud
+    assert(intercept[IllegalArgumentException] {
+      graft.spark.readstat.writers.StatWriters.write(df, s"${d.getAbsolutePath}/ex3.csv",
+        Map("valueLabels" -> "id:x=Bad"))
+    }.getMessage.contains("string code"))
+    // unknown label column is loud
+    assert(intercept[IllegalArgumentException] {
+      graft.spark.readstat.writers.StatWriters.write(df, s"${d.getAbsolutePath}/ex4.csv",
+        Map("varLabels" -> "nosuch:Label"))
+    }.getMessage.contains("unknown"))
   }
 }
