@@ -86,6 +86,14 @@ final case class ReadstatOptions(
     compress: Boolean = false,
     timeAsTimeType: Boolean = false,
     compressProbeRows: Int = 1000,
+    // read-side compress sub-flags (reference CompressOptionsLite,
+    // lib.rs:162-168: cols / compress_numeric / datetime_to_date /
+    // string_to_numeric). All default ON so `compress=true` alone
+    // matches the reference's `compress=True` bool form.
+    compressCols: Set[String] = Set.empty, // empty = every column
+    compressNumeric: Boolean = true,
+    compressDatetimeToDate: Boolean = true,
+    compressStringToNumeric: Boolean = true,
     schemaOverrides: String = "",
     mergeSchema: Boolean = false,
     // 0 = admit new stream files immediately (this library's writers
@@ -126,6 +134,11 @@ object ReadstatOptions {
       compress = b("compress", dflt = false),
       timeAsTimeType = b("timeAsTimeType", dflt = false),
       compressProbeRows = parse("compressProbeRows", 1000)(_.toInt),
+      compressCols = Option(m.get("compressCols")).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+      compressNumeric = b("compressNumeric", dflt = true),
+      compressDatetimeToDate = b("compressDatetimeToDate", dflt = true),
+      compressStringToNumeric = b("compressStringToNumeric", dflt = true),
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""),
       mergeSchema = b("mergeSchema", dflt = false),
       streamStabilityMs = parse("streamStabilityMs", 0L)(_.toLong))

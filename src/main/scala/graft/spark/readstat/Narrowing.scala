@@ -26,7 +26,13 @@ object Narrowing {
   /** Probe-infer narrowed types for a file's schema. */
   def inferNarrowed(module: FormatModule, path: String, opts: ReadstatOptions,
       base: StructType, probeRows: Int): StructType = {
-    val probe = module.rows(RangePartition(path, 0, probeRows.toLong), opts, base)
+    // clamp to the file's actual rows: fixed-width readers trust the
+    // requested range and would hit EOF probing past a short file
+    val clamped = module.exactRowCount(path, opts) match {
+      case Some(n) => math.min(probeRows.toLong, n)
+      case None => probeRows.toLong
+    }
+    val probe = module.rows(RangePartition(path, 0, clamped), opts, base)
     val n = base.length
     val isIntegral = Array.fill(n)(true)
     val isBool = Array.fill(n)(true)
@@ -78,18 +84,31 @@ object Narrowing {
       count += 1
     }
 
+    // per-family toggles + column restriction (reference
+    // CompressOptionsLite: cols / compress_numeric / datetime_to_date /
+    // string_to_numeric, applied via compress_df_if_enabled lib.rs:415-433)
+    def eligible(f: StructField): Boolean =
+      opts.compressCols.isEmpty || opts.compressCols.contains(f.name)
     StructType(base.fields.zipWithIndex.map { case (f, i) =>
-      val narrowed: DataType = f.dataType match {
-        case DoubleType | FloatType if anyValue(i) && isBool(i) => BooleanType
-        case DoubleType | FloatType if anyValue(i) && isIntegral(i) =>
-          if (minV(i) >= Byte.MinValue && maxV(i) <= Byte.MaxValue) ByteType
-          else if (minV(i) >= Short.MinValue && maxV(i) <= Short.MaxValue) ShortType
-          else if (minV(i) >= Int.MinValue && maxV(i) <= Int.MaxValue) IntegerType
-          else f.dataType
-        case TimestampNTZType if anyValue(i) && allMidnight(i) => DateType
-        case StringType if anyValue(i) && numericString(i) => DoubleType
-        case other => other
-      }
+      val narrowed: DataType =
+        if (!eligible(f)) f.dataType
+        else f.dataType match {
+          case DoubleType | FloatType
+              if opts.compressNumeric && anyValue(i) && isBool(i) => BooleanType
+          case DoubleType | FloatType
+              if opts.compressNumeric && anyValue(i) && isIntegral(i) =>
+            if (minV(i) >= Byte.MinValue && maxV(i) <= Byte.MaxValue) ByteType
+            else if (minV(i) >= Short.MinValue && maxV(i) <= Short.MaxValue) ShortType
+            else if (minV(i) >= Int.MinValue && maxV(i) <= Int.MaxValue) IntegerType
+            else f.dataType
+          case TimestampNTZType
+              if opts.compressDatetimeToDate && anyValue(i) && allMidnight(i) =>
+            DateType
+          case StringType
+              if opts.compressStringToNumeric && anyValue(i) && numericString(i) =>
+            DoubleType
+          case other => other
+        }
       f.copy(dataType = narrowed)
     })
   }

@@ -191,6 +191,34 @@ class StataReaderSpec extends SparkTestBase {
     assert(v == Seq(1, 2, 1, 2, 1))
   }
 
+  test("compress sub-flags restrict the narrowed families and columns") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cf").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/flags.dta"
+    Seq((1.0, 2.0, "3.5"), (0.0, 5.0, "4.5"))
+      .toDF("a", "b", "s").write.format("readstat").mode("overwrite").save(path)
+    // compressNumeric=false: doubles stay doubles, strings still parse
+    val noNum = spark.read.format("readstat")
+      .option("compress", "true").option("compressNumeric", "false").load(path)
+    assert(noNum.schema("a").dataType == DoubleType)
+    assert(noNum.schema("s").dataType == DoubleType)
+    // compressStringToNumeric=false: numeric strings stay strings
+    val noStr = spark.read.format("readstat")
+      .option("compress", "true").option("compressStringToNumeric", "false").load(path)
+    assert(noStr.schema("s").dataType == StringType)
+    assert(noStr.schema("a").dataType == BooleanType) // 0/1 values
+    // compressCols: only the named column narrows
+    val only = spark.read.format("readstat")
+      .option("compress", "true").option("compressCols", "b").load(path)
+    assert(only.schema("a").dataType == DoubleType)
+    assert(only.schema("b").dataType == ByteType)
+    assert(only.schema("s").dataType == StringType)
+    val row = only.orderBy("b").collect()(0)
+    assert(row.getDouble(0) == 1.0 && row.getByte(1) == 2 && row.getString(2) == "3.5")
+  }
+
   test("compress strict-cast throws on probe-evading out-of-range value") {
     import spark.implicits._
     // First 100 probed rows fit a byte; row 150 (value 1000.0) does not.
