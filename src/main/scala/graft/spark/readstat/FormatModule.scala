@@ -81,6 +81,11 @@ final case class ReadstatOptions(
     informativeNulls: Boolean = false,
     informativeNullSuffix: String = "_null",
     informativeNullMode: String = "column", // column | struct | merged
+    // reference InformativeNullOpts.columns ("all" | named list) and
+    // use_value_labels (default true): prefer a defined value label for
+    // the indicator string over the code form (lib.rs:115-131)
+    informativeNullCols: Set[String] = Set.empty, // empty = all eligible
+    informativeNullUseValueLabels: Boolean = true,
     partitionTargetBytes: Long = 128L * 1024 * 1024,
     batchRows: Int = 0, // 0 = auto (~2M cells per batch)
     compress: Boolean = false,
@@ -103,7 +108,12 @@ final case class ReadstatOptions(
     // NON-atomic writers: a file is then admitted only after its
     // (size, mtime) signature has been stable that long across triggers
     // (non-blocking; admission lags arrival by >= one trigger interval).
-    streamStabilityMs: Long = 0L)
+    streamStabilityMs: Long = 0L) {
+
+  /** Reference InformativeNullColumns: empty set = "all" eligible. */
+  def infoNullEligible(name: String): Boolean =
+    informativeNullCols.isEmpty || informativeNullCols.contains(name)
+}
 
 object ReadstatOptions {
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
@@ -128,6 +138,9 @@ object ReadstatOptions {
           "expected one of: column, struct, merged")
         norm
       },
+      informativeNullCols = Option(m.get("informativeNullCols")).map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty),
+      informativeNullUseValueLabels = b("informativeNullUseValueLabels", dflt = true),
       partitionTargetBytes =
         parse("partitionTargetBytes", 128L * 1024 * 1024)(_.toLong),
       batchRows = parse("batchRows", 0)(_.toInt),

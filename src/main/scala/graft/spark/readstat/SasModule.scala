@@ -72,7 +72,7 @@ object SasModule extends FormatModule {
         if (opts.valueLabelsAsStrings && catalogLabels(opts, c).isDefined) StringType
         else sparkTypeOf(c)
       fields += StructField(c.name, dt, nullable = true, mb.build())
-      if (opts.informativeNulls && !c.isChar)
+      if (opts.informativeNulls && !c.isChar && opts.infoNullEligible(c.name))
         fields += StructField(c.name + opts.informativeNullSuffix, StringType,
           nullable = true)
     }

@@ -67,7 +67,8 @@ object SpssModule extends FormatModule {
       fields += StructField(v.name, sparkTypeOf(v, opts), nullable = true, mb.build())
       // reference eligibility (lib.rs informative_null_pairs): numeric
       // vars, plus string vars with declared missing values
-      if (opts.informativeNulls && (!v.isString || v.missingStrings.nonEmpty))
+      if (opts.informativeNulls && (!v.isString || v.missingStrings.nonEmpty) &&
+          opts.infoNullEligible(v.name))
         fields += StructField(v.name + opts.informativeNullSuffix, StringType,
           nullable = true)
     }
@@ -205,7 +206,11 @@ object SpssModule extends FormatModule {
               pl.byteOff + math.min(v.stringLen, storage))
           val s = SpssCore.trimSav(new String(raw, md.charset))
           if (pl.indicator)
-            return if (v.missingStrings.contains(s)) UTF8String.fromString(s) else null
+            return if (v.missingStrings.contains(s)) {
+              val lbl = if (opts.informativeNullUseValueLabels)
+                v.strLabels.get(s) else None
+              UTF8String.fromString(lbl.getOrElse(s))
+            } else null
           val isMissing = (opts.missingStringAsNull && s.isEmpty) ||
             v.missingStrings.contains(s)
           if (isMissing) null
@@ -218,7 +223,8 @@ object SpssModule extends FormatModule {
             bits == HighestBits || d.isNaN
           if (pl.indicator) {
             if (sysMissing) return null
-            return userMissingLabel(v, d, bits).map(UTF8String.fromString).orNull
+            return userMissingLabel(v, d, bits, opts.informativeNullUseValueLabels)
+              .map(UTF8String.fromString).orNull
           }
           if (sysMissing || isUserMissing(v, d, bits)) return null
           if (pl.labels) {
@@ -253,10 +259,13 @@ object SpssModule extends FormatModule {
 
   /** Reference semantics (data.rs missing_numeric_indicator): discrete user
     * missing → label or value string; range missing → label or "MISSING". */
-  private def userMissingLabel(v: SpssVar, d: Double, bits: Long): Option[String] = {
+  private def userMissingLabel(v: SpssVar, d: Double, bits: Long,
+      useValueLabels: Boolean): Option[String] = {
     if (!isUserMissing(v, d, bits)) None
     else {
-      val label = v.numLabels.get(d)
+      // reference use_value_labels (default true): a defined value label
+      // for the missing code beats the code form (lib.rs:121-129)
+      val label = if (useValueLabels) v.numLabels.get(d) else None
       if (label.isDefined) label
       else if (v.missingRange && !(v.missingDoubles.length >= 3 && d == v.missingDoubles(2)))
         Some("MISSING")

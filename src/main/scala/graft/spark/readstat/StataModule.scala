@@ -72,7 +72,7 @@ object StataModule extends FormatModule {
       v.format.foreach(f => metaB.putString("readstat.format", f))
       fields += StructField(v.name, sparkTypeOf(md, v, opts),
         nullable = true, metaB.build())
-      if (opts.informativeNulls && isNumeric(v))
+      if (opts.informativeNulls && isNumeric(v) && opts.infoNullEligible(v.name))
         fields += StructField(v.name + opts.informativeNullSuffix, StringType,
           nullable = true)
     }
@@ -143,8 +143,14 @@ object StataModule extends FormatModule {
         val vi = byName.getOrElse(baseName,
           throw new IllegalArgumentException(s"no such column: ${f.name}"))
         val v = md.variables(vi)
+        // indicator columns also carry the label map when
+        // informativeNullUseValueLabels: a label defined for the raw
+        // extended-missing code wins over ".a" (reference
+        // data.rs:1104-1136 indicator_from_offset)
         val labels =
           if (!indicator && opts.valueLabelsAsStrings && isNumeric(v))
+            labelMapFor(md, v).orNull
+          else if (indicator && opts.informativeNullUseValueLabels && isNumeric(v))
             labelMapFor(md, v).orNull
           else null
         ColPlan(fi, vi, offsets(vi), v.varType, v.outKind, labels, indicator)
@@ -289,15 +295,22 @@ object StataModule extends FormatModule {
 
       private def decodeIndicator(pl: ColPlan, b: Array[Byte], off: Int): Any = {
         if (!rules.sysMissingEnabled) return null
+        // a value label defined for the raw missing code wins over the
+        // ".a" form (reference indicator_from_offset, data.rs:1104-1121);
+        // only int-typed codes are int-keyed in the label map
+        var raw = Int.MinValue
         val k: Int = pl.vt match {
           case TByte =>
             val v = b(off).toInt
+            raw = v
             if (v >= rules.sysInt8) v - rules.sysInt8 else -1
           case TInt =>
             val v = Bin.i16(b, off, little).toInt
+            raw = v
             if (v >= rules.sysInt16) v - rules.sysInt16 else -1
           case TLong =>
             val v = Bin.i32(b, off, little)
+            raw = v
             if (v >= rules.sysInt32) v - rules.sysInt32 else -1
           // Stata float user-missings step by n<<11, doubles by n<<40
           // (stata.com/help.cgi?missing; the reference's +1 step for
@@ -315,9 +328,13 @@ object StataModule extends FormatModule {
             else -1
           case _ => -1
         }
-        if (k >= 1 && k <= 26)
+        if (k >= 1 && k <= 26) {
+          if (pl.labels != null && raw != Int.MinValue) {
+            val lbl = pl.labels.get(raw)
+            if (lbl.isDefined) return UTF8String.fromString(lbl.get)
+          }
           UTF8String.fromString("." + ('a' + k - 1).toChar)
-        else null
+        } else null
       }
 
       private def decodeStrlRef(b: Array[Byte], off: Int): (Int, Long) =

@@ -48,7 +48,7 @@ object XptModule extends FormatModule {
       if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
       if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
       fields += StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
-      if (opts.informativeNulls && !c.isChar)
+      if (opts.informativeNulls && !c.isChar && opts.infoNullEligible(c.name))
         fields += StructField(c.name + opts.informativeNullSuffix, StringType,
           nullable = true)
     }

@@ -105,6 +105,56 @@ class StataReaderSpec extends SparkTestBase {
       s"expected at least one .a-.z indicator, got ${inds.mkString(",")}")
   }
 
+  test("informativeNullCols restricts indicators to the named columns") {
+    val dta = res("fixtures/stata/missing_test.dta")
+    val all = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(dta)
+    val tracked = all.columns.filter(_.endsWith("_null")).map(_.stripSuffix("_null"))
+    assert(tracked.length >= 2, tracked.mkString(","))
+    val one = tracked.head
+    val restricted = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullCols", one).load(dta)
+    val got = restricted.columns.filter(_.endsWith("_null")).map(_.stripSuffix("_null"))
+    assert(got.toSeq == Seq(one), got.mkString(","))
+    // restricted indicator values match the unrestricted read
+    val a = all.select(one + "_null").collect().map(r => String.valueOf(r.get(0)))
+    val b = restricted.select(one + "_null").collect().map(r => String.valueOf(r.get(0)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("informativeNullUseValueLabels prefers a label for the missing code") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_inl").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/lbl.dta"
+    // byte column; a value label is declared for raw code 102 (= .a).
+    // The writer can't emit 102 as data (it's a missing sentinel), so
+    // write sentinel-free data and patch one cell to 102 on disk.
+    Seq((1, 2.toByte), (2, 5.toByte)).toDF("id", "v")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "v:2=Fine,102=Refused").save(path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // row = id:int32 LE + v:int8 → the cell '5' follows 02 00 00 00
+    val pat = Array[Byte](2, 0, 0, 0, 5)
+    val at = bytes.indices.indexWhere(i => i + 5 <= bytes.length &&
+      (0 until 5).forall(j => bytes(i + j) == pat(j)))
+    assert(at >= 0, "data pattern not found")
+    bytes(at + 4) = 102.toByte // .a
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val withL = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(path)
+      .orderBy("id").select("v", "v_null").collect()
+    assert(withL(1).isNullAt(0) && withL(1).getString(1) == "Refused", withL.mkString)
+    val noL = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullUseValueLabels", "false").load(path)
+      .orderBy("id").select("v", "v_null").collect()
+    assert(noL(1).isNullAt(0) && noL(1).getString(1) == ".a", noL.mkString)
+    // the labeled valid value is untouched in both reads
+    assert(withL(0).getByte(0) == 2 && withL(0).isNullAt(1))
+  }
+
   test("informative nulls struct mode: value + indicator in one struct") {
     val dta = res("fixtures/stata/missing_test.dta")
     val sep = spark.read.format("readstat")
