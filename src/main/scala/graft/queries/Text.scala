@@ -676,6 +676,67 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a test doc with a train near-dup
+    * leaks the answer — the split analog of decontamination). Every doc
+    * hashes to its split by its dedup-CLUSTER id (min doc_id of its
+    * near-dup component; singletons by their own id), so an entire
+    * duplicate cluster lands in one split by construction while the
+    * 80/10/10 ratios still converge corpus-wide (the md5 bucket is
+    * uniform over cluster keys). Same bucket convention as
+    * `sample_hash_split`, so the two splits agree on singleton docs.
+    *
+    * Scale shape: the cluster map is PAIR-SET-sized and the corpus only
+    * joins it on non-null doc_id (the [[keepBest]] skew rule — joining
+    * on cluster_id would hash the singleton majority's NULLs to one
+    * reducer); the split itself is a pure per-row expression on the
+    * join output. No new shuffle beyond the CC rounds.
+    */
+  def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    val comps = graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    documents(s, d).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("split_key"),
+        graft.operators.TextCuration.hashBucket(col("split_key")).as("bucket"),
+        graft.operators.TextCuration.hashSplit(col("split_key")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val leakageSplitSql: String = {
+    val pairsBody = ngramJaccardPairsSql.stripSuffix("ORDER BY id_a, id_b").trim
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM ($pairsBody)
+       |),
+       |edges AS (
+       |  SELECT id_a AS x, id_b AS y FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS x, id_a AS y FROM pairs),
+       |reach AS (
+       |  SELECT x AS src, x AS node FROM (SELECT DISTINCT x FROM edges)
+       |  UNION
+       |  SELECT r.src, e.y AS node FROM reach r JOIN edges e ON e.x = r.node),
+       |comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+       |         FROM reach GROUP BY src),
+       |keyed AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, split_key,
+       |    ((strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 1, 1)) - 1) * 4096
+       |   + (strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 2, 1)) - 1) * 256
+       |   + (strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 3, 1)) - 1) * 16
+       |   + (strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+       |  FROM keyed)
+       |SELECT doc_id, split_key, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** PageRank over the near-dup similarity graph (symmetrized n-gram
     * jaccard pairs, 8 power iterations, damping 0.85): duplication
     * centrality — documents sitting at the core of large duplicate
@@ -1375,6 +1436,7 @@ object Text {
     "dedup_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
     "dedup_clusters" -> (dedupClusters _, dedupClustersSql),
     "dedup_keep_best" -> (keepBest _, keepBestSql),
+    "sample_leakage_split" -> (leakageSplit _, leakageSplitSql),
     "graph_pagerank" -> (pagerank _, pagerankSql),
     "text_lang_stats" -> (langStats _, langStatsSql),
   )
