@@ -1,0 +1,63 @@
+package graft.spark.readstat.writers
+
+import org.apache.spark.sql.SparkSession
+
+/** Writer-side view of a saved `readstat-metadata` 12-column frame
+  * (the reference's `write_readstat(metadata=...)` /
+  * `write_xpt_from_df` path, pybindings.rs:1375-1428: labels, value
+  * labels, formats, SPSS measures, and string storage widths are
+  * extracted automatically; explicit writer options always win).
+  *
+  * The frame may describe variables absent from the frame being
+  * written (a projected subset) — callers filter to their own columns.
+  */
+final case class MetadataDfOptions(
+    varLabels: Map[String, String],
+    valLabels: Map[String, Seq[(Int, String)]],
+    measures: Map[String, String],
+    formats: Map[String, String],
+    // SPSS/POR numeric print formats come through as the parsed
+    // (type, width, decimals) triple — the `format` string column is
+    // null for sav by design (MetadataSource mirrors the reference's
+    // accumulator, which only parses triples for SPSS)
+    formatTriples: Map[String, (Int, Int, Int)],
+    stringWidths: Map[String, Int])
+
+object MetadataDfOptions {
+
+  def read(spark: SparkSession, path: String): MetadataDfOptions = {
+    val mdf = spark.read.parquet(path)
+    var varLabels = Map.empty[String, String]
+    var valLabels = Map.empty[String, Seq[(Int, String)]]
+    var measures = Map.empty[String, String]
+    var formats = Map.empty[String, String]
+    var triples = Map.empty[String, (Int, Int, Int)]
+    var widths = Map.empty[String, Int]
+    mdf.select("name", "label", "value_label_codes", "value_label_labels",
+        "measure", "format", "string_width_bytes",
+        "format_type", "format_width", "format_decimals")
+      .collect().foreach { r =>
+        val name = r.getString(0)
+        if (!r.isNullAt(1) && r.getString(1).nonEmpty)
+          varLabels += name -> r.getString(1)
+        if (!r.isNullAt(2) && !r.isNullAt(3)) {
+          val pairs = r.getSeq[String](2).zip(r.getSeq[String](3)).flatMap {
+            case (c, l) =>
+              try Some(c.trim.toDouble.toInt -> l)
+              catch { case _: NumberFormatException => None }
+          }
+          if (pairs.nonEmpty) valLabels += name -> pairs
+        }
+        if (!r.isNullAt(4) && r.getString(4).nonEmpty)
+          measures += name -> r.getString(4)
+        if (!r.isNullAt(5) && r.getString(5).nonEmpty)
+          formats += name -> r.getString(5)
+        if (!r.isNullAt(6) && r.getInt(6) > 0) widths += name -> r.getInt(6)
+        if (!r.isNullAt(7) && r.getInt(7) > 0)
+          triples += name -> ((r.getInt(7),
+            if (r.isNullAt(8)) 0 else r.getInt(8),
+            if (r.isNullAt(9)) 0 else r.getInt(9)))
+      }
+    MetadataDfOptions(varLabels, valLabels, measures, formats, triples, widths)
+  }
+}

@@ -54,20 +54,40 @@ object SpssSavWriter {
       zlib: Boolean): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
-    val valueLabels = StataDtaWriter.parseValueLabels(
+    // metadata-df entries seed labels/measures/formats; explicit options
+    // win per key (reference write_readstat metadata= extraction for
+    // SPSS: "variable labels, value labels, formats, measure" —
+    // __init__.py write_readstat docstring; entries for absent or
+    // inapplicable variables are dropped, like the dta writer's)
+    val meta = options.get("metadataPath")
+      .map(p => MetadataDfOptions.read(spark, p))
+    val colSet = schema.fieldNames.toSet
+    def metaFil[T](m: MetadataDfOptions => Map[String, T]): Map[String, T] =
+      meta.map(o => m(o).filter { case (k, _) => colSet(k) }).getOrElse(Map.empty)
+    val valueLabels = metaFil(_.valLabels) ++ StataDtaWriter.parseValueLabels(
       options.getOrElse("valueLabels", ""))
-    val varLabels = StataDtaWriter.parseVarLabels(
+    val varLabels = metaFil(_.varLabels) ++ StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
-    val varMeasures = StataDtaWriter.parseVarLabels(
-      options.getOrElse("varMeasures", ""))
+    val varMeasures =
+      metaFil(_.measures).filter(kv =>
+        Set("nominal", "ordinal", "scale")(kv._2.trim.toLowerCase)) ++
+      StataDtaWriter.parseVarLabels(options.getOrElse("varMeasures", ""))
     // per-variable print formats (reference SPSS writer's formats dict):
     // "price:DOLLAR12.2|score:F8.4". Numeric columns only — a string's
     // A-format is bound to its storage width. NOTE: date/time format
     // classes change the READ-BACK Spark type (DATE → DateType), which
     // is the SPSS semantic: the format IS the type annotation.
-    val varFormats: Map[String, (Int, Int, Int)] =
-      StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
+    val varFormats: Map[String, (Int, Int, Int)] = {
+      // metadata sav formats arrive as the parsed (type, width, decimals)
+      // triple — the frame's `format` string is null for sav by design.
+      // Best-effort: skip string columns (A-formats bind to storage
+      // width); explicit option entries still fail loudly below
+      val metaF = metaFil(_.formatTriples).filter { case (c, _) =>
+        schema(c).dataType != StringType
+      }
+      metaF ++ StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
         .map { case (c, spec) => c -> parseSavFormat(c, spec) }
+    }
     // fail typos and wasted jobs EARLY, on the driver, before the
     // width-agg and encode jobs run: unknown columns, bad measure
     // values, and formats on string columns (a string's A-format is

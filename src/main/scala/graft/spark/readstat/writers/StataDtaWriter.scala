@@ -100,39 +100,15 @@ object StataDtaWriter {
       }
     }.toMap
 
-  /** Writer config from a 12-column metadata DataFrame (the shape the
-    * readstat-metadata source produces): variable labels + value-label
-    * code/label arrays per variable (reference: write_stata_from_df_rs,
-    * pybindings.rs:1247-1319). Collected to the driver — per-variable
-    * metadata is small by construction. */
-  def fromMetadataDf(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (Map[String, String], Map[String, Seq[(Int, String)]]) = {
-    val mdf = spark.read.parquet(path)
-    var varLabels = Map.empty[String, String]
-    var valLabels = Map.empty[String, Seq[(Int, String)]]
-    mdf.select("name", "label", "value_label_codes", "value_label_labels")
-      .collect().foreach { r =>
-        val name = r.getString(0)
-        if (!r.isNullAt(1) && r.getString(1).nonEmpty) varLabels += name -> r.getString(1)
-        if (!r.isNullAt(2) && !r.isNullAt(3)) {
-          val codes = r.getSeq[String](2)
-          val labels = r.getSeq[String](3)
-          val pairs = codes.zip(labels).flatMap { case (c, l) =>
-            try Some(c.trim.toDouble.toInt -> l)
-            catch { case _: NumberFormatException => None }
-          }
-          if (pairs.nonEmpty) valLabels += name -> pairs
-        }
-      }
-    (varLabels, valLabels)
-  }
+
 
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
-    val (metaVarLabels, metaValLabels) = options.get("metadataPath")
-      .map(p => fromMetadataDf(spark, p))
-      .getOrElse((Map.empty[String, String], Map.empty[String, Seq[(Int, String)]]))
+    val metaOpts = options.get("metadataPath")
+      .map(p => MetadataDfOptions.read(spark, p))
+    val metaVarLabels = metaOpts.map(_.varLabels).getOrElse(Map.empty)
+    val metaValLabels = metaOpts.map(_.valLabels).getOrElse(Map.empty)
     // explicit valueLabels/varLabels options win over metadata-df entries
     val valueLabels = metaValLabels ++
       parseValueLabels(options.getOrElse("valueLabels", ""))
@@ -141,7 +117,16 @@ object StataDtaWriter {
     // per-variable display formats (reference `variable_formats` dict,
     // writer.rs merge_variable_formats): "col:%9.2f|dt:%tdCCYY-NN-DD".
     // Overrides the derived format only — storage type is unaffected.
-    val varFormats = parseVarLabels(options.getOrElse("varFormats", ""))
+    // metadata-df formats seed entries (reference
+    // _stata_variable_metadata_to_write_kwargs extracts variable_format);
+    // non-%-formats from foreign-format metadata are skipped silently,
+    // explicit entries still fail loudly.
+    val metaFormats = metaOpts
+      .map(_.formats.filter { case (c, f) =>
+        schema.fieldNames.contains(c) && f.startsWith("%") })
+      .getOrElse(Map.empty[String, String])
+    val varFormats = metaFormats ++
+      parseVarLabels(options.getOrElse("varFormats", ""))
     varFormats.foreach { case (c, f) =>
       require(f.startsWith("%"),
         s"stata writer: varFormats.$c must be a %-format (got $f)") }

@@ -54,9 +54,36 @@ object XptWriterImpl {
         s"xpt writer: xptVersion must be 5 or 8 (got $other)")
     }
 
-    val varLabels = StataDtaWriter.parseVarLabels(
+    // metadata-df entries seed labels/formats/string widths; explicit
+    // options win per key (reference write_xpt_from_df,
+    // pybindings.rs:1375-1428: storage_widths built from the frame's
+    // string_width_bytes, then explicit overrides merged on top).
+    // Metadata labels are truncated to the 40-byte namestr field like
+    // the reference (truncate_utf8); explicit labels still fail loudly.
+    val meta = options.get("metadataPath")
+      .map(p => MetadataDfOptions.read(spark, p))
+    // XPT files carry uppercased 8-char names, so metadata read back
+    // from an xpt names variables in caps — match case-insensitively
+    // (exact match wins when both exist)
+    val colSet = schema.fieldNames.toSet
+    val colByUpper: Map[String, String] =
+      schema.fieldNames.groupBy(_.toUpperCase).collect {
+        case (u, arr) if arr.length == 1 => u -> arr(0)
+      }
+    def metaFil[T](m: MetadataDfOptions => Map[String, T]): Map[String, T] =
+      meta.map { o =>
+        m(o).flatMap { case (k, v) =>
+          if (colSet(k)) Some(k -> v)
+          else colByUpper.get(k.toUpperCase).map(_ -> v)
+        }
+      }.getOrElse(Map.empty)
+    val explicitLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
-    validateXptLabels(varLabels, schema.fieldNames.toSet)
+    validateXptLabels(explicitLabels, schema.fieldNames.toSet)
+    val varLabels =
+      metaFil(_.varLabels).map { case (c, l) =>
+        c -> l.take(40).filter(_ <= 0xFF)
+      } ++ explicitLabels
     val tableName = options.getOrElse("tableName", "")
     val maxName = if (version >= 8) 32 else 8
     require(tableName.length <= maxName && tableName.forall(_ <= 0x7E),
@@ -68,9 +95,18 @@ object XptWriterImpl {
 
     // per-variable SAS display formats (reference xpt_writer.rs
     // with_variable_formats + parse_format): "col:F8.2|d:DATE9."
-    val varFormats: Map[String, (String, Int, Int)] =
-      StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
+    val varFormats: Map[String, (String, Int, Int)] = {
+      // metadata formats are best-effort (skip unparseable / over-long
+      // names); explicit entries still validate loudly below
+      val metaF = metaFil(_.formats).flatMap { case (c, spec) =>
+        try {
+          val f = parseXptFormat(spec)
+          if (f._1.length <= 8) Some(c -> f) else None
+        } catch { case _: IllegalArgumentException => None }
+      }
+      metaF ++ StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
         .map { case (c, f) => c -> parseXptFormat(f) }
+    }
     val unknownFmt = varFormats.keySet.diff(schema.fieldNames.toSet)
     require(unknownFmt.isEmpty,
       s"xpt writer: varFormats names unknown column(s): ${unknownFmt.mkString(", ")}")
@@ -97,6 +133,10 @@ object XptWriterImpl {
     val unknownW = storageWidths.keySet.diff(schema.fieldNames.toSet)
     require(unknownW.isEmpty,
       s"xpt writer: storageWidths names unknown column(s): ${unknownW.mkString(", ")}")
+    // metadata string widths are pad-only hints (source-file layout):
+    // the observed maximum always wins when longer, never an error
+    val metaStrWidths: Map[String, Int] = metaFil(_.stringWidths)
+      .filter { case (c, w) => schema(c).dataType == StringType && w >= 1 }
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
@@ -132,7 +172,7 @@ object XptWriterImpl {
               s"xpt writer: storageWidths.${f.name}=$w would truncate data " +
                 s"(observed maximum string length $observed bytes)")
             w
-          case None => observed
+          case None => math.max(observed, metaStrWidths.getOrElse(f.name, 1))
         }
       }
       f.dataType match {

@@ -257,6 +257,49 @@ class SpssSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown format"))
   }
 
+  test("metadata-df-driven sav write: labels, measures, formats flow through") {
+    import spark.implicits._
+    // 1. write a sav carrying the full metadata surface
+    val src = Seq((1.0, 9.99, "a"), (2.0, 12.5, "bb")).toDF("sex", "price", "tag")
+    val p1 = tmp("meta_src.sav")
+    src.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female")
+      .option("varLabels", "sex:Respondent sex|price:Unit price")
+      .option("varMeasures", "sex:nominal")
+      .option("varFormats", "price:DOLLAR12.2")
+      .save(p1)
+    // 2. dump its metadata frame, write a NEW sav from metadataPath alone
+    val mdPath = tmp("meta.parquet")
+    spark.read.format("readstat-metadata").load(p1)
+      .write.mode("overwrite").parquet(mdPath)
+    val p2 = tmp("meta_out.sav")
+    src.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath).save(p2)
+    // 3. the whole surface survives the round
+    val md = spark.read.format("readstat-metadata").load(p2)
+      .select("name", "label", "measure", "format_type", "format_width",
+        "format_decimals", "value_label_codes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(md("sex").getString(1) == "Respondent sex")
+    assert(md("price").getString(1) == "Unit price")
+    assert(md("sex").getString(2) == "Nominal")
+    assert((md("price").getInt(3), md("price").getInt(4), md("price").getInt(5))
+      == ((4, 12, 2)), "DOLLAR12.2 lost")
+    assert(!md("sex").isNullAt(6) && md("sex").getSeq[String](6).nonEmpty)
+    val lbl = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p2)
+      .select("sex").collect().map(_.getString(0)).toSeq
+    assert(lbl == Seq("Male", "Female"))
+    // explicit option still wins over the metadata entry
+    val p3 = tmp("meta_win.sav")
+    src.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath)
+      .option("varLabels", "sex:Override label").save(p3)
+    val l3 = spark.read.format("readstat-metadata").load(p3)
+      .filter(col("name") === "sex").select("label").collect()(0).getString(0)
+    assert(l3 == "Override label")
+  }
+
   test("zsav write roundtrips through our zsav reader") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))

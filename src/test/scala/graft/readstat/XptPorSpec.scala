@@ -177,6 +177,32 @@ class XptPorSpec extends SparkTestBase {
     }.getMessage.contains("truncate"))
   }
 
+  test("metadata-df-driven xpt write: labels, formats, string widths flow through") {
+    import spark.implicits._
+    val src = Seq((1.5, "ab"), (2.5, "x")).toDF("amount", "tag")
+    val p1 = tmp("meta_src.xpt")
+    src.write.format("readstat").mode("overwrite")
+      .option("varLabels", "amount:Total amount")
+      .option("varFormats", "amount:DOLLAR12.2")
+      .option("storageWidths", "tag:16")
+      .save(p1)
+    val mdPath = tmp("meta.parquet")
+    spark.read.format("readstat-metadata").load(p1)
+      .write.mode("overwrite").parquet(mdPath)
+    val p2 = tmp("meta_out.xpt")
+    src.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath).save(p2)
+    val md = spark.read.format("readstat-metadata").load(p2)
+      .select("name", "label", "format", "string_width_bytes")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(md("AMOUNT").getString(1) == "Total amount")
+    assert(md("AMOUNT").getString(2) == "DOLLAR12.2")
+    // the source file's 16-byte padded char width carries over
+    assert(md("TAG").getInt(3) == 16, md("TAG").toString)
+    assert(spark.read.format("readstat").load(p2)
+      .orderBy("AMOUNT").collect().map(_.getString(1)).toSeq == Seq("ab", "x"))
+  }
+
   test("xpt tableName and fileLabel write into the member records") {
     import spark.implicits._
     val df = Seq((1.0, 2.0)).toDF("a", "b")
