@@ -68,8 +68,20 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ReadstatOptions.from(options.asCaseSensitiveMap())
     val paths = pathsOf(options)
-    if (opts.mergeSchema && paths.length > 1) Formats.mergedSchema(paths, opts)
-    else Formats.effectiveSchema(paths.head, opts)
+    val schema =
+      if (opts.mergeSchema && paths.length > 1) Formats.mergedSchema(paths, opts)
+      else Formats.effectiveSchema(paths.head, opts)
+    // a typo'd informativeNullCols entry would otherwise silently
+    // disable the tracking the user asked for (every write-side
+    // per-column option validates membership loudly). Checked against
+    // the effective schema so mergeSchema unions validate as a whole.
+    if (opts.informativeNulls && opts.informativeNullCols.nonEmpty) {
+      val known = schema.fieldNames.toSet
+      val unknown = opts.informativeNullCols.diff(known)
+      require(unknown.isEmpty,
+        s"readstat: informativeNullCols names unknown variable(s): ${unknown.mkString(", ")}")
+    }
+    schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

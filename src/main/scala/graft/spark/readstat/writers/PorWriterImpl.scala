@@ -83,8 +83,17 @@ object PorWriterImpl {
     val unknown = varLabels.keySet.diff(df.schema.fieldNames.toSet)
     require(unknown.isEmpty,
       s"por writer: varLabels names unknown column(s): ${unknown.mkString(", ")}")
+    // POR is a printable-ASCII format: reject (don't corrupt) labels the
+    // encoding cannot carry, same loudness as the xpt writer's Latin-1
+    // check; 255 is the SPSS variable-label cap
+    varLabels.foreach { case (c, l) =>
+      require(l.length <= 255 && l.forall(ch => ch >= 0x20 && ch <= 0x7E),
+        s"por writer: varLabels.$c must be at most 255 printable-ASCII " +
+          "characters (POR is an ASCII-only format)")
+    }
     val fileLabel = options.getOrElse("fileLabel", "")
-    require(fileLabel.length <= 20 && fileLabel.forall(_ <= 0x7E),
+    require(fileLabel.length <= 20 &&
+        fileLabel.forall(ch => ch >= 0x20 && ch <= 0x7E),
       "por writer: fileLabel must be at most 20 printable-ASCII characters")
     // ---- multiFile mode: one self-contained .por per partition ----
     // POR is an inherently sequential text stream, so the single-file

@@ -74,21 +74,33 @@ object SasCsvBundleWriter {
         case TimestampType | TimestampNTZType =>
           (col(f.name).cast(TimestampType).cast(DoubleType) + lit(3653.0 * 86400))
             .cast(LongType).as(f.name)
+        // the script declares booleans numeric (length 3): Spark's csv
+        // writer would emit true/false, which best32. reads as missing
+        case BooleanType => col(f.name).cast(IntegerType).as(f.name)
         case _ => col(f.name)
       }
     }
 
     // one distributed stats pass: max observed string widths drive the
-    // LENGTH statements and $w. informats (reference max_string_width)
+    // LENGTH statements and $w. informats (reference max_string_width),
+    // and int-column ranges gate the length-5 narrowing (SAS length-5
+    // numerics are exact only to ±536,870,912 — Int32 can exceed that)
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
-    val widths: Map[String, Int] =
-      if (strCols.isEmpty) Map.empty
+    val intCols = schema.fields.filter(_.dataType == IntegerType).map(_.name)
+    val (widths: Map[String, Int], intMaxAbs: Map[String, Long]) =
+      if (strCols.isEmpty && intCols.isEmpty) (Map.empty[String, Int], Map.empty[String, Long])
       else {
-        val aggs = strCols.map(c => max(octet_length(col(c))).as(c))
+        val aggs = strCols.map(c => max(octet_length(col(c))).cast(LongType).as("w_" + c)) ++
+          intCols.map(c => max(abs(col(c).cast(LongType))).as("a_" + c))
         val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
-        strCols.zipWithIndex.map { case (c, i) =>
-          c -> math.max(1, if (head.isNullAt(i)) 1 else head.getInt(i))
+        val w = strCols.zipWithIndex.map { case (c, i) =>
+          c -> math.max(1, if (head.isNullAt(i)) 1L else head.getLong(i)).toInt
         }.toMap
+        val a = intCols.zipWithIndex.map { case (c, i) =>
+          val j = strCols.length + i
+          c -> (if (head.isNullAt(j)) 0L else head.getLong(j))
+        }.toMap
+        (w, a)
       }
 
     val scratch = Files.createTempDirectory("graft_sascsv").toFile
@@ -126,6 +138,21 @@ object SasCsvBundleWriter {
       val u = scala.collection.mutable.Set[String]()
       schema.fieldNames.map(n => n -> sasName(n, u)).toMap
     }
+    // PROC FORMAT names: colId + "_fmt" would breach SAS's 32-char
+    // (numeric) / 31-char (char) format-name cap for long column names,
+    // so the base is re-capped at 27 and re-deduplicated; "_fmt" also
+    // satisfies the no-trailing-digit rule for format names
+    val fmtIds: Map[String, String] = {
+      val u = scala.collection.mutable.Set[String]()
+      schema.fieldNames.map { n =>
+        val s = colIds(n).take(27)
+        var cand = s; var i = 1
+        while (!u.add(cand.toLowerCase)) {
+          val suf = i.toString; cand = s.take(27 - suf.length) + suf; i += 1
+        }
+        n -> (cand + "_fmt")
+      }.toMap
+    }
 
     val valueLabels = parseAnyValueLabels(options.getOrElse("valueLabels", ""))
     val unknownVl = valueLabels.keySet.diff(schema.fieldNames.toSet)
@@ -160,7 +187,7 @@ object SasCsvBundleWriter {
     valueLabels.foreach { case (c, pairs) =>
       if (pairs.nonEmpty) {
         val dollar = if (isChar(c)) "$" else ""
-        sb.append(s"  value $dollar${colIds(c)}_fmt\n")
+        sb.append(s"  value $dollar${fmtIds(c)}\n")
         pairs.foreach { case (code, label) =>
           val key = if (isChar(c)) "\"" + sasQuote(code) + "\"" else code
           sb.append(s"""    $key = "${sasQuote(label)}"\n""")
@@ -173,8 +200,15 @@ object SasCsvBundleWriter {
     val target = if (library.nonEmpty) s"$library.$dsName" else dsName
     sb.append(s"data $target;\n")
     sb.append(s"""  infile "${new File(path).getName}" dsd dlm=',' firstobs=2 truncover encoding='utf-8';\n""")
-    // LENGTH: exact char widths, then narrowed numeric storage
-    // (reference sas_numeric_length: Int8/Bool→3, Int16/Float→4, Int32→5)
+    // LENGTH: exact char widths, then narrowed numeric storage.
+    // Reference sas_numeric_length maps Int8/Bool→3, Int16/Float→4,
+    // Int32→5, but SAS length-N numerics are truncated doubles exact
+    // only to 2^(8N-19) (4→2,097,152; 5→536,870,912): blind narrowing
+    // silently corrupts large values on read-back. Deliberate
+    // divergences: Int32 narrows to 5 only when the OBSERVED |max|
+    // fits (else 6, exact to 2^37); Float stays at 5 (28 mantissa
+    // bits ≥ float's 24 — length 4 keeps only 21 and corrupts most
+    // real float data).
     schema.fields.foreach { f =>
       if (f.dataType == StringType)
         sb.append(s"  length ${colIds(f.name)} $$${widths(f.name)};\n")
@@ -182,8 +216,10 @@ object SasCsvBundleWriter {
     schema.fields.foreach { f =>
       val len = f.dataType match {
         case BooleanType | ByteType => Some(3)
-        case ShortType | FloatType => Some(4)
-        case IntegerType => Some(5)
+        case ShortType => Some(4)
+        case FloatType => Some(5)
+        case IntegerType =>
+          Some(if (intMaxAbs.getOrElse(f.name, 0L) <= 536870912L) 5 else 6)
         case _ => None
       }
       len.foreach(l => sb.append(s"  length ${colIds(f.name)} $l;\n"))
@@ -193,7 +229,7 @@ object SasCsvBundleWriter {
     valueLabels.foreach { case (c, pairs) =>
       if (pairs.nonEmpty) {
         val dollar = if (isChar(c)) "$" else ""
-        fmtParts += s"${colIds(c)} $dollar${colIds(c)}_fmt."
+        fmtParts += s"${colIds(c)} $dollar${fmtIds(c)}."
       }
     }
     schema.fields.foreach { f =>

@@ -87,8 +87,20 @@ object SavStreamSink extends StreamSinkCore.Format {
     varMeasures.values.foreach(v => require(
       Set("nominal", "ordinal", "scale")(v.trim.toLowerCase),
       s"sav streaming sink: varMeasures values must be nominal|ordinal|scale (got $v)"))
+    // a typo'd column silently loses the user's label/measure (the
+    // lookups below are getOrElse) — fail loudly like the batch writers
+    val colNames = schema.fieldNames.toSet
+    Seq("varLabels" -> varLabels.keySet, "varMeasures" -> varMeasures.keySet,
+        "valueLabels" -> valueLabels.keySet).foreach { case (opt, keys) =>
+      val unknown = keys.diff(colNames)
+      require(unknown.isEmpty,
+        s"sav streaming sink: $opt names unknown column(s): ${unknown.mkString(", ")}")
+    }
+    // the full fmt triple, not just the type code: an append with the
+    // same type but different width/decimals must be refused, not
+    // silently re-declare formats for already-committed rows
     val schemaHash = StreamSinkCore.hashSpecs(
-      cols.map(c => s"${c.name}|${c.w}|${c.fmtType}").toIndexedSeq)
+      cols.map(c => s"${c.name}|${c.w}|${c.fmtType}.${c.fmtWidth}.${c.fmtDec}").toIndexedSeq)
     StreamSinkCore.commitEpoch("sav", path, epochId, queryId, schemaHash,
       chunks, recordLen,
       total => (SpssSavWriter.buildDictionary(cols, total, zlib = false,

@@ -60,6 +60,9 @@ object StataStreamSink extends StreamSinkCore.Format {
       require(f.startsWith("%") && f.getBytes("UTF-8").length <= 56,
         s"stata streaming sink: varFormats.$c must be a %-format of at " +
           "most 56 bytes") }
+    val unknownFmt = varFormats.keySet.diff(schema.fieldNames.toSet)
+    require(unknownFmt.isEmpty,
+      s"stata streaming sink: varFormats names unknown column(s): ${unknownFmt.mkString(", ")}")
     val used = scala.collection.mutable.Set[String]()
     val cols = schema.fields.map { f =>
       val w: W = f.dataType match {
@@ -214,6 +217,15 @@ object StataStreamSink extends StreamSinkCore.Format {
     // same variable_labels dict, pybindings.rs:963)
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
+    // typo'd columns silently lose labels (getOrElse lookups in frame())
+    // — fail loudly like the batch writer does
+    val colNames = schema.fieldNames.toSet
+    Seq("varLabels" -> varLabels.keySet, "valueLabels" -> valueLabels.keySet)
+      .foreach { case (opt, keys) =>
+        val unknown = keys.diff(colNames)
+        require(unknown.isEmpty,
+          s"stata streaming sink: $opt names unknown column(s): ${unknown.mkString(", ")}")
+      }
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.w}|${c.fmt}").toIndexedSeq)
     StreamSinkCore.commitEpoch("stata", path, epochId, queryId, schemaHash,

@@ -121,6 +121,13 @@ class StataReaderSpec extends SparkTestBase {
     val a = all.select(one + "_null").collect().map(r => String.valueOf(r.get(0)))
     val b = restricted.select(one + "_null").collect().map(r => String.valueOf(r.get(0)))
     assert(a.toSeq == b.toSeq)
+    // a typo'd column fails loudly instead of silently not tracking
+    val e = intercept[Exception] {
+      spark.read.format("readstat")
+        .option("informativeNulls", "true")
+        .option("informativeNullCols", one + "_typo").load(dta).schema
+    }
+    assert(e.getMessage.contains("unknown variable"), e.getMessage)
   }
 
   test("informativeNullUseValueLabels prefers a label for the missing code") {

@@ -93,4 +93,41 @@ class StreamingCsvSpec extends SparkTestBase {
         Map("varLabels" -> "nosuch:Label"))
     }.getMessage.contains("unknown"))
   }
+
+  test("sas csv bundle: boolean as 0/1, int length gate, format-name cap") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_csv3").toFile
+    val longName = "a_very_long_column_name_exceeding_thirty_two_chars"
+    val df = Seq((true, 2000000000, 1), (false, 3, 2))
+      .toDF("flag", "big", longName)
+    val path = s"${d.getAbsolutePath}/ex5.csv"
+    graft.spark.readstat.writers.StatWriters.write(df, path,
+      Map("valueLabels" -> s"$longName:1=One"))
+    // booleans land in the CSV as 1/0 (the script declares them numeric
+    // with a best32. informat — true/false would read as missing)
+    val csv = new String(Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(!csv.contains("true") && !csv.contains("false"), csv)
+    assert(csv.contains("1") && csv.contains("0"), csv)
+    val sas = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${d.getAbsolutePath}/ex5.sas")))
+    assert(sas.contains("length flag 3;"), sas)
+    // observed |max| 2e9 > 536,870,912 → SAS length 5 would truncate the
+    // stored double's mantissa; the range gate widens to 6
+    assert(sas.contains("length big 6;"), sas)
+    // PROC FORMAT names stay within SAS's 32/31-char format-name cap
+    // even when the 32-char column id + _fmt would breach it
+    val fmtNames = "value\\s+(\\S+)".r.findAllMatchIn(sas).map(_.group(1)).toList
+    assert(fmtNames.nonEmpty, sas)
+    fmtNames.foreach { n =>
+      assert(n.stripPrefix("$").length <= 31, s"format name too long: $n")
+      assert(n.endsWith("_fmt"), n)
+    }
+    // small ints keep the reference's length-5 narrowing
+    val df2 = Seq((1, 2)).toDF("a", "b")
+    graft.spark.readstat.writers.StatWriters.write(df2,
+      s"${d.getAbsolutePath}/ex6.csv", Map.empty)
+    val sas2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${d.getAbsolutePath}/ex6.sas")))
+    assert(sas2.contains("length a 5;"), sas2)
+  }
 }

@@ -435,4 +435,59 @@ class StreamingWriteSpec extends SparkTestBase {
       assert(back.select("s").as[String].collect().toSet == Set("b", "c"))
     } finally query.stop()
   }
+
+  test("sinks fail loudly on per-column options naming unknown columns") {
+    // a typo'd column would otherwise silently lose the label/format the
+    // user asked for (frame()/buildDictionary use getOrElse lookups) —
+    // r10 review finding: the batch writers validate, the sinks didn't
+    import graft.spark.readstat.writers.{SavStreamSink, StataStreamSink}
+    val dir = java.nio.file.Files.createTempDirectory("graft_typo").toFile
+    dir.deleteOnExit()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id DOUBLE, v DOUBLE")
+    def err(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    def dta(opts: (String, String)*): String =
+      err(StataStreamSink.commitEpoch(s"$dir/t.dta", 0L, Nil, schema, opts.toMap))
+    def sav(opts: (String, String)*): String =
+      err(SavStreamSink.commitEpoch(s"$dir/t.sav", 0L, Nil, schema, opts.toMap))
+    assert(dta("varLabels" -> "sx:Sex").contains("unknown column"))
+    assert(dta("valueLabels" -> "sx:1=M").contains("unknown column"))
+    assert(dta("varFormats" -> "sx:%9.2f").contains("unknown column"))
+    assert(sav("varLabels" -> "sx:Sex").contains("unknown column"))
+    assert(sav("varMeasures" -> "sx:scale").contains("unknown column"))
+    assert(sav("valueLabels" -> "sx:1=M").contains("unknown column"))
+    assert(sav("varFormats" -> "sx:F8.2").contains("unknown column"))
+  }
+
+  test("sav sink refuses cross-query append with changed format width/decimals") {
+    // same fmtType, different width/dec: the dictionary LENGTH is
+    // unchanged (fixed-width fmt word), so only the schema hash can
+    // refuse it — r10 review finding: hash the full fmt triple, not
+    // just the type code
+    import graft.spark.readstat.writers.SavStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmtdrift").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/fmt.sav"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v DOUBLE")
+    def chunk(x: Double): (Int, String, Long) = {
+      val f = java.io.File.createTempFile("graft_fmtchunk", ".chunk")
+      val bb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(x)
+      java.nio.file.Files.write(f.toPath, bb.array())
+      (0, f.getAbsolutePath, 1L)
+    }
+    SavStreamSink.commitEpoch(sink, 0L, Seq(chunk(1.0)), schema,
+      Map("varFormats" -> "v:F8.2"), queryId = "q1")
+    val e = intercept[IllegalArgumentException] {
+      SavStreamSink.commitEpoch(sink, 0L, Seq(chunk(2.0)), schema,
+        Map("varFormats" -> "v:F10.4"), queryId = "q2")
+    }
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    // identical formats from a new query still append fine
+    SavStreamSink.commitEpoch(sink, 0L, Seq(chunk(3.0)), schema,
+      Map("varFormats" -> "v:F8.2"), queryId = "q3")
+    assert(spark.read.format("readstat").load(sink).count() == 2L)
+  }
 }

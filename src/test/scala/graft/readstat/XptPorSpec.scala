@@ -247,6 +247,16 @@ class XptPorSpec extends SparkTestBase {
       df.write.format("readstat").mode("overwrite")
         .option("fileLabel", "x" * 21).save(tmp("fl.por"))
     }.getMessage.contains("20"))
+    // POR is ASCII-only: non-ASCII / over-long / control-char labels are
+    // rejected like the xpt writer, never written raw into the stream
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varLabels", "income:收入").save(tmp("cjk.por"))
+    }.getMessage.contains("ASCII"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varLabels", s"income:${"x" * 256}").save(tmp("long.por"))
+    }.getMessage.contains("255"))
   }
 
   test("xpt varLabels rejects over-long and non-Latin-1 labels loudly") {
