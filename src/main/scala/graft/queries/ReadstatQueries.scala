@@ -369,6 +369,111 @@ object ReadstatQueries {
       |  strftime(max(o_orderdate), '%Y-%m-%d') AS max_od
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Single-file streaming .sav sink, TWO-EPOCH append: the even-key half
+    * of customer lands before the stream starts, the odd-key half lands
+    * between two `processAllAvailable()` calls, so the second epoch
+    * SPLICES onto an already-committed file (dictionary ncases rewrite +
+    * record append). The final aggregate over the sunk .sav must match
+    * the oracle over the WHOLE customer table — certifying the
+    * beyond-reference sav epoch-append protocol value-exactly, not just
+    * single-shot encode. */
+  def savStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val landing = scratch(d, "sav_stream_landing")
+    val sink = scratch(d, "sav_stream_single.sav")
+    val ckpt = scratch(d, "sav_stream_ckpt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(landing, sink, sink + ".stream_state", ckpt)
+      .foreach(p => rm(new java.io.File(p)))
+    val base = customer(s, d).select(
+      col("c_custkey").cast("double").as("c_custkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+    base.filter(col("c_custkey") % 2 === 0)
+      .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
+    val q = s.readStream.format("readstat")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey DOUBLE, c_acctbal DOUBLE, c_mktsegment STRING"))
+      .load(landing)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", ckpt)
+      .option("strWidth.c_mktsegment", "10")
+      .option("varFormats", "c_acctbal:F10.2")
+      .start(sink)
+    try {
+      q.processAllAvailable()
+      base.filter(col("c_custkey") % 2 === 1)
+        .write.format("readstat").mode("overwrite").save(s"$landing/drop2.dta")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("readstat").load(sink)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey").cast("long")).as("sum_key"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val savStreamSinkRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Single-file streaming .xpt sink, two-epoch append (same drop
+    * choreography as the sav one). XPT keeps NO row count in the file —
+    * the count lives only in the sidecar — so this additionally
+    * certifies that the commit re-pads the 80-byte tail correctly across
+    * epochs: a stale pad byte would surface as a phantom row or a
+    * truncated last record in the read-back aggregate. */
+  def xptStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val landing = scratch(d, "xpt_stream_landing")
+    val sink = scratch(d, "xpt_stream_single.xpt")
+    val ckpt = scratch(d, "xpt_stream_ckpt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(landing, sink, sink + ".stream_state", ckpt)
+      .foreach(p => rm(new java.io.File(p)))
+    val base = part(s, d).select(
+      col("p_partkey").cast("double").as("p_partkey"),
+      col("p_size").cast("double").as("p_size"),
+      col("p_retailprice"), col("p_brand"))
+    base.filter(col("p_partkey") % 2 === 0)
+      .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
+    val q = s.readStream.format("readstat")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "p_partkey DOUBLE, p_size DOUBLE, p_retailprice DOUBLE, p_brand STRING"))
+      .load(landing)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", ckpt)
+      .option("strWidth.p_brand", "10")
+      .option("xptVersion", "8")
+      .start(sink)
+    try {
+      q.processAllAvailable()
+      base.filter(col("p_partkey") % 2 === 1)
+        .write.format("readstat").mode("overwrite").save(s"$landing/drop2.dta")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("readstat").load(sink)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_partkey").cast("long")).as("sum_key"),
+        sum(col("p_size").cast("long")).as("sum_size"),
+        round(sum("p_retailprice"), 2).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  val xptStreamSinkRoundtripSql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+      |  round(sum(p_retailprice), 2) AS sum_price
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Heterogeneous DIRECTORY read: customer split into a .dta half (even
     * keys, 3 columns) and a .sav half (odd keys, + c_nationkey), loaded
     * back as ONE directory with mergeSchema — union-by-name, null-fill
@@ -407,6 +512,8 @@ object ReadstatQueries {
     "stata_compress_roundtrip" -> (dtaCompressRoundtrip _, dtaCompressRoundtripSql),
     "spss_compress_roundtrip" -> (savCompressRoundtrip _, savCompressRoundtripSql),
     "stata_stream_sink" -> (dtaStreamSinkRoundtrip _, dtaStreamSinkRoundtripSql),
+    "spss_stream_sink" -> (savStreamSinkRoundtrip _, savStreamSinkRoundtripSql),
+    "xpt_stream_sink" -> (xptStreamSinkRoundtrip _, xptStreamSinkRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
