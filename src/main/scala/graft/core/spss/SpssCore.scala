@@ -144,6 +144,8 @@ object SpssCore {
     var pendings = Vector.empty[PendingLabels]
     var longNames = Map.empty[String, String]     // short → long
     var veryLong = Map.empty[String, Int]         // short → declared len
+    var lsvlRaws = Vector.empty[Array[Byte]]      // subtype 21 payloads
+    var lsmvRaws = Vector.empty[Array[Byte]]      // subtype 22 payloads
     var displayParams: Option[Array[Int]] = None
     var dataOffset = 0L
     var unitOffset = 0
@@ -226,7 +228,9 @@ object SpssCore {
                 if (i > 0 && pair.substring(i + 1).trim.nonEmpty)
                   veryLong += pair.substring(0, i).trim -> pair.substring(i + 1).trim.toInt
               }
-            case _ => // 3/4/20 handled in prescan; 16/21/22 not yet surfaced
+            case 21 => lsvlRaws :+= data // long-string value labels (post-coalesce)
+            case 22 => lsmvRaws :+= data // long-string missing values (post-coalesce)
+            case _ => // 3/4/20 handled in prescan; 16 unsurfaced (reference parity)
           }
         case 999 =>
           c.i32() // filler
@@ -279,6 +283,89 @@ object SpssCore {
       }
     }
 
+    // --- subtype 21: value labels for strings wider than 8 bytes ---
+    // (metadata.rs:725-801; the type-3/4 records above only carry 8-byte
+    // values). Per variable: pascal name, u32 declared width, u32 label
+    // count, then (u32-len value, u32-len label) pairs. Names match the
+    // long OR short variable name case-insensitively; label-set naming
+    // continues the type-3 "labelsN" sequence, as the reference does.
+    val nameToIdx: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap[String, Int]()
+      coalesced.zipWithIndex.foreach { case (v, idx) =>
+        val long = longNames.getOrElse(v.name, v.name)
+        m.getOrElseUpdate(long.toLowerCase, idx)
+        m.getOrElseUpdate(v.name.toLowerCase, idx)
+      }
+      m.toMap
+    }
+    var labelSetIdx = pendings.length
+    lsvlRaws.foreach { data =>
+      var pos = 0
+      def u32(what: String): Int = {
+        require(pos + 4 <= data.length,
+          s"corrupt sav: truncated long-string value label record ($what)")
+        val v = Bin.i32(data, pos, little); pos += 4; v
+      }
+      def str(len: Int, what: String): String = {
+        require(len >= 0 && pos + len <= data.length,
+          s"corrupt sav: long-string value label $what overruns the record")
+        val s = new String(data, pos, len, charset); pos += len; s
+      }
+      var go = true
+      while (go && pos < data.length) {
+        val name = str(u32("name length"), "variable name")
+        if (pos >= data.length) go = false // trailing padding after last entry
+        else {
+          u32("width") // declared width — layout already fixed by var records
+          val nLab = u32("label count")
+          var entries = Map.empty[String, String]
+          var k = 0
+          while (k < nLab) {
+            val value = trimSav(str(u32("value length"), "value"))
+            val label = str(u32("label length"), "label")
+            if (label.nonEmpty) entries += value -> label
+            k += 1
+          }
+          val setName = s"labels$labelSetIdx"; labelSetIdx += 1
+          nameToIdx.get(name.toLowerCase).foreach { idx =>
+            strLab(idx) ++= entries
+            labName(idx) = Some(setName)
+          }
+        }
+      }
+    }
+
+    // --- subtype 22: declared missing values for long strings ---
+    // (metadata.rs:804-853). Per variable: pascal name, u8 count (1-3),
+    // u32 shared value length, then count values of that length.
+    val lsMissing = scala.collection.mutable.Map[Int, Vector[String]]()
+    lsmvRaws.foreach { data =>
+      var pos = 0
+      def u32(what: String): Int = {
+        require(pos + 4 <= data.length,
+          s"corrupt sav: truncated long-string missing record ($what)")
+        val v = Bin.i32(data, pos, little); pos += 4; v
+      }
+      while (pos < data.length) {
+        val nameLen = u32("name length")
+        require(nameLen >= 0 && pos + nameLen <= data.length,
+          "corrupt sav: long-string missing name overruns the record")
+        val name = new String(data, pos, nameLen, charset); pos += nameLen
+        require(pos < data.length,
+          "corrupt sav: unexpected end in long-string missing values")
+        val n = data(pos) & 0xff; pos += 1
+        require(n >= 1 && n <= 3,
+          s"corrupt sav: long-string missing count $n not in [1, 3]")
+        val len = u32("value length")
+        val values = (0 until n).map { _ =>
+          require(len >= 0 && pos + len <= data.length,
+            "corrupt sav: long-string missing value overruns the record")
+          val s = trimSav(new String(data, pos, len, charset)); pos += len; s
+        }.toVector
+        nameToIdx.get(name.toLowerCase).foreach(idx => lsMissing(idx) = values)
+      }
+    }
+
     // --- display params (per var or per segment; 2 or 3 per entry) ---
     val (measures, aligns, dwidths) = decodeDisplay(displayParams, coalesced)
 
@@ -297,7 +384,8 @@ object SpssCore {
         label = v.label,
         measure = measures(idx), alignment = aligns(idx), displayWidth = dwidths(idx),
         missingRange = v.missRange,
-        missingDoubles = v.missD, missingStrings = v.missS,
+        missingDoubles = v.missD,
+        missingStrings = lsMissing.getOrElse(idx, v.missS),
         numLabels = numLab(idx), strLabels = strLab(idx),
         valueLabelName = labName(idx))
     }

@@ -75,7 +75,10 @@ object SavStreamSink extends StreamSinkCore.Format {
         "valueLabels as an option, or use the batch writer")
     val cols = streamColSpecs(schema, options)
     val recordLen = cols.map(_.widthUnits).sum * 8
-    val valueLabels = StataDtaWriter.parseValueLabels(
+    // string codes allowed too (type-3 8-byte slots / subtype 21 via
+    // the shared dictionary builder); labels are constant per query so
+    // the dictionary length stays fixed across epoch commits
+    val valueLabels = SasCsvBundleWriter.parseAnyValueLabels(
       options.getOrElse("valueLabels", ""))
     // fixed label/measure text per query → the dictionary length stays
     // constant across commits within a query; cross-query drift is

@@ -64,8 +64,15 @@ object SpssSavWriter {
     val colSet = schema.fieldNames.toSet
     def metaFil[T](m: MetadataDfOptions => Map[String, T]): Map[String, T] =
       meta.map(o => m(o).filter { case (k, _) => colSet(k) }).getOrElse(Map.empty)
-    val valueLabels = metaFil(_.valLabels) ++ StataDtaWriter.parseValueLabels(
-      options.getOrElse("valueLabels", ""))
+    // string-code entries are accepted too (BEYOND the reference, whose
+    // SPSS writer rejects string value labels outright, writer.rs:855):
+    // ≤8-byte strings land in standard type-3 records, wider ones in a
+    // subtype-21 long-string value label record — both read back by our
+    // reader and by SPSS/pyreadstat.
+    val valueLabels: Map[String, Seq[(String, String)]] =
+      metaFil(_.valLabels).map { case (k, vs) =>
+        k -> vs.map { case (c, l) => (c.toString, l) } } ++
+      SasCsvBundleWriter.parseAnyValueLabels(options.getOrElse("valueLabels", ""))
     val varLabels = metaFil(_.varLabels) ++ StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     val varMeasures =
@@ -483,7 +490,7 @@ object SpssSavWriter {
   }
 
   private[writers] def buildDictionary(cols: Array[ColSpec], nObs: Long,
-      zlib: Boolean, valueLabels: Map[String, Seq[(Int, String)]],
+      zlib: Boolean, valueLabels: Map[String, Seq[(String, String)]],
       varLabels: Map[String, String] = Map.empty,
       varMeasures: Map[String, String] = Map.empty): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
@@ -553,22 +560,57 @@ object SpssSavWriter {
       }
     }
 
-    // value labels: record type 3 (entries) + type 4 (1-based unit offsets)
+    // value labels: record type 3 (entries) + type 4 (1-based unit
+    // offsets) for numerics and ≤8-byte strings (type-3 values are raw
+    // 8-byte slots); strings wider than 8 bytes collect into a
+    // subtype-21 long-string value label record written below.
     var unitOff = 0
     val colUnits = cols.map { c => val u = unitOff + 1; unitOff += c.widthUnits; u }
+    val longStrLabels = Vector.newBuilder[(ColSpec, Seq[(String, String)])]
+    // slots: pre-encoded 8-byte value field per (value, label) pair
+    def writeType3(slots: Seq[(Array[Byte], String)], unit: Int): Unit = {
+      u32(3); u32(slots.length.toLong)
+      slots.foreach { case (vb, label) =>
+        o.write(vb, 0, 8)
+        val lb = label.getBytes(StandardCharsets.UTF_8)
+        val len = math.min(lb.length, 255)
+        o.write(len)
+        o.write(lb, 0, len)
+        val padded = (len + 8) / 8 * 8 - 1
+        (len until padded).foreach(_ => o.write(' '))
+      }
+      u32(4); u32(1); u32(unit.toLong)
+    }
     cols.zipWithIndex.foreach { case (c, ci) =>
-      valueLabels.get(c.name).filter(_ => c.w == WNum).foreach { pairs =>
-        u32(3); u32(pairs.length.toLong)
-        pairs.foreach { case (code, label) =>
-          Bin.putF64(o, code.toDouble)
-          val lb = label.getBytes(StandardCharsets.UTF_8)
-          val len = math.min(lb.length, 255)
-          o.write(len)
-          o.write(lb, 0, len)
-          val padded = (len + 8) / 8 * 8 - 1
-          (len until padded).foreach(_ => o.write(' '))
+      valueLabels.get(c.name).filter(_.nonEmpty).foreach { pairs =>
+        c.w match {
+          case WNum =>
+            writeType3(pairs.map { case (code, label) =>
+              val d = try code.trim.toDouble catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"sav writer: valueLabels.${c.name} code '$code' is not " +
+                    "numeric (the column is numeric)")
+              }
+              val vb = new Array[Byte](8)
+              java.nio.ByteBuffer.wrap(vb)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d)
+              (vb, label)
+            }, colUnits(ci))
+          case WStr(declLen) =>
+            pairs.foreach { case (code, _) =>
+              require(code.getBytes(StandardCharsets.UTF_8).length <= declLen,
+                s"sav writer: valueLabels.${c.name} value '$code' exceeds " +
+                  s"the declared string width $declLen")
+            }
+            if (declLen <= 8)
+              writeType3(pairs.map { case (code, label) =>
+                val cb = code.getBytes(StandardCharsets.UTF_8)
+                val vb = Array.fill[Byte](8)(' ')
+                System.arraycopy(cb, 0, vb, 0, cb.length)
+                (vb, label)
+              }, colUnits(ci))
+            else longStrLabels += ((c, pairs))
         }
-        u32(4); u32(1); u32(colUnits(ci).toLong)
       }
     }
     // subtype 3: integer info (version, machine, fp rep, compression, endian, charcode)
@@ -590,6 +632,29 @@ object SpssSavWriter {
     if (vl.nonEmpty) {
       val b = vl.getBytes(StandardCharsets.US_ASCII)
       u32(7); u32(14); u32(1); u32(b.length.toLong)
+      o.write(b)
+    }
+    // subtype 21: value labels for strings wider than 8 bytes (same
+    // layout our reader parses: pascal long name, u32 declared width,
+    // u32 count, then u32-len value / u32-len label pairs)
+    val lsl = longStrLabels.result()
+    if (lsl.nonEmpty) {
+      val payload = new java.io.ByteArrayOutputStream()
+      def pu32(v: Long): Unit = Bin.putU32(payload, v)
+      lsl.foreach { case (c, pairs) =>
+        val nb = c.name.getBytes(StandardCharsets.UTF_8)
+        pu32(nb.length.toLong); payload.write(nb)
+        pu32(c.w.asInstanceOf[WStr].declLen.toLong)
+        pu32(pairs.length.toLong)
+        pairs.foreach { case (code, label) =>
+          val cb = code.getBytes(StandardCharsets.UTF_8)
+          val lb = label.getBytes(StandardCharsets.UTF_8)
+          pu32(cb.length.toLong); payload.write(cb)
+          pu32(lb.length.toLong); payload.write(lb)
+        }
+      }
+      val b = payload.toByteArray
+      u32(7); u32(21); u32(1); u32(b.length.toLong)
       o.write(b)
     }
     // subtype 11: display parameters (measure / display width /

@@ -111,6 +111,109 @@ class SpssSpec extends SparkTestBase {
     s"${d.getAbsolutePath}/$name"
   }
 
+  test("sav long-string value labels roundtrip via subtype 21") {
+    import spark.implicits._
+    // mirrors the reference's long-string value label fixtures
+    // (tests/test_spss_long_string_value_labels.py: basic / multi-vars /
+    // unicode): 300-wide segmented strings AND a 20-wide (>8, single
+    // segment) string, labels > 255 bytes with non-Latin characters —
+    // neither fits the 8-byte type-3 value slot, so both must travel in
+    // the subtype-21 record (metadata.rs:725-801)
+    val aVals = Seq("A" * 300, "B" * 300, "C" * 300)
+    val bVals = Seq("X" * 20, "Y" * 20, "Z" * 20)
+    val df = aVals.zip(bVals).zipWithIndex
+      .map { case ((a, b), i) => (a, b, i.toDouble) }
+      .toDF("longstr_a", "longstr_b", "id")
+    val label = "Label_" + "L" * 260 + " Café — 測試"
+    val path = tmp("lsvl.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels",
+        s"longstr_a:${"A" * 300}=$label|longstr_b:${"X" * 20}=LabelB")
+      .save(path)
+    val meta = graft.core.spss.SpssCore.parse(path)
+    val va = meta.vars.find(_.name == "longstr_a").get
+    assert(va.strLabels("A" * 300) == label)
+    assert(va.valueLabelName.isDefined)
+    val vb = meta.vars.find(_.name == "longstr_b").get
+    assert(vb.strLabels("X" * 20) == "LabelB")
+    // the labelled read switch maps values through the long-string map
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+    assert(back.select("longstr_a").collect().map(_.getString(0)).toSeq ==
+      Seq(label, "B" * 300, "C" * 300))
+    assert(back.select("longstr_b").collect().map(_.getString(0)).toSeq ==
+      Seq("LabelB", "Y" * 20, "Z" * 20))
+  }
+
+  test("sav short-string value labels land in standard type-3 records") {
+    import spark.implicits._
+    // ≤8-byte string values fit the raw 8-byte type-3 slot (space
+    // padded) — no subtype 21 involved; the reference READER handles
+    // these via the normal label records, its writer refuses them
+    val df = Seq(("ab", 1.0), ("cd", 2.0), ("ab", 3.0)).toDF("code", "x")
+    val path = tmp("ssvl.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "code:ab=Alpha,cd=Delta").save(path)
+    val meta = graft.core.spss.SpssCore.parse(path)
+    val v = meta.vars.find(_.name == "code").get
+    assert(v.strLabels == Map("ab" -> "Alpha", "cd" -> "Delta"))
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+    assert(back.select("code").collect().map(_.getString(0)).toSeq ==
+      Seq("Alpha", "Delta", "Alpha"))
+    // over-width code fails loudly instead of writing a corrupt slot
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("valueLabels", "code:abcdefghi=TooWide").save(tmp("bad.sav"))
+    }.getMessage.contains("exceeds"))
+  }
+
+  test("sav long-string missing values (subtype 22) null out declared codes") {
+    import spark.implicits._
+    // our writer doesn't emit subtype 22 (neither does the reference's);
+    // splice a hand-built record before the dictionary terminator to
+    // exercise the READ path the reference has (metadata.rs:804-853)
+    val miss = "N" * 16
+    val df = Seq(("D" * 16, 1.0), (miss, 2.0), ("E" * 16, 3.0)).toDF("s", "x")
+    val path = tmp("lsmv.sav")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val orig = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val dictEnd = graft.core.spss.SpssCore.parse(path).dataOffset.toInt - 8
+    val payload = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      payload.write(v & 0xff); payload.write((v >> 8) & 0xff)
+      payload.write((v >> 16) & 0xff); payload.write((v >> 24) & 0xff)
+    }
+    u32(1); payload.write('s') // pascal name
+    payload.write(1)           // one missing value
+    u32(16)                    // shared value length
+    payload.write(miss.getBytes("US-ASCII"))
+    val rec = new java.io.ByteArrayOutputStream()
+    val w = new java.io.DataOutputStream(rec)
+    def r32(v: Int): Unit = { // LE
+      w.write(v & 0xff); w.write((v >> 8) & 0xff)
+      w.write((v >> 16) & 0xff); w.write((v >> 24) & 0xff)
+    }
+    r32(7); r32(22); r32(1); r32(payload.size())
+    rec.write(payload.toByteArray)
+    val patched = new java.io.ByteArrayOutputStream()
+    patched.write(orig, 0, dictEnd)
+    patched.write(rec.toByteArray)
+    patched.write(orig, dictEnd, orig.length - dictEnd)
+    val p2 = tmp("lsmv_patched.sav")
+    Files.write(java.nio.file.Paths.get(p2), patched.toByteArray)
+    val back = spark.read.format("readstat").load(p2).collect()
+    assert(back(0).getString(0) == "D" * 16)
+    assert(back(1).isNullAt(0), "declared long-string missing must read as null")
+    assert(back(2).getString(0) == "E" * 16)
+    // and the declared missing surfaces through informative nulls
+    val info = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p2)
+    val nullCol = info.columns.find(_ == "s_null")
+    assert(nullCol.isDefined, info.columns.mkString(","))
+    assert(info.collect()(1).getAs[String]("s_null") != null)
+  }
+
   test("all-types roundtrip through sav") {
     import spark.implicits._
     val df = Seq(
