@@ -126,6 +126,38 @@ object ReadstatQueries {
       |  min(md5(text)) AS min_md5
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Long-string VALUE LABELS end-to-end (subtype 21): 20-byte string
+    * values (too wide for the 8-byte type-3 slot) get per-value labels
+    * on write, and the labelled read switch must surface the labels —
+    * the oracle rebuilds the same mapping in SQL over the original
+    * parquet, so a hash match certifies the whole subtype-21 write →
+    * parse → decode-switch chain cross-engine. */
+  def savLongStrLabels(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "cust_lsvl.sav")
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    customer(s, d)
+      .select(col("c_custkey").cast("double").as("c_custkey"),
+        col("c_acctbal"), rpad(col("c_mktsegment"), 20, ".").as("seg20"))
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "seg20:" +
+        segs.map(g => s"${g.padTo(20, '.')}=Segment $g").mkString(","))
+      .save(path)
+    s.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+      .groupBy("seg20")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey").cast("long")).as("sum_key"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("seg20")
+  }
+
+  val savLongStrLabelsSql: String =
+    """SELECT 'Segment ' || c_mktsegment AS seg20, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY seg20""".stripMargin
+
   /** SAS scan correctness: read a real ACS survey fixture (uncompressed,
     * 50 pages, page-range partitioned) and aggregate; the oracle reads the
     * committed pandas-exported golden parquet of the same file. */
@@ -525,5 +557,6 @@ object ReadstatQueries {
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),
     "spss_longstr_roundtrip" -> (savLongStrings _, savLongStringsSql),
+    "spss_longstr_labels" -> (savLongStrLabels _, savLongStrLabelsSql),
   )
 }
