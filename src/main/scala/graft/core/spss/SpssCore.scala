@@ -307,7 +307,9 @@ object SpssCore {
         val v = Bin.i32(data, pos, little); pos += 4; v
       }
       def str(len: Int, what: String): String = {
-        require(len >= 0 && pos + len <= data.length,
+        // Long arithmetic: a 0x7FFFFFFF length would overflow pos + len
+        // to negative and sail past an Int bounds check
+        require(len >= 0 && pos.toLong + len <= data.length,
           s"corrupt sav: long-string value label $what overruns the record")
         val s = new String(data, pos, len, charset); pos += len; s
       }
@@ -348,7 +350,7 @@ object SpssCore {
       }
       while (pos < data.length) {
         val nameLen = u32("name length")
-        require(nameLen >= 0 && pos + nameLen <= data.length,
+        require(nameLen >= 0 && pos.toLong + nameLen <= data.length,
           "corrupt sav: long-string missing name overruns the record")
         val name = new String(data, pos, nameLen, charset); pos += nameLen
         require(pos < data.length,
@@ -358,7 +360,7 @@ object SpssCore {
           s"corrupt sav: long-string missing count $n not in [1, 3]")
         val len = u32("value length")
         val values = (0 until n).map { _ =>
-          require(len >= 0 && pos + len <= data.length,
+          require(len >= 0 && pos.toLong + len <= data.length,
             "corrupt sav: long-string missing value overruns the record")
           val s = trimSav(new String(data, pos, len, charset)); pos += len; s
         }.toVector

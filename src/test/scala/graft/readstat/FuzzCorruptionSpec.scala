@@ -182,4 +182,31 @@ class FuzzCorruptionSpec extends SparkTestBase {
     val e = intercept[Exception](readAll(p))
     assert(e.getMessage.contains("corrupt zsav"), e.getMessage)
   }
+
+  test("sav with a corrupt subtype-21 length field throws the clean diagnostic") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fuzz_lsvl").toString
+    val p0 = s"$dir/lsvl.sav"
+    (1 to 50).map(i => (i.toDouble, "V" * 20)).toDF("x", "s")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", s"s:${"V" * 20}=A label").save(p0)
+    val p = corruptCopy(p0, "sav") { b =>
+      // record-7 subtype-21 header: adjacent LE u32s (7, 21); the first
+      // payload u32 (pascal name length) sits 16 bytes past it — set it
+      // huge so the bounds guard, not an allocation, decides the outcome
+      var at = -1; var k = 0
+      while (at < 0 && k < b.length - 8) {
+        if (b(k) == 7 && b(k + 1) == 0 && b(k + 2) == 0 && b(k + 3) == 0 &&
+            b(k + 4) == 21 && b(k + 5) == 0 && b(k + 6) == 0 && b(k + 7) == 0)
+          at = k
+        k += 1
+      }
+      assert(at > 0, "subtype-21 record not found in written sav")
+      val off = at + 16
+      b(off) = 0xff.toByte; b(off + 1) = 0xff.toByte
+      b(off + 2) = 0xff.toByte; b(off + 3) = 0x7f
+    }
+    val e = intercept[Exception](readAll(p))
+    assert(e.getMessage.contains("long-string value label"), e.getMessage)
+  }
 }
