@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 final case class MetadataDfOptions(
     varLabels: Map[String, String],
-    valLabels: Map[String, Seq[(Int, String)]],
+    // raw code strings: Stata narrows to the numeric entries (its value
+    // labels are int-keyed), the sav writer takes strings as-is (type-3
+    // slots / subtype 21 for wide values)
+    valLabels: Map[String, Seq[(String, String)]],
     measures: Map[String, String],
     formats: Map[String, String],
     // SPSS/POR numeric print formats come through as the parsed
@@ -28,7 +31,7 @@ object MetadataDfOptions {
   def read(spark: SparkSession, path: String): MetadataDfOptions = {
     val mdf = spark.read.parquet(path)
     var varLabels = Map.empty[String, String]
-    var valLabels = Map.empty[String, Seq[(Int, String)]]
+    var valLabels = Map.empty[String, Seq[(String, String)]]
     var measures = Map.empty[String, String]
     var formats = Map.empty[String, String]
     var triples = Map.empty[String, (Int, Int, Int)]
@@ -41,11 +44,8 @@ object MetadataDfOptions {
         if (!r.isNullAt(1) && r.getString(1).nonEmpty)
           varLabels += name -> r.getString(1)
         if (!r.isNullAt(2) && !r.isNullAt(3)) {
-          val pairs = r.getSeq[String](2).zip(r.getSeq[String](3)).flatMap {
-            case (c, l) =>
-              try Some(c.trim.toDouble.toInt -> l)
-              catch { case _: NumberFormatException => None }
-          }
+          val pairs = r.getSeq[String](2).zip(r.getSeq[String](3))
+            .map { case (c, l) => c.trim -> l }
           if (pairs.nonEmpty) valLabels += name -> pairs
         }
         if (!r.isNullAt(4) && r.getString(4).nonEmpty)

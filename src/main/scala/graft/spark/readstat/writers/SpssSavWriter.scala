@@ -70,8 +70,7 @@ object SpssSavWriter {
     // subtype-21 long-string value label record — both read back by our
     // reader and by SPSS/pyreadstat.
     val valueLabels: Map[String, Seq[(String, String)]] =
-      metaFil(_.valLabels).map { case (k, vs) =>
-        k -> vs.map { case (c, l) => (c.toString, l) } } ++
+      metaFil(_.valLabels) ++
       SasCsvBundleWriter.parseAnyValueLabels(options.getOrElse("valueLabels", ""))
     val varLabels = metaFil(_.varLabels) ++ StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
@@ -99,10 +98,28 @@ object SpssSavWriter {
     // width-agg and encode jobs run: unknown columns, bad measure
     // values, and formats on string columns (a string's A-format is
     // bound to its storage width and cannot be overridden)
+    // reference variable_display_width / variable_alignment dicts
+    // (docs/write.md:58-59): per-column subtype-11 display params
+    val varDisplayWidths: Map[String, Int] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("varDisplayWidths", ""))
+        .map { case (c, w) =>
+          val n = try w.trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"sav writer: varDisplayWidths.$c must be an integer (got '$w')")
+          }
+          require(n >= 1 && n <= 32767,
+            s"sav writer: varDisplayWidths.$c must be in [1, 32767]")
+          c -> n
+        }
+    val varAlignments: Map[String, String] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("varAlignments", ""))
+        .map { case (c, a) => c -> a.trim.toLowerCase }
     val colNames = schema.fieldNames.toSet
     Seq("varFormats" -> varFormats.keySet,
         "varMeasures" -> varMeasures.keySet,
-        "varLabels" -> varLabels.keySet)
+        "varLabels" -> varLabels.keySet,
+        "varDisplayWidths" -> varDisplayWidths.keySet,
+        "varAlignments" -> varAlignments.keySet)
       .foreach { case (opt, keys) =>
         val unknown = keys.diff(colNames)
         require(unknown.isEmpty,
@@ -111,6 +128,9 @@ object SpssSavWriter {
     varMeasures.values.foreach(v => require(
       Set("nominal", "ordinal", "scale")(v.trim.toLowerCase),
       s"sav writer: varMeasures values must be nominal|ordinal|scale (got $v)"))
+    varAlignments.values.foreach(v => require(
+      Set("left", "right", "center")(v),
+      s"sav writer: varAlignments values must be left|right|center (got $v)"))
     varFormats.keys.foreach(c => require(
       schema(c).dataType != StringType,
       s"sav writer: varFormats.$c targets a string column — string " +
@@ -167,6 +187,8 @@ object SpssSavWriter {
       val vls = valueLabels
       val vlbB = varLabels
       val vmB = varMeasures
+      val vdwB = varDisplayWidths
+      val vaB = varAlignments
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -194,7 +216,8 @@ object SpssSavWriter {
               blocks = zenc.finish()
               raw.close()
             }
-            val dictLocal = buildDictionary(specs, rows, zlibB, vls, vlbB, vmB)
+            val dictLocal = buildDictionary(specs, rows, zlibB, vls, vlbB,
+              vmB, vdwB, vaB)
             assembleSav(s"$path/$partPrefix" + f"$pid%05d.$ext", dictLocal, zlibB,
               Seq(f.getAbsolutePath), blocks)
             f.delete()
@@ -243,7 +266,7 @@ object SpssSavWriter {
 
     // ---- driver: header + dictionary, then splice chunks ----
     val dict = buildDictionary(cols, nObs, zlib, valueLabels, varLabels,
-      varMeasures)
+      varMeasures, varDisplayWidths, varAlignments)
     assembleSav(path, dict, zlib, chunks.map(_._2).toIndexedSeq,
       chunks.flatMap(_._4).toIndexedSeq)
     chunks.foreach(c => new File(c._2).delete())
@@ -492,7 +515,9 @@ object SpssSavWriter {
   private[writers] def buildDictionary(cols: Array[ColSpec], nObs: Long,
       zlib: Boolean, valueLabels: Map[String, Seq[(String, String)]],
       varLabels: Map[String, String] = Map.empty,
-      varMeasures: Map[String, String] = Map.empty): Array[Byte] = {
+      varMeasures: Map[String, String] = Map.empty,
+      varDisplayWidths: Map[String, Int] = Map.empty,
+      varAlignments: Map[String, String] = Map.empty): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = Bin.putU32(o, v)
     def ascii(s: String, len: Int): Unit =
@@ -662,7 +687,8 @@ object SpssSavWriter {
     // reference SPSS writer exposes the same per-variable measure dict.
     // One triple per FINAL column; undeclared columns get the SPSS
     // defaults (scale + right for numeric, nominal + left for strings).
-    if (varMeasures.nonEmpty) {
+    if (varMeasures.nonEmpty || varDisplayWidths.nonEmpty ||
+        varAlignments.nonEmpty) {
       // one (measure, width, alignment) triple per DICTIONARY VARIABLE:
       // very-long-string SEGMENTS each count (they have their own
       // rec_type-2 record), continuation records do not — the counting
@@ -679,10 +705,20 @@ object SpssSavWriter {
             s"sav writer: varMeasures.${c.name} must be nominal|ordinal|scale (got $other)")
           case None => if (isNum) 3L else 1L
         }
+        // reference variable_display_width / variable_alignment dicts;
+        // SPSS alignment codes: 0 left, 1 right, 2 centre
+        val dw = varDisplayWidths.get(c.name).map(_.toLong)
+          .getOrElse(c.fmtWidth.toLong.max(1L))
+        val al = varAlignments.get(c.name) match {
+          case Some("left") => 0L
+          case Some("right") => 1L
+          case Some("center") => 2L
+          case _ => if (isNum) 1L else 0L
+        }
         (0 until math.max(1, c.segmentSizes.length)).foreach { _ =>
           u32(m)
-          u32(c.fmtWidth.toLong.max(1L))
-          u32(if (isNum) 1L else 0L)
+          u32(dw)
+          u32(al)
         }
       }
     }

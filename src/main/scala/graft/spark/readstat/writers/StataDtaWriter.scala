@@ -108,7 +108,16 @@ object StataDtaWriter {
     val metaOpts = options.get("metadataPath")
       .map(p => MetadataDfOptions.read(spark, p))
     val metaVarLabels = metaOpts.map(_.varLabels).getOrElse(Map.empty)
-    val metaValLabels = metaOpts.map(_.valLabels).getOrElse(Map.empty)
+    // Stata value labels are int-keyed: numeric metadata-df codes carry
+    // over, foreign string codes (e.g. from a sav with string labels)
+    // are skipped — same silent-narrowing rule as foreign formats below
+    val metaValLabels: Map[String, Seq[(Int, String)]] =
+      metaOpts.map(_.valLabels.map { case (c, pairs) =>
+        c -> pairs.flatMap { case (code, l) =>
+          try Some(code.toDouble.toInt -> l)
+          catch { case _: NumberFormatException => None }
+        }
+      }.filter(_._2.nonEmpty)).getOrElse(Map.empty)
     // explicit valueLabels/varLabels options win over metadata-df entries
     val valueLabels = metaValLabels ++
       parseValueLabels(options.getOrElse("valueLabels", ""))

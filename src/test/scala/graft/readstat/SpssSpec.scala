@@ -403,6 +403,77 @@ class SpssSpec extends SparkTestBase {
     assert(l3 == "Override label")
   }
 
+  test("sav varDisplayWidths + varAlignments write subtype-11 params") {
+    import spark.implicits._
+    // reference variable_display_width / variable_alignment write dicts
+    // (docs/write.md:58-59); SPSS codes: 0 left, 1 right, 2 centre
+    val df = Seq((1.0, "ab"), (2.0, "cd")).toDF("x", "s")
+    val path = tmp("dispal.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("varDisplayWidths", "x:15|s:7")
+      .option("varAlignments", "x:center|s:right")
+      .save(path)
+    val meta = graft.core.spss.SpssCore.parse(path)
+    val vx = meta.vars.find(_.name == "x").get
+    val vs = meta.vars.find(_.name == "s").get
+    assert(vx.displayWidth.contains(15) && vs.displayWidth.contains(7))
+    assert(vx.alignment.contains("Center") || vx.alignment.exists(_.equalsIgnoreCase("center")),
+      vx.alignment.toString)
+    assert(vs.alignment.exists(_.equalsIgnoreCase("right")), vs.alignment.toString)
+    // defaults still apply to undeclared columns when only one is set
+    val p2 = tmp("dispal2.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("varDisplayWidths", "x:9").save(p2)
+    val m2 = graft.core.spss.SpssCore.parse(p2)
+    assert(m2.vars.find(_.name == "x").get.displayWidth.contains(9))
+    assert(m2.vars.find(_.name == "s").get.alignment.exists(_.equalsIgnoreCase("left")))
+    // bad values fail loudly
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varAlignments", "x:middle").save(tmp("bad_al.sav"))
+    }.getMessage.contains("left|right|center"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varDisplayWidths", "x:wide").save(tmp("bad_dw.sav"))
+    }.getMessage.contains("integer"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varDisplayWidths", "nosuch:9").save(tmp("bad_col.sav"))
+    }.getMessage.contains("unknown column"))
+  }
+
+  test("string value labels survive a metadata-df roundtrip") {
+    import spark.implicits._
+    // sav → metadata frame → new sav driven by metadataPath alone: the
+    // string-coded labels (long-string subtype 21 included) must carry
+    // over, while the dta writer narrows the same frame to its numeric
+    // entries instead of corrupting them
+    // x is integer: Stata value labels attach to integer storage only
+    val df = Seq(("Y" * 12, 1), ("N" * 12, 2)).toDF("s", "x")
+    val p1 = tmp("strvl_src.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", s"s:${"Y" * 12}=Yes,${"N" * 12}=No|x:1=One")
+      .save(p1)
+    val mdPath = tmp("strvl_meta.parquet")
+    spark.read.format("readstat-metadata").load(p1)
+      .write.mode("overwrite").parquet(mdPath)
+    val p2 = tmp("strvl_out.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath).save(p2)
+    val v = graft.core.spss.SpssCore.parse(p2).vars.find(_.name == "s").get
+    assert(v.strLabels == Map(("Y" * 12) -> "Yes", ("N" * 12) -> "No"))
+    val vx = graft.core.spss.SpssCore.parse(p2).vars.find(_.name == "x").get
+    assert(vx.numLabels == Map(1.0 -> "One"))
+    // same frame through the dta writer: numeric labels only, no throw
+    val p3 = tmp("strvl_out.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath).save(p3)
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p3)
+    assert(back.select("x").collect().map(_.getString(0)).toSeq ==
+      Seq("One", "2"))
+  }
+
   test("zsav write roundtrips through our zsav reader") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))
