@@ -231,8 +231,36 @@ object Formats {
     else if (lower.endsWith(".xpt") || lower.endsWith(".xpt5") ||
       lower.endsWith(".xpt8") || lower.endsWith(".xpt9")) XptModule
     else if (lower.endsWith(".por")) PorModule
-    else throw new IllegalArgumentException(
-      s"readstat: unsupported extension for $path (expected .dta/.sav/.zsav/.sas7bdat/.xpt/.por)")
+    else sniffModule(path).getOrElse(throw new IllegalArgumentException(
+      s"readstat: unsupported extension for $path (expected " +
+        ".dta/.sav/.zsav/.sas7bdat/.xpt/.por) and the content matches " +
+        "no known stat-format signature"))
+  }
+
+  /** Magic-byte fallback for extension-less paths (e.g. files written
+    * with the `fileFormat` writer option into staging names). Every
+    * supported format except old binary dta carries an unambiguous
+    * signature; old dta (102-116) is identified by its 3-byte header
+    * (version, byteorder 1|2, filetype 1) as a last resort. The sniff
+    * runs ONLY when the extension is unknown, so named files never pay
+    * the extra read. */
+  private def sniffModule(path: String): Option[FormatModule] = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length() < 8) return None
+    val n = math.min(1024L, f.length()).toInt
+    val head = new Array[Byte](n)
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try raf.readFully(head) finally raf.close()
+    val s = new String(head, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (s.startsWith("$FL2") || s.startsWith("$FL3")) Some(SpssModule)
+    else if (s.startsWith("HEADER RECORD*******LIB")) Some(XptModule)
+    else if (s.startsWith("<stata_dta>")) Some(StataModule)
+    else if (n >= 32 && head.slice(0, 32).sameElements(graft.core.sas.SasCore.Magic))
+      Some(SasModule)
+    else if (s.contains("SPSSPORT")) Some(PorModule) // ASCII POR at ~456
+    else if ((head(0) & 0xff) >= 102 && (head(0) & 0xff) <= 116 &&
+      (head(1) == 1 || head(1) == 2) && head(2) == 1) Some(StataModule)
+    else None
   }
 }
 

@@ -24,7 +24,12 @@ final case class MetadataDfOptions(
     // null for sav by design (MetadataSource mirrors the reference's
     // accumulator, which only parses triples for SPSS)
     formatTriples: Map[String, (Int, Int, Int)],
-    stringWidths: Map[String, Int])
+    stringWidths: Map[String, Int],
+    // SPSS-specific display attributes (reference docs/write.md: the
+    // metadata= path "carries over ... measure, alignment, display
+    // width"); consumed by the sav writer only
+    displayWidths: Map[String, Int] = Map.empty,
+    alignments: Map[String, String] = Map.empty)
 
 object MetadataDfOptions {
 
@@ -36,9 +41,12 @@ object MetadataDfOptions {
     var formats = Map.empty[String, String]
     var triples = Map.empty[String, (Int, Int, Int)]
     var widths = Map.empty[String, Int]
+    var dispW = Map.empty[String, Int]
+    var aligns = Map.empty[String, String]
     mdf.select("name", "label", "value_label_codes", "value_label_labels",
         "measure", "format", "string_width_bytes",
-        "format_type", "format_width", "format_decimals")
+        "format_type", "format_width", "format_decimals",
+        "display_width", "alignment")
       .collect().foreach { r =>
         val name = r.getString(0)
         if (!r.isNullAt(1) && r.getString(1).nonEmpty)
@@ -57,7 +65,13 @@ object MetadataDfOptions {
           triples += name -> ((r.getInt(7),
             if (r.isNullAt(8)) 0 else r.getInt(8),
             if (r.isNullAt(9)) 0 else r.getInt(9)))
+        if (!r.isNullAt(10) && r.getInt(10) > 0) dispW += name -> r.getInt(10)
+        if (!r.isNullAt(11)) {
+          val a = r.getString(11).trim.toLowerCase
+          if (Set("left", "right", "center")(a)) aligns += name -> a
+        }
       }
-    MetadataDfOptions(varLabels, valLabels, measures, formats, triples, widths)
+    MetadataDfOptions(varLabels, valLabels, measures, formats, triples,
+      widths, dispW, aligns)
   }
 }

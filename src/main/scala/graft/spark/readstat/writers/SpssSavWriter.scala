@@ -101,6 +101,7 @@ object SpssSavWriter {
     // reference variable_display_width / variable_alignment dicts
     // (docs/write.md:58-59): per-column subtype-11 display params
     val varDisplayWidths: Map[String, Int] =
+      metaFil(_.displayWidths) ++
       StataDtaWriter.parseVarLabels(options.getOrElse("varDisplayWidths", ""))
         .map { case (c, w) =>
           val n = try w.trim.toInt catch {
@@ -112,6 +113,7 @@ object SpssSavWriter {
           c -> n
         }
     val varAlignments: Map[String, String] =
+      metaFil(_.alignments) ++
       StataDtaWriter.parseVarLabels(options.getOrElse("varAlignments", ""))
         .map { case (c, a) => c -> a.trim.toLowerCase }
     val colNames = schema.fieldNames.toSet

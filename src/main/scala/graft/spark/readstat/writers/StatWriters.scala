@@ -9,7 +9,26 @@ import org.apache.spark.sql.DataFrame
 object StatWriters {
   def write(df: DataFrame, path: String, options: Map[String, String],
       overwrite: Boolean = true): Unit = {
-    val lower = path.toLowerCase
+    // `fileFormat` overrides extension detection (reference
+    // write_readstat `format=`, __init__.py:743: "dta"/"stata",
+    // "sav"/"zsav"/"spss", "por"/"spss_por"; xpt added since our
+    // dispatch covers it — the csv bundle stays extension-bound because
+    // its companion .sas script path derives from the .csv name) — lets
+    // a pipeline write stat files to extension-less staging paths
+    val lower = options.get("fileFormat").map(_.trim.toLowerCase) match {
+      case None => path.toLowerCase
+      case Some(f) =>
+        "." + (f match {
+          case "dta" | "stata" => "dta"
+          case "sav" | "spss" => "sav"
+          case "zsav" => "zsav"
+          case "por" | "spss_por" => "por"
+          case "xpt" => "xpt"
+          case other => throw new IllegalArgumentException(
+            s"readstat writer: unknown fileFormat '$other' (expected " +
+              "dta|stata|sav|spss|zsav|por|spss_por|xpt)")
+        })
+    }
     // append (mode("append") / INSERT INTO) only makes sense for
     // multiFile directories, where it adds new uniquely-named parts;
     // a single stat file has one header and cannot be appended to.

@@ -370,6 +370,8 @@ class SpssSpec extends SparkTestBase {
       .option("varLabels", "sex:Respondent sex|price:Unit price")
       .option("varMeasures", "sex:nominal")
       .option("varFormats", "price:DOLLAR12.2")
+      .option("varDisplayWidths", "sex:14")
+      .option("varAlignments", "sex:center")
       .save(p1)
     // 2. dump its metadata frame, write a NEW sav from metadataPath alone
     val mdPath = tmp("meta.parquet")
@@ -389,6 +391,11 @@ class SpssSpec extends SparkTestBase {
     assert((md("price").getInt(3), md("price").getInt(4), md("price").getInt(5))
       == ((4, 12, 2)), "DOLLAR12.2 lost")
     assert(!md("sex").isNullAt(6) && md("sex").getSeq[String](6).nonEmpty)
+    // display width + alignment ride the metadata frame too (reference:
+    // "metadata= carries over ... measure, alignment, display width")
+    val v2 = graft.core.spss.SpssCore.parse(p2).vars.find(_.name == "sex").get
+    assert(v2.displayWidth.contains(14), v2.displayWidth.toString)
+    assert(v2.alignment.exists(_.equalsIgnoreCase("center")), v2.alignment.toString)
     val lbl = spark.read.format("readstat")
       .option("valueLabelsAsStrings", "true").load(p2)
       .select("sex").collect().map(_.getString(0)).toSeq

@@ -440,4 +440,34 @@ class StataWriterSpec extends SparkTestBase {
     assert(back.agg(sum("v").cast("double")).collect()(0).getDouble(0) ==
       (1 to 40).map(_ * 2.0).sum)
   }
+
+  test("fileFormat write override + magic-byte sniff read extension-less paths") {
+    import spark.implicits._
+    // reference write_readstat(format=...) overrides suffix detection;
+    // our reader goes further and sniffs the signature when the
+    // extension is unknown, so staged extension-less files roundtrip
+    val df = Seq((1.0, "a"), (2.0, "b"), (3.0, "c")).toDF("v", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_override")
+    for ((fmt, alias) <- Seq("dta" -> "stata", "sav" -> "spss",
+        "zsav" -> "zsav", "xpt" -> "xpt", "por" -> "spss_por")) {
+      val p = s"$dir/staged_$fmt"  // no extension
+      df.write.format("readstat").mode("overwrite")
+        .option("fileFormat", alias).save(p)
+      val back = spark.read.format("readstat").load(p)
+      assert(back.count() == 3L, fmt)
+      assert(back.agg(sum(back.columns.head)).collect()(0).getDouble(0) == 6.0,
+        s"$fmt: ${back.columns.mkString(",")}")
+    }
+    // unknown format name and unsniffable content both fail loudly
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("fileFormat", "parquet").save(s"$dir/bad")
+    }.getMessage.contains("unknown fileFormat"))
+    val junk = s"$dir/junk"
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk),
+      "not a stat file at all, just text".getBytes)
+    assert(intercept[Exception] {
+      spark.read.format("readstat").load(junk).schema
+    }.getMessage.contains("no known stat-format signature"))
+  }
 }
