@@ -158,6 +158,39 @@ object ReadstatQueries {
       |  round(sum(c_acctbal), 2) AS sum_bal
       |FROM customer GROUP BY 1 ORDER BY seg20""".stripMargin
 
+  /** Binary .sas7bdat WRITE roundtrip — beyond the reference (its docs:
+    * "SAS binary writing is not supported"). lineitem flows through our
+    * sas7bdat writer and back through the reader (golden-tested against
+    * pandas on the reference fixture matrix), then the aggregate is
+    * hash-compared with DuckDB over the original parquet. Dates ride the
+    * DATE format; strings exercise the text-blob layout. */
+  def sasWriteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "lineitem.sas7bdat")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate").cast("date").as("l_shipdate"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_orderkey").cast("long")).as("sum_key"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  val sasWriteRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+      |  strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') AS max_ship
+      |FROM lineitem
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** SAS scan correctness: read a real ACS survey fixture (uncompressed,
     * 50 pages, page-range partitioned) and aggregate; the oracle reads the
     * committed pandas-exported golden parquet of the same file. */
@@ -550,6 +583,7 @@ object ReadstatQueries {
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
     "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),
+    "sas_write_roundtrip" -> (sasWriteRoundtrip _, sasWriteRoundtripSql),
     "xpt_roundtrip_agg" -> (xptRoundtrip _, xptRoundtripSql),
     "por_roundtrip_agg" -> (porRoundtrip _, porRoundtripSql),
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),

@@ -1,0 +1,437 @@
+package graft.spark.readstat.writers
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.sas.SasCore
+
+/** Binary .sas7bdat WRITER — BEYOND the reference, which explicitly does
+  * not support SAS binary writing (docs/write.md: "SAS binary writing is
+  * not supported; use `write_sas_csv_import`"). The layout follows the
+  * same community sas7bdat specification the reader implements
+  * (SasCore.scala; also pandas.read_sas and ReadStat), so files written
+  * here are readable by our own scan, pandas, and SAS itself.
+  *
+  * Emitted shape: 64-bit little-endian, UTF-8, uncompressed — one
+  * 1024-byte header, one or more META pages (row-size, column-size,
+  * column-text, column-name, column-attribute and one per-column format
+  * subheader), then DATA pages of fixed-width rows. Every field offset
+  * written here is one the reader (and pandas) actually consumes; the
+  * rest of each subheader is zero-filled at its authentic length.
+  *
+  * Distributed write is the same two-job shape as the other writers:
+  * job 1 aggregates exact max string widths + row count, job 2 encodes
+  * each partition into whole DATA pages (pages declare their own row
+  * count, so partition boundaries never need row padding), and the
+  * driver splices header + meta pages + page chunks. `multiFile=true`
+  * writes one self-contained .sas7bdat per partition instead.
+  */
+object SasBinaryWriter {
+
+  private val PageBitOffset = 32 // 64-bit layout
+  private val IntS = 8
+  private val HeaderLen = 1024
+  private val TextBlobCap = 32 * 1024 // u16 offsets cap a blob at 64 KiB
+
+  private[writers] final case class Col(name: String, ordinal: Int,
+      isChar: Boolean, width: Int, offset: Int, fmtName: String,
+      fmtWidth: Int, src: DataType)
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    val schema = df.schema
+    require(schema.nonEmpty, "sas7bdat writer: empty schema")
+    val varLabels = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varLabels", ""))
+    val varFormats = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varFormats", ""))
+    val colSet = schema.fieldNames.toSet
+    Seq("varLabels" -> varLabels.keySet, "varFormats" -> varFormats.keySet)
+      .foreach { case (opt, keys) =>
+        val unknown = keys.diff(colSet)
+        require(unknown.isEmpty,
+          s"sas7bdat writer: $opt names unknown column(s): ${unknown.mkString(", ")}")
+      }
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType | DateType | TimestampType | TimestampNTZType |
+             BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => ()
+        case other => throw new IllegalArgumentException(
+          s"sas7bdat writer: unsupported type $other for column ${f.name}")
+      }
+    }
+
+    // ---- job 1: exact row count + max observed string byte widths ----
+    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val aggs = count(lit(1)).as("__n") +:
+      strCols.map(c => max(octet_length(col(c))).as(c)).toIndexedSeq
+    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nObs = head.getLong(0)
+    val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
+      c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
+    }.toMap
+
+    // ---- column layout: numerics first (8-aligned doubles), then chars;
+    // name order stays the SCHEMA order via the name/attr entry order ----
+    val specs: Array[Col] = {
+      var off = 0
+      val nums = schema.fields.zipWithIndex.filter(_._1.dataType != StringType)
+      val chars = schema.fields.zipWithIndex.filter(_._1.dataType == StringType)
+      val placed = nums.map { case (f, i) =>
+        val (fn, fw) = f.dataType match {
+          case DateType => ("DATE", 9)
+          case TimestampType | TimestampNTZType => ("DATETIME", 20)
+          case _ => ("", 0)
+        }
+        val c = Col(f.name, i, isChar = false, 8, off, fn, fw, f.dataType)
+        off += 8; c
+      } ++ chars.map { case (f, i) =>
+        val c = Col(f.name, i, isChar = true, widths(f.name), off, "", 0,
+          f.dataType)
+        off += widths(f.name); c
+      }
+      // user formats override the derived ones (numeric only, like sav)
+      placed.map { c =>
+        varFormats.get(c.name) match {
+          case Some(spec0) =>
+            require(!c.isChar,
+              s"sas7bdat writer: varFormats.${c.name} targets a string column")
+            // "NAMEw.d" / "NAMEw." / "NAME": strip ".d", trailing digits
+            // become the display width (SAS format names cannot end in a
+            // digit, so the split is unambiguous)
+            val spec = spec0.trim
+            val noDec = spec.indexOf('.') match {
+              case -1 => spec
+              case i => spec.substring(0, i)
+            }
+            val nm = noDec.reverse.dropWhile(_.isDigit).reverse
+            require(nm.nonEmpty && nm.forall(ch =>
+                ch.isLetterOrDigit || ch == '_' || ch == '$'),
+              s"sas7bdat writer: cannot parse varFormats.${c.name} '$spec0'")
+            val w = noDec.substring(nm.length)
+            c.copy(fmtName = nm.toUpperCase,
+              fmtWidth = if (w.isEmpty) 0 else w.toInt)
+          case None => c
+        }
+      // row layout order is numerics-then-chars, but the DICTIONARY order
+      // (names/attrs/formats entries) must be schema order for read-back
+      }.sortBy(_.ordinal)
+    }
+    val rowLen = specs.map(_.width).sum
+    val pageLen = math.max(64 * 1024,
+      ((rowLen + PageBitOffset + 8 + 4095) / 4096) * 4096)
+    val rowsPerPage = (pageLen - PageBitOffset - 8) / rowLen
+    require(rowsPerPage >= 1, s"sas7bdat writer: row length $rowLen exceeds page capacity")
+
+    val dsName = options.getOrElse("tableName", {
+      val base = new File(path).getName
+      val dot = base.lastIndexOf('.')
+      (if (dot > 0) base.substring(0, dot) else base).toUpperCase
+    })
+    require(dsName.length <= 64 && dsName.forall(c => c >= 0x20 && c <= 0x7E),
+      "sas7bdat writer: tableName must be at most 64 printable-ASCII characters")
+
+    val spark = df.sparkSession
+    val specsB = spark.sparkContext.broadcast(specs)
+    val schemaB = spark.sparkContext.broadcast(schema)
+    val labelsB = spark.sparkContext.broadcast(varLabels)
+    val pageLenL = pageLen; val rowsPerPageL = rowsPerPage
+    val rowLenL = rowLen; val dsNameL = dsName
+
+    if (options.get("multiFile").exists(_.toBoolean)) {
+      val partPrefix = MultiFileParts.prepare(new File(path), "sas7bdat", options)
+      val counts: Array[Long] =
+        df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val f = File.createTempFile(s"graft_msas_${pid}_", ".chunk")
+            val rows = encodePages(it, specsB.value, schemaB.value, f,
+              pageLenL, rowsPerPageL, rowLenL)
+            val target = s"$path/$partPrefix" + f"$pid%05d.sas7bdat"
+            assemble(target, specsB.value, labelsB.value, rows, rowLenL,
+              pageLenL, rowsPerPageL, dsNameL, Seq(f.getAbsolutePath))
+            f.delete()
+            Iterator(rows)
+          }
+        }.collect()
+      require(counts.sum == nObs, s"row count drift: agg=$nObs write=${counts.sum}")
+      return
+    }
+
+    val chunks: Array[(Int, String, Long)] =
+      df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val f = File.createTempFile(s"graft_sas_${pid}_", ".chunk")
+          val rows = encodePages(it, specsB.value, schemaB.value, f,
+            pageLenL, rowsPerPageL, rowLenL)
+          Iterator((pid, f.getAbsolutePath, rows))
+        }
+      }.collect().sortBy(_._1)
+    require(chunks.map(_._3).sum == nObs,
+      s"row count drift: agg=$nObs write=${chunks.map(_._3).sum}")
+    assemble(path, specs, varLabels, nObs, rowLen, pageLen, rowsPerPage,
+      dsName, chunks.map(_._2).toIndexedSeq)
+    chunks.foreach(c => new File(c._2).delete())
+  }
+
+  /** Encode one partition's rows into whole DATA pages (each page
+    * declares its own row count, so a partially-filled final page is a
+    * valid page, not a format violation). */
+  private def encodePages(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      specs: Array[Col], schema: StructType, out: File,
+      pageLen: Int, rowsPerPage: Int, rowLen: Int): Long = {
+    val os = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
+    val page = new Array[Byte](pageLen)
+    var rowsOnPage = 0
+    var pos = PageBitOffset + 8
+    var total = 0L
+    def flushPage(): Unit = {
+      if (rowsOnPage > 0) {
+        java.util.Arrays.fill(page, pos, pageLen, 0.toByte)
+        putU16(page, PageBitOffset, SasCore.PtData)
+        putU16(page, PageBitOffset + 2, rowsOnPage)
+        putU16(page, PageBitOffset + 4, 0)
+        putU16(page, PageBitOffset + 6, 0)
+        os.write(page)
+        rowsOnPage = 0; pos = PageBitOffset + 8
+      }
+    }
+    val n = specs.length
+    while (it.hasNext) {
+      val row = it.next()
+      var i = 0
+      while (i < n) {
+        val c = specs(i)
+        val at = pos + c.offset
+        if (c.isChar) {
+          java.util.Arrays.fill(page, at, at + c.width, ' '.toByte)
+          if (!row.isNullAt(c.ordinal)) {
+            val ub = row.getUTF8String(c.ordinal).getBytes
+            System.arraycopy(ub, 0, page, at, ub.length)
+          }
+        } else {
+          val v: Double =
+            if (row.isNullAt(c.ordinal)) Double.NaN
+            else c.src match {
+              case BooleanType => if (row.getBoolean(c.ordinal)) 1.0 else 0.0
+              case ByteType => row.getByte(c.ordinal).toDouble
+              case ShortType => row.getShort(c.ordinal).toDouble
+              case IntegerType => row.getInt(c.ordinal).toDouble
+              case LongType => row.getLong(c.ordinal).toDouble
+              case FloatType => row.getFloat(c.ordinal).toDouble
+              case DoubleType => row.getDouble(c.ordinal)
+              case d: DecimalType =>
+                row.getDecimal(c.ordinal, d.precision, d.scale).toDouble
+              case DateType =>
+                (row.getInt(c.ordinal) + SasCore.EpochShiftDays).toDouble
+              case TimestampType | TimestampNTZType =>
+                row.getLong(c.ordinal) / 1e6 +
+                  SasCore.EpochShiftDays.toDouble * SasCore.SecondsPerDay
+              case other => throw new IllegalStateException(other.toString)
+            }
+          putI64(page, at, java.lang.Double.doubleToLongBits(v))
+        }
+        i += 1
+      }
+      pos += rowLen; rowsOnPage += 1; total += 1
+      if (rowsOnPage == rowsPerPage) flushPage()
+    }
+    flushPage()
+    os.close()
+    total
+  }
+
+  /** Header + meta pages + data page chunks → one valid .sas7bdat. */
+  private[writers] def assemble(path: String, specs: Array[Col],
+      varLabels: Map[String, String], rowCount: Long, rowLen: Int,
+      pageLen: Int, rowsPerPage: Int, dsName: String,
+      chunkFiles: Seq[String]): Unit = {
+    val metaPages = buildMetaPages(specs, varLabels, rowCount, rowLen,
+      pageLen, rowsPerPage)
+    val dataPages = chunkFiles.map(f => new File(f).length() / pageLen).sum
+    AtomicFile.write(path) { tmp =>
+      val os = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20)
+      os.write(buildHeader(pageLen, metaPages.length + dataPages.toInt, dsName))
+      metaPages.foreach(os.write)
+      val buf = new Array[Byte](1 << 20)
+      chunkFiles.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { os.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+      os.close()
+    }
+  }
+
+  private def buildHeader(pageLen: Int, pageCount: Int, dsName: String): Array[Byte] = {
+    val h = new Array[Byte](HeaderLen)
+    System.arraycopy(SasCore.Magic, 0, h, 0, 32)
+    h(32) = '3' // 64-bit (align2 = 4)
+    h(35) = '3' // align1 = 4
+    h(37) = 0x01 // little-endian
+    h(39) = '1' // unix
+    h(70) = 20 // encoding: UTF-8
+    putAscii(h, 84, "SAS FILE", 8)
+    putAscii(h, 92, dsName, 64)
+    putAscii(h, 156, "DATA", 8)
+    // creation/modification: fixed SAS-epoch seconds for deterministic
+    // output (2026-01-01, like the other writers' pinned dates)
+    val created = 2082844800.0
+    putI64(h, 168, java.lang.Double.doubleToLongBits(created)) // 164+a1
+    putI64(h, 176, java.lang.Double.doubleToLongBits(created)) // 172+a1
+    putI32(h, 200, HeaderLen) // 196+a1
+    putI32(h, 204, pageLen)   // 200+a1
+    putI32(h, 208, pageCount) // 204+a1
+    putAscii(h, 224, "9.0401M7", 8) // 216+a1+a2
+    putAscii(h, 232, "Linux", 16)   // host
+    h
+  }
+
+  /** All metadata subheaders packed into as many META pages as needed:
+    * pointer table grows from the page head, bodies from the tail. */
+  private def buildMetaPages(specs: Array[Col], varLabels: Map[String, String],
+      rowCount: Long, rowLen: Int, pageLen: Int,
+      rowsPerPage: Int): Seq[Array[Byte]] = {
+    // ---- text blobs: u16 total-size header + 6 pad, then strings;
+    // u16 offsets cap each blob, so chunk at 32 KiB ----
+    final case class Ref(idx: Int, off: Int, len: Int)
+    val blobs = scala.collection.mutable.ArrayBuffer[java.io.ByteArrayOutputStream]()
+    def newBlob(): Unit = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) // u16 size patched later
+      blobs += b
+    }
+    newBlob()
+    def addText(s: String): Ref = {
+      if (s.isEmpty) return Ref(0, 0, 0)
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      require(bytes.length <= TextBlobCap,
+        s"sas7bdat writer: text entry exceeds ${TextBlobCap}B: ${s.take(40)}…")
+      if (blobs.last.size() + bytes.length > TextBlobCap) newBlob()
+      val b = blobs.last
+      val off = b.size()
+      b.write(bytes)
+      // pad to 4 so entries stay aligned like SAS's own layout
+      while (b.size() % 4 != 0) b.write(' ')
+      Ref(blobs.length - 1, off, bytes.length)
+    }
+    val nameRefs = specs.map(c => addText(c.name))
+    val fmtRefs = specs.map(c => addText(c.fmtName))
+    val lblRefs = specs.map(c => addText(varLabels.getOrElse(c.name, "")))
+
+    // ---- subheader bodies, in the exact order the reader collects ----
+    def body(len: Int)(fill: Array[Byte] => Unit): Array[Byte] = {
+      val b = new Array[Byte](len); fill(b); b
+    }
+    val rowSize = body(808) { b => // pandas reads lcs/lcp at 682/706
+      putI32(b, 0, 0xF7F7F7F7)
+      putI64(b, 5 * IntS, rowLen)
+      putI64(b, 6 * IntS, rowCount)
+      putI64(b, 9 * IntS, specs.length) // colCountP1
+      putI64(b, 10 * IntS, 0)           // colCountP2
+      putI64(b, 15 * IntS, rowsPerPage) // mixPageRowCount
+    }
+    val colSize = body(24) { b =>
+      putI32(b, 0, 0xF6F6F6F6)
+      putI64(b, IntS, specs.length)
+    }
+    val textSubs = blobs.map { bl =>
+      val payload = bl.toByteArray
+      putU16(payload, 0, payload.length) // pandas text_block_size
+      body(IntS + payload.length) { b =>
+        putI32(b, 0, 0xFFFFFFFD)
+        System.arraycopy(payload, 0, b, IntS, payload.length)
+      }
+    }.toSeq
+    val colName = body(2 * IntS + 12 + 8 * specs.length) { b =>
+      putI32(b, 0, 0xFFFFFFFF); putI32(b, 4, 0xFFFFFFFF)
+      var e = IntS + 8
+      nameRefs.foreach { r =>
+        putU16(b, e, r.idx); putU16(b, e + 2, r.off); putU16(b, e + 4, r.len)
+        e += 8
+      }
+    }
+    val colAttrs = body(2 * IntS + 12 + (IntS + 8) * specs.length) { b =>
+      putI32(b, 0, 0xFFFFFFFC)
+      var e = IntS + 8
+      specs.foreach { c =>
+        putI64(b, e, c.offset)
+        putI32(b, e + IntS, c.width)
+        b(e + IntS + 6) = if (c.isChar) 2 else 1
+        e += IntS + 8
+      }
+    }
+    val fmtSubs = specs.indices.map { i =>
+      body(64) { b =>
+        putI32(b, 0, 0xFFFFFBFE)
+        val base = 3 * IntS
+        putU16(b, base + 16, specs(i).fmtWidth) // format width (display)
+        putU16(b, base + 22, fmtRefs(i).idx)
+        putU16(b, base + 24, fmtRefs(i).off)
+        putU16(b, base + 26, fmtRefs(i).len)
+        putU16(b, base + 28, lblRefs(i).idx)
+        putU16(b, base + 30, lblRefs(i).off)
+        putU16(b, base + 32, lblRefs(i).len)
+      }
+    }
+    val subheaders: Seq[Array[Byte]] =
+      Seq(rowSize, colSize) ++ textSubs ++ Seq(colName, colAttrs) ++ fmtSubs
+
+    // ---- pack into META pages ----
+    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var page = new Array[Byte](pageLen)
+    var nSub = 0
+    var tail = pageLen
+    def flush(): Unit = {
+      putU16(page, PageBitOffset, SasCore.PtMeta)
+      putU16(page, PageBitOffset + 2, nSub) // blockCount = subheader count
+      putU16(page, PageBitOffset + 4, nSub)
+      pages += page
+      page = new Array[Byte](pageLen); nSub = 0; tail = pageLen
+    }
+    subheaders.foreach { sh =>
+      val ptrEnd = PageBitOffset + 8 + (nSub + 1) * 3 * IntS
+      val bodyStart = ((tail - sh.length) / 8) * 8 // 8-aligned
+      if (bodyStart < ptrEnd) {
+        require(nSub > 0, s"sas7bdat writer: subheader of ${sh.length}B " +
+          s"cannot fit an empty $pageLen-byte page")
+        flush()
+      }
+      val start = ((tail - sh.length) / 8) * 8
+      System.arraycopy(sh, 0, page, start, sh.length)
+      val p = PageBitOffset + 8 + nSub * 3 * IntS
+      putI64(page, p, start)
+      putI64(page, p + IntS, sh.length)
+      page(p + 2 * IntS) = 0     // compression: none
+      page(p + 2 * IntS + 1) = 0 // type
+      nSub += 1; tail = start
+    }
+    if (nSub > 0) flush()
+    pages.toSeq
+  }
+
+  // little-endian primitives over byte arrays
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putI32(b: Array[Byte], off: Int, v: Int): Unit = {
+    var i = 0; var x = v
+    while (i < 4) { b(off + i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+  }
+  private def putI64(b: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0; var x = v
+    while (i < 8) { b(off + i) = (x & 0xff).toByte; x >>= 8; i += 1 }
+  }
+  private def putAscii(b: Array[Byte], off: Int, s: String, len: Int): Unit = {
+    val sb = s.getBytes(StandardCharsets.US_ASCII)
+    var i = 0
+    while (i < len) { b(off + i) = if (i < sb.length) sb(i) else ' '; i += 1 }
+  }
+}

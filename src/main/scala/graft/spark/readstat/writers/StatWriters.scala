@@ -24,9 +24,10 @@ object StatWriters {
           case "zsav" => "zsav"
           case "por" | "spss_por" => "por"
           case "xpt" => "xpt"
+          case "sas7bdat" | "sas" => "sas7bdat"
           case other => throw new IllegalArgumentException(
             s"readstat writer: unknown fileFormat '$other' (expected " +
-              "dta|stata|sav|spss|zsav|por|spss_por|xpt)")
+              "dta|stata|sav|spss|zsav|por|spss_por|xpt|sas7bdat)")
         })
     }
     // append (mode("append") / INSERT INTO) only makes sense for
@@ -59,9 +60,10 @@ object StatWriters {
     else if (lower.endsWith(".zsav")) SpssSavWriter.write(df, path, options, zlib = true)
     else if (lower.endsWith(".xpt")) XptWriterImpl.write(df, path, options)
     else if (lower.endsWith(".por")) PorWriterImpl.write(df, path, options)
+    else if (lower.endsWith(".sas7bdat")) SasBinaryWriter.write(df, path, options)
     else if (lower.endsWith(".csv")) SasCsvBundleWriter.write(df, path, options)
     else throw new IllegalArgumentException(
       s"readstat writer: unsupported extension for $path " +
-        "(expected .dta/.sav/.zsav/.xpt/.por/.csv[+sas script])")
+        "(expected .dta/.sav/.zsav/.xpt/.por/.sas7bdat/.csv[+sas script])")
   }
 }

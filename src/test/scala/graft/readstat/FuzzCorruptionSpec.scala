@@ -81,7 +81,7 @@ class FuzzCorruptionSpec extends SparkTestBase {
     p
   }
 
-  for (ext <- Seq("dta", "sav", "zsav", "xpt", "por")) {
+  for (ext <- Seq("dta", "sav", "zsav", "xpt", "por", "sas7bdat")) {
     test(s"fuzzed $ext reads throw or parse, never hang or over-allocate") {
       val src = writtenFile(ext)
       val rnd = new java.util.Random(0xC0FFEE + ext.hashCode)
@@ -89,7 +89,7 @@ class FuzzCorruptionSpec extends SparkTestBase {
     }
   }
 
-  test("fuzzed sas7bdat reads throw or parse, never hang or over-allocate") {
+  test("fuzzed reference sas7bdat fixture throws or parses, never hangs") {
     val src = res("fixtures/sas/test1.sas7bdat")
     val rnd = new java.util.Random(0xC0FFEE + 7)
     for (trial <- 0 until 40) fuzzOne(src, "sas7bdat", trial, rnd)

@@ -1,0 +1,155 @@
+package graft.readstat
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Binary .sas7bdat writer (BEYOND the reference, which refuses SAS
+  * binary writes): roundtrips through our own sas7bdat reader — the
+  * same parser that is golden-tested against pandas over the reference
+  * fixture matrix, so a value-exact roundtrip certifies the written
+  * layout, not just writer/reader symmetry.
+  */
+class SasWriterSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory("graft_saswr").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/$name"
+  }
+
+  test("all-types roundtrip: numerics, strings, temporals, nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 1.5, "alpha", java.sql.Date.valueOf("2020-03-01"),
+        java.sql.Timestamp.valueOf("2021-06-07 08:09:10.5"), true),
+      (2, -2.25, "b", java.sql.Date.valueOf("1959-12-31"),
+        java.sql.Timestamp.valueOf("1959-01-01 00:00:01"), false),
+      (3, 0.0, "", null, null, true)
+    ).toDF("id", "v", "s", "d", "ts", "flag")
+      .withColumn("v2", when(col("id") === 3, lit(null)).otherwise(col("v")))
+    val path = tmp("all.sas7bdat")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    // column ORDER survives even though the row layout packs numerics first
+    assert(back.columns.toSeq == Seq("id", "v", "s", "d", "ts", "flag", "v2"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, -2.25, 0.0))
+    // blank chars read as null under the default missingStringAsNull
+    assert(rows.map(_.getString(2)).toSeq == Seq("alpha", "b", null))
+    assert(rows(0).getAs[java.sql.Date](3).toString == "2020-03-01")
+    assert(rows(1).getAs[java.sql.Date](3).toString == "1959-12-31")
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4) && rows(2).isNullAt(6))
+    assert(rows(0).getAs[java.time.LocalDateTime](4).toString ==
+      "2021-06-07T08:09:10.500")
+    assert(rows.map(_.getDouble(5)).toSeq == Seq(1.0, 0.0, 1.0))
+    // the derived temporal formats typed the read-back columns
+    val md = graft.core.sas.SasCore.parse(path)
+    assert(md.columns.find(_.name == "d").get.format == "DATE")
+    assert(md.columns.find(_.name == "ts").get.format == "DATETIME")
+    assert(md.datasetName == "ALL")
+  }
+
+  test("multi-page multi-partition write reads back exactly") {
+    import spark.implicits._
+    val n = 200000 // ~3 MB of rows: tens of data pages across partitions
+    val df = (1 to n).map(i => (i.toLong, i * 0.5, s"value_$i"))
+      .toDF("id", "v", "s").repartition(7)
+    val path = tmp("big.sas7bdat")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.count() == n.toLong)
+    val agg = back.agg(
+      sum("id").cast("long"), sum("v"), count(when(col("s").isNull, 1))).collect()(0)
+    assert(agg.getLong(0) == (1 to n).map(_.toLong).sum)
+    assert(math.abs(agg.getDouble(1) - (1 to n).map(_ * 0.5).sum) < 1e-6)
+    assert(agg.getLong(2) == 0L)
+    // partitioned re-read sees the same data as sequential
+    val ids = back.select(sum(length(col("s"))).cast("long")).collect()(0).getLong(0)
+    assert(ids == (1 to n).map(i => s"value_$i".length.toLong).sum)
+  }
+
+  test("labels, formats, and tableName write into the metadata surface") {
+    import spark.implicits._
+    val df = Seq((1.0, 9.99, "x")).toDF("sex", "price", "tag")
+    val path = tmp("meta.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("varLabels", "sex:Respondent sex|tag:A tag")
+      .option("varFormats", "price:DOLLAR12.2")
+      .option("tableName", "SURVEY")
+      .save(path)
+    val md = graft.core.sas.SasCore.parse(path)
+    assert(md.columns.find(_.name == "sex").get.label == "Respondent sex")
+    assert(md.columns.find(_.name == "tag").get.label == "A tag")
+    assert(md.columns.find(_.name == "price").get.format == "DOLLAR")
+    assert(md.datasetName == "SURVEY")
+    val mdf = spark.read.format("readstat-metadata").load(path)
+      .select("name", "label", "format").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(mdf("sex").getString(1) == "Respondent sex")
+    assert(mdf("price").getString(2) == "DOLLAR")
+    // unknown column and string-format both fail loudly
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varLabels", "nosuch:X").save(tmp("bad1.sas7bdat"))
+    }.getMessage.contains("unknown column"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varFormats", "tag:A8").save(tmp("bad2.sas7bdat"))
+    }.getMessage.contains("string column"))
+  }
+
+  test("wide frame spills metadata across several META pages") {
+    import spark.implicits._
+    // 3000 columns × 24-char names ≈ 72 KB of name text + 48 KB of
+    // attr/name entries — cannot fit one 64 KiB page of subheaders
+    val nCols = 3000
+    val row = org.apache.spark.sql.Row.fromSeq((0 until nCols).map(_.toDouble))
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until nCols).map(i => org.apache.spark.sql.types.StructField(
+        f"very_long_column_name_$i%05d",
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row, row), 1), schema)
+    val path = tmp("wide.sas7bdat")
+    df.write.format("readstat").mode("overwrite").save(path)
+    val md = graft.core.sas.SasCore.parse(path)
+    assert(md.columns.length == nCols)
+    assert(md.columns.head.name == "very_long_column_name_00000")
+    assert(md.columns.last.name == f"very_long_column_name_${nCols - 1}%05d")
+    val back = spark.read.format("readstat").load(path)
+    assert(back.count() == 2L)
+    assert(back.select(f"very_long_column_name_${nCols - 1}%05d")
+      .collect().map(_.getDouble(0)).toSeq == Seq(nCols - 1.0, nCols - 1.0))
+  }
+
+  test("multiFile write: directory of self-contained sas7bdat parts") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartition(5)
+    val dir = tmp("multi.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("multiFile", "true").save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-\\d{5}\\.sas7bdat")).sortBy(_.getName)
+    assert(parts.length == 5)
+    val back = spark.read.format("readstat").load(dir)
+    assert(back.count() == 4000L)
+    assert(back.agg(sum("id").cast("long")).collect()(0).getLong(0) ==
+      (1 to 4000).map(_.toLong).sum)
+    val one = spark.read.format("readstat").load(parts(0).getAbsolutePath)
+    assert(one.count() > 0 && one.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("extension-less sas7bdat write roundtrips via fileFormat + sniff") {
+    import spark.implicits._
+    val df = Seq((1.0, "a"), (2.0, "b")).toDF("v", "s")
+    val p = tmp("staged_sas")
+    df.write.format("readstat").mode("overwrite")
+      .option("fileFormat", "sas").save(p)
+    val back = spark.read.format("readstat").load(p)
+    assert(back.count() == 2L)
+    assert(back.agg(sum("v")).collect()(0).getDouble(0) == 3.0)
+  }
+}
