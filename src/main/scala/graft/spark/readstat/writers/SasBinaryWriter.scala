@@ -331,7 +331,7 @@ object SasBinaryWriter {
       val b = new Array[Byte](len); fill(b); b
     }
     val rowSize = body(808) { b => // pandas reads lcs/lcp at 682/706
-      putI32(b, 0, 0xF7F7F7F7)
+      putI32(b, 0, 0xF7F7F7F7) // u64 form is sig + 4 zero bytes (pandas table)
       putI64(b, 5 * IntS, rowLen)
       putI64(b, 6 * IntS, rowCount)
       putI64(b, 9 * IntS, specs.length) // colCountP1
@@ -346,12 +346,12 @@ object SasBinaryWriter {
       val payload = bl.toByteArray
       putU16(payload, 0, payload.length) // pandas text_block_size
       body(IntS + payload.length) { b =>
-        putI32(b, 0, 0xFFFFFFFD)
+        putI64(b, 0, 0xFFFFFFFFFFFFFFFDL) // sign-extended, pandas u64 form
         System.arraycopy(payload, 0, b, IntS, payload.length)
       }
     }.toSeq
     val colName = body(2 * IntS + 12 + 8 * specs.length) { b =>
-      putI32(b, 0, 0xFFFFFFFF); putI32(b, 4, 0xFFFFFFFF)
+      putI64(b, 0, -1L) // FF×8
       var e = IntS + 8
       nameRefs.foreach { r =>
         putU16(b, e, r.idx); putU16(b, e + 2, r.off); putU16(b, e + 4, r.len)
@@ -359,7 +359,7 @@ object SasBinaryWriter {
       }
     }
     val colAttrs = body(2 * IntS + 12 + (IntS + 8) * specs.length) { b =>
-      putI32(b, 0, 0xFFFFFFFC)
+      putI64(b, 0, 0xFFFFFFFFFFFFFFFCL)
       var e = IntS + 8
       specs.foreach { c =>
         putI64(b, e, c.offset)
@@ -370,7 +370,7 @@ object SasBinaryWriter {
     }
     val fmtSubs = specs.indices.map { i =>
       body(64) { b =>
-        putI32(b, 0, 0xFFFFFBFE)
+        putI64(b, 0, 0xFFFFFFFFFFFFFBFEL)
         val base = 3 * IntS
         putU16(b, base + 16, specs(i).fmtWidth) // format width (display)
         putU16(b, base + 22, fmtRefs(i).idx)
