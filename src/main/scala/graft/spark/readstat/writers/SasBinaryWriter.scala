@@ -135,12 +135,19 @@ object SasBinaryWriter {
     require(dsName.length <= 64 && dsName.forall(c => c >= 0x20 && c <= 0x7E),
       "sas7bdat writer: tableName must be at most 64 printable-ASCII characters")
 
+    // `compression=rle` opts into SASYZCRL row compression (the reader
+    // and pandas both decode it); default is uncompressed
+    val rle = options.get("compression").map(_.trim.toLowerCase) match {
+      case None | Some("none") | Some("") => false
+      case Some("rle") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"sas7bdat writer: unknown compression '$other' (expected none|rle)")
+    }
     val spark = df.sparkSession
     val specsB = spark.sparkContext.broadcast(specs)
-    val schemaB = spark.sparkContext.broadcast(schema)
     val labelsB = spark.sparkContext.broadcast(varLabels)
     val pageLenL = pageLen; val rowsPerPageL = rowsPerPage
-    val rowLenL = rowLen; val dsNameL = dsName
+    val rowLenL = rowLen; val dsNameL = dsName; val rleL = rle
 
     if (options.get("multiFile").exists(_.toBoolean)) {
       val partPrefix = MultiFileParts.prepare(new File(path), "sas7bdat", options)
@@ -149,11 +156,12 @@ object SasBinaryWriter {
           if (!it.hasNext) Iterator.empty
           else {
             val f = File.createTempFile(s"graft_msas_${pid}_", ".chunk")
-            val rows = encodePages(it, specsB.value, schemaB.value, f,
-              pageLenL, rowsPerPageL, rowLenL)
+            val rows =
+              if (rleL) encodeRlePages(it, specsB.value, f, pageLenL, rowLenL)
+              else encodePages(it, specsB.value, f, pageLenL, rowsPerPageL, rowLenL)
             val target = s"$path/$partPrefix" + f"$pid%05d.sas7bdat"
             assemble(target, specsB.value, labelsB.value, rows, rowLenL,
-              pageLenL, rowsPerPageL, dsNameL, Seq(f.getAbsolutePath))
+              pageLenL, rowsPerPageL, dsNameL, Seq(f.getAbsolutePath), rleL)
             f.delete()
             Iterator(rows)
           }
@@ -167,15 +175,16 @@ object SasBinaryWriter {
         if (!it.hasNext) Iterator.empty
         else {
           val f = File.createTempFile(s"graft_sas_${pid}_", ".chunk")
-          val rows = encodePages(it, specsB.value, schemaB.value, f,
-            pageLenL, rowsPerPageL, rowLenL)
+          val rows =
+            if (rleL) encodeRlePages(it, specsB.value, f, pageLenL, rowLenL)
+            else encodePages(it, specsB.value, f, pageLenL, rowsPerPageL, rowLenL)
           Iterator((pid, f.getAbsolutePath, rows))
         }
       }.collect().sortBy(_._1)
     require(chunks.map(_._3).sum == nObs,
       s"row count drift: agg=$nObs write=${chunks.map(_._3).sum}")
     assemble(path, specs, varLabels, nObs, rowLen, pageLen, rowsPerPage,
-      dsName, chunks.map(_._2).toIndexedSeq)
+      dsName, chunks.map(_._2).toIndexedSeq, rle)
     chunks.foreach(c => new File(c._2).delete())
   }
 
@@ -183,7 +192,7 @@ object SasBinaryWriter {
     * declares its own row count, so a partially-filled final page is a
     * valid page, not a format violation). */
   private def encodePages(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      specs: Array[Col], schema: StructType, out: File,
+      specs: Array[Col], out: File,
       pageLen: Int, rowsPerPage: Int, rowLen: Int): Long = {
     val os = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
     val page = new Array[Byte](pageLen)
@@ -201,45 +210,102 @@ object SasBinaryWriter {
         rowsOnPage = 0; pos = PageBitOffset + 8
       }
     }
-    val n = specs.length
     while (it.hasNext) {
-      val row = it.next()
-      var i = 0
-      while (i < n) {
-        val c = specs(i)
-        val at = pos + c.offset
-        if (c.isChar) {
-          java.util.Arrays.fill(page, at, at + c.width, ' '.toByte)
-          if (!row.isNullAt(c.ordinal)) {
-            val ub = row.getUTF8String(c.ordinal).getBytes
-            System.arraycopy(ub, 0, page, at, ub.length)
-          }
-        } else {
-          val v: Double =
-            if (row.isNullAt(c.ordinal)) Double.NaN
-            else c.src match {
-              case BooleanType => if (row.getBoolean(c.ordinal)) 1.0 else 0.0
-              case ByteType => row.getByte(c.ordinal).toDouble
-              case ShortType => row.getShort(c.ordinal).toDouble
-              case IntegerType => row.getInt(c.ordinal).toDouble
-              case LongType => row.getLong(c.ordinal).toDouble
-              case FloatType => row.getFloat(c.ordinal).toDouble
-              case DoubleType => row.getDouble(c.ordinal)
-              case d: DecimalType =>
-                row.getDecimal(c.ordinal, d.precision, d.scale).toDouble
-              case DateType =>
-                (row.getInt(c.ordinal) + SasCore.EpochShiftDays).toDouble
-              case TimestampType | TimestampNTZType =>
-                row.getLong(c.ordinal) / 1e6 +
-                  SasCore.EpochShiftDays.toDouble * SasCore.SecondsPerDay
-              case other => throw new IllegalStateException(other.toString)
-            }
-          putI64(page, at, java.lang.Double.doubleToLongBits(v))
-        }
-        i += 1
-      }
+      writeRow(it.next(), specs, page, pos)
       pos += rowLen; rowsOnPage += 1; total += 1
       if (rowsOnPage == rowsPerPage) flushPage()
+    }
+    flushPage()
+    os.close()
+    total
+  }
+
+  private def writeRow(row: org.apache.spark.sql.catalyst.InternalRow,
+      specs: Array[Col], page: Array[Byte], pos: Int): Unit = {
+    var i = 0
+    while (i < specs.length) {
+      val c = specs(i)
+      val at = pos + c.offset
+      if (c.isChar) {
+        java.util.Arrays.fill(page, at, at + c.width, ' '.toByte)
+        if (!row.isNullAt(c.ordinal)) {
+          val ub = row.getUTF8String(c.ordinal).getBytes
+          System.arraycopy(ub, 0, page, at, ub.length)
+        }
+      } else {
+        val v: Double =
+          if (row.isNullAt(c.ordinal)) Double.NaN
+          else c.src match {
+            case BooleanType => if (row.getBoolean(c.ordinal)) 1.0 else 0.0
+            case ByteType => row.getByte(c.ordinal).toDouble
+            case ShortType => row.getShort(c.ordinal).toDouble
+            case IntegerType => row.getInt(c.ordinal).toDouble
+            case LongType => row.getLong(c.ordinal).toDouble
+            case FloatType => row.getFloat(c.ordinal).toDouble
+            case DoubleType => row.getDouble(c.ordinal)
+            case d: DecimalType =>
+              row.getDecimal(c.ordinal, d.precision, d.scale).toDouble
+            case DateType =>
+              (row.getInt(c.ordinal) + SasCore.EpochShiftDays).toDouble
+            case TimestampType | TimestampNTZType =>
+              row.getLong(c.ordinal) / 1e6 +
+                SasCore.EpochShiftDays.toDouble * SasCore.SecondsPerDay
+            case other => throw new IllegalStateException(other.toString)
+          }
+        putI64(page, at, java.lang.Double.doubleToLongBits(v))
+      }
+      i += 1
+    }
+  }
+
+  /** RLE variant: each row is a compressed data SUBHEADER (pointer
+    * compression=4, type=1) on pages of META type — the layout real
+    * SASYZCRL files use and both our reader and pandas decode. Rows that
+    * do not shrink are stored raw at full row length (readers copy
+    * instead of decompressing when length == rowLength). */
+  private def encodeRlePages(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      specs: Array[Col], out: File, pageLen: Int, rowLen: Int): Long = {
+    val os = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
+    val page = new Array[Byte](pageLen)
+    val rowBuf = new Array[Byte](rowLen)
+    var nSub = 0
+    var tail = pageLen
+    var total = 0L
+    def flushPage(): Unit = {
+      if (nSub > 0) {
+        putU16(page, PageBitOffset, SasCore.PtMeta)
+        putU16(page, PageBitOffset + 2, nSub)
+        putU16(page, PageBitOffset + 4, nSub)
+        os.write(page)
+        java.util.Arrays.fill(page, 0.toByte)
+        nSub = 0; tail = pageLen
+      }
+    }
+    while (it.hasNext) {
+      writeRow(it.next(), specs, rowBuf, 0)
+      val enc = rleEncode(rowBuf, 0, rowLen)
+      val body = if (enc != null) enc else {
+        // a raw-stored row whose head aliases a subheader signature
+        // would be routed as metadata by every reader of this format —
+        // refuse loudly rather than corrupt (astronomically rare:
+        // requires an incompressible row starting with the exact bytes)
+        require(!SasCore.isKnownMetadataSignature(rowBuf, 0, math.min(8, rowLen)),
+          "sas7bdat writer: row bytes alias a subheader signature and " +
+            "do not compress — write this frame with compression=none")
+        rowBuf.clone()
+      }
+      val ptrEnd = PageBitOffset + 8 + (nSub + 1) * 3 * IntS
+      if (tail - body.length < ptrEnd) flushPage()
+      require(tail - body.length >= PageBitOffset + 8 + 3 * IntS,
+        s"sas7bdat writer: row of ${body.length}B cannot fit a $pageLen-byte page")
+      val start = tail - body.length
+      System.arraycopy(body, 0, page, start, body.length)
+      val p = PageBitOffset + 8 + nSub * 3 * IntS
+      putI64(page, p, start)
+      putI64(page, p + IntS, body.length)
+      page(p + 2 * IntS) = 4     // compressed data subheader
+      page(p + 2 * IntS + 1) = 1 // data type
+      nSub += 1; tail = start; total += 1
     }
     flushPage()
     os.close()
@@ -250,9 +316,9 @@ object SasBinaryWriter {
   private[writers] def assemble(path: String, specs: Array[Col],
       varLabels: Map[String, String], rowCount: Long, rowLen: Int,
       pageLen: Int, rowsPerPage: Int, dsName: String,
-      chunkFiles: Seq[String]): Unit = {
+      chunkFiles: Seq[String], rle: Boolean = false): Unit = {
     val metaPages = buildMetaPages(specs, varLabels, rowCount, rowLen,
-      pageLen, rowsPerPage)
+      pageLen, rowsPerPage, rle)
     val dataPages = chunkFiles.map(f => new File(f).length() / pageLen).sum
     AtomicFile.write(path) { tmp =>
       val os = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20)
@@ -298,7 +364,7 @@ object SasBinaryWriter {
     * pointer table grows from the page head, bodies from the tail. */
   private def buildMetaPages(specs: Array[Col], varLabels: Map[String, String],
       rowCount: Long, rowLen: Int, pageLen: Int,
-      rowsPerPage: Int): Seq[Array[Byte]] = {
+      rowsPerPage: Int, rle: Boolean = false): Seq[Array[Byte]] = {
     // ---- text blobs: u16 total-size header + 6 pad, then strings;
     // u16 offsets cap each blob, so chunk at 32 KiB ----
     final case class Ref(idx: Int, off: Int, len: Int)
@@ -309,6 +375,9 @@ object SasBinaryWriter {
       blobs += b
     }
     newBlob()
+    // the compression literal lives at the head of the FIRST text blob —
+    // exactly where our reader and pandas look for it
+    if (rle) blobs.last.write("SASYZCRL".getBytes(StandardCharsets.US_ASCII))
     def addText(s: String): Ref = {
       if (s.isEmpty) return Ref(0, 0, 0)
       val bytes = s.getBytes(StandardCharsets.UTF_8)
@@ -415,6 +484,97 @@ object SasBinaryWriter {
     }
     if (nSub > 0) flush()
     pages.toSeq
+  }
+
+  /** SAS RLE (SASYZCRL) encoder — inverse of SasCore.Rle.decompress.
+    * Command set: literal copies (0x08-0x0B short, 0x00/0x01 long), byte
+    * fills (0x0C short / 0x04 long), and dedicated space/@/zero fills
+    * (0x0D-0x0F short, 0x05-0x07 long). The FIRST control byte is kept
+    * out of {0x00, 0xF6, 0xF7, 0xFC, 0xFD, 0xFE, 0xFF} so an encoded row
+    * can never collide with a metadata subheader signature (readers
+    * route pointers by signature first); when the natural first op would
+    * start with one of those, a 1-byte literal copy (0x08) is emitted
+    * first. Returns null when the encoding is not strictly smaller than
+    * the raw row. */
+  private[writers] def rleEncode(row: Array[Byte], from: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len)
+    var i = 0 // position within the row slice
+    var litStart = 0 // pending literal run start
+    def emitLiteral(s0: Int, n0: Int): Unit = {
+      var s = s0; var n = n0
+      while (n > 0) {
+        val t = math.min(n, 4159)
+        if (t <= 16) out.write(0x80 | (t - 1))
+        else if (t <= 32) out.write(0x90 | (t - 17))
+        else if (t <= 48) out.write(0xA0 | (t - 33))
+        else if (t <= 64) out.write(0xB0 | (t - 49))
+        else { val c = t - 64; out.write((c >> 8) & 0x0F); out.write(c & 0xFF) }
+        out.write(row, from + s, t)
+        s += t; n -= t
+      }
+    }
+    def emitFill(b: Byte, n0: Int): Unit = {
+      var n = n0
+      val minRun = if (b == 0x20 || b == 0x40 || b == 0x00) 2 else 3
+      while (n > 0) {
+        var t = math.min(n, 4112)
+        // never strand a tail shorter than the shortest fill command
+        if (n - t > 0 && n - t < minRun) t = n - minRun
+        b match {
+          case 0x20 =>
+            if (t <= 17) out.write(0xE0 | (t - 2))
+            else { val c = t - 17; out.write(0x60 | ((c >> 8) & 0x0F)); out.write(c & 0xFF) }
+          case 0x40 =>
+            if (t <= 17) out.write(0xD0 | (t - 2))
+            else { val c = t - 17; out.write(0x50 | ((c >> 8) & 0x0F)); out.write(c & 0xFF) }
+          case 0x00 =>
+            if (t <= 17) out.write(0xF0 | (t - 2))
+            else { val c = t - 17; out.write(0x70 | ((c >> 8) & 0x0F)); out.write(c & 0xFF) }
+          case other =>
+            if (t <= 18) { out.write(0xC0 | (t - 3)); out.write(other & 0xFF) }
+            else {
+              val c = math.min(t, 4113) - 18
+              out.write(0x40 | ((c >> 8) & 0x0F)); out.write(c & 0xFF)
+              out.write(other & 0xFF)
+            }
+        }
+        n -= t
+      }
+    }
+    def runLen(at: Int): Int = {
+      val b = row(from + at)
+      var j = at + 1
+      while (j < len && row(from + j) == b) j += 1
+      j - at
+    }
+    while (i < len) {
+      val r = runLen(i)
+      val b = row(from + i)
+      val special = b == 0x20 || b == 0x40 || b == 0x00
+      val worth = if (special) r >= 2 else r >= 4
+      if (worth) {
+        if (i > litStart) emitLiteral(litStart, i - litStart)
+        emitFill(b, r)
+        i += r; litStart = i
+      } else i += 1
+    }
+    if (len > litStart) emitLiteral(litStart, len - litStart)
+    val enc = out.toByteArray
+    if (enc.length >= len) null
+    else {
+      val f = enc(0) & 0xff
+      if (f == 0x00 || f >= 0xF6) {
+        // re-encode with a leading 1-byte literal so the stored head can
+        // never alias a subheader signature
+        val out2 = new java.io.ByteArrayOutputStream(len)
+        out2.write(0x80); out2.write(row(from) & 0xFF)
+        val rest = rleEncode(row, from + 1, len - 1)
+        if (rest == null) return null
+        out2.write(rest)
+        val enc2 = out2.toByteArray
+        if (enc2.length >= len) null else enc2
+      } else enc
+    }
   }
 
   // little-endian primitives over byte arrays

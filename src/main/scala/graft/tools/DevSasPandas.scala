@@ -20,18 +20,20 @@ import org.apache.spark.sql.SparkSession
 object DevSasPandas {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/pandas_check.sas7bdat")
+    val compression = if (args.length > 1) args(1) else "none"
     val spark = SparkSession.builder.master("local[2]").appName("devsas")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     Seq(
-      (1, 1.5, "alpha", java.sql.Date.valueOf("2020-03-01")),
+      (1, 1.5, "alpha" + " " * 60 + "padded", java.sql.Date.valueOf("2020-03-01")),
       (2, -2.25, "bee", java.sql.Date.valueOf("1959-12-31")),
       (3, 0.125, "sea", null.asInstanceOf[java.sql.Date])
     ).toDF("id", "v", "s", "d")
       .write.format("readstat").mode("overwrite")
-      .option("varLabels", "v:A value").save(out)
-    println(s"wrote $out")
+      .option("varLabels", "v:A value")
+      .option("compression", compression).save(out)
+    println(s"wrote $out ($compression)")
     spark.stop()
   }
 }

@@ -142,6 +142,52 @@ class SasWriterSpec extends SparkTestBase {
     assert(one.count() > 0 && one.columns.toSeq == Seq("id", "s"))
   }
 
+  test("rle-compressed write roundtrips and actually shrinks the file") {
+    import spark.implicits._
+    // padded strings + repeated values are the classic SAS payload that
+    // SASYZCRL exists for: the compressed file must be much smaller and
+    // decode identically through the (fixture-proven) RLE reader path
+    val n = 20000
+    // one 400-byte value forces the char width; every other row is a
+    // short tag padded with ~390 trailing blanks — the RLE sweet spot
+    val df = (1 to n).map { i =>
+      (i.toLong, i % 7 * 1.0, s"tag_${i % 5}",
+        if (i == 1) "x" * 400 else s"v$i")
+    }.toDF("id", "v", "tag", "s").repartition(3)
+    val pU = tmp("plain.sas7bdat")
+    val pC = tmp("rle.sas7bdat")
+    df.write.format("readstat").mode("overwrite").save(pU)
+    df.write.format("readstat").mode("overwrite")
+      .option("compression", "rle").save(pC)
+    val (szU, szC) = (new java.io.File(pU).length, new java.io.File(pC).length)
+    assert(szC < szU / 2, s"rle $szC not < half of $szU")
+    val md = graft.core.sas.SasCore.parse(pC)
+    assert(md.compression == 1, s"compression=${md.compression}")
+    val a = spark.read.format("readstat").load(pU)
+    val b = spark.read.format("readstat").load(pC)
+    assertSameData(b.orderBy("id"), a.orderBy("id"), "rle-vs-plain")
+    assert(b.count() == n.toLong)
+    // parallel partitioned re-read of the compressed file agrees too
+    assert(b.agg(sum("id").cast("long")).collect()(0).getLong(0) ==
+      (1 to n).map(_.toLong).sum)
+    // incompressible rows store raw at full row length and still read
+    val rnd = new java.util.Random(7)
+    val junk = (1 to 500).map { i =>
+      val bts = new Array[Byte](24); rnd.nextBytes(bts)
+      (i.toDouble, bts.map(x => ((x & 0x3f) + 48).toChar).mkString)
+    }.toDF("k", "r")
+    val pR = tmp("raw_rows.sas7bdat")
+    junk.write.format("readstat").mode("overwrite")
+      .option("compression", "rle").save(pR)
+    val back = spark.read.format("readstat").load(pR)
+    assert(back.count() == 500L)
+    assert(back.agg(sum("k")).collect()(0).getDouble(0) == (1 to 500).sum.toDouble)
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("compression", "zstd").save(tmp("bad.sas7bdat"))
+    }.getMessage.contains("none|rle"))
+  }
+
   test("extension-less sas7bdat write roundtrips via fileFormat + sniff") {
     import spark.implicits._
     val df = Seq((1.0, "a"), (2.0, "b")).toDF("v", "s")
