@@ -48,13 +48,34 @@ object SasBinaryWriter {
       options.getOrElse("varLabels", ""))
     val varFormats = StataDtaWriter.parseVarLabels(
       options.getOrElse("varFormats", ""))
+    // value labels: SAS keeps them in a FORMAT CATALOG, not the data
+    // file — labeled columns get a generated format name here and the
+    // catalog is written alongside (.option("catalog", …) on read joins
+    // them back). The reference can read catalogs but write neither.
+    val valueLabels = SasCsvBundleWriter.parseAnyValueLabels(
+      options.getOrElse("valueLabels", ""))
     val colSet = schema.fieldNames.toSet
-    Seq("varLabels" -> varLabels.keySet, "varFormats" -> varFormats.keySet)
+    Seq("varLabels" -> varLabels.keySet, "varFormats" -> varFormats.keySet,
+        "valueLabels" -> valueLabels.keySet)
       .foreach { case (opt, keys) =>
         val unknown = keys.diff(colSet)
         require(unknown.isEmpty,
           s"sas7bdat writer: $opt names unknown column(s): ${unknown.mkString(", ")}")
       }
+    // generated catalog format names: ≤8 chars, letter-led, 'F'-final
+    // (never digit-final, per SAS naming), '$'-prefixed for strings
+    val catFmtNames: Map[String, String] = {
+      val used = scala.collection.mutable.Set[String]()
+      valueLabels.keys.toSeq.sorted.map { c =>
+        val isStr = schema(c).dataType == StringType
+        var base = c.toUpperCase.filter(ch => ch.isLetterOrDigit || ch == '_')
+        if (base.isEmpty || !base(0).isLetter) base = "F" + base
+        var cand = base.take(6) + "F"
+        var i = 1
+        while (!used.add(cand)) { cand = base.take(5) + i + "F"; i += 1 }
+        c -> (if (isStr) "$" + cand.take(7) else cand)
+      }.toMap
+    }
     schema.fields.foreach { f =>
       f.dataType match {
         case StringType | DateType | TimestampType | TimestampNTZType |
@@ -119,6 +140,12 @@ object SasBinaryWriter {
         }
       // row layout order is numerics-then-chars, but the DICTIONARY order
       // (names/attrs/formats entries) must be schema order for read-back
+      }.map { c =>
+        // labeled columns reference their generated catalog format;
+        // an explicit varFormats entry still wins
+        if (c.fmtName.isEmpty && catFmtNames.contains(c.name))
+          c.copy(fmtName = catFmtNames(c.name))
+        else c
       }.sortBy(_.ordinal)
     }
     val rowLen = specs.map(_.width).sum
@@ -143,6 +170,29 @@ object SasBinaryWriter {
       case Some(other) => throw new IllegalArgumentException(
         s"sas7bdat writer: unknown compression '$other' (expected none|rle)")
     }
+    def writeCatalog(): Unit = if (valueLabels.nonEmpty) {
+      val numeric = scala.collection.mutable.Map[String, Map[Double, String]]()
+      val string = scala.collection.mutable.Map[String, Map[String, String]]()
+      valueLabels.foreach { case (c, pairs) =>
+        val fmt = catFmtNames(c)
+        if (schema(c).dataType == StringType)
+          string(fmt) = pairs.toMap
+        else
+          numeric(fmt) = pairs.map { case (code, l) =>
+            val d = try code.trim.toDouble catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"sas7bdat writer: valueLabels.$c code '$code' is not " +
+                  "numeric (the column is numeric)")
+            }
+            d -> l
+          }.toMap
+      }
+      val catPath = options.getOrElse("catalogPath",
+        if (options.get("multiFile").exists(_.toBoolean)) s"$path/formats.sas7bcat"
+        else path.replaceAll("(?i)\\.sas7bdat$", "") + ".sas7bcat")
+      SasCatalogWriter.write(catPath, numeric.toMap, string.toMap)
+    }
+
     val spark = df.sparkSession
     val specsB = spark.sparkContext.broadcast(specs)
     val labelsB = spark.sparkContext.broadcast(varLabels)
@@ -167,6 +217,7 @@ object SasBinaryWriter {
           }
         }.collect()
       require(counts.sum == nObs, s"row count drift: agg=$nObs write=${counts.sum}")
+      writeCatalog()
       return
     }
 
@@ -186,6 +237,7 @@ object SasBinaryWriter {
     assemble(path, specs, varLabels, nObs, rowLen, pageLen, rowsPerPage,
       dsName, chunks.map(_._2).toIndexedSeq, rle)
     chunks.foreach(c => new File(c._2).delete())
+    writeCatalog()
   }
 
   /** Encode one partition's rows into whole DATA pages (each page

@@ -188,6 +188,45 @@ class SasWriterSpec extends SparkTestBase {
     }.getMessage.contains("none|rle"))
   }
 
+  test("valueLabels write a sas7bcat catalog that labels the read-back") {
+    import spark.implicits._
+    // SAS keeps value labels in a catalog, not the data file: the writer
+    // assigns a generated format name and emits the sibling .sas7bcat;
+    // the reader's catalog option joins them back — full label roundtrip
+    // the reference cannot do in either direction (it only READS catalogs)
+    val df = Seq((1.0, "ab", 10.0), (2.0, "cd", 20.0), (1.0, "ab", 30.0))
+      .toDF("sex", "tag", "v")
+    val path = tmp("labeled.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female|tag:ab=Alpha,cd=Delta")
+      .save(path)
+    val catPath = path.stripSuffix(".sas7bdat") + ".sas7bcat"
+    assert(new java.io.File(catPath).isFile, "catalog not written")
+    val cat = graft.core.sas.SasCatalog.read(catPath)
+    assert(cat.numeric.values.toSeq.contains(Map(1.0 -> "Male", 2.0 -> "Female")),
+      cat.numeric.toString)
+    assert(cat.string.values.toSeq.contains(Map("ab" -> "Alpha", "cd" -> "Delta")),
+      cat.string.toString)
+    // the data file references the generated formats
+    val md = graft.core.sas.SasCore.parse(path)
+    assert(md.columns.find(_.name == "sex").get.format == cat.numeric.keys.head,
+      md.columns.map(c => c.name + "=" + c.format).mkString(","))
+    assert(md.columns.find(_.name == "v").get.format.isEmpty)
+    // end-to-end: the catalog option labels the numeric column
+    val back = spark.read.format("readstat")
+      .option("catalog", catPath)
+      .option("valueLabelsAsStrings", "true").load(path)
+    assert(back.select("sex").collect().map(_.getString(0)).toSeq ==
+      Seq("Male", "Female", "Male"))
+    // a unicode label survives the UTF-8 catalog encoding
+    val p2 = tmp("uni.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Homme — 男性,2=Femme").save(p2)
+    val cat2 = graft.core.sas.SasCatalog.read(
+      p2.stripSuffix(".sas7bdat") + ".sas7bcat")
+    assert(cat2.numeric.values.head(1.0) == "Homme — 男性")
+  }
+
   test("extension-less sas7bdat write roundtrips via fileFormat + sniff") {
     import spark.implicits._
     val df = Seq((1.0, "a"), (2.0, "b")).toDF("v", "s")
