@@ -624,13 +624,15 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
           Some(graft.spark.readstat.writers.SavStreamSink)
         else if (lower.endsWith(".xpt"))
           Some(graft.spark.readstat.writers.XptStreamSink)
+        else if (lower.endsWith(".sas7bdat"))
+          Some(graft.spark.readstat.writers.SasStreamSink)
         else None
       fmt.map(f => new graft.spark.readstat.writers.FixedWidthStreamingWrite(
         path, schema, options, queryId, f))
         .getOrElse(throw new IllegalArgumentException(
           "readstat streaming sink: single-file streaming supports .dta " +
-            "(reference sink_stata parity), uncompressed .sav, and .xpt; " +
-            "for zsav/por use foreachBatch with a multiFile directory"))
+            "(reference sink_stata parity), uncompressed .sav, .xpt, and " +
+            ".sas7bdat; for zsav/por use foreachBatch with a multiFile directory"))
     }
   }
 }

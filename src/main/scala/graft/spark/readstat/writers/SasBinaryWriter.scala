@@ -41,6 +41,70 @@ object SasBinaryWriter {
       isChar: Boolean, width: Int, offset: Int, fmtName: String,
       fmtWidth: Int, src: DataType)
 
+  /** Column layout shared by the batch writer and the streaming sink:
+    * numerics pack first (8-aligned doubles), chars follow at their
+    * widths, while the DICTIONARY order (name/attr/format entries) stays
+    * the schema order for read-back. Temporal columns derive
+    * DATE/DATETIME formats; varFormats entries override (numeric only).
+    */
+  private[writers] def layoutSpecs(schema: StructType,
+      widths: Map[String, Int],
+      varFormats: Map[String, String]): Array[Col] = {
+    var off = 0
+    val nums = schema.fields.zipWithIndex.filter(_._1.dataType != StringType)
+    val chars = schema.fields.zipWithIndex.filter(_._1.dataType == StringType)
+    val placed = nums.map { case (f, i) =>
+      val (fn, fw) = f.dataType match {
+        case DateType => ("DATE", 9)
+        case TimestampType | TimestampNTZType => ("DATETIME", 20)
+        case _ => ("", 0)
+      }
+      val c = Col(f.name, i, isChar = false, 8, off, fn, fw, f.dataType)
+      off += 8; c
+    } ++ chars.map { case (f, i) =>
+      val c = Col(f.name, i, isChar = true, widths(f.name), off, "", 0,
+        f.dataType)
+      off += widths(f.name); c
+    }
+    placed.map { c =>
+      varFormats.get(c.name) match {
+        case Some(spec0) =>
+          require(!c.isChar,
+            s"sas7bdat writer: varFormats.${c.name} targets a string column")
+          // "NAMEw.d" / "NAMEw." / "NAME": strip ".d", trailing digits
+          // become the display width (SAS format names cannot end in a
+          // digit, so the split is unambiguous)
+          val spec = spec0.trim
+          val noDec = spec.indexOf('.') match {
+            case -1 => spec
+            case i => spec.substring(0, i)
+          }
+          val nm = noDec.reverse.dropWhile(_.isDigit).reverse
+          require(nm.nonEmpty && nm.forall(ch =>
+              ch.isLetterOrDigit || ch == '_' || ch == '$'),
+            s"sas7bdat writer: cannot parse varFormats.${c.name} '$spec0'")
+          val w = noDec.substring(nm.length)
+          c.copy(fmtName = nm.toUpperCase,
+            fmtWidth = if (w.isEmpty) 0 else w.toInt)
+        case None => c
+      }
+    }.sortBy(_.ordinal)
+  }
+
+  /** Page geometry shared with the streaming sink: both sides must
+    * derive identical values from the row length alone. */
+  private[writers] def pageGeometry(rowLen: Int): (Int, Int) = {
+    val pageLen = math.max(64 * 1024,
+      ((rowLen + PageBitOffset + 8 + 4095) / 4096) * 4096)
+    val rowsPerPage = (pageLen - PageBitOffset - 8) / rowLen
+    require(rowsPerPage >= 1,
+      s"sas7bdat writer: row length $rowLen exceeds page capacity")
+    (pageLen, rowsPerPage)
+  }
+
+  private[writers] def dataPageStart: Int = PageBitOffset + 8
+  private[writers] def headerLen: Int = HeaderLen
+
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val schema = df.schema
     require(schema.nonEmpty, "sas7bdat writer: empty schema")
@@ -96,63 +160,15 @@ object SasBinaryWriter {
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
     }.toMap
 
-    // ---- column layout: numerics first (8-aligned doubles), then chars;
-    // name order stays the SCHEMA order via the name/attr entry order ----
-    val specs: Array[Col] = {
-      var off = 0
-      val nums = schema.fields.zipWithIndex.filter(_._1.dataType != StringType)
-      val chars = schema.fields.zipWithIndex.filter(_._1.dataType == StringType)
-      val placed = nums.map { case (f, i) =>
-        val (fn, fw) = f.dataType match {
-          case DateType => ("DATE", 9)
-          case TimestampType | TimestampNTZType => ("DATETIME", 20)
-          case _ => ("", 0)
-        }
-        val c = Col(f.name, i, isChar = false, 8, off, fn, fw, f.dataType)
-        off += 8; c
-      } ++ chars.map { case (f, i) =>
-        val c = Col(f.name, i, isChar = true, widths(f.name), off, "", 0,
-          f.dataType)
-        off += widths(f.name); c
-      }
-      // user formats override the derived ones (numeric only, like sav)
-      placed.map { c =>
-        varFormats.get(c.name) match {
-          case Some(spec0) =>
-            require(!c.isChar,
-              s"sas7bdat writer: varFormats.${c.name} targets a string column")
-            // "NAMEw.d" / "NAMEw." / "NAME": strip ".d", trailing digits
-            // become the display width (SAS format names cannot end in a
-            // digit, so the split is unambiguous)
-            val spec = spec0.trim
-            val noDec = spec.indexOf('.') match {
-              case -1 => spec
-              case i => spec.substring(0, i)
-            }
-            val nm = noDec.reverse.dropWhile(_.isDigit).reverse
-            require(nm.nonEmpty && nm.forall(ch =>
-                ch.isLetterOrDigit || ch == '_' || ch == '$'),
-              s"sas7bdat writer: cannot parse varFormats.${c.name} '$spec0'")
-            val w = noDec.substring(nm.length)
-            c.copy(fmtName = nm.toUpperCase,
-              fmtWidth = if (w.isEmpty) 0 else w.toInt)
-          case None => c
-        }
-      // row layout order is numerics-then-chars, but the DICTIONARY order
-      // (names/attrs/formats entries) must be schema order for read-back
-      }.map { c =>
-        // labeled columns reference their generated catalog format;
-        // an explicit varFormats entry still wins
-        if (c.fmtName.isEmpty && catFmtNames.contains(c.name))
-          c.copy(fmtName = catFmtNames(c.name))
-        else c
-      }.sortBy(_.ordinal)
+    // labeled columns reference their generated catalog format; an
+    // explicit varFormats entry still wins
+    val specs: Array[Col] = layoutSpecs(schema, widths, varFormats).map { c =>
+      if (c.fmtName.isEmpty && catFmtNames.contains(c.name))
+        c.copy(fmtName = catFmtNames(c.name))
+      else c
     }
     val rowLen = specs.map(_.width).sum
-    val pageLen = math.max(64 * 1024,
-      ((rowLen + PageBitOffset + 8 + 4095) / 4096) * 4096)
-    val rowsPerPage = (pageLen - PageBitOffset - 8) / rowLen
-    require(rowsPerPage >= 1, s"sas7bdat writer: row length $rowLen exceeds page capacity")
+    val (pageLen, rowsPerPage) = pageGeometry(rowLen)
 
     val dsName = options.getOrElse("tableName", {
       val base = new File(path).getName
@@ -272,7 +288,7 @@ object SasBinaryWriter {
     total
   }
 
-  private def writeRow(row: org.apache.spark.sql.catalyst.InternalRow,
+  private[writers] def writeRow(row: org.apache.spark.sql.catalyst.InternalRow,
       specs: Array[Col], page: Array[Byte], pos: Int): Unit = {
     var i = 0
     while (i < specs.length) {
@@ -388,7 +404,7 @@ object SasBinaryWriter {
     }
   }
 
-  private def buildHeader(pageLen: Int, pageCount: Int, dsName: String): Array[Byte] = {
+  private[writers] def buildHeader(pageLen: Int, pageCount: Int, dsName: String): Array[Byte] = {
     val h = new Array[Byte](HeaderLen)
     System.arraycopy(SasCore.Magic, 0, h, 0, 32)
     h(32) = '3' // 64-bit (align2 = 4)
@@ -414,7 +430,7 @@ object SasBinaryWriter {
 
   /** All metadata subheaders packed into as many META pages as needed:
     * pointer table grows from the page head, bodies from the tail. */
-  private def buildMetaPages(specs: Array[Col], varLabels: Map[String, String],
+  private[writers] def buildMetaPages(specs: Array[Col], varLabels: Map[String, String],
       rowCount: Long, rowLen: Int, pageLen: Int,
       rowsPerPage: Int, rle: Boolean = false): Seq[Array[Byte]] = {
     // ---- text blobs: u16 total-size header + 6 pad, then strings;

@@ -436,6 +436,103 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("single-file streaming .sas7bdat sink: epochs append into ONE valid file") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sassink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.sas7bdat"
+
+    val input = MemoryStream[(Long, Double, String)]
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("strWidth.s", "12")
+      .format("readstat").start(sink)
+    try {
+      input.addData((1L, 1.5, "a"), (2L, 2.5, "bb"))
+      query.processAllAvailable()
+      // file is complete and valid between commits
+      val mid = spark.read.format("readstat").load(sink)
+      assert(mid.count() == 2L)
+      // second epoch continues the PARTIAL last data page in place
+      input.addData((3L, 3.5, "ccc"))
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink)
+      assert(back.count() == 3L)
+      assert(back.columns.toSeq == Seq("id", "v", "s"))
+      assert(back.agg(sum("v")).collect()(0).getDouble(0) == 7.5)
+      assert(back.orderBy("id").select("s").collect()
+        .map(_.getString(0)).toSeq == Seq("a", "bb", "ccc"))
+      val md = graft.core.sas.SasCore.parse(sink)
+      assert(md.rowCount == 3L && md.compression == 0)
+      // over-width strings fail the task loudly, never truncate
+      input.addData((4L, 4.0, "x" * 13))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      assert(e.getMessage.contains("declared width") ||
+        Option(e.getCause).exists(_.getMessage.contains("declared width")),
+        e.getMessage)
+    } finally query.stop()
+  }
+
+  test("sas7bdat sink: replay skip, new-query append, drift refusal") {
+    import graft.spark.readstat.writers.SasStreamSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sasreplay").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/replay.sas7bdat"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "v DOUBLE, s STRING")
+    def chunk(x: Double, s: String, w: Int): (Int, String, Long) = {
+      val f = java.io.File.createTempFile("graft_saschunk", ".chunk")
+      val bb = java.nio.ByteBuffer.allocate(8 + w)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(x)
+      val sb = s.getBytes("UTF-8")
+      val pad = Array.fill[Byte](w)(' ')
+      System.arraycopy(sb, 0, pad, 0, sb.length)
+      bb.put(pad)
+      java.nio.file.Files.write(f.toPath, bb.array())
+      (0, f.getAbsolutePath, 1L)
+    }
+    val opts = Map("strWidth.s" -> "8")
+    SasStreamSink.commitEpoch(sink, 0L, Seq(chunk(1.0, "a", 8)), schema,
+      opts, queryId = "q1")
+    // same query replaying epoch 0: skipped
+    SasStreamSink.commitEpoch(sink, 0L, Seq(chunk(9.0, "dup", 8)), schema,
+      opts, queryId = "q1")
+    assert(spark.read.format("readstat").load(sink).count() == 1L)
+    // a NEW query appends from epoch 0 (fresh checkpoint, same file)
+    SasStreamSink.commitEpoch(sink, 0L, Seq(chunk(2.0, "b", 8)), schema,
+      opts, queryId = "q2")
+    val back = spark.read.format("readstat").load(sink)
+    assert(back.count() == 2L)
+    assert(back.agg(sum("v")).collect()(0).getDouble(0) == 3.0)
+    // width change = schema drift: refused before any byte moves
+    val e = intercept[IllegalArgumentException] {
+      SasStreamSink.commitEpoch(sink, 0L, Seq(chunk(3.0, "c", 16)), schema,
+        Map("strWidth.s" -> "16"), queryId = "q3")
+    }
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    // rle streaming is refused with a pointer at the batch writer
+    assert(intercept[IllegalArgumentException] {
+      SasStreamSink.commitEpoch(sink, 0L, Nil, schema,
+        opts + ("compression" -> "rle"), queryId = "q4")
+    }.getMessage.contains("rle"))
+    // crash healing: garbage past the committed boundary (a torn splice)
+    // is overwritten and truncated by the next commit
+    val raf = new java.io.RandomAccessFile(sink, "rw")
+    try {
+      raf.seek(raf.length())
+      raf.write(Array.fill[Byte](100000)(0x5A))
+    } finally raf.close()
+    SasStreamSink.commitEpoch(sink, 1L, Seq(chunk(4.0, "d", 8)), schema,
+      opts, queryId = "q2")
+    val healed = spark.read.format("readstat").load(sink)
+    assert(healed.count() == 3L)
+    assert(healed.agg(sum("v")).collect()(0).getDouble(0) == 7.0)
+  }
+
   test("sinks fail loudly on per-column options naming unknown columns") {
     // a typo'd column would otherwise silently lose the label/format the
     // user asked for (frame()/buildDictionary use getOrElse lookups) —
