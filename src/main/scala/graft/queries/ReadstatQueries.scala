@@ -539,6 +539,54 @@ object ReadstatQueries {
       |  round(sum(p_retailprice), 2) AS sum_price
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Single-file streaming .sas7bdat sink, two-epoch append (same drop
+    * choreography as the sav/xpt ones). sas7bdat is PAGE-structured, so
+    * this additionally certifies the page-aware splice: the second
+    * epoch must continue the committed partial DATA page in place and
+    * re-patch its block count — an off-by-one there surfaces as
+    * missing/phantom rows in the read-back aggregate. */
+  def sasStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val landing = scratch(d, "sas_stream_landing")
+    val sink = scratch(d, "sas_stream_single.sas7bdat")
+    val ckpt = scratch(d, "sas_stream_ckpt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(landing, sink, sink + ".stream_state", ckpt)
+      .foreach(p => rm(new java.io.File(p)))
+    val base = supplier(s, d).select(
+      col("s_suppkey").cast("double").as("s_suppkey"),
+      col("s_acctbal"), col("s_nationkey").cast("double").as("s_nationkey"))
+    base.filter(col("s_suppkey") % 2 === 0)
+      .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
+    val q = s.readStream.format("readstat")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "s_suppkey DOUBLE, s_acctbal DOUBLE, s_nationkey DOUBLE"))
+      .load(landing)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", ckpt)
+      .start(sink)
+    try {
+      q.processAllAvailable()
+      base.filter(col("s_suppkey") % 2 === 1)
+        .write.format("readstat").mode("overwrite").save(s"$landing/drop2.dta")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("readstat").load(sink)
+      .groupBy(col("s_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_suppkey").cast("long")).as("sum_key"),
+        round(sum("s_acctbal"), 2).as("sum_bal"))
+      .orderBy("nation")
+  }
+
+  val sasStreamSinkRoundtripSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nation, count(*) AS n,
+      |  CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+      |  round(sum(s_acctbal), 2) AS sum_bal
+      |FROM supplier GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** Heterogeneous DIRECTORY read: customer split into a .dta half (even
     * keys, 3 columns) and a .sav half (odd keys, + c_nationkey), loaded
     * back as ONE directory with mergeSchema — union-by-name, null-fill
@@ -579,6 +627,7 @@ object ReadstatQueries {
     "stata_stream_sink" -> (dtaStreamSinkRoundtrip _, dtaStreamSinkRoundtripSql),
     "spss_stream_sink" -> (savStreamSinkRoundtrip _, savStreamSinkRoundtripSql),
     "xpt_stream_sink" -> (xptStreamSinkRoundtrip _, xptStreamSinkRoundtripSql),
+    "sas_stream_sink" -> (sasStreamSinkRoundtrip _, sasStreamSinkRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
