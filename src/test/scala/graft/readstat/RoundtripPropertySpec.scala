@@ -169,14 +169,21 @@ class RoundtripPropertySpec extends SparkTestBase {
         spark.sparkContext.parallelize(rows.toIndexedSeq, 2), schema)
       val dir = Files.createTempDirectory("graft_prop").toFile
       dir.deleteOnExit()
-      Seq("p.dta", "p.sav").foreach { name =>
+      Seq("p.dta" -> Map.empty[String, String],
+          "p.sav" -> Map.empty[String, String],
+          "p.sas7bdat" -> Map.empty[String, String],
+          "p_rle.sas7bdat" -> Map("compression" -> "rle")).foreach {
+        case (name, opts) =>
         val path = s"${dir.getAbsolutePath}/$name"
-        df.write.format("readstat").mode("overwrite").save(path)
+        val w = df.write.format("readstat").mode("overwrite")
+        opts.foreach { case (k, v) => w.option(k, v) }
+        w.save(path)
         val back = spark.read.format("readstat")
           .option("missingStringAsNull", "false").load(path)
-        // normalize: dta keeps Int as int; sav stores all numerics as f64.
-        // Nulls and empty strings coincide under missingStringAsNull=false
-        // except that a written null string reads back as "".
+        // normalize: dta keeps Int as int; sav/sas store all numerics as
+        // f64. Nulls and empty strings coincide under
+        // missingStringAsNull=false except that a written null string
+        // reads back as "".
         import org.apache.spark.sql.functions._
         val wantDf = df
           .withColumn("i", col("i").cast(DoubleType))
