@@ -151,13 +151,44 @@ object StataDtaWriter {
           s"stata writer: $opt names unknown column(s): ${unknown.mkString(", ")}")
       }
 
+    // ---- write-side informative nulls (BEYOND the reference, whose
+    // writer flattens user missings to sysmiss): `taggedMissings` maps a
+    // numeric data column to a STRING indicator column carrying
+    // '.'/'.a'-'.z'. The indicator column is dropped from the output and
+    // its tag rides the missing sentinel (byte/int/long step by n,
+    // float by n<<11, double by n<<40) — the exact inverse of the
+    // read-side informativeNulls separate-column capture, so a
+    // read → write → read roundtrip preserves Stata user missings.
+    val taggedMissings: Map[String, String] =
+      parseVarLabels(options.getOrElse("taggedMissings", ""))
+    taggedMissings.foreach { case (dataCol, indCol) =>
+      require(colNames(dataCol),
+        s"stata writer: taggedMissings names unknown column '$dataCol'")
+      require(colNames(indCol.trim),
+        s"stata writer: taggedMissings.$dataCol indicator column '${indCol.trim}' not found")
+      require(schema(indCol.trim).dataType == StringType,
+        s"stata writer: taggedMissings.$dataCol indicator '${indCol.trim}' must be a string column")
+      require(schema(dataCol).dataType != StringType,
+        s"stata writer: taggedMissings.$dataCol targets a string column — " +
+          "tags ride numeric missing sentinels only")
+    }
+    val tagByData: Map[String, String] =
+      taggedMissings.map { case (d, ind) => d -> ind.trim }
+    val indicatorCols = tagByData.values.toSet
+    require(tagByData.keySet.intersect(indicatorCols).isEmpty,
+      "stata writer: a taggedMissings indicator column cannot itself be tagged")
+    val writtenFields: Array[StructField] =
+      schema.fields.filterNot(f => indicatorCols(f.name))
+    require(writtenFields.nonEmpty,
+      "stata writer: taggedMissings drops every column")
+
     // ---- job 1: row count + max string byte-widths + numeric ranges ----
-    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val strCols = writtenFields.filter(_.dataType == StringType).map(_.name)
     // Promotable integer-backed columns: their natural Stata storage type
     // has a valid range narrower than the Spark type, so job 1 also
     // collects min/max (as the value Stata would store) to decide whether
     // to widen the storage type.
-    val rangeCols = schema.fields.filter(f => f.dataType match {
+    val rangeCols = writtenFields.filter(f => f.dataType match {
       case ByteType | ShortType | IntegerType | DateType => true
       case _ => false
     }).map(_.name)
@@ -200,7 +231,7 @@ object StataDtaWriter {
     }
 
     val usedNames = scala.collection.mutable.Set[String]()
-    val cols: Array[ColSpec] = schema.fields.map { f =>
+    val cols: Array[ColSpec] = writtenFields.map { f =>
       val w: W = f.dataType match {
         case BooleanType => WByte
         case ByteType => if (fits(f.name, ByteMin, ByteMax)) WByte else WInt
@@ -229,6 +260,11 @@ object StataDtaWriter {
       ColSpec(f.name, stataName(f.name, usedNames), w, fmt, f.dataType)
     }
     val rowLen = cols.map(_.w.width).sum
+    // row ordinals for the encoder: the written schema is a projection
+    // of the incoming rows when indicator columns are dropped
+    val ordinalsArr: Array[Int] = writtenFields.map(f => schema.fieldIndex(f.name))
+    val tagOrdinalsArr: Array[Int] = writtenFields.map(f =>
+      tagByData.get(f.name).map(schema.fieldIndex).getOrElse(-1))
 
     // ---- version selection (before job 2: 114/117 encode differently) ----
     // auto matches the reference (writer.rs choose_dta_version): 119
@@ -288,6 +324,8 @@ object StataDtaWriter {
     if (options.get("multiFile").exists(_.toBoolean)) {
       val partPrefix = MultiFileParts.prepare(new File(path), "dta", options)
       val specsB = spark.sparkContext.broadcast(cols)
+      val ordsB = spark.sparkContext.broadcast(ordinalsArr)
+      val tagOrdsB = spark.sparkContext.broadcast(tagOrdinalsArr)
       val vls = valueLabels
       val mvl = varLabels
       val counts: Array[Long] =
@@ -302,7 +340,8 @@ object StataDtaWriter {
             val gso = new BufferedOutputStream(new FileOutputStream(gsoF), 1 << 20)
             // v16 = 1: each part file is self-contained, so strL refs
             // restart as if it were a single-chunk file
-            val enc = new RowEncoder(specs, version, cs2, 1, out, gso)
+            val enc = new RowEncoder(specs, version, cs2, 1, out, gso,
+              ordsB.value, tagOrdsB.value)
             it.foreach(enc.encode)
             out.close(); gso.close()
             val rows = enc.rows
@@ -324,6 +363,8 @@ object StataDtaWriter {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Files.createDirectories(Paths.get(scratch))
     val specsB = spark.sparkContext.broadcast(cols)
+    val ordsB = spark.sparkContext.broadcast(ordinalsArr)
+    val tagOrdsB = spark.sparkContext.broadcast(tagOrdinalsArr)
     // toRdd: encode straight from InternalRows — df.rdd would deserialize
     // every row into external Row objects (java.sql.Date etc.) first
     val chunks: Array[(Int, String, String, Long)] = // (pid, dataFile, gsoFile, rows)
@@ -334,7 +375,8 @@ object StataDtaWriter {
         val gsoF = File.createTempFile(s"graft_gso_${pid}_", ".chunk", new File(scratch))
         val out = new BufferedOutputStream(new FileOutputStream(dataF), 1 << 20)
         val gso = new BufferedOutputStream(new FileOutputStream(gsoF), 1 << 20)
-        val enc = new RowEncoder(specs, version, cs, pid + 1, out, gso)
+        val enc = new RowEncoder(specs, version, cs, pid + 1, out, gso,
+          ordsB.value, tagOrdsB.value)
         it.foreach(enc.encode)
         out.close(); gso.close()
         Iterator((pid, dataF.getAbsolutePath, gsoF.getAbsolutePath, enc.rows))
@@ -378,7 +420,15 @@ object StataDtaWriter {
     */
   private[writers] final class RowEncoder(specs: Array[ColSpec], version: Int,
       cs: java.nio.charset.Charset, v16: Int,
-      out: java.io.OutputStream, gso: java.io.OutputStream) {
+      out: java.io.OutputStream, gso: java.io.OutputStream,
+      // row ordinals per spec (the written schema may be a projection of
+      // the incoming rows when taggedMissings drops indicator columns)
+      // and the indicator-column ordinal per spec (-1 = none)
+      ordinals: Array[Int] = null, tagOrdinals: Array[Int] = null) {
+    private val ords: Array[Int] =
+      if (ordinals != null) ordinals else specs.indices.toArray
+    private val tagOrds: Array[Int] =
+      if (tagOrdinals != null) tagOrdinals else Array.fill(specs.length)(-1)
     private val rowLen = specs.map(_.w.width).sum
     private val buf = new Array[Byte](math.max(rowLen, 1))
     private val bb =
@@ -410,13 +460,30 @@ object StataDtaWriter {
       if (utf8) row.getUTF8String(i).getBytes
       else row.getUTF8String(i).toString.getBytes(cs) // legacy 1252
 
-    private def buildCell(spec: ColSpec, i: Int): Cell = spec.w match {
+    /** Tag index for a missing cell: 0 = plain sysmiss, 1-26 = .a-.z
+      * from the indicator column (write-side informative nulls — the
+      * inverse of the read-side separate-column capture). */
+    private def tagK(row: org.apache.spark.sql.catalyst.InternalRow,
+        tag: Int): Int = {
+      if (tag < 0 || row.isNullAt(tag)) return 0
+      val s = row.getUTF8String(tag).toString.trim
+      if (s.isEmpty || s == ".") 0
+      else if (s.length == 2 && s.charAt(0) == '.' &&
+          s.charAt(1) >= 'a' && s.charAt(1) <= 'z') s.charAt(1) - 'a' + 1
+      else throw new IllegalArgumentException(
+        s"stata writer: taggedMissings indicator value '$s' is not '.' or " +
+          "'.a'-'.z' — if the source was read with informative nulls, use " +
+          "informativeNullUseValueLabels=false so indicators keep their " +
+          "code form")
+    }
+
+    private def buildCell(spec: ColSpec, i: Int, tag: Int): Cell = spec.w match {
       case WByte => spec.src match {
         case BooleanType => row =>
-          if (row.isNullAt(i)) bb.put(0x65.toByte)
+          if (row.isNullAt(i)) bb.put((0x65 + tagK(row, tag)).toByte)
           else bb.put(if (row.getBoolean(i)) 1.toByte else 0.toByte)
         case _ => row =>
-          if (row.isNullAt(i)) bb.put(0x65.toByte)
+          if (row.isNullAt(i)) bb.put((0x65 + tagK(row, tag)).toByte)
           else {
             val v = row.getByte(i).toInt
             if (v < ByteMin || v > ByteMax) outOfRange(spec, v, ByteMin, ByteMax)
@@ -430,7 +497,7 @@ object StataDtaWriter {
             case _ => (r, j) => r.getShort(j).toInt
           }
         row =>
-          if (row.isNullAt(i)) bb.putShort(0x7fe5.toShort)
+          if (row.isNullAt(i)) bb.putShort((0x7fe5 + tagK(row, tag)).toShort)
           else {
             val v = get(row, i)
             if (v < IntMin || v > IntMax) outOfRange(spec, v, IntMin, IntMax)
@@ -445,15 +512,23 @@ object StataDtaWriter {
             case _ => (r, j) => r.getInt(j).toLong
           }
         row =>
-          if (row.isNullAt(i)) bb.putInt(0x7fffffe5)
+          if (row.isNullAt(i)) bb.putInt(0x7fffffe5 + tagK(row, tag))
           else {
             val v = get(row, i)
             if (v < LongMin || v > LongMax) outOfRange(spec, v, LongMin, LongMax)
             bb.putInt(v.toInt)
           }
       case WFloat => row =>
-        if (row.isNullAt(i)) bb.putInt(0x7f000000)
-        else bb.putFloat(row.getFloat(i))
+        // float user-missings step by n<<11 (stata.com/help.cgi?missing).
+        // The read side surfaces TAGGED missings as NaN values (sysmiss
+        // as null), so a NaN with a tag re-encodes as that tag — the
+        // read→write→read fixpoint.
+        if (row.isNullAt(i)) bb.putInt(0x7f000000 + (tagK(row, tag) << 11))
+        else {
+          val v = row.getFloat(i)
+          val k = if (v.isNaN) tagK(row, tag) else 0
+          if (k > 0) bb.putInt(0x7f000000 + (k << 11)) else bb.putFloat(v)
+        }
       case WDouble =>
         val get: (org.apache.spark.sql.catalyst.InternalRow, Int) => Double =
           spec.src match {
@@ -472,8 +547,16 @@ object StataDtaWriter {
             case _ => (r, j) => r.getDouble(j)
           }
         row =>
-          if (row.isNullAt(i)) bb.putLong(0x7fe0000000000000L)
-          else bb.putDouble(get(row, i))
+          // double user-missings step by n<<40; NaN + tag re-encodes as
+          // the tag (see WFloat)
+          if (row.isNullAt(i))
+            bb.putLong(0x7fe0000000000000L + (tagK(row, tag).toLong << 40))
+          else {
+            val v = get(row, i)
+            val k = if (v.isNaN) tagK(row, tag) else 0
+            if (k > 0) bb.putLong(0x7fe0000000000000L + (k.toLong << 40))
+            else bb.putDouble(v)
+          }
       case WStr(w) => row => {
         val start = bb.position()
         if (!row.isNullAt(i)) {
@@ -517,7 +600,7 @@ object StataDtaWriter {
     }
 
     private val cells: Array[Cell] =
-      specs.zipWithIndex.map { case (s, i) => buildCell(s, i) }
+      specs.zipWithIndex.map { case (s, i) => buildCell(s, ords(i), tagOrds(i)) }
 
     def encode(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       bb.clear()

@@ -441,6 +441,71 @@ class StataWriterSpec extends SparkTestBase {
       (1 to 40).map(_ * 2.0).sum)
   }
 
+  test("taggedMissings write .a-.z sentinels that roundtrip informative nulls") {
+    import spark.implicits._
+    // write-side informative nulls (inverse of the read-side capture;
+    // the reference writer flattens user missings to sysmiss): a string
+    // indicator column drives the sentinel tag per storage type —
+    // byte/int/long step by n, float by n<<11, double by n<<40
+    val df = Seq(
+      (Some(1.toByte), None: Option[String], Some(10), None: Option[String],
+        Some(1.5f), None: Option[String], Some(2.5), None: Option[String]),
+      (None, Some(".a"), None, Some(".b"), None, Some(".c"), None, Some(".d")),
+      (None, None, None, None, None, None, None, None),
+      (None, Some(".z"), None, Some(".z"), None, Some(".z"), None, Some(".z")),
+      (None, Some("."), None, Some("."), None, Some("."), None, Some("."))
+    ).toDF("b", "b_null", "i", "i_null", "f", "f_null", "d", "d_null")
+    val path = tmp("tagged.dta")
+    df.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "b:b_null|i:i_null|f:f_null|d:d_null")
+      .save(path)
+    val back = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullUseValueLabels", "false").load(path)
+    // indicator columns were dropped from the file and re-derived on read
+    assert(back.columns.toSeq ==
+      Seq("b", "b_null", "i", "i_null", "f", "f_null", "d", "d_null"))
+    def inds(c: String): Seq[String] =
+      back.select(c).collect().map(r => Option(r.getString(0)).orNull).toSeq
+    // '.' and absent indicators both mean plain sysmiss → null on read
+    assert(inds("b_null") == Seq(null, ".a", null, ".z", null))
+    assert(inds("i_null") == Seq(null, ".b", null, ".z", null))
+    assert(inds("f_null") == Seq(null, ".c", null, ".z", null))
+    assert(inds("d_null") == Seq(null, ".d", null, ".z", null))
+    // values untouched; tagged float/double cells read as NaN (the
+    // reader's documented behavior), sysmiss as null, int family as null
+    val dVals = back.select("d").collect().map(r =>
+      if (r.isNullAt(0)) "null"
+      else if (r.getDouble(0).isNaN) "NaN" else r.getDouble(0).toString)
+    assert(dVals.toSeq == Seq("2.5", "NaN", "null", "NaN", "null"), dVals.toSeq)
+    assert(back.select(col("b").cast("double")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(1.0, null, null, null, null))
+    // full symmetry: read1 → write(taggedMissings) → read2 is identical
+    val p2 = tmp("tagged2.dta")
+    back.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "b:b_null|i:i_null|f:f_null|d:d_null")
+      .save(p2)
+    val back2 = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullUseValueLabels", "false").load(p2)
+    assertSameData(back2, back, "tagged-roundtrip")
+    // bad indicator values and mis-targeted options fail loudly
+    assert(intercept[Exception] {
+      Seq((None: Option[Double], Some("missing"))).toDF("v", "v_null")
+        .write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "v:v_null").save(tmp("badtag.dta"))
+    }.getMessage.contains("'.a'-'.z'"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "b:nosuch").save(tmp("badcol.dta"))
+    }.getMessage.contains("not found"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "b_null:b").save(tmp("badtype.dta"))
+    }.getMessage.contains("string column"))
+  }
+
   test("fileFormat write override + magic-byte sniff read extension-less paths") {
     import spark.implicits._
     // reference write_readstat(format=...) overrides suffix detection;
