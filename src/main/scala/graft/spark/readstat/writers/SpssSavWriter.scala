@@ -116,12 +116,18 @@ object SpssSavWriter {
       metaFil(_.alignments) ++
       StataDtaWriter.parseVarLabels(options.getOrElse("varAlignments", ""))
         .map { case (c, a) => c -> a.trim.toLowerCase }
+    // write-side declared missing values (beyond the reference writer):
+    // numerics take discrete values and/or a "lo..hi" range; strings
+    // take discrete values (var-record slots ≤8 bytes, subtype 22 above)
+    val missingValues: Map[String, MissSpec] =
+      parseMissingValues(options.getOrElse("missingValues", ""))
     val colNames = schema.fieldNames.toSet
     Seq("varFormats" -> varFormats.keySet,
         "varMeasures" -> varMeasures.keySet,
         "varLabels" -> varLabels.keySet,
         "varDisplayWidths" -> varDisplayWidths.keySet,
-        "varAlignments" -> varAlignments.keySet)
+        "varAlignments" -> varAlignments.keySet,
+        "missingValues" -> missingValues.keySet)
       .foreach { case (opt, keys) =>
         val unknown = keys.diff(colNames)
         require(unknown.isEmpty,
@@ -191,6 +197,7 @@ object SpssSavWriter {
       val vmB = varMeasures
       val vdwB = varDisplayWidths
       val vaB = varAlignments
+      val mvB = missingValues
       val counts: Array[Long] =
         df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
           if (!it.hasNext) Iterator.empty
@@ -219,7 +226,7 @@ object SpssSavWriter {
               raw.close()
             }
             val dictLocal = buildDictionary(specs, rows, zlibB, vls, vlbB,
-              vmB, vdwB, vaB)
+              vmB, vdwB, vaB, mvB)
             assembleSav(s"$path/$partPrefix" + f"$pid%05d.$ext", dictLocal, zlibB,
               Seq(f.getAbsolutePath), blocks)
             f.delete()
@@ -268,7 +275,7 @@ object SpssSavWriter {
 
     // ---- driver: header + dictionary, then splice chunks ----
     val dict = buildDictionary(cols, nObs, zlib, valueLabels, varLabels,
-      varMeasures, varDisplayWidths, varAlignments)
+      varMeasures, varDisplayWidths, varAlignments, missingValues)
     assembleSav(path, dict, zlib, chunks.map(_._2).toIndexedSeq,
       chunks.flatMap(_._4).toIndexedSeq)
     chunks.foreach(c => new File(c._2).delete())
@@ -514,12 +521,48 @@ object SpssSavWriter {
     }
   }
 
+  /** Declared missing values (write-side; the reference writer has no
+    * missing-value surface): per column, up to three discrete values, or
+    * a numeric range "lo..hi" plus at most one discrete. Read back via
+    * the var-record missing fields (numerics and ≤8-byte strings) or a
+    * subtype-22 record (longer strings, discrete only).
+    */
+  private[writers] final case class MissSpec(range: Option[(Double, Double)],
+      discrete: Seq[String])
+
+  private[writers] def parseMissingValues(spec: String): Map[String, MissSpec] =
+    StataDtaWriter.parseVarLabels(spec).map { case (c, body) =>
+      var range: Option[(Double, Double)] = None
+      val discrete = Seq.newBuilder[String]
+      body.split(",").map(_.trim).filter(_.nonEmpty).foreach { e =>
+        val i = e.indexOf("..")
+        if (i > 0) {
+          require(range.isEmpty,
+            s"sav writer: missingValues.$c declares more than one range")
+          val (lo, hi) = (e.substring(0, i).trim, e.substring(i + 2).trim)
+          try range = Some((lo.toDouble, hi.toDouble))
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"sav writer: missingValues.$c range '$e' is not numeric")
+          }
+        } else discrete += e
+      }
+      val d = discrete.result()
+      require(if (range.isDefined) d.length <= 1 else d.length <= 3,
+        s"sav writer: missingValues.$c allows at most 3 discrete values " +
+          "(or a range plus one)")
+      require(range.isDefined || d.nonEmpty,
+        s"sav writer: missingValues.$c is empty")
+      c -> MissSpec(range, d)
+    }
+
   private[writers] def buildDictionary(cols: Array[ColSpec], nObs: Long,
       zlib: Boolean, valueLabels: Map[String, Seq[(String, String)]],
       varLabels: Map[String, String] = Map.empty,
       varMeasures: Map[String, String] = Map.empty,
       varDisplayWidths: Map[String, Int] = Map.empty,
-      varAlignments: Map[String, String] = Map.empty): Array[Byte] = {
+      varAlignments: Map[String, String] = Map.empty,
+      missingValues: Map[String, MissSpec] = Map.empty): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Unit = Bin.putU32(o, v)
     def ascii(s: String, len: Int): Unit =
@@ -556,27 +599,65 @@ object SpssSavWriter {
         (len until padded).foreach(_ => o.write(' '))
       case None => ()
     }
+    def numMiss(c: ColSpec): Seq[Double] = missingValues.get(c.name) match {
+      case None => Nil
+      case Some(MissSpec(range, discrete)) =>
+        val d = discrete.map { v =>
+          try v.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"sav writer: missingValues.${c.name} value '$v' is not " +
+                "numeric (the column is numeric)")
+          }
+        }
+        range.map { case (lo, hi) => Seq(lo, hi) }.getOrElse(Nil) ++ d
+    }
+    def strMiss(c: ColSpec, declLen: Int): Seq[Array[Byte]] =
+      missingValues.get(c.name) match {
+        case None => Nil
+        case Some(MissSpec(range, discrete)) =>
+          require(range.isEmpty,
+            s"sav writer: missingValues.${c.name} declares a range on a " +
+              "string column — strings take discrete values only")
+          discrete.map { v =>
+            val vb = v.getBytes(StandardCharsets.UTF_8)
+            require(vb.length <= 8 && vb.length <= declLen,
+              s"sav writer: missingValues.${c.name} value '$v' exceeds " +
+                s"the 8-byte missing-value slot (width $declLen)")
+            val slot = Array.fill[Byte](8)(' ')
+            System.arraycopy(vb, 0, slot, 0, vb.length)
+            slot
+          }
+      }
     cols.foreach { c =>
       c.w match {
         case WNum =>
+          val miss = numMiss(c)
+          val hasRange = missingValues.get(c.name).exists(_.range.isDefined)
           u32(2); u32(0)
-          u32(if (varLabels.contains(c.name)) 1 else 0); u32(0)
+          u32(if (varLabels.contains(c.name)) 1 else 0)
+          u32((if (hasRange) -miss.length else miss.length).toLong & 0xffffffffL)
           u32(((c.fmtType.toLong << 16) | (c.fmtWidth.toLong << 8) | c.fmtDec))
           u32(((c.fmtType.toLong << 16) | (c.fmtWidth.toLong << 8) | c.fmtDec))
           ascii(c.short, 8)
           varLabel(c.name)
-        case WStr(_) =>
+          miss.foreach(Bin.putF64(o, _))
+        case WStr(declLen) =>
+          // ≤8-byte strings carry declared missings in the var record;
+          // wider strings route through a subtype-22 record below
+          val miss = if (declLen <= 8) strMiss(c, declLen) else Nil
           val segs = c.segmentSizes
           segs.zipWithIndex.foreach { case (segLen, si) =>
             val segName =
               if (si == 0) c.short
               else c.short.take(5) + (if (si < 10) ('0' + si).toChar else ('A' + si - 10).toChar)
             u32(2); u32(segLen.toLong)
-            u32(if (si == 0 && varLabels.contains(c.name)) 1 else 0); u32(0)
+            u32(if (si == 0 && varLabels.contains(c.name)) 1 else 0)
+            u32(if (si == 0) miss.length.toLong else 0L)
             val fmt = (1L << 16) | (math.min(segLen, 255).toLong << 8)
             u32(fmt); u32(fmt)
             ascii(segName, 8)
             if (si == 0) varLabel(c.name)
+            if (si == 0) miss.foreach(o.write)
             // continuation records for this segment's extra 8-byte units
             val units = (math.min(segLen, 255) + 7) / 8
             (1 until units).foreach { _ =>
@@ -682,6 +763,44 @@ object SpssSavWriter {
       }
       val b = payload.toByteArray
       u32(7); u32(21); u32(1); u32(b.length.toLong)
+      o.write(b)
+    }
+    // subtype 22: declared missing values for strings wider than the
+    // 8-byte var-record slot (same layout our reader parses: pascal
+    // long name, u8 count, u32 shared value length, then the values)
+    val lsm = cols.collect {
+      case c @ ColSpec(_, _, WStr(declLen), _, _, _, _)
+          if declLen > 8 && missingValues.contains(c.name) =>
+        val spec = missingValues(c.name)
+        require(spec.range.isEmpty,
+          s"sav writer: missingValues.${c.name} declares a range on a " +
+            "string column — strings take discrete values only")
+        val vals = spec.discrete.map { v =>
+          val vb = v.getBytes(StandardCharsets.UTF_8)
+          require(vb.length <= declLen,
+            s"sav writer: missingValues.${c.name} value '$v' exceeds the " +
+              s"declared string width $declLen")
+          vb
+        }
+        (c, vals)
+    }
+    if (lsm.nonEmpty) {
+      val payload = new java.io.ByteArrayOutputStream()
+      def pu32(v: Long): Unit = Bin.putU32(payload, v)
+      lsm.foreach { case (c, vals) =>
+        val nb = c.name.getBytes(StandardCharsets.UTF_8)
+        pu32(nb.length.toLong); payload.write(nb)
+        payload.write(vals.length)
+        val len = vals.map(_.length).max
+        pu32(len.toLong)
+        vals.foreach { vb =>
+          val slot = Array.fill[Byte](len)(' ')
+          System.arraycopy(vb, 0, slot, 0, vb.length)
+          payload.write(slot)
+        }
+      }
+      val b = payload.toByteArray
+      u32(7); u32(22); u32(1); u32(b.length.toLong)
       o.write(b)
     }
     // subtype 11: display parameters (measure / display width /

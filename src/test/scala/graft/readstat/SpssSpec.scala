@@ -481,6 +481,51 @@ class SpssSpec extends SparkTestBase {
       Seq("One", "2"))
   }
 
+  test("write-side declared missing values roundtrip (discrete, range, strings)") {
+    import spark.implicits._
+    // the reference writer has no missing-value surface; ours writes the
+    // var-record fields (numerics + ≤8-byte strings) and a subtype-22
+    // record (wider strings) that our reader — and SPSS — honor
+    val df = Seq(
+      (10.0, "ok", "G" * 12),
+      (-99.0, "NA", "M" * 12),
+      (-95.0, "xx", "R" * 12),
+      (2.0, "ok", "fine")
+    ).toDF("v", "s", "ls")
+    val path = tmp("declmiss.sav")
+    df.write.format("readstat").mode("overwrite")
+      .option("missingValues", s"v:-99,-98..-90|s:NA|ls:${"M" * 12}")
+      .save(path)
+    val meta = graft.core.spss.SpssCore.parse(path)
+    val vv = meta.vars.find(_.name == "v").get
+    assert(vv.missingRange && vv.missingDoubles == Vector(-98.0, -90.0, -99.0),
+      vv.missingDoubles.toString)
+    assert(meta.vars.find(_.name == "s").get.missingStrings == Vector("NA"))
+    assert(meta.vars.find(_.name == "ls").get.missingStrings ==
+      Vector("M" * 12), "subtype-22 long-string missing lost")
+    // declared missings null out on read (range hit -95, discrete -99)
+    val back = spark.read.format("readstat").load(path).collect()
+    def vAt(i: Int): Any = if (back(i).isNullAt(0)) null else back(i).getDouble(0)
+    assert(Seq(vAt(0), vAt(1), vAt(2), vAt(3)) == Seq(10.0, null, null, 2.0))
+    assert(back.map(r => Option(r.getString(1)).orNull).toSeq ==
+      Seq("ok", null, "xx", "ok"))
+    assert(back.map(r => Option(r.getString(2)).orNull).toSeq ==
+      Seq("G" * 12, null, "R" * 12, "fine"))
+    // malformed specs fail loudly
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("missingValues", "v:1,2,3,4").save(tmp("mv4.sav"))
+    }.getMessage.contains("at most 3"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("missingValues", "s:a..z").save(tmp("mvr.sav"))
+    }.getMessage.contains("not numeric"))
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("missingValues", "nosuch:1").save(tmp("mvc.sav"))
+    }.getMessage.contains("unknown column"))
+  }
+
   test("zsav write roundtrips through our zsav reader") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toDouble, s"row$i", i % 7))
