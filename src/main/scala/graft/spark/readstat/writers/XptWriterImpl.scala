@@ -137,7 +137,30 @@ object XptWriterImpl {
     // the observed maximum always wins when longer, never an error
     val metaStrWidths: Map[String, Int] = metaFil(_.stringWidths)
       .filter { case (c, w) => schema(c).dataType == StringType && w >= 1 }
-    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    // write-side tagged missings (.A-.Z/._, mirroring the dta writer's
+    // option): a string indicator column drives the first byte of the
+    // missing slot; the indicator is dropped from the output — inverse
+    // of the read-side informativeNulls capture for XPT
+    val taggedMissings: Map[String, String] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("taggedMissings", ""))
+        .map { case (d, ind) => d -> ind.trim }
+    taggedMissings.foreach { case (dataCol, indCol) =>
+      require(schema.fieldNames.contains(dataCol),
+        s"xpt writer: taggedMissings names unknown column '$dataCol'")
+      require(schema.fieldNames.contains(indCol),
+        s"xpt writer: taggedMissings.$dataCol indicator column '$indCol' not found")
+      require(schema(indCol).dataType == StringType,
+        s"xpt writer: taggedMissings.$dataCol indicator '$indCol' must be a string column")
+      require(schema(dataCol).dataType != StringType,
+        s"xpt writer: taggedMissings.$dataCol targets a string column — " +
+          "tags ride numeric missing slots only")
+    }
+    val indicatorCols = taggedMissings.values.toSet
+    require(taggedMissings.keySet.intersect(indicatorCols).isEmpty,
+      "xpt writer: a taggedMissings indicator column cannot itself be tagged")
+    val writtenFields = schema.fields.filterNot(f => indicatorCols(f.name))
+    require(writtenFields.nonEmpty, "xpt writer: taggedMissings drops every column")
+    val strCols = writtenFields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
     val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
@@ -146,7 +169,7 @@ object XptWriterImpl {
     }.toMap
 
     val used = scala.collection.mutable.Set[String]()
-    val cols: Array[ColSpec] = schema.fields.map { f =>
+    val cols: Array[ColSpec] = writtenFields.map { f =>
       var short = f.name.toUpperCase.filter(c => c.isLetterOrDigit || c == '_').take(8)
       if (short.isEmpty || !short(0).isLetter) short = ("V" + short).take(8)
       var cand = short; var i = 1
@@ -198,7 +221,12 @@ object XptWriterImpl {
     val scratch = options.getOrElse("scratchDir",
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Files.createDirectories(Paths.get(scratch))
+    val ordinalsArr: Array[Int] = writtenFields.map(f => schema.fieldIndex(f.name))
+    val tagOrdinalsArr: Array[Int] = writtenFields.map(f =>
+      taggedMissings.get(f.name).map(schema.fieldIndex).getOrElse(-1))
     val specsB = spark.sparkContext.broadcast(cols)
+    val ordsB = spark.sparkContext.broadcast(ordinalsArr)
+    val tagOrdsB = spark.sparkContext.broadcast(tagOrdinalsArr)
 
     // ---- multiFile mode: one self-contained .xpt per partition ----
     // (same contract as the dta/sav writers; the XPT header carries no
@@ -216,7 +244,7 @@ object XptWriterImpl {
             AtomicFile.write(partPath) { tmp =>
             val out = new BufferedOutputStream(new FileOutputStream(tmp), 1 << 20)
             out.write(header)
-            val enc = new XptRowEncoder(specs, out)
+            val enc = new XptRowEncoder(specs, out, ordsB.value, tagOrdsB.value)
             it.foreach(enc.encode)
             rows = enc.rows
             val rem = ((rows * specs.map(_.width).sum) % 80).toInt
@@ -241,7 +269,7 @@ object XptWriterImpl {
       val specs = specsB.value
       val f = File.createTempFile(s"graft_xpt_${pid}_", ".chunk", new File(scratch))
       val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
-      val enc = new XptRowEncoder(specs, out)
+      val enc = new XptRowEncoder(specs, out, ordsB.value, tagOrdsB.value)
       it.foreach(enc.encode)
       out.close()
       Iterator((pid, f.getAbsolutePath, enc.rows))
@@ -279,15 +307,35 @@ object XptWriterImpl {
     * dta/sav writers): source-type dispatch resolves once per column and
     * each row encodes into a reusable buffer with one stream write. */
   private[writers] final class XptRowEncoder(specs: Array[ColSpec],
-      out: java.io.OutputStream) {
+      out: java.io.OutputStream,
+      ordinals: Array[Int] = null, tagOrdinals: Array[Int] = null) {
     private val rowLen = specs.map(_.width).sum
     private val buf = new Array[Byte](math.max(rowLen, 1))
     private val offs = specs.scanLeft(0)(_ + _.width)
+    private val ords: Array[Int] =
+      if (ordinals != null) ordinals else specs.indices.toArray
+    private val tagOrds: Array[Int] =
+      if (tagOrdinals != null) tagOrdinals else Array.fill(specs.length)(-1)
     var rows = 0L
 
     private type Cell = org.apache.spark.sql.catalyst.InternalRow => Unit
 
-    private def buildCell(spec: ColSpec, i: Int): Cell = {
+    /** First byte of a missing numeric slot: '.' plain, 'A'-'Z'/'_' for
+      * the tagged user missings the read side surfaces as ".A"-".Z"/"._". */
+    private def missTag(row: org.apache.spark.sql.catalyst.InternalRow,
+        tag: Int): Byte = {
+      if (tag < 0 || row.isNullAt(tag)) return '.'.toByte
+      val t = row.getUTF8String(tag).toString.trim.toUpperCase
+      if (t.isEmpty || t == ".") '.'.toByte
+      else if (t.length == 2 && t.charAt(0) == '.' &&
+          ((t.charAt(1) >= 'A' && t.charAt(1) <= 'Z') || t.charAt(1) == '_'))
+        t.charAt(1).toByte
+      else throw new IllegalArgumentException(
+        s"xpt writer: taggedMissings indicator value '$t' is not '.' or " +
+          "'.A'-'.Z'/'._'")
+    }
+
+    private def buildCell(spec: ColSpec, i: Int, tag: Int): Cell = {
       val off = offs(i)
       if (spec.isChar) {
         val w = spec.width
@@ -321,7 +369,7 @@ object XptWriterImpl {
         if (w == 8) { row =>
           if (row.isNullAt(i)) {
             java.util.Arrays.fill(buf, off, off + 8, 0.toByte)
-            buf(off) = '.'
+            buf(off) = missTag(row, tag)
           } else XptCore.doubleToIbmInto(get(row, i), buf, off)
         } else {
           // truncated numeric storage (3-8 bytes): the leading w bytes of
@@ -331,7 +379,7 @@ object XptWriterImpl {
           row =>
             if (row.isNullAt(i)) {
               java.util.Arrays.fill(buf, off, off + w, 0.toByte)
-              buf(off) = '.'
+              buf(off) = missTag(row, tag)
             } else {
               XptCore.doubleToIbmInto(get(row, i), tmp, 0)
               System.arraycopy(tmp, 0, buf, off, w)
@@ -341,7 +389,7 @@ object XptWriterImpl {
     }
 
     private val cells: Array[Cell] =
-      specs.zipWithIndex.map { case (s, i) => buildCell(s, i) }
+      specs.zipWithIndex.map { case (s, i) => buildCell(s, ords(i), tagOrds(i)) }
 
     def encode(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       var i = 0

@@ -259,6 +259,44 @@ class XptPorSpec extends SparkTestBase {
     }.getMessage.contains("255"))
   }
 
+  test("xpt taggedMissings write .A-.Z/._ slots that roundtrip informative nulls") {
+    import spark.implicits._
+    // write-side tagged missings (inverse of the read-side capture): the
+    // indicator column drives the first byte of the 8-byte missing slot
+    val df = Seq(
+      (Some(2.5), None: Option[String]),
+      (None, Some(".A")),
+      (None, None),
+      (None, Some("._")),
+      (None, Some("."))
+    ).toDF("v", "v_null")
+    val path = tmp("tagged.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "v:v_null").save(path)
+    val back = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(path)
+    assert(back.columns.toSeq == Seq("V", "V_null"))
+    assert(back.select("V_null").collect()
+      .map(r => Option(r.getString(0)).orNull).toSeq ==
+      Seq(null, ".A", null, "._", null))
+    assert(back.select("V").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(2.5, null, null, null, null))
+    // read → write → read is a fixpoint
+    val p2 = tmp("tagged2.xpt")
+    back.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "V:V_null").save(p2)
+    val back2 = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p2)
+    assertSameData(back2, back, "xpt-tagged-roundtrip")
+    // bad tags fail loudly
+    assert(intercept[Exception] {
+      Seq((None: Option[Double], Some("NA"))).toDF("v", "v_null")
+        .write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "v:v_null").save(tmp("badtag.xpt"))
+    }.getMessage.contains(".A"))
+  }
+
   test("xpt varLabels rejects over-long and non-Latin-1 labels loudly") {
     import spark.implicits._
     val df = Seq((1.0, "a")).toDF("income", "grp")
