@@ -39,7 +39,7 @@ object SasBinaryWriter {
 
   private[writers] final case class Col(name: String, ordinal: Int,
       isChar: Boolean, width: Int, offset: Int, fmtName: String,
-      fmtWidth: Int, src: DataType)
+      fmtWidth: Int, src: DataType, tagOrdinal: Int = -1)
 
   /** Column layout shared by the batch writer and the streaming sink:
     * numerics pack first (8-aligned doubles), chars follow at their
@@ -150,8 +150,33 @@ object SasBinaryWriter {
       }
     }
 
+    // write-side tagged missings (same option as the dta/xpt writers):
+    // a string indicator column ('.'/'.A'-'.Z'/'._') rides the NaN
+    // payload type byte; the indicator is dropped from the output
+    val taggedMissings: Map[String, String] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("taggedMissings", ""))
+        .map { case (d, ind) => d -> ind.trim }
+    taggedMissings.foreach { case (dataCol, indCol) =>
+      require(colSet(dataCol),
+        s"sas7bdat writer: taggedMissings names unknown column '$dataCol'")
+      require(colSet(indCol),
+        s"sas7bdat writer: taggedMissings.$dataCol indicator column '$indCol' not found")
+      require(schema(indCol).dataType == StringType,
+        s"sas7bdat writer: taggedMissings.$dataCol indicator '$indCol' must be a string column")
+      require(schema(dataCol).dataType != StringType,
+        s"sas7bdat writer: taggedMissings.$dataCol targets a string column — " +
+          "tags ride the numeric NaN payload only")
+    }
+    val indicatorCols = taggedMissings.values.toSet
+    require(taggedMissings.keySet.intersect(indicatorCols).isEmpty,
+      "sas7bdat writer: a taggedMissings indicator column cannot itself be tagged")
+    val writtenFields = schema.fields.filterNot(f => indicatorCols(f.name))
+    require(writtenFields.nonEmpty,
+      "sas7bdat writer: taggedMissings drops every column")
+    val writtenSchema = StructType(writtenFields.toIndexedSeq)
+
     // ---- job 1: exact row count + max observed string byte widths ----
-    val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val strCols = writtenFields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(c)).toIndexedSeq
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -160,12 +185,16 @@ object SasBinaryWriter {
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
     }.toMap
 
-    // labeled columns reference their generated catalog format; an
-    // explicit varFormats entry still wins
-    val specs: Array[Col] = layoutSpecs(schema, widths, varFormats).map { c =>
-      if (c.fmtName.isEmpty && catFmtNames.contains(c.name))
-        c.copy(fmtName = catFmtNames(c.name))
-      else c
+    // labeled columns reference their generated catalog format (an
+    // explicit varFormats entry still wins); ordinals remap to the FULL
+    // incoming row since indicator columns are dropped from the layout
+    val specs: Array[Col] = layoutSpecs(writtenSchema, widths, varFormats).map { c =>
+      val c2 = c.copy(ordinal = schema.fieldIndex(c.name),
+        tagOrdinal = taggedMissings.get(c.name)
+          .map(schema.fieldIndex).getOrElse(-1))
+      if (c2.fmtName.isEmpty && catFmtNames.contains(c2.name))
+        c2.copy(fmtName = catFmtNames(c2.name))
+      else c2
     }
     val rowLen = specs.map(_.width).sum
     val (pageLen, rowsPerPage) = pageGeometry(rowLen)
@@ -288,6 +317,26 @@ object SasBinaryWriter {
     total
   }
 
+  /** SAS missing doubles are NaNs whose bits[47:40] carry ~tag: '.'
+    * plain, 'A'-'Z' and '_' for tagged user missings (the read side's
+    * missingTagOffset inverse). A CANONICAL quiet NaN (0x7ff8…) would
+    * decode as a spurious .F tag, so plain missing must use ~'.'. */
+  private def missBits(tagChar: Int): Long =
+    0x7ff0000000000000L | (((~tagChar) & 0xffL) << 40)
+
+  private def tagCharOf(row: org.apache.spark.sql.catalyst.InternalRow,
+      tag: Int): Int = {
+    if (tag < 0 || row.isNullAt(tag)) return '.'
+    val t = row.getUTF8String(tag).toString.trim.toUpperCase
+    if (t.isEmpty || t == ".") '.'
+    else if (t.length == 2 && t.charAt(0) == '.' &&
+        ((t.charAt(1) >= 'A' && t.charAt(1) <= 'Z') || t.charAt(1) == '_'))
+      t.charAt(1).toInt
+    else throw new IllegalArgumentException(
+      s"sas7bdat writer: taggedMissings indicator value '$t' is not '.' " +
+        "or '.A'-'.Z'/'._'")
+  }
+
   private[writers] def writeRow(row: org.apache.spark.sql.catalyst.InternalRow,
       specs: Array[Col], page: Array[Byte], pos: Int): Unit = {
     var i = 0
@@ -300,10 +349,10 @@ object SasBinaryWriter {
           val ub = row.getUTF8String(c.ordinal).getBytes
           System.arraycopy(ub, 0, page, at, ub.length)
         }
+      } else if (row.isNullAt(c.ordinal)) {
+        putI64(page, at, missBits(tagCharOf(row, c.tagOrdinal)))
       } else {
-        val v: Double =
-          if (row.isNullAt(c.ordinal)) Double.NaN
-          else c.src match {
+        val v: Double = c.src match {
             case BooleanType => if (row.getBoolean(c.ordinal)) 1.0 else 0.0
             case ByteType => row.getByte(c.ordinal).toDouble
             case ShortType => row.getShort(c.ordinal).toDouble

@@ -227,6 +227,43 @@ class SasWriterSpec extends SparkTestBase {
     assert(cat2.numeric.values.head(1.0) == "Homme — 男性")
   }
 
+  test("sas7bdat tagged missings roundtrip; plain missing has no phantom tag") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(2.5), None: Option[String]),
+      (None, Some(".A")),
+      (None, None),
+      (None, Some("._")),
+      (None, Some(".z"))
+    ).toDF("v", "v_null")
+    val path = tmp("tagged.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "v:v_null").save(path)
+    val back = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(path)
+    assert(back.columns.toSeq == Seq("v", "v_null"))
+    // regression pin: the old canonical-NaN plain missing decoded as a
+    // spurious .F tag — row 3 (no indicator) must read a NULL indicator
+    assert(back.select("v_null").collect()
+      .map(r => Option(r.getString(0)).orNull).toSeq ==
+      Seq(null, ".A", null, "._", ".Z"))
+    assert(back.select("v").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(2.5, null, null, null, null))
+    // read → write → read fixpoint
+    val p2 = tmp("tagged2.sas7bdat")
+    back.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "v:v_null").save(p2)
+    val back2 = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p2)
+    assertSameData(back2, back, "sas-tagged-roundtrip")
+    assert(intercept[Exception] {
+      Seq((None: Option[Double], Some("NA"))).toDF("v", "v_null")
+        .write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "v:v_null").save(tmp("badtag.sas7bdat"))
+    }.getMessage.contains(".A"))
+  }
+
   test("extension-less sas7bdat write roundtrips via fileFormat + sniff") {
     import spark.implicits._
     val df = Seq((1.0, "a"), (2.0, "b")).toDF("v", "s")
