@@ -160,6 +160,53 @@ class RoundtripPropertySpec extends SparkTestBase {
     }
   }
 
+  test("random frames roundtrip through por (base-30 within read tolerance)") {
+    // POR strings live in the portable charset (the 256-entry table maps
+    // only ASCII alphanumerics + a punctuation set — accented chars have
+    // no position, so they degrade through the lookup on BOTH engines;
+    // the writer's label checks reject them loudly, data cells follow the
+    // reference's raw passthrough). Doubles are base-30 whose fraction
+    // digits re-accumulate as d/30^k on read — exact for integers,
+    // ≤ ulp-level otherwise, inside assertSameData's 1e-12 tolerance
+    val genS: Gen[String] = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(40)),
+      2 -> Gen.oneOf("", "a b.c<(+|&", "[]!$*);^-/", "x" * 200),
+      1 -> Gen.const(null))
+    val genDt = Gen.frequency(
+      5 -> Gen.choose(-20000L, 40000L).map(d => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(d).toString)),
+      1 -> Gen.const(null.asInstanceOf[java.sql.Date]))
+    val porSchema = StructType(Seq(
+      StructField("d", DoubleType), StructField("i", IntegerType),
+      StructField("s", StringType), StructField("dt", DateType)))
+    val genRows = Gen.listOfN(25,
+      Gen.zip(genDouble, genInt, genS, genDt).map {
+        case (d, i, s, dt) => Row(d, i, s, dt) })
+    (1L to 3L).foreach { seed =>
+      val rows = genRows.apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2), porSchema)
+      val dir = Files.createTempDirectory("graft_propp").toFile
+      dir.deleteOnExit()
+      val path = s"${dir.getAbsolutePath}/p.por"
+      df.write.format("readstat").mode("overwrite").save(path)
+      // por names are 8-char uppercase shorts; restore by position
+      val back = spark.read.format("readstat")
+        .option("missingStringAsNull", "false").load(path)
+        .toDF("d", "i", "s", "dt")
+      import org.apache.spark.sql.functions._
+      val wantDf = df
+        .withColumn("i", col("i").cast(DoubleType))
+        .withColumn("s", coalesce(col("s"), lit("")))
+      val gotDf = back
+        .withColumn("i", col("i").cast(DoubleType))
+        .withColumn("s", coalesce(col("s"), lit("")))
+      val key = Seq(col("d").asc_nulls_last, col("i").asc_nulls_last,
+        col("s"), col("dt").asc_nulls_last)
+      assertSameData(gotDf.orderBy(key: _*), wantDf.orderBy(key: _*), s"por-$seed")
+    }
+  }
+
   test("random frames roundtrip through dta and sav") {
     val genRows = Gen.listOfN(25,
       Gen.zip(genDouble, genInt, genStr).map { case (d, i, s) => Row(d, i, s) })
@@ -171,6 +218,7 @@ class RoundtripPropertySpec extends SparkTestBase {
       dir.deleteOnExit()
       Seq("p.dta" -> Map.empty[String, String],
           "p.sav" -> Map.empty[String, String],
+          "p.zsav" -> Map.empty[String, String],
           "p.sas7bdat" -> Map.empty[String, String],
           "p_rle.sas7bdat" -> Map("compression" -> "rle")).foreach {
         case (name, opts) =>
