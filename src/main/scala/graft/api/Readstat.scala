@@ -50,7 +50,8 @@ object Readstat {
 
   /** The reference's `sink_stata` (pybindings.rs:951-1096) as one call:
     * start a Structured Streaming query that appends every micro-batch
-    * into ONE valid .dta (or, beyond the reference, uncompressed .sav).
+    * into ONE valid .dta (or, beyond the reference, .sav/.zsav/.xpt/
+    * .sas7bdat).
     * String widths are declared via `strWidth.<col>` / `defaultStrWidth`
     * options — an unbounded stream cannot be pre-passed for widths like
     * the reference's finite lazy frame. Returns the running query;

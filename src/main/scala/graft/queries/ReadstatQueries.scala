@@ -486,6 +486,51 @@ object ReadstatQueries {
       |  round(sum(c_acctbal), 2) AS sum_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Single-file streaming .zsav sink, two-epoch append. Unlike the
+    * fixed-width sinks the append unit is a DEFLATE BLOCK: epoch 2
+    * splices its blocks over epoch 1's terminal block + ztrailer and
+    * rewrites both, so this certifies the block-index commit protocol
+    * (offsets rebuilt from the sidecar) end-to-end against the DuckDB
+    * oracle, not just in ScalaTest. */
+  def zsavStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val landing = scratch(d, "zsav_stream_landing")
+    val sink = scratch(d, "zsav_stream_single.zsav")
+    val ckpt = scratch(d, "zsav_stream_ckpt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(landing, sink, sink + ".stream_state", ckpt)
+      .foreach(p => rm(new java.io.File(p)))
+    val base = customer(s, d).select(
+      col("c_custkey").cast("double").as("c_custkey"),
+      col("c_acctbal"), col("c_mktsegment"))
+    base.filter(col("c_custkey") % 2 === 0)
+      .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
+    val q = s.readStream.format("readstat")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey DOUBLE, c_acctbal DOUBLE, c_mktsegment STRING"))
+      .load(landing)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", ckpt)
+      .option("strWidth.c_mktsegment", "10")
+      .start(sink)
+    try {
+      q.processAllAvailable()
+      base.filter(col("c_custkey") % 2 === 1)
+        .write.format("readstat").mode("overwrite").save(s"$landing/drop2.dta")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("readstat").load(sink)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey").cast("long")).as("sum_key"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val zsavStreamSinkRoundtripSql: String = savStreamSinkRoundtripSql
+
   /** Single-file streaming .xpt sink, two-epoch append (same drop
     * choreography as the sav one). XPT keeps NO row count in the file —
     * the count lives only in the sidecar — so this additionally
@@ -626,6 +671,7 @@ object ReadstatQueries {
     "spss_compress_roundtrip" -> (savCompressRoundtrip _, savCompressRoundtripSql),
     "stata_stream_sink" -> (dtaStreamSinkRoundtrip _, dtaStreamSinkRoundtripSql),
     "spss_stream_sink" -> (savStreamSinkRoundtrip _, savStreamSinkRoundtripSql),
+    "zsav_stream_sink" -> (zsavStreamSinkRoundtrip _, zsavStreamSinkRoundtripSql),
     "xpt_stream_sink" -> (xptStreamSinkRoundtrip _, xptStreamSinkRoundtripSql),
     "sas_stream_sink" -> (sasStreamSinkRoundtrip _, sasStreamSinkRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),

@@ -610,10 +610,10 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
             overwrite || truncateAll)
       }
     // `df.writeStream.format("readstat").start(path)` — the single-file
-    // streaming sink (reference `sink_stata`, extended to .sav): every
-    // epoch appends into ONE valid file. Only fixed-width-record
-    // formats can in-place-append; others stream via foreachBatch +
-    // multiFile.
+    // streaming sink (reference `sink_stata`, extended to sav/zsav/xpt/
+    // sas7bdat): every epoch appends into ONE valid file — fixed-width
+    // formats at the row boundary, zsav at the deflate-block boundary.
+    // por (sequential base-30 text) streams via foreachBatch + multiFile.
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val lower = path.toLowerCase
@@ -622,6 +622,8 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
           Some(graft.spark.readstat.writers.StataStreamSink)
         else if (lower.endsWith(".sav"))
           Some(graft.spark.readstat.writers.SavStreamSink)
+        else if (lower.endsWith(".zsav"))
+          Some(graft.spark.readstat.writers.ZsavStreamSink)
         else if (lower.endsWith(".xpt"))
           Some(graft.spark.readstat.writers.XptStreamSink)
         else if (lower.endsWith(".sas7bdat"))
@@ -631,8 +633,9 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
         path, schema, options, queryId, f))
         .getOrElse(throw new IllegalArgumentException(
           "readstat streaming sink: single-file streaming supports .dta " +
-            "(reference sink_stata parity), uncompressed .sav, .xpt, and " +
-            ".sas7bdat; for zsav/por use foreachBatch with a multiFile directory"))
+            "(reference sink_stata parity), .sav, .zsav, .xpt, and " +
+            ".sas7bdat; for por (an inherently sequential text stream) " +
+            "use foreachBatch with a multiFile directory"))
     }
   }
 }

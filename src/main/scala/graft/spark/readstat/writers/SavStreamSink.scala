@@ -18,9 +18,8 @@ import org.apache.spark.sql.types._
   * protocol): declared string widths (`strWidth.<col>` /
   * `defaultStrWidth`, over-width strings fail loudly), exactly-once
   * across restarts via the sidecar epoch state, crash-healing by
-  * re-truncation. zsav is refused: deflate blocks plus a block-count
-  * ztrailer make in-place append a rewrite-the-world operation, which
-  * is what multiFile is for.
+  * re-truncation. The zsav variant appends whole deflate BLOCKS
+  * instead of rows — see [[ZsavStreamSink]].
   */
 object SavStreamSink extends StreamSinkCore.Format {
 
@@ -67,14 +66,17 @@ object SavStreamSink extends StreamSinkCore.Format {
       options: Map[String, String]): Unit =
     commitEpoch(path, epochId, chunks, schema, options, queryId)
 
-  def commitEpoch(path: String, epochId: Long,
-      chunks: Seq[(Int, String, Long)], schema: StructType,
-      options: Map[String, String], queryId: String = ""): Unit = {
+  /** The option/label resolution shared by the sav and zsav sinks:
+    * (col specs, value labels, variable labels, measures, schema hash).
+    */
+  private[writers] def resolveStream(label: String, schema: StructType,
+      options: Map[String, String]): (Array[ColSpec],
+        Map[String, Seq[(String, String)]], Map[String, String],
+        Map[String, String], String) = {
     require(!options.contains("metadataPath"),
-      "sav streaming sink: metadataPath is not supported — pass " +
+      s"$label streaming sink: metadataPath is not supported — pass " +
         "valueLabels as an option, or use the batch writer")
     val cols = streamColSpecs(schema, options)
-    val recordLen = cols.map(_.widthUnits).sum * 8
     // string codes allowed too (type-3 8-byte slots / subtype 21 via
     // the shared dictionary builder); labels are constant per query so
     // the dictionary length stays fixed across epoch commits
@@ -89,7 +91,7 @@ object SavStreamSink extends StreamSinkCore.Format {
       options.getOrElse("varMeasures", ""))
     varMeasures.values.foreach(v => require(
       Set("nominal", "ordinal", "scale")(v.trim.toLowerCase),
-      s"sav streaming sink: varMeasures values must be nominal|ordinal|scale (got $v)"))
+      s"$label streaming sink: varMeasures values must be nominal|ordinal|scale (got $v)"))
     // a typo'd column silently loses the user's label/measure (the
     // lookups below are getOrElse) — fail loudly like the batch writers
     val colNames = schema.fieldNames.toSet
@@ -97,13 +99,22 @@ object SavStreamSink extends StreamSinkCore.Format {
         "valueLabels" -> valueLabels.keySet).foreach { case (opt, keys) =>
       val unknown = keys.diff(colNames)
       require(unknown.isEmpty,
-        s"sav streaming sink: $opt names unknown column(s): ${unknown.mkString(", ")}")
+        s"$label streaming sink: $opt names unknown column(s): ${unknown.mkString(", ")}")
     }
     // the full fmt triple, not just the type code: an append with the
     // same type but different width/decimals must be refused, not
     // silently re-declare formats for already-committed rows
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.w}|${c.fmtType}.${c.fmtWidth}.${c.fmtDec}").toIndexedSeq)
+    (cols, valueLabels, varLabels, varMeasures, schemaHash)
+  }
+
+  def commitEpoch(path: String, epochId: Long,
+      chunks: Seq[(Int, String, Long)], schema: StructType,
+      options: Map[String, String], queryId: String = ""): Unit = {
+    val (cols, valueLabels, varLabels, varMeasures, schemaHash) =
+      resolveStream("sav", schema, options)
+    val recordLen = cols.map(_.widthUnits).sum * 8
     StreamSinkCore.commitEpoch("sav", path, epochId, queryId, schemaHash,
       chunks, recordLen,
       total => (SpssSavWriter.buildDictionary(cols, total, zlib = false,

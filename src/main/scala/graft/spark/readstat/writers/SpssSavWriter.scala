@@ -397,7 +397,7 @@ object SpssSavWriter {
   /** Bytecode+deflate block encoder for zsav: elements become literal
     * (253) codes; control groups of 8 are zero-padded at flush so blocks
     * stay independently concatenable across partitions. */
-  private final class ZsavBlockEncoder(out: java.io.OutputStream) {
+  private[writers] final class ZsavBlockEncoder(out: java.io.OutputStream) {
     private val blockTarget = 4 << 20
     private val buf = new java.io.ByteArrayOutputStream(blockTarget + 65536)
     private val ctrl = new Array[Byte](8)

@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.StructType
 object StreamSinkCore {
 
   case class StreamState(epoch: Long, rows: Long, rowLen: Int,
-      queryId: String, schemaHash: String, preLen: Long = -1L)
+      queryId: String, schemaHash: String, preLen: Long = -1L,
+      extra: String = "")
 
   private def statePath(path: String) = path + ".stream_state"
 
@@ -57,7 +58,8 @@ object StreamSinkCore {
           "missing required fields")
         Some(StreamState(m.get("epoch").asLong(), m.get("rows").asLong(),
           m.get("rowLen").asInt(), str("queryId"), str("schemaHash"),
-          if (m.has("preLen")) m.get("preLen").asLong() else -1L))
+          if (m.has("preLen")) m.get("preLen").asLong() else -1L,
+          str("extra")))
       } catch { case e: Exception =>
         throw new IllegalStateException(
           s"streaming sink: unreadable state file ${statePath(path)} — " +
@@ -74,6 +76,9 @@ object StreamSinkCore {
     node.put("epoch", st.epoch); node.put("rows", st.rows)
     node.put("rowLen", st.rowLen); node.put("queryId", st.queryId)
     node.put("schemaHash", st.schemaHash); node.put("preLen", st.preLen)
+    // format-specific commit state (zsav: the committed block index);
+    // empty for the fixed-width formats
+    if (st.extra.nonEmpty) node.put("extra", st.extra)
     val tmp = Paths.get(statePath(path) + ".tmp")
     Files.write(tmp, om.writeValueAsBytes(node))
     Files.move(tmp, Paths.get(statePath(path)),

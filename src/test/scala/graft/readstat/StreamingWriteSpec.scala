@@ -354,6 +354,98 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("single-file streaming .zsav sink: epochs append deflate blocks into ONE valid zsav") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsavsink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.zsav"
+    val input = MemoryStream[(Long, Double, String)]
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("strWidth.s", "6")
+      .start(sink)
+    try {
+      input.addData((1L, 1.5, "ab"), (2L, 2.5, "cd"))
+      query.processAllAvailable()
+      assert(spark.read.format("readstat").load(sink).count() == 2L)
+      // epoch 2 is big enough (>4 MiB raw) to span multiple deflate
+      // blocks, so the append exercises the multi-block index path
+      input.addData((3L to 200002L).map(i => (i, i * 0.5, "ef")): _*)
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink)
+      assert(back.count() == 200002L)
+      val head = back.orderBy("id").limit(3).collect()
+      assert(head.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+      assert(head.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 1.5))
+      assert(head.map(_.getString(2).trim).toSeq == Seq("ab", "cd", "ef"))
+      // the committed block index rode the sidecar: multiple data blocks
+      // (extra = base64 of one LE (u32 u, u32 c) pair per block)
+      val st = graft.spark.readstat.writers.StreamSinkCore.readState(sink).get
+      assert(java.util.Base64.getDecoder.decode(st.extra).length / 8 >= 2,
+        st.extra.length)
+      assert(new java.io.File(sink).isFile)
+    } finally query.stop()
+  }
+
+  test("zsav sink: a lost ztrailer heals from the sidecar block index on the next commit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsavheal").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/heal.zsav"
+    val input = MemoryStream[(Long, Double)]
+    val query = input.toDF().toDF("id", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(sink)
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      query.processAllAvailable()
+      // simulate a crash mid-commit: chop the trailer (the sidecar still
+      // holds the committed block index, which is what healing uses)
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(sink),
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(ch.size() - 20) finally ch.close()
+      input.addData((3L, 3.0))
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink).orderBy("id").collect()
+      assert(back.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    } finally query.stop()
+  }
+
+  test("zsav sink refuses cross-query append with a changed declared width") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsavdrift").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/drift.zsav"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("id", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .option("strWidth.s", "6")
+      .start(sink)
+    try { in1.addData((1L, "ab")); q1.processAllAvailable() } finally q1.stop()
+    // same 8-byte slot count, different declared width -> fingerprint
+    // drift must refuse the append rather than re-declare width 8 for
+    // the already-committed rows
+    val in2 = MemoryStream[(Long, String)]
+    val e = intercept[Exception] {
+      val q2 = in2.toDF().toDF("id", "s").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .option("strWidth.s", "8")
+        .start(sink)
+      try { in2.addData((2L, "cd")); q2.processAllAvailable() } finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("schema drift")), msgs(e).mkString(" | "))
+  }
+
   test("single-file streaming .xpt sink: pad-to-80 re-append stays valid") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -394,7 +486,7 @@ class StreamingWriteSpec extends SparkTestBase {
       val q = input.toDF().toDF("id", "v").writeStream
         .format("readstat")
         .option("checkpointLocation", s"$dir/ckpt")
-        .start(s"$dir/out.zsav")
+        .start(s"$dir/out.por")
       try { input.addData((1L, 1.0)); q.processAllAvailable() }
       finally q.stop()
     }
