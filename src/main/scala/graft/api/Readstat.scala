@@ -72,6 +72,44 @@ object Readstat {
   def readSas7bcat(path: String): graft.core.sas.SasCatalog.Catalog =
     graft.core.sas.SasCatalog.read(path)
 
+  /** Which catalog labels WOULD apply to a file's columns, without
+    * reading data — the reference's `ScanReadstat.catalog_labels`
+    * property (__init__.py:89-98, mapped column-name-keyed via
+    * `_catalog_to_column_labels` :453-475). `catalog` is a .sas7bcat
+    * path or an inline `FMT:code=Label;…|FMT2:…` spec. Numeric-format
+    * columns map Double codes, char-format columns String codes (the
+    * reference's mixed `float | str` dict keys, split by column type).
+    * Supported for the formats that carry SAS format names (.sas7bdat,
+    * .xpt). */
+  def catalogLabels(path: String, catalog: String)
+      : Map[String, Map[Any, String]] = {
+    val lower = path.toLowerCase
+    val cols: Seq[(String, String, Boolean)] =
+      if (lower.endsWith(".sas7bdat"))
+        graft.spark.readstat.SasModule.metadata(path).columns
+          .map(c => (c.name, c.format, c.isChar))
+      else if (lower.endsWith(".xpt") || lower.endsWith(".xpt5") ||
+          lower.endsWith(".xpt8") || lower.endsWith(".xpt9"))
+        graft.spark.readstat.XptModule.metadata(path).columns
+          .map(c => (c.name, c.format, c.isChar))
+      else throw new IllegalArgumentException(
+        "catalogLabels: catalog labels attach by SAS format name — " +
+          s"supported for .sas7bdat and .xpt files (got $path)")
+    val cat = graft.spark.readstat.CatalogResolver.resolve(catalog)
+    cols.flatMap { case (name, fmt, isChar) =>
+      if (fmt.isEmpty) None
+      else {
+        val key = graft.spark.readstat.CatalogResolver.fmtKey(fmt)
+        if (isChar)
+          cat.string.get(key).map(m =>
+            name -> m.map { case (k, v) => (k: Any) -> v })
+        else
+          cat.numeric.get(key).map(m =>
+            name -> m.map { case (k, v) => (k: Any) -> v })
+      }
+    }.toMap
+  }
+
   /** The reference's canonical 12-column per-variable metadata frame. */
   def metadata(spark: SparkSession, path: String): DataFrame =
     spark.read.format("readstat-metadata").load(path)

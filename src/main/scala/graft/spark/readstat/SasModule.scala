@@ -47,17 +47,24 @@ object SasModule extends FormatModule {
   def catalog(path: String): graft.core.sas.SasCatalog.Catalog =
     catCache.computeIfAbsent(keyOf(path), _ => graft.core.sas.SasCatalog.read(path))
 
-  /** Normalize a column's display format to a catalog key: uppercase,
-    * strip trailing width digits and periods (e.g. "regionf8." → REGIONF). */
-  private def fmtKey(format: String): String =
-    format.toUpperCase.reverse.dropWhile(c => c.isDigit || c == '.').reverse
-
   /** Catalog label map for a column, when the catalog option is set and the
-    * column's format matches a catalog entry. */
+    * column's format matches a catalog entry. The option accepts a
+    * .sas7bcat path or an inline spec (see [[CatalogResolver]]). */
   private def catalogLabels(opts: ReadstatOptions, c: SasColumn): Option[Map[Double, String]] =
     opts.catalog.flatMap { p =>
       if (c.isChar || c.format.isEmpty) None
-      else catalog(p).numeric.get(fmtKey(c.format))
+      else CatalogResolver.resolve(p).numeric.get(CatalogResolver.fmtKey(c.format))
+    }
+
+  /** Char-format ($-prefixed) catalog labels: the reference applies its
+    * catalog to string columns too (`_apply_catalog_labels` replaces any
+    * matching value, unmatched values pass through unchanged). The column
+    * stays StringType; only values map. */
+  private def catalogCharLabels(opts: ReadstatOptions,
+      c: SasColumn): Option[Map[String, String]] =
+    opts.catalog.flatMap { p =>
+      if (!c.isChar || c.format.isEmpty) None
+      else CatalogResolver.resolve(p).string.get(CatalogResolver.fmtKey(c.format))
     }
 
   override def schema(path: String, opts: ReadstatOptions): StructType = {
@@ -203,8 +210,8 @@ object SasModule extends FormatModule {
   }
 
   private final case class ColPlan(fieldIdx: Int, col: SasColumn, kind: Kind,
-      labels: Map[Double, String], indicator: Boolean = false,
-      rowIndex: Boolean = false)
+      labels: Map[Double, String], charLabels: Map[String, String] = null,
+      indicator: Boolean = false, rowIndex: Boolean = false)
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow] = {
@@ -212,7 +219,7 @@ object SasModule extends FormatModule {
     val byName = md.columns.map(c => c.name).zipWithIndex.toMap
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
       if (opts.rowIndexName.contains(f.name))
-        ColPlan(fi, null, KNum, null, indicator = false, rowIndex = true)
+        ColPlan(fi, null, KNum, null, rowIndex = true)
       else {
         val (base, ind) =
           if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
@@ -225,7 +232,9 @@ object SasModule extends FormatModule {
         val c = md.columns(vi)
         val labels =
           if (!ind && opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull else null
-        ColPlan(fi, c, kindFor(c), labels, indicator = ind, rowIndex = false)
+        val chLabels =
+          if (!ind && opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull else null
+        ColPlan(fi, c, kindFor(c), labels, chLabels, indicator = ind)
       }
     }.sortBy(p => if (p.col == null) Int.MaxValue else p.col.offset)
     val rowIndexBase: Long = part.rowsBefore.getOrElse(
@@ -340,7 +349,13 @@ object SasModule extends FormatModule {
           while (stop < end && b(stop) != 0) stop += 1
           if (stop == off) {
             if (opts.missingStringAsNull) null else UTF8String.fromString("")
-          } else UTF8String.fromString(new String(b, off, stop - off, cs))
+          } else {
+            val s = new String(b, off, stop - off, cs)
+            // char-format catalog labels: matched codes map, unmatched
+            // values pass through (reference replace_strict default)
+            UTF8String.fromString(
+              if (pl.charLabels != null) pl.charLabels.getOrElse(s, s) else s)
+          }
         } else {
           val v = SasCore.incompleteDouble(b, off, c.length, little)
           if (v.isNaN || v.isInfinite) null

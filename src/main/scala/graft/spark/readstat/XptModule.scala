@@ -39,6 +39,23 @@ object XptModule extends FormatModule {
     case _ => DoubleType
   }
 
+  // ---- .sas7bcat / inline catalog labels (reference docs/read.md:148:
+  // "SAS Transport files do not carry value labels. Use the catalog
+  // parameter … to attach labels from a separate catalog") ----
+  private def catalogLabels(opts: ReadstatOptions,
+      c: XptColumn): Option[Map[Double, String]] =
+    opts.catalog.flatMap { p =>
+      if (c.isChar || c.format.isEmpty) None
+      else CatalogResolver.resolve(p).numeric.get(CatalogResolver.fmtKey(c.format))
+    }
+
+  private def catalogCharLabels(opts: ReadstatOptions,
+      c: XptColumn): Option[Map[String, String]] =
+    opts.catalog.flatMap { p =>
+      if (!c.isChar || c.format.isEmpty) None
+      else CatalogResolver.resolve(p).string.get(CatalogResolver.fmtKey(c.format))
+    }
+
   override def schema(path: String, opts: ReadstatOptions): StructType = {
     val md = metadata(path)
     val fields = Vector.newBuilder[StructField]
@@ -47,7 +64,11 @@ object XptModule extends FormatModule {
       if (kindOf(c) == SasCore.KTime) mb.putString("readstat.type", "time")
       if (c.label.nonEmpty) mb.putString("readstat.label", c.label)
       if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
-      fields += StructField(c.name, sparkTypeOf(c), nullable = true, mb.build())
+      val dt =
+        if (opts.valueLabelsAsStrings && catalogLabels(opts, c).isDefined)
+          StringType
+        else sparkTypeOf(c)
+      fields += StructField(c.name, dt, nullable = true, mb.build())
       if (opts.informativeNulls && !c.isChar && opts.infoNullEligible(c.name))
         fields += StructField(c.name + opts.informativeNullSuffix, StringType,
           nullable = true)
@@ -107,10 +128,11 @@ object XptModule extends FormatModule {
       required: StructType): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
-    // (fieldIdx, col-or-null(=rowIndex), kind, indicator)
+    // (fieldIdx, col-or-null(=rowIndex), kind, indicator, labels, charLabels)
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
       if (opts.rowIndexName.contains(f.name))
-        (fi, null.asInstanceOf[graft.core.xpt.XptCore.XptColumn], SasCore.KNum, false)
+        (fi, null.asInstanceOf[graft.core.xpt.XptCore.XptColumn], SasCore.KNum,
+          false, null: Map[Double, String], null: Map[String, String])
       else {
         val (base, ind) =
           if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
@@ -120,7 +142,13 @@ object XptModule extends FormatModule {
           else (f.name, false)
         val c = md.columns(byName.getOrElse(base,
           throw new IllegalArgumentException(s"no such column: ${f.name}")))
-        (fi, c, kindOf(c), ind)
+        val labels =
+          if (!ind && opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull
+          else null
+        val chLabels =
+          if (!ind && opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
+          else null
+        (fi, c, kindOf(c), ind, labels, chLabels)
       }
     }
     val rowLen = md.rowLength
@@ -170,7 +198,7 @@ object XptModule extends FormatModule {
         val base = bufPos * rowLen
         val rowIdx = part.startRow + localIdx
         bufPos += 1; remaining -= 1; localIdx += 1
-        plans.foreach { case (fi, c, kind, indicator) =>
+        plans.foreach { case (fi, c, kind, indicator, labels, charLabels) =>
           if (c == null) { row.update(fi, rowIdx) }
           else if (indicator) {
             // XPT tagged missing: first byte '.'/'A'-'Z'/'_' IS the tag
@@ -190,12 +218,24 @@ object XptModule extends FormatModule {
               while (end > off && (buf(end - 1) == ' ' || buf(end - 1) == 0)) end -= 1
               if (end == off) {
                 if (opts.missingStringAsNull) null else UTF8String.fromString("")
-              } else UTF8String.fromString(
-                new String(buf, off, end - off, java.nio.charset.StandardCharsets.ISO_8859_1))
+              } else {
+                val s = new String(buf, off, end - off,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                // char-format catalog labels (matched codes map,
+                // unmatched pass through — reference replace_strict)
+                UTF8String.fromString(
+                  if (charLabels != null) charLabels.getOrElse(s, s) else s)
+              }
             } else if (XptCore.isMissing(buf, off, c.width)) null
             else {
               val d = XptCore.ibmToDouble(buf, off, c.width)
               if (d.isNaN || d.isInfinite) null
+              else if (labels != null)
+                // catalog label switch: same integral rendering fallback
+                // as the sas7bdat reader for unlabeled codes
+                UTF8String.fromString(labels.getOrElse(d,
+                  if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+                  else d.toString))
               else kind match {
                 case SasCore.KDate => SasCore.toDateDays(d)
                 case SasCore.KDatetime => SasCore.toDatetimeMicros(d)

@@ -69,8 +69,6 @@ object SasBinaryWriter {
     placed.map { c =>
       varFormats.get(c.name) match {
         case Some(spec0) =>
-          require(!c.isChar,
-            s"sas7bdat writer: varFormats.${c.name} targets a string column")
           // "NAMEw.d" / "NAMEw." / "NAME": strip ".d", trailing digits
           // become the display width (SAS format names cannot end in a
           // digit, so the split is unambiguous)
@@ -83,6 +81,14 @@ object SasBinaryWriter {
           require(nm.nonEmpty && nm.forall(ch =>
               ch.isLetterOrDigit || ch == '_' || ch == '$'),
             s"sas7bdat writer: cannot parse varFormats.${c.name} '$spec0'")
+          // SAS naming: char formats carry a leading '$', numeric ones
+          // must not — enforce rather than write a file SAS would reject
+          require(!c.isChar || nm.startsWith("$"),
+            s"sas7bdat writer: varFormats.${c.name} targets a string " +
+              s"column — char format names must start with '$$' (got '$nm')")
+          require(c.isChar || !nm.startsWith("$"),
+            s"sas7bdat writer: varFormats.${c.name} '$nm' is a char " +
+              "($-prefixed) format on a numeric column")
           val w = noDec.substring(nm.length)
           c.copy(fmtName = nm.toUpperCase,
             fmtWidth = if (w.isEmpty) 0 else w.toInt)
