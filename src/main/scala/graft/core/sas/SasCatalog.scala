@@ -109,8 +109,12 @@ object SasCatalog {
       var nextPos = startPos.toLong
       val out = new java.io.ByteArrayOutputStream()
       var links = 0L
+      // bound chain length by the pages the FILE can hold, not the
+      // header's pageCount: a corrupt count plus a cyclic chain would
+      // otherwise accumulate 64 KiB per lap until OOM
+      val maxLinks = math.min(pageCount, raf.length() / pageSize + 1)
       val chainHdr = new Array[Byte](chainHdrLen)
-      while (nextPage > 0 && nextPos > 0 && nextPage <= pageCount && links < pageCount) {
+      while (nextPage > 0 && nextPos > 0 && nextPage <= pageCount && links < maxLinks) {
         raf.seek(headerSize + (nextPage - 1) * pageSize + nextPos)
         raf.readFully(chainHdr)
         val (np, npp, ll) =

@@ -95,6 +95,50 @@ class FuzzCorruptionSpec extends SparkTestBase {
     for (trial <- 0 until 40) fuzzOne(src, "sas7bdat", trial, rnd)
   }
 
+  test("fuzzed sas7bcat catalogs throw or parse, never hang or over-allocate") {
+    // catalogs are parsed on the DRIVER at schema time (the catalog
+    // option), so a corrupt-length DoS here stalls planning, not a task
+    val dir = Files.createTempDirectory("graft_fuzz_cat").toString
+    val src = s"$dir/f.sas7bcat"
+    graft.spark.readstat.writers.SasCatalogWriter.write(src,
+      numeric = Map("REGIONF" -> (1 to 50).map(i => i.toDouble -> s"Region $i").toMap),
+      string = Map("$TAGF" -> Map("ab" -> "Alpha", "cd" -> "Delta")))
+    val rnd = new java.util.Random(0xC0FFEE + 13)
+    for (trial <- 0 until 40) {
+      val bytes = Files.readAllBytes(Paths.get(src))
+      val nFlips = 1 + rnd.nextInt(4)
+      val where = (0 until nFlips).map { _ =>
+        val off = rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(bytes.length)
+          case 1 => rnd.nextInt(math.min(512, bytes.length))
+          case _ => bytes.length - 1 - rnd.nextInt(math.min(256, bytes.length))
+        }
+        val v = if (rnd.nextBoolean()) 0xff.toByte else rnd.nextInt(256).toByte
+        val run = 1 + rnd.nextInt(4)
+        var i = 0
+        while (i < run && off + i < bytes.length) { bytes(off + i) = v; i += 1 }
+        f"$off+$run<-0x${v & 0xff}%02x"
+      }
+      val out = Files.createTempFile(s"graft_fuzz_cat_$trial", ".sas7bcat")
+      Files.write(out, bytes)
+      out.toFile.deleteOnExit()
+      val attempt = Future(try Right(graft.core.sas.SasCatalog.read(out.toString))
+        catch {
+          case e: Exception => Left(e)
+          case e: StackOverflowError => Left(new RuntimeException(e))
+        })
+      try {
+        Await.result(attempt, 60.seconds) match {
+          case Right(cat) => assert(cat.numeric.size + cat.string.size >= 0)
+          case Left(_) => ()
+        }
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          fail(s"sas7bcat fuzz trial $trial (${where.mkString(",")}): reader hung >60s")
+      } finally Files.deleteIfExists(out)
+    }
+  }
+
   // ---- targeted length-field corruption: the guards themselves ----
   // Random flips rarely land on a length field, and on a large-heap test
   // box a runaway allocation can even succeed before failing later — so
