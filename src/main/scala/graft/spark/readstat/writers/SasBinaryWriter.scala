@@ -386,26 +386,35 @@ object SasBinaryWriter {
     * SASYZCRL files use and both our reader and pandas decode. Rows that
     * do not shrink are stored raw at full row length (readers copy
     * instead of decompressing when length == rowLength). */
-  private def encodeRlePages(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      specs: Array[Col], out: File, pageLen: Int, rowLen: Int): Long = {
-    val os = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
-    val page = new Array[Byte](pageLen)
-    val rowBuf = new Array[Byte](rowLen)
-    var nSub = 0
-    var tail = pageLen
-    var total = 0L
-    def flushPage(): Unit = {
+  /** Incremental SASYZCRL page builder: rows become per-row compressed
+    * subheaders on PtMeta pages; complete pages stream to `os` as they
+    * fill. Shared by the batch writer's per-partition encode and the
+    * streaming sink's chunk writers (the sink appends WHOLE pages, so
+    * the encoder must flush only complete pageLen-sized pages). */
+  private[writers] final class RlePageEncoder(specs: Array[Col],
+      os: java.io.OutputStream, pageLen: Int, rowLen: Int) {
+    private val page = new Array[Byte](pageLen)
+    private val rowBuf = new Array[Byte](rowLen)
+    private var nSub = 0
+    private var tail = pageLen
+    private var rows = 0L
+    private var pages = 0L
+    def rowsAdded: Long = rows
+    def pagesWritten: Long = pages
+
+    private def flushPage(): Unit = {
       if (nSub > 0) {
         putU16(page, PageBitOffset, SasCore.PtMeta)
         putU16(page, PageBitOffset + 2, nSub)
         putU16(page, PageBitOffset + 4, nSub)
         os.write(page)
         java.util.Arrays.fill(page, 0.toByte)
-        nSub = 0; tail = pageLen
+        nSub = 0; tail = pageLen; pages += 1
       }
     }
-    while (it.hasNext) {
-      writeRow(it.next(), specs, rowBuf, 0)
+
+    def addRow(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      writeRow(row, specs, rowBuf, 0)
       val enc = rleEncode(rowBuf, 0, rowLen)
       val body = if (enc != null) enc else {
         // a raw-stored row whose head aliases a subheader signature
@@ -428,11 +437,20 @@ object SasBinaryWriter {
       putI64(page, p + IntS, body.length)
       page(p + 2 * IntS) = 4     // compressed data subheader
       page(p + 2 * IntS + 1) = 1 // data type
-      nSub += 1; tail = start; total += 1
+      nSub += 1; tail = start; rows += 1
     }
-    flushPage()
+
+    def finish(): Unit = flushPage()
+  }
+
+  private def encodeRlePages(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      specs: Array[Col], out: File, pageLen: Int, rowLen: Int): Long = {
+    val os = new BufferedOutputStream(new FileOutputStream(out), 1 << 20)
+    val enc = new RlePageEncoder(specs, os, pageLen, rowLen)
+    while (it.hasNext) enc.addRow(it.next())
+    enc.finish()
     os.close()
-    total
+    enc.rowsAdded
   }
 
   /** Header + meta pages + data page chunks → one valid .sas7bdat. */

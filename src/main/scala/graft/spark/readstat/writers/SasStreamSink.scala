@@ -25,8 +25,23 @@ import graft.core.sas.SasCore
   * advances the sidecar state. Replay skip, schema-fingerprint drift
   * refusal, pre-length guard, and crash-healing (recompute positions
   * from the COMMITTED row count, overwriting any partial bytes) follow
-  * the shared protocol. Uncompressed only: RLE rows are variable-width,
-  * which breaks position-from-row-count healing — refused loudly.
+  * the shared protocol.
+  *
+  * `compression=rle` (SASYZCRL) streams too, with a different append
+  * unit: rle rows are variable-width, so positions cannot derive from
+  * the row count — instead executors build WHOLE rle pages (per-row
+  * compressed subheaders, the batch writer's [[SasBinaryWriter.RlePageEncoder]])
+  * and the commit splices complete pageLen-sized pages at the committed
+  * page boundary, carrying the committed DATA-page count in the
+  * sidecar's `extra` field (healing truncates to that boundary — the
+  * zsav sink's block-index pattern, one number instead of a list
+  * because sas pages are fixed-size). Committed pages are immutable:
+  * each partition's last page may run short of rows (pages declare
+  * their own counts), trading ≤1 page of density per partition per
+  * epoch for an append that never rewrites committed data. The
+  * compression mode is part of the schema fingerprint, so an
+  * uncompressed append to an rle file (or vice versa) is refused as
+  * drift rather than producing a mixed-page file.
   */
 object SasStreamSink extends StreamSinkCore.Format {
 
@@ -61,9 +76,18 @@ object SasStreamSink extends StreamSinkCore.Format {
     SasBinaryWriter.layoutSpecs(schema, widths, varFormats)
   }
 
+  private[writers] def isRle(options: Map[String, String]): Boolean =
+    options.get("compression").map(_.trim.toLowerCase) match {
+      case None | Some("") | Some("none") => false
+      case Some("rle") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"sas7bdat streaming sink: unknown compression '$other' (expected none|rle)")
+    }
+
   override def chunkWriter(schema: StructType, options: Map[String, String],
       pid: Int): DataWriter[InternalRow] =
-    new SasChunkWriter(schema, options, pid)
+    if (isRle(options)) new RleSasChunkWriter(schema, options, pid)
+    else new SasChunkWriter(schema, options, pid)
 
   override def commit(path: String, epochId: Long, queryId: String,
       chunks: Seq[(Int, String, Long)], schema: StructType,
@@ -75,10 +99,7 @@ object SasStreamSink extends StreamSinkCore.Format {
       options: Map[String, String], queryId: String = ""): Unit = synchronized {
     require(!options.contains("metadataPath"),
       "sas7bdat streaming sink: metadataPath is not supported — use the batch writer")
-    require(!options.get("compression").exists(c =>
-        c.trim.toLowerCase == "rle"),
-      "sas7bdat streaming sink: rle rows are variable-width and cannot " +
-        "be position-spliced — stream uncompressed, or batch-write with rle")
+    val rle = isRle(options)
     val specs = streamColSpecs(schema, options)
     val rowLen = specs.map(_.width).sum
     val (pageLen, rowsPerPage) = SasBinaryWriter.pageGeometry(rowLen)
@@ -92,8 +113,13 @@ object SasStreamSink extends StreamSinkCore.Format {
       val dot = base.lastIndexOf('.')
       (if (dot > 0) base.substring(0, dot) else base).toUpperCase
     })
+    // the rle marker makes compression part of the fingerprint: mixing
+    // fixed-row DATA pages and compressed-subheader pages in one file
+    // must be refused as drift (the uncompressed hash stays unmarked so
+    // pre-existing sidecars keep validating)
     val schemaHash = StreamSinkCore.hashSpecs(
-      specs.map(c => s"${c.name}|${c.isChar}|${c.width}|${c.fmtName}").toIndexedSeq)
+      specs.map(c => s"${c.name}|${c.isChar}|${c.width}|${c.fmtName}").toIndexedSeq
+        ++ (if (rle) Seq("|rle") else Nil))
 
     val state = StreamSinkCore.readState(path)
     try {
@@ -113,71 +139,108 @@ object SasStreamSink extends StreamSinkCore.Format {
       val total = prevRows + chunks.map(_._3).sum
 
       val metaPages = SasBinaryWriter.buildMetaPages(specs, varLabels, total,
-        rowLen, pageLen, rowsPerPage)
+        rowLen, pageLen, rowsPerPage, rle)
       val m = metaPages.length
       val preLen = SasBinaryWriter.headerLen.toLong + m.toLong * pageLen
       state.foreach(st => require(st.preLen < 0 || st.preLen == preLen,
         s"sas7bdat streaming sink: pre-data section length changed " +
           s"(${st.preLen} -> $preLen) for $path — appends must declare " +
           "the same labels/formats as the original write"))
-      val dataPages = ((total + rowsPerPage - 1) / rowsPerPage).toInt
-      val header = SasBinaryWriter.buildHeader(pageLen, m + dataPages, dsName)
+      // committed DATA-page count: derived from the row count for fixed
+      // rows; carried in the sidecar for rle (variable rows per page)
+      val prevPages: Long =
+        if (rle) state.map(_.extra).filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
+        else (prevRows + rowsPerPage - 1) / rowsPerPage
 
       val p = Paths.get(path)
       Option(p.getParent).foreach(Files.createDirectories(_))
       val ch = FileChannel.open(p, StandardOpenOption.CREATE,
         StandardOpenOption.READ, StandardOpenOption.WRITE)
+      var committedPages = 0L
       try {
-        ch.position(0L)
-        ch.write(ByteBuffer.wrap(header))
-        metaPages.foreach(pg => ch.write(ByteBuffer.wrap(pg)))
+        val dataPages: Long = if (rle) {
+          // splice whole rle pages at the committed page boundary; the
+          // chunk files ARE page streams (each a multiple of pageLen)
+          val newPages = chunks.sortBy(_._1).map { case (_, f, _) =>
+            val len = new java.io.File(f).length()
+            require(len % pageLen == 0,
+              s"sas7bdat streaming sink: rle chunk $f is not page-aligned " +
+                s"($len B, page $pageLen B)")
+            len / pageLen
+          }.sum
+          ch.position(0L)
+          ch.write(ByteBuffer.wrap(SasBinaryWriter.buildHeader(pageLen,
+            (m + prevPages + newPages).toInt, dsName)))
+          metaPages.foreach(pg => ch.write(ByteBuffer.wrap(pg)))
+          ch.position(preLen + prevPages * pageLen)
+          chunks.sortBy(_._1).foreach { case (_, f, _) =>
+            val in = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
+            try {
+              var pos = 0L
+              val n = in.size()
+              while (pos < n) pos += in.transferTo(pos, n - pos, ch)
+            } finally in.close()
+          }
+          require(ch.position() == preLen + (prevPages + newPages) * pageLen,
+            s"sas7bdat streaming sink: rle page drift at epoch $epochId")
+          prevPages + newPages
+        } else {
+          val expectPages = (total + rowsPerPage - 1) / rowsPerPage
+          ch.position(0L)
+          ch.write(ByteBuffer.wrap(SasBinaryWriter.buildHeader(pageLen,
+            (m + expectPages).toInt, dsName)))
+          metaPages.foreach(pg => ch.write(ByteBuffer.wrap(pg)))
 
-        def pagePos(i: Long): Long = preLen + i * pageLen
-        var pageIdx = prevRows / rowsPerPage
-        var fill = (prevRows % rowsPerPage).toInt
-        val page = new Array[Byte](pageLen)
-        if (fill > 0) {
-          // reopen the committed partial page; its first `fill` rows are
-          // the healing boundary — everything after them is overwritten
-          val buf = ByteBuffer.wrap(page)
-          ch.position(pagePos(pageIdx))
-          while (buf.hasRemaining && ch.read(buf) >= 0) ()
+          def pagePos(i: Long): Long = preLen + i * pageLen
+          var pageIdx = prevRows / rowsPerPage
+          var fill = (prevRows % rowsPerPage).toInt
+          val page = new Array[Byte](pageLen)
+          if (fill > 0) {
+            // reopen the committed partial page; its first `fill` rows are
+            // the healing boundary — everything after them is overwritten
+            val buf = ByteBuffer.wrap(page)
+            ch.position(pagePos(pageIdx))
+            while (buf.hasRemaining && ch.read(buf) >= 0) ()
+          }
+          def flushPage(): Unit = {
+            putU16(page, 32, SasCore.PtData)
+            putU16(page, 34, fill)
+            putU16(page, 36, 0)
+            ch.position(pagePos(pageIdx))
+            ch.write(ByteBuffer.wrap(page))
+            pageIdx += 1; fill = 0
+            java.util.Arrays.fill(page, 0.toByte)
+          }
+          val rowBuf = new Array[Byte](rowLen)
+          chunks.sortBy(_._1).foreach { case (_, f, _) =>
+            val in = new java.io.BufferedInputStream(
+              new java.io.FileInputStream(f), 1 << 20)
+            try {
+              var n = readFully(in, rowBuf)
+              while (n == rowLen) {
+                System.arraycopy(rowBuf, 0,
+                  page, SasBinaryWriter.dataPageStart + fill * rowLen, rowLen)
+                fill += 1
+                if (fill == rowsPerPage) flushPage()
+                n = readFully(in, rowBuf)
+              }
+              require(n == 0,
+                s"sas7bdat streaming sink: chunk $f has a torn row ($n of $rowLen bytes)")
+            } finally in.close()
+          }
+          if (fill > 0) flushPage()
+          require(pageIdx == expectPages &&
+              preLen + pageIdx * pageLen == pagePos(pageIdx.toInt),
+            s"sas7bdat streaming sink: page drift at epoch $epochId")
+          expectPages
         }
-        def flushPage(): Unit = {
-          putU16(page, 32, SasCore.PtData)
-          putU16(page, 34, fill)
-          putU16(page, 36, 0)
-          ch.position(pagePos(pageIdx))
-          ch.write(ByteBuffer.wrap(page))
-          pageIdx += 1; fill = 0
-          java.util.Arrays.fill(page, 0.toByte)
-        }
-        val rowBuf = new Array[Byte](rowLen)
-        chunks.sortBy(_._1).foreach { case (_, f, _) =>
-          val in = new java.io.BufferedInputStream(
-            new java.io.FileInputStream(f), 1 << 20)
-          try {
-            var n = readFully(in, rowBuf)
-            while (n == rowLen) {
-              System.arraycopy(rowBuf, 0,
-                page, SasBinaryWriter.dataPageStart + fill * rowLen, rowLen)
-              fill += 1
-              if (fill == rowsPerPage) flushPage()
-              n = readFully(in, rowBuf)
-            }
-            require(n == 0,
-              s"sas7bdat streaming sink: chunk $f has a torn row ($n of $rowLen bytes)")
-          } finally in.close()
-        }
-        if (fill > 0) flushPage()
-        require(pageIdx == ((total + rowsPerPage - 1) / rowsPerPage) &&
-            preLen + pageIdx * pageLen == pagePos(pageIdx.toInt),
-          s"sas7bdat streaming sink: page drift at epoch $epochId")
-        ch.truncate(preLen + dataPages.toLong * pageLen)
+        committedPages = dataPages
+        ch.truncate(preLen + dataPages * pageLen)
         ch.force(true)
       } finally ch.close()
       StreamSinkCore.writeState(path, StreamSinkCore.StreamState(
-        epochId, total, rowLen, queryId, schemaHash, preLen))
+        epochId, total, rowLen, queryId, schemaHash, preLen,
+        if (rle) committedPages.toString else ""))
     } finally chunks.foreach { case (_, f, _) => new java.io.File(f).delete() }
   }
 
@@ -194,6 +257,39 @@ object SasStreamSink extends StreamSinkCore.Format {
 
   private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+}
+
+/** rle chunk writer: the chunk file is a stream of COMPLETE rle pages
+  * (the commit splices whole pages, never rows). The encoder flushes a
+  * page only when full; commit() flushes the final partial page, so the
+  * file length is always a multiple of pageLen. */
+class RleSasChunkWriter(schema: StructType, options: Map[String, String],
+    pid: Int) extends ChunkWriterBase(options, "ssasrle", pid) {
+  private val specs = SasStreamSink.streamColSpecs(schema, options)
+  private val rowLen = specs.map(_.width).sum
+  private val (pageLen, _) = SasBinaryWriter.pageGeometry(rowLen)
+  private val enc = new SasBinaryWriter.RlePageEncoder(specs, out, pageLen, rowLen)
+  override protected def rowsWritten: Long = enc.rowsAdded
+  private val strChecks: Array[(Int, Int, String)] =
+    specs.collect { case c if c.isChar => (c.ordinal, c.width, c.name) }
+
+  override def write(row: InternalRow): Unit = {
+    var j = 0
+    while (j < strChecks.length) {
+      val (i, w, name) = strChecks(j)
+      if (!row.isNullAt(i) && row.getUTF8String(i).numBytes() > w)
+        throw new IllegalArgumentException(
+          s"sas7bdat streaming sink: string in column '$name' exceeds the " +
+            s"declared width $w bytes — raise .option(\"strWidth.$name\", ...)")
+      j += 1
+    }
+    enc.addRow(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    enc.finish()
+    super.commit()
   }
 }
 

@@ -568,6 +568,69 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("single-file streaming rle .sas7bdat sink: epochs append whole compressed pages") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sasrlesink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.sas7bdat"
+    val input = MemoryStream[(Long, Double, String)]
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("compression", "rle")
+      .option("strWidth.s", "24")
+      .start(sink)
+    try {
+      input.addData((1L, 1.5, "padded string ab"), (2L, 2.5, "padded string cd"))
+      query.processAllAvailable()
+      assert(spark.read.format("readstat").load(sink).count() == 2L)
+      // epoch 2 large enough to span multiple rle pages per partition
+      input.addData((3L to 20002L).map(i => (i, i * 0.5, "padded string ef")): _*)
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink)
+      assert(back.count() == 20002L)
+      val head = back.orderBy("id").limit(3).collect()
+      assert(head.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+      assert(head.map(_.getString(2)).toSeq == Seq(
+        "padded string ab", "padded string cd", "padded string ef"))
+      // the file really is SASYZCRL-compressed, and the sidecar carries
+      // the committed page count healing rebuilds positions from
+      val md = graft.core.sas.SasCore.parse(sink)
+      assert(md.compression != 0, s"expected compressed file, got ${md.compression}")
+      val st = graft.spark.readstat.writers.StreamSinkCore.readState(sink).get
+      assert(st.extra.toLong >= 2L, st.extra)
+      assert(new java.io.File(sink).length() ==
+        st.preLen + st.extra.toLong * graft.core.sas.SasCore.parse(sink).pageLength)
+    } finally query.stop()
+  }
+
+  test("rle and uncompressed sas sink appends to one file refuse as drift") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sasrledrift").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/drift.sas7bdat"
+    val in1 = MemoryStream[(Long, Double)]
+    val q1 = in1.toDF().toDF("id", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .start(sink)
+    try { in1.addData((1L, 1.0)); q1.processAllAvailable() } finally q1.stop()
+    val in2 = MemoryStream[(Long, Double)]
+    val e = intercept[Exception] {
+      val q2 = in2.toDF().toDF("id", "v").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .option("compression", "rle")
+        .start(sink)
+      try { in2.addData((2L, 2.0)); q2.processAllAvailable() } finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("schema drift")), msgs(e).mkString(" | "))
+  }
+
   test("sas7bdat sink: replay skip, new-query append, drift refusal") {
     import graft.spark.readstat.writers.SasStreamSink
     val dir = java.nio.file.Files.createTempDirectory("graft_sasreplay").toFile
@@ -606,11 +669,12 @@ class StreamingWriteSpec extends SparkTestBase {
         Map("strWidth.s" -> "16"), queryId = "q3")
     }
     assert(e.getMessage.contains("schema drift"), e.getMessage)
-    // rle streaming is refused with a pointer at the batch writer
+    // an rle append to this uncompressed file is fingerprint drift (the
+    // compression mode is part of the schema hash): refused, not mixed
     assert(intercept[IllegalArgumentException] {
       SasStreamSink.commitEpoch(sink, 0L, Nil, schema,
         opts + ("compression" -> "rle"), queryId = "q4")
-    }.getMessage.contains("rle"))
+    }.getMessage.contains("schema drift"))
     // crash healing: garbage past the committed boundary (a torn splice)
     // is overwritten and truncated by the next commit
     val raf = new java.io.RandomAccessFile(sink, "rw")
