@@ -207,6 +207,15 @@ class FixedWidthStreamingWrite(path: String, schema: StructType,
     options: Map[String, String], queryId: String,
     fmt: StreamSinkCore.Format) extends StreamingWrite {
 
+  // write-side compress narrows types from a full-data stats pass, which
+  // an unbounded stream cannot provide — refuse loudly (the reference's
+  // sink_stata rejects compress=True the same way, pybindings.rs:962-966)
+  // rather than silently ignore the option
+  require(!options.get("compress").exists(_.trim.toBoolean),
+    "readstat streaming sink: compress needs a full-data stats pass, " +
+      "which an unbounded stream cannot provide — narrow column types " +
+      "before writeStream, or use the batch writer")
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new FixedWidthStreamWriterFactory(schema, options, fmt)

@@ -476,6 +476,27 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sinks refuse write-side compress loudly (reference sink_stata parity)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfcompress").toFile
+    dir.deleteOnExit()
+    val input = MemoryStream[(Long, Double)]
+    val e = intercept[Exception] {
+      val q = input.toDF().toDF("id", "v").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .option("compress", "true")
+        .start(s"$dir/out.dta")
+      try { input.addData((1L, 1.0)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("full-data stats pass")),
+      msgs(e).mkString(" | "))
+  }
+
   test("single-file sink: non-appendable format is refused with a pointer to multiFile") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
