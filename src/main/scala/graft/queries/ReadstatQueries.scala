@@ -590,10 +590,22 @@ object ReadstatQueries {
     * epoch must continue the committed partial DATA page in place and
     * re-patch its block count — an off-by-one there surfaces as
     * missing/phantom rows in the read-back aggregate. */
-  def sasStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val landing = scratch(d, "sas_stream_landing")
-    val sink = scratch(d, "sas_stream_single.sas7bdat")
-    val ckpt = scratch(d, "sas_stream_ckpt")
+  def sasStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame =
+    sasStreamSink(s, d, rle = false)
+
+  /** rle variant: the append unit is a WHOLE SASYZCRL page spliced at
+    * the sidecar-carried page boundary — the second epoch certifies
+    * that committed compressed pages are left untouched and the header
+    * page count re-patches correctly, cross-engine via the oracle. */
+  def sasRleStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame =
+    sasStreamSink(s, d, rle = true)
+
+  private def sasStreamSink(s: SparkSession, d: String,
+      rle: Boolean): DataFrame = {
+    val tag = if (rle) "sas_rle_stream" else "sas_stream"
+    val landing = scratch(d, s"${tag}_landing")
+    val sink = scratch(d, s"${tag}_single.sas7bdat")
+    val ckpt = scratch(d, s"${tag}_ckpt")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
@@ -605,13 +617,13 @@ object ReadstatQueries {
       col("s_acctbal"), col("s_nationkey").cast("double").as("s_nationkey"))
     base.filter(col("s_suppkey") % 2 === 0)
       .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
-    val q = s.readStream.format("readstat")
+    val q0 = s.readStream.format("readstat")
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "s_suppkey DOUBLE, s_acctbal DOUBLE, s_nationkey DOUBLE"))
       .load(landing)
       .writeStream.format("readstat")
       .option("checkpointLocation", ckpt)
-      .start(sink)
+    val q = (if (rle) q0.option("compression", "rle") else q0).start(sink)
     try {
       q.processAllAvailable()
       base.filter(col("s_suppkey") % 2 === 1)
@@ -674,6 +686,7 @@ object ReadstatQueries {
     "zsav_stream_sink" -> (zsavStreamSinkRoundtrip _, zsavStreamSinkRoundtripSql),
     "xpt_stream_sink" -> (xptStreamSinkRoundtrip _, xptStreamSinkRoundtripSql),
     "sas_stream_sink" -> (sasStreamSinkRoundtrip _, sasStreamSinkRoundtripSql),
+    "sas_rle_stream_sink" -> (sasRleStreamSinkRoundtrip _, sasStreamSinkRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
