@@ -247,13 +247,18 @@ object XptWriterImpl {
             val enc = new XptRowEncoder(specs, out, ordsB.value, tagOrdsB.value)
             it.foreach(enc.encode)
             rows = enc.rows
-            val rem = ((rows * specs.map(_.width).sum) % 80).toInt
+            val partRowLen = specs.map(_.width).sum
+            val rem = ((rows * partRowLen) % 80).toInt
             if (rem != 0) {
               val pad = new Array[Byte](80 - rem)
               java.util.Arrays.fill(pad, ' '.toByte)
               out.write(pad)
             }
             out.close()
+            val fix = java.nio.channels.FileChannel.open(Paths.get(tmp),
+              StandardOpenOption.READ, StandardOpenOption.WRITE)
+            try pandasTailFix(fix, header.length.toLong, partRowLen, rows)
+            finally fix.close()
             }
             Iterator(rows)
           }
@@ -279,8 +284,8 @@ object XptWriterImpl {
     AtomicFile.write(path) { tmpOut =>
     val outPath = Paths.get(tmpOut)
     val ch = java.nio.channels.FileChannel.open(outPath,
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-      StandardOpenOption.TRUNCATE_EXISTING)
+      StandardOpenOption.CREATE, StandardOpenOption.READ,
+      StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
     try {
       ch.write(java.nio.ByteBuffer.wrap(header))
       var written = 0L
@@ -298,9 +303,54 @@ object XptWriterImpl {
         java.util.Arrays.fill(pad, ' '.toByte)
         ch.write(java.nio.ByteBuffer.wrap(pad))
       }
+      pandasTailFix(ch, header.length.toLong, cols.map(_.width).sum,
+        head.getLong(0))
     } finally ch.close()
     }
     chunks.foreach(c => new File(c._2).delete())
+  }
+
+  /** pandas' xport reader estimates the row count by subtracting
+    * 8-byte-ALIGNED all-space blocks found anywhere in the FINAL 80-byte
+    * card (its tail-pad heuristic). Real char data whose trailing spaces
+    * form such blocks makes it UNDERCOUNT — pandas silently drops the
+    * last row(s); measured on a streamed 5002-row file with a 24-byte
+    * char column (5001 rows read). When the tail as written would be
+    * miscounted AND one fully-blank extra card makes the heuristic
+    * exact, append it: readstat-style readers (including ours) cut
+    * trailing all-blank rows inside the final card either way, so the
+    * extra card is invisible to them, while pandas then sees tail_pad=80
+    * and counts exactly. When neither layout is exact (pad ≥ rowLen
+    * corner), keep the spec-minimal pad. Call with the channel holding a
+    * complete, boundary-padded file. */
+  private[writers] def pandasTailFix(ch: java.nio.channels.FileChannel,
+      dataStart: Long, rowLen: Int, nRows: Long): Unit = {
+    val end = ch.size()
+    val dataLen = end - dataStart
+    if (dataLen < 80 || rowLen <= 0) return
+    val card = java.nio.ByteBuffer.allocate(80)
+    var read = 0
+    while (read < 80) {
+      val n = ch.read(card, end - 80 + read)
+      if (n < 0) return
+      read += n
+    }
+    var blocks = 0
+    var i = 0
+    while (i < 80) {
+      var all = true
+      var j = 0
+      while (j < 8) { if (card.get(i + j) != ' ') all = false; j += 1 }
+      if (all) blocks += 1
+      i += 8
+    }
+    val pandasRows = (dataLen - 8L * blocks) / rowLen
+    if (pandasRows != nRows && dataLen / rowLen == nRows) {
+      val blank = new Array[Byte](80)
+      java.util.Arrays.fill(blank, ' '.toByte)
+      ch.position(end)
+      ch.write(java.nio.ByteBuffer.wrap(blank))
+    }
   }
 
   /** Per-partition specialized row encoder (same rationale as the

@@ -82,6 +82,53 @@ class XptPorSpec extends SparkTestBase {
     assertSameData(gotRenamed, want, "por-roundtrip")
   }
 
+  test("xpt writer dodges pandas' tail-pad heuristic without disturbing our reader") {
+    import spark.implicits._
+    // pandas' xport reader subtracts 8-byte-ALIGNED all-space blocks in
+    // the final 80-byte card from the data length; short strings in the
+    // last rows supply such blocks and (with the data ending exactly on
+    // the 80 boundary: 4 rows x 40 B) it would drop the last row. The
+    // writer appends one fully-blank card exactly when that makes the
+    // heuristic count correct.
+    def pandasModelRows(path: String): Long = {
+      val md = graft.core.xpt.XptCore.parse(path)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val dataLen = bytes.length - md.dataOffset
+      val card = bytes.slice(bytes.length - 80, bytes.length)
+      val blocks = (0 until 80 by 8).count(i =>
+        (i until i + 8).forall(j => card(j) == ' '))
+      (dataLen - 8L * blocks) / md.rowLength
+    }
+    // tripping geometry: a 24-byte char column (first row sets the
+    // width) whose LAST rows hold short values → the final card carries
+    // aligned all-space runs from real data, and 4 rows x 40 B end
+    // exactly on the 80 boundary
+    val bad = tmp("pdtail.xpt")
+    val df = Seq((1.0, 1.5, "x" * 24), (2.0, 2.5, "b"), (3.0, 3.5, "c"),
+      (4.0, 4.5, "d")).toDF("id", "v", "s")
+    df.write.format("readstat").mode("overwrite").save(bad)
+    val mdb = graft.core.xpt.XptCore.parse(bad)
+    assert(mdb.rowLength == 40, s"geometry drifted: rowLength ${mdb.rowLength}")
+    // the fix appended one blank card past the boundary-aligned data
+    assert(new java.io.File(bad).length() == mdb.dataOffset + 4L * 40 + 80,
+      "expected one appended blank card on the tripping geometry")
+    assert(pandasModelRows(bad) == 4L, s"pandas model: ${pandasModelRows(bad)}")
+    val back = spark.read.format("readstat")
+      .option("missingStringAsNull", "false").load(bad)
+    assert(back.count() == 4L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v"))
+      .collect()(0).getDouble(0) == 12.0)
+    // non-tripping geometry (full-width strings): no extra card appended
+    val good = tmp("pdtail2.xpt")
+    val wide = Seq((1.0, 1.5, "x" * 24), (2.0, 2.5, "y" * 24),
+      (3.0, 3.5, "z" * 24), (4.0, 4.5, "w" * 24)).toDF("id", "v", "s")
+    wide.write.format("readstat").mode("overwrite").save(good)
+    val mdg = graft.core.xpt.XptCore.parse(good)
+    assert(new java.io.File(good).length() == mdg.dataOffset + 4L * mdg.rowLength,
+      "no blank card should be appended when the tail is unambiguous")
+    assert(pandasModelRows(good) == 4L)
+  }
+
   test("xpt v8 write preserves long mixed-case names") {
     import spark.implicits._
     val df = Seq((1.0, "a", java.sql.Date.valueOf("2021-05-06")),
