@@ -16,9 +16,15 @@ import org.apache.spark.sql.SparkSession
   *       print(p, len(df), df["v"].sum())
   *   PY
   *
-  * Last verified (this round): pandas 2.x reads both the uncompressed
-  * (partial-page continuation) and the rle (whole-page append) streamed
-  * files — 5002 rows, exact sums (see COVERAGE.md streaming sink entry).
+  * The sink dispatches on the extension, so the same harness produces
+  * streamed .dta (pd.read_stata) and .xpt (pd.read_sas format="xport")
+  * files too.
+  *
+  * Last verified (this round): pandas 2.x reads the streamed sas7bdat
+  * in both compression modes, the streamed dta, and the streamed xpt
+  * exactly — 5002 rows, exact sums. The xpt result REQUIRES the
+  * tail-pad dodge in XptWriterImpl.pandasTailFix: before it, pandas'
+  * aligned-space-block heuristic dropped the final row (5001/5002).
   */
 object DevSasStreamPandas {
   def main(args: Array[String]): Unit = {
