@@ -149,7 +149,15 @@ object SasStreamSink extends StreamSinkCore.Format {
       // committed DATA-page count: derived from the row count for fixed
       // rows; carried in the sidecar for rle (variable rows per page)
       val prevPages: Long =
-        if (rle) state.map(_.extra).filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
+        if (rle) state.map(_.extra).filter(_.nonEmpty).map { e =>
+          try e.toLong catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"sas7bdat streaming sink: corrupt page count '$e' in the " +
+                s"sidecar state for $path — refusing to append blindly; " +
+                "delete BOTH the sink file and its .stream_state to " +
+                "restart from scratch")
+          }
+        }.getOrElse(0L)
         else (prevRows + rowsPerPage - 1) / rowsPerPage
 
       val p = Paths.get(path)
