@@ -78,6 +78,12 @@ object PorWriterImpl {
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     // reference PorWriteOptions parity: file_label (vanity row 1, 20
     // chars) + variable_labels (tag-'C' records after each variable)
+    // refuse rather than silently drop: the reference's write_por takes
+    // no value_labels parameter, and this writer does not emit tag-'D'
+    // label records
+    require(!options.get("valueLabels").exists(_.trim.nonEmpty),
+      "por writer: value labels are not supported (reference write_por " +
+        "has none) — write sav/dta, or a sas7bdat + catalog pair")
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     val unknown = varLabels.keySet.diff(df.schema.fieldNames.toSet)

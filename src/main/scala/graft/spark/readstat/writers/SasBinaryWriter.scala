@@ -111,6 +111,49 @@ object SasBinaryWriter {
   private[writers] def dataPageStart: Int = PageBitOffset + 8
   private[writers] def headerLen: Int = HeaderLen
 
+  /** Generated catalog format names for value-labeled columns: ≤8 chars,
+    * letter-led, 'F'-final (never digit-final, per SAS naming),
+    * '$'-prefixed for strings. Shared by the batch writer, the streaming
+    * sink, and the xpt writer (which attaches labels the same sibling-
+    * catalog way). */
+  private[writers] def labelFormatNames(schema: StructType,
+      valueLabels: Map[String, Seq[(String, String)]]): Map[String, String] = {
+    val used = scala.collection.mutable.Set[String]()
+    valueLabels.keys.toSeq.sorted.map { c =>
+      val isStr = schema(c).dataType == StringType
+      var base = c.toUpperCase.filter(ch => ch.isLetterOrDigit || ch == '_')
+      if (base.isEmpty || !base(0).isLetter) base = "F" + base
+      var cand = base.take(6) + "F"
+      var i = 1
+      while (!used.add(cand)) { cand = base.take(5) + i + "F"; i += 1 }
+      c -> (if (isStr) "$" + cand.take(7) else cand)
+    }.toMap
+  }
+
+  /** Emit the sibling .sas7bcat for the generated format names; numeric
+    * columns require numeric codes (loud), string columns keep raw codes. */
+  private[writers] def writeLabelCatalog(catPath: String, schema: StructType,
+      valueLabels: Map[String, Seq[(String, String)]],
+      catFmtNames: Map[String, String], who: String): Unit = {
+    val numeric = scala.collection.mutable.Map[String, Map[Double, String]]()
+    val string = scala.collection.mutable.Map[String, Map[String, String]]()
+    valueLabels.foreach { case (c, pairs) =>
+      val fmt = catFmtNames(c)
+      if (schema(c).dataType == StringType)
+        string(fmt) = pairs.toMap
+      else
+        numeric(fmt) = pairs.map { case (code, l) =>
+          val d = try code.trim.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$who writer: valueLabels.$c code '$code' is not " +
+                "numeric (the column is numeric)")
+          }
+          d -> l
+        }.toMap
+    }
+    SasCatalogWriter.write(catPath, numeric.toMap, string.toMap)
+  }
+
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val schema = df.schema
     require(schema.nonEmpty, "sas7bdat writer: empty schema")
@@ -132,20 +175,7 @@ object SasBinaryWriter {
         require(unknown.isEmpty,
           s"sas7bdat writer: $opt names unknown column(s): ${unknown.mkString(", ")}")
       }
-    // generated catalog format names: ≤8 chars, letter-led, 'F'-final
-    // (never digit-final, per SAS naming), '$'-prefixed for strings
-    val catFmtNames: Map[String, String] = {
-      val used = scala.collection.mutable.Set[String]()
-      valueLabels.keys.toSeq.sorted.map { c =>
-        val isStr = schema(c).dataType == StringType
-        var base = c.toUpperCase.filter(ch => ch.isLetterOrDigit || ch == '_')
-        if (base.isEmpty || !base(0).isLetter) base = "F" + base
-        var cand = base.take(6) + "F"
-        var i = 1
-        while (!used.add(cand)) { cand = base.take(5) + i + "F"; i += 1 }
-        c -> (if (isStr) "$" + cand.take(7) else cand)
-      }.toMap
-    }
+    val catFmtNames: Map[String, String] = labelFormatNames(schema, valueLabels)
     schema.fields.foreach { f =>
       f.dataType match {
         case StringType | DateType | TimestampType | TimestampNTZType |
@@ -222,26 +252,10 @@ object SasBinaryWriter {
         s"sas7bdat writer: unknown compression '$other' (expected none|rle)")
     }
     def writeCatalog(): Unit = if (valueLabels.nonEmpty) {
-      val numeric = scala.collection.mutable.Map[String, Map[Double, String]]()
-      val string = scala.collection.mutable.Map[String, Map[String, String]]()
-      valueLabels.foreach { case (c, pairs) =>
-        val fmt = catFmtNames(c)
-        if (schema(c).dataType == StringType)
-          string(fmt) = pairs.toMap
-        else
-          numeric(fmt) = pairs.map { case (code, l) =>
-            val d = try code.trim.toDouble catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"sas7bdat writer: valueLabels.$c code '$code' is not " +
-                  "numeric (the column is numeric)")
-            }
-            d -> l
-          }.toMap
-      }
       val catPath = options.getOrElse("catalogPath",
         if (options.get("multiFile").exists(_.toBoolean)) s"$path/formats.sas7bcat"
         else path.replaceAll("(?i)\\.sas7bdat$", "") + ".sas7bcat")
-      SasCatalogWriter.write(catPath, numeric.toMap, string.toMap)
+      writeLabelCatalog(catPath, schema, valueLabels, catFmtNames, "sas7bdat")
     }
 
     val spark = df.sparkSession

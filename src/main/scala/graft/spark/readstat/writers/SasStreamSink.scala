@@ -61,9 +61,13 @@ object SasStreamSink extends StreamSinkCore.Format {
       }.toMap
     val varFormats = StataDtaWriter.parseVarLabels(
       options.getOrElse("varFormats", ""))
-    val unknown = varFormats.keySet.diff(schema.fieldNames.toSet)
-    require(unknown.isEmpty,
-      s"sas7bdat streaming sink: varFormats names unknown column(s): ${unknown.mkString(", ")}")
+    val valueLabels = parseSinkValueLabels(schema, options)
+    Seq("varFormats" -> varFormats.keySet,
+        "valueLabels" -> valueLabels.keySet).foreach { case (opt, keys) =>
+      val unknown = keys.diff(schema.fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"sas7bdat streaming sink: $opt names unknown column(s): ${unknown.mkString(", ")}")
+    }
     schema.fields.foreach { f =>
       f.dataType match {
         case StringType | DateType | TimestampType | TimestampNTZType |
@@ -73,8 +77,22 @@ object SasStreamSink extends StreamSinkCore.Format {
           s"sas7bdat streaming sink: unsupported type $other for ${f.name}")
       }
     }
-    SasBinaryWriter.layoutSpecs(schema, widths, varFormats)
+    // labeled columns reference their generated catalog format, like the
+    // batch writer; the catalog is (re)written at every commit. Labels
+    // are constant per query, so the format names — which are part of
+    // the META pages and the schema fingerprint — stay fixed across
+    // epochs; an explicit varFormats entry still wins.
+    val catFmtNames = SasBinaryWriter.labelFormatNames(schema, valueLabels)
+    SasBinaryWriter.layoutSpecs(schema, widths, varFormats).map { c =>
+      if (c.fmtName.isEmpty && catFmtNames.contains(c.name))
+        c.copy(fmtName = catFmtNames(c.name))
+      else c
+    }
   }
+
+  private[writers] def parseSinkValueLabels(schema: StructType,
+      options: Map[String, String]): Map[String, Seq[(String, String)]] =
+    SasCsvBundleWriter.parseAnyValueLabels(options.getOrElse("valueLabels", ""))
 
   private[writers] def isRle(options: Map[String, String]): Boolean =
     options.get("compression").map(_.trim.toLowerCase) match {
@@ -246,6 +264,17 @@ object SasStreamSink extends StreamSinkCore.Format {
         ch.truncate(preLen + dataPages * pageLen)
         ch.force(true)
       } finally ch.close()
+      // sibling catalog for valueLabels, like the batch writer — labels
+      // are constant per query so the rewrite is idempotent (and atomic
+      // inside SasCatalogWriter), label-table-sized per commit
+      val vls = parseSinkValueLabels(schema, options)
+      if (vls.nonEmpty) {
+        val catPath = options.getOrElse("catalogPath",
+          path.replaceAll("(?i)\\.sas7bdat$", "") + ".sas7bcat")
+        SasBinaryWriter.writeLabelCatalog(catPath, schema, vls,
+          SasBinaryWriter.labelFormatNames(schema, vls),
+          "sas7bdat streaming sink")
+      }
       StreamSinkCore.writeState(path, StreamSinkCore.StreamState(
         epochId, total, rowLen, queryId, schemaHash, preLen,
         if (rle) committedPages.toString else ""))

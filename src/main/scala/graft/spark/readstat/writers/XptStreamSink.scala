@@ -55,7 +55,21 @@ object XptStreamSink extends StreamSinkCore.Format {
           s"xpt streaming sink: unsupported type $other for ${f.name}")
       }
     }
-    (cols, version)
+    // value labels ride a sibling .sas7bcat, like the batch xpt writer:
+    // labeled columns get a generated format name in their namestr (the
+    // constant header), the catalog rewrites at each commit
+    val valueLabels = SasCsvBundleWriter.parseAnyValueLabels(
+      options.getOrElse("valueLabels", ""))
+    val unknownVl = valueLabels.keySet.diff(schema.fieldNames.toSet)
+    require(unknownVl.isEmpty,
+      s"xpt streaming sink: valueLabels names unknown column(s): ${unknownVl.mkString(", ")}")
+    val catF = SasBinaryWriter.labelFormatNames(schema, valueLabels)
+    val labeled = cols.map { c =>
+      if (c.fmtName.isEmpty && catF.contains(c.name))
+        c.copy(fmtName = catF(c.name), fmtW = 0, fmtD = 0)
+      else c
+    }
+    (labeled, version)
   }
 
   override def commit(path: String, epochId: Long, queryId: String,
@@ -73,13 +87,27 @@ object XptStreamSink extends StreamSinkCore.Format {
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     XptWriterImpl.validateXptLabels(varLabels, schema.fieldNames.toSet)
+    // label formats live in the constant header's namestrs: appending
+    // with DIFFERENT labels would silently re-declare formats for
+    // committed rows, so labeled specs join the fingerprint (unlabeled
+    // files keep their pre-existing hashes byte-identical)
+    val vls = SasCsvBundleWriter.parseAnyValueLabels(
+      options.getOrElse("valueLabels", ""))
     val schemaHash = StreamSinkCore.hashSpecs(
-      cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq)
+      cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq
+        ++ (if (vls.nonEmpty)
+          Seq("|labels:" + cols.map(_.fmtName).mkString(",")) else Nil))
     StreamSinkCore.commitEpoch("xpt", path, epochId, queryId, schemaHash,
       chunks, rowLen,
       _ => (XptWriterImpl.buildHeader(cols, version, varLabels),
         Array.emptyByteArray),
       padBlock = 80)
+    if (vls.nonEmpty) {
+      val catPath = options.getOrElse("catalogPath",
+        path.replaceAll("(?i)\\.xpt[589]?$", "") + ".sas7bcat")
+      SasBinaryWriter.writeLabelCatalog(catPath, schema, vls,
+        SasBinaryWriter.labelFormatNames(schema, vls), "xpt streaming sink")
+    }
   }
 
   override def chunkWriter(schema: StructType, options: Map[String, String],

@@ -107,12 +107,33 @@ object XptWriterImpl {
       metaF ++ StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
         .map { case (c, f) => c -> parseXptFormat(f) }
     }
-    val unknownFmt = varFormats.keySet.diff(schema.fieldNames.toSet)
-    require(unknownFmt.isEmpty,
-      s"xpt writer: varFormats names unknown column(s): ${unknownFmt.mkString(", ")}")
+    val unknownFmt0 = varFormats.keySet.diff(schema.fieldNames.toSet)
+    require(unknownFmt0.isEmpty,
+      s"xpt writer: varFormats names unknown column(s): ${unknownFmt0.mkString(", ")}")
     varFormats.foreach { case (c, (n, _, _)) =>
       require(n.length <= 8,
         s"xpt writer: varFormats.$c format name '$n' exceeds the 8-byte namestr field")
+    }
+
+    // value labels: XPT files carry NO label records (reference
+    // docs/read.md:148), so like the sas7bdat writer the labels go to a
+    // sibling .sas7bcat and labeled columns get a generated format name
+    // in their namestr — `.option("catalog", …)` on read joins them
+    // back. Explicit varFormats entries still win.
+    val valueLabels = SasCsvBundleWriter.parseAnyValueLabels(
+      options.getOrElse("valueLabels", ""))
+    val unknownVl = valueLabels.keySet.diff(schema.fieldNames.toSet)
+    require(unknownVl.isEmpty,
+      s"xpt writer: valueLabels names unknown column(s): ${unknownVl.mkString(", ")}")
+    val catFmtNames = SasBinaryWriter.labelFormatNames(schema, valueLabels)
+    val varFormatsL: Map[String, (String, Int, Int)] =
+      catFmtNames.map { case (c, n) => c -> ((n, 0, 0)) } ++ varFormats
+    def writeCatalog(): Unit = if (valueLabels.nonEmpty) {
+      val catPath = options.getOrElse("catalogPath",
+        if (options.get("multiFile").exists(_.toBoolean)) s"$path/formats.sas7bcat"
+        else path.replaceAll("(?i)\\.xpt[589]?$", "") + ".sas7bcat")
+      SasBinaryWriter.writeLabelCatalog(catPath, schema, valueLabels,
+        catFmtNames, "xpt")
     }
 
     // per-variable byte storage widths (reference xpt_writer.rs:470-499
@@ -177,7 +198,7 @@ object XptWriterImpl {
       // user format wins; Date/Datetime keep their defaults otherwise
       // (reference default_format_for_kind, xpt_writer.rs:135-142)
       def fmtFor(dflt: String): (String, Int, Int) =
-        varFormats.getOrElse(f.name,
+        varFormatsL.getOrElse(f.name,
           if (dflt.isEmpty) ("", 0, 0) else parseXptFormat(dflt))
       def numWidth: Int = storageWidths.get(f.name) match {
         case Some(w) =>
@@ -265,6 +286,7 @@ object XptWriterImpl {
         }.collect()
       require(counts.sum == head.getLong(0),
         s"row count drift: agg=${head.getLong(0)} write=${counts.sum}")
+      writeCatalog()
       return
     }
 
@@ -308,6 +330,7 @@ object XptWriterImpl {
     } finally ch.close()
     }
     chunks.foreach(c => new File(c._2).delete())
+    writeCatalog()
   }
 
   /** pandas' xport reader estimates the row count by subtracting

@@ -120,6 +120,71 @@ class CatalogLabelSpec extends SparkTestBase {
     assert(!labels.contains("v"))
   }
 
+  test("xpt writer valueLabels emit a sibling catalog the read joins back") {
+    import spark.implicits._
+    // XPT carries no label records (reference docs/read.md:148) — the
+    // writer routes labels to a .sas7bcat + generated namestr formats,
+    // completing the documented catalog read pattern in BOTH directions
+    val df = Seq((1.0, "ab", 1.0), (2.0, "cd", 2.0)).toDF("sex", "tag", "ord")
+    val path = tmp("vl.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female|tag:ab=Alpha,cd=Delta")
+      .save(path)
+    val catPath = path.stripSuffix(".xpt") + ".sas7bcat"
+    assert(new java.io.File(catPath).isFile, "sibling catalog not written")
+    val back = spark.read.format("readstat")
+      .option("catalog", catPath).option("valueLabelsAsStrings", "true")
+      .load(path).orderBy("ORD").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("Male", "Female"))
+    assert(back.map(_.getString(1)).toSeq == Seq("Alpha", "Delta"))
+  }
+
+  test("sas and xpt streaming sinks carry valueLabels to the sibling catalog") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    for (ext <- Seq("sas7bdat", "xpt")) {
+      val dir = Files.createTempDirectory(s"graft_catsink_$ext").toFile
+      dir.deleteOnExit()
+      val sink = s"$dir/stream.$ext"
+      val input = MemoryStream[(Double, String)]
+      val q = input.toDF().toDF("sex", "s").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .option("strWidth.s", "8")
+        .option("valueLabels", "sex:1=Male,2=Female")
+        .start(sink)
+      try {
+        input.addData((1.0, "a"))
+        q.processAllAvailable()
+        input.addData((2.0, "b"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val catPath = sink.stripSuffix(s".$ext") + ".sas7bcat"
+      assert(new java.io.File(catPath).isFile, s"$ext: catalog not written")
+      val back = spark.read.format("readstat")
+        .option("catalog", catPath).option("valueLabelsAsStrings", "true")
+        .load(sink)
+      val col0 = if (ext == "xpt") "SEX" else "sex"
+      assert(back.select(col0).collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("Female", "Male"), s"$ext labeled read-back")
+    }
+  }
+
+  test("por writer refuses valueLabels loudly instead of dropping them") {
+    import spark.implicits._
+    val df = Seq((1.0, "x")).toDF("sex", "s")
+    val e = intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("valueLabels", "sex:1=Male")
+        .save(tmp("vl.por"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("value labels are not supported")),
+      msgs(e).mkString(" | "))
+  }
+
   test("sas7bdat writer refuses mismatched format/column kinds loudly") {
     import spark.implicits._
     val df = Seq((1.0, "x")).toDF("n", "s")
