@@ -53,8 +53,36 @@ object StatWriters {
     write0(out, path, opts, lower)
   }
 
+  // format-specific metadata options refused on formats that cannot
+  // carry them, instead of silently dropping the user's declaration
+  // (the reference's per-format writers reject unexpected kwargs the
+  // same way): the SPSS dictionary surface on non-SPSS targets, and
+  // NaN-payload tagged missings where no such encoding exists
+  private val SpssOnlyOpts =
+    Seq("varMeasures", "varDisplayWidths", "varAlignments", "missingValues")
+  private[writers] def refuseForeign(who: String,
+      options: Map[String, String], foreign: Seq[String]): Unit =
+    foreign.foreach { k =>
+      require(!options.get(k).exists(_.trim.nonEmpty),
+        s"$who writer: option '$k' does not apply to this format and " +
+          "would be silently dropped — remove it or switch the target " +
+          "format")
+    }
+
   private def write0(df: DataFrame, path: String,
       options: Map[String, String], lower: String): Unit = {
+    if (!lower.endsWith(".sav") && !lower.endsWith(".zsav")) {
+      val who =
+        if (lower.endsWith(".csv")) "sas csv bundle"
+        else lower.substring(lower.lastIndexOf('.') + 1)
+      refuseForeign(who, options, SpssOnlyOpts)
+    }
+    if (lower.endsWith(".sav") || lower.endsWith(".zsav") ||
+        lower.endsWith(".por") || lower.endsWith(".csv"))
+      refuseForeign(
+        if (lower.endsWith(".csv")) "sas csv bundle"
+        else lower.substring(lower.lastIndexOf('.') + 1),
+        options, Seq("taggedMissings"))
     if (lower.endsWith(".dta")) StataDtaWriter.write(df, path, options)
     else if (lower.endsWith(".sav")) SpssSavWriter.write(df, path, options, zlib = false)
     else if (lower.endsWith(".zsav")) SpssSavWriter.write(df, path, options, zlib = true)

@@ -185,6 +185,32 @@ class CatalogLabelSpec extends SparkTestBase {
       msgs(e).mkString(" | "))
   }
 
+  test("format-foreign metadata options refuse loudly instead of dropping") {
+    import spark.implicits._
+    val df = Seq((1.0, "x")).toDF("v", "s")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    // the SPSS dictionary surface on a dta target
+    val e1 = intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("varMeasures", "v:scale").save(tmp("f1.dta"))
+    }
+    assert(msgs(e1).exists(_.contains("does not apply to this format")),
+      msgs(e1).mkString(" | "))
+    // NaN-payload tagged missings on a sav target
+    val e2 = intercept[Exception] {
+      df.write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "v:s").save(tmp("f2.sav"))
+    }
+    assert(msgs(e2).exists(_.contains("does not apply to this format")),
+      msgs(e2).mkString(" | "))
+    // the options still work on their own formats
+    df.write.format("readstat").mode("overwrite")
+      .option("varMeasures", "v:scale").save(tmp("ok.sav"))
+    df.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "v:s").save(tmp("ok.dta"))
+  }
+
   test("sas7bdat writer refuses mismatched format/column kinds loudly") {
     import spark.implicits._
     val df = Seq((1.0, "x")).toDF("n", "s")
