@@ -220,6 +220,14 @@ class FixedWidthStreamingWrite(path: String, schema: StructType,
       "which an unbounded stream cannot provide — narrow column types " +
       "before writeStream, or use the batch writer")
 
+  // tagged missings reshape the layout (the indicator column is dropped
+  // from the written rows), which the sink encoders do not do — refuse
+  // rather than silently write the indicator as a data column
+  require(!options.get("taggedMissings").exists(_.trim.nonEmpty),
+    "readstat streaming sink: taggedMissings is not supported on the " +
+      "single-file streaming sinks — use the batch writer, or " +
+      "foreachBatch + multiFile")
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new FixedWidthStreamWriterFactory(schema, options, fmt)

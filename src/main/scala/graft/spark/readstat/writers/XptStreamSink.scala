@@ -55,6 +55,19 @@ object XptStreamSink extends StreamSinkCore.Format {
           s"xpt streaming sink: unsupported type $other for ${f.name}")
       }
     }
+    // per-variable SAS display formats (the batch writer's varFormats);
+    // an explicit entry wins over both the temporal defaults and a
+    // generated label format
+    val varFormats = StataDtaWriter.parseVarLabels(
+      options.getOrElse("varFormats", ""))
+      .map { case (c, f) => c -> XptWriterImpl.parseXptFormat(f) }
+    val unknownF = varFormats.keySet.diff(schema.fieldNames.toSet)
+    require(unknownF.isEmpty,
+      s"xpt streaming sink: varFormats names unknown column(s): ${unknownF.mkString(", ")}")
+    varFormats.foreach { case (c, (n, _, _)) =>
+      require(n.length <= 8,
+        s"xpt streaming sink: varFormats.$c format name '$n' exceeds the 8-byte namestr field")
+    }
     // value labels ride a sibling .sas7bcat, like the batch xpt writer:
     // labeled columns get a generated format name in their namestr (the
     // constant header), the catalog rewrites at each commit
@@ -64,12 +77,15 @@ object XptStreamSink extends StreamSinkCore.Format {
     require(unknownVl.isEmpty,
       s"xpt streaming sink: valueLabels names unknown column(s): ${unknownVl.mkString(", ")}")
     val catF = SasBinaryWriter.labelFormatNames(schema, valueLabels)
-    val labeled = cols.map { c =>
-      if (c.fmtName.isEmpty && catF.contains(c.name))
-        c.copy(fmtName = catF(c.name), fmtW = 0, fmtD = 0)
-      else c
+    val formatted = cols.map { c =>
+      varFormats.get(c.name) match {
+        case Some((n, w, d)) => c.copy(fmtName = n, fmtW = w, fmtD = d)
+        case None if c.fmtName.isEmpty && catF.contains(c.name) =>
+          c.copy(fmtName = catF(c.name), fmtW = 0, fmtD = 0)
+        case None => c
+      }
     }
-    (labeled, version)
+    (formatted, version)
   }
 
   override def commit(path: String, epochId: Long, queryId: String,
@@ -87,16 +103,20 @@ object XptStreamSink extends StreamSinkCore.Format {
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     XptWriterImpl.validateXptLabels(varLabels, schema.fieldNames.toSet)
-    // label formats live in the constant header's namestrs: appending
-    // with DIFFERENT labels would silently re-declare formats for
-    // committed rows, so labeled specs join the fingerprint (unlabeled
-    // files keep their pre-existing hashes byte-identical)
+    // declared formats (explicit varFormats or generated label formats)
+    // live in the constant header's namestrs: appending with DIFFERENT
+    // ones would silently re-declare formats for committed rows, so they
+    // join the fingerprint when present (plain files keep their
+    // pre-existing hashes byte-identical)
     val vls = SasCsvBundleWriter.parseAnyValueLabels(
       options.getOrElse("valueLabels", ""))
+    val declaredFmts = vls.nonEmpty ||
+      options.get("varFormats").exists(_.trim.nonEmpty)
     val schemaHash = StreamSinkCore.hashSpecs(
       cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq
-        ++ (if (vls.nonEmpty)
-          Seq("|labels:" + cols.map(_.fmtName).mkString(",")) else Nil))
+        ++ (if (declaredFmts)
+          Seq("|fmts:" + cols.map(c =>
+            s"${c.fmtName}.${c.fmtW}.${c.fmtD}").mkString(",")) else Nil))
     StreamSinkCore.commitEpoch("xpt", path, epochId, queryId, schemaHash,
       chunks, rowLen,
       _ => (XptWriterImpl.buildHeader(cols, version, varLabels),

@@ -476,6 +476,52 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sinks refuse taggedMissings loudly (layout reshape needs the batch writer)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sftag").toFile
+    dir.deleteOnExit()
+    val input = MemoryStream[(Double, String)]
+    val e = intercept[Exception] {
+      val q = input.toDF().toDF("v", "ind").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .option("taggedMissings", "v:ind")
+        .start(s"$dir/out.dta")
+      try { input.addData((1.0, ".A")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("taggedMissings is not supported")),
+      msgs(e).mkString(" | "))
+  }
+
+  test("xpt sink varFormats declare namestr display formats across epochs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_xptfmt").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/fmt.xpt"
+    val input = MemoryStream[(Double, Double)]
+    val q = input.toDF().toDF("price", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("varFormats", "price:DOLLAR12.2")
+      .start(sink)
+    try {
+      input.addData((1.5, 1.0))
+      q.processAllAvailable()
+      input.addData((2.5, 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val md = graft.core.xpt.XptCore.parse(sink)
+    assert(md.columns.find(_.name == "PRICE").get.format == "DOLLAR12.2",
+      md.columns.map(c => c.name + "=" + c.format).mkString(","))
+    assert(md.columns.find(_.name == "V").get.format.isEmpty)
+    assert(spark.read.format("readstat").load(sink).count() == 2L)
+  }
+
   test("streaming sinks refuse write-side compress loudly (reference sink_stata parity)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
