@@ -508,6 +508,16 @@ object SasCore {
     if (e <= s) "" else new String(tb, s, e - s, cs)
   }
 
+  /** True when a numeric-format NAME would classify as temporal under the
+    * same startsWith test kindFor (and ReadStat-family readers) apply.
+    * Writers use it to avoid GENERATING catalog format names like YEARF
+    * that would read a value-labeled numeric column back as a date. */
+  def temporalPrefixed(name: String): Boolean = {
+    val f = name.toUpperCase
+    DatetimeFormats.exists(f.startsWith) || DateFormats.exists(f.startsWith) ||
+      TimeFormats.exists(f.startsWith)
+  }
+
   def kindFor(c: SasColumn): Kind = {
     if (c.isChar) return KChar
     val f = c.format.toUpperCase

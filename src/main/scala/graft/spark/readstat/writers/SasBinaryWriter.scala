@@ -98,10 +98,15 @@ object SasBinaryWriter {
   }
 
   /** Page geometry shared with the streaming sink: both sides must
-    * derive identical values from the row length alone. */
-  private[writers] def pageGeometry(rowLen: Int): (Int, Int) = {
+    * derive identical values from (row length, rle) alone. Under rle an
+    * incompressible row is stored raw as a subheader, which needs a
+    * 3*IntS pointer slot beyond the page header — without that slack a
+    * rowLen just under the page capacity passes geometry but fails at
+    * the first raw-stored row. */
+  private[writers] def pageGeometry(rowLen: Int, rle: Boolean = false): (Int, Int) = {
+    val overhead = PageBitOffset + 8 + (if (rle) 3 * IntS else 0)
     val pageLen = math.max(64 * 1024,
-      ((rowLen + PageBitOffset + 8 + 4095) / 4096) * 4096)
+      ((rowLen + overhead + 4095) / 4096) * 4096)
     val rowsPerPage = (pageLen - PageBitOffset - 8) / rowLen
     require(rowsPerPage >= 1,
       s"sas7bdat writer: row length $rowLen exceeds page capacity")
@@ -123,6 +128,11 @@ object SasBinaryWriter {
       val isStr = schema(c).dataType == StringType
       var base = c.toUpperCase.filter(ch => ch.isLetterOrDigit || ch == '_')
       if (base.isEmpty || !base(0).isLetter) base = "F" + base
+      // a numeric column named year/month/time would generate YEARF/
+      // MONTHF/TIMEF, which prefix-match SAS temporal formats (kindFor
+      // and ReadStat readers test startsWith) and read back as dates —
+      // Z-prefix the base so the generated name stays plain-numeric
+      if (!isStr && SasCore.temporalPrefixed(base)) base = "Z" + base
       var cand = base.take(6) + "F"
       var i = 1
       while (!used.add(cand)) { cand = base.take(5) + i + "F"; i += 1 }
@@ -233,15 +243,6 @@ object SasBinaryWriter {
       else c2
     }
     val rowLen = specs.map(_.width).sum
-    val (pageLen, rowsPerPage) = pageGeometry(rowLen)
-
-    val dsName = options.getOrElse("tableName", {
-      val base = new File(path).getName
-      val dot = base.lastIndexOf('.')
-      (if (dot > 0) base.substring(0, dot) else base).toUpperCase
-    })
-    require(dsName.length <= 64 && dsName.forall(c => c >= 0x20 && c <= 0x7E),
-      "sas7bdat writer: tableName must be at most 64 printable-ASCII characters")
 
     // `compression=rle` opts into SASYZCRL row compression (the reader
     // and pandas both decode it); default is uncompressed
@@ -251,6 +252,15 @@ object SasBinaryWriter {
       case Some(other) => throw new IllegalArgumentException(
         s"sas7bdat writer: unknown compression '$other' (expected none|rle)")
     }
+    val (pageLen, rowsPerPage) = pageGeometry(rowLen, rle)
+
+    val dsName = options.getOrElse("tableName", {
+      val base = new File(path).getName
+      val dot = base.lastIndexOf('.')
+      (if (dot > 0) base.substring(0, dot) else base).toUpperCase
+    })
+    require(dsName.length <= 64 && dsName.forall(c => c >= 0x20 && c <= 0x7E),
+      "sas7bdat writer: tableName must be at most 64 printable-ASCII characters")
     def writeCatalog(): Unit = if (valueLabels.nonEmpty) {
       val catPath = options.getOrElse("catalogPath",
         if (options.get("multiFile").exists(_.toBoolean)) s"$path/formats.sas7bcat"
@@ -367,6 +377,14 @@ object SasBinaryWriter {
         java.util.Arrays.fill(page, at, at + c.width, ' '.toByte)
         if (!row.isNullAt(c.ordinal)) {
           val ub = row.getUTF8String(c.ordinal).getBytes
+          // widths come from a separate scan job — a longer value here
+          // means the source changed between jobs (same contract as the
+          // row-count drift check); never overwrite adjacent columns
+          require(ub.length <= c.width,
+            s"sas7bdat writer: string in column '${c.name}' is " +
+              s"${ub.length} bytes but the measured width is ${c.width} — " +
+              "the source produced different rows across jobs; persist " +
+              "(cache/checkpoint) the frame before writing")
           System.arraycopy(ub, 0, page, at, ub.length)
         }
       } else if (row.isNullAt(c.ordinal)) {

@@ -120,7 +120,7 @@ object SasStreamSink extends StreamSinkCore.Format {
     val rle = isRle(options)
     val specs = streamColSpecs(schema, options)
     val rowLen = specs.map(_.width).sum
-    val (pageLen, rowsPerPage) = SasBinaryWriter.pageGeometry(rowLen)
+    val (pageLen, rowsPerPage) = SasBinaryWriter.pageGeometry(rowLen, rle)
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     val unknownL = varLabels.keySet.diff(schema.fieldNames.toSet)
@@ -305,7 +305,7 @@ class RleSasChunkWriter(schema: StructType, options: Map[String, String],
     pid: Int) extends ChunkWriterBase(options, "ssasrle", pid) {
   private val specs = SasStreamSink.streamColSpecs(schema, options)
   private val rowLen = specs.map(_.width).sum
-  private val (pageLen, _) = SasBinaryWriter.pageGeometry(rowLen)
+  private val (pageLen, _) = SasBinaryWriter.pageGeometry(rowLen, rle = true)
   private val enc = new SasBinaryWriter.RlePageEncoder(specs, out, pageLen, rowLen)
   override protected def rowsWritten: Long = enc.rowsAdded
   private val strChecks: Array[(Int, Int, String)] =

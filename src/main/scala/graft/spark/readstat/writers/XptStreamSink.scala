@@ -103,10 +103,21 @@ object XptStreamSink extends StreamSinkCore.Format {
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
     XptWriterImpl.validateXptLabels(varLabels, schema.fieldNames.toSet)
+    // tableName/fileLabel live in the constant-length member/descriptor
+    // header records (same validation as the batch writer)
+    val tableName = options.getOrElse("tableName", "")
+    val maxName = if (version >= 8) 32 else 8
+    require(tableName.length <= maxName && tableName.forall(_ <= 0x7E),
+      s"xpt streaming sink: tableName must be at most $maxName " +
+        s"printable-ASCII characters for xpt v$version")
+    val fileLabel = options.getOrElse("fileLabel", "")
+    require(fileLabel.length <= 40 && fileLabel.forall(_ <= 0xFF),
+      "xpt streaming sink: fileLabel must be at most 40 Latin-1 characters")
     // declared formats (explicit varFormats or generated label formats)
     // live in the constant header's namestrs: appending with DIFFERENT
     // ones would silently re-declare formats for committed rows, so they
-    // join the fingerprint when present (plain files keep their
+    // join the fingerprint when present — as do tableName/fileLabel,
+    // which the header declares once (plain files keep their
     // pre-existing hashes byte-identical)
     val vls = SasCsvBundleWriter.parseAnyValueLabels(
       options.getOrElse("valueLabels", ""))
@@ -116,10 +127,13 @@ object XptStreamSink extends StreamSinkCore.Format {
       cols.map(c => s"${c.name}|${c.isChar}|${c.width}").toIndexedSeq
         ++ (if (declaredFmts)
           Seq("|fmts:" + cols.map(c =>
-            s"${c.fmtName}.${c.fmtW}.${c.fmtD}").mkString(",")) else Nil))
+            s"${c.fmtName}.${c.fmtW}.${c.fmtD}").mkString(",")) else Nil)
+        ++ (if (tableName.nonEmpty || fileLabel.nonEmpty)
+          Seq(s"|ds:$tableName|lbl:$fileLabel") else Nil))
     StreamSinkCore.commitEpoch("xpt", path, epochId, queryId, schemaHash,
       chunks, rowLen,
-      _ => (XptWriterImpl.buildHeader(cols, version, varLabels),
+      _ => (XptWriterImpl.buildHeader(cols, version, varLabels,
+        tableName, fileLabel),
         Array.emptyByteArray),
       padBlock = 80)
     if (vls.nonEmpty) {

@@ -274,4 +274,68 @@ class SasWriterSpec extends SparkTestBase {
     assert(back.count() == 2L)
     assert(back.agg(sum("v")).collect()(0).getDouble(0) == 3.0)
   }
+
+  test("valueLabels on columns named year/month/time stay numeric on read-back") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    // generated catalog format names like YEARF/MONTHF/TIMEF would
+    // prefix-match SAS temporal formats (kindFor tests startsWith, as
+    // ReadStat-family readers do), silently converting the labeled
+    // numeric column to a date/time on read-back — the writer Z-prefixes
+    // such names so the data file stays plain-numeric
+    val df = Seq((1.0, 1.0, 1.0, 1.0), (2.0, 2.0, 2.0, 2.0))
+      .toDF("year", "month", "time", "today")
+    val path = tmp("temporal_names.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels",
+        "year:1=Y1,2=Y2|month:1=Jan,2=Feb|time:1=T1,2=T2|today:1=D1,2=D2")
+      .save(path)
+    val back = spark.read.format("readstat").load(path)
+    assert(back.schema.fields.forall(_.dataType == DoubleType),
+      back.schema.treeString)
+    assert(back.orderBy("year").collect().map(_.getDouble(0)).toSeq ==
+      Seq(1.0, 2.0))
+    // the mangled formats still resolve through the sibling catalog
+    val catPath = path.stripSuffix(".sas7bdat") + ".sas7bcat"
+    val labeled = spark.read.format("readstat").option("catalog", catPath)
+      .option("valueLabelsAsStrings", "true").load(path)
+    assert(labeled.orderBy("year").select("month").collect()
+      .map(_.getString(0)).toSeq == Seq("Jan", "Feb"))
+    // same helper feeds the xpt sibling-catalog path
+    val xp = tmp("temporal_names.xpt")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "year:1=Y1,2=Y2").save(xp)
+    val xback = spark.read.format("readstat").load(xp)
+    // xpt names are uppercased by the writer
+    assert(xback.schema("YEAR").dataType == DoubleType,
+      xback.schema.treeString)
+  }
+
+  test("rle page geometry fits a raw-stored row just under the page capacity") {
+    import spark.implicits._
+    // two max-run-free strings totalling 65480 bytes: plain geometry
+    // (64 KiB page, 40 B header) fits the fixed row, but an rle
+    // raw-stored row also needs its 24-byte subheader pointer — the
+    // rle geometry must grow the page instead of failing at write time
+    val rnd = new java.util.Random(42)
+    def noisy(n: Int): String = {
+      val sb = new StringBuilder(n)
+      var prev = -1
+      while (sb.length < n) {
+        val c = 'A' + rnd.nextInt(26)
+        if (c != prev) { sb.append(c.toChar); prev = c }
+      }
+      sb.toString
+    }
+    val df = Seq((noisy(32740), noisy(32740)), (noisy(32740), noisy(32740)))
+      .toDF("a", "b")
+    val p = tmp("wide_rle.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("compression", "rle").save(p)
+    val back = spark.read.format("readstat").load(p)
+    assert(back.count() == 2L)
+    assert(back.select(length(col("a"))).collect().map(_.getInt(0)).toSeq ==
+      Seq(32740, 32740))
+    assertSameData(back, df, "rle-capacity-roundtrip")
+  }
 }

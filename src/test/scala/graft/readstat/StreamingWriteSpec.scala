@@ -522,6 +522,41 @@ class StreamingWriteSpec extends SparkTestBase {
     assert(spark.read.format("readstat").load(sink).count() == 2L)
   }
 
+  test("xpt sink honors tableName/fileLabel and validates them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_xptds").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/named.xpt"
+    val input = MemoryStream[(Double, Double)]
+    val q = input.toDF().toDF("a", "b").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("tableName", "MYDATA")
+      .option("fileLabel", "stream label")
+      .start(sink)
+    try { input.addData((1.0, 2.0)); q.processAllAvailable() }
+    finally q.stop()
+    val md = graft.core.xpt.XptCore.parse(sink)
+    assert(md.tableName == "MYDATA", md.tableName)
+    assert(md.fileLabel == "stream label", md.fileLabel)
+    // over-long tableName is refused (v5 caps at 8 chars), not dropped
+    val e = intercept[Exception] {
+      val input2 = MemoryStream[(Double, Double)]
+      val q2 = input2.toDF().toDF("a", "b").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .option("xptVersion", "5")
+        .option("tableName", "WAY_TOO_LONG_NAME")
+        .start(s"$dir/bad.xpt")
+      try { input2.addData((1.0, 2.0)); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("tableName")), msgs(e).mkString(" | "))
+  }
+
   test("streaming sinks refuse write-side compress loudly (reference sink_stata parity)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

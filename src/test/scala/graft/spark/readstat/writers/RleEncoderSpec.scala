@@ -83,4 +83,20 @@ class RleEncoderSpec extends AnyFunSuite {
       roundtrip(row, f"sig 0x$sig%02x")
     }
   }
+
+  test("rle page geometry reserves the raw-row subheader pointer slot") {
+    // rowLen in (pageLen-64, pageLen-40]: plain pages fit the fixed row
+    // but an rle raw-stored row also needs its 3*8-byte pointer — the
+    // rle geometry must bump the page rather than fail at addRow
+    for (rowLen <- Seq(65473, 65480, 65496)) {
+      val (plainLen, rpp) = SasBinaryWriter.pageGeometry(rowLen)
+      assert(plainLen == 65536 && rpp == 1, s"plain rowLen=$rowLen")
+      val (rleLen, _) = SasBinaryWriter.pageGeometry(rowLen, rle = true)
+      assert(rleLen - rowLen >= 32 + 8 + 3 * 8, s"rle rowLen=$rowLen")
+    }
+    // below the window both modes agree
+    assert(SasBinaryWriter.pageGeometry(65472, rle = true)._1 == 65536)
+    assert(SasBinaryWriter.pageGeometry(1000) ==
+      SasBinaryWriter.pageGeometry(1000, rle = true))
+  }
 }
