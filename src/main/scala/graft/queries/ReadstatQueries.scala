@@ -678,7 +678,42 @@ object ReadstatQueries {
       |    AS sum_nation
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** orders → seconds-of-day → .dta (%tc time format) → read back as
+    * Spark 4.1 TIME(6) via timeAsTimeType → per-hour aggregate on the
+    * rendered time strings; DuckDB reproduces them through its own TIME
+    * type (make_time → VARCHAR). Certifies cross-engine TIME semantics
+    * end-to-end — before this only the nanos-of-day LongType form was
+    * oracle-gated. */
+  def timeTypeAgg(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "ordertimes.dta")
+    orders(s, d)
+      .select(col("o_orderkey"),
+        // ×977 spreads the keys over the whole day at every SF
+        (((col("o_orderkey") * 977) % 86400).cast("double") * 1000.0).as("t_ms"))
+      .write.format("readstat").mode("overwrite")
+      .option("varFormats", "t_ms:%tcHH:MM:SS").save(path)
+    val back = s.read.format("readstat")
+      .option("timeAsTimeType", "true").load(path)
+    back.select(col("t_ms").cast("string").as("ts"))
+      .withColumn("hr", substring(col("ts"), 1, 2))
+      .groupBy("hr")
+      .agg(count(lit(1)).as("cnt"), min("ts").as("t_min"), max("ts").as("t_max"))
+      .orderBy("hr")
+  }
+
+  val timeTypeAggSql: String =
+    """SELECT substr(ts, 1, 2) AS hr, count(*) AS cnt,
+      |  min(ts) AS t_min, max(ts) AS t_max
+      |FROM (
+      |  SELECT CAST(make_time(
+      |    CAST(((o_orderkey * 977) % 86400) // 3600 AS BIGINT),
+      |    CAST((((o_orderkey * 977) % 86400) % 3600) // 60 AS BIGINT),
+      |    CAST(((o_orderkey * 977) % 86400) % 60 AS DOUBLE)) AS VARCHAR) AS ts
+      |  FROM orders)
+      |GROUP BY hr ORDER BY hr""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "time_type_agg" -> (timeTypeAgg _, timeTypeAggSql),
     "stata_compress_roundtrip" -> (dtaCompressRoundtrip _, dtaCompressRoundtripSql),
     "spss_compress_roundtrip" -> (savCompressRoundtrip _, savCompressRoundtripSql),
     "stata_stream_sink" -> (dtaStreamSinkRoundtrip _, dtaStreamSinkRoundtripSql),

@@ -29,12 +29,15 @@ object PorModule extends FormatModule {
       try PorCore.parseMeta(s) finally s.close()
     })
 
-  def sparkTypeOf(v: PorVar): DataType =
+  def sparkTypeOf(v: PorVar, opts: ReadstatOptions): DataType =
     if (v.isString) StringType
     else v.formatClass match {
       case Some("Date") => DateType
       case Some("DateTime") => TimestampNTZType
-      case Some("Time") => LongType
+      case Some("Time") =>
+        // nanos-of-day either way (TIME(6)'s physical long)
+        if (opts.timeAsTimeType) org.apache.spark.sql.types.TimeType(6)
+        else LongType
       case _ => DoubleType
     }
 
@@ -45,7 +48,7 @@ object PorModule extends FormatModule {
       val mb = new MetadataBuilder()
       if (v.formatClass.contains("Time")) mb.putString("readstat.type", "time")
       v.label.foreach(l => mb.putString("readstat.label", l))
-      fields += StructField(v.name, sparkTypeOf(v), nullable = true, mb.build())
+      fields += StructField(v.name, sparkTypeOf(v, opts), nullable = true, mb.build())
     }
     opts.rowIndexName.foreach(n => fields += StructField(n, LongType, nullable = false))
     StructType(fields.result())

@@ -34,11 +34,15 @@ object SasModule extends FormatModule {
   def metadata(path: String): SasMeta =
     mdCache.computeIfAbsent(keyOf(path), _ => SasCore.parse(path))
 
-  def sparkTypeOf(c: SasColumn): DataType = kindFor(c) match {
+  def sparkTypeOf(c: SasColumn, opts: ReadstatOptions): DataType = kindFor(c) match {
     case KChar => StringType
     case KDate => DateType
     case KDatetime => TimestampNTZType
-    case KTime => LongType
+    case KTime =>
+      // nanos-of-day either way: TIME(6)'s physical long IS the nanos
+      // the row decode emits, so only the declared type switches
+      if (opts.timeAsTimeType) org.apache.spark.sql.types.TimeType(6)
+      else LongType
     case KNum => DoubleType
   }
 
@@ -77,7 +81,7 @@ object SasModule extends FormatModule {
       if (c.format.nonEmpty) mb.putString("readstat.format", c.format)
       val dt =
         if (opts.valueLabelsAsStrings && catalogLabels(opts, c).isDefined) StringType
-        else sparkTypeOf(c)
+        else sparkTypeOf(c, opts)
       fields += StructField(c.name, dt, nullable = true, mb.build())
       if (opts.informativeNulls && !c.isChar && opts.infoNullEligible(c.name))
         fields += StructField(c.name + opts.informativeNullSuffix, StringType,

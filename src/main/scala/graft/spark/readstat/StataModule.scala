@@ -59,7 +59,10 @@ object StataModule extends FormatModule {
       case OString => StringType
       case ODate(_) => DateType
       case ODatetimeMs => TimestampNTZType
-      case OTimeNs => LongType
+      case OTimeNs =>
+        // nanos-of-day either way (TIME(6)'s physical long)
+        if (opts.timeAsTimeType) org.apache.spark.sql.types.TimeType(6)
+        else LongType
     }
 
   override def schema(path: String, opts: ReadstatOptions): StructType = {

@@ -31,11 +31,14 @@ object XptModule extends FormatModule {
     SasCore.kindFor(graft.core.sas.SasCore.SasColumn(
       c.name, c.format, c.label, c.isChar, c.offset, c.width))
 
-  def sparkTypeOf(c: XptColumn): DataType = kindOf(c) match {
+  def sparkTypeOf(c: XptColumn, opts: ReadstatOptions): DataType = kindOf(c) match {
     case SasCore.KChar => StringType
     case SasCore.KDate => DateType
     case SasCore.KDatetime => TimestampNTZType
-    case SasCore.KTime => LongType
+    case SasCore.KTime =>
+      // nanos-of-day either way (TIME(6)'s physical long)
+      if (opts.timeAsTimeType) org.apache.spark.sql.types.TimeType(6)
+      else LongType
     case _ => DoubleType
   }
 
@@ -67,7 +70,7 @@ object XptModule extends FormatModule {
       val dt =
         if (opts.valueLabelsAsStrings && catalogLabels(opts, c).isDefined)
           StringType
-        else sparkTypeOf(c)
+        else sparkTypeOf(c, opts)
       fields += StructField(c.name, dt, nullable = true, mb.build())
       if (opts.informativeNulls && !c.isChar && opts.infoNullEligible(c.name))
         fields += StructField(c.name + opts.informativeNullSuffix, StringType,

@@ -75,6 +75,27 @@ object PorWriterImpl {
     }
   }
 
+  /** SPSS numeric format name → POR format-type code (PorVar.formatClass
+    * inverse: 21|25 Time, 20|23|24 Date, 22 DateTime, 5 plain F). */
+  private val FmtCodes = Map("F" -> 5, "TIME" -> 21, "DTIME" -> 25,
+    "DATE" -> 20, "ADATE" -> 23, "JDATE" -> 24, "DATETIME" -> 22)
+  private val FmtDefaultWidth = Map(5 -> 8, 21 -> 8, 25 -> 12, 20 -> 11,
+    23 -> 11, 24 -> 7, 22 -> 20)
+  private val FmtRe = "^([A-Z]+)(\\d*)(?:\\.(\\d+))?$".r
+
+  private def parseNumFormat(col: String, raw: String): (Int, Int, Int) =
+    raw.trim.toUpperCase match {
+      case FmtRe(name, w, d) if FmtCodes.contains(name) =>
+        val code = FmtCodes(name)
+        (code,
+          if (w.isEmpty) FmtDefaultWidth(code) else w.toInt,
+          if (d == null || d.isEmpty) 0 else d.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"por writer: varFormats.$col format '$raw' is not a supported " +
+          "POR numeric format (" + FmtCodes.keys.toSeq.sorted.mkString("|") +
+          " with optional width[.dec])")
+    }
+
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     // reference PorWriteOptions parity: file_label (vanity row 1, 20
     // chars) + variable_labels (tag-'C' records after each variable)
@@ -101,6 +122,26 @@ object PorWriterImpl {
     require(fileLabel.length <= 20 &&
         fileLabel.forall(ch => ch >= 0x20 && ch <= 0x7E),
       "por writer: fileLabel must be at most 20 printable-ASCII characters")
+    // declared numeric display formats (SPSS format names, declare-only
+    // like the sas/xpt writers' varFormats): the stored value is still
+    // the raw double — TIME declares seconds-of-day, DATE/DATETIME
+    // declare SPSS-epoch seconds — and the READ side maps the class
+    val varFormats: Map[String, (Int, Int, Int)] =
+      StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
+        .map { case (c, raw) =>
+          require(df.schema.fieldNames.contains(c),
+            s"por writer: varFormats names unknown column '$c'")
+          df.schema(c).dataType match {
+            case StringType | DateType | TimestampType | TimestampNTZType =>
+              throw new IllegalArgumentException(
+                s"por writer: varFormats.$c targets a " +
+                  s"${df.schema(c).dataType.simpleString} column — formats " +
+                  "apply to plain numeric columns (temporal columns " +
+                  "declare their class automatically)")
+            case _ => ()
+          }
+          c -> parseNumFormat(c, raw)
+        }
     // ---- multiFile mode: one self-contained .por per partition ----
     // POR is an inherently sequential text stream, so the single-file
     // write streams through the driver; multiFile moves the whole encode
@@ -114,13 +155,14 @@ object PorWriterImpl {
         else {
           import scala.jdk.CollectionConverters._
           writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it.asJava,
-            varLabels, fileLabel)
+            varLabels, fileLabel, varFormats)
           Iterator(1)
         }
       }.count()
       return
     }
-    writeOne(path, df.schema, df.toLocalIterator(), varLabels, fileLabel)
+    writeOne(path, df.schema, df.toLocalIterator(), varLabels, fileLabel,
+      varFormats)
   }
 
   /** Emit via a same-directory temp + atomic rename (no partial files
@@ -129,15 +171,17 @@ object PorWriterImpl {
       schema: org.apache.spark.sql.types.StructType,
       rows: java.util.Iterator[org.apache.spark.sql.Row],
       varLabels: Map[String, String] = Map.empty,
-      fileLabel: String = ""): Unit =
+      fileLabel: String = "",
+      varFormats: Map[String, (Int, Int, Int)] = Map.empty): Unit =
     AtomicFile.write(path)(tmp =>
-      writeOneRaw(tmp, schema, rows, varLabels, fileLabel))
+      writeOneRaw(tmp, schema, rows, varLabels, fileLabel, varFormats))
 
   private def writeOneRaw(path: String,
       schema: org.apache.spark.sql.types.StructType,
       rows: java.util.Iterator[org.apache.spark.sql.Row],
       varLabels: Map[String, String],
-      fileLabel: String): Unit = {
+      fileLabel: String,
+      varFormats: Map[String, (Int, Int, Int)]): Unit = {
     val outPath = Paths.get(path)
     Option(outPath.getParent).foreach(Files.createDirectories(_))
     val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
@@ -175,17 +219,20 @@ object PorWriterImpl {
       // string widths must fit the declared width — POR strings carry
       // explicit lengths so declare 255
       specs.foreach { case (f, short) =>
-        val (width, fmtType, fmtW) = f.dataType match {
-          case StringType => (255, 1, 255)
-          case DateType => (0, 20, 11)
-          case TimestampType | TimestampNTZType => (0, 22, 20)
-          case _ => (0, 5, 8)
+        val (width, fmtType, fmtW, fmtD) = f.dataType match {
+          case StringType => (255, 1, 255, 0)
+          case DateType => (0, 20, 11, 0)
+          case TimestampType | TimestampNTZType => (0, 22, 20, 0)
+          case _ => varFormats.get(f.name) match {
+            case Some((t, fw, fd)) => (0, t, fw, fd)
+            case None => (0, 5, 8, 0)
+          }
         }
         w.byte('7')
         w.double(width.toDouble)
         w.stringField(short)
-        w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(0)
-        w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(0)
+        w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(fmtD.toDouble)
+        w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(fmtD.toDouble)
         varLabels.get(f.name).foreach { lbl =>
           w.byte('C'); w.stringField(lbl)
         }
