@@ -31,12 +31,13 @@ object Bench {
     (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
       .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
 
-  private def ensureFile(df: DataFrame, path: String): Unit =
+  private def ensureFile(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit =
     if (!new java.io.File(path).exists())
-      df.write.format("readstat").mode("overwrite").save(path)
+      df.write.format("readstat").mode("overwrite").options(options).save(path)
 
-  /** (dta10m, sav10m, dta50m, zsav10m, savWide) */
-  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String)] = {
+  /** (dta10m, sav10m, dta50m, zsav10m, savWide, dtaLabeled10m) */
+  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       // v2: salted replication (see below) — new names force regeneration
@@ -85,7 +86,17 @@ object Bench {
               ((col("id") * i) % 997).cast("double").as(s"c$i"))): _*)
         wide.write.format("readstat").mode("overwrite").save(savWide)
       }
-      Some((dta, sav, dta50, zsav, savWide))
+      // labeled 10M dta: value-label decode is the hot read path for
+      // real survey data, previously unbenched — a 50-entry label table
+      // on an int code column, decoded to strings at scan time
+      val dtaLab = s"/tmp/graft_bench/${tag}_big_lab_v1.dta"
+      ensureFile(
+        replicated(10000000L)
+          .withColumn("q_code", col("l_quantity").cast("int")),
+        dtaLab,
+        Map("valueLabels" ->
+          (1 to 50).map(i => s"$i=Quantity level $i").mkString("q_code:", ",", "")))
+      Some((dta, sav, dta50, zsav, savWide, dtaLab))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
       None
@@ -157,7 +168,21 @@ object Bench {
     // exactly; the 50M file is the decode-dominated variant where
     // Spark's fixed planning overhead is amortized away.
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
-      case (dta, sav, dta50, zsav, savWide) => Seq[(String, () => Long)](
+      case (dta, sav, dta50, zsav, savWide, dtaLab) => Seq[(String, () => Long)](
+        // value-label decode path (reference apply_value_labels): same
+        // 10M-row geometry as stata_subset_read, labels ON vs OFF on
+        // the identical file — the pair isolates the decode overhead
+        ("stata_labeled_decode", () =>
+          spark.read.format("readstat")
+            .option("partitionTargetBytes", "16777216")
+            .option("valueLabelsAsStrings", "true").load(dtaLab)
+            .select("q_code", "l_quantity")
+            .agg(count(col("q_code")), count(col("l_quantity")))
+            .collect()(0).getLong(0)),
+        ("stata_labeled_raw", () =>
+          scan(dtaLab).select("q_code", "l_quantity")
+            .agg(count(col("q_code")), count(col("l_quantity")))
+            .collect()(0).getLong(0)),
         ("stata_fullread_10m", () => {
           // full materialization of every column, like the baseline's
           // read-into-frame. toRdd keeps the unprojected schema (count()
@@ -374,16 +399,41 @@ object Bench {
         suspects.foreach { n => timeOne(n, fnByName(n)).foreach(runsAcc(n) :+= _) }
       }
     }
-    // a query with zero successful runs is an error entry, not a timing
-    val failed: Seq[String] = runsAcc.collect {
-      case (n, rs) if rs.isEmpty => n }.toSeq
-    failed.foreach(runsAcc.remove)
-    val allRuns: Seq[(String, Seq[Double])] = runsAcc.toSeq
     def median(rs: Seq[Double]): Double = {
       val s = rs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // med/min certification (raw reads only): the between-round gate is
+    // structurally blind to contention landing MID-query, and the
+    // rescue pass fires on max/min — a burst spanning several rounds
+    // can leave the MEDIAN contaminated with every individual trigger
+    // quiet (the r10 record: sas_dir1000_fullread ran 0.9 s and 90 s in
+    // one record). Re-time any raw read whose med/min > 2 (gated, so
+    // the retries themselves wait out bursts) until the median settles
+    // or the retry cap hits; queries that exhaust retries are flagged
+    // in the record as med_uncertified rather than silently reported.
+    val medUncertified: Seq[String] = {
+      val rawSet = allRaw.map(_._1).toSet
+      def dirty(n: String): Boolean = runsAcc.get(n).exists(rs =>
+        rs.nonEmpty && median(rs) > 2.0 * math.max(rs.min, 0.05))
+      var pending = rawSet.filter(dirty)
+      var retries = 0
+      // 4 retries recover a median from up to 3 contaminated samples
+      // out of the 5 base rounds
+      while (pending.nonEmpty && retries < 4) {
+        recordGate()
+        pending.foreach(n => timeOne(n, fnByName(n)).foreach(runsAcc(n) :+= _))
+        retries += 1
+        pending = pending.filter(dirty)
+      }
+      pending.toSeq.sorted
+    }
+    // a query with zero successful runs is an error entry, not a timing
+    val failed: Seq[String] = runsAcc.collect {
+      case (n, rs) if rs.isEmpty => n }.toSeq
+    failed.foreach(runsAcc.remove)
+    val allRuns: Seq[(String, Seq[Double])] = runsAcc.toSeq
     val results = allRuns.map { case (k, runs) => k -> runs.min }
     val medians = allRuns.map { case (k, runs) => k -> median(runs) }.toMap
 
@@ -434,8 +484,14 @@ object Bench {
         s""","errors":${shown.mkString("[", ",", "]")}""" +
           (if (more > 0) s""","errors_omitted":$more""" else "")
       }
+    // the per-query contamination flag rides in the guaranteed tail:
+    // a med that could not be certified must be visible to the driver,
+    // not only in the detail file
+    val medFlagTail = if (medUncertified.isEmpty) ""
+      else s""","med_uncertified":${medUncertified.take(8)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fixedTail =
-      s""","med":$medJson,"noise":$noiseJson,"noise_io":$noiseIoJson$errTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+      s""","med":$medJson,"noise":$noiseJson,"noise_io":$noiseIoJson$errTail$medFlagTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
     val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{"""
     val entries = ordered.map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
     var line = head
@@ -463,7 +519,8 @@ object Bench {
     val errJson = errAcc.toSeq.map { case (k, m) =>
       s"\"" + k + "\":\"" + m + "\""
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"med":$medFull,"noise":$noiseJson,"noise_io":$noiseIoJson,"runs":$runsJson,"rows":$rowsJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val medUncJson = medUncertified.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"med":$medFull,"med_uncertified":$medUncJson,"noise":$noiseJson,"noise_io":$noiseIoJson,"runs":$runsJson,"rows":$rowsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing: its shutdown-hook logging otherwise
     // races this println and can interleave mid-line, corrupting the one
     // JSON record the driver parses
