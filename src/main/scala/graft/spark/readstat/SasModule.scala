@@ -214,7 +214,7 @@ object SasModule extends FormatModule {
   }
 
   private final case class ColPlan(fieldIdx: Int, col: SasColumn, kind: Kind,
-      labels: Map[Double, String], charLabels: Map[String, String] = null,
+      labels: DoubleLabelLut, charLabels: Map[String, String] = null,
       indicator: Boolean = false, rowIndex: Boolean = false)
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
@@ -235,7 +235,9 @@ object SasModule extends FormatModule {
           throw new IllegalArgumentException(s"no such column: ${f.name}"))
         val c = md.columns(vi)
         val labels =
-          if (!ind && opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull else null
+          if (!ind && opts.valueLabelsAsStrings)
+            catalogLabels(opts, c).map(new DoubleLabelLut(_)).orNull
+          else null
         val chLabels =
           if (!ind && opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull else null
         ColPlan(fi, c, kindFor(c), labels, chLabels, indicator = ind)
@@ -364,10 +366,11 @@ object SasModule extends FormatModule {
           val v = SasCore.incompleteDouble(b, off, c.length, little)
           if (v.isNaN || v.isInfinite) null
           else if (pl.labels != null) {
-            val label = pl.labels.get(v).getOrElse(
+            val label = pl.labels.get(v)
+            if (label != null) label
+            else UTF8String.fromString(
               if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
               else v.toString)
-            UTF8String.fromString(label)
           }
           else pl.kind match {
             case KDate => SasCore.toDateDays(v)

@@ -139,7 +139,8 @@ object SpssModule extends FormatModule {
 
   private final case class ColPlan(
       fieldIdx: Int, varIdx: Int, byteOff: Int, v: SpssVar,
-      out: DataType, labels: Boolean, indicator: Boolean)
+      out: DataType, labels: Boolean, indicator: Boolean,
+      numLut: DoubleLabelLut = null) // see [[DoubleLabelLut]]
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow] = {
@@ -158,11 +159,14 @@ object SpssModule extends FormatModule {
         val vi = byName.getOrElse(base,
           throw new IllegalArgumentException(s"no such column: ${f.name}"))
         val v = md.vars(vi)
+        val lab = !ind && opts.valueLabelsAsStrings &&
+          (v.numLabels.nonEmpty || v.strLabels.nonEmpty)
         ColPlan(fi, vi, v.offsetUnits * 8, v,
           if (ind) StringType else sparkTypeOf(v, opts),
-          labels = !ind && opts.valueLabelsAsStrings &&
-            (v.numLabels.nonEmpty || v.strLabels.nonEmpty),
-          indicator = ind)
+          labels = lab,
+          indicator = ind,
+          numLut = if (lab && v.numLabels.nonEmpty)
+            new DoubleLabelLut(v.numLabels) else null)
       }
     }
 
@@ -228,8 +232,11 @@ object SpssModule extends FormatModule {
           }
           if (sysMissing || isUserMissing(v, d, bits)) return null
           if (pl.labels) {
-            val label = v.numLabels.get(d)
-            return UTF8String.fromString(label.getOrElse(formatNum(d)))
+            if (pl.numLut != null) {
+              val label = pl.numLut.get(d)
+              if (label != null) return label
+            }
+            return UTF8String.fromString(formatNum(d))
           }
           pl.out match {
             case DateType => ((d.toLong - SecShift) / 86400L).toInt

@@ -105,6 +105,34 @@ object StataModule extends FormatModule {
     }
   }
 
+  /** Pre-encoded label lookup for the row decode: one UTF8String per
+    * LABEL for the whole partition instead of one per ROW —
+    * `UTF8String.fromString` re-encodes UTF-8 on every call, and a
+    * 10M-row labeled read repeats the same 50 labels millions of times.
+    * Dense array when the code range is compact, boxing-free LongMap
+    * otherwise. UTF8String is immutable, so sharing across rows is safe
+    * (consumers copy bytes into their own unsafe buffers). */
+  private final class LabelLut(m: Map[Int, String]) {
+    private val lo: Int = if (m.isEmpty) 0 else m.keys.min
+    private val hi: Int = if (m.isEmpty) -1 else m.keys.max
+    private val dense: Array[UTF8String] =
+      if (hi.toLong - lo.toLong < 65536L) {
+        val a = new Array[UTF8String](hi - lo + 1)
+        m.foreach { case (k, v) => a(k - lo) = UTF8String.fromString(v) }
+        a
+      } else null
+    private val sparse: scala.collection.mutable.LongMap[UTF8String] =
+      if (dense == null) {
+        val lm = new scala.collection.mutable.LongMap[UTF8String](m.size * 2)
+        m.foreach { case (k, v) => lm(k.toLong) = UTF8String.fromString(v) }
+        lm
+      } else null
+    def get(code: Int): UTF8String =
+      if (dense != null) {
+        if (code < lo || code > hi) null else dense(code - lo)
+      } else sparse.getOrNull(code.toLong)
+  }
+
   // Decode plan for one output field
   private final case class ColPlan(
       fieldIdx: Int,
@@ -112,7 +140,7 @@ object StataModule extends FormatModule {
       byteOff: Int,
       vt: VarType,
       outKind: OutKind,
-      labels: Map[Int, String], // null = plain decode
+      labels: LabelLut,        // null = plain decode
       indicator: Boolean)       // true = informative-null indicator column
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
@@ -152,9 +180,9 @@ object StataModule extends FormatModule {
         // data.rs:1104-1136 indicator_from_offset)
         val labels =
           if (!indicator && opts.valueLabelsAsStrings && isNumeric(v))
-            labelMapFor(md, v).orNull
+            labelMapFor(md, v).map(new LabelLut(_)).orNull
           else if (indicator && opts.informativeNullUseValueLabels && isNumeric(v))
-            labelMapFor(md, v).orNull
+            labelMapFor(md, v).map(new LabelLut(_)).orNull
           else null
         ColPlan(fi, vi, offsets(vi), v.varType, v.outKind, labels, indicator)
       }
@@ -272,12 +300,12 @@ object StataModule extends FormatModule {
       /** Apply label decode / temporal conversion to a valid numeric. */
       private def finishNumeric(pl: ColPlan, asDouble: Double, raw: Any): Any = {
         if (pl.labels != null) {
-          val label =
-            if (asDouble == math.floor(asDouble) && !asDouble.isInfinite &&
-                math.abs(asDouble) < Int.MaxValue.toDouble)
-              pl.labels.get(asDouble.toInt)
-            else None
-          return UTF8String.fromString(label.getOrElse(formatNum(asDouble)))
+          if (asDouble == math.floor(asDouble) && !asDouble.isInfinite &&
+              math.abs(asDouble) < Int.MaxValue.toDouble) {
+            val label = pl.labels.get(asDouble.toInt)
+            if (label != null) return label
+          }
+          return UTF8String.fromString(formatNum(asDouble))
         }
         pl.outKind match {
           case ODate(unit) =>
@@ -334,7 +362,7 @@ object StataModule extends FormatModule {
         if (k >= 1 && k <= 26) {
           if (pl.labels != null && raw != Int.MinValue) {
             val lbl = pl.labels.get(raw)
-            if (lbl.isDefined) return UTF8String.fromString(lbl.get)
+            if (lbl != null) return lbl
           }
           UTF8String.fromString("." + ('a' + k - 1).toChar)
         } else null

@@ -135,7 +135,7 @@ object XptModule extends FormatModule {
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
       if (opts.rowIndexName.contains(f.name))
         (fi, null.asInstanceOf[graft.core.xpt.XptCore.XptColumn], SasCore.KNum,
-          false, null: Map[Double, String], null: Map[String, String])
+          false, null: DoubleLabelLut, null: Map[String, String])
       else {
         val (base, ind) =
           if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
@@ -146,7 +146,8 @@ object XptModule extends FormatModule {
         val c = md.columns(byName.getOrElse(base,
           throw new IllegalArgumentException(s"no such column: ${f.name}")))
         val labels =
-          if (!ind && opts.valueLabelsAsStrings) catalogLabels(opts, c).orNull
+          if (!ind && opts.valueLabelsAsStrings)
+            catalogLabels(opts, c).map(new DoubleLabelLut(_)).orNull
           else null
         val chLabels =
           if (!ind && opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
@@ -233,12 +234,15 @@ object XptModule extends FormatModule {
             else {
               val d = XptCore.ibmToDouble(buf, off, c.width)
               if (d.isNaN || d.isInfinite) null
-              else if (labels != null)
+              else if (labels != null) {
                 // catalog label switch: same integral rendering fallback
                 // as the sas7bdat reader for unlabeled codes
-                UTF8String.fromString(labels.getOrElse(d,
+                val label = labels.get(d)
+                if (label != null) label
+                else UTF8String.fromString(
                   if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-                  else d.toString))
+                  else d.toString)
+              }
               else kind match {
                 case SasCore.KDate => SasCore.toDateDays(d)
                 case SasCore.KDatetime => SasCore.toDatetimeMicros(d)

@@ -138,6 +138,9 @@ object PorWriterImpl {
                   s"${df.schema(c).dataType.simpleString} column — formats " +
                   "apply to plain numeric columns (temporal columns " +
                   "declare their class automatically)")
+            case _: TimeType => throw new IllegalArgumentException(
+              s"por writer: varFormats.$c targets a time column — TIME " +
+                "columns declare their class automatically")
             case _ => ()
           }
           c -> parseNumFormat(c, raw)
@@ -147,29 +150,37 @@ object PorWriterImpl {
     // write streams through the driver; multiFile moves the whole encode
     // (not just a splice) onto executors — the only parallel write path
     // the format admits.
+    // InternalRow throughout: Spark 4.1 still gates TIME in the Row
+    // encoder (UNSUPPORTED_TIME_TYPE from toLocalIterator/df.rdd), and
+    // toRdd also skips the external-type conversion for every column
     if (options.get("multiFile").exists(_.toBoolean)) {
       val partPrefix = MultiFileParts.prepare(new java.io.File(path), "por", options)
       val schema = df.schema
-      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
-          import scala.jdk.CollectionConverters._
-          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it.asJava,
+          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it,
             varLabels, fileLabel, varFormats)
           Iterator(1)
         }
       }.count()
       return
     }
-    writeOne(path, df.schema, df.toLocalIterator(), varLabels, fileLabel,
-      varFormats)
+    // .copy() is load-bearing: toLocalIterator materializes each
+    // partition into an array, and scan iterators REUSE their row
+    // object — without the copy every buffered element aliases the
+    // partition's last row. (The multiFile path above streams rows
+    // one-at-a-time inside mapPartitions, where reuse is safe.)
+    writeOne(path, df.schema,
+      df.queryExecution.toRdd.map(_.copy()).toLocalIterator,
+      varLabels, fileLabel, varFormats)
   }
 
   /** Emit via a same-directory temp + atomic rename (no partial files
     * at the final name). */
   private def writeOne(path: String,
       schema: org.apache.spark.sql.types.StructType,
-      rows: java.util.Iterator[org.apache.spark.sql.Row],
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       varLabels: Map[String, String] = Map.empty,
       fileLabel: String = "",
       varFormats: Map[String, (Int, Int, Int)] = Map.empty): Unit =
@@ -178,7 +189,7 @@ object PorWriterImpl {
 
   private def writeOneRaw(path: String,
       schema: org.apache.spark.sql.types.StructType,
-      rows: java.util.Iterator[org.apache.spark.sql.Row],
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       varLabels: Map[String, String],
       fileLabel: String,
       varFormats: Map[String, (Int, Int, Int)]): Unit = {
@@ -223,6 +234,7 @@ object PorWriterImpl {
           case StringType => (255, 1, 255, 0)
           case DateType => (0, 20, 11, 0)
           case TimestampType | TimestampNTZType => (0, 22, 20, 0)
+          case _: TimeType => (0, 21, 8, 0) // TIME8, seconds-of-day
           case _ => varFormats.get(f.name) match {
             case Some((t, fw, fd)) => (0, t, fw, fd)
             case None => (0, 5, 8, 0)
@@ -239,27 +251,27 @@ object PorWriterImpl {
       }
       w.byte('F')
 
-      // data (single row stream; see scaladoc)
+      // data (single row stream; see scaladoc). InternalRow physical
+      // forms: Date = days since 1970 (int), Timestamp/NTZ = micros
+      // since epoch (long; NTZ identical under the session UTC
+      // timezone), Time = nanos-of-day (long)
       val fields = schema.fields
-      rows.forEachRemaining { row =>
+      rows.foreach { row =>
         var i = 0
         while (i < fields.length) {
           fields(i).dataType match {
             case StringType =>
-              w.stringField(if (row.isNullAt(i)) "" else row.getString(i))
+              w.stringField(
+                if (row.isNullAt(i)) "" else row.getUTF8String(i).toString)
             case DateType =>
               if (row.isNullAt(i)) w.double(Double.NaN)
-              else w.double(row.getAs[java.sql.Date](i).toLocalDate.toEpochDay
-                .toDouble * 86400 + PorCore.SecShift)
-            case TimestampType =>
+              else w.double(row.getInt(i).toDouble * 86400 + PorCore.SecShift)
+            case TimestampType | TimestampNTZType =>
               if (row.isNullAt(i)) w.double(Double.NaN)
-              else w.double(row.getAs[java.sql.Timestamp](i).getTime / 1000.0 +
-                PorCore.SecShift)
-            case TimestampNTZType =>
+              else w.double(row.getLong(i) / 1000000.0 + PorCore.SecShift)
+            case _: TimeType =>
               if (row.isNullAt(i)) w.double(Double.NaN)
-              else w.double(row.getAs[java.time.LocalDateTime](i)
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000.0 +
-                PorCore.SecShift)
+              else w.double(row.getLong(i) / 1e9)
             case dt =>
               if (row.isNullAt(i)) w.double(Double.NaN)
               else {
@@ -270,7 +282,8 @@ object PorWriterImpl {
                   case LongType => row.getLong(i).toDouble
                   case FloatType => row.getFloat(i).toDouble
                   case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
-                  case _: DecimalType => row.getDecimal(i).doubleValue()
+                  case dec: DecimalType =>
+                    row.getDecimal(i, dec.precision, dec.scale).toDouble
                   case _ => row.getDouble(i)
                 }
                 w.double(d)

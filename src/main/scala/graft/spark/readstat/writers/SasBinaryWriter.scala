@@ -57,6 +57,7 @@ object SasBinaryWriter {
       val (fn, fw) = f.dataType match {
         case DateType => ("DATE", 9)
         case TimestampType | TimestampNTZType => ("DATETIME", 20)
+        case _: TimeType => ("TIME", 8)
         case _ => ("", 0)
       }
       val c = Col(f.name, i, isChar = false, 8, off, fn, fw, f.dataType)
@@ -190,7 +191,7 @@ object SasBinaryWriter {
       f.dataType match {
         case StringType | DateType | TimestampType | TimestampNTZType |
              BooleanType | ByteType | ShortType | IntegerType | LongType |
-             FloatType | DoubleType | _: DecimalType => ()
+             FloatType | DoubleType | _: DecimalType | _: TimeType => ()
         case other => throw new IllegalArgumentException(
           s"sas7bdat writer: unsupported type $other for column ${f.name}")
       }
@@ -225,7 +226,7 @@ object SasBinaryWriter {
     val strCols = writtenFields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(c)).toIndexedSeq
-    val head = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail: _*).collect()(0)
     val nObs = head.getLong(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
@@ -405,6 +406,8 @@ object SasBinaryWriter {
             case TimestampType | TimestampNTZType =>
               row.getLong(c.ordinal) / 1e6 +
                 SasCore.EpochShiftDays.toDouble * SasCore.SecondsPerDay
+            case _: TimeType => // nanos-of-day → SAS seconds-of-day
+              row.getLong(c.ordinal) / 1e9
             case other => throw new IllegalStateException(other.toString)
           }
         putI64(page, at, java.lang.Double.doubleToLongBits(v))

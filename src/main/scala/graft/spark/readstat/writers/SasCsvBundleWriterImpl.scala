@@ -92,7 +92,7 @@ object SasCsvBundleWriter {
       else {
         val aggs = strCols.map(c => max(octet_length(col(c))).cast(LongType).as("w_" + c)) ++
           intCols.map(c => max(abs(col(c).cast(LongType))).as("a_" + c))
-        val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+        val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
         val w = strCols.zipWithIndex.map { case (c, i) =>
           c -> math.max(1, if (head.isNullAt(i)) 1L else head.getLong(i)).toInt
         }.toMap

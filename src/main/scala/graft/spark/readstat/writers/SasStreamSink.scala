@@ -72,7 +72,7 @@ object SasStreamSink extends StreamSinkCore.Format {
       f.dataType match {
         case StringType | DateType | TimestampType | TimestampNTZType |
              BooleanType | ByteType | ShortType | IntegerType | LongType |
-             FloatType | DoubleType | _: DecimalType => ()
+             FloatType | DoubleType | _: DecimalType | _: TimeType => ()
         case other => throw new IllegalArgumentException(
           s"sas7bdat streaming sink: unsupported type $other for ${f.name}")
       }

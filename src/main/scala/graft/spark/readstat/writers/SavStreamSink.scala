@@ -46,6 +46,8 @@ object SavStreamSink extends StreamSinkCore.Format {
         case DateType => ColSpec(f.name, short, WNum, 20, 11, 0, f.dataType)
         case TimestampType | TimestampNTZType =>
           ColSpec(f.name, short, WNum, 22, 20, 0, f.dataType)
+        case _: TimeType => // fmt 21 = TIME8, seconds-of-day
+          ColSpec(f.name, short, WNum, 21, 8, 0, f.dataType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType =>
           ColSpec(f.name, short, WNum, 5, 8, 0, f.dataType)
         case FloatType | DoubleType | _: DecimalType =>

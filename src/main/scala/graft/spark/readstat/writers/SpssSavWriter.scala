@@ -147,7 +147,7 @@ object SpssSavWriter {
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
-    val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val nObs = head.getLong(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
@@ -164,6 +164,8 @@ object SpssSavWriter {
         case DateType => ColSpec(f.name, short, WNum, 20, 11, 0, f.dataType)
         case TimestampType | TimestampNTZType =>
           ColSpec(f.name, short, WNum, 22, 20, 0, f.dataType)
+        case _: TimeType => // fmt 21 = TIME8 (reference writer.rs:416)
+          ColSpec(f.name, short, WNum, 21, 8, 0, f.dataType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType =>
           ColSpec(f.name, short, WNum, 5, 8, 0, f.dataType)
         case FloatType | DoubleType | _: DecimalType =>
@@ -474,6 +476,10 @@ object SpssSavWriter {
               // internal = micros since epoch (NTZ identical under the
               // session UTC timezone) → SPSS seconds
               (r, j) => r.getLong(j) / 1000000.0 + SpssCore.SecShift
+            case _: TimeType =>
+              // internal = nanos-of-day → SPSS seconds-of-day; fractional
+              // seconds survive (the reference truncates, writer.rs:1485)
+              (r, j) => r.getLong(j) / 1e9
             case ByteType => (r, j) => r.getByte(j).toDouble
             case ShortType => (r, j) => r.getShort(j).toDouble
             case IntegerType => (r, j) => r.getInt(j).toDouble

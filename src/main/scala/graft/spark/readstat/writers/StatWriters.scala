@@ -1,12 +1,27 @@
 package graft.spark.readstat.writers
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.TimeType
 
 /** Extension-dispatched write entry (`df.write.format("readstat").save(p)`
   * and `graft.api.Readstat.write`). Mirrors the reference's
   * `write_readstat` dispatch (reference: __init__.py:708-878).
   */
 object StatWriters {
+  /** Stats-job view of the frame: `Dataset.agg` builds the INPUT
+    * dataset's row encoder, which Spark 4.1 still gates for TIME
+    * (UNSUPPORTED_TIME_TYPE) — so the writers' width/range/count
+    * aggregations run over a TIME-free projection. Row counts are
+    * unaffected and TIME columns need no stats (fixed 8-byte numerics
+    * in every target format). */
+  private[writers] def statsView(df: DataFrame): DataFrame = {
+    val keep = df.schema.fields.filterNot(_.dataType.isInstanceOf[TimeType])
+    if (keep.length == df.schema.length) df
+    else if (keep.isEmpty) df.select(lit(1).as("__one"))
+    else df.select(keep.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
   def write(df: DataFrame, path: String, options: Map[String, String],
       overwrite: Boolean = true): Unit = {
     // `fileFormat` overrides extension detection (reference

@@ -213,7 +213,7 @@ object StataDtaWriter {
       strCols.map(c => max(strWidth(c)).as(s"__w_$c"))) ++
       rangeCols.flatMap(c => Seq(
         min(storedValue(c)).as(s"__lo_$c"), max(storedValue(c)).as(s"__hi_$c")))
-    val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val nObs = head.getLong(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
@@ -243,6 +243,7 @@ object StataDtaWriter {
         case _: DecimalType => WDouble
         case DateType => if (fits(f.name, LongMin, LongMax)) WLong else WDouble
         case TimestampType | TimestampNTZType => WDouble
+        case _: TimeType => WDouble // ms-of-day (reference writer.rs:1610)
         case StringType =>
           val mw = widths(f.name)
           if (mw > MaxStrWidth) WStrL else WStr(mw)
@@ -253,6 +254,7 @@ object StataDtaWriter {
       val fmt = varFormats.getOrElse(f.name, f.dataType match {
         case DateType => "%td"
         case TimestampType | TimestampNTZType => "%tc"
+        case _: TimeType => "%tcHH:MM:SS" // reference writer.rs:573
         case StringType => s"%${math.min(widths(f.name), MaxStrWidth)}s"
         case FloatType | DoubleType | LongType | _: DecimalType => "%10.0g"
         case _ => "%8.0g"
@@ -537,6 +539,10 @@ object StataDtaWriter {
               // session UTC timezone) → Stata %tc milliseconds
               (r, j) => r.getLong(j) / 1000.0 +
                 graft.core.stata.StataTypes.EpochShiftMs
+            case _: TimeType =>
+              // internal = nanos-of-day → %tc ms-of-day (the format's
+              // native resolution; sub-ms floors like the reference)
+              (r, j) => (r.getLong(j) / 1000000L).toDouble
             case LongType => (r, j) => r.getLong(j).toDouble
             case dt: DecimalType =>
               (r, j) => r.getDecimal(j, dt.precision, dt.scale).toDouble

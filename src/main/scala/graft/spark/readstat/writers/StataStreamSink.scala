@@ -71,6 +71,7 @@ object StataStreamSink extends StreamSinkCore.Format {
         case IntegerType | DateType => WLong
         case LongType | DoubleType | TimestampType | TimestampNTZType |
              _: DecimalType => WDouble
+        case _: TimeType => WDouble // ms-of-day, %tc time mask below
         case FloatType => WFloat
         case StringType =>
           val dw = options.get(s"strWidth.${f.name}").map(_.toInt)
@@ -85,6 +86,7 @@ object StataStreamSink extends StreamSinkCore.Format {
       val fmt = varFormats.getOrElse(f.name, f.dataType match {
         case DateType => "%td"
         case TimestampType | TimestampNTZType => "%tc"
+        case _: TimeType => "%tcHH:MM:SS"
         case StringType => s"%${w.width}s"
         case FloatType | DoubleType | LongType | _: DecimalType => "%10.0g"
         case _ => "%8.0g"

@@ -48,6 +48,8 @@ object XptStreamSink extends StreamSinkCore.Format {
           ColSpec(f.name, cand, isChar = false, 8, "DATE", 9, 0, f.dataType)
         case TimestampType | TimestampNTZType =>
           ColSpec(f.name, cand, isChar = false, 8, "DATETIME", 20, 0, f.dataType)
+        case _: TimeType =>
+          ColSpec(f.name, cand, isChar = false, 8, "TIME", 8, 0, f.dataType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType |
              FloatType | DoubleType | _: DecimalType =>
           ColSpec(f.name, cand, isChar = false, 8, "", 0, 0, f.dataType)

@@ -184,7 +184,7 @@ object XptWriterImpl {
     val strCols = writtenFields.filter(_.dataType == StringType).map(_.name)
     val aggs = count(lit(1)).as("__n") +:
       strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
-    val head = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
     val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else math.min(200, head.getInt(i + 1)))
     }.toMap
@@ -228,6 +228,9 @@ object XptWriterImpl {
           ColSpec(f.name, cand, isChar = false, numWidth, n, w, d, f.dataType)
         case TimestampType | TimestampNTZType =>
           val (n, w, d) = fmtFor("DATETIME20")
+          ColSpec(f.name, cand, isChar = false, numWidth, n, w, d, f.dataType)
+        case _: TimeType => // reference xpt_writer.rs:139 TIME8
+          val (n, w, d) = fmtFor("TIME8")
           ColSpec(f.name, cand, isChar = false, numWidth, n, w, d, f.dataType)
         case ByteType | ShortType | IntegerType | LongType | BooleanType |
              FloatType | DoubleType | _: DecimalType =>
@@ -428,6 +431,10 @@ object XptWriterImpl {
               // internal = micros since epoch → SAS datetime seconds
               (r, j) => r.getLong(j) / 1000000.0 +
                 graft.core.sas.SasCore.EpochShiftDays.toDouble * 86400
+            case _: TimeType =>
+              // internal = nanos-of-day → SAS time seconds-of-day
+              // (reference xpt_writer.rs:355 divides ns by 1e9 the same)
+              (r, j) => r.getLong(j) / 1e9
             case ByteType => (r, j) => r.getByte(j).toDouble
             case ShortType => (r, j) => r.getShort(j).toDouble
             case IntegerType => (r, j) => r.getInt(j).toDouble

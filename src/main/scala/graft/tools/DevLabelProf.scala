@@ -3,47 +3,32 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the row-path fallback cost of option-driven reads (labels,
-  * informative nulls) against the plain columnar read (dev scratch). */
+/** Timing harness for the value-label decode path: labels ON vs OFF on
+  * the same 10M-row labeled dta (min-of-3 after one warm run). */
 object DevLabelProf {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-
-    val path = "/tmp/graft_bench/labeled_10m.dta"
-    if (!new java.io.File(path).exists()) {
-      spark.range(10000000L)
-        .select(col("id"), (col("id") % 5 + 1).cast("int").as("code"),
-          (col("id") % 97).cast("double").as("v"))
-        .write.format("readstat").mode("overwrite")
-        .option("valueLabels", "code:1=Alpha,2=Beta,3=Gamma,4=Delta,5=Epsilon")
-        .save(path)
+    val p = args.headOption.getOrElse(
+      "/tmp/graft_bench/_root_testdata_sf0_1_big_lab_v1.dta")
+    def scan(lab: Boolean) = {
+      val r = spark.read.format("readstat")
+        .option("partitionTargetBytes", "16777216")
+      (if (lab) r.option("valueLabelsAsStrings", "true") else r).load(p)
+        .select("q_code", "l_quantity")
+        .agg(count(col("q_code")), count(col("l_quantity")))
+        .collect()(0).getLong(0)
     }
-    def t(name: String)(f: => Any): Unit = {
-      f // warm
-      val runs = (0 until 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[prof] $name%-28s min=${runs.min}%6.3f  runs=${runs.map(r => f"$r%.3f").mkString(",")}")
+    def time(f: () => Unit): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
     }
-    def rd = spark.read.format("readstat")
-      .option("partitionTargetBytes", "16777216")
-    t("plain fullread (columnar)") {
-      rd.load(path).queryExecution.toRdd.count()
-    }
-    t("labels-as-strings fullread") {
-      rd.option("valueLabelsAsStrings", "true")
-        .load(path).queryExecution.toRdd.count()
-    }
-    t("informativeNulls fullread") {
-      rd.option("informativeNulls", "true")
-        .load(path).queryExecution.toRdd.count()
-    }
+    scan(true); scan(false) // warm
+    val on = Seq.fill(3)(time(() => scan(true)))
+    val off = Seq.fill(3)(time(() => scan(false)))
+    println(f"[labelprof] on=${on.map(x => f"$x%.3f").mkString(",")} min=${on.min}%.3f " +
+      f"off=${off.map(x => f"$x%.3f").mkString(",")} min=${off.min}%.3f ratio=${on.min / off.min}%.2f")
     spark.stop()
   }
 }

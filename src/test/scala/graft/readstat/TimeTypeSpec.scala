@@ -56,6 +56,63 @@ class TimeTypeSpec extends SparkTestBase {
     }
   }
 
+  test("TimeType columns write to every format and roundtrip") {
+    // the reference writes polars Time to dta/sav/xpt (writer.rs:1610,
+    // writer.rs:416, xpt_writer.rs:129); sas7bdat + por are beyond it.
+    // source of a real TIME(6) column: the SPSS fixture read
+    val src = spark.read.format("readstat")
+      .option("timeAsTimeType", "true").load(res("fixtures/spss/sample.sav"))
+      .select(col("mytime"))
+    assert(src.schema("mytime").dataType == TimeType(6))
+    val want = src.selectExpr("cast(mytime as string) AS t").collect()
+      .map(r => Option(r.getString(0)).orNull).toSeq
+    assert(want.contains("10:10:10") && want.contains(null), want.toString)
+    for (ext <- Seq("dta", "sav", "zsav", "sas7bdat", "xpt", "por")) {
+      val p = tmp(s"t_rt.$ext")
+      src.write.format("readstat").mode("overwrite").save(p)
+      val back = spark.read.format("readstat")
+        .option("timeAsTimeType", "true").load(p)
+      val tCol = back.columns(0)
+      assert(back.schema(tCol).dataType == TimeType(6),
+        s"$ext: ${back.schema.treeString}")
+      val got = back.selectExpr(s"cast($tCol as string) AS t").collect()
+        .map(r => Option(r.getString(0)).orNull).toSeq
+      assert(got == want, s"$ext: $got vs $want")
+    }
+  }
+
+  test("streaming TIME is gated by Spark itself, not by our sinks") {
+    import spark.implicits._
+    // `Dataset.writeStream` eagerly builds the (TIME-gated) row encoder
+    // in DataStreamWriter's constructor — a streaming TIME frame throws
+    // Spark's UNSUPPORTED_TIME_TYPE before any sink is consulted. The
+    // sinks' colSpecs already accept TimeType for when Spark lifts the
+    // encoder gate; pin the CURRENT boundary so a Spark upgrade that
+    // lifts it flips this test and we enable the roundtrip.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_tsrc").toFile
+    srcDir.deleteOnExit()
+    Seq((1.0, Some(36610000.0)), (2.0, None: Option[Double]))
+      .toDF("id", "t")
+      .write.format("readstat").mode("overwrite")
+      .option("varFormats", "t:%tcHH:MM:SS").save(s"$srcDir/src.dta")
+    val stream = spark.readStream.format("readstat")
+      .option("timeAsTimeType", "true").load(srcDir.getAbsolutePath)
+    assert(stream.schema("t").dataType == TimeType(6))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      stream.writeStream
+    }
+    assert(e.getMessage.contains("TIME"), e.getMessage)
+    // the nanos-of-day default (option off) streams fine
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsink").toFile
+    dir.deleteOnExit()
+    val q = spark.readStream.format("readstat").load(srcDir.getAbsolutePath)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(s"$dir/out.dta")
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("readstat").load(s"$dir/out.dta").count() == 2L)
+  }
+
   test("por varFormats validate loudly") {
     import spark.implicits._
     val df = Seq((1.0, "x")).toDF("v", "s")
