@@ -288,7 +288,7 @@ object SpssModule extends FormatModule {
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
     if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
-      opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
+      opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
@@ -406,6 +406,8 @@ object SpssModule extends FormatModule {
               case TimestampNTZType =>
                 vec.putLong(r, math.round((d - SecShift) * 1000.0) * 1000L)
               case LongType => vec.putLong(r, math.round(d * 1e9))
+              case _: org.apache.spark.sql.types.TimeType =>
+                vec.putLong(r, math.round(d * 1e9)) // TIME(6) physical nanos
               case _ => vec.putDouble(r, d)
             }
             r += 1; p += recordLen

@@ -398,7 +398,7 @@ object StataModule extends FormatModule {
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
     if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
-      opts.schemaOverrides.nonEmpty || opts.timeAsTimeType) return false
+      opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))

@@ -263,7 +263,7 @@ object XptModule extends FormatModule {
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
     if (opts.informativeNulls || opts.compress || opts.schemaOverrides.nonEmpty ||
-      opts.valueLabelsAsStrings || opts.timeAsTimeType) return false
+      opts.valueLabelsAsStrings) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))

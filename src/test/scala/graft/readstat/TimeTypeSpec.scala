@@ -40,6 +40,12 @@ class TimeTypeSpec extends SparkTestBase {
       val Array(idCol, tCol) = on.columns // xpt/por uppercase names
       assert(on.schema(tCol).dataType == TimeType(6),
         s"$name: ${on.schema.treeString}")
+      // TIME(6) rides the columnar path since r11 (vectors hold its
+      // physical nanos long) — the option must not force the row path
+      if (name.endsWith(".dta") || name.endsWith(".xpt")) {
+        val plan = on.queryExecution.executedPlan.toString
+        assert(plan.contains("ColumnarToRow"), s"$name not columnar:\n$plan")
+      }
       val strs = on.orderBy(idCol)
         .selectExpr(s"cast($tCol as string) AS s").collect()
         .map(r => Option(r.getString(0)).orNull).toSeq
