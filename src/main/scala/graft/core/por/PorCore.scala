@@ -29,7 +29,18 @@ object PorCore {
   }
 
   final case class PorVar(name: String, width: Int, fmtType: Int,
-      fmtWidth: Int, fmtDec: Int, label: Option[String]) {
+      fmtWidth: Int, fmtDec: Int, label: Option[String],
+      numLabels: Map[Double, String] = Map.empty,
+      strLabels: Map[String, String] = Map.empty,
+      missingDoubles: Vector[Double] = Vector.empty,
+      missingStrings: Vector[String] = Vector.empty,
+      missingLoThru: Option[Double] = None, // tag '9': LO THRU x
+      missingHiThru: Option[Double] = None, // tag 'A': x THRU HI
+      missingRange: Option[(Double, Double)] = None) { // tag 'B'
+    def hasMissing: Boolean =
+      missingDoubles.nonEmpty || missingStrings.nonEmpty ||
+        missingLoThru.isDefined || missingHiThru.isDefined ||
+        missingRange.isDefined
     def isString: Boolean = width > 0
     def formatClass: Option[String] = {
       if (isString) return None
@@ -244,28 +255,69 @@ object PorCore {
           val pfd = stream.readInt().toInt
           stream.readInt(); stream.readInt(); stream.readInt() // write fmt
           vars :+= PorVar(name, width, pft, pfw, pfd, None)
+        // user-missing declarations: captured and attached to the last
+        // variable (BEYOND the reference, which reads and discards them —
+        // por.rs:388-415), giving POR the same missing-value surface as sav
         case '8' =>
-          if (vars.lastOption.exists(_.isString)) stream.readStringField()
-          else stream.readDouble()
-        case '9' | 'A' => stream.readDouble()
+          if (vars.lastOption.exists(_.isString)) {
+            val v = stream.readStringField().replaceAll(" +$", "")
+            vars = vars.init :+ vars.last.copy(
+              missingStrings = vars.last.missingStrings :+ v)
+          } else {
+            val d = stream.readDouble()
+            if (vars.nonEmpty) vars = vars.init :+ vars.last.copy(
+              missingDoubles = vars.last.missingDoubles :+ d)
+          }
+        case '9' =>
+          val x = stream.readDouble()
+          if (vars.nonEmpty)
+            vars = vars.init :+ vars.last.copy(missingLoThru = Some(x))
+        case 'A' =>
+          val x = stream.readDouble()
+          if (vars.nonEmpty)
+            vars = vars.init :+ vars.last.copy(missingHiThru = Some(x))
         case 'B' =>
           if (vars.lastOption.exists(_.isString)) {
-            stream.readStringField(); stream.readStringField()
-          } else { stream.readDouble(); stream.readDouble() }
+            // SPSS has no string missing RANGES; treat the pair as two
+            // discrete missing strings rather than inventing an ordering
+            val lo = stream.readStringField().replaceAll(" +$", "")
+            val hi = stream.readStringField().replaceAll(" +$", "")
+            vars = vars.init :+ vars.last.copy(
+              missingStrings = vars.last.missingStrings :+ lo :+ hi)
+          } else {
+            val lo = stream.readDouble(); val hi = stream.readDouble()
+            if (vars.nonEmpty) vars = vars.init :+ vars.last.copy(
+              missingRange = Some((math.min(lo, hi), math.max(lo, hi))))
+          }
         case 'C' =>
           val label = stream.readStringField()
           if (vars.nonEmpty) vars = vars.init :+ vars.last.copy(label = Some(label))
         case 'D' =>
+          // value-label set: captured and attached to the named variables
+          // (BEYOND the reference, which parses and discards these —
+          // por.rs:441-446). A set is homogeneous: all its variables share
+          // one type, so the first name decides numeric vs string codes.
           val nVars = stream.readInt()
-          var isString = false
-          (0L until nVars).foreach { j =>
-            val vn = stream.readStringField()
-            if (j == 0) isString = vars.exists(v => v.name == vn && v.isString)
-          }
+          val names = (0L until nVars).map(_ => stream.readStringField()).toVector
+          val isString =
+            names.headOption.exists(n => vars.exists(v => v.name == n && v.isString))
           val nLabels = stream.readInt()
+          val numPairs = Map.newBuilder[Double, String]
+          val strPairs = Map.newBuilder[String, String]
           (0L until nLabels).foreach { _ =>
-            if (isString) stream.readStringField() else stream.readDouble()
-            stream.readStringField()
+            if (isString) {
+              val code = stream.readStringField()
+              // stored codes may carry trailing pad spaces; row decode
+              // trims trailing spaces, so trim the keys to match
+              strPairs += (code.replaceAll(" +$", "") -> stream.readStringField())
+            } else numPairs += (stream.readDouble() -> stream.readStringField())
+          }
+          val nm = numPairs.result(); val sm = strPairs.result()
+          val nameSet = names.toSet
+          vars = vars.map { v =>
+            if (!nameSet(v.name)) v
+            else if (v.isString) v.copy(strLabels = v.strLabels ++ sm)
+            else v.copy(numLabels = v.numLabels ++ nm)
           }
         case 'E' =>
           val n = stream.readInt()

@@ -158,6 +158,68 @@ object ReadstatQueries {
       |  round(sum(c_acctbal), 2) AS sum_bal
       |FROM customer GROUP BY 1 ORDER BY seg20""".stripMargin
 
+  /** POR value labels in BOTH directions — beyond the reference, whose
+    * por.rs:441-446 parses and discards tag-'D' records and whose write_por
+    * takes no value_labels parameter. Numeric labels (with an unlabeled
+    * code exercising the formatNum fallback) and string labels roundtrip
+    * through one .por; the decode is hash-compared with a DuckDB CASE map
+    * over the original parquet. */
+  def porValueLabels(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "cust_vl.por")
+    customer(s, d)
+      .select((col("c_custkey") % 3).cast("double").as("tier"),
+        col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels",
+        "tier:0=Bronze,1=Silver|seg:AUTOMOBILE=Cars,BUILDING=Construction")
+      .save(path)
+    s.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+      .groupBy(col("TIER").as("tier"), col("SEG").as("seg"))
+      .agg(count(lit(1)).as("n"), round(sum("BAL"), 2).as("sum_bal"))
+      .orderBy("tier", "seg")
+  }
+
+  val porValueLabelsSql: String =
+    """SELECT CASE CAST(c_custkey % 3 AS INT)
+      |    WHEN 0 THEN 'Bronze' WHEN 1 THEN 'Silver' ELSE '2' END AS tier,
+      |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'Cars'
+      |    WHEN 'BUILDING' THEN 'Construction' ELSE c_mktsegment END AS seg,
+      |  count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer GROUP BY 1, 2 ORDER BY tier, seg""".stripMargin
+
+  /** POR user-missing declarations + informative nulls — beyond the
+    * reference, whose por.rs:388-415 reads and discards tags 8/9/A/B and
+    * whose writer declares none. Discrete missings (one value-labeled)
+    * roundtrip through one .por; the plain read nulls them and the
+    * indicator column carries label-or-code with sav semantics. */
+  def porMissingInformative(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "cust_miss.por")
+    customer(s, d)
+      .select((col("c_custkey") % 5).cast("double").as("tier"),
+        col("c_acctbal").as("bal"))
+      .write.format("readstat").mode("overwrite")
+      .option("missingValues", "tier:3,4")
+      .option("valueLabels", "tier:4=Refused")
+      .save(path)
+    s.read.format("readstat")
+      .option("informativeNulls", "true").load(path)
+      .groupBy(coalesce(col("TIER_null"), lit("OK")).as("miss"))
+      .agg(count(lit(1)).as("n"),
+        count(col("TIER")).as("n_vals"),
+        round(sum("BAL"), 2).as("sum_bal"))
+      .orderBy("miss")
+  }
+
+  val porMissingInformativeSql: String =
+    """SELECT CASE CAST(c_custkey % 5 AS INT)
+      |    WHEN 3 THEN '3' WHEN 4 THEN 'Refused' ELSE 'OK' END AS miss,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN CAST(c_custkey % 5 AS INT) IN (3, 4)
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS n_vals,
+      |  round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY miss""".stripMargin
+
   /** Binary .sas7bdat WRITE roundtrip — beyond the reference (its docs:
     * "SAS binary writing is not supported"). lineitem flows through our
     * sas7bdat writer and back through the reader (golden-tested against
@@ -584,6 +646,57 @@ object ReadstatQueries {
       |  round(sum(p_retailprice), 2) AS sum_price
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** Single-file streaming .por sink, two-epoch append — BEYOND the
+    * reference (streaming sink is Stata-only there) and the last format
+    * to join the sink matrix. POR's variable-length base-30 cells make
+    * this the one VARIABLE-WIDTH append: executors encode logical byte
+    * chunks, the driver commit re-wraps the 80-column line transport
+    * from the committed position recorded in the sidecar. */
+  def porStreamSinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val landing = scratch(d, "por_stream_landing")
+    val sink = scratch(d, "por_stream_single.por")
+    val ckpt = scratch(d, "por_stream_ckpt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(landing, sink, sink + ".stream_state", ckpt)
+      .foreach(p => rm(new java.io.File(p)))
+    val base = part(s, d).select(
+      col("p_partkey").cast("double").as("key"),
+      col("p_size").cast("double").as("size"),
+      col("p_retailprice").as("price"), col("p_brand").as("brand"))
+    base.filter(col("key") % 2 === 0)
+      .write.format("readstat").mode("overwrite").save(s"$landing/drop1.dta")
+    val q = s.readStream.format("readstat")
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "key DOUBLE, size DOUBLE, price DOUBLE, brand STRING"))
+      .load(landing)
+      .writeStream.format("readstat")
+      .option("checkpointLocation", ckpt)
+      .start(sink)
+    try {
+      q.processAllAvailable()
+      base.filter(col("key") % 2 === 1)
+        .write.format("readstat").mode("overwrite").save(s"$landing/drop2.dta")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("readstat").load(sink)
+      .groupBy(col("BRAND").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("KEY").cast("long")).as("sum_key"),
+        sum(col("SIZE").cast("long")).as("sum_size"),
+        round(sum("PRICE"), 2).as("sum_price"))
+      .orderBy("brand")
+  }
+
+  val porStreamSinkRoundtripSql: String =
+    """SELECT p_brand AS brand, count(*) AS n,
+      |  CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+      |  round(sum(p_retailprice), 2) AS sum_price
+      |FROM part GROUP BY 1 ORDER BY brand""".stripMargin
+
   /** Single-file streaming .sas7bdat sink, two-epoch append (same drop
     * choreography as the sav/xpt ones). sas7bdat is PAGE-structured, so
     * this additionally certifies the page-aware splice: the second
@@ -722,6 +835,7 @@ object ReadstatQueries {
     "xpt_stream_sink" -> (xptStreamSinkRoundtrip _, xptStreamSinkRoundtripSql),
     "sas_stream_sink" -> (sasStreamSinkRoundtrip _, sasStreamSinkRoundtripSql),
     "sas_rle_stream_sink" -> (sasRleStreamSinkRoundtrip _, sasStreamSinkRoundtripSql),
+    "por_stream_sink" -> (porStreamSinkRoundtrip _, porStreamSinkRoundtripSql),
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
@@ -729,6 +843,8 @@ object ReadstatQueries {
     "sas_write_roundtrip" -> (sasWriteRoundtrip _, sasWriteRoundtripSql),
     "xpt_roundtrip_agg" -> (xptRoundtrip _, xptRoundtripSql),
     "por_roundtrip_agg" -> (porRoundtrip _, porRoundtripSql),
+    "por_value_labels" -> (porValueLabels _, porValueLabelsSql),
+    "por_missing_informative" -> (porMissingInformative _, porMissingInformativeSql),
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),

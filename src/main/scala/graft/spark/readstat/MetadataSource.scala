@@ -113,7 +113,12 @@ object MetadataRows {
     } else if (lower.endsWith(".por")) {
       val md = PorModule.metadata(path)
       md.vars.map { v =>
-        mk(v.name, v.label.orNull, Nil, Nil, null, v.fmtType, v.fmtWidth,
+        val codes = v.numLabels.keys.toSeq.sorted.map(d =>
+          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+          else d.toString) ++ v.strLabels.keys.toSeq.sorted
+        val labels = v.numLabels.toSeq.sortBy(_._1).map(_._2) ++
+          v.strLabels.toSeq.sortBy(_._1).map(_._2)
+        mk(v.name, v.label.orNull, codes, labels, null, v.fmtType, v.fmtWidth,
           v.fmtDec, null, -1, null, if (v.isString) v.width else -1)
       }
     } else throw new IllegalArgumentException(s"readstat-metadata: $path")

@@ -17,6 +17,9 @@ import graft.core.por.PorCore._
   */
 object PorModule extends FormatModule {
 
+  private def formatNum(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
   private case class FileKey(path: String, size: Long, mtime: Long)
   private def keyOf(path: String) = {
     val f = new java.io.File(path)
@@ -31,6 +34,9 @@ object PorModule extends FormatModule {
 
   def sparkTypeOf(v: PorVar, opts: ReadstatOptions): DataType =
     if (v.isString) StringType
+    // label decode wins over the format class, mirroring SpssModule —
+    // BEYOND the reference, which discards POR value labels entirely
+    else if (opts.valueLabelsAsStrings && v.numLabels.nonEmpty) StringType
     else v.formatClass match {
       case Some("Date") => DateType
       case Some("DateTime") => TimestampNTZType
@@ -49,9 +55,31 @@ object PorModule extends FormatModule {
       if (v.formatClass.contains("Time")) mb.putString("readstat.type", "time")
       v.label.foreach(l => mb.putString("readstat.label", l))
       fields += StructField(v.name, sparkTypeOf(v, opts), nullable = true, mb.build())
+      // sav eligibility rule (SpssModule): numeric vars always, string
+      // vars only when they declare missing values
+      if (opts.informativeNulls && (!v.isString || v.missingStrings.nonEmpty) &&
+          opts.infoNullEligible(v.name))
+        fields += StructField(v.name + opts.informativeNullSuffix, StringType,
+          nullable = true)
     }
     opts.rowIndexName.foreach(n => fields += StructField(n, LongType, nullable = false))
     StructType(fields.result())
+  }
+
+  private def isUserMissing(v: PorVar, d: Double): Boolean =
+    v.hasMissing && (v.missingDoubles.contains(d) ||
+      v.missingLoThru.exists(d <= _) || v.missingHiThru.exists(d >= _) ||
+      v.missingRange.exists { case (lo, hi) => d >= lo && d <= hi })
+
+  /** sav semantics (SpssModule.userMissingLabel): a value label for the
+    * missing code beats the code form; range-only matches render as
+    * "MISSING" when unlabeled. */
+  private def userMissingLabel(v: PorVar, d: Double,
+      useValueLabels: Boolean): String = {
+    val label = if (useValueLabels) v.numLabels.get(d) else None
+    if (label.isDefined) label.get
+    else if (!v.missingDoubles.contains(d)) "MISSING"
+    else formatNum(d)
   }
 
   override def planPartitions(path: String, opts: ReadstatOptions,
@@ -63,16 +91,38 @@ object PorModule extends FormatModule {
     val stream = new PorStream(part.path)
     val md = PorCore.parseMeta(stream) // re-parse to position at data start
     val byName = md.vars.map(_.name).zipWithIndex.toMap
+    // pre-encoded label LUTs, one per labeled var (see [[DoubleLabelLut]])
+    val labelNum: Array[DoubleLabelLut] = md.vars.map(v =>
+      if (!v.isString && opts.valueLabelsAsStrings && v.numLabels.nonEmpty)
+        new DoubleLabelLut(v.numLabels) else null).toArray
+    val labelStr: Array[Map[String, String]] = md.vars.map(v =>
+      if (v.isString && opts.valueLabelsAsStrings && v.strLabels.nonEmpty)
+        v.strLabels else null).toArray
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
-      if (opts.rowIndexName.contains(f.name)) (fi, -1)
-      else (fi, byName.getOrElse(f.name,
-        throw new IllegalArgumentException(s"no such column: ${f.name}")))
+      if (opts.rowIndexName.contains(f.name)) (fi, -1, false)
+      else {
+        val indicator = opts.informativeNulls &&
+          f.name.endsWith(opts.informativeNullSuffix) &&
+          byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+          !byName.contains(f.name)
+        val base =
+          if (indicator) f.name.stripSuffix(opts.informativeNullSuffix)
+          else f.name
+        (fi, byName.getOrElse(base,
+          throw new IllegalArgumentException(s"no such column: ${f.name}")),
+          indicator)
+      }
     }
+    val needInd = new Array[Boolean](md.vars.length)
+    plans.foreach { case (_, vi, ind) => if (ind && vi >= 0) needInd(vi) = true }
 
     new Iterator[InternalRow] {
       private var limit = part.numRows
       private var nextRow: Array[Any] = _
       private var done = false
+      // indicator cells for the row in nextRow (reused; consumed in next()
+      // before the following readFullRow overwrites it)
+      private val inds = new Array[Any](md.vars.length)
 
       private def readFullRow(): Array[Any] = {
         val vals = new Array[Any](md.vars.length)
@@ -88,8 +138,18 @@ object PorModule extends FormatModule {
                 var e = s0.length
                 while (e > 0 && s0(e - 1) == ' ') e -= 1
                 val s = s0.substring(0, e)
+                val userMiss = v.missingStrings.nonEmpty &&
+                  v.missingStrings.contains(s)
+                if (needInd(i))
+                  inds(i) = if (!userMiss) null else {
+                    val lbl = if (opts.informativeNullUseValueLabels)
+                      v.strLabels.get(s) else None
+                    UTF8String.fromString(lbl.getOrElse(s))
+                  }
                 vals(i) =
-                  if (s.isEmpty && opts.missingStringAsNull) null
+                  if ((s.isEmpty && opts.missingStringAsNull) || userMiss) null
+                  else if (labelStr(i) != null)
+                    UTF8String.fromString(labelStr(i).getOrElse(s, s))
                   else UTF8String.fromString(s)
             }
           } else {
@@ -98,8 +158,19 @@ object PorModule extends FormatModule {
                 require(i == 0, "POR: Z in middle of row")
                 return null
               case Some(d) =>
+                val userMiss = !d.isNaN && isUserMissing(v, d)
+                if (needInd(i))
+                  inds(i) = if (!userMiss) null
+                    else UTF8String.fromString(userMissingLabel(v, d,
+                      opts.informativeNullUseValueLabels))
                 vals(i) =
-                  if (d.isNaN) null
+                  if (d.isNaN || userMiss) null
+                  else if (labelNum(i) != null) {
+                    // unlabeled codes fall back to the value's string form,
+                    // same as the sav reader (SpssModule.formatNum)
+                    val l = labelNum(i).get(d)
+                    if (l != null) l else UTF8String.fromString(formatNum(d))
+                  }
                   else v.formatClass match {
                     case Some("Date") => ((d.toLong - SecShift) / 86400L).toInt
                     case Some("DateTime") =>
@@ -132,8 +203,9 @@ object PorModule extends FormatModule {
         if (!hasNext) throw new NoSuchElementException
         val vals = nextRow; nextRow = null; limit -= 1
         val row = new GenericInternalRow(plans.length)
-        plans.foreach { case (fi, vi) =>
-          row.update(fi, if (vi == -1) rowIdx else vals(vi)) }
+        plans.foreach { case (fi, vi, ind) =>
+          row.update(fi,
+            if (vi == -1) rowIdx else if (ind) inds(vi) else vals(vi)) }
         rowIdx += 1
         row
       }

@@ -611,9 +611,10 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
       }
     // `df.writeStream.format("readstat").start(path)` — the single-file
     // streaming sink (reference `sink_stata`, extended to sav/zsav/xpt/
-    // sas7bdat): every epoch appends into ONE valid file — fixed-width
-    // formats at the row boundary, zsav at the deflate-block boundary.
-    // por (sequential base-30 text) streams via foreachBatch + multiFile.
+    // sas7bdat/por): every epoch appends into ONE valid file — fixed-
+    // width formats at the row boundary, zsav at the deflate-block
+    // boundary, por at the logical-byte boundary (its line transport is
+    // re-wrapped from the committed position; no header counts exist).
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val lower = path.toLowerCase
@@ -628,14 +629,15 @@ class ReadstatWriteBuilder(path: String, schema: StructType,
           Some(graft.spark.readstat.writers.XptStreamSink)
         else if (lower.endsWith(".sas7bdat"))
           Some(graft.spark.readstat.writers.SasStreamSink)
+        else if (lower.endsWith(".por"))
+          Some(graft.spark.readstat.writers.PorStreamSink)
         else None
       fmt.map(f => new graft.spark.readstat.writers.FixedWidthStreamingWrite(
         path, schema, options, queryId, f))
         .getOrElse(throw new IllegalArgumentException(
           "readstat streaming sink: single-file streaming supports .dta " +
-            "(reference sink_stata parity), .sav, .zsav, .xpt, and " +
-            ".sas7bdat; for por (an inherently sequential text stream) " +
-            "use foreachBatch with a multiFile directory"))
+            "(reference sink_stata parity), .sav, .zsav, .xpt, " +
+            ".sas7bdat, and .por"))
     }
   }
 }

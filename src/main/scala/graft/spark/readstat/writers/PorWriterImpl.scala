@@ -18,11 +18,21 @@ import graft.core.por.PorCore
   */
 object PorWriterImpl {
 
-  private final class LineWriter(out: java.io.OutputStream) {
-    private var pos = 0
+  /** POR byte emitter. `wrap = true` inserts '\n' every 80 chars (the
+    * on-disk transport); `wrap = false` emits the LOGICAL byte stream —
+    * position-independent, so executors can encode chunks that the
+    * streaming sink's driver commit re-wraps at the resumed line
+    * position (`startPos`). */
+  private[writers] final class LineWriter(out: java.io.OutputStream,
+      wrap: Boolean = true, startPos: Int = 0) {
+    private var pos = startPos
+    def position: Int = pos
     def byte(b: Int): Unit = {
-      out.write(b); pos += 1
-      if (pos == PorCore.LineLen) { out.write('\n'); pos = 0 }
+      out.write(b)
+      if (wrap) {
+        pos += 1
+        if (pos == PorCore.LineLen) { out.write('\n'); pos = 0 }
+      }
     }
     def bytes(bs: Array[Byte]): Unit = bs.foreach(b => byte(b & 0xff))
     def str(s: String): Unit = bytes(s.getBytes(StandardCharsets.ISO_8859_1))
@@ -96,18 +106,130 @@ object PorWriterImpl {
           " with optional width[.dec])")
     }
 
-  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
-    // reference PorWriteOptions parity: file_label (vanity row 1, 20
-    // chars) + variable_labels (tag-'C' records after each variable)
-    // refuse rather than silently drop: the reference's write_por takes
-    // no value_labels parameter, and this writer does not emit tag-'D'
-    // label records
-    require(!options.get("valueLabels").exists(_.trim.nonEmpty),
-      "por writer: value labels are not supported (reference write_por " +
-        "has none) — write sav/dta, or a sas7bdat + catalog pair")
+  private[writers] final case class PorOpts(
+      varLabels: Map[String, String],
+      fileLabel: String,
+      varFormats: Map[String, (Int, Int, Int)],
+      valueLabels: Map[String, Seq[(String, String)]],
+      missingValues: Map[String, SpssSavWriter.MissSpec])
+
+  /** Parse + validate every header-shaping option against a schema —
+    * shared by the batch writer and the streaming sink.
+    *
+    * Reference PorWriteOptions parity: file_label (vanity row 1, 20
+    * chars) + variable_labels (tag-'C' records after each variable).
+    * valueLabels / missingValues are BEYOND the reference (write_por
+    * takes neither): numeric and string label sets land as tag-'D'
+    * records, user-missing declarations as tag-8/B records, both read
+    * back by our reader's label/missing surface.
+    *
+    * metadata-df-driven options (reference `metadata=` write path):
+    * entries for absent or POR-unrepresentable variables are DROPPED —
+    * the dta writer's silent-narrowing rule — while the explicit
+    * options stay strict and always win on conflict. */
+  private[writers] def parsePorOptions(
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String],
+      metaOpts: Option[MetadataDfOptions]): PorOpts = {
+    val colSet = schema.fieldNames.toSet
+    // POR carries uppercased ≤8-char names, so metadata read back from a
+    // .por names variables in caps — match case-insensitively like the
+    // xpt writer (exact match wins when both exist)
+    val colByUpper: Map[String, String] =
+      schema.fieldNames.groupBy(_.toUpperCase).collect {
+        case (u, arr) if arr.length == 1 => u -> arr(0)
+      }
+    def metaFil[T](m: MetadataDfOptions => Map[String, T]): Map[String, T] =
+      metaOpts.map { o =>
+        m(o).flatMap { case (k, v) =>
+          if (colSet(k)) Some(k -> v)
+          else colByUpper.get(k.toUpperCase).map(_ -> v)
+        }
+      }.getOrElse(Map.empty)
+    def asciiOk(s: String, cap: Int): Boolean =
+      s.length <= cap && s.forall(ch => ch >= 0x20 && ch <= 0x7E)
+    def plainNumeric(c: String): Boolean = schema(c).dataType match {
+      case StringType | DateType | TimestampType | TimestampNTZType => false
+      case _: TimeType => false
+      case _ => true
+    }
+    val metaValLabels: Map[String, Seq[(String, String)]] =
+      metaFil(_.valLabels).flatMap { case (c, pairs) =>
+        val isStr = schema(c).dataType == StringType
+        if (!isStr && !plainNumeric(c)) None
+        else {
+          val ok = pairs.filter { case (code, l) =>
+            asciiOk(l, 60) && asciiOk(code, 255) && (isStr ||
+              (try { code.toDouble; true }
+              catch { case _: NumberFormatException => false }))
+          }
+          if (ok.isEmpty) None else Some(c -> ok)
+        }
+      }
+    val metaVarLabels = metaFil(_.varLabels).filter(kv => asciiOk(kv._2, 255))
+    val metaVarFormats = metaFil(_.formatTriples).filter(kv => plainNumeric(kv._1))
+
+    val valueLabels: Map[String, Seq[(String, String)]] =
+      SasCsvBundleWriter.parseAnyValueLabels(options.getOrElse("valueLabels", ""))
+    val unknownVl = valueLabels.keySet.diff(schema.fieldNames.toSet)
+    require(unknownVl.isEmpty,
+      s"por writer: valueLabels names unknown column(s): ${unknownVl.mkString(", ")}")
+    valueLabels.foreach { case (c, pairs) =>
+      schema(c).dataType match {
+        case DateType | TimestampType | TimestampNTZType | _: TimeType =>
+          throw new IllegalArgumentException(
+            s"por writer: valueLabels.$c targets a temporal column — " +
+              "value labels apply to plain numeric and string columns")
+        case StringType => ()
+        case _ => pairs.foreach { case (code, _) =>
+          require(code.nonEmpty &&
+              (try { code.toDouble; true }
+              catch { case _: NumberFormatException => false }),
+            s"por writer: valueLabels.$c code '$code' is not numeric " +
+              "for a numeric column")
+        }
+      }
+      pairs.foreach { case (code, l) =>
+        // POR is printable-ASCII only; 60 chars is the SPSS value-label cap
+        require(l.length <= 60 && l.forall(ch => ch >= 0x20 && ch <= 0x7E),
+          s"por writer: valueLabels.$c label for code '$code' must be at " +
+            "most 60 printable-ASCII characters (POR is an ASCII-only format)")
+        require(code.forall(ch => ch >= 0x20 && ch <= 0x7E),
+          s"por writer: valueLabels.$c code '$code' must be printable ASCII")
+      }
+    }
+    // declared user-missing values (BEYOND the reference, same spec
+    // grammar as the sav writer): numeric → tag-'8' discretes / tag-'B'
+    // range; string → tag-'8' discretes only
+    val missingValues: Map[String, SpssSavWriter.MissSpec] =
+      SpssSavWriter.parseMissingValues(options.getOrElse("missingValues", ""))
+    val unknownMv = missingValues.keySet.diff(schema.fieldNames.toSet)
+    require(unknownMv.isEmpty,
+      s"por writer: missingValues names unknown column(s): ${unknownMv.mkString(", ")}")
+    missingValues.foreach { case (c, spec) =>
+      schema(c).dataType match {
+        case DateType | TimestampType | TimestampNTZType | _: TimeType =>
+          throw new IllegalArgumentException(
+            s"por writer: missingValues.$c targets a temporal column — " +
+              "missing declarations apply to plain numeric and string columns")
+        case StringType =>
+          require(spec.range.isEmpty,
+            s"por writer: missingValues.$c declares a numeric range on a " +
+              "string column — string missings are discrete only")
+          spec.discrete.foreach(v =>
+            require(v.forall(ch => ch >= 0x20 && ch <= 0x7E),
+              s"por writer: missingValues.$c value '$v' must be printable ASCII"))
+        case _ => spec.discrete.foreach { v =>
+          require(try { v.toDouble; true }
+            catch { case _: NumberFormatException => false },
+            s"por writer: missingValues.$c value '$v' is not numeric " +
+              "for a numeric column")
+        }
+      }
+    }
     val varLabels = StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
-    val unknown = varLabels.keySet.diff(df.schema.fieldNames.toSet)
+    val unknown = varLabels.keySet.diff(schema.fieldNames.toSet)
     require(unknown.isEmpty,
       s"por writer: varLabels names unknown column(s): ${unknown.mkString(", ")}")
     // POR is a printable-ASCII format: reject (don't corrupt) labels the
@@ -129,13 +251,13 @@ object PorWriterImpl {
     val varFormats: Map[String, (Int, Int, Int)] =
       StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
         .map { case (c, raw) =>
-          require(df.schema.fieldNames.contains(c),
+          require(schema.fieldNames.contains(c),
             s"por writer: varFormats names unknown column '$c'")
-          df.schema(c).dataType match {
+          schema(c).dataType match {
             case StringType | DateType | TimestampType | TimestampNTZType =>
               throw new IllegalArgumentException(
                 s"por writer: varFormats.$c targets a " +
-                  s"${df.schema(c).dataType.simpleString} column — formats " +
+                  s"${schema(c).dataType.simpleString} column — formats " +
                   "apply to plain numeric columns (temporal columns " +
                   "declare their class automatically)")
             case _: TimeType => throw new IllegalArgumentException(
@@ -145,6 +267,19 @@ object PorWriterImpl {
           }
           c -> parseNumFormat(c, raw)
         }
+    // metadata-df entries seed; explicit options override per column
+    PorOpts(
+      varLabels = metaVarLabels ++ varLabels,
+      fileLabel = fileLabel,
+      varFormats = metaVarFormats ++ varFormats,
+      valueLabels = metaValLabels ++ valueLabels,
+      missingValues = missingValues)
+  }
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    val o = parsePorOptions(df.schema, options,
+      options.get("metadataPath")
+        .map(p => MetadataDfOptions.read(df.sparkSession, p)))
     // ---- multiFile mode: one self-contained .por per partition ----
     // POR is an inherently sequential text stream, so the single-file
     // write streams through the driver; multiFile moves the whole encode
@@ -159,8 +294,7 @@ object PorWriterImpl {
       df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
-          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it,
-            varLabels, fileLabel, varFormats)
+          writeOne(s"$path/$partPrefix" + f"$pid%05d.por", schema, it, o)
           Iterator(1)
         }
       }.count()
@@ -172,38 +306,23 @@ object PorWriterImpl {
     // partition's last row. (The multiFile path above streams rows
     // one-at-a-time inside mapPartitions, where reuse is safe.)
     writeOne(path, df.schema,
-      df.queryExecution.toRdd.map(_.copy()).toLocalIterator,
-      varLabels, fileLabel, varFormats)
+      df.queryExecution.toRdd.map(_.copy()).toLocalIterator, o)
   }
 
-  /** Emit via a same-directory temp + atomic rename (no partial files
-    * at the final name). */
-  private def writeOne(path: String,
-      schema: org.apache.spark.sql.types.StructType,
-      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      varLabels: Map[String, String] = Map.empty,
-      fileLabel: String = "",
-      varFormats: Map[String, (Int, Int, Int)] = Map.empty): Unit =
-    AtomicFile.write(path)(tmp =>
-      writeOneRaw(tmp, schema, rows, varLabels, fileLabel, varFormats))
 
-  private def writeOneRaw(path: String,
-      schema: org.apache.spark.sql.types.StructType,
-      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      varLabels: Map[String, String],
-      fileLabel: String,
-      varFormats: Map[String, (Int, Int, Int)]): Unit = {
-    val outPath = Paths.get(path)
-    Option(outPath.getParent).foreach(Files.createDirectories(_))
-    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
-    val w = new LineWriter(os)
-    try {
+  /** Emit the full pre-data section (vanity block through the 'F' tag):
+    * shared by the batch writer and the streaming sink, whose header is
+    * CONSTANT for a given (schema, options) — POR stores no row count,
+    * which is exactly what makes epoch-append streaming possible. */
+  private[writers] def writeHeader(w: LineWriter,
+      schema: org.apache.spark.sql.types.StructType, o: PorOpts): Unit = {
+
       // vanity block (5×40) with the standard row-1 banner
       val vanity = Array.fill[Byte](200)('0')
       val banner = "ASCII SPSS PORT FILE".getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(banner, 0, vanity, 40, banner.length)
       java.util.Arrays.fill(vanity, 60, 80, ' '.toByte)
-      val flb = fileLabel.getBytes(StandardCharsets.US_ASCII)
+      val flb = o.fileLabel.getBytes(StandardCharsets.US_ASCII)
       System.arraycopy(flb, 0, vanity, 60, math.min(flb.length, 20))
       w.bytes(vanity)
       // identity character table
@@ -235,7 +354,7 @@ object PorWriterImpl {
           case DateType => (0, 20, 11, 0)
           case TimestampType | TimestampNTZType => (0, 22, 20, 0)
           case _: TimeType => (0, 21, 8, 0) // TIME8, seconds-of-day
-          case _ => varFormats.get(f.name) match {
+          case _ => o.varFormats.get(f.name) match {
             case Some((t, fw, fd)) => (0, t, fw, fd)
             case None => (0, 5, 8, 0)
           }
@@ -245,55 +364,107 @@ object PorWriterImpl {
         w.stringField(short)
         w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(fmtD.toDouble)
         w.double(fmtType.toDouble); w.double(fmtW.toDouble); w.double(fmtD.toDouble)
-        varLabels.get(f.name).foreach { lbl =>
+        // missing declarations attach to the LAST variable record, so
+        // they must land here, before the next tag-'7'
+        o.missingValues.get(f.name).foreach { spec =>
+          spec.range.foreach { case (lo, hi) =>
+            w.byte('B'); w.double(lo); w.double(hi)
+          }
+          spec.discrete.foreach { v =>
+            w.byte('8')
+            if (f.dataType == StringType) w.stringField(v)
+            else w.double(v.toDouble)
+          }
+        }
+        o.varLabels.get(f.name).foreach { lbl =>
           w.byte('C'); w.stringField(lbl)
         }
       }
-      w.byte('F')
-
-      // data (single row stream; see scaladoc). InternalRow physical
-      // forms: Date = days since 1970 (int), Timestamp/NTZ = micros
-      // since epoch (long; NTZ identical under the session UTC
-      // timezone), Time = nanos-of-day (long)
-      val fields = schema.fields
-      rows.foreach { row =>
-        var i = 0
-        while (i < fields.length) {
-          fields(i).dataType match {
-            case StringType =>
-              w.stringField(
-                if (row.isNullAt(i)) "" else row.getUTF8String(i).toString)
-            case DateType =>
-              if (row.isNullAt(i)) w.double(Double.NaN)
-              else w.double(row.getInt(i).toDouble * 86400 + PorCore.SecShift)
-            case TimestampType | TimestampNTZType =>
-              if (row.isNullAt(i)) w.double(Double.NaN)
-              else w.double(row.getLong(i) / 1000000.0 + PorCore.SecShift)
-            case _: TimeType =>
-              if (row.isNullAt(i)) w.double(Double.NaN)
-              else w.double(row.getLong(i) / 1e9)
-            case dt =>
-              if (row.isNullAt(i)) w.double(Double.NaN)
-              else {
-                val d = dt match {
-                  case ByteType => row.getByte(i).toDouble
-                  case ShortType => row.getShort(i).toDouble
-                  case IntegerType => row.getInt(i).toDouble
-                  case LongType => row.getLong(i).toDouble
-                  case FloatType => row.getFloat(i).toDouble
-                  case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
-                  case dec: DecimalType =>
-                    row.getDecimal(i, dec.precision, dec.scale).toDouble
-                  case _ => row.getDouble(i)
-                }
-                w.double(d)
-              }
+      // tag-'D' value-label sets (one per labeled column, keyed by the
+      // short on-file name), after all variable records per the portable
+      // layout; string columns carry string codes, numeric ones base-30
+      specs.foreach { case (f, short) =>
+        o.valueLabels.get(f.name).filter(_.nonEmpty).foreach { pairs =>
+          w.byte('D'); w.base30Int(1L); w.byte('/')
+          w.stringField(short)
+          w.base30Int(pairs.length.toLong); w.byte('/')
+          val isStr = f.dataType == StringType
+          pairs.foreach { case (code, label) =>
+            if (isStr) w.stringField(code) else w.double(code.toDouble)
+            w.stringField(label)
           }
-          i += 1
         }
       }
+      w.byte('F')
+  }
+
+  /** Emit via a same-directory temp + atomic rename (no partial files
+    * at the final name). */
+  private def writeOne(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      o: PorOpts): Unit =
+    AtomicFile.write(path)(tmp => writeOneRaw(tmp, schema, rows, o))
+
+  private def writeOneRaw(path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      o: PorOpts): Unit = {
+    val outPath = Paths.get(path)
+    Option(outPath.getParent).foreach(Files.createDirectories(_))
+    val os = new BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val w = new LineWriter(os)
+    try {
+      writeHeader(w, schema, o)
+
+      // data (single row stream; see scaladoc)
+      val fields = schema.fields
+      rows.foreach(row => encodeRow(w, fields, row))
       w.byte('Z')
       w.finishWithZ()
     } finally os.close()
+  }
+
+  /** Encode one row's cells (shared by the batch writer and the
+    * streaming sink's executor chunk encoders). InternalRow physical
+    * forms: Date = days since 1970 (int), Timestamp/NTZ = micros since
+    * epoch (long; NTZ identical under the session UTC timezone),
+    * Time = nanos-of-day (long). */
+  private[writers] def encodeRow(w: LineWriter, fields: Array[StructField],
+      row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      fields(i).dataType match {
+        case StringType =>
+          w.stringField(
+            if (row.isNullAt(i)) "" else row.getUTF8String(i).toString)
+        case DateType =>
+          if (row.isNullAt(i)) w.double(Double.NaN)
+          else w.double(row.getInt(i).toDouble * 86400 + PorCore.SecShift)
+        case TimestampType | TimestampNTZType =>
+          if (row.isNullAt(i)) w.double(Double.NaN)
+          else w.double(row.getLong(i) / 1000000.0 + PorCore.SecShift)
+        case _: TimeType =>
+          if (row.isNullAt(i)) w.double(Double.NaN)
+          else w.double(row.getLong(i) / 1e9)
+        case dt =>
+          if (row.isNullAt(i)) w.double(Double.NaN)
+          else {
+            val d = dt match {
+              case ByteType => row.getByte(i).toDouble
+              case ShortType => row.getShort(i).toDouble
+              case IntegerType => row.getInt(i).toDouble
+              case LongType => row.getLong(i).toDouble
+              case FloatType => row.getFloat(i).toDouble
+              case BooleanType => if (row.getBoolean(i)) 1.0 else 0.0
+              case dec: DecimalType =>
+                row.getDecimal(i, dec.precision, dec.scale).toDouble
+              case _ => row.getDouble(i)
+            }
+            w.double(d)
+          }
+      }
+      i += 1
+    }
   }
 }

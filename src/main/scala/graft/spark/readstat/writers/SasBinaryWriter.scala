@@ -168,16 +168,54 @@ object SasBinaryWriter {
   def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
     val schema = df.schema
     require(schema.nonEmpty, "sas7bdat writer: empty schema")
-    val varLabels = StataDtaWriter.parseVarLabels(
+    // metadata-df-driven options (reference `metadata=` write path):
+    // labels / format strings / value labels seed from the 12-col frame,
+    // filtered to present columns (entries for inapplicable variables
+    // are dropped, dta-writer rule); explicit options win per column
+    val metaOpts = options.get("metadataPath")
+      .map(p => MetadataDfOptions.read(df.sparkSession, p))
+    val fieldSet = schema.fieldNames.toSet
+    def metaFil[T](m: MetadataDfOptions => Map[String, T]): Map[String, T] =
+      metaOpts.map(o => m(o).filter { case (k, _) => fieldSet(k) })
+        .getOrElse(Map.empty)
+    val varLabels = metaFil(_.varLabels) ++ StataDtaWriter.parseVarLabels(
       options.getOrElse("varLabels", ""))
-    val varFormats = StataDtaWriter.parseVarLabels(
-      options.getOrElse("varFormats", ""))
+    // drop meta format strings the SAS grammar can't carry (a Stata
+    // "%9.2f" from a dta frame, a $-mismatch) instead of failing the
+    // metadata-driven write; explicit varFormats entries stay strict
+    def sasFmtOk(c: String, spec0: String): Boolean = {
+      val spec = spec0.trim
+      val noDec = spec.indexOf('.') match {
+        case -1 => spec
+        case i => spec.substring(0, i)
+      }
+      val nm = noDec.reverse.dropWhile(_.isDigit).reverse
+      val isChar = schema(c).dataType == StringType
+      nm.nonEmpty &&
+        nm.forall(ch => ch.isLetterOrDigit || ch == '_' || ch == '$') &&
+        (if (isChar) nm.startsWith("$") else !nm.startsWith("$")) &&
+        noDec.substring(nm.length).forall(_.isDigit)
+    }
+    val varFormats = metaFil(_.formats)
+      .filter { case (c, s) => sasFmtOk(c, s) } ++
+      StataDtaWriter.parseVarLabels(options.getOrElse("varFormats", ""))
     // value labels: SAS keeps them in a FORMAT CATALOG, not the data
     // file — labeled columns get a generated format name here and the
     // catalog is written alongside (.option("catalog", …) on read joins
     // them back). The reference can read catalogs but write neither.
-    val valueLabels = SasCsvBundleWriter.parseAnyValueLabels(
-      options.getOrElse("valueLabels", ""))
+    // Meta codes that don't fit the column type (string codes on a
+    // numeric var) are dropped, dta-writer rule.
+    val metaValLabels = metaFil(_.valLabels).flatMap { case (c, pairs) =>
+      val ok =
+        if (schema(c).dataType == StringType) pairs
+        else pairs.filter { case (code, _) =>
+          try { code.toDouble; true }
+          catch { case _: NumberFormatException => false }
+        }
+      if (ok.isEmpty) None else Some(c -> ok)
+    }
+    val valueLabels = metaValLabels ++
+      SasCsvBundleWriter.parseAnyValueLabels(options.getOrElse("valueLabels", ""))
     val colSet = schema.fieldNames.toSet
     Seq("varLabels" -> varLabels.keySet, "varFormats" -> varFormats.keySet,
         "valueLabels" -> valueLabels.keySet)

@@ -154,11 +154,32 @@ object SasCsvBundleWriter {
       }.toMap
     }
 
-    val valueLabels = parseAnyValueLabels(options.getOrElse("valueLabels", ""))
+    // metadata-df-driven labels/value labels (reference `metadata=`
+    // path): entries filter to present columns; numeric columns keep
+    // only numeric codes (PROC FORMAT VALUE statements need them);
+    // explicit options win per column
+    val metaOpts = options.get("metadataPath")
+      .map(p => MetadataDfOptions.read(df.sparkSession, p))
+    val fieldSet = schema.fieldNames.toSet
+    def metaFil[T](m: MetadataDfOptions => Map[String, T]): Map[String, T] =
+      metaOpts.map(o => m(o).filter { case (k, _) => fieldSet(k) })
+        .getOrElse(Map.empty)
+    val metaValLabels = metaFil(_.valLabels).flatMap { case (c, pairs) =>
+      val ok =
+        if (schema(c).dataType == StringType) pairs
+        else pairs.filter { case (code, _) =>
+          try { code.toDouble; true }
+          catch { case _: NumberFormatException => false }
+        }
+      if (ok.isEmpty) None else Some(c -> ok)
+    }
+    val valueLabels = metaValLabels ++
+      parseAnyValueLabels(options.getOrElse("valueLabels", ""))
     val unknownVl = valueLabels.keySet.diff(schema.fieldNames.toSet)
     require(unknownVl.isEmpty,
       s"sas bundle: valueLabels names unknown column(s): ${unknownVl.mkString(", ")}")
-    val varLabels = StataDtaWriter.parseVarLabels(options.getOrElse("varLabels", ""))
+    val varLabels = metaFil(_.varLabels) ++
+      StataDtaWriter.parseVarLabels(options.getOrElse("varLabels", ""))
     val unknownL = varLabels.keySet.diff(schema.fieldNames.toSet)
     require(unknownL.isEmpty,
       s"sas bundle: varLabels names unknown column(s): ${unknownL.mkString(", ")}")

@@ -73,8 +73,10 @@ object StatWriters {
   // (the reference's per-format writers reject unexpected kwargs the
   // same way): the SPSS dictionary surface on non-SPSS targets, and
   // NaN-payload tagged missings where no such encoding exists
+  // missingValues is NOT here: both SPSS formats (sav/zsav AND por)
+  // accept user-missing declarations now
   private val SpssOnlyOpts =
-    Seq("varMeasures", "varDisplayWidths", "varAlignments", "missingValues")
+    Seq("varMeasures", "varDisplayWidths", "varAlignments")
   private[writers] def refuseForeign(who: String,
       options: Map[String, String], foreign: Seq[String]): Unit =
     foreign.foreach { k =>
@@ -91,6 +93,15 @@ object StatWriters {
         if (lower.endsWith(".csv")) "sas csv bundle"
         else lower.substring(lower.lastIndexOf('.') + 1)
       refuseForeign(who, options, SpssOnlyOpts)
+    }
+    // user-missing declarations exist in the SPSS family only
+    // (sav/zsav var records, por tag-8/B records)
+    if (!lower.endsWith(".sav") && !lower.endsWith(".zsav") &&
+        !lower.endsWith(".por")) {
+      val who =
+        if (lower.endsWith(".csv")) "sas csv bundle"
+        else lower.substring(lower.lastIndexOf('.') + 1)
+      refuseForeign(who, options, Seq("missingValues"))
     }
     if (lower.endsWith(".sav") || lower.endsWith(".zsav") ||
         lower.endsWith(".por") || lower.endsWith(".csv"))

@@ -171,18 +171,19 @@ class CatalogLabelSpec extends SparkTestBase {
     }
   }
 
-  test("por writer refuses valueLabels loudly instead of dropping them") {
+  test("por writer carries valueLabels as tag-'D' records (r11, beyond reference)") {
+    // r10 refused this option (refuse-rather-than-drop); r11 implements
+    // it — the refusal test flips into a roundtrip pin
     import spark.implicits._
-    val df = Seq((1.0, "x")).toDF("sex", "s")
-    val e = intercept[Exception] {
-      df.write.format("readstat").mode("overwrite")
-        .option("valueLabels", "sex:1=Male")
-        .save(tmp("vl.por"))
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("value labels are not supported")),
-      msgs(e).mkString(" | "))
+    val df = Seq((1.0, "x"), (2.0, "y")).toDF("sex", "s")
+    val path = tmp("vl.por")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female")
+      .save(path)
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+    assert(back.select("SEX").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Female", "Male"))
   }
 
   test("format-foreign metadata options refuse loudly instead of dropping") {

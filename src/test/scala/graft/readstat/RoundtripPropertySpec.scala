@@ -207,6 +207,76 @@ class RoundtripPropertySpec extends SparkTestBase {
     }
   }
 
+  test("random por value-label and missing declarations roundtrip (beyond reference)") {
+    // property: for ANY label map + missing declaration the writer's spec
+    // grammar accepts, the labeled/informative read matches a simple
+    // reference model computed directly from the spec — pins the writer
+    // tag emission and the reader decode against each other through an
+    // independent oracle, not through shared code
+    import org.apache.spark.sql.functions._
+    val labelChars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') :+ ' ' :+ '.'
+    val genLabel: Gen[String] = Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(labelChars)).map(_.mkString.trim)
+        .map(s => if (s.isEmpty) "L" else s))
+    (1L to 4L).foreach { seed =>
+      val p = Gen.Parameters.default
+      def run[T](g: Gen[T], salt: Long): T =
+        g.apply(p, Seed(seed * 1000 + salt)).get
+      val codes = run(Gen.pick(run(Gen.choose(1, 5), 1),
+        0 to 20), 2).toVector
+      val labels = codes.map(c => c -> run(genLabel, 100 + c)).toMap
+      val missRange: Option[(Int, Int)] =
+        if (run(Gen.choose(0, 1), 5) == 1) {
+          val lo = run(Gen.choose(22, 26), 6); Some((lo, lo + 2))
+        } else None
+      // the shared sav/por spec grammar allows ≤3 discretes, or a range
+      // plus at most one discrete
+      val maxDiscrete = if (missRange.isDefined) 1 else 3
+      val missDiscrete = run(Gen.pick(
+        run(Gen.choose(0, maxDiscrete), 3), 0 to 20), 4).toVector
+      if (missDiscrete.nonEmpty || missRange.isDefined) {
+        val vlSpec = "v:" + labels.toSeq.sortBy(_._1)
+          .map { case (c, l) => s"$c=$l" }.mkString(",")
+        val mvSpec = "v:" + (missRange.map { case (lo, hi) => s"$lo..$hi" }.toSeq ++
+          missDiscrete.map(_.toString)).mkString(",")
+        val data = (0 to 28).map(_.toDouble)
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data.map(d => Row(d)), 2),
+          StructType(Seq(StructField("v", DoubleType))))
+        val dir = Files.createTempDirectory("graft_porvl").toFile
+        dir.deleteOnExit()
+        val path = s"${dir.getAbsolutePath}/pl.por"
+        df.write.format("readstat").mode("overwrite")
+          .option("valueLabels", vlSpec).option("missingValues", mvSpec)
+          .save(path)
+        // independent model of what each value must decode to
+        def isMiss(d: Double): Boolean =
+          missDiscrete.contains(d.toInt) && missDiscrete.map(_.toDouble).contains(d) ||
+            missRange.exists { case (lo, hi) => d >= lo && d <= hi }
+        val wantLabeled = data.map(d =>
+          if (isMiss(d)) null
+          else labels.get(d.toInt).filter(_ => codes.contains(d.toInt))
+            .getOrElse(d.toLong.toString))
+        val wantInd = data.map(d =>
+          if (!isMiss(d)) null
+          else if (missDiscrete.contains(d.toInt))
+            labels.getOrElse(d.toInt, d.toLong.toString)
+          else labels.getOrElse(d.toInt, "MISSING"))
+        val backL = spark.read.format("readstat")
+          .option("valueLabelsAsStrings", "true").load(path)
+          .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+        assert(backL.toSeq == wantLabeled.toSeq,
+          s"seed $seed labeled: vl=$vlSpec mv=$mvSpec\n got ${backL.toSeq}\nwant $wantLabeled")
+        val backI = spark.read.format("readstat")
+          .option("informativeNulls", "true").load(path)
+          .select("V_null").collect()
+          .map(r => if (r.isNullAt(0)) null else r.getString(0))
+        assert(backI.toSeq == wantInd.toSeq,
+          s"seed $seed indicator: vl=$vlSpec mv=$mvSpec\n got ${backI.toSeq}\nwant $wantInd")
+      }
+    }
+  }
+
   test("random frames roundtrip through dta and sav") {
     val genRows = Gen.listOfN(25,
       Gen.zip(genDouble, genInt, genStr).map { case (d, i, s) => Row(d, i, s) })

@@ -227,6 +227,50 @@ class SasWriterSpec extends SparkTestBase {
     assert(cat2.numeric.values.head(1.0) == "Homme — 男性")
   }
 
+  test("metadata-df-driven sas7bdat write: labels, formats, value labels flow through") {
+    import spark.implicits._
+    val src = Seq((1.0, 9.99, "x"), (2.0, 1.5, "y")).toDF("sex", "price", "tag")
+    // a sas7bdat metadata frame carries labels + formats but NO value
+    // labels (SAS keeps those in the catalog) — so source the frame from
+    // a .sav, whose frame surfaces all three: the 12-col frame is
+    // format-agnostic by design (reference metadata= write path)
+    val p1 = tmp("mdsrc.sav")
+    src.write.format("readstat").mode("overwrite")
+      .option("varLabels", "sex:Respondent sex")
+      .option("valueLabels", "sex:1=Male,2=Female")
+      .save(p1)
+    val mdPath = tmp("sasmeta.parquet")
+    spark.read.format("readstat-metadata").load(p1)
+      .write.mode("overwrite").parquet(mdPath)
+    val p2 = tmp("mdout.sas7bdat")
+    src.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath)
+      .option("varFormats", "price:DOLLAR12.2") // explicit merges on top
+      .save(p2)
+    val md = graft.core.sas.SasCore.parse(p2)
+    assert(md.columns.find(_.name == "sex").get.label == "Respondent sex")
+    assert(md.columns.find(_.name == "price").get.format == "DOLLAR")
+    // value labels from the metadata frame regenerate the sibling catalog
+    val catPath = p2.stripSuffix(".sas7bdat") + ".sas7bcat"
+    assert(new java.io.File(catPath).isFile, "catalog not regenerated")
+    val back = spark.read.format("readstat")
+      .option("catalog", catPath)
+      .option("valueLabelsAsStrings", "true").load(p2)
+    assert(back.orderBy("price").select("sex").collect()
+      .map(_.getString(0)).toSeq == Seq("Female", "Male"))
+    // a dta-style "%9.2f" format string in the frame is dropped, not fatal
+    val mdBad = tmp("sasmeta2.parquet")
+    spark.read.format("readstat-metadata").load(p1)
+      .withColumn("format",
+        when(col("name") === "price", lit("%9.2f")).otherwise(col("format")))
+      .write.mode("overwrite").parquet(mdBad)
+    val p3 = tmp("mdout2.sas7bdat")
+    src.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdBad).save(p3)
+    assert(graft.core.sas.SasCore.parse(p3)
+      .columns.find(_.name == "price").get.format.isEmpty)
+  }
+
   test("sas7bdat tagged missings roundtrip; plain missing has no phantom tag") {
     import spark.implicits._
     val df = Seq(

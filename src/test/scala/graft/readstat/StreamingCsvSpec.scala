@@ -94,6 +94,28 @@ class StreamingCsvSpec extends SparkTestBase {
     }.getMessage.contains("unknown"))
   }
 
+  test("sas csv bundle: metadata-df drives labels and value labels") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_csvmd").toFile
+    val df = Seq((1.0, "x"), (2.0, "yy")).toDF("sex", "grp")
+    // source the 12-col frame from a sav (carries labels + value labels)
+    val sav = s"${d.getAbsolutePath}/src.sav"
+    df.write.format("readstat").mode("overwrite")
+      .option("varLabels", "sex:Respondent sex")
+      .option("valueLabels", "sex:1=Male,2=Female")
+      .save(sav)
+    val mdPath = s"${d.getAbsolutePath}/meta.parquet"
+    spark.read.format("readstat-metadata").load(sav)
+      .write.mode("overwrite").parquet(mdPath)
+    val path = s"${d.getAbsolutePath}/ex.csv"
+    graft.spark.readstat.writers.StatWriters.write(df, path,
+      Map("metadataPath" -> mdPath))
+    val sas = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"${d.getAbsolutePath}/ex.sas")))
+    assert(sas.contains("label sex = \"Respondent sex\""), sas)
+    assert(sas.contains("1 = \"Male\""), sas)
+  }
+
   test("sas csv bundle: boolean as 0/1, int length gate, format-name cap") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_csv3").toFile

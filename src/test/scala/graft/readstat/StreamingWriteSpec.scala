@@ -578,7 +578,7 @@ class StreamingWriteSpec extends SparkTestBase {
       msgs(e).mkString(" | "))
   }
 
-  test("single-file sink: non-appendable format is refused with a pointer to multiFile") {
+  test("single-file sink: non-appendable format is refused") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sfbad").toFile
@@ -588,13 +588,101 @@ class StreamingWriteSpec extends SparkTestBase {
       val q = input.toDF().toDF("id", "v").writeStream
         .format("readstat")
         .option("checkpointLocation", s"$dir/ckpt")
-        .start(s"$dir/out.por")
+        .start(s"$dir/out.csv")
       try { input.addData((1L, 1.0)); q.processAllAvailable() }
       finally q.stop()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("multiFile")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("single-file streaming supports")),
+      msgs(e).mkString(" | "))
+  }
+
+  test("single-file streaming .por sink: logical-byte append re-wraps the line transport") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_porsink").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/stream.por"
+    val input = MemoryStream[(Long, Double, String)]
+    // varied string lengths ensure epoch boundaries land MID-line, so a
+    // wrong resume position would corrupt every later cell
+    val query = input.toDF().toDF("id", "v", "s").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("valueLabels", "id:1=One,2=Two")
+      .option("missingValues", "v:99")
+      .start(sink)
+    try {
+      input.addData((1L, 1.5, "alpha"), (2L, 99.0, "b"))
+      query.processAllAvailable()
+      assert(spark.read.format("readstat").load(sink).count() == 2L)
+      input.addData((3L, 3.5, "a much longer string value"))
+      query.processAllAvailable()
+      input.addData((4L, 4.5, "x"))
+      query.processAllAvailable()
+      val back = spark.read.format("readstat").load(sink).orderBy("ID")
+      val rows = back.collect()
+      assert(rows.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+      // v: declared missing 99 comes back null (header options carried
+      // through the once-written header)
+      assert(rows.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+        Seq(1.5, null, 3.5, 4.5))
+      assert(rows.map(_.getString(2)).toSeq ==
+        Seq("alpha", "b", "a much longer string value", "x"))
+      // value labels decode across all epochs
+      val lbl = spark.read.format("readstat")
+        .option("valueLabelsAsStrings", "true").load(sink)
+        .orderBy("S").collect()
+      assert(lbl.map(_.getString(0)).sorted.toSeq == Seq("4", "One", "Two", "3").sorted)
+      assert(new java.io.File(sink).isFile)
+      // the file is a valid 80-column transport: every line ≤ 80 chars
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sink)), java.nio.charset.StandardCharsets.ISO_8859_1)
+        .split("\n", -1)
+      assert(lines.forall(_.length <= 80), "over-long line in por transport")
+    } finally query.stop()
+  }
+
+  test("por sink refuses a cross-query append with different header options") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_porsink2").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/drift.por"
+    val input = MemoryStream[(Long, Double)]
+    val q1 = input.toDF().toDF("id", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .option("varLabels", "id:Person id")
+      .start(sink)
+    try { input.addData((1L, 1.0)); q1.processAllAvailable() } finally q1.stop()
+    // a NEW query with a DIFFERENT label would disagree with the
+    // committed header — refused as drift, never silently appended
+    val input2 = MemoryStream[(Long, Double)]
+    val e = intercept[Exception] {
+      val q2 = input2.toDF().toDF("id", "v").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt2")
+        .option("varLabels", "id:Different label")
+        .start(sink)
+      try { input2.addData((2L, 2.0)); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("drift")), msgs(e).mkString(" | "))
+    // same options from a new query DO append (new-query epoch reset)
+    val input3 = MemoryStream[(Long, Double)]
+    val q3 = input3.toDF().toDF("id", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt3")
+      .option("varLabels", "id:Person id")
+      .start(sink)
+    try { input3.addData((2L, 2.0)); q3.processAllAvailable() } finally q3.stop()
+    val back = spark.read.format("readstat").load(sink)
+    assert(back.count() == 2L)
+    assert(back.schema("ID").metadata.getString("readstat.label") == "Person id")
   }
 
   test("streamed roundtrip: stat-file landing zone in, foreachBatch stat sink out") {

@@ -250,6 +250,37 @@ class XptPorSpec extends SparkTestBase {
       .orderBy("AMOUNT").collect().map(_.getString(1)).toSeq == Seq("ab", "x"))
   }
 
+  test("metadata-df-driven por write: labels, value labels, formats flow through") {
+    import spark.implicits._
+    val src = Seq((1.0, 10.0, "A"), (2.0, 20.0, "B")).toDF("tier", "bal", "seg")
+    val p1 = tmp("meta_src.por")
+    src.write.format("readstat").mode("overwrite")
+      .option("varLabels", "tier:Customer tier")
+      .option("valueLabels", "tier:1=Bronze,2=Silver|seg:A=Alpha")
+      .option("varFormats", "bal:F10.2")
+      .save(p1)
+    val mdPath = tmp("pormeta.parquet")
+    spark.read.format("readstat-metadata").load(p1)
+      .write.mode("overwrite").parquet(mdPath)
+    // metadata names are uppercase (POR short names); the lowercase df
+    // matches case-insensitively like the xpt writer
+    val p2 = tmp("meta_out.por")
+    src.write.format("readstat").mode("overwrite")
+      .option("metadataPath", mdPath).save(p2)
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p2)
+    assert(back.schema("TIER").metadata.getString("readstat.label") ==
+      "Customer tier")
+    val rows = back.orderBy("BAL").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Bronze", "Silver"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("Alpha", "B"))
+    val md2 = spark.read.format("readstat-metadata").load(p2)
+      .select("name", "format_type", "format_width", "format_decimals")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(md2("BAL").getInt(1) == 5 && md2("BAL").getInt(2) == 10 &&
+      md2("BAL").getInt(3) == 2, md2("BAL").toString)
+  }
+
   test("xpt tableName and fileLabel write into the member records") {
     import spark.implicits._
     val df = Seq((1.0, 2.0)).toDF("a", "b")
@@ -304,6 +335,141 @@ class XptPorSpec extends SparkTestBase {
       df.write.format("readstat").mode("overwrite")
         .option("varLabels", s"income:${"x" * 256}").save(tmp("long.por"))
     }.getMessage.contains("255"))
+  }
+
+  test("por value labels roundtrip (beyond reference: por.rs discards tag-'D')") {
+    import spark.implicits._
+    val df = Seq((0.0, "AUTO", 10.0), (1.0, "BLDG", 20.0), (2.0, "MISC", 30.0))
+      .toDF("tier", "seg", "bal")
+    val path = tmp("porvl.por")
+    df.write.format("readstat").mode("overwrite")
+      .option("valueLabels", "tier:0=Bronze,1=Silver|seg:AUTO=Cars,BLDG=Construction")
+      .save(path)
+
+    // labeled read: numeric labels apply, unlabeled code 2 falls back to
+    // its string form; string labels apply, unlabeled "MISC" passes through
+    val labeled = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+      .orderBy("BAL").collect()
+    assert(labeled.map(_.getString(0)).toSeq == Seq("Bronze", "Silver", "2"))
+    assert(labeled.map(_.getString(1)).toSeq == Seq("Cars", "Construction", "MISC"))
+
+    // unlabeled read: raw doubles and raw strings, schema unchanged
+    val raw = spark.read.format("readstat").load(path)
+    assert(raw.schema("TIER").dataType == DoubleType)
+    assert(raw.orderBy("BAL").collect().map(_.getDouble(0)).toSeq ==
+      Seq(0.0, 1.0, 2.0))
+
+    // metadata-df surfaces the codes and labels like sav
+    val md = spark.read.format("readstat-metadata").load(path)
+      .where(col("name") === "TIER")
+      .select("value_label_codes", "value_label_labels").collect()(0)
+    assert(md.getSeq[String](0) == Seq("0", "1"))
+    assert(md.getSeq[String](1) == Seq("Bronze", "Silver"))
+
+    // refusals: temporal target, non-numeric code on numeric col, unknown
+    // column, over-long label — loud, never silently dropped
+    val dts = Seq((java.sql.Date.valueOf("2024-01-01"), 1.0)).toDF("d", "x")
+    assert(intercept[IllegalArgumentException] {
+      dts.write.format("readstat").mode("overwrite")
+        .option("valueLabels", "d:0=Zero").save(tmp("vt.por"))
+    }.getMessage.contains("temporal"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("valueLabels", "tier:abc=Bad").save(tmp("vn.por"))
+    }.getMessage.contains("not numeric"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("valueLabels", "nope:1=x").save(tmp("vu.por"))
+    }.getMessage.contains("unknown column"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("valueLabels", s"tier:1=${"x" * 61}").save(tmp("vl.por"))
+    }.getMessage.contains("60"))
+  }
+
+  test("por user-missing values roundtrip with informative nulls (beyond reference)") {
+    import spark.implicits._
+    // tier: discrete missings 8 and 9 (9 labeled); score: range 90..99;
+    // grade: string discrete missing "NA"
+    val df = Seq(
+      (1.0, 50.0, "A", 1.0),
+      (8.0, 95.0, "NA", 2.0),
+      (9.0, 99.0, "B", 3.0),
+      (2.0, 91.5, "NA", 4.0))
+      .toDF("tier", "score", "grade", "ord")
+    val path = tmp("pormiss.por")
+    df.write.format("readstat").mode("overwrite")
+      .option("missingValues", "tier:8,9|score:90..99|grade:NA")
+      .option("valueLabels", "tier:9=Refused")
+      .save(path)
+
+    // plain read: user-missing values come back null
+    val plain = spark.read.format("readstat").load(path).orderBy("ORD").collect()
+    assert(plain.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(1.0, null, null, 2.0))
+    assert(plain.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+      Seq(50.0, null, null, null))
+    assert(plain.map(r => if (r.isNullAt(2)) null else r.getString(2)).toSeq ==
+      Seq("A", null, "B", null))
+
+    // informative nulls: indicator columns carry label / code / MISSING,
+    // with the same sav semantics (label beats code, range → MISSING)
+    val info = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(path)
+    val suffix = "_null"
+    assert(info.schema.fieldNames.toSeq ==
+      Seq("TIER", s"TIER$suffix", "SCORE", s"SCORE$suffix",
+        "GRADE", s"GRADE$suffix", "ORD", s"ORD$suffix"))
+    val rows = info.orderBy("ORD").collect()
+    def indCol(name: String) = rows.map { r =>
+      val i = info.schema.fieldIndex(name)
+      if (r.isNullAt(i)) null else r.getString(i)
+    }.toSeq
+    assert(indCol(s"TIER$suffix") == Seq(null, "8", "Refused", null))
+    assert(indCol(s"SCORE$suffix") == Seq(null, "MISSING", "MISSING", "MISSING"))
+    assert(indCol(s"GRADE$suffix") == Seq(null, "NA", null, "NA"))
+
+    // informativeNullUseValueLabels=false: code form, never the label
+    val noLbl = spark.read.format("readstat")
+      .option("informativeNulls", "true")
+      .option("informativeNullUseValueLabels", "false").load(path)
+      .orderBy("ORD").collect()
+    val ti = noLbl.map { r =>
+      val i = 1 // TIER_null
+      if (r.isNullAt(i)) null else r.getString(i)
+    }.toSeq
+    assert(ti == Seq(null, "8", "9", null))
+
+    // refusals: range on a string column (non-numeric bounds die in the
+    // shared spec parser; numeric bounds die on the string-column check),
+    // non-numeric discrete on a numeric column
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("missingValues", "grade:a..z").save(tmp("ms.por"))
+    }.getMessage.contains("not numeric"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("missingValues", "grade:1..2").save(tmp("ms2.por"))
+    }.getMessage.contains("string"))
+    assert(intercept[IllegalArgumentException] {
+      df.write.format("readstat").mode("overwrite")
+        .option("missingValues", "tier:oops").save(tmp("mn.por"))
+    }.getMessage.contains("not numeric"))
+  }
+
+  test("por value labels survive the multiFile path") {
+    import spark.implicits._
+    val dir = tmp("porvlmf.por")
+    Seq((0.0, 1.0), (1.0, 2.0)).toDF("tier", "bal").repartition(2)
+      .write.format("readstat").mode("overwrite")
+      .option("multiFile", "true")
+      .option("valueLabels", "tier:0=Bronze,1=Silver")
+      .save(dir)
+    val back = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(dir)
+      .orderBy("BAL").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("Bronze", "Silver"))
   }
 
   test("xpt taggedMissings write .A-.Z/._ slots that roundtrip informative nulls") {
