@@ -37,7 +37,7 @@ object Bench {
       df.write.format("readstat").mode("overwrite").options(options).save(path)
 
   /** (dta10m, sav10m, dta50m, zsav10m, savWide, dtaLabeled10m) */
-  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String)] = {
+  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       // v2: salted replication (see below) — new names force regeneration
@@ -96,7 +96,17 @@ object Bench {
         dtaLab,
         Map("valueLabels" ->
           (1 to 50).map(i => s"$i=Quantity level $i").mkString("q_code:", ",", "")))
-      Some((dta, sav, dta50, zsav, savWide, dtaLab))
+      // 2M-row por (r11): the base-30 text format the reference decodes
+      // strictly serially — the serial/parallel read pair below measures
+      // the checkpoint-partition fan-out. Compact columns keep the
+      // one-time driver-side encode bounded (~55 MB).
+      val por = s"/tmp/graft_bench/${tag}_big_v1.por"
+      ensureFile(
+        replicated(2000000L)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_returnflag")),
+        por)
+      Some((dta, sav, dta50, zsav, savWide, dtaLab, por))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
       None
@@ -168,7 +178,17 @@ object Bench {
     // exactly; the 50M file is the decode-dominated variant where
     // Spark's fixed planning overhead is amortized away.
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
-      case (dta, sav, dta50, zsav, savWide, dtaLab) => Seq[(String, () => Long)](
+      case (dta, sav, dta50, zsav, savWide, dtaLab, por) => Seq[(String, () => Long)](
+        // the serial/parallel pair on the SAME file quantifies the r11
+        // checkpoint-partition fan-out (the reference's por path is
+        // strictly serial); 4 MB target → ~13-way split of ~55 MB
+        ("por_fullread_2m", () =>
+          spark.read.format("readstat")
+            .option("partitionTargetBytes", "4194304").load(por)
+            .queryExecution.toRdd.count()),
+        ("por_fullread_serial", () =>
+          spark.read.format("readstat").load(por)
+            .queryExecution.toRdd.count()),
         // value-label decode path (reference apply_value_labels): same
         // 10M-row geometry as stata_subset_read, labels ON vs OFF on
         // the identical file — the pair isolates the decode overhead

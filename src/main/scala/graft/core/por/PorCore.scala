@@ -55,11 +55,34 @@ object PorCore {
   }
 
   final case class PorMeta(fileLabel: String, vars: Vector[PorVar],
-      created: Option[String] = None) // "yyyymmdd hh:mm:ss" as recorded
+      created: Option[String] = None, // "yyyymmdd hh:mm:ss" as recorded
+      charTable: Array[Byte] = null) // raw 256-byte translation table
 
-  /** Line-aware logical byte stream with char-table translation. */
-  final class PorStream(path: String) {
+  /** Decoder state at a row boundary: file bytes consumed, position
+    * within the current 80-char line, and virtual pad spaces still
+    * pending from a short line. Lets an executor resume decoding
+    * mid-stream without replaying everything before its range — the
+    * POR analog of [[graft.spark.readstat.SavCheckpoint]]. */
+  final case class PorCkpt(row: Long, byteOff: Long, pos: Int, pending: Int)
+
+  final case class PorIndex(rows: Long, cps: Vector[PorCkpt])
+
+  /** Line-aware logical byte stream with char-table translation.
+    * `resumeAt`/`pos0`/`pending0`/`table` restore a [[PorCkpt]]: the
+    * cell encoding is position-independent, so a stream opened at a row
+    * boundary with its line state decodes identically to a sequential
+    * pass. */
+  final class PorStream(path: String, resumeAt: Long = 0L, pos0: Int = 0,
+      pending0: Int = 0, table: Array[Byte] = null) {
     private val in = new BufferedInputStream(new FileInputStream(path), 1 << 20)
+    if (resumeAt > 0) {
+      var left = resumeAt
+      while (left > 0) {
+        val sk = in.skip(left)
+        require(sk > 0, s"por: cannot seek to offset $resumeAt in $path")
+        left -= sk
+      }
+    }
     // each translated char is ≥1 file byte, so no in-stream length field
     // (string widths, label counts) can legitimately exceed the file size
     // — corrupt lengths must throw, not size a multi-GB allocation
@@ -67,16 +90,25 @@ object PorCore {
     private def checkLen(n: Int): Unit =
       require(n >= 0 && n <= fileLen,
         s"corrupt por: length field $n exceeds the $fileLen-byte file")
-    private var pos = 0
-    private var pendingSpaces = 0
+    private var consumed: Long = resumeAt
+    private var pos = pos0
+    private var pendingSpaces = pending0
     private var space: Byte = ' '
     private var byte2char: Array[Byte] = Array.tabulate(256)(_.toByte)
+    if (table != null) setCharTable(table)
+
+    /** Checkpoint state (valid at a row boundary). */
+    def bytesConsumed: Long = consumed
+    def linePos: Int = pos
+    def pendingCount: Int = pendingSpaces
 
     def close(): Unit = in.close()
 
     private def rawByte(): Int = {
       if (pendingSpaces > 0) { pendingSpaces -= 1; return space & 0xff }
-      in.read()
+      val b = in.read()
+      if (b >= 0) consumed += 1
+      b
     }
 
     def readByte(): Int = {
@@ -86,7 +118,8 @@ object PorCore {
           case '\r' =>
             in.mark(1)
             val nxt = in.read()
-            if (nxt != '\n' && nxt != -1) in.reset()
+            if (nxt == '\n') consumed += 1
+            else if (nxt != -1) in.reset()
             pendingSpaces = math.max(0, LineLen - pos); pos = 0
           case '\n' =>
             pendingSpaces = math.max(0, LineLen - pos); pos = 0
@@ -96,6 +129,16 @@ object PorCore {
         }
       }
       -1
+    }
+
+    /** Skip n translated chars without materializing them. */
+    def skipChars(n: Int): Unit = {
+      checkLen(n)
+      var i = 0
+      while (i < n) {
+        require(readByte() >= 0, "unexpected EOF in POR stream")
+        i += 1
+      }
     }
 
     def readNRaw(n: Int): Array[Byte] = {
@@ -228,7 +271,7 @@ object PorCore {
     val vanity = stream.readNRaw(200)
     val fileLabel = new String(vanity, 60, 20, StandardCharsets.ISO_8859_1).trim
     val lookup = stream.readNRaw(256)
-    stream.setCharTable(lookup)
+    stream.setCharTable(lookup.clone())
     val sig = new String(stream.readChars(8), StandardCharsets.ISO_8859_1)
     require(sig == "SPSSPORT", s"not a POR file: $sig")
     stream.readChar() // version
@@ -327,6 +370,65 @@ object PorCore {
           throw new IllegalArgumentException(s"POR: unexpected tag '${other.toChar}'")
       }
     }
-    PorMeta(fileLabel, vars, created)
+    PorMeta(fileLabel, vars, created, lookup)
+  }
+
+  /** Advance past one data row without materializing any value (cell
+    * boundaries only: string cells skip their declared length, numeric
+    * cells scan to the '/' terminator). Returns false on the 'Z'
+    * end-of-data marker. */
+  def skimRow(s: PorStream, vars: Vector[PorVar]): Boolean = {
+    var i = 0
+    while (i < vars.length) {
+      val c = s.readChar()
+      if (c == 'Z') {
+        require(i == 0, "POR: Z in middle of row")
+        return false
+      }
+      require(c >= 0,
+        "por: stream ended without the 'Z' end-of-data marker — file truncated")
+      if (vars(i).isString) {
+        val len = s.readDoublePeek(c).toInt
+        s.skipChars(len)
+      } else if (c == '*') {
+        val c2 = s.readChar()
+        require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+      } else {
+        var ch = c
+        while (ch != '/') {
+          require(ch >= 0, "EOF in base-30 number")
+          ch = s.readChar()
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** One sequential cell-boundary pass recording a [[PorCkpt]] every
+    * `every` rows (plus the exact row count). Much cheaper than a full
+    * decode — no value parsing or String building — and cached by the
+    * caller per (file, size, mtime); amortizes across the parallel
+    * partition fan-out it enables, the same trade as the compressed-SPSS
+    * checkpoint skim. */
+  def buildIndex(path: String, every: Long): PorIndex = {
+    require(every > 0, s"por index: every must be positive (got $every)")
+    val s = new PorStream(path)
+    try {
+      val meta = parseMeta(s)
+      val cps = Vector.newBuilder[PorCkpt]
+      var n = 0L
+      var more = true
+      while (more) {
+        if (n % every == 0L)
+          cps += PorCkpt(n, s.bytesConsumed, s.linePos, s.pendingCount)
+        more = skimRow(s, meta.vars)
+        if (more) n += 1
+      }
+      // drop a trailing checkpoint that coincides with end-of-data
+      // (keep the data-start one for an empty file)
+      val all = cps.result()
+      PorIndex(n, if (n == 0) all else all.filter(_.row < n))
+    } finally s.close()
   }
 }

@@ -55,6 +55,12 @@ trait FormatModule extends Serializable {
   * without replaying everything before its range. */
 final case class SavCheckpoint(uOff: Long, ctrl: Array[Byte], ctrlI: Int)
 
+/** Decoder state at a row boundary of a POR stream: file byte offset,
+  * position within the current 80-char line, and pending pad spaces —
+  * the POR analog of [[SavCheckpoint]] (r11: parallel POR partitions
+  * via the plan-time cell-boundary skim in `PorCore.buildIndex`). */
+final case class PorResume(byteOff: Long, pos: Int, pending: Int)
+
 /** A contiguous row range of one file. `startRow`/`numRows` are in file row
   * order. `sav` carries the compressed-stream entry point for SPSS
   * bytecode/zsav partitions (None for seekable formats and for legacy
@@ -67,7 +73,8 @@ final case class RangePartition(
     startRow: Long,
     numRows: Long,
     sav: Option[SavCheckpoint] = None,
-    rowsBefore: Option[Long] = None)
+    rowsBefore: Option[Long] = None,
+    por: Option[PorResume] = None)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Scan/write options (mirrors the reference's ScanOptions surface,

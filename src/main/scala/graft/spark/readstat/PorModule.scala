@@ -32,6 +32,15 @@ object PorModule extends FormatModule {
       try PorCore.parseMeta(s) finally s.close()
     })
 
+  /** Checkpoint interval for the parallel-scan index: fine enough to
+    * pack partitions near partitionTargetBytes, coarse enough that the
+    * index stays metadata-sized (32 B per 8k rows). */
+  private val IndexEvery = 8192L
+  private val idxCache = new ConcurrentHashMap[FileKey, PorIndex]()
+  private def porIndex(path: String): PorIndex =
+    idxCache.computeIfAbsent(keyOf(path),
+      _ => PorCore.buildIndex(path, IndexEvery))
+
   def sparkTypeOf(v: PorVar, opts: ReadstatOptions): DataType =
     if (v.isString) StringType
     // label decode wins over the format class, mirroring SpssModule —
@@ -82,14 +91,50 @@ object PorModule extends FormatModule {
     else formatNum(d)
   }
 
+  /** r11, BEYOND the reference (por.rs decodes strictly serially): files
+    * past the partition target split into PARALLEL row-range partitions.
+    * A plan-time cell-boundary skim (no value materialization, cached
+    * per file) records a [[PorCkpt]] every [[IndexEvery]] rows; each
+    * partition resumes its checkpoint's (byteOff, linePos, pending)
+    * state — the same amortized-skim trade as the compressed-SPSS
+    * checkpoint index. Limit reads stay sequential (they touch a
+    * prefix anyway). */
   override def planPartitions(path: String, opts: ReadstatOptions,
-      limit: Option[Long]): Seq[RangePartition] =
-    Seq(RangePartition(path, 0, limit.getOrElse(Long.MaxValue)))
+      limit: Option[Long]): Seq[RangePartition] = {
+    val size = new java.io.File(path).length()
+    if (limit.isDefined || size < 2 * opts.partitionTargetBytes)
+      return Seq(RangePartition(path, 0, limit.getOrElse(Long.MaxValue)))
+    val idx = porIndex(path)
+    if (idx.rows == 0 || idx.cps.isEmpty)
+      return Seq(RangePartition(path, 0, Long.MaxValue))
+    val parts = Seq.newBuilder[RangePartition]
+    var start = idx.cps.head
+    var i = 1
+    while (i < idx.cps.length) {
+      if (idx.cps(i).byteOff - start.byteOff >= opts.partitionTargetBytes) {
+        parts += RangePartition(path, start.row, idx.cps(i).row - start.row,
+          por = Some(PorResume(start.byteOff, start.pos, start.pending)))
+        start = idx.cps(i)
+      }
+      i += 1
+    }
+    parts += RangePartition(path, start.row, idx.rows - start.row,
+      por = Some(PorResume(start.byteOff, start.pos, start.pending)))
+    parts.result()
+  }
 
   override def rows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[InternalRow] = {
-    val stream = new PorStream(part.path)
-    val md = PorCore.parseMeta(stream) // re-parse to position at data start
+    val md = metadata(part.path)
+    val stream = part.por match {
+      case Some(r) =>
+        // parallel partition: resume the checkpointed line state directly
+        new PorStream(part.path, r.byteOff, r.pos, r.pending, md.charTable)
+      case None =>
+        val s = new PorStream(part.path)
+        PorCore.parseMeta(s) // re-parse to position at data start
+        s
+    }
     val byName = md.vars.map(_.name).zipWithIndex.toMap
     // pre-encoded label LUTs, one per labeled var (see [[DoubleLabelLut]])
     val labelNum: Array[DoubleLabelLut] = md.vars.map(v =>
@@ -198,7 +243,8 @@ object PorModule extends FormatModule {
         nextRow != null
       }
 
-      private var rowIdx = 0L
+      // global row index (parallel partitions start mid-file)
+      private var rowIdx = part.startRow
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
         val vals = nextRow; nextRow = null; limit -= 1

@@ -75,9 +75,16 @@ class FuzzCorruptionSpec extends SparkTestBase {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fuzz_src").toString
     val p = s"$dir/src.$ext"
-    (1 to 2000).map(i => (i, i * 1.5, s"text value $i", s"s$i"))
+    val w = (1 to 2000).map(i => (i, i * 1.5, s"text value $i", s"s$i"))
       .toDF("id", "v", "s", "t")
-      .write.format("readstat").mode("overwrite").save(p)
+      .write.format("readstat").mode("overwrite")
+    // por (r11) carries value-label and missing-declaration records in
+    // its header — declare some so the flips exercise the tag-'D'/8/B
+    // parse guards, not just the variable records
+    (if (ext == "por")
+      w.option("valueLabels", "id:1=One,2=Two|t:s1=First")
+        .option("missingValues", "v:90..99,3")
+    else w).save(p)
     p
   }
 

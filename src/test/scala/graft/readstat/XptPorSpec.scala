@@ -458,6 +458,36 @@ class XptPorSpec extends SparkTestBase {
     }.getMessage.contains("not numeric"))
   }
 
+  test("por parallel scan: checkpoint partitions equal the sequential read (r11)") {
+    import spark.implicits._
+    val path = tmp("big.por")
+    // varied string lengths so checkpoints land at irregular byte/line
+    // positions; a declared missing exercises the resume decode path
+    val df = (1 to 60000).map(i =>
+        (i.toDouble, s"name_${i % 997}_${"x" * (i % 13)}", (i % 50).toDouble))
+      .toDF("id", "s", "g")
+    df.write.format("readstat").mode("overwrite")
+      .option("missingValues", "g:3")
+      .save(path)
+    val seqDf = spark.read.format("readstat").load(path)
+    assert(seqDf.rdd.getNumPartitions == 1)
+    val parDf = spark.read.format("readstat")
+      .option("partitionTargetBytes", (64 * 1024).toString).load(path)
+    assert(parDf.rdd.getNumPartitions > 4,
+      s"expected a real fan-out, got ${parDf.rdd.getNumPartitions}")
+    assertSameData(parDf.orderBy("ID"), seqDf.orderBy("ID"), "por-parallel")
+    // user-missing decode works identically mid-stream
+    assert(parDf.filter(col("G").isNull).count() == 1200L)
+    // the row index is GLOBAL across parallel partitions
+    val ri = spark.read.format("readstat")
+      .option("partitionTargetBytes", (64 * 1024).toString)
+      .option("rowIndexName", "_idx").load(path)
+      .select("_idx", "ID").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ri.length == 60000)
+    assert(ri.forall { case (ix, id) => id == ix + 1 },
+      ri.filterNot { case (ix, id) => id == ix + 1 }.take(3).mkString(","))
+  }
+
   test("por value labels survive the multiFile path") {
     import spark.implicits._
     val dir = tmp("porvlmf.por")
