@@ -41,6 +41,14 @@ object PorModule extends FormatModule {
     idxCache.computeIfAbsent(keyOf(path),
       _ => PorCore.buildIndex(path, IndexEvery))
 
+  /** POR's header has no case count, so counts normally need a scan —
+    * but once a parallel read has built the checkpoint index, its exact
+    * row count answers COUNT(*) pushdown and statistics for free.
+    * Opportunistic only: a count on an un-indexed file still falls back
+    * to the real scan rather than paying a skim it may never amortize. */
+  override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] =
+    Option(idxCache.get(keyOf(path))).map(_.rows)
+
   def sparkTypeOf(v: PorVar, opts: ReadstatOptions): DataType =
     if (v.isString) StringType
     // label decode wins over the format class, mirroring SpssModule —

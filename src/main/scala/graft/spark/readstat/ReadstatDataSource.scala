@@ -220,7 +220,16 @@ object Formats {
     val len = f.length()
     val key = (path, len, f.lastModified(), contentStamp(f, len), opts)
     if (rowCountCache.size > 8192) rowCountCache.clear()
-    rowCountCache.computeIfAbsent(key, _ => moduleFor(path).exactRowCount(path, opts))
+    val cached = rowCountCache.get(key)
+    if (cached != null) cached
+    else {
+      val v = moduleFor(path).exactRowCount(path, opts)
+      // only DEFINITE counts memoize: a None is cheap to recompute (the
+      // expensive skims all end in Some) and may stop being true — por's
+      // count appears once a parallel read builds its checkpoint index
+      if (v.isDefined) rowCountCache.put(key, v)
+      v
+    }
   }
 
   def moduleFor(path: String): FormatModule = {

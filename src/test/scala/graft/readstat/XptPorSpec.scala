@@ -486,6 +486,13 @@ class XptPorSpec extends SparkTestBase {
     assert(ri.length == 60000)
     assert(ri.forall { case (ix, id) => id == ix + 1 },
       ri.filterNot { case (ix, id) => id == ix + 1 }.take(3).mkString(","))
+    // the checkpoint index built above answers COUNT(*) from metadata
+    // now (normally por counts need a real scan — CountPushdownSpec)
+    val cnt = spark.read.format("readstat").load(path).agg(count(lit(1)))
+    assert(cnt.collect()(0).getLong(0) == 60000L)
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("count-star (metadata-only)"),
+      "cached por index should serve the count")
   }
 
   test("por value labels survive the multiFile path") {
