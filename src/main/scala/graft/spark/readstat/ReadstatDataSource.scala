@@ -276,6 +276,20 @@ object Formats {
 class ReadstatTable(paths: Seq[String], rawPaths: Seq[String],
     tableSchema: StructType,
     opts: ReadstatOptions) extends Table with SupportsRead with SupportsWrite {
+  // catalog labels attach to SAS-family scans only (sas7bdat + xpt);
+  // if NO loaded path can consume the option it would be a silent no-op
+  // — refuse instead (mixed directories where some file consumes it are
+  // legitimate and pass through)
+  if (opts.catalog.isDefined && paths.nonEmpty && !paths.exists { p =>
+      val l = p.toLowerCase
+      l.endsWith(".sas7bdat") || l.endsWith(".xpt") ||
+        l.endsWith(".xpt5") || l.endsWith(".xpt8")
+    })
+    throw new IllegalArgumentException(
+      "readstat: option 'catalog' applies to sas7bdat/xpt scans only — " +
+        "none of the loaded paths is one, so the option would be " +
+        "silently dropped; remove it (dta/sav/por carry value labels " +
+        "in-file: use valueLabelsAsStrings)")
   override def name(): String = paths.mkString(",")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

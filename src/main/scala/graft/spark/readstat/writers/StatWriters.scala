@@ -109,6 +109,28 @@ object StatWriters {
         if (lower.endsWith(".csv")) "sas csv bundle"
         else lower.substring(lower.lastIndexOf('.') + 1),
         options, Seq("taggedMissings"))
+    // single-format options: refuse on any other target rather than
+    // silently dropping (e.g. dtaVersion on a .sav write)
+    locally {
+      val who =
+        if (lower.endsWith(".csv")) "sas csv bundle"
+        else lower.substring(lower.lastIndexOf('.') + 1)
+      val formatOnly: Seq[(String, Boolean)] = Seq(
+        "dtaVersion" -> lower.endsWith(".dta"),
+        "xptVersion" -> lower.endsWith(".xpt"),
+        "compression" -> lower.endsWith(".sas7bdat"),
+        "storageWidths" -> lower.endsWith(".xpt"),
+        "tableName" ->
+          (lower.endsWith(".xpt") || lower.endsWith(".sas7bdat")),
+        "catalogPath" ->
+          (lower.endsWith(".xpt") || lower.endsWith(".sas7bdat")),
+        "library" -> lower.endsWith(".csv"),
+        "datasetName" -> lower.endsWith(".csv"),
+        "deleteCsvOnImport" -> lower.endsWith(".csv"))
+      formatOnly.foreach { case (k, applies) =>
+        if (!applies) refuseForeign(who, options, Seq(k))
+      }
+    }
     if (lower.endsWith(".dta")) StataDtaWriter.write(df, path, options)
     else if (lower.endsWith(".sav")) SpssSavWriter.write(df, path, options, zlib = false)
     else if (lower.endsWith(".zsav")) SpssSavWriter.write(df, path, options, zlib = true)

@@ -228,6 +228,15 @@ class FixedWidthStreamingWrite(path: String, schema: StructType,
       "single-file streaming sinks — use the batch writer, or " +
       "foreachBatch + multiFile")
 
+  // multiFile is a BATCH-writer option (one part per partition); the
+  // single-file sink would silently ignore it — refuse and point at the
+  // foreachBatch pattern that does write per-epoch part files
+  require(!options.get("multiFile").exists(_.trim.toBoolean),
+    "readstat streaming sink: multiFile does not apply to the " +
+      "single-file sink — use foreachBatch { (b, _) => b.write" +
+      ".format(\"readstat\").mode(\"append\").option(\"multiFile\", " +
+      "\"true\").save(dir) } for per-epoch part files")
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new FixedWidthStreamWriterFactory(schema, options, fmt)

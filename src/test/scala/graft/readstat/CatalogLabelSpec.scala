@@ -186,11 +186,39 @@ class CatalogLabelSpec extends SparkTestBase {
       Seq("Female", "Male"))
   }
 
+  test("catalog option on a non-SAS-family scan refuses instead of no-opping") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_catref").toFile
+    d.deleteOnExit()
+    val dta = s"$d/x.dta"
+    Seq((1.0, "a")).toDF("v", "s").write.format("readstat")
+      .mode("overwrite").save(dta)
+    val e = intercept[Exception] {
+      spark.read.format("readstat")
+        .option("catalog", "SEXF:1=Male").load(dta).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("sas7bdat/xpt scans only")),
+      msgs(e).mkString(" | "))
+  }
+
   test("format-foreign metadata options refuse loudly instead of dropping") {
     import spark.implicits._
     val df = Seq((1.0, "x")).toDF("v", "s")
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    // single-format options on the wrong target (r11 matrix)
+    Seq(("dtaVersion", "118", "sav"), ("xptVersion", "8", "dta"),
+      ("compression", "rle", "dta"), ("library", "mylib", "xpt"),
+      ("tableName", "T", "por")).foreach { case (k, v, ext) =>
+      val e = intercept[Exception] {
+        df.write.format("readstat").mode("overwrite")
+          .option(k, v).save(tmp(s"f_$k.$ext"))
+      }
+      assert(msgs(e).exists(_.contains(s"option '$k' does not apply")),
+        s"$k on .$ext: " + msgs(e).mkString(" | "))
+    }
     // the SPSS dictionary surface on a dta target
     val e1 = intercept[Exception] {
       df.write.format("readstat").mode("overwrite")

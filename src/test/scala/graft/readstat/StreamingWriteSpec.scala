@@ -578,6 +578,26 @@ class StreamingWriteSpec extends SparkTestBase {
       msgs(e).mkString(" | "))
   }
 
+  test("single-file sink refuses multiFile loudly (batch-only option)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfmf").toFile
+    dir.deleteOnExit()
+    val input = MemoryStream[(Long, Double)]
+    val e = intercept[Exception] {
+      val q = input.toDF().toDF("id", "v").writeStream
+        .format("readstat")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .option("multiFile", "true")
+        .start(s"$dir/out.dta")
+      try { input.addData((1L, 1.0)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("foreachBatch")), msgs(e).mkString(" | "))
+  }
+
   test("single-file sink: non-appendable format is refused") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
