@@ -189,6 +189,13 @@ object Bench {
         ("por_fullread_serial", () =>
           spark.read.format("readstat").load(por)
             .queryExecution.toRdd.count()),
+        // 1-of-4-column read: unprojected cells are SKIMMED (boundary
+        // scan only), the por analog of projection pushdown
+        ("por_subset_read", () =>
+          spark.read.format("readstat")
+            .option("partitionTargetBytes", "4194304").load(por)
+            .select("L_QUANTI")
+            .agg(count(col("L_QUANTI"))).collect()(0).getLong(0)),
         // value-label decode path (reference apply_value_labels): same
         // 10M-row geometry as stata_subset_read, labels ON vs OFF on
         // the identical file — the pair isolates the decode overhead

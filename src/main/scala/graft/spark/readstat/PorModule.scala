@@ -168,6 +168,10 @@ object PorModule extends FormatModule {
     }
     val needInd = new Array[Boolean](md.vars.length)
     plans.foreach { case (_, vi, ind) => if (ind && vi >= 0) needInd(vi) = true }
+    // projection: cells no required field reads (data or indicator) are
+    // skimmed past, never decoded
+    val needCol = new Array[Boolean](md.vars.length)
+    plans.foreach { case (_, vi, _) => if (vi >= 0) needCol(vi) = true }
 
     new Iterator[InternalRow] {
       private var limit = part.numRows
@@ -177,61 +181,86 @@ object PorModule extends FormatModule {
       // before the following readFullRow overwrites it)
       private val inds = new Array[Any](md.vars.length)
 
+      private def truncated(): Nothing = throw new java.io.IOException(
+        "por: stream ended without the 'Z' end-of-data marker — file truncated")
+
+      /** One row. Cells the projection does not need are SKIMMED (cell
+        * boundaries only — no String building, no base-30 value parse):
+        * POR cannot seek past bytes, but a 2-column read of a wide file
+        * skips the decode work of every other column. */
       private def readFullRow(): Array[Any] = {
         val vals = new Array[Any](md.vars.length)
         var i = 0
         while (i < md.vars.length) {
           val v = md.vars(i)
+          val c = stream.readChar()
+          if (c == 'Z') {
+            require(i == 0, "POR: Z in middle of row")
+            return null
+          }
+          if (c < 0) truncated()
           if (v.isString) {
-            stream.maybeString() match {
-              case None =>
-                require(i == 0, "POR: Z in middle of row")
-                return null
-              case Some(s0) =>
-                var e = s0.length
-                while (e > 0 && s0(e - 1) == ' ') e -= 1
-                val s = s0.substring(0, e)
-                val userMiss = v.missingStrings.nonEmpty &&
-                  v.missingStrings.contains(s)
-                if (needInd(i))
-                  inds(i) = if (!userMiss) null else {
-                    val lbl = if (opts.informativeNullUseValueLabels)
-                      v.strLabels.get(s) else None
-                    UTF8String.fromString(lbl.getOrElse(s))
-                  }
-                vals(i) =
-                  if ((s.isEmpty && opts.missingStringAsNull) || userMiss) null
-                  else if (labelStr(i) != null)
-                    UTF8String.fromString(labelStr(i).getOrElse(s, s))
-                  else UTF8String.fromString(s)
+            val len = stream.readDoublePeek(c).toInt
+            if (!needCol(i)) stream.skipChars(len)
+            else {
+              val s0 = new String(stream.readChars(len),
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              var e = s0.length
+              while (e > 0 && s0(e - 1) == ' ') e -= 1
+              val s = s0.substring(0, e)
+              val userMiss = v.missingStrings.nonEmpty &&
+                v.missingStrings.contains(s)
+              if (needInd(i))
+                inds(i) = if (!userMiss) null else {
+                  val lbl = if (opts.informativeNullUseValueLabels)
+                    v.strLabels.get(s) else None
+                  UTF8String.fromString(lbl.getOrElse(s))
+                }
+              vals(i) =
+                if ((s.isEmpty && opts.missingStringAsNull) || userMiss) null
+                else if (labelStr(i) != null)
+                  UTF8String.fromString(labelStr(i).getOrElse(s, s))
+                else UTF8String.fromString(s)
+            }
+          } else if (!needCol(i)) {
+            // skim to the cell terminator without parsing the value
+            if (c == '*') {
+              val c2 = stream.readChar()
+              require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+            } else {
+              var ch = c
+              while (ch != '/') {
+                require(ch >= 0, "EOF in base-30 number")
+                ch = stream.readChar()
+              }
             }
           } else {
-            stream.maybeDouble() match {
-              case None =>
-                require(i == 0, "POR: Z in middle of row")
-                return null
-              case Some(d) =>
-                val userMiss = !d.isNaN && isUserMissing(v, d)
-                if (needInd(i))
-                  inds(i) = if (!userMiss) null
-                    else UTF8String.fromString(userMissingLabel(v, d,
-                      opts.informativeNullUseValueLabels))
-                vals(i) =
-                  if (d.isNaN || userMiss) null
-                  else if (labelNum(i) != null) {
-                    // unlabeled codes fall back to the value's string form,
-                    // same as the sav reader (SpssModule.formatNum)
-                    val l = labelNum(i).get(d)
-                    if (l != null) l else UTF8String.fromString(formatNum(d))
-                  }
-                  else v.formatClass match {
-                    case Some("Date") => ((d.toLong - SecShift) / 86400L).toInt
-                    case Some("DateTime") =>
-                      math.round((d - SecShift) * 1000.0) * 1000L
-                    case Some("Time") => math.round(d * 1e9)
-                    case _ => d
-                  }
-            }
+            val d =
+              if (c == '*') {
+                val c2 = stream.readChar()
+                require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+                Double.NaN
+              } else stream.readDoublePeek(c)
+            val userMiss = !d.isNaN && isUserMissing(v, d)
+            if (needInd(i))
+              inds(i) = if (!userMiss) null
+                else UTF8String.fromString(userMissingLabel(v, d,
+                  opts.informativeNullUseValueLabels))
+            vals(i) =
+              if (d.isNaN || userMiss) null
+              else if (labelNum(i) != null) {
+                // unlabeled codes fall back to the value's string form,
+                // same as the sav reader (SpssModule.formatNum)
+                val l = labelNum(i).get(d)
+                if (l != null) l else UTF8String.fromString(formatNum(d))
+              }
+              else v.formatClass match {
+                case Some("Date") => ((d.toLong - SecShift) / 86400L).toInt
+                case Some("DateTime") =>
+                  math.round((d - SecShift) * 1000.0) * 1000L
+                case Some("Time") => math.round(d * 1e9)
+                case _ => d
+              }
           }
           i += 1
         }

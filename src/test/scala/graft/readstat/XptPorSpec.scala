@@ -486,6 +486,12 @@ class XptPorSpec extends SparkTestBase {
     assert(ri.length == 60000)
     assert(ri.forall { case (ix, id) => id == ix + 1 },
       ri.filterNot { case (ix, id) => id == ix + 1 }.take(3).mkString(","))
+    // projection skim: a 1-column parallel read (other cells skimmed,
+    // never decoded) matches the full read's column exactly
+    val gSum = spark.read.format("readstat")
+      .option("partitionTargetBytes", (64 * 1024).toString).load(path)
+      .select("G").agg(sum("G")).collect()(0).getDouble(0)
+    assert(gSum == 1200.0 * 1225 - 3600.0, gSum) // missing code 3 nulled
     // the checkpoint index built above answers COUNT(*) from metadata
     // now (normally por counts need a real scan — CountPushdownSpec)
     val cnt = spark.read.format("readstat").load(path).agg(count(lit(1)))
