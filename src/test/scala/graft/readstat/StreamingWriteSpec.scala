@@ -664,6 +664,47 @@ class StreamingWriteSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("por sink: a clobbered trailer heals from the sidecar on the next commit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_porheal").toFile
+    dir.deleteOnExit()
+    val sink = s"$dir/heal.por"
+    val input = MemoryStream[(Long, Double)]
+    val q1 = input.toDF().toDF("id", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt1")
+      .start(sink)
+    try { input.addData((1L, 1.0), (2L, 2.0)); q1.processAllAvailable() }
+    finally q1.stop()
+    // simulate a crash between splice and trailer: chop the file's tail
+    // (the 'Z' run) and scribble garbage — the sidecar's dataLen:linePos
+    // is the committed truth, so the next commit re-truncates over it
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(sink),
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.truncate(ch.size() - 3)
+      ch.position(ch.size())
+      ch.write(java.nio.ByteBuffer.wrap("@@GARBAGE@@".getBytes))
+    } finally ch.close()
+    // the damaged tail makes a direct read fail (no clean 'Z' end)
+    assert(intercept[Exception] {
+      spark.read.format("readstat").load(sink).count()
+    } != null)
+    // a new query appends an epoch; the commit heals the tail first
+    val input2 = MemoryStream[(Long, Double)]
+    val q2 = input2.toDF().toDF("id", "v").writeStream
+      .format("readstat")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start(sink)
+    try { input2.addData((3L, 3.0)); q2.processAllAvailable() }
+    finally q2.stop()
+    val back = spark.read.format("readstat").load(sink).orderBy("ID").collect()
+    assert(back.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(back.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("por sink refuses a cross-query append with different header options") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
