@@ -378,6 +378,9 @@ object PorCore {
     * cells scan to the '/' terminator). Returns false on the 'Z'
     * end-of-data marker. */
   def skimRow(s: PorStream, vars: Vector[PorVar]): Boolean = {
+    // a zero-variable loop body would never consume the 'Z' marker and
+    // spin forever emitting empty rows — refuse the degenerate file
+    require(vars.nonEmpty, "por: file declares no variables")
     var i = 0
     while (i < vars.length) {
       val c = s.readChar()
@@ -387,22 +390,29 @@ object PorCore {
       }
       require(c >= 0,
         "por: stream ended without the 'Z' end-of-data marker — file truncated")
-      if (vars(i).isString) {
-        val len = s.readDoublePeek(c).toInt
-        s.skipChars(len)
-      } else if (c == '*') {
-        val c2 = s.readChar()
-        require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
-      } else {
-        var ch = c
-        while (ch != '/') {
-          require(ch >= 0, "EOF in base-30 number")
-          ch = s.readChar()
-        }
-      }
+      skimCell(s, vars(i).isString, c)
       i += 1
     }
     true
+  }
+
+  /** Skip one cell body whose FIRST char the caller already consumed —
+    * shared by [[skimRow]]/[[buildIndex]] and the reader's
+    * unprojected-cell skim, so the boundary rules stay in one place. */
+  def skimCell(s: PorStream, isString: Boolean, first: Int): Unit = {
+    if (isString) {
+      val len = s.readDoublePeek(first).toInt
+      s.skipChars(len)
+    } else if (first == '*') {
+      val c2 = s.readChar()
+      require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+    } else {
+      var ch = first
+      while (ch != '/') {
+        require(ch >= 0, "EOF in base-30 number")
+        ch = s.readChar()
+      }
+    }
   }
 
   /** One sequential cell-boundary pass recording a [[PorCkpt]] every

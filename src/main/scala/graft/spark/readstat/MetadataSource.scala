@@ -88,7 +88,10 @@ object MetadataRows {
       val md = SpssModule.metadata(path)
       md.vars.map { v =>
         val codes = (v.numLabels.keys.toSeq.sorted.map(d =>
-          if (d == math.rint(d)) d.toLong.toString else d.toString) ++
+          // same integral-rendering rule as the label decode (1e15 guard
+          // keeps huge doubles from overflowing the Long render)
+          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+          else d.toString) ++
           v.strLabels.keys.toSeq.sorted)
         val labels = (v.numLabels.toSeq.sortBy(_._1).map(_._2) ++
           v.strLabels.toSeq.sortBy(_._1).map(_._2))

@@ -148,9 +148,12 @@ object PorModule extends FormatModule {
     val labelNum: Array[DoubleLabelLut] = md.vars.map(v =>
       if (!v.isString && opts.valueLabelsAsStrings && v.numLabels.nonEmpty)
         new DoubleLabelLut(v.numLabels) else null).toArray
-    val labelStr: Array[Map[String, String]] = md.vars.map(v =>
+    // labels pre-encode once per partition (same rationale as
+    // [[DoubleLabelLut]]: one UTF8String per LABEL, not per row)
+    val labelStr: Array[Map[String, UTF8String]] = md.vars.map(v =>
       if (v.isString && opts.valueLabelsAsStrings && v.strLabels.nonEmpty)
-        v.strLabels else null).toArray
+        v.strLabels.map { case (k, l) => k -> UTF8String.fromString(l) }
+      else null).toArray
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
       if (opts.rowIndexName.contains(f.name)) (fi, -1, false)
       else {
@@ -189,6 +192,8 @@ object PorModule extends FormatModule {
         * POR cannot seek past bytes, but a 2-column read of a wide file
         * skips the decode work of every other column. */
       private def readFullRow(): Array[Any] = {
+        // guard the zero-variable degenerate file (see PorCore.skimRow)
+        require(md.vars.nonEmpty, "por: file declares no variables")
         val vals = new Array[Any](md.vars.length)
         var i = 0
         while (i < md.vars.length) {
@@ -218,22 +223,15 @@ object PorModule extends FormatModule {
                 }
               vals(i) =
                 if ((s.isEmpty && opts.missingStringAsNull) || userMiss) null
-                else if (labelStr(i) != null)
-                  UTF8String.fromString(labelStr(i).getOrElse(s, s))
+                else if (labelStr(i) != null) {
+                  val l = labelStr(i).getOrElse(s, null)
+                  if (l != null) l else UTF8String.fromString(s)
+                }
                 else UTF8String.fromString(s)
             }
           } else if (!needCol(i)) {
             // skim to the cell terminator without parsing the value
-            if (c == '*') {
-              val c2 = stream.readChar()
-              require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
-            } else {
-              var ch = c
-              while (ch != '/') {
-                require(ch >= 0, "EOF in base-30 number")
-                ch = stream.readChar()
-              }
-            }
+            PorCore.skimCell(stream, isString = false, c)
           } else {
             val d =
               if (c == '*') {

@@ -279,11 +279,12 @@ class ReadstatTable(paths: Seq[String], rawPaths: Seq[String],
   // catalog labels attach to SAS-family scans only (sas7bdat + xpt);
   // if NO loaded path can consume the option it would be a silent no-op
   // — refuse instead (mixed directories where some file consumes it are
-  // legitimate and pass through)
+  // legitimate and pass through). Module dispatch, NOT extension
+  // matching: .xpt9 and extension-less sniffed SAS-family files consume
+  // the catalog too.
   if (opts.catalog.isDefined && paths.nonEmpty && !paths.exists { p =>
-      val l = p.toLowerCase
-      l.endsWith(".sas7bdat") || l.endsWith(".xpt") ||
-        l.endsWith(".xpt5") || l.endsWith(".xpt8")
+      val m = Formats.moduleFor(p)
+      (m eq SasModule) || (m eq XptModule)
     })
     throw new IllegalArgumentException(
       "readstat: option 'catalog' applies to sas7bdat/xpt scans only — " +

@@ -1,6 +1,6 @@
 package graft.spark.readstat.writers
 
-import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream}
+import java.io.{BufferedOutputStream, File, FileInputStream}
 import java.nio.ByteBuffer
 import java.nio.channels.{Channels, FileChannel}
 import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -104,11 +104,19 @@ object PorStreamSink extends StreamSinkCore.Format {
         }
         val os = new BufferedOutputStream(Channels.newOutputStream(ch), 1 << 20)
         val w = new LineWriter(os, startPos = startPos)
+        // block reads, not per-byte stream calls — the line-wrap counter
+        // still advances per byte, but the synchronized InputStream.read()
+        // overhead disappears from the single-threaded commit path
+        val block = new Array[Byte](1 << 16)
         chunks.sortBy(_._1).foreach { case (_, f, _) =>
-          val in = new BufferedInputStream(new FileInputStream(f), 1 << 20)
+          val in = new FileInputStream(f)
           try {
-            var b = in.read()
-            while (b >= 0) { w.byte(b); b = in.read() }
+            var n = in.read(block)
+            while (n > 0) {
+              var i = 0
+              while (i < n) { w.byte(block(i) & 0xff); i += 1 }
+              n = in.read(block)
+            }
           } finally in.close()
         }
         os.flush()

@@ -131,6 +131,9 @@ object PorWriterImpl {
       schema: org.apache.spark.sql.types.StructType,
       options: Map[String, String],
       metaOpts: Option[MetadataDfOptions]): PorOpts = {
+    // a zero-variable .por has no row framing — its reader would loop;
+    // refuse at write time like the sas7bdat writer
+    require(schema.nonEmpty, "por writer: empty schema")
     val colSet = schema.fieldNames.toSet
     // POR carries uppercased ≤8-char names, so metadata read back from a
     // .por names variables in caps — match case-insensitively like the

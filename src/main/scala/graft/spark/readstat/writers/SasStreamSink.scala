@@ -135,9 +135,14 @@ object SasStreamSink extends StreamSinkCore.Format {
     // fixed-row DATA pages and compressed-subheader pages in one file
     // must be refused as drift (the uncompressed hash stays unmarked so
     // pre-existing sidecars keep validating)
+    // rle pages also fingerprint their GEOMETRY: pageGeometry's rle
+    // variant gained pointer slack (r11), so a rowLen near a page
+    // boundary can derive a different pageLen than pages committed by
+    // older code — appending with mismatched geometry would mis-parse
+    // every committed page, and rowLen alone cannot see it
     val schemaHash = StreamSinkCore.hashSpecs(
       specs.map(c => s"${c.name}|${c.isChar}|${c.width}|${c.fmtName}").toIndexedSeq
-        ++ (if (rle) Seq("|rle") else Nil))
+        ++ (if (rle) Seq(s"|rle|page:$pageLen") else Nil))
 
     val state = StreamSinkCore.readState(path)
     try {

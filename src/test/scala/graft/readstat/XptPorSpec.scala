@@ -501,6 +501,13 @@ class XptPorSpec extends SparkTestBase {
       "cached por index should serve the count")
   }
 
+  test("por writer refuses an empty schema (reader would loop on a zero-var file)") {
+    val df = spark.emptyDataFrame
+    assert(intercept[Exception] {
+      df.write.format("readstat").mode("overwrite").save(tmp("empty.por"))
+    }.getMessage.contains("empty schema"))
+  }
+
   test("por value labels survive the multiFile path") {
     import spark.implicits._
     val dir = tmp("porvlmf.por")
