@@ -53,6 +53,17 @@ trait FormatModule extends Serializable {
   * uncompressed-logical offset of the next byte, plus the pending
   * control-byte group. Lets an executor start decoding mid-stream
   * without replaying everything before its range. */
+/** THE integral-rendering rule for numeric value-label codes: exact
+  * integers print without a decimal point (the form label tables key
+  * on), the 1e15 guard keeps huge doubles off the lossy Long render.
+  * One definition — per-format copies of this rule drifted once
+  * (review r11: a metadata branch lost the 1e15 guard). */
+private[readstat] object NumRender {
+  def code(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+}
+
 final case class SavCheckpoint(uOff: Long, ctrl: Array[Byte], ctrlI: Int)
 
 /** Decoder state at a row boundary of a POR stream: file byte offset,

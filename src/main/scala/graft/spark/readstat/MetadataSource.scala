@@ -87,11 +87,7 @@ object MetadataRows {
     } else if (lower.endsWith(".sav") || lower.endsWith(".zsav")) {
       val md = SpssModule.metadata(path)
       md.vars.map { v =>
-        val codes = (v.numLabels.keys.toSeq.sorted.map(d =>
-          // same integral-rendering rule as the label decode (1e15 guard
-          // keeps huge doubles from overflowing the Long render)
-          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-          else d.toString) ++
+        val codes = (v.numLabels.keys.toSeq.sorted.map(NumRender.code) ++
           v.strLabels.keys.toSeq.sorted)
         val labels = (v.numLabels.toSeq.sortBy(_._1).map(_._2) ++
           v.strLabels.toSeq.sortBy(_._1).map(_._2))
@@ -116,9 +112,8 @@ object MetadataRows {
     } else if (lower.endsWith(".por")) {
       val md = PorModule.metadata(path)
       md.vars.map { v =>
-        val codes = v.numLabels.keys.toSeq.sorted.map(d =>
-          if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-          else d.toString) ++ v.strLabels.keys.toSeq.sorted
+        val codes = v.numLabels.keys.toSeq.sorted.map(NumRender.code) ++
+          v.strLabels.keys.toSeq.sorted
         val labels = v.numLabels.toSeq.sortBy(_._1).map(_._2) ++
           v.strLabels.toSeq.sortBy(_._1).map(_._2)
         mk(v.name, v.label.orNull, codes, labels, null, v.fmtType, v.fmtWidth,

@@ -17,9 +17,6 @@ import graft.core.por.PorCore._
   */
 object PorModule extends FormatModule {
 
-  private def formatNum(d: Double): String =
-    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
-
   private case class FileKey(path: String, size: Long, mtime: Long)
   private def keyOf(path: String) = {
     val f = new java.io.File(path)
@@ -96,7 +93,7 @@ object PorModule extends FormatModule {
     val label = if (useValueLabels) v.numLabels.get(d) else None
     if (label.isDefined) label.get
     else if (!v.missingDoubles.contains(d)) "MISSING"
-    else formatNum(d)
+    else NumRender.code(d)
   }
 
   /** r11, BEYOND the reference (por.rs decodes strictly serially): files
@@ -250,7 +247,7 @@ object PorModule extends FormatModule {
                 // unlabeled codes fall back to the value's string form,
                 // same as the sav reader (SpssModule.formatNum)
                 val l = labelNum(i).get(d)
-                if (l != null) l else UTF8String.fromString(formatNum(d))
+                if (l != null) l else UTF8String.fromString(NumRender.code(d))
               }
               else v.formatClass match {
                 case Some("Date") => ((d.toLong - SecShift) / 86400L).toInt

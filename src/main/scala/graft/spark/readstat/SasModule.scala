@@ -368,9 +368,7 @@ object SasModule extends FormatModule {
           else if (pl.labels != null) {
             val label = pl.labels.get(v)
             if (label != null) label
-            else UTF8String.fromString(
-              if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
-              else v.toString)
+            else UTF8String.fromString(NumRender.code(v))
           }
           else pl.kind match {
             case KDate => SasCore.toDateDays(v)

@@ -236,7 +236,7 @@ object SpssModule extends FormatModule {
               val label = pl.numLut.get(d)
               if (label != null) return label
             }
-            return UTF8String.fromString(formatNum(d))
+            return UTF8String.fromString(NumRender.code(d))
           }
           pl.out match {
             case DateType => ((d.toLong - SecShift) / 86400L).toInt
@@ -276,12 +276,9 @@ object SpssModule extends FormatModule {
       if (label.isDefined) label
       else if (v.missingRange && !(v.missingDoubles.length >= 3 && d == v.missingDoubles(2)))
         Some("MISSING")
-      else Some(formatNum(d))
+      else Some(NumRender.code(d))
     }
   }
-
-  private def formatNum(d: Double): String =
-    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
   // ---- vectorized decode path ----
 

@@ -305,7 +305,7 @@ object StataModule extends FormatModule {
             val label = pl.labels.get(asDouble.toInt)
             if (label != null) return label
           }
-          return UTF8String.fromString(formatNum(asDouble))
+          return UTF8String.fromString(NumRender.code(asDouble))
         }
         pl.outKind match {
           case ODate(unit) =>
@@ -385,10 +385,6 @@ object StataModule extends FormatModule {
         } else (Bin.i32(b, off, little), Bin.u32(b, off + 4, little))
     }
   }
-
-  private def formatNum(d: Double): String =
-    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
 
   // ---- vectorized decode path ----
 
