@@ -431,20 +431,22 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // med/min certification (raw reads only): the between-round gate is
-    // structurally blind to contention landing MID-query, and the
-    // rescue pass fires on max/min — a burst spanning several rounds
+    // med/min certification (EVERY reported query): the between-round
+    // gate is structurally blind to contention landing MID-query, and
+    // the rescue pass fires on max/min — a burst spanning several rounds
     // can leave the MEDIAN contaminated with every individual trigger
     // quiet (the r10 record: sas_dir1000_fullread ran 0.9 s and 90 s in
-    // one record). Re-time any raw read whose med/min > 2 (gated, so
-    // the retries themselves wait out bursts) until the median settles
-    // or the retry cap hits; queries that exhaust retries are flagged
-    // in the record as med_uncertified rather than silently reported.
+    // one record; the r11 record carried q2/q22/graph_triangles numbers
+    // 2-3x their committed certified values the same way). Re-time any
+    // query whose med/min > 2 (gated, so the retries themselves wait
+    // out bursts) until the median settles or the retry cap hits;
+    // queries that exhaust retries are flagged in the record as
+    // med_uncertified rather than silently reported.
     val medUncertified: Seq[String] = {
-      val rawSet = allRaw.map(_._1).toSet
+      val allSet = runsAcc.keySet.toSet
       def dirty(n: String): Boolean = runsAcc.get(n).exists(rs =>
         rs.nonEmpty && median(rs) > 2.0 * math.max(rs.min, 0.05))
-      var pending = rawSet.filter(dirty)
+      var pending = allSet.filter(dirty)
       var retries = 0
       // 4 retries recover a median from up to 3 contaminated samples
       // out of the 5 base rounds

@@ -47,6 +47,31 @@ trait FormatModule extends Serializable {
   def columnarRows(part: RangePartition, opts: ReadstatOptions,
       required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
     throw new UnsupportedOperationException("no columnar decode")
+
+  /** Whether this module can evaluate the pushed filter against its
+    * decoded output values (the basis of the scan builder's
+    * pushedFilters() claim). Purely advisory: every pushed filter is
+    * also returned as a residual, so a module that answers true here
+    * but ignores the filter at decode time (e.g. the columnar regime
+    * can't skip on that column) stays correct — it just skips fewer
+    * rows. See [[PushedFilters]]. */
+  def canEvalFilter(path: String, opts: ReadstatOptions,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = false
+
+  /** Filter-aware row decode: implementations that honor `pushed` must
+    * only SKIP rows the filters definitely reject (Catalyst re-applies
+    * the residual predicate, so emitting extra rows is always safe —
+    * dropping a passing row never is). Default ignores the filters. */
+  def rows(part: RangePartition, opts: ReadstatOptions, required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] =
+    rows(part, opts, required)
+
+  /** Filter-aware columnar decode; same contract as the row overload. */
+  def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    columnarRows(part, opts, required)
 }
 
 /** Decoder state at a row boundary of a compressed SPSS stream: the

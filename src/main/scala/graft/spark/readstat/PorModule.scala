@@ -289,4 +289,180 @@ object PorModule extends FormatModule {
       }
     }
   }
+
+  // ---- vectorized decode path ----
+
+  /** r12: POR was the one format still serving rows only. The stream
+    * decode itself is inherently scalar (base-30 text cells), but
+    * emitting straight into ColumnVectors drops the per-row
+    * GenericInternalRow + per-cell boxing the row path pays, and lets
+    * the scan run inside ColumnarToRow codegen like the other four
+    * formats. Plain + label regimes, same coverage rule as dta/sav. */
+  override def supportsColumnar(path: String, opts: ReadstatOptions,
+      required: StructType): Boolean = {
+    if (opts.informativeNulls || opts.compress ||
+      opts.schemaOverrides.nonEmpty) return false
+    val nat = schema(path, opts)
+    val byName = nat.fields.map(f => f.name -> f.dataType).toMap
+    required.fields.forall(f => byName.get(f.name).contains(f.dataType))
+  }
+
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+    val md = metadata(part.path)
+    require(md.vars.nonEmpty, "por: file declares no variables")
+    val stream = part.por match {
+      case Some(r) =>
+        new PorStream(part.path, r.byteOff, r.pos, r.pending, md.charTable)
+      case None =>
+        val s = new PorStream(part.path)
+        PorCore.parseMeta(s)
+        s
+    }
+    val byName = md.vars.map(_.name).zipWithIndex.toMap
+    // var index → output field position (-1 = unprojected → skim)
+    val fieldOfVar = Array.fill(md.vars.length)(-1)
+    var rowIdxField = -1
+    required.fields.zipWithIndex.foreach { case (f, fi) =>
+      if (opts.rowIndexName.contains(f.name)) rowIdxField = fi
+      else fieldOfVar(byName.getOrElse(f.name,
+        throw new IllegalArgumentException(s"no such column: ${f.name}"))) = fi
+    }
+    // label LUTs pre-encode to UTF-8 bytes (columnar vectors append raw
+    // bytes; see DoubleByteLut)
+    val labelNum: Array[DoubleByteLut] = md.vars.map(v =>
+      if (!v.isString && opts.valueLabelsAsStrings && v.numLabels.nonEmpty)
+        new DoubleByteLut(v.numLabels) else null).toArray
+    val labelStr: Array[Map[String, Array[Byte]]] = md.vars.map(v =>
+      if (v.isString && opts.valueLabelsAsStrings && v.strLabels.nonEmpty)
+        v.strLabels.map { case (k, l) =>
+          k -> l.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
+      else null).toArray
+
+    // ~2M cells per batch, same auto rule as the fixed-width modules
+    val batchRows = math.max(1, math.min(
+      if (opts.batchRows > 0) opts.batchRows.toLong
+      else math.max(1024L, (2L << 20) / md.vars.length),
+      Int.MaxValue)).toInt
+
+    new Iterator[ColumnarBatch] {
+      private var limit = part.numRows
+      private var rowIdx = part.startRow
+      private var done = false
+      private var pending: ColumnarBatch = _
+
+      private def truncated(): Nothing = throw new java.io.IOException(
+        "por: stream ended without the 'Z' end-of-data marker — file truncated")
+
+      override def hasNext: Boolean = {
+        if (pending == null && !done) pending = readBatch()
+        pending != null
+      }
+
+      override def next(): ColumnarBatch = {
+        if (!hasNext) throw new NoSuchElementException
+        val b = pending; pending = null; b
+      }
+
+      private def finish(): Unit = { done = true; stream.close() }
+
+      /** Decode up to batchRows rows straight into fresh vectors; null
+        * when the stream (or the partition's row budget) is exhausted.
+        * Cells no required field reads are skimmed, same as the row
+        * path. Decode errors propagate — never masquerade as EOF. */
+      private def readBatch(): ColumnarBatch = {
+        if (limit <= 0) { finish(); return null }
+        val m = math.min(batchRows.toLong, limit).toInt
+        val vectors = new Array[ColumnVector](required.length)
+        var c = 0
+        while (c < required.length) {
+          vectors(c) = new OnHeapColumnVector(m, required.fields(c).dataType)
+          c += 1
+        }
+        var r = 0
+        while (r < m && !done) {
+          var i = 0
+          var zEnd = false
+          while (i < md.vars.length && !zEnd) {
+            val v = md.vars(i)
+            val c0 = stream.readChar()
+            if (c0 == 'Z') {
+              require(i == 0, "POR: Z in middle of row")
+              zEnd = true
+            } else {
+              if (c0 < 0) truncated()
+              val fi = fieldOfVar(i)
+              if (v.isString) {
+                val len = stream.readDoublePeek(c0).toInt
+                if (fi < 0) stream.skipChars(len)
+                else {
+                  val vec = vectors(fi).asInstanceOf[OnHeapColumnVector]
+                  val s0 = new String(stream.readChars(len),
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  var e = s0.length
+                  while (e > 0 && s0(e - 1) == ' ') e -= 1
+                  val s = s0.substring(0, e)
+                  val userMiss = v.missingStrings.nonEmpty &&
+                    v.missingStrings.contains(s)
+                  if ((s.isEmpty && opts.missingStringAsNull) || userMiss)
+                    vec.putNull(r)
+                  else {
+                    var b: Array[Byte] =
+                      if (labelStr(i) != null) labelStr(i).getOrElse(s, null)
+                      else null
+                    if (b == null)
+                      b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    vec.putByteArray(r, b, 0, b.length)
+                  }
+                }
+              } else if (fi < 0) {
+                PorCore.skimCell(stream, isString = false, c0)
+              } else {
+                val vec = vectors(fi).asInstanceOf[OnHeapColumnVector]
+                val d =
+                  if (c0 == '*') {
+                    val c2 = stream.readChar()
+                    require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+                    Double.NaN
+                  } else stream.readDoublePeek(c0)
+                val userMiss = !d.isNaN && isUserMissing(v, d)
+                if (d.isNaN || userMiss) vec.putNull(r)
+                else if (labelNum(i) != null) {
+                  var b = labelNum(i).get(d)
+                  if (b == null)
+                    b = NumRender.code(d).getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8)
+                  vec.putByteArray(r, b, 0, b.length)
+                } else v.formatClass match {
+                  case Some("Date") =>
+                    vec.putInt(r, ((d.toLong - SecShift) / 86400L).toInt)
+                  case Some("DateTime") =>
+                    vec.putLong(r, math.round((d - SecShift) * 1000.0) * 1000L)
+                  case Some("Time") => vec.putLong(r, math.round(d * 1e9))
+                  case _ => vec.putDouble(r, d)
+                }
+              }
+              i += 1
+            }
+          }
+          if (zEnd) done = true
+          else {
+            if (rowIdxField >= 0)
+              vectors(rowIdxField).asInstanceOf[OnHeapColumnVector]
+                .putLong(r, rowIdx)
+            rowIdx += 1
+            r += 1
+          }
+        }
+        limit -= r
+        if (done) stream.close()
+        else if (limit <= 0) finish()
+        if (r == 0) { vectors.foreach(_.close()); null }
+        else new ColumnarBatch(vectors, r)
+      }
+    }
+  }
 }

@@ -1,0 +1,243 @@
+package graft.spark.readstat
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Decode-skipping filter pushdown (SURVEY.md §2.2 — the designed
+  * improvement over the reference's per-batch predicate application,
+  * reference: python __init__.py:657-661 where the predicate reaches the
+  * source but is applied after full-row decode).
+  *
+  * Model: the scan builder claims the conjuncts every loaded path's
+  * module can evaluate ([[FormatModule.canEvalFilter]]) and reports them
+  * via pushedFilters() so they are visible in the plan, but returns ALL
+  * filters as post-scan residuals — Catalyst keeps its Filter node and
+  * re-applies exactly (the parquet row-group-pruning contract). The
+  * modules therefore only need the conservative direction: never skip a
+  * row Catalyst would keep. Fixed-width formats decode ONLY the filter
+  * columns of each row first and skip the remaining bytes of failing
+  * rows — the skip is free because every cell is O(1)-addressable.
+  *
+  * Evaluation happens on the DECODED output value (the same value the
+  * row path emits), so label decode, missing-value nulling and charset
+  * handling are automatically consistent with the unfiltered read.
+  *
+  * Null/NaN semantics match Catalyst: comparisons with a null cell are
+  * not-true (row skipped — the residual Filter drops it anyway); double
+  * ordering treats NaN as the largest value and ±0.0 as equal (Spark's
+  * double ordering), via primitive == then Double.compare.
+  */
+private[readstat] object PushedFilters {
+
+  /** Output types a pushed predicate can evaluate. Temporals are out:
+    * their source-Filter values arrive as java.time types whose
+    * conversion is not worth the matrix; numeric + string cover the
+    * survey-data hot paths. */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType => true
+    case _ => false
+  }
+
+  /** Whether a (possibly nested And/Or/Not) filter is evaluable given
+    * per-column output types. */
+  def isSupported(f: Filter, typeOf: String => Option[DataType]): Boolean = {
+    def colOk(name: String, value: Any): Boolean = typeOf(name) match {
+      case Some(StringType) => value == null || value.isInstanceOf[String]
+      case Some(dt) if supportedType(dt) =>
+        value == null || (value match {
+          case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+               _: java.lang.Long | _: java.lang.Float | _: java.lang.Double => true
+          case _ => false
+        })
+      case _ => false
+    }
+    f match {
+      case EqualTo(c, v) => colOk(c, v) && v != null
+      case EqualNullSafe(c, v) => colOk(c, v)
+      case GreaterThan(c, v) => colOk(c, v) && v != null
+      case GreaterThanOrEqual(c, v) => colOk(c, v) && v != null
+      case LessThan(c, v) => colOk(c, v) && v != null
+      case LessThanOrEqual(c, v) => colOk(c, v) && v != null
+      case In(c, vs) => vs != null && vs.forall(v => colOk(c, v))
+      case IsNull(c) => typeOf(c).exists(supportedType)
+      case IsNotNull(c) => typeOf(c).exists(supportedType)
+      case And(l, r) => isSupported(l, typeOf) && isSupported(r, typeOf)
+      case Or(l, r) => isSupported(l, typeOf) && isSupported(r, typeOf)
+      case Not(c) => isSupported(c, typeOf)
+      case _ => false
+    }
+  }
+
+  private def num(a: Any): Double = a match {
+    case b: java.lang.Byte => b.toDouble
+    case s: java.lang.Short => s.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case l: java.lang.Long => l.toDouble
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d
+    case other => throw new IllegalStateException(
+      s"readstat pushed filter: unexpected cell ${other.getClass}")
+  }
+
+  /** Spark double ordering: ±0.0 equal, NaN == NaN and NaN largest. */
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Canonical bits for set membership under Spark equality. */
+  private def canonBits(d: Double): Long =
+    if (d.isNaN) java.lang.Double.doubleToLongBits(Double.NaN)
+    else if (d == 0.0) java.lang.Double.doubleToLongBits(0.0)
+    else java.lang.Double.doubleToLongBits(d)
+
+  /** A compiled predicate over decoded cell values: `getter(slot)`
+    * returns the decoded output value (boxed primitive / UTF8String /
+    * null) for the slot [[compile]] resolved from the column name.
+    * True = the row may pass; false = definitely fails → skippable. */
+  type Pred = (Int => Any) => Boolean
+
+  /** Compile the conjunction of `filters`. Conjuncts whose columns do
+    * not resolve through `slotOf`, or whose shape [[isSupported]] would
+    * reject, compile to always-true (ignored — the residual Filter
+    * covers them); None when NOTHING compiled, so callers skip the
+    * whole evaluation. */
+  def compile(filters: Seq[Filter], slotOf: String => Option[Int],
+      typeOf: String => Option[DataType]): Option[Pred] = {
+    val compiled = filters.flatMap(f => compileOne(f, slotOf, typeOf))
+    if (compiled.isEmpty) None
+    else if (compiled.size == 1) Some(compiled.head)
+    else Some(g => {
+      var ok = true
+      val it = compiled.iterator
+      while (ok && it.hasNext) ok = it.next()(g)
+      ok
+    })
+  }
+
+  private def compileOne(f: Filter, slotOf: String => Option[Int],
+      typeOf: String => Option[DataType]): Option[Pred] = {
+    def leafNum(c: String)(p: (Int, Double) => Pred): Option[Pred] =
+      (slotOf(c), typeOf(c)) match {
+        case (Some(slot), Some(dt)) if supportedType(dt) && dt != StringType =>
+          Some(p(slot, 0.0))
+        case _ => None
+      }
+    def isStr(c: String): Boolean = typeOf(c).contains(StringType)
+
+    f match {
+      case EqualTo(c, v) if v != null => cmpLeaf(c, v, slotOf, typeOf, 0, eq = true)
+      case EqualNullSafe(c, null) =>
+        slotOf(c).filter(_ => typeOf(c).exists(supportedType))
+          .map(slot => (g: Int => Any) => g(slot) == null)
+      case EqualNullSafe(c, v) => cmpLeaf(c, v, slotOf, typeOf, 0, eq = true)
+      case GreaterThan(c, v) if v != null => cmpLeaf(c, v, slotOf, typeOf, 1, eq = false)
+      case GreaterThanOrEqual(c, v) if v != null =>
+        cmpLeaf(c, v, slotOf, typeOf, 1, eq = true)
+      case LessThan(c, v) if v != null => cmpLeaf(c, v, slotOf, typeOf, -1, eq = false)
+      case LessThanOrEqual(c, v) if v != null =>
+        cmpLeaf(c, v, slotOf, typeOf, -1, eq = true)
+      case In(c, vs) if vs != null && !isStr(c) &&
+          vs.forall(v => v == null || !v.isInstanceOf[String]) =>
+        leafNum(c) { (slot, _) =>
+          val bits = new java.util.HashSet[java.lang.Long]()
+          vs.foreach(v => if (v != null) bits.add(canonBits(num(v))))
+          g => {
+            val a = g(slot)
+            a != null && bits.contains(canonBits(num(a)))
+          }
+        }
+      case In(c, vs) if vs != null && isStr(c) &&
+          vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        slotOf(c).map { slot =>
+          val set = new java.util.HashSet[UTF8String]()
+          vs.foreach(v => if (v != null)
+            set.add(UTF8String.fromString(v.asInstanceOf[String])))
+          g => {
+            val a = g(slot)
+            a != null && set.contains(a.asInstanceOf[UTF8String])
+          }
+        }
+      case IsNull(c) =>
+        slotOf(c).filter(_ => typeOf(c).exists(supportedType))
+          .map(slot => (g: Int => Any) => g(slot) == null)
+      case IsNotNull(c) =>
+        slotOf(c).filter(_ => typeOf(c).exists(supportedType))
+          .map(slot => (g: Int => Any) => g(slot) != null)
+      case And(l, r) =>
+        // one evaluable side alone is still a sound skip test for the
+        // conjunction (the other side can only make it MORE false)
+        (compileOne(l, slotOf, typeOf), compileOne(r, slotOf, typeOf)) match {
+          case (Some(a), Some(b)) => Some(g => a(g) && b(g))
+          case (Some(a), None) => Some(a)
+          case (None, Some(b)) => Some(b)
+          case _ => None
+        }
+      case Or(l, r) =>
+        // a disjunction needs BOTH sides evaluable: an uncompiled side
+        // could be the one that makes the row pass
+        (compileOne(l, slotOf, typeOf), compileOne(r, slotOf, typeOf)) match {
+          case (Some(a), Some(b)) => Some(g => a(g) || b(g))
+          case _ => None
+        }
+      case Not(c) =>
+        // sound only when the child is EXACT for non-null cells and
+        // null-rejecting — true of every leaf above (null → false,
+        // which Not would flip to a wrong true... so require the child
+        // to be null-safe): restrict to children whose Catalyst value
+        // on null is also not-true → keep the row (never skip). The
+        // simple sound rule: never skip under Not unless the child
+        // compiled AND the cell is non-null.
+        compileOne(c, slotOf, typeOf) match {
+          case Some(child) =>
+            val refs = c.references
+            val slots = refs.flatMap(slotOf(_))
+            if (slots.length != refs.length) None
+            else Some(g => {
+              var anyNull = false
+              var i = 0
+              while (i < slots.length && !anyNull) {
+                if (g(slots(i)) == null) anyNull = true
+                i += 1
+              }
+              // null ref → Catalyst yields null (not-true) for the
+              // child; Not(null) is also null → row fails the filter,
+              // but OUR child-eval said false → !false = true = keep.
+              // Keeping is always sound; skip only on non-null refs.
+              anyNull || !child(g)
+            })
+          case None => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Comparison leaf: `dir` is the required sign of cmp(cell, value)
+    * (+1 greater, -1 less, 0 equal), `eq` whether 0 also passes. */
+  private def cmpLeaf(c: String, v: Any, slotOf: String => Option[Int],
+      typeOf: String => Option[DataType], dir: Int, eq: Boolean): Option[Pred] =
+    (slotOf(c), typeOf(c)) match {
+      case (Some(slot), Some(StringType)) if v.isInstanceOf[String] =>
+        val want = UTF8String.fromString(v.asInstanceOf[String])
+        Some(g => {
+          val a = g(slot)
+          if (a == null) false
+          else {
+            val cv = a.asInstanceOf[UTF8String].compareTo(want)
+            if (cv == 0) eq || dir == 0 else Integer.signum(cv) == dir
+          }
+        })
+      case (Some(slot), Some(dt))
+          if supportedType(dt) && dt != StringType && !v.isInstanceOf[String] =>
+        val want = num(v)
+        Some(g => {
+          val a = g(slot)
+          if (a == null) false
+          else {
+            val cv = cmpD(num(a), want)
+            if (cv == 0) eq || dir == 0 else Integer.signum(cv) == dir
+          }
+        })
+      case _ => None
+    }
+}

@@ -320,11 +320,30 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownFilters
   with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var limit: Option[Long] = None
   private var countStar: Boolean = false
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Decode-skipping filter pushdown (see [[PushedFilters]]): claim the
+    * conjuncts EVERY loaded path's module can evaluate on its decoded
+    * values — they become visible in the plan and let fixed-width
+    * decoders skip the non-filter bytes of failing rows — but return
+    * ALL filters as residuals, so Catalyst keeps its Filter node and
+    * correctness never depends on the source's best-effort skip (the
+    * parquet row-group-pruning contract). Because the residual Filter
+    * survives, a filtered COUNT(*) keeps its full scan and aggregate
+    * pushdown stays exact. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      paths.nonEmpty &&
+        paths.forall(p => Formats.moduleFor(p).canEvalFilter(p, opts, f)))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve file column order for the pruned subset
@@ -364,7 +383,7 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
 
   override def build(): Scan =
     if (countStar) new ReadstatCountStarScan(paths, opts)
-    else new ReadstatScan(paths, rawPaths, required, opts, limit)
+    else new ReadstatScan(paths, rawPaths, required, opts, limit, pushed)
 }
 
 /** Metadata-only COUNT(*): one partition, one row, zero data bytes read. */
@@ -410,7 +429,8 @@ final case class MultiFilePartition(parts: Array[RangePartition])
 
 class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     required: StructType,
-    opts: ReadstatOptions, limit: Option[Long])
+    opts: ReadstatOptions, limit: Option[Long],
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -424,7 +444,9 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
   }
   override def description(): String =
     s"readstat ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      (if (pushed.isEmpty) ""
+       else s" PushedFilters: [${pushed.mkString(", ")}]")
 
   /** Exact stats from metadata: file bytes scaled to the projected
     * column fraction, plus the metadata row count where the format knows
@@ -503,12 +525,13 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
       }
       mergeable && module.supportsColumnar(p, opts, required)
     }
-    new ReadstatPartitionReaderFactory(required, opts, columnar)
+    new ReadstatPartitionReaderFactory(required, opts, columnar, pushed)
   }
 }
 
 class ReadstatPartitionReaderFactory(required: StructType,
-    opts: ReadstatOptions, columnar: Boolean) extends PartitionReaderFactory {
+    opts: ReadstatOptions, columnar: Boolean,
+    pushed: Array[Filter] = Array.empty) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
@@ -522,7 +545,7 @@ class ReadstatPartitionReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val it = rangeParts(partition).iterator.flatMap(part =>
-      Formats.moduleFor(part.path).columnarRows(part, opts, required))
+      Formats.moduleFor(part.path).columnarRows(part, opts, required, pushed))
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
       override def next(): Boolean =
@@ -562,8 +585,13 @@ class ReadstatPartitionReaderFactory(required: StructType,
         if (absent.isEmpty) {
           val naturalRequired = StructType(required.fields.map(f =>
             naturalByName(f.name)))
+          // pushed filters reach the decoder only in this plain flow:
+          // modules compile them against their decoded output values,
+          // which ARE the required values here (canEvalFilter refuses
+          // the type-reshaping regimes, so natural == required types)
           Narrowing.castingIterator(
-            module.rows(part, opts, naturalRequired), naturalRequired, required)
+            module.rows(part, opts, naturalRequired, pushed),
+            naturalRequired, required)
         } else if (!opts.mergeSchema) {
           throw new IllegalArgumentException(
             s"readstat: ${part.path} has no column(s) ${absent.map(_.name).mkString(", ")}" +

@@ -282,9 +282,13 @@ object SpssModule extends FormatModule {
 
   // ---- vectorized decode path ----
 
+  /** Columnar decode covers the plain configurations plus label decode
+    * (r12, same as StataModule: labeled survey reads are the hot path;
+    * the byte-LUT turns each cell into a LongMap probe + byte-array
+    * append). Indicators, narrowing and overrides → row path. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
+    if (opts.informativeNulls || opts.compress ||
       opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
@@ -304,9 +308,17 @@ object SpssModule extends FormatModule {
     val md = metadata(part.path)
     val recordLen = md.recordLen
     val byName = md.vars.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
-    val plans: Array[SpssVar] = required.fields.map { f =>
-      if (opts.rowIndexName.contains(f.name)) null
-      else md.vars(byName(f.name))
+    // (var or null for row index, numeric label LUT or null, string-label flag)
+    val plans: Array[(SpssVar, DoubleByteLut, Boolean)] = required.fields.map { f =>
+      if (opts.rowIndexName.contains(f.name)) (null, null, false)
+      else {
+        val v = md.vars(byName(f.name))
+        val numLut =
+          if (opts.valueLabelsAsStrings && !v.isString && v.numLabels.nonEmpty)
+            new DoubleByteLut(v.numLabels) else null
+        val strLab = opts.valueLabelsAsStrings && v.isString && v.strLabels.nonEmpty
+        (v, numLut, strLab)
+      }
     }
     val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
     // uncompressed: bulk reads off a seek; compressed: checkpointed
@@ -364,8 +376,10 @@ object SpssModule extends FormatModule {
         new ColumnarBatch(vectors, n)
       }
 
-      private def decodeColumn(v: SpssVar, dt: DataType, buf: Array[Byte],
+      private def decodeColumn(pl: (SpssVar, DoubleByteLut, Boolean),
+          dt: DataType, buf: Array[Byte],
           n: Int, startRow: Long, vec: OnHeapColumnVector): Unit = {
+        val (v, numLut, strLab) = pl
         if (v == null) { // row index
           var r = 0
           while (r < n) { vec.putLong(r, startRow + r); r += 1 }
@@ -385,10 +399,32 @@ object SpssModule extends FormatModule {
             if ((opts.missingStringAsNull && s.isEmpty) || v.missingStrings.contains(s))
               vec.putNull(r)
             else {
-              val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              // string value labels decode in place (row-path rule:
+              // label beats the stored value, unlabeled values pass)
+              val out = if (strLab) v.strLabels.getOrElse(s, s) else s
+              val b = out.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               vec.putByteArray(r, b, 0, b.length)
             }
             r += 1; base += recordLen
+          }
+        } else if (numLut != null) {
+          // labeled numeric → string vector: LUT hit shares pre-encoded
+          // bytes; miss renders the code form (row-path decodeCell rule)
+          var r = 0; var p = off
+          while (r < n) {
+            val bits = Bin.i64(buf, p, md.little)
+            val d = java.lang.Double.longBitsToDouble(bits)
+            val sysMissing = bits == MissingBits || bits == LowestBits ||
+              bits == HighestBits || d.isNaN
+            if (sysMissing || isUserMissing(v, d, bits)) vec.putNull(r)
+            else {
+              var b = numLut.get(d)
+              if (b == null)
+                b = NumRender.code(d).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1; p += recordLen
           }
         } else {
           var r = 0; var p = off

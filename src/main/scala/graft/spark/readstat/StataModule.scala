@@ -143,8 +143,30 @@ object StataModule extends FormatModule {
       labels: LabelLut,        // null = plain decode
       indicator: Boolean)       // true = informative-null indicator column
 
+  /** Pushed filters are evaluable whenever the column's decoded output
+    * is a plain numeric or string — including label-decoded and
+    * indicator columns (their output IS a string the predicate sees).
+    * Compress narrowing and overrides reshape types AFTER the module
+    * decode (castingIterator), so the decoded value the predicate would
+    * see differs from the filter's typed literal → refuse. */
+  override def canEvalFilter(path: String, opts: ReadstatOptions,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
+    val types = schema(path, opts).fields.map(f => f.name -> f.dataType).toMap
+    PushedFilters.isSupported(filter, types.get)
+  }
+
   override def rows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[InternalRow] = {
+      required: StructType): Iterator[InternalRow] =
+    rows(part, opts, required, Array.empty)
+
+  /** Decode-skipping scan (SURVEY §2.2): filter columns decode FIRST;
+    * when the pushed predicate definitely fails, the row's remaining
+    * cells are never decoded — free on this fixed-width layout because
+    * the next row is a stride away, no per-cell walk needed. */
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val little = md.littleEndian
     val rules = md.rules
@@ -192,6 +214,19 @@ object StataModule extends FormatModule {
     val strlMap: Map[(Int, Long), String] =
       if (needStrl) strls(part.path) else Map.empty
 
+    // compile the pushed predicate against field slots; split plans so
+    // predicate fields decode first and the rest only for passing rows
+    val slotByName = required.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val pred: PushedFilters.Pred =
+      if (pushed.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotByName.get, typeByName.get).orNull
+    val predFields: Set[Int] =
+      if (pred == null) Set.empty
+      else pushed.flatMap(_.references).flatMap(slotByName.get).toSet
+    val predPlans = plans.filter(p => predFields.contains(p.fieldIdx))
+    val restPlans = if (pred == null) plans else plans.filterNot(p => predFields.contains(p.fieldIdx))
+
     val raf = new RandomAccessFile(part.path, "r")
     // xmlish map offsets point at the "<data>" tag itself — skip it
     val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
@@ -220,25 +255,53 @@ object StataModule extends FormatModule {
       private def close(): Unit =
         if (!closed) { closed = true; raf.close() }
 
-      override def hasNext: Boolean = {
-        if (remaining <= 0) { close(); return false }
-        if (buf == null || bufPos >= bufRows) fill()
-        remaining > 0
-      }
-
       // one reused mutable row per partition: the scan's unsafe projection
       // copies each row before it is buffered, so in-place reuse is safe
       // (same contract JDBC/file sources rely on) and removes per-row
       // allocation from the hot decode loop
       private val row = new GenericInternalRow(nFields)
-      override def next(): InternalRow = {
-        val base = bufPos * rowLen
-        var p = 0
-        while (p < plans.length) {
-          val pl = plans(p)
-          row.update(pl.fieldIdx, decodeCell(pl, buf, base, globalRow))
-          p += 1
+      private val getter: Int => Any = slot => row.values(slot)
+      private var rowReady = false
+
+      override def hasNext: Boolean = {
+        if (rowReady) return true
+        while (remaining > 0) {
+          if (buf == null || bufPos >= bufRows) {
+            fill()
+            if (remaining <= 0) return false
+          }
+          val base = bufPos * rowLen
+          var pass = true
+          if (pred != null) {
+            var p = 0
+            while (p < predPlans.length) {
+              val pl = predPlans(p)
+              row.update(pl.fieldIdx, decodeCell(pl, buf, base, globalRow))
+              p += 1
+            }
+            pass = pred(getter)
+          }
+          if (pass) {
+            var p = 0
+            while (p < restPlans.length) {
+              val pl = restPlans(p)
+              row.update(pl.fieldIdx, decodeCell(pl, buf, base, globalRow))
+              p += 1
+            }
+            rowReady = true
+            return true
+          }
+          // pushed predicate definitely fails: skip without decoding
+          // the remaining cells of this row
+          bufPos += 1; remaining -= 1; globalRow += 1
         }
+        close()
+        false
+      }
+
+      override def next(): InternalRow = {
+        if (!rowReady && !hasNext) throw new NoSuchElementException
+        rowReady = false
         bufPos += 1; remaining -= 1; globalRow += 1
         row
       }
@@ -388,24 +451,38 @@ object StataModule extends FormatModule {
 
   // ---- vectorized decode path ----
 
-  /** Columnar decode covers the plain-scan configurations (no label
-    * decode, indicators, narrowing or overrides — those reshape types or
-    * interleave per-cell string logic). Row-index columns are fine. */
+  /** Columnar decode covers the plain-scan configurations plus label
+    * decode (r12: labeled reads are THE hot path for real survey data,
+    * and the byte-LUT makes the per-cell work a bounds-checked array
+    * load — no reason to degrade them to rows). Indicators, narrowing
+    * and overrides still reshape types per-cell → row path. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
+    if (opts.informativeNulls || opts.compress ||
       opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    columnarRows(part, opts, required, Array.empty)
+
   /** Per-column tight loops over each fixed-width row chunk: the vt/
     * outKind dispatch happens once per column per batch instead of once
     * per cell, and values land unboxed in OnHeapColumnVectors (mirrors
-    * the reference's per-column byte plans, stata/data.rs). */
+    * the reference's per-column byte plans, stata/data.rs).
+    *
+    * Pushed filters (r12): the predicate runs over the raw chunk FIRST
+    * — decoding only the filter columns' bytes per row — then passing
+    * rows COMPACT into a contiguous buffer and the per-column loops run
+    * unchanged over the survivors. Failing rows' non-filter bytes are
+    * never decoded; the copy is sequential and cheap next to decode. */
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -422,14 +499,18 @@ object StataModule extends FormatModule {
       offsets(vi) = acc; acc += md.variables(vi).varType.width; vi += 1
     }
     val byName = md.variables.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
-    // (varIdx or -1 for row index, byteOff, vt, outKind)
-    val plans: Array[(Int, Int, VarType, OutKind)] =
+    // (varIdx or -1 for row index, byteOff, vt, outKind, label LUT)
+    val plans: Array[(Int, Int, VarType, OutKind, IntByteLut)] =
       required.fields.map { f =>
-        if (opts.rowIndexName.contains(f.name)) (-1, 0, TDouble, ODouble)
+        if (opts.rowIndexName.contains(f.name)) (-1, 0, TDouble, ODouble, null)
         else {
           val i = byName(f.name)
           val v = md.variables(i)
-          (i, offsets(i), v.varType, v.outKind)
+          val lut =
+            if (opts.valueLabelsAsStrings && isNumeric(v))
+              labelMapFor(md, v).map(new IntByteLut(_)).orNull
+            else null
+          (i, offsets(i), v.varType, v.outKind, lut)
         }
       }
     val needStrl = plans.exists(p => p._1 >= 0 && p._3 == TStrL)
@@ -473,15 +554,90 @@ object StataModule extends FormatModule {
         new ColumnarBatch(vectors, n)
       }
 
-      private def decodeColumn(pl: (Int, Int, VarType, OutKind),
+      /** Label render of one valid numeric into the string vector: LUT
+        * hit → shared pre-encoded bytes; miss → the value's code form
+        * (same rule as the row path's finishNumeric). */
+      private def putLabel(vec: OnHeapColumnVector, r: Int,
+          lut: IntByteLut, d: Double): Unit = {
+        if (d == math.floor(d) && !d.isInfinite &&
+            math.abs(d) < Int.MaxValue.toDouble) {
+          val b = lut.get(d.toInt)
+          if (b != null) { vec.putByteArray(r, b, 0, b.length); return }
+        }
+        val fb = NumRender.code(d).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        vec.putByteArray(r, fb, 0, fb.length)
+      }
+
+      /** Labeled numeric column → string vector (valueLabelsAsStrings).
+        * Missing handling matches the row path exactly: sys/extended
+        * missings → null; the float/double "NaN but not the sys-missing
+        * pattern" zone renders through the code form ("NaN"). */
+      private def decodeLabeled(vt: VarType, off: Int, lut: IntByteLut,
+          buf: Array[Byte], n: Int, vec: OnHeapColumnVector): Unit = {
+        var r = 0; var p = off
+        vt match {
+          case TByte =>
+            while (r < n) {
+              val v = buf(p).toInt
+              if ((rules.sysMissingEnabled && v >= rules.sysInt8) || v > rules.maxInt8)
+                vec.putNull(r)
+              else putLabel(vec, r, lut, v.toDouble)
+              r += 1; p += rowLen
+            }
+          case TInt =>
+            while (r < n) {
+              val v = Bin.i16(buf, p, little).toInt
+              if ((rules.sysMissingEnabled && v >= rules.sysInt16) || v > rules.maxInt16)
+                vec.putNull(r)
+              else putLabel(vec, r, lut, v.toDouble)
+              r += 1; p += rowLen
+            }
+          case TLong =>
+            while (r < n) {
+              val v = Bin.i32(buf, p, little)
+              if ((rules.sysMissingEnabled && v >= rules.sysInt32) || v > rules.maxInt32)
+                vec.putNull(r)
+              else putLabel(vec, r, lut, v.toDouble)
+              r += 1; p += rowLen
+            }
+          case TFloat =>
+            while (r < n) {
+              val bits = Bin.f32bits(buf, p, little)
+              val ubits = bits & 0xffffffffL
+              if ((bits & 0x80000000) == 0 && ubits > rules.maxFloatBits) {
+                if (ubits == rules.missFloatBits) vec.putNull(r)
+                else putLabel(vec, r, lut, Double.NaN)
+              } else putLabel(vec, r, lut,
+                java.lang.Float.intBitsToFloat(bits).toDouble)
+              r += 1; p += rowLen
+            }
+          case TDouble =>
+            while (r < n) {
+              val bits = Bin.f64bits(buf, p, little)
+              if ((bits & 0x8000000000000000L) == 0 &&
+                  java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) {
+                if (bits == rules.missDoubleBits) vec.putNull(r)
+                else putLabel(vec, r, lut, Double.NaN)
+              } else putLabel(vec, r, lut,
+                java.lang.Double.longBitsToDouble(bits))
+              r += 1; p += rowLen
+            }
+          case _ => // strings never carry numeric labels (plan builds no LUT)
+            while (r < n) { vec.putNull(r); r += 1 }
+        }
+      }
+
+      private def decodeColumn(pl: (Int, Int, VarType, OutKind, IntByteLut),
           buf: Array[Byte], n: Int, startRow: Long,
           vec: OnHeapColumnVector): Unit = {
-        val (varIdx, off, vt, outKind) = pl
+        val (varIdx, off, vt, outKind, lut) = pl
         if (varIdx == -1) { // row index
           var r = 0
           while (r < n) { vec.putLong(r, startRow + r); r += 1 }
           return
         }
+        if (lut != null) { decodeLabeled(vt, off, lut, buf, n, vec); return }
         val plain = outKind match {
           case OByte | OShort | OInt | OFloat | ODouble | OString => true
           case _ => false

@@ -1,0 +1,158 @@
+package graft.readstat
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r12 columnar-coverage additions: POR batch decode (the last format
+  * that served rows only) and label decode inside the columnar path on
+  * dta/sav/por. Each case pins BOTH properties: the plan actually runs
+  * ColumnarToRow, and the values match the row path bit-for-bit (row
+  * path forced via a no-op schemaOverride, which supportsColumnar
+  * rejects by design).
+  */
+class ColumnarParitySpec extends SparkTestBase {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_colpar").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def assertColumnarParity(read: => DataFrame,
+      rowRead: => DataFrame, ctx: String): Unit = {
+    val df = read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"$ctx not columnar:\n$plan")
+    val rows = rowRead
+    assert(!rows.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"$ctx: row-path forcing failed")
+    assertSameData(df, rows, ctx)
+  }
+
+  /** No-op override on the first column: same schema, row path forced. */
+  private def noopOverride(df: DataFrame): String = {
+    val f0 = df.schema.fields(0)
+    s"${f0.name} ${f0.dataType.sql}"
+  }
+
+  test("por scan runs the columnar path with row-path parity") {
+    import spark.implicits._
+    val p = s"$dir/plain.por"
+    (1 to 4000).map(i =>
+      (i.toDouble, if (i % 7 == 0) null else s"s$i", i % 13 * 0.25))
+      .toDF("num", "txt", "frac")
+      .write.format("readstat").mode("overwrite").save(p)
+    def base = spark.read.format("readstat").load(p)
+    assertColumnarParity(
+      base,
+      spark.read.format("readstat")
+        .option("schemaOverrides", noopOverride(base)).load(p),
+      "por plain")
+    // projection skim + row index stay correct through the batch path
+    val withIdx = spark.read.format("readstat")
+      .option("rowIndexName", "_ri").load(p).select("frac", "_ri")
+    assert(withIdx.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val got = withIdx.orderBy("_ri").collect()
+    assert(got.length == 4000)
+    assert(got(0).getDouble(0) == 0.25 && got(0).getLong(1) == 0L)
+    assert(got(3999).getLong(1) == 3999L)
+  }
+
+  test("por parallel checkpoint partitions serve columnar batches") {
+    import spark.implicits._
+    val p = s"$dir/par.por"
+    (1 to 60000).map(i => (i.toDouble, s"v${i % 50}", i * 0.5))
+      .toDF("a", "s", "b")
+      .write.format("readstat").mode("overwrite").save(p)
+    val par = spark.read.format("readstat")
+      .option("partitionTargetBytes", "65536").load(p)
+    assert(par.rdd.getNumPartitions > 1, "expected a parallel por scan")
+    assert(par.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val serial = spark.read.format("readstat").load(p)
+    assert(par.agg(sum("a"), sum("b"), count("s")).collect()(0) ==
+      serial.agg(sum("a"), sum("b"), count("s")).collect()(0))
+    assert(par.count() == 60000)
+  }
+
+  test("labeled dta scan decodes through the columnar path") {
+    import spark.implicits._
+    val p = s"$dir/lab.dta"
+    // codes beyond the label table exercise the code-form fallback;
+    // nulls exercise missing handling inside the labeled loop
+    (1 to 5000).map(i =>
+      (if (i % 11 == 0) null else Integer.valueOf(i % 7), i * 1.5))
+      .toDF("code", "x")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "code:1=One,2=Two,3=Three").save(p)
+    def labeled = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p)
+    assertColumnarParity(
+      labeled,
+      spark.read.format("readstat")
+        .option("valueLabelsAsStrings", "true")
+        .option("schemaOverrides", noopOverride(labeled)).load(p),
+      "dta labeled")
+    val vals = labeled.select("code").distinct().collect().map(_.getString(0)).toSet
+    assert(vals == Set(null, "One", "Two", "Three", "0", "4", "5", "6"))
+  }
+
+  test("labeled sav scan decodes through the columnar path") {
+    import spark.implicits._
+    val p = s"$dir/lab.sav"
+    (1 to 5000).map(i =>
+      (if (i % 11 == 0) null else Integer.valueOf(i % 5),
+        if (i % 3 == 0) "ab" else "zz", i * 0.5))
+      .toDF("sex", "tag", "x")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "sex:1=Male,2=Female|tag:ab=Alpha").save(p)
+    def labeled = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p)
+    assertColumnarParity(
+      labeled,
+      spark.read.format("readstat")
+        .option("valueLabelsAsStrings", "true")
+        .option("schemaOverrides", noopOverride(labeled)).load(p),
+      "sav labeled")
+    val sexes = labeled.select("sex").distinct().collect().map(_.getString(0)).toSet
+    assert(sexes == Set(null, "Male", "Female", "0", "3", "4"))
+    val tags = labeled.select("tag").distinct().collect().map(_.getString(0)).toSet
+    assert(tags == Set("Alpha", "zz"))
+  }
+
+  test("labeled por scan decodes through the columnar path") {
+    import spark.implicits._
+    val p = s"$dir/lab.por"
+    (1 to 3000).map(i => (Integer.valueOf(i % 4), i * 2.0))
+      .toDF("grade", "x")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "grade:1=Low,2=Mid,3=High").save(p)
+    def labeled = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p)
+    assertColumnarParity(
+      labeled,
+      spark.read.format("readstat")
+        .option("valueLabelsAsStrings", "true")
+        .option("schemaOverrides", noopOverride(labeled)).load(p),
+      "por labeled")
+    val vals = labeled.select("grade").distinct().collect().map(_.getString(0)).toSet
+    assert(vals == Set("0", "Low", "Mid", "High"))
+  }
+
+  test("sav user-missing codes stay null in the labeled columnar path") {
+    import spark.implicits._
+    val p = s"$dir/miss.sav"
+    (1 to 2000).map(i => (Integer.valueOf(i % 10), i.toDouble))
+      .toDF("q", "x")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "q:1=Yes,2=No,9=Refused")
+      .option("missingValues", "q:9").save(p)
+    val labeled = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p)
+    assert(labeled.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val vals = labeled.select("q").distinct().collect().map(_.getString(0)).toSet
+    // 9 is user-missing → null even though labeled; others label or code
+    assert(vals == Set(null, "Yes", "No", "0", "3", "4", "5", "6", "7", "8"))
+  }
+}
