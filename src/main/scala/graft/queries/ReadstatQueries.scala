@@ -67,6 +67,41 @@ object ReadstatQueries {
       |FROM orders WHERE o_totalprice > 50000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Decode-skipping filter pushdown (r12, SURVEY §2.2): a multi-
+    * conjunct predicate — numeric range + string equality + null-prone
+    * column — evaluated INSIDE the scan (failing rows' other cells are
+    * never decoded), hash-gated against DuckDB applying the same
+    * predicate to the original parquet. Pins null semantics (comparisons
+    * reject nulls), string binary equality and the conjunction logic of
+    * the pushed predicate. */
+  def dtaFilterPushdown(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_fp.dta")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .filter(col("o_totalprice") > 100000 && col("o_totalprice") <= 200000 &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderstatus") =!= "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        // keys may read back as double (dta has no int64) — pin BIGINT
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val dtaFilterPushdownSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_totalprice > 100000 AND o_totalprice <= 200000
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_orderstatus <> 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Text through strL: documents (long text → strL blobs) roundtrip. */
   def dtaStrlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = scratch(d, "documents.dta")
@@ -847,6 +882,7 @@ object ReadstatQueries {
     "por_missing_informative" -> (porMissingInformative _, porMissingInformativeSql),
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
+    "stata_filter_pushdown" -> (dtaFilterPushdown _, dtaFilterPushdownSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),
     "spss_longstr_roundtrip" -> (savLongStrings _, savLongStringsSql),

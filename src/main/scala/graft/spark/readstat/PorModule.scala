@@ -128,8 +128,25 @@ object PorModule extends FormatModule {
     parts.result()
   }
 
+  /** Pushed predicates evaluate on decoded output values, same as the
+    * fixed-width modules. POR can't seek, but it CAN skim: once the
+    * last filter cell of a row is decoded and the predicate fails, the
+    * remaining cells are boundary-skimmed (no string building, no
+    * base-30 parse) — the sequential-format analog of decode skipping. */
+  override def canEvalFilter(path: String, opts: ReadstatOptions,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
+    val types = schema(path, opts).fields.map(f => f.name -> f.dataType).toMap
+    PushedFilters.isSupported(filter, types.get)
+  }
+
   override def rows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[InternalRow] = {
+      required: StructType): Iterator[InternalRow] =
+    rows(part, opts, required, Array.empty)
+
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val stream = part.por match {
       case Some(r) =>
@@ -173,10 +190,26 @@ object PorModule extends FormatModule {
     val needCol = new Array[Boolean](md.vars.length)
     plans.foreach { case (_, vi, _) => if (vi >= 0) needCol(vi) = true }
 
+    // pushed predicate over decoded cell values (slot = var index);
+    // row-index / indicator references don't resolve → those conjuncts
+    // are ignored (the Catalyst residual still applies them)
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val predSlots: String => Option[Int] = n => byName.get(n)
+    val pred: PushedFilters.Pred =
+      if (pushed.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, predSlots, typeByName.get).orNull
+    val maxPredVar: Int =
+      if (pred == null) -1
+      else pushed.flatMap(_.references).flatMap(byName.get).foldLeft(-1)(math.max)
+
     new Iterator[InternalRow] {
       private var limit = part.numRows
       private var nextRow: Array[Any] = _
       private var done = false
+      // filtered-out row marker (identity-compared, never escapes)
+      private val Skip = new Array[Any](0)
+      private var curVals: Array[Any] = _
+      private val getter: Int => Any = slot => curVals(slot)
       // indicator cells for the row in nextRow (reused; consumed in next()
       // before the following readFullRow overwrites it)
       private val inds = new Array[Any](md.vars.length)
@@ -257,6 +290,25 @@ object PorModule extends FormatModule {
                 case _ => d
               }
           }
+          // decode-skip: the last filter cell just decoded — if the
+          // pushed predicate definitely fails, SKIM the remaining cells
+          // (boundary walk only) instead of decoding them
+          if (pred != null && i == maxPredVar) {
+            curVals = vals
+            if (!pred(getter)) {
+              var j = i + 1
+              while (j < md.vars.length) {
+                val vj = md.vars(j)
+                val cj = stream.readChar()
+                if (cj < 0) truncated()
+                require(cj != 'Z', "POR: Z in middle of row")
+                if (vj.isString) stream.skipChars(stream.readDoublePeek(cj).toInt)
+                else PorCore.skimCell(stream, isString = false, cj)
+                j += 1
+              }
+              return Skip
+            }
+          }
           i += 1
         }
         vals
@@ -264,15 +316,17 @@ object PorModule extends FormatModule {
 
       override def hasNext: Boolean = {
         if (done) return false
-        if (limit <= 0) { done = true; stream.close(); return false }
-        if (nextRow == null) {
+        while (nextRow == null) {
+          if (limit <= 0) { done = true; stream.close(); return false }
           // do NOT catch here: a decode error (truncated stream, corrupt
           // base-30 digits) must fail the read, not masquerade as a clean
           // end-of-data — 'Z'/EOF handling lives in readFullRow itself
-          nextRow = readFullRow()
-          if (nextRow == null) { done = true; stream.close() }
+          val r = readFullRow()
+          if (r == null) { done = true; stream.close(); return false }
+          if (r eq Skip) { limit -= 1; rowIdx += 1 } // filtered out
+          else nextRow = r
         }
-        nextRow != null
+        true
       }
 
       // global row index (parallel partitions start mid-file)
@@ -308,7 +362,13 @@ object PorModule extends FormatModule {
   }
 
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    columnarRows(part, opts, required, Array.empty)
+
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -342,6 +402,19 @@ object PorModule extends FormatModule {
           k -> l.getBytes(java.nio.charset.StandardCharsets.UTF_8) }
       else null).toArray
 
+    // pushed predicate (slot = var index): the prefix of each row up to
+    // the last filter cell buffers as plain values, the predicate runs,
+    // and failing rows SKIM their remaining cells — nothing is written
+    // to the vectors for a skipped row (overwriting a vector row cannot
+    // clear its null bit, so partial writes must never happen)
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val pred: PushedFilters.Pred =
+      if (pushed.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, byName.get, typeByName.get).orNull
+    val maxPredVar: Int =
+      if (pred == null) -1
+      else pushed.flatMap(_.references).flatMap(byName.get).foldLeft(-1)(math.max)
+
     // ~2M cells per batch, same auto rule as the fixed-width modules
     val batchRows = math.max(1, math.min(
       if (opts.batchRows > 0) opts.batchRows.toLong
@@ -369,10 +442,77 @@ object PorModule extends FormatModule {
 
       private def finish(): Unit = { done = true; stream.close() }
 
+      /** One string cell → Array[Byte] (label or value bytes) or null. */
+      private def decodeStrCell(i: Int, v: PorVar, c0: Int): Any = {
+        val len = stream.readDoublePeek(c0).toInt
+        val s0 = new String(stream.readChars(len),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        var e = s0.length
+        while (e > 0 && s0(e - 1) == ' ') e -= 1
+        val s = s0.substring(0, e)
+        val userMiss = v.missingStrings.nonEmpty && v.missingStrings.contains(s)
+        if ((s.isEmpty && opts.missingStringAsNull) || userMiss) null
+        else {
+          var b: Array[Byte] =
+            if (labelStr(i) != null) labelStr(i).getOrElse(s, null) else null
+          if (b == null) b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          b
+        }
+      }
+
+      /** One numeric cell → Array[Byte] (label) / boxed Int/Long/Double
+        * (temporal-converted) / null. */
+      private def decodeNumCell(i: Int, v: PorVar, c0: Int): Any = {
+        val d =
+          if (c0 == '*') {
+            val c2 = stream.readChar()
+            require(c2 == '.', s"POR: expected '.' after '*', got ${c2.toChar}")
+            Double.NaN
+          } else stream.readDoublePeek(c0)
+        val userMiss = !d.isNaN && isUserMissing(v, d)
+        if (d.isNaN || userMiss) null
+        else if (labelNum(i) != null) {
+          var b = labelNum(i).get(d)
+          if (b == null)
+            b = NumRender.code(d).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          b
+        } else v.formatClass match {
+          case Some("Date") =>
+            java.lang.Integer.valueOf(((d.toLong - SecShift) / 86400L).toInt)
+          case Some("DateTime") =>
+            java.lang.Long.valueOf(math.round((d - SecShift) * 1000.0) * 1000L)
+          case Some("Time") => java.lang.Long.valueOf(math.round(d * 1e9))
+          case _ => java.lang.Double.valueOf(d)
+        }
+      }
+
+      private def putCell(vec: OnHeapColumnVector, r: Int, value: Any): Unit =
+        value match {
+          case null => vec.putNull(r)
+          case b: Array[Byte] => vec.putByteArray(r, b, 0, b.length)
+          case d: java.lang.Double => vec.putDouble(r, d.doubleValue())
+          case l: java.lang.Long => vec.putLong(r, l.longValue())
+          case x: java.lang.Integer => vec.putInt(r, x.intValue())
+        }
+
+      // prefix buffer for the pushed-predicate regime; the getter hands
+      // the predicate UTF8String views over buffered byte arrays
+      private val pv: Array[Any] =
+        if (pred == null) null else new Array[Any](maxPredVar + 1)
+      private val pvGetter: Int => Any = slot => pv(slot) match {
+        case b: Array[Byte] => UTF8String.fromBytes(b)
+        case other => other
+      }
+
       /** Decode up to batchRows rows straight into fresh vectors; null
         * when the stream (or the partition's row budget) is exhausted.
         * Cells no required field reads are skimmed, same as the row
-        * path. Decode errors propagate — never masquerade as EOF. */
+        * path. With a pushed predicate, each row's prefix up to the
+        * last filter cell buffers in `pv`, the predicate runs, and a
+        * failing row SKIMS its remaining cells — no vector slot is
+        * touched for skipped rows (a rewritten vector row cannot clear
+        * its null bit, so partial writes are forbidden). Decode errors
+        * propagate — never masquerade as EOF. */
       private def readBatch(): ColumnarBatch = {
         if (limit <= 0) { finish(); return null }
         val m = math.min(batchRows.toLong, limit).toInt
@@ -383,10 +523,12 @@ object PorModule extends FormatModule {
           c += 1
         }
         var r = 0
-        while (r < m && !done) {
+        var scanned = 0
+        while (scanned < m && !done) {
           var i = 0
           var zEnd = false
-          while (i < md.vars.length && !zEnd) {
+          var skipped = false
+          while (i < md.vars.length && !zEnd && !skipped) {
             val v = md.vars(i)
             val c0 = stream.readChar()
             if (c0 == 'Z') {
@@ -395,31 +537,42 @@ object PorModule extends FormatModule {
             } else {
               if (c0 < 0) truncated()
               val fi = fieldOfVar(i)
-              if (v.isString) {
-                val len = stream.readDoublePeek(c0).toInt
-                if (fi < 0) stream.skipChars(len)
-                else {
-                  val vec = vectors(fi).asInstanceOf[OnHeapColumnVector]
-                  val s0 = new String(stream.readChars(len),
-                    java.nio.charset.StandardCharsets.ISO_8859_1)
-                  var e = s0.length
-                  while (e > 0 && s0(e - 1) == ' ') e -= 1
-                  val s = s0.substring(0, e)
-                  val userMiss = v.missingStrings.nonEmpty &&
-                    v.missingStrings.contains(s)
-                  if ((s.isEmpty && opts.missingStringAsNull) || userMiss)
-                    vec.putNull(r)
-                  else {
-                    var b: Array[Byte] =
-                      if (labelStr(i) != null) labelStr(i).getOrElse(s, null)
-                      else null
-                    if (b == null)
-                      b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-                    vec.putByteArray(r, b, 0, b.length)
+              val buffering = pred != null && i <= maxPredVar
+              if (buffering) {
+                // prefix cell under a pushed predicate: buffer (or skim
+                // if unprojected — filter cells are always projected)
+                pv(i) =
+                  if (fi < 0) {
+                    if (v.isString) stream.skipChars(stream.readDoublePeek(c0).toInt)
+                    else PorCore.skimCell(stream, isString = false, c0)
+                    null
                   }
-                }
+                  else if (v.isString) decodeStrCell(i, v, c0)
+                  else decodeNumCell(i, v, c0)
               } else if (fi < 0) {
-                PorCore.skimCell(stream, isString = false, c0)
+                if (v.isString) stream.skipChars(stream.readDoublePeek(c0).toInt)
+                else PorCore.skimCell(stream, isString = false, c0)
+              } else if (v.isString) {
+                // direct, boxing-free vector writes on the hot path
+                val vec = vectors(fi).asInstanceOf[OnHeapColumnVector]
+                val len = stream.readDoublePeek(c0).toInt
+                val s0 = new String(stream.readChars(len),
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                var e = s0.length
+                while (e > 0 && s0(e - 1) == ' ') e -= 1
+                val s = s0.substring(0, e)
+                val userMiss = v.missingStrings.nonEmpty &&
+                  v.missingStrings.contains(s)
+                if ((s.isEmpty && opts.missingStringAsNull) || userMiss)
+                  vec.putNull(r)
+                else {
+                  var b: Array[Byte] =
+                    if (labelStr(i) != null) labelStr(i).getOrElse(s, null)
+                    else null
+                  if (b == null)
+                    b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  vec.putByteArray(r, b, 0, b.length)
+                }
               } else {
                 val vec = vectors(fi).asInstanceOf[OnHeapColumnVector]
                 val d =
@@ -445,22 +598,50 @@ object PorModule extends FormatModule {
                   case _ => vec.putDouble(r, d)
                 }
               }
+              // prefix complete: evaluate, and either flush the buffered
+              // cells into the vectors or skim the rest of the row
+              if (buffering && i == maxPredVar) {
+                if (pred(pvGetter)) {
+                  var j = 0
+                  while (j <= maxPredVar) {
+                    val fj = fieldOfVar(j)
+                    if (fj >= 0)
+                      putCell(vectors(fj).asInstanceOf[OnHeapColumnVector], r, pv(j))
+                    j += 1
+                  }
+                } else {
+                  var j = i + 1
+                  while (j < md.vars.length) {
+                    val vj = md.vars(j)
+                    val cj = stream.readChar()
+                    if (cj < 0) truncated()
+                    require(cj != 'Z', "POR: Z in middle of row")
+                    if (vj.isString) stream.skipChars(stream.readDoublePeek(cj).toInt)
+                    else PorCore.skimCell(stream, isString = false, cj)
+                    j += 1
+                  }
+                  skipped = true
+                }
+              }
               i += 1
             }
           }
           if (zEnd) done = true
           else {
-            if (rowIdxField >= 0)
-              vectors(rowIdxField).asInstanceOf[OnHeapColumnVector]
-                .putLong(r, rowIdx)
+            scanned += 1
+            if (!skipped) {
+              if (rowIdxField >= 0)
+                vectors(rowIdxField).asInstanceOf[OnHeapColumnVector]
+                  .putLong(r, rowIdx)
+              r += 1
+            }
             rowIdx += 1
-            r += 1
           }
         }
-        limit -= r
+        limit -= scanned
         if (done) stream.close()
         else if (limit <= 0) finish()
-        if (r == 0) { vectors.foreach(_.close()); null }
+        if (r == 0 && (done || limit <= 0)) { vectors.foreach(_.close()); null }
         else new ColumnarBatch(vectors, r)
       }
     }

@@ -217,8 +217,26 @@ object SasModule extends FormatModule {
       labels: DoubleLabelLut, charLabels: Map[String, String] = null,
       indicator: Boolean = false, rowIndex: Boolean = false)
 
+  /** Same rule as the other fixed-width modules: predicates evaluate on
+    * decoded output values; compress narrowing / overrides refuse. */
+  override def canEvalFilter(path: String, opts: ReadstatOptions,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
+    val types = schema(path, opts).fields.map(f => f.name -> f.dataType).toMap
+    PushedFilters.isSupported(filter, types.get)
+  }
+
   override def rows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[InternalRow] = {
+      required: StructType): Iterator[InternalRow] =
+    rows(part, opts, required, Array.empty)
+
+  /** Decode-skipping scan: filter cells decode first per row slot;
+    * failing rows skip the remaining per-cell decode. (Compressed rows
+    * still pay their RLE/RDC expansion — the filter applies to the
+    * expanded slot — but all non-filter cell decode is skipped.) */
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val byName = md.columns.map(c => c.name).zipWithIndex.toMap
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
@@ -289,28 +307,68 @@ object SasModule extends FormatModule {
         advance()
       }
 
-      override def hasNext: Boolean = advance()
+      // pushed-predicate compilation: filter fields decode first, the
+      // rest only for passing rows (see PushedFilters)
+      private val slotByName =
+        required.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+      private val typeByName =
+        required.fields.map(f => f.name -> f.dataType).toMap
+      private val pred: PushedFilters.Pred =
+        if (pushed.isEmpty) null
+        else PushedFilters.compile(pushed.toSeq, slotByName.get, typeByName.get).orNull
+      private val predFields: Set[Int] =
+        if (pred == null) Set.empty
+        else pushed.flatMap(_.references).flatMap(slotByName.get).toSet
+      private val predPlans = plans.filter(p => predFields.contains(p.fieldIdx))
+      private val restPlans =
+        if (pred == null) plans else plans.filterNot(p => predFields.contains(p.fieldIdx))
+      private val getter: Int => Any = slot => row.values(slot)
+      private var rowReady = false
+
+      override def hasNext: Boolean = {
+        if (rowReady) return true
+        while (advance()) {
+          val (off, len, needsDecomp) = rowsInPage(rowPos)
+          val rowIdx = rowIndexBase + emitted
+          rowPos += 1; emitted += 1
+          val (buf, base) =
+            if (!needsDecomp) (page, off)
+            else {
+              val in = java.util.Arrays.copyOfRange(page, off, off + len)
+              val d = if (md.compression == 1) Rle.decompress(in, rowLen)
+                      else Rdc.decompress(in, rowLen)
+              (d, 0)
+            }
+          var pass = true
+          if (pred != null) {
+            var p = 0
+            while (p < predPlans.length) {
+              val pl = predPlans(p)
+              row.update(pl.fieldIdx,
+                if (pl.rowIndex) rowIdx else decodeCell(pl, buf, base))
+              p += 1
+            }
+            pass = pred(getter)
+          }
+          if (pass) {
+            var p = 0
+            while (p < restPlans.length) {
+              val pl = restPlans(p)
+              row.update(pl.fieldIdx,
+                if (pl.rowIndex) rowIdx else decodeCell(pl, buf, base))
+              p += 1
+            }
+            rowReady = true
+            return true
+          }
+          // definite filter miss: skip the remaining cells of this row
+        }
+        false
+      }
 
       override def next(): InternalRow = {
-        if (!advance()) throw new NoSuchElementException
-        val (off, len, needsDecomp) = rowsInPage(rowPos)
-        val rowIdx = rowIndexBase + emitted
-        rowPos += 1; emitted += 1
-        val (buf, base) =
-          if (!needsDecomp) (page, off)
-          else {
-            val in = java.util.Arrays.copyOfRange(page, off, off + len)
-            val d = if (md.compression == 1) Rle.decompress(in, rowLen)
-                    else Rdc.decompress(in, rowLen)
-            (d, 0)
-          }
-        var p = 0
-        while (p < plans.length) {
-          val pl = plans(p)
-          row.update(pl.fieldIdx,
-            if (pl.rowIndex) rowIdx else decodeCell(pl, buf, base))
-          p += 1
-        }
+        if (!rowReady && !hasNext) throw new NoSuchElementException
+        rowReady = false
         row
       }
       // reused mutable row: the scan's unsafe projection copies each row
@@ -392,13 +450,24 @@ object SasModule extends FormatModule {
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    columnarRows(part, opts, required, Array.empty)
+
   /** One ColumnarBatch per data-bearing page: per-column tight loops over
     * the page's fixed-width row slots (rows never span pages). RLE/RDC
     * pages decompress their row subheaders into one contiguous page-local
     * buffer first, then run the same column loops over it — compressed
-    * files get the vectorized path too, not the row fallback. */
+    * files get the vectorized path too, not the row fallback.
+    *
+    * Pushed filters (r12): rows are addressed through a per-page offset
+    * array, so filtering needs no byte compaction at all — the predicate
+    * evaluates per slot and failing offsets simply drop out of `offs`
+    * before the column loops run. */
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -428,6 +497,41 @@ object SasModule extends FormatModule {
       case None =>
         if (startPage == 0 && endPage >= md.pageCount) md.rowCount else Long.MaxValue
     }
+
+    // bytes-predicate over filter cells of one row slot (plain numeric /
+    // char shapes; temporal kinds don't compile — residual covers them).
+    // valueLabelsAsStrings never reaches this path (supportsColumnar).
+    val cellDecoders = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int) => Any]()
+    val slotIdx = scala.collection.mutable.HashMap[String, Int]()
+    if (pushed.nonEmpty) pushed.flatMap(_.references).distinct.foreach { name =>
+      byName.get(name).foreach { ci =>
+        val c = md.columns(ci)
+        val kind = kindFor(c)
+        if (kind == KChar || kind == KNum) {
+          val dec: (Array[Byte], Int) => Any =
+            if (kind == KChar) { (b, base) =>
+              val off = base + c.offset
+              var end = off + c.length
+              while (end > off && (b(end - 1) == ' ' || b(end - 1) == 0)) end -= 1
+              var stop = off
+              while (stop < end && b(stop) != 0) stop += 1
+              if (stop == off) {
+                if (opts.missingStringAsNull) null else UTF8String.fromString("")
+              } else UTF8String.fromString(new String(b, off, stop - off, cs))
+            } else { (b, base) =>
+              val v = SasCore.incompleteDouble(b, base + c.offset, c.length, little)
+              if (v.isNaN || v.isInfinite) null else java.lang.Double.valueOf(v)
+            }
+          slotIdx(name) = cellDecoders.length
+          cellDecoders += dec
+        }
+      }
+    }
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val bytesPred: PushedFilters.Pred =
+      if (pushed.isEmpty || cellDecoders.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    val decoders = cellDecoders.toArray
 
     val raf = new RandomAccessFile(part.path, "r")
     raf.seek(md.headerLength.toLong + startPage.toLong * md.pageLength)
@@ -483,6 +587,12 @@ object SasModule extends FormatModule {
         if (pendingOffs == null) { close(); false } else true
       }
 
+      // current buffer context for the bytes-predicate getter
+      private var curBuf: Array[Byte] = _
+      private var curBase = 0
+      private val predGetter: Int => Any =
+        slot => decoders(slot)(curBuf, curBase)
+
       override def next(): ColumnarBatch = {
         if (!hasNext) throw new NoSuchElementException
         val buf = pendingBuf
@@ -490,14 +600,34 @@ object SasModule extends FormatModule {
         pendingBuf = null; pendingOffs = null
         if (emitted + offs.length > capRows)
           offs = offs.take((capRows - emitted).toInt)
-        val n = offs.length
+        val rawN = offs.length
         val startRow = rowIndexBase + emitted
-        emitted += n
+        emitted += rawN
+        // pushed-filter pass: keep only passing row offsets; `sel`
+        // remembers each survivor's page-local position for row indexes
+        var sel: Array[Int] = null
+        var n = rawN
+        if (bytesPred != null) {
+          val keptOff = new Array[Int](rawN)
+          val keptPos = new Array[Int](rawN)
+          var k = 0
+          var r = 0
+          while (r < rawN) {
+            curBuf = buf; curBase = offs(r)
+            if (bytesPred(predGetter)) { keptOff(k) = offs(r); keptPos(k) = r; k += 1 }
+            r += 1
+          }
+          if (k < rawN) {
+            offs = java.util.Arrays.copyOf(keptOff, k)
+            sel = java.util.Arrays.copyOf(keptPos, k)
+            n = k
+          }
+        }
         val vectors = new Array[ColumnVector](plans.length)
         var c = 0
         while (c < plans.length) {
           val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
-          decodeColumn(plans(c), buf, offs, n, startRow, vec)
+          decodeColumn(plans(c), buf, offs, n, startRow, vec, sel)
           vectors(c) = vec
           c += 1
         }
@@ -506,11 +636,12 @@ object SasModule extends FormatModule {
 
       private def decodeColumn(pl: (SasColumn, Kind), page: Array[Byte],
           offs: Array[Int], n: Int,
-          startRow: Long, vec: OnHeapColumnVector): Unit = {
+          startRow: Long, vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
         val (col, kind) = pl
-        if (col == null) { // row index
+        if (col == null) { // row index (filtered batches map through sel)
           var r = 0
-          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
           return
         }
         if (kind == KChar) {

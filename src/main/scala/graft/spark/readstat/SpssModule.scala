@@ -142,8 +142,29 @@ object SpssModule extends FormatModule {
       out: DataType, labels: Boolean, indicator: Boolean,
       numLut: DoubleLabelLut = null) // see [[DoubleLabelLut]]
 
+  /** Same rule as StataModule: predicates evaluate on decoded output
+    * values, so anything that lands numeric or string qualifies;
+    * compress narrowing / overrides reshape types post-decode → refuse. */
+  override def canEvalFilter(path: String, opts: ReadstatOptions,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
+    val types = schema(path, opts).fields.map(f => f.name -> f.dataType).toMap
+    PushedFilters.isSupported(filter, types.get)
+  }
+
   override def rows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[InternalRow] = {
+      required: StructType): Iterator[InternalRow] =
+    rows(part, opts, required, Array.empty)
+
+  /** Decode-skipping scan: filter cells decode first off the row
+    * buffer; failing rows skip the remaining per-cell decode. (For the
+    * bytecode/zsav sources the 8-byte slots were already expanded by
+    * the command stream — the skip saves string materialization,
+    * missing-rule checks and boxing, not the expansion itself; for
+    * uncompressed files it saves everything past the filter columns.) */
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val recordLen = md.recordLen
     val byName = md.vars.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
@@ -177,24 +198,60 @@ object SpssModule extends FormatModule {
       case other => throw new IllegalArgumentException(s"sav compression $other")
     }
 
+    // compile the pushed predicate against field slots; predicate
+    // fields decode first, the rest only for passing rows
+    val slotByName = required.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val pred: PushedFilters.Pred =
+      if (pushed.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotByName.get, typeByName.get).orNull
+    val predFields: Set[Int] =
+      if (pred == null) Set.empty
+      else pushed.flatMap(_.references).flatMap(slotByName.get).toSet
+    val predPlans = plans.filter(p => predFields.contains(p.fieldIdx))
+    val restPlans =
+      if (pred == null) plans else plans.filterNot(p => predFields.contains(p.fieldIdx))
+
     new Iterator[InternalRow] {
       private var globalRow = part.startRow
-      private var nextBuf: Array[Byte] = _
-      override def hasNext: Boolean = {
-        if (nextBuf == null) nextBuf = rowSource.nextRow()
-        nextBuf != null
-      }
       // reused mutable row: the scan's unsafe projection copies each row
       private val row = new GenericInternalRow(plans.length)
-      override def next(): InternalRow = {
-        if (!hasNext) throw new NoSuchElementException
-        val b = nextBuf; nextBuf = null
-        var p = 0
-        while (p < plans.length) {
-          row.update(plans(p).fieldIdx, decodeCell(plans(p), b, globalRow))
-          p += 1
+      private val getter: Int => Any = slot => row.values(slot)
+      private var rowReady = false
+
+      override def hasNext: Boolean = {
+        if (rowReady) return true
+        var b = rowSource.nextRow()
+        while (b != null) {
+          var pass = true
+          if (pred != null) {
+            var p = 0
+            while (p < predPlans.length) {
+              row.update(predPlans(p).fieldIdx, decodeCell(predPlans(p), b, globalRow))
+              p += 1
+            }
+            pass = pred(getter)
+          }
+          if (pass) {
+            var p = 0
+            while (p < restPlans.length) {
+              row.update(restPlans(p).fieldIdx, decodeCell(restPlans(p), b, globalRow))
+              p += 1
+            }
+            globalRow += 1
+            rowReady = true
+            return true
+          }
+          // definite filter miss: skip the rest of this row's decode
+          globalRow += 1
+          b = rowSource.nextRow()
         }
-        globalRow += 1
+        false
+      }
+
+      override def next(): InternalRow = {
+        if (!rowReady && !hasNext) throw new NoSuchElementException
+        rowReady = false
         row
       }
 
@@ -295,13 +352,24 @@ object SpssModule extends FormatModule {
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    columnarRows(part, opts, required, Array.empty)
+
   /** Per-column tight loops over fixed-width record chunks. Uncompressed
     * files chunk-read straight off an O(1) seek; bytecode/zsav partitions
     * decompress through their checkpointed RowSource into the same
     * recordLen-strided chunk buffer, so compressed files get typed column
-    * vectors instead of the per-cell row fallback. */
+    * vectors instead of the per-cell row fallback.
+    *
+    * Pushed filters (r12): filter cells evaluate over the raw chunk
+    * first, passing rows compact into a contiguous buffer, and the
+    * per-column loops run over the survivors (see StataModule — same
+    * compaction design). */
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -320,6 +388,53 @@ object SpssModule extends FormatModule {
         (v, numLut, strLab)
       }
     }
+    // bytes-predicate over filter cells (plain numeric/string shapes;
+    // labeled columns don't compile — their conjuncts simply don't
+    // contribute to skipping, the residual Filter still applies)
+    val cellDecoders = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int) => Any]()
+    val slotIdx = scala.collection.mutable.HashMap[String, Int]()
+    if (pushed.nonEmpty) pushed.flatMap(_.references).distinct.foreach { name =>
+      byName.get(name).foreach { vi =>
+        val v = md.vars(vi)
+        val labeled = opts.valueLabelsAsStrings &&
+          ((!v.isString && v.numLabels.nonEmpty) ||
+            (v.isString && v.strLabels.nonEmpty))
+        val temporal = !v.isString && v.formatClass.isDefined
+        if (!labeled && !temporal) {
+          val off = v.offsetUnits * 8
+          val dec: (Array[Byte], Int) => Any =
+            if (v.isString) {
+              val storage = v.widthUnits * 8
+              (b, base) => {
+                val raw =
+                  if (v.stringLen > 255)
+                    SpssCore.reconstructVeryLong(b, base + off, storage, v.stringLen)
+                  else java.util.Arrays.copyOfRange(b, base + off,
+                    base + off + math.min(v.stringLen, storage))
+                val s = SpssCore.trimSav(new String(raw, md.charset))
+                if ((opts.missingStringAsNull && s.isEmpty) ||
+                    v.missingStrings.contains(s)) null
+                else UTF8String.fromString(s)
+              }
+            } else { (b, base) =>
+              val bits = Bin.i64(b, base + off, md.little)
+              val d = java.lang.Double.longBitsToDouble(bits)
+              val sysMissing = bits == MissingBits || bits == LowestBits ||
+                bits == HighestBits || d.isNaN
+              if (sysMissing || isUserMissing(v, d, bits)) null
+              else java.lang.Double.valueOf(d)
+            }
+          slotIdx(name) = cellDecoders.length
+          cellDecoders += dec
+        }
+      }
+    }
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val bytesPred: PushedFilters.Pred =
+      if (pushed.isEmpty || cellDecoders.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    val decoders = cellDecoders.toArray
+
     val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
     // uncompressed: bulk reads off a seek; compressed: checkpointed
     // sequential decompression (exactly the row path's source)
@@ -365,24 +480,55 @@ object SpssModule extends FormatModule {
         val startRow = globalRow
         remaining -= n; globalRow += n
         if (remaining <= 0) close()
+        // pushed-filter pass: evaluate on filter cells, compact survivors
+        var data = buf
+        var m = n
+        var sel: Array[Int] = null
+        if (bytesPred != null) {
+          val s = new Array[Int](n)
+          var selLen = 0
+          var r = 0
+          while (r < n) {
+            curBuf = buf; curBase = r * recordLen
+            if (bytesPred(predGetter)) { s(selLen) = r; selLen += 1 }
+            r += 1
+          }
+          if (selLen < n) {
+            val cbuf = new Array[Byte](selLen * recordLen)
+            var i = 0
+            while (i < selLen) {
+              System.arraycopy(buf, s(i) * recordLen, cbuf, i * recordLen, recordLen)
+              i += 1
+            }
+            data = cbuf; m = selLen; sel = s
+          }
+        }
         val vectors = new Array[ColumnVector](plans.length)
         var c = 0
         while (c < plans.length) {
-          val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
-          decodeColumn(plans(c), required.fields(c).dataType, buf, n, startRow, vec)
+          val vec = new OnHeapColumnVector(math.max(m, 1), required.fields(c).dataType)
+          decodeColumn(plans(c), required.fields(c).dataType, data, m, startRow, vec, sel)
           vectors(c) = vec
           c += 1
         }
-        new ColumnarBatch(vectors, n)
+        new ColumnarBatch(vectors, m)
       }
+
+      // current chunk context for the bytes-predicate getter
+      private var curBuf: Array[Byte] = _
+      private var curBase = 0
+      private val predGetter: Int => Any =
+        slot => decoders(slot)(curBuf, curBase)
 
       private def decodeColumn(pl: (SpssVar, DoubleByteLut, Boolean),
           dt: DataType, buf: Array[Byte],
-          n: Int, startRow: Long, vec: OnHeapColumnVector): Unit = {
+          n: Int, startRow: Long, vec: OnHeapColumnVector,
+          sel: Array[Int] = null): Unit = {
         val (v, numLut, strLab) = pl
-        if (v == null) { // row index
+        if (v == null) { // row index (filtered batches map through sel)
           var r = 0
-          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
           return
         }
         val off = v.offsetUnits * 8

@@ -105,6 +105,25 @@ object StataModule extends FormatModule {
     }
   }
 
+  /** strL (GSO) reference cell: (v, o) key into the strL table. One
+    * definition for the row, columnar and filter-predicate decoders. */
+  private def decodeStrlRefIn(b: Array[Byte], off: Int,
+      md: StataTypes.Metadata, little: Boolean): (Int, Long) =
+    if (md.version >= 118) {
+      val useLittle = little || md.version >= 119
+      val v = Bin.u16(b, off, useLittle)
+      val o =
+        if (useLittle)
+          (b(off + 2) & 0xffL) | ((b(off + 3) & 0xffL) << 8) |
+            ((b(off + 4) & 0xffL) << 16) | ((b(off + 5) & 0xffL) << 24) |
+            ((b(off + 6) & 0xffL) << 32) | ((b(off + 7) & 0xffL) << 40)
+        else
+          ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
+            ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
+            ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
+      (v, o)
+    } else (Bin.i32(b, off, little), Bin.u32(b, off + 4, little))
+
   /** Pre-encoded label lookup for the row decode: one UTF8String per
     * LABEL for the whole partition instead of one per ROW —
     * `UTF8String.fromString` re-encodes UTF-8 on every call, and a
@@ -432,20 +451,7 @@ object StataModule extends FormatModule {
       }
 
       private def decodeStrlRef(b: Array[Byte], off: Int): (Int, Long) =
-        if (md.version >= 118) {
-          val useLittle = little || md.version >= 119
-          val v = Bin.u16(b, off, useLittle)
-          val o =
-            if (useLittle)
-              (b(off + 2) & 0xffL) | ((b(off + 3) & 0xffL) << 8) |
-                ((b(off + 4) & 0xffL) << 16) | ((b(off + 5) & 0xffL) << 24) |
-                ((b(off + 6) & 0xffL) << 32) | ((b(off + 7) & 0xffL) << 40)
-            else
-              ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
-                ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
-                ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
-          (v, o)
-        } else (Bin.i32(b, off, little), Bin.u32(b, off + 4, little))
+        decodeStrlRefIn(b, off, md, little)
     }
   }
 
@@ -517,6 +523,83 @@ object StataModule extends FormatModule {
     val strlMap: Map[(Int, Long), String] =
       if (needStrl) strls(part.path) else Map.empty
 
+    // bytes-predicate: per filter column, a decoder from (chunk, rowBase)
+    // to the decoded output value — numerics box to Double (the
+    // predicate compares on double anyway), strings to UTF8String.
+    // Labeled and temporal columns don't compile; their conjuncts just
+    // don't contribute to skipping (the residual Filter still applies).
+    val cellDecoders = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int) => Any]()
+    val slotIdx = scala.collection.mutable.HashMap[String, Int]()
+    if (pushed.nonEmpty) pushed.flatMap(_.references).distinct.foreach { name =>
+      byName.get(name).foreach { vi =>
+        val v = md.variables(vi)
+        val labeled = opts.valueLabelsAsStrings && isNumeric(v) &&
+          labelMapFor(md, v).isDefined
+        val plainOut = v.outKind match {
+          case OByte | OShort | OInt | OFloat | ODouble | OString => true
+          case _ => false
+        }
+        if (!labeled && plainOut) {
+          val off = offsets(vi)
+          val dec: (Array[Byte], Int) => Any = v.varType match {
+            case TByte => (b, base) => {
+              val x = b(base + off).toInt
+              if ((rules.sysMissingEnabled && x >= rules.sysInt8) || x > rules.maxInt8) null
+              else java.lang.Double.valueOf(x.toDouble)
+            }
+            case TInt => (b, base) => {
+              val x = Bin.i16(b, base + off, little).toInt
+              if ((rules.sysMissingEnabled && x >= rules.sysInt16) || x > rules.maxInt16) null
+              else java.lang.Double.valueOf(x.toDouble)
+            }
+            case TLong => (b, base) => {
+              val x = Bin.i32(b, base + off, little)
+              if ((rules.sysMissingEnabled && x >= rules.sysInt32) || x > rules.maxInt32) null
+              else java.lang.Double.valueOf(x.toDouble)
+            }
+            case TFloat => (b, base) => {
+              val bits = Bin.f32bits(b, base + off, little)
+              val ubits = bits & 0xffffffffL
+              if ((bits & 0x80000000) == 0 && ubits > rules.maxFloatBits) {
+                if (ubits == rules.missFloatBits) null
+                else java.lang.Double.valueOf(Double.NaN)
+              } else java.lang.Double.valueOf(
+                java.lang.Float.intBitsToFloat(bits).toDouble)
+            }
+            case TDouble => (b, base) => {
+              val bits = Bin.f64bits(b, base + off, little)
+              if ((bits & 0x8000000000000000L) == 0 &&
+                  java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0) {
+                if (bits == rules.missDoubleBits) null
+                else java.lang.Double.valueOf(Double.NaN)
+              } else java.lang.Double.valueOf(
+                java.lang.Double.longBitsToDouble(bits))
+            }
+            case TStr(w) => (b, base) => {
+              val s = Bin.zstr(b, base + off, w, cs)
+              if (s.isEmpty && opts.missingStringAsNull) null
+              else UTF8String.fromString(s)
+            }
+            case TStrL => (b, base) => {
+              val ref = decodeStrlRefIn(b, base + off, md, little)
+              strlMap.get(ref) match {
+                case Some(s) if !(s.isEmpty && opts.missingStringAsNull) =>
+                  UTF8String.fromString(s)
+                case _ => null
+              }
+            }
+          }
+          slotIdx(name) = cellDecoders.length
+          cellDecoders += dec
+        }
+      }
+    }
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val bytesPred: PushedFilters.Pred =
+      if (pushed.isEmpty || cellDecoders.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    val decoders = cellDecoders.toArray
+
     val raf = new RandomAccessFile(part.path, "r")
     val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
     raf.seek(dataStart + part.startRow * rowLen)
@@ -536,6 +619,12 @@ object StataModule extends FormatModule {
         remaining > 0
       }
 
+      // current chunk context for the bytes-predicate getter
+      private var curBuf: Array[Byte] = _
+      private var curBase = 0
+      private val predGetter: Int => Any =
+        slot => decoders(slot)(curBuf, curBase)
+
       override def next(): ColumnarBatch = {
         val n = math.min(chunkRows.toLong, remaining).toInt
         val buf = new Array[Byte](n * rowLen)
@@ -543,15 +632,40 @@ object StataModule extends FormatModule {
         val startRow = globalRow
         remaining -= n; globalRow += n
         if (remaining <= 0) close()
+        // pushed-filter pass: decode ONLY filter cells per row, compact
+        // the passing rows' bytes, then run the per-column loops over
+        // the survivors — failing rows' other cells are never decoded
+        var data = buf
+        var m = n
+        var sel: Array[Int] = null
+        if (bytesPred != null) {
+          val s = new Array[Int](n)
+          var selLen = 0
+          var r = 0
+          while (r < n) {
+            curBuf = buf; curBase = r * rowLen
+            if (bytesPred(predGetter)) { s(selLen) = r; selLen += 1 }
+            r += 1
+          }
+          if (selLen < n) {
+            val cbuf = new Array[Byte](selLen * rowLen)
+            var i = 0
+            while (i < selLen) {
+              System.arraycopy(buf, s(i) * rowLen, cbuf, i * rowLen, rowLen)
+              i += 1
+            }
+            data = cbuf; m = selLen; sel = s
+          }
+        }
         val vectors = new Array[ColumnVector](plans.length)
         var c = 0
         while (c < plans.length) {
-          val vec = new OnHeapColumnVector(n, required.fields(c).dataType)
-          decodeColumn(plans(c), buf, n, startRow, vec)
+          val vec = new OnHeapColumnVector(math.max(m, 1), required.fields(c).dataType)
+          decodeColumn(plans(c), data, m, startRow, vec, sel)
           vectors(c) = vec
           c += 1
         }
-        new ColumnarBatch(vectors, n)
+        new ColumnarBatch(vectors, m)
       }
 
       /** Label render of one valid numeric into the string vector: LUT
@@ -630,11 +744,12 @@ object StataModule extends FormatModule {
 
       private def decodeColumn(pl: (Int, Int, VarType, OutKind, IntByteLut),
           buf: Array[Byte], n: Int, startRow: Long,
-          vec: OnHeapColumnVector): Unit = {
+          vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
         val (varIdx, off, vt, outKind, lut) = pl
-        if (varIdx == -1) { // row index
+        if (varIdx == -1) { // row index (filtered batches map through sel)
           var r = 0
-          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
           return
         }
         if (lut != null) { decodeLabeled(vt, off, lut, buf, n, vec); return }
@@ -768,20 +883,7 @@ object StataModule extends FormatModule {
       }
 
       private def decodeStrlRefAt(b: Array[Byte], off: Int): (Int, Long) =
-        if (md.version >= 118) {
-          val useLittle = little || md.version >= 119
-          val v = Bin.u16(b, off, useLittle)
-          val o =
-            if (useLittle)
-              (b(off + 2) & 0xffL) | ((b(off + 3) & 0xffL) << 8) |
-                ((b(off + 4) & 0xffL) << 16) | ((b(off + 5) & 0xffL) << 24) |
-                ((b(off + 6) & 0xffL) << 32) | ((b(off + 7) & 0xffL) << 40)
-            else
-              ((b(off + 2) & 0xffL) << 40) | ((b(off + 3) & 0xffL) << 32) |
-                ((b(off + 4) & 0xffL) << 24) | ((b(off + 5) & 0xffL) << 16) |
-                ((b(off + 6) & 0xffL) << 8) | (b(off + 7) & 0xffL)
-          (v, o)
-        } else (Bin.i32(b, off, little), Bin.u32(b, off + 4, little))
+        decodeStrlRefIn(b, off, md, little)
     }
   }
 }

