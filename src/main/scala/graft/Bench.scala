@@ -245,6 +245,23 @@ object Bench {
           scan(dta50).select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
             .agg(count(lit(1))).collect()(0).getLong(0)),
+        // r12 decode-skipping showcase: ~2%-selective pushed filter with
+        // a SECOND projected column — the scan decodes l_quantity per
+        // row, and l_extendedprice only for the ~2% of rows that pass
+        // (r11 decoded both columns for every row)
+        ("stata_filter_selective_50m", () =>
+          scan(dta50).select("l_quantity", "l_extendedprice")
+            .filter(col("l_quantity") > 49)
+            .agg(sum(col("l_extendedprice")), count(lit(1)))
+            .collect()(0).getLong(1)),
+        // por analog: failing rows SKIM their remaining cells (boundary
+        // walk, no base-30 parse) — POR cannot seek, but it can skip work
+        ("por_filter_skim", () =>
+          spark.read.format("readstat")
+            .option("partitionTargetBytes", "4194304").load(por)
+            .filter(col("L_QUANTI") > 49)
+            .agg(sum(col("L_PARTKE")), count(lit(1)))
+            .collect()(0).getLong(1)),
         // compressed read: checkpoint-parallel zlib inflate + columnar
         // decode (the reference's zsav path is serial, BASELINE.md:45-48)
         ("zsav_fullread_10m", () =>

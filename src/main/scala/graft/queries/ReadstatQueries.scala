@@ -102,6 +102,38 @@ object ReadstatQueries {
       |  AND o_orderstatus <> 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Value-label decode through the DICTIONARY-encoded columnar path
+    * (r12): an int code column written with a label table, read back
+    * with valueLabelsAsStrings (labeled scans now run columnar with
+    * per-cell dictionary ids), grouped BY the decoded label — codes
+    * beyond the table exercise the code-form fallback ids. The oracle
+    * rebuilds the same decode as a CASE over the original parquet. */
+  def dtaLabeledAgg(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_lab.dta")
+    orders(s, d)
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_code"),
+        col("o_totalprice"))
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "prio_code:1=Urgent,2=High,3=Medium")
+      .save(path)
+    s.read.format("readstat")
+      .option("valueLabelsAsStrings", "true").load(path)
+      .groupBy(col("prio_code").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("prio")
+  }
+
+  val dtaLabeledAggSql: String =
+    """SELECT CASE CAST(substring(o_orderpriority, 1, 1) AS INT)
+      |         WHEN 1 THEN 'Urgent' WHEN 2 THEN 'High' WHEN 3 THEN 'Medium'
+      |         ELSE CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) AS VARCHAR)
+      |       END AS prio,
+      |       count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY prio ORDER BY prio""".stripMargin
+
   /** Text through strL: documents (long text → strL blobs) roundtrip. */
   def dtaStrlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = scratch(d, "documents.dta")
@@ -883,6 +915,7 @@ object ReadstatQueries {
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
     "stata_filter_pushdown" -> (dtaFilterPushdown _, dtaFilterPushdownSql),
+    "stata_labeled_agg" -> (dtaLabeledAgg _, dtaLabeledAggSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),
     "spss_longstr_roundtrip" -> (savLongStrings _, savLongStringsSql),

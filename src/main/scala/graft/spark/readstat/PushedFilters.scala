@@ -181,14 +181,17 @@ private[readstat] object PushedFilters {
           case _ => None
         }
       case Not(c) =>
-        // sound only when the child is EXACT for non-null cells and
-        // null-rejecting — true of every leaf above (null → false,
-        // which Not would flip to a wrong true... so require the child
-        // to be null-safe): restrict to children whose Catalyst value
-        // on null is also not-true → keep the row (never skip). The
-        // simple sound rule: never skip under Not unless the child
-        // compiled AND the cell is non-null.
-        compileOne(c, slotOf, typeOf) match {
+        // Negation is only sound over an EXACT child. Two exactness
+        // holes to close: (a) a null cell makes a leaf "false" where
+        // Catalyst says null — Not would flip that to a wrong keep →
+        // skip only when every referenced cell is non-null; (b) the
+        // And case compiles one evaluable side alone, which UNDER-
+        // approximates truth — sound for positive skipping, but Not of
+        // an under-approximation over-skips → require the whole child
+        // tree supported (isSupported: And needs both sides) and every
+        // ref resolvable, so nothing below compiled partially.
+        if (!isSupported(c, typeOf)) None
+        else compileOne(c, slotOf, typeOf) match {
           case Some(child) =>
             val refs = c.references
             val slots = refs.flatMap(slotOf(_))

@@ -441,9 +441,13 @@ object SasModule extends FormatModule {
 
   // ---- vectorized decode path (uncompressed pages only) ----
 
+  /** Columnar decode covers the plain configurations plus catalog label
+    * decode (r12, completing the matrix with dta/sav/por: byte-LUT per
+    * labeled column, char-format maps applied in the string loop).
+    * Indicators, narrowing and overrides -> row path. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.valueLabelsAsStrings || opts.informativeNulls || opts.compress ||
+    if (opts.informativeNulls || opts.compress ||
       opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
@@ -473,14 +477,22 @@ object SasModule extends FormatModule {
 
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
-    // (col or null = row index, kind)
-    val plans: Array[(SasColumn, Kind)] = required.fields.map { f =>
-      if (opts.rowIndexName.contains(f.name)) (null, KNum)
-      else {
-        val c = md.columns(byName(f.name))
-        (c, kindFor(c))
+    // (col or null = row index, kind, numeric label LUT, char label map)
+    val plans: Array[(SasColumn, Kind, DoubleByteLut, Map[String, String])] =
+      required.fields.map { f =>
+        if (opts.rowIndexName.contains(f.name)) (null, KNum, null, null)
+        else {
+          val c = md.columns(byName(f.name))
+          val numLut =
+            if (opts.valueLabelsAsStrings)
+              catalogLabels(opts, c).map(new DoubleByteLut(_)).orNull
+            else null
+          val chLabels =
+            if (opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
+            else null
+          (c, kindFor(c), numLut, chLabels)
+        }
       }
-    }
     val rowIndexBase: Long = part.rowsBefore.getOrElse(
       if (opts.rowIndexName.isDefined && md.compression == 0)
         pageRowOffsets(part.path)(part.startRow.toInt)
@@ -507,7 +519,13 @@ object SasModule extends FormatModule {
       byName.get(name).foreach { ci =>
         val c = md.columns(ci)
         val kind = kindFor(c)
-        if (kind == KChar || kind == KNum) {
+        // labeled columns decode to label STRINGS the predicate expects
+        // (typeByName says StringType) -- a raw-double decoder would CCE,
+        // so they don't compile and the residual covers their conjuncts
+        val labeled = opts.valueLabelsAsStrings &&
+          (catalogLabels(opts, c).isDefined ||
+            catalogCharLabels(opts, c).isDefined)
+        if (!labeled && (kind == KChar || kind == KNum)) {
           val dec: (Array[Byte], Int) => Any =
             if (kind == KChar) { (b, base) =>
               val off = base + c.offset
@@ -634,10 +652,11 @@ object SasModule extends FormatModule {
         new ColumnarBatch(vectors, n)
       }
 
-      private def decodeColumn(pl: (SasColumn, Kind), page: Array[Byte],
+      private def decodeColumn(pl: (SasColumn, Kind, DoubleByteLut, Map[String, String]),
+          page: Array[Byte],
           offs: Array[Int], n: Int,
           startRow: Long, vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
-        val (col, kind) = pl
+        val (col, kind, numLut, chLabels) = pl
         if (col == null) { // row index (filtered batches map through sel)
           var r = 0
           if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
@@ -656,9 +675,33 @@ object SasModule extends FormatModule {
               if (opts.missingStringAsNull) vec.putNull(r)
               else vec.putByteArray(r, Array.emptyByteArray, 0, 0)
             } else {
-              val b = new String(page, off, stop - off, cs)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val s = new String(page, off, stop - off, cs)
+              // char-format catalog labels: matched codes map, unmatched
+              // pass through (reference replace_strict default)
+              val out = if (chLabels != null) chLabels.getOrElse(s, s) else s
+              val b = out.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1
+          }
+        } else if (numLut != null) {
+          // catalog-labeled numeric -> DICTIONARY-encoded string vector
+          // (one id putInt per cell; unlabeled codes get per-batch ids)
+          val dict = new LabelDictionary(numLut.baseBytes)
+          vec.setDictionary(dict)
+          val dictIds = vec.reserveDictionaryIds(n)
+          var r = 0
+          while (r < n) {
+            val v = SasCore.incompleteDouble(page, offs(r) + col.offset,
+              col.length, little)
+            if (v.isNaN || v.isInfinite) vec.putNull(r)
+            else {
+              val id = numLut.id(v)
+              if (id >= 0) dictIds.putInt(r, id)
+              else dictIds.putInt(r,
+                dict.fallbackId(java.lang.Double.doubleToLongBits(v),
+                  () => NumRender.code(v).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)))
             }
             r += 1
           }

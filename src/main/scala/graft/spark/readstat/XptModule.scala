@@ -312,9 +312,7 @@ object XptModule extends FormatModule {
                 // as the sas7bdat reader for unlabeled codes
                 val label = labels.get(d)
                 if (label != null) label
-                else UTF8String.fromString(
-                  if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-                  else d.toString)
+                else UTF8String.fromString(NumRender.code(d))
               }
               else kind match {
                 case SasCore.KDate => SasCore.toDateDays(d)
@@ -331,10 +329,12 @@ object XptModule extends FormatModule {
 
   // ---- vectorized decode path ----
 
+  /** Columnar decode covers the plain configurations plus catalog label
+    * decode (r12 — the full five-format labeled-columnar matrix). */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.informativeNulls || opts.compress || opts.schemaOverrides.nonEmpty ||
-      opts.valueLabelsAsStrings) return false
+    if (opts.informativeNulls || opts.compress ||
+      opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
@@ -358,13 +358,22 @@ object XptModule extends FormatModule {
 
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
-    val plans: Array[(XptColumn, SasCore.Kind)] = required.fields.map { f =>
-      if (opts.rowIndexName.contains(f.name)) (null, SasCore.KNum)
-      else {
-        val c = md.columns(byName(f.name))
-        (c, kindOf(c))
+    // (col or null = row index, kind, numeric label LUT, char label map)
+    val plans: Array[(XptColumn, SasCore.Kind, DoubleByteLut, Map[String, String])] =
+      required.fields.map { f =>
+        if (opts.rowIndexName.contains(f.name)) (null, SasCore.KNum, null, null)
+        else {
+          val c = md.columns(byName(f.name))
+          val numLut =
+            if (opts.valueLabelsAsStrings)
+              catalogLabels(opts, c).map(new DoubleByteLut(_)).orNull
+            else null
+          val chLabels =
+            if (opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
+            else null
+          (c, kindOf(c), numLut, chLabels)
+        }
       }
-    }
     val rowLen = md.rowLength
     val fileLen = new java.io.File(part.path).length()
     val raf = new RandomAccessFile(part.path, "r")
@@ -379,7 +388,12 @@ object XptModule extends FormatModule {
       byName.get(name).foreach { ci =>
         val c = md.columns(ci)
         val kind = kindOf(c)
-        val ok = c.isChar || kind == SasCore.KNum
+        // labeled columns decode to label STRINGS the predicate expects
+        // (their required type is StringType) -- don't compile raw
+        val labeled = opts.valueLabelsAsStrings &&
+          (catalogLabels(opts, c).isDefined ||
+            catalogCharLabels(opts, c).isDefined)
+        val ok = !labeled && (c.isChar || kind == SasCore.KNum)
         if (ok) {
           val off = c.offset
           val w = c.width
@@ -409,6 +423,9 @@ object XptModule extends FormatModule {
       if (pushed.isEmpty || cellDecoders.isEmpty) null
       else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
     val decoders = cellDecoders.toArray
+    // projected decode bytes per row, for the compaction gate below
+    val projBytes: Long = plans.collect {
+      case (c, _, _, _) if c != null => c.width.toLong }.sum
 
     new Iterator[ColumnarBatch] {
       private var remaining = part.numRows
@@ -465,7 +482,11 @@ object XptModule extends FormatModule {
             if (bytesPred(predGetter)) { s(selLen) = rr; selLen += 1 }
             rr += 1
           }
-          if (selLen < n) {
+          // same byte-model gate as StataModule: compact only when the
+          // copy is cheaper than the decode + downstream work it saves
+          if (selLen < n &&
+              selLen.toLong * rowLen <
+                (n - selLen).toLong * (projBytes + 16)) {
             val cbuf = new Array[Byte](selLen * rowLen)
             var i = 0
             while (i < selLen) {
@@ -486,10 +507,11 @@ object XptModule extends FormatModule {
         new ColumnarBatch(vectors, m)
       }
 
-      private def decodeColumn(pl: (XptColumn, SasCore.Kind), buf: Array[Byte],
+      private def decodeColumn(pl: (XptColumn, SasCore.Kind, DoubleByteLut, Map[String, String]),
+          buf: Array[Byte],
           n: Int, startRow: Long,
           vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
-        val (col, kind) = pl
+        val (col, kind, numLut, chLabels) = pl
         if (col == null) { // row index (filtered batches map through sel)
           var r = 0
           if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
@@ -507,10 +529,36 @@ object XptModule extends FormatModule {
               if (opts.missingStringAsNull) vec.putNull(r)
               else vec.putByteArray(r, Array.emptyByteArray, 0, 0)
             } else {
-              val b = new String(buf, p, end - p,
+              val s = new String(buf, p, end - p,
                 java.nio.charset.StandardCharsets.ISO_8859_1)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              // char-format catalog labels: matched codes map, unmatched
+              // pass through (reference replace_strict default)
+              val out = if (chLabels != null) chLabels.getOrElse(s, s) else s
+              val b = out.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1; p += rowLen
+          }
+        } else if (numLut != null) {
+          // catalog-labeled numeric -> DICTIONARY-encoded string vector
+          // (one id putInt per cell; unlabeled codes get per-batch ids)
+          val dict = new LabelDictionary(numLut.baseBytes)
+          vec.setDictionary(dict)
+          val dictIds = vec.reserveDictionaryIds(n)
+          var r = 0; var p = off
+          while (r < n) {
+            if (XptCore.isMissing(buf, p, w)) vec.putNull(r)
+            else {
+              val d = XptCore.ibmToDouble(buf, p, w)
+              if (d.isNaN || d.isInfinite) vec.putNull(r)
+              else {
+                val id = numLut.id(d)
+                if (id >= 0) dictIds.putInt(r, id)
+                else dictIds.putInt(r,
+                  dict.fallbackId(java.lang.Double.doubleToLongBits(d),
+                    () => NumRender.code(d).getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8)))
+              }
             }
             r += 1; p += rowLen
           }

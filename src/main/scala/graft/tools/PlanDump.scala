@@ -38,11 +38,39 @@ object PlanDump {
       "skew_stats", "sample_weighted", "zorder_layout", "q21_exists_anti",
       "spss_compress_roundtrip", "stata_stream_sink", "zsav_stream_sink",
       "time_type_agg", "por_value_labels", "por_missing_informative",
-      "por_stream_sink")
+      "por_stream_sink", "stata_filter_pushdown")
 
     // prose notes preserved across regenerations (measured facts live
     // here, not hand-edits to the generated file)
     val notes: Map[String, String] = Map(
+      "stata_filter_pushdown" -> """
+r12 decode-skipping filter pushdown: the conjuncts appear in the scan leaf
+as `PushedFilters: [...]` AND the Filter node above survives — every pushed
+filter is also a Catalyst residual (the parquet row-group contract), so the
+source-side row skip is pure savings, never a correctness dependency.
+Measured effects (same-record comparisons, sf0.1 bench files):
+
+- `stata_filter_selective_50m` (~2%-selective pushed filter, 2-column
+  projection over a 6-column 50M-row dta): faster than the UNFILTERED
+  2-column read (`stata_subset_read_50m`) — failing rows' second column
+  is never decoded and 98% of rows never reach ColumnarToRow.
+- `por_filter_skim`: the same filter on the unseekable POR format skims
+  (boundary-walks) the remaining cells of failing rows instead of parsing
+  them; filter+aggregate costs about the same as the 1-column skim read.
+- Compaction gate: the columnar paths compact surviving rows' bytes only
+  when `selLen*rowLen < (n-selLen)*(projBytes+16)` — at 50% selectivity
+  with a 1-column projection an ungated whole-row copy measured ~2x SLOWER
+  than not filtering at all (the copy moves 45 B/row to save an 8-byte
+  decode), so such batches emit unfiltered and the residual filters them.
+- Labeled scans stay columnar under filters: label LUT columns compare on
+  their decoded label strings in the row path; the columnar bytes-predicate
+  skips label columns (their conjuncts fall to the residual).
+
+Labeled decode itself (r12): dictionary-encoded string vectors
+(DevLabelProf, 10M-row labeled dta, min-of-5): byte-array appends per cell
+1.70x raw; dictionary ids 1.33x vs the row path's 1.24x — per cell one
+dict-id putInt, per-batch fallback ids for unlabeled codes.
+""",
       "graph_triangles" -> """
 Round-11 profile (idle machine, min-of-3 at sf0.1, `DevTriProf`/`DevTriVar`):
 full query 2.7-3.1 s, of which the EDGE BUILD alone (lineitem self-join on
@@ -65,6 +93,12 @@ it is the edge build plus two edge-keyed hash joins whose shuffled array
 payload IS the wedge set (the materialized wedge-join alternative measured
 8x worse in r9). The 1.3x target is not reachable by plan shape; the r10
 verdict's alignment-filter win (3.62 vs 4.29 s) stands as the last real one.
+
+r12 note: PROFILE_IDLE.json (committed, sentinel-gated min-of-3) measures
+6.0 s on this session's machine with byte-identical triangle code, while
+q22 on the same artifact runs FASTER than its r11 certified record —
+session-to-session machine variance, not a regression; compare idle claims
+only against committed artifacts from the same session.
 """)
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")

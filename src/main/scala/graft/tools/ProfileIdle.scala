@@ -76,6 +76,28 @@ object ProfileIdle {
       try f(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => } }
     cpuSentinel(); ioSentinel()
 
+    // idle gate (same design as Bench.gatedSentinel): an "idle" profile
+    // taken under neighbor load is worse than none — wait out bursts
+    // before every timed run, bounded, and record the final readings so
+    // residual contamination stays visible in the artifact
+    var bestCpu = cpuSentinel()
+    var bestIo = ioSentinel()
+    def gate(): (Double, Double) = {
+      var c = cpuSentinel()
+      var i = ioSentinel()
+      if (c < bestCpu) bestCpu = c
+      if (i < bestIo) bestIo = i
+      var tries = 0
+      while ((c > 1.5 * bestCpu || i > 1.5 * math.max(bestIo, 0.01)) && tries < 9) {
+        Thread.sleep(20000L)
+        c = cpuSentinel(); i = ioSentinel()
+        if (c < bestCpu) bestCpu = c
+        if (i < bestIo) bestIo = i
+        tries += 1
+      }
+      (c, i)
+    }
+
     val cpu = scala.collection.mutable.ArrayBuffer[Double]()
     val io = scala.collection.mutable.ArrayBuffer[Double]()
     val runs = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
@@ -84,8 +106,9 @@ object ProfileIdle {
     // in one ROUND, not in one query's whole sample set
     for (_ <- 0 until 3) {
       fns.foreach { case (n, f) =>
-        cpu += cpuSentinel()
-        io += ioSentinel()
+        val (c, i) = gate()
+        cpu += c
+        io += i
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { f(spark, sfDir).count() } catch { case _: Throwable => }

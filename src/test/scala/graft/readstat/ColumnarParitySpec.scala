@@ -140,6 +140,35 @@ class ColumnarParitySpec extends SparkTestBase {
     assert(vals == Set("0", "Low", "Mid", "High"))
   }
 
+  test("catalog-labeled xpt and sas7bdat scans decode through the columnar path") {
+    import spark.implicits._
+    for (ext <- Seq("xpt", "sas7bdat")) {
+      val p = s"$dir/lab.$ext"
+      (1 to 4000).map(i => (Integer.valueOf(i % 4).doubleValue(),
+        if (i % 3 == 0) "ab" else "zz", i * 1.5))
+        .toDF("sex", "tag", "x")
+        .write.format("readstat").mode("overwrite")
+        .option("valueLabels", "sex:1=Male,2=Female|tag:ab=Alpha").save(p)
+      val catPath = p.stripSuffix(s".$ext") + ".sas7bcat"
+      def labeled = spark.read.format("readstat")
+        .option("catalog", catPath)
+        .option("valueLabelsAsStrings", "true").load(p)
+      assertColumnarParity(
+        labeled,
+        spark.read.format("readstat")
+          .option("catalog", catPath)
+          .option("valueLabelsAsStrings", "true")
+          .option("schemaOverrides", noopOverride(labeled)).load(p),
+        s"$ext catalog-labeled")
+      val sexCol = if (ext == "xpt") "SEX" else "sex"
+      val tagCol = if (ext == "xpt") "TAG" else "tag"
+      val sexes = labeled.select(sexCol).distinct().collect().map(_.getString(0)).toSet
+      assert(sexes == Set("0", "Male", "Female", "3"), s"$ext: $sexes")
+      val tags = labeled.select(tagCol).distinct().collect().map(_.getString(0)).toSet
+      assert(tags == Set("Alpha", "zz"), s"$ext: $tags")
+    }
+  }
+
   test("sav user-missing codes stay null in the labeled columnar path") {
     import spark.implicits._
     val p = s"$dir/miss.sav"
