@@ -210,6 +210,17 @@ object Bench {
           scan(dtaLab).select("q_code", "l_quantity")
             .agg(count(col("q_code")), count(col("l_quantity")))
             .collect()(0).getLong(0)),
+        // informative-null indicator scan (r12 columnar): same geometry
+        // as labeled_raw plus the derived q_code_null indicator column —
+        // the delta is the per-cell missing-tag check + mostly-null
+        // vector cost
+        ("stata_infonull_read", () =>
+          spark.read.format("readstat")
+            .option("partitionTargetBytes", "16777216")
+            .option("informativeNulls", "true").load(dtaLab)
+            .select("q_code", "q_code_null")
+            .agg(count(col("q_code")), count(col("q_code_null")))
+            .collect()(0).getLong(0)),
         ("stata_fullread_10m", () => {
           // full materialization of every column, like the baseline's
           // read-into-frame. toRdd keeps the unprojected schema (count()

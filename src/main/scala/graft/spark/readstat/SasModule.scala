@@ -91,6 +91,29 @@ object SasModule extends FormatModule {
     StructType(fields.result())
   }
 
+  /** SAS tagged missing (value.rs:142-196): bits[47:40] type byte,
+    * decoded tag = ~byte; 1-26 = .A-.Z, 27 = ._, -1 = not tagged. One
+    * definition for the row and columnar indicator decoders. */
+  private[readstat] def missingTagIn(b: Array[Byte], off: Int, len: Int,
+      little: Boolean): Int = {
+    var bits = 0L
+    if (little) {
+      var i = math.min(len, 8) - 1
+      while (i >= 0) { bits = (bits << 8) | (b(off + i) & 0xffL); i -= 1 }
+    } else {
+      var i = 0
+      while (i < math.min(len, 8)) { bits = (bits << 8) | (b(off + i) & 0xffL); i += 1 }
+    }
+    bits = bits << ((8 - math.min(len, 8)) * 8)
+    if ((bits & 0x7fffffffffffffffL) < 0x7ff0000000000000L) return -1
+    val typeByte = ((bits >>> 40) & 0xFF).toInt
+    val tag = (~typeByte) & 0xFF
+    if (tag == 0 || tag == '_') 27
+    else if (tag >= 2 && tag < 28) tag - 1
+    else if (tag >= 'A' && tag <= 'Z') tag - 'A' + 1
+    else -1
+  }
+
   /** Row offset of each page (plan-time page-header scan; DATA pages carry
     * block_count in the header, MIX pages are bounded by fit math). Only
     * used when rowIndexName is requested on uncompressed files. */
@@ -374,26 +397,10 @@ object SasModule extends FormatModule {
       // reused mutable row: the scan's unsafe projection copies each row
       private val row = new GenericInternalRow(plans.length)
 
-      /** SAS tagged missing (value.rs:142-196): bits[47:40] type byte,
-        * decoded tag = ~byte; 1-26 = .A-.Z, 27 = ._ */
-      private def missingTagOffset(b: Array[Byte], off: Int, len: Int): Int = {
-        var bits = 0L
-        if (md.little) {
-          var i = math.min(len, 8) - 1
-          while (i >= 0) { bits = (bits << 8) | (b(off + i) & 0xffL); i -= 1 }
-        } else {
-          var i = 0
-          while (i < math.min(len, 8)) { bits = (bits << 8) | (b(off + i) & 0xffL); i += 1 }
-        }
-        bits = bits << ((8 - math.min(len, 8)) * 8)
-        if ((bits & 0x7fffffffffffffffL) < 0x7ff0000000000000L) return -1
-        val typeByte = ((bits >>> 40) & 0xFF).toInt
-        val tag = (~typeByte) & 0xFF
-        if (tag == 0 || tag == '_') 27
-        else if (tag >= 2 && tag < 28) tag - 1
-        else if (tag >= 'A' && tag <= 'Z') tag - 'A' + 1
-        else -1
-      }
+      /** Delegates to the module-level rule (shared with the columnar
+        * indicator decode). */
+      private def missingTagOffset(b: Array[Byte], off: Int, len: Int): Int =
+        SasModule.missingTagIn(b, off, len, md.little)
 
       private def decodeCell(pl: ColPlan, b: Array[Byte], base: Int): Any = {
         val c = pl.col
@@ -442,12 +449,12 @@ object SasModule extends FormatModule {
   // ---- vectorized decode path (uncompressed pages only) ----
 
   /** Columnar decode covers the plain configurations plus catalog label
-    * decode (r12, completing the matrix with dta/sav/por: byte-LUT per
-    * labeled column, char-format maps applied in the string loop).
-    * Indicators, narrowing and overrides -> row path. */
+    * decode (r12, completing the matrix with dta/sav/por) plus
+    * column-mode informative-null indicators (struct/merged modes fail
+    * the name/type check below); narrowing and overrides -> row path. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.informativeNulls || opts.compress ||
+    if (opts.compress ||
       opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
@@ -477,20 +484,27 @@ object SasModule extends FormatModule {
 
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
-    // (col or null = row index, kind, numeric label LUT, char label map)
-    val plans: Array[(SasColumn, Kind, DoubleByteLut, Map[String, String])] =
+    // (col or null = row index, kind, numeric label LUT, char label map,
+    //  indicator flag)
+    val plans: Array[(SasColumn, Kind, DoubleByteLut, Map[String, String], Boolean)] =
       required.fields.map { f =>
-        if (opts.rowIndexName.contains(f.name)) (null, KNum, null, null)
+        if (opts.rowIndexName.contains(f.name)) (null, KNum, null, null, false)
         else {
-          val c = md.columns(byName(f.name))
+          val (base, ind) =
+            if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+                byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+                !byName.contains(f.name))
+              (f.name.stripSuffix(opts.informativeNullSuffix), true)
+            else (f.name, false)
+          val c = md.columns(byName(base))
           val numLut =
-            if (opts.valueLabelsAsStrings)
+            if (!ind && opts.valueLabelsAsStrings)
               catalogLabels(opts, c).map(new DoubleByteLut(_)).orNull
             else null
           val chLabels =
-            if (opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
+            if (!ind && opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
             else null
-          (c, kindFor(c), numLut, chLabels)
+          (c, kindFor(c), numLut, chLabels, ind)
         }
       }
     val rowIndexBase: Long = part.rowsBefore.getOrElse(
@@ -652,15 +666,37 @@ object SasModule extends FormatModule {
         new ColumnarBatch(vectors, n)
       }
 
-      private def decodeColumn(pl: (SasColumn, Kind, DoubleByteLut, Map[String, String]),
+      private def decodeColumn(pl: (SasColumn, Kind, DoubleByteLut, Map[String, String], Boolean),
           page: Array[Byte],
           offs: Array[Int], n: Int,
           startRow: Long, vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
-        val (col, kind, numLut, chLabels) = pl
+        val (col, kind, numLut, chLabels, indicator) = pl
         if (col == null) { // row index (filtered batches map through sel)
           var r = 0
           if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
           else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
+          return
+        }
+        if (indicator) {
+          // SAS tagged missing (row-path missingTagOffset rule): char
+          // columns never tag; k 1..26 -> ".A"-".Z", 27 -> "._"
+          var r = 0
+          while (r < n) {
+            if (col.isChar) vec.putNull(r)
+            else {
+              val k = SasModule.missingTagIn(page, offs(r) + col.offset,
+                col.length, little)
+              if (k >= 1 && k <= 26) {
+                val b = ("." + ('A' + k - 1).toChar)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vec.putByteArray(r, b, 0, b.length)
+              } else if (k == 27) {
+                val b = "._".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vec.putByteArray(r, b, 0, b.length)
+              } else vec.putNull(r)
+            }
+            r += 1
+          }
           return
         }
         if (kind == KChar) {

@@ -340,12 +340,12 @@ object SpssModule extends FormatModule {
   // ---- vectorized decode path ----
 
   /** Columnar decode covers the plain configurations plus label decode
-    * (r12, same as StataModule: labeled survey reads are the hot path;
-    * the byte-LUT turns each cell into a LongMap probe + byte-array
-    * append). Indicators, narrowing and overrides → row path. */
+    * plus column-mode informative-null indicators (r12 — struct/merged
+    * modes reshape the schema and fail the name/type check below);
+    * narrowing and overrides → row path. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.informativeNulls || opts.compress ||
+    if (opts.compress ||
       opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
@@ -376,18 +376,34 @@ object SpssModule extends FormatModule {
     val md = metadata(part.path)
     val recordLen = md.recordLen
     val byName = md.vars.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
-    // (var or null for row index, numeric label LUT or null, string-label flag)
-    val plans: Array[(SpssVar, DoubleByteLut, Boolean)] = required.fields.map { f =>
-      if (opts.rowIndexName.contains(f.name)) (null, null, false)
-      else {
-        val v = md.vars(byName(f.name))
-        val numLut =
-          if (opts.valueLabelsAsStrings && !v.isString && v.numLabels.nonEmpty)
-            new DoubleByteLut(v.numLabels) else null
-        val strLab = opts.valueLabelsAsStrings && v.isString && v.strLabels.nonEmpty
-        (v, numLut, strLab)
+    // (var or null for row index, numeric label LUT or null,
+    //  string-label flag, indicator flag)
+    val plans: Array[(SpssVar, DoubleByteLut, Boolean, Boolean)] =
+      required.fields.map { f =>
+        if (opts.rowIndexName.contains(f.name)) (null, null, false, false)
+        else {
+          val (base, ind) =
+            if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+                byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+                !byName.contains(f.name))
+              (f.name.stripSuffix(opts.informativeNullSuffix), true)
+            else (f.name, false)
+          val v = md.vars(byName(base))
+          // indicator numeric LUT: a value label for the missing code
+          // beats the code/"MISSING" form when useValueLabels (row
+          // path's userMissingLabel rule)
+          val numLut =
+            if (!ind && opts.valueLabelsAsStrings && !v.isString && v.numLabels.nonEmpty)
+              new DoubleByteLut(v.numLabels)
+            else if (ind && opts.informativeNullUseValueLabels && !v.isString &&
+                v.numLabels.nonEmpty)
+              new DoubleByteLut(v.numLabels)
+            else null
+          val strLab = !ind && opts.valueLabelsAsStrings && v.isString &&
+            v.strLabels.nonEmpty
+          (v, numLut, strLab, ind)
+        }
       }
-    }
     // bytes-predicate over filter cells (plain numeric/string shapes;
     // labeled columns don't compile — their conjuncts simply don't
     // contribute to skipping, the residual Filter still applies)
@@ -436,7 +452,7 @@ object SpssModule extends FormatModule {
     val decoders = cellDecoders.toArray
     // projected decode bytes per row, for the compaction gate below
     val projBytes: Long = plans.collect {
-      case (v, _, _) if v != null =>
+      case (v, _, _, _) if v != null =>
         (if (v.isString) v.widthUnits * 8 else 8).toLong }.sum
 
     val chunkRows = math.max(1, (4 << 20) / math.max(1, recordLen))
@@ -529,17 +545,68 @@ object SpssModule extends FormatModule {
       private val predGetter: Int => Any =
         slot => decoders(slot)(curBuf, curBase)
 
-      private def decodeColumn(pl: (SpssVar, DoubleByteLut, Boolean),
+      private val missingBytes =
+        "MISSING".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+      /** Informative-null indicator → mostly-null string vector (the
+        * row path's decodeCell indicator rules, vectorized). */
+      private def decodeIndicatorCol(v: SpssVar, numLut: DoubleByteLut,
+          buf: Array[Byte], n: Int, vec: OnHeapColumnVector): Unit = {
+        val off = v.offsetUnits * 8
+        if (v.isString) {
+          val storage = v.widthUnits * 8
+          var r = 0; var base = 0
+          while (r < n) {
+            val raw =
+              if (v.stringLen > 255)
+                SpssCore.reconstructVeryLong(buf, base + off, storage, v.stringLen)
+              else java.util.Arrays.copyOfRange(buf, base + off,
+                base + off + math.min(v.stringLen, storage))
+            val s = SpssCore.trimSav(new String(raw, md.charset))
+            if (v.missingStrings.contains(s)) {
+              val lbl = if (opts.informativeNullUseValueLabels)
+                v.strLabels.get(s) else None
+              val b = lbl.getOrElse(s)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(r, b, 0, b.length)
+            } else vec.putNull(r)
+            r += 1; base += recordLen
+          }
+        } else {
+          var r = 0; var p = off
+          while (r < n) {
+            val bits = Bin.i64(buf, p, md.little)
+            val d = java.lang.Double.longBitsToDouble(bits)
+            val sysMissing = bits == MissingBits || bits == LowestBits ||
+              bits == HighestBits || d.isNaN
+            if (sysMissing || !isUserMissing(v, d, bits)) vec.putNull(r)
+            else {
+              var b: Array[Byte] = if (numLut != null) numLut.get(d) else null
+              if (b == null)
+                b = if (v.missingRange &&
+                    !(v.missingDoubles.length >= 3 && d == v.missingDoubles(2)))
+                  missingBytes
+                else NumRender.code(d).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+              vec.putByteArray(r, b, 0, b.length)
+            }
+            r += 1; p += recordLen
+          }
+        }
+      }
+
+      private def decodeColumn(pl: (SpssVar, DoubleByteLut, Boolean, Boolean),
           dt: DataType, buf: Array[Byte],
           n: Int, startRow: Long, vec: OnHeapColumnVector,
           sel: Array[Int] = null): Unit = {
-        val (v, numLut, strLab) = pl
+        val (v, numLut, strLab, indicator) = pl
         if (v == null) { // row index (filtered batches map through sel)
           var r = 0
           if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
           else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
           return
         }
+        if (indicator) { decodeIndicatorCol(v, numLut, buf, n, vec); return }
         val off = v.offsetUnits * 8
         if (v.isString) {
           val storage = v.widthUnits * 8

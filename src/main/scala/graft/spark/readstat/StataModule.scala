@@ -458,14 +458,15 @@ object StataModule extends FormatModule {
   // ---- vectorized decode path ----
 
   /** Columnar decode covers the plain-scan configurations plus label
-    * decode (r12: labeled reads are THE hot path for real survey data,
-    * and the byte-LUT makes the per-cell work a bounds-checked array
-    * load — no reason to degrade them to rows). Indicators, narrowing
-    * and overrides still reshape types per-cell → row path. */
+    * decode (r12: labeled reads are THE hot path for real survey data)
+    * plus column-mode informative-null indicators (r12: mostly-null
+    * string columns — per cell a missing-tag check, rarely a byte
+    * write). struct/merged informative-null modes reshape the schema,
+    * so the name/type check below rejects them automatically; compress
+    * narrowing and overrides still reshape types per-cell → row path. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.informativeNulls || opts.compress ||
-      opts.schemaOverrides.nonEmpty) return false
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
@@ -505,21 +506,34 @@ object StataModule extends FormatModule {
       offsets(vi) = acc; acc += md.variables(vi).varType.width; vi += 1
     }
     val byName = md.variables.zipWithIndex.map { case (v, i) => v.name -> i }.toMap
-    // (varIdx or -1 for row index, byteOff, vt, outKind, label LUT)
-    val plans: Array[(Int, Int, VarType, OutKind, IntByteLut)] =
+    // (varIdx or -1 for row index, byteOff, vt, outKind, label LUT,
+    //  indicator flag — informative-null column over the base var)
+    val plans: Array[(Int, Int, VarType, OutKind, IntByteLut, Boolean)] =
       required.fields.map { f =>
-        if (opts.rowIndexName.contains(f.name)) (-1, 0, TDouble, ODouble, null)
+        if (opts.rowIndexName.contains(f.name))
+          (-1, 0, TDouble, ODouble, null, false)
         else {
-          val i = byName(f.name)
+          val (baseName, indicator) =
+            if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+                byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+                !byName.contains(f.name))
+              (f.name.stripSuffix(opts.informativeNullSuffix), true)
+            else (f.name, false)
+          val i = byName(baseName)
           val v = md.variables(i)
+          // indicator LUT rule matches the row path: a label defined for
+          // the raw missing code wins over the ".a" form when
+          // informativeNullUseValueLabels
           val lut =
-            if (opts.valueLabelsAsStrings && isNumeric(v))
+            if (!indicator && opts.valueLabelsAsStrings && isNumeric(v))
+              labelMapFor(md, v).map(new IntByteLut(_)).orNull
+            else if (indicator && opts.informativeNullUseValueLabels && isNumeric(v))
               labelMapFor(md, v).map(new IntByteLut(_)).orNull
             else null
-          (i, offsets(i), v.varType, v.outKind, lut)
+          (i, offsets(i), v.varType, v.outKind, lut, indicator)
         }
       }
-    val needStrl = plans.exists(p => p._1 >= 0 && p._3 == TStrL)
+    val needStrl = plans.exists(p => p._1 >= 0 && p._3 == TStrL && !p._6)
     val strlMap: Map[(Int, Long), String] =
       if (needStrl) strls(part.path) else Map.empty
 
@@ -768,16 +782,70 @@ object StataModule extends FormatModule {
         }
       }
 
-      private def decodeColumn(pl: (Int, Int, VarType, OutKind, IntByteLut),
+      /** Pre-encoded ".a"-".z" tag strings (shared across batches). */
+      private val tagBytes: Array[Array[Byte]] = Array.tabulate(26)(k =>
+        ("." + ('a' + k).toChar).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+      /** Informative-null indicator column → mostly-null string vector:
+        * per cell the row path's decodeIndicator rule (extended-missing
+        * tag k∈1..26 → label-for-raw-code or ".a"-".z"; else null). */
+      private def decodeIndicatorCol(vt: VarType, off: Int, lut: IntByteLut,
+          buf: Array[Byte], n: Int, vec: OnHeapColumnVector): Unit = {
+        if (!rules.sysMissingEnabled) {
+          var r = 0
+          while (r < n) { vec.putNull(r); r += 1 }
+          return
+        }
+        var r = 0; var p = off
+        while (r < n) {
+          var raw = Int.MinValue
+          val k: Int = vt match {
+            case TByte =>
+              val v = buf(p).toInt
+              raw = v
+              if (v >= rules.sysInt8) v - rules.sysInt8 else -1
+            case TInt =>
+              val v = Bin.i16(buf, p, little).toInt
+              raw = v
+              if (v >= rules.sysInt16) v - rules.sysInt16 else -1
+            case TLong =>
+              val v = Bin.i32(buf, p, little)
+              raw = v
+              if (v >= rules.sysInt32) v - rules.sysInt32 else -1
+            case TFloat =>
+              val bits = Bin.f32bits(buf, p, little) & 0xffffffffL
+              if ((bits & 0x80000000L) == 0 && bits > rules.maxFloatBits)
+                ((bits - rules.missFloatBits) >> 11).toInt
+              else -1
+            case TDouble =>
+              val bits = Bin.f64bits(buf, p, little)
+              if ((bits & 0x8000000000000000L) == 0 &&
+                  java.lang.Long.compareUnsigned(bits, rules.maxDoubleBits) > 0)
+                ((bits - rules.missDoubleBits) >> 40).toInt
+              else -1
+            case _ => -1
+          }
+          if (k >= 1 && k <= 26) {
+            var b: Array[Byte] =
+              if (lut != null && raw != Int.MinValue) lut.get(raw) else null
+            if (b == null) b = tagBytes(k - 1)
+            vec.putByteArray(r, b, 0, b.length)
+          } else vec.putNull(r)
+          r += 1; p += rowLen
+        }
+      }
+
+      private def decodeColumn(pl: (Int, Int, VarType, OutKind, IntByteLut, Boolean),
           buf: Array[Byte], n: Int, startRow: Long,
           vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
-        val (varIdx, off, vt, outKind, lut) = pl
+        val (varIdx, off, vt, outKind, lut, indicator) = pl
         if (varIdx == -1) { // row index (filtered batches map through sel)
           var r = 0
           if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
           else while (r < n) { vec.putLong(r, startRow + sel(r)); r += 1 }
           return
         }
+        if (indicator) { decodeIndicatorCol(vt, off, lut, buf, n, vec); return }
         if (lut != null) { decodeLabeled(vt, off, lut, buf, n, vec); return }
         val plain = outKind match {
           case OByte | OShort | OInt | OFloat | ODouble | OString => true

@@ -330,10 +330,11 @@ object XptModule extends FormatModule {
   // ---- vectorized decode path ----
 
   /** Columnar decode covers the plain configurations plus catalog label
-    * decode (r12 — the full five-format labeled-columnar matrix). */
+    * decode plus column-mode informative-null indicators (r12;
+    * struct/merged modes fail the name/type check below). */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.informativeNulls || opts.compress ||
+    if (opts.compress ||
       opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
@@ -358,20 +359,27 @@ object XptModule extends FormatModule {
 
     val md = metadata(part.path)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
-    // (col or null = row index, kind, numeric label LUT, char label map)
-    val plans: Array[(XptColumn, SasCore.Kind, DoubleByteLut, Map[String, String])] =
+    // (col or null = row index, kind, numeric label LUT, char label map,
+    //  indicator flag)
+    val plans: Array[(XptColumn, SasCore.Kind, DoubleByteLut, Map[String, String], Boolean)] =
       required.fields.map { f =>
-        if (opts.rowIndexName.contains(f.name)) (null, SasCore.KNum, null, null)
+        if (opts.rowIndexName.contains(f.name)) (null, SasCore.KNum, null, null, false)
         else {
-          val c = md.columns(byName(f.name))
+          val (base, ind) =
+            if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+                byName.contains(f.name.stripSuffix(opts.informativeNullSuffix)) &&
+                !byName.contains(f.name))
+              (f.name.stripSuffix(opts.informativeNullSuffix), true)
+            else (f.name, false)
+          val c = md.columns(byName(base))
           val numLut =
-            if (opts.valueLabelsAsStrings)
+            if (!ind && opts.valueLabelsAsStrings)
               catalogLabels(opts, c).map(new DoubleByteLut(_)).orNull
             else null
           val chLabels =
-            if (opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
+            if (!ind && opts.valueLabelsAsStrings) catalogCharLabels(opts, c).orNull
             else null
-          (c, kindOf(c), numLut, chLabels)
+          (c, kindOf(c), numLut, chLabels, ind)
         }
       }
     val rowLen = md.rowLength
@@ -425,7 +433,7 @@ object XptModule extends FormatModule {
     val decoders = cellDecoders.toArray
     // projected decode bytes per row, for the compaction gate below
     val projBytes: Long = plans.collect {
-      case (c, _, _, _) if c != null => c.width.toLong }.sum
+      case (c, _, _, _, _) if c != null => c.width.toLong }.sum
 
     new Iterator[ColumnarBatch] {
       private var remaining = part.numRows
@@ -507,11 +515,11 @@ object XptModule extends FormatModule {
         new ColumnarBatch(vectors, m)
       }
 
-      private def decodeColumn(pl: (XptColumn, SasCore.Kind, DoubleByteLut, Map[String, String]),
+      private def decodeColumn(pl: (XptColumn, SasCore.Kind, DoubleByteLut, Map[String, String], Boolean),
           buf: Array[Byte],
           n: Int, startRow: Long,
           vec: OnHeapColumnVector, sel: Array[Int] = null): Unit = {
-        val (col, kind, numLut, chLabels) = pl
+        val (col, kind, numLut, chLabels, indicator) = pl
         if (col == null) { // row index (filtered batches map through sel)
           var r = 0
           if (sel == null) while (r < n) { vec.putLong(r, startRow + r); r += 1 }
@@ -520,7 +528,23 @@ object XptModule extends FormatModule {
         }
         val off = col.offset
         val w = col.width
-        if (col.isChar) {
+        if (indicator) {
+          // XPT tagged missing: the first byte IS the tag (row-path rule)
+          var r = 0; var p = off
+          while (r < n) {
+            if (XptCore.isMissing(buf, p, w)) {
+              val t = buf(p).toChar
+              val s = if (t >= 'A' && t <= 'Z') "." + t
+                      else if (t == '_') "._" else null
+              if (s == null) vec.putNull(r)
+              else {
+                val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vec.putByteArray(r, b, 0, b.length)
+              }
+            } else vec.putNull(r)
+            r += 1; p += rowLen
+          }
+        } else if (col.isChar) {
           var r = 0; var p = off
           while (r < n) {
             var end = p + w

@@ -411,8 +411,13 @@ object XptWriterImpl {
           "'.A'-'.Z'/'._'")
     }
 
-    private def buildCell(spec: ColSpec, i: Int, tag: Int): Cell = {
-      val off = offs(i)
+    /** `si` indexes the SPEC/offset tables; `i` is the input-row
+      * ordinal. They diverge when taggedMissings drops an indicator
+      * column that precedes a written one — conflating them (the r12
+      * bug this signature fixes) wrote cells at the dropped column's
+      * offsets and ran past the row buffer. */
+    private def buildCell(spec: ColSpec, si: Int, i: Int, tag: Int): Cell = {
+      val off = offs(si)
       if (spec.isChar) {
         val w = spec.width
         row => {
@@ -469,7 +474,7 @@ object XptWriterImpl {
     }
 
     private val cells: Array[Cell] =
-      specs.zipWithIndex.map { case (s, i) => buildCell(s, ords(i), tagOrds(i)) }
+      specs.zipWithIndex.map { case (s, i) => buildCell(s, i, ords(i), tagOrds(i)) }
 
     def encode(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
       var i = 0

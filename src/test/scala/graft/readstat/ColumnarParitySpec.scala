@@ -169,6 +169,69 @@ class ColumnarParitySpec extends SparkTestBase {
     }
   }
 
+  test("informativeNulls (column mode) runs columnar on dta/sav/xpt/sas7bdat") {
+    import spark.implicits._
+    // dta + xpt + sas7bdat: .a-.z tagged missings driven by an indicator
+    // column on write, re-derived on read
+    for (ext <- Seq("dta", "xpt", "sas7bdat")) {
+      val p = s"$dir/inul.$ext"
+      // dta tags are .a-.z; the SAS family writes .A-.Z
+      val (ta, tz) = if (ext == "dta") (".a", ".z") else (".A", ".Z")
+      (1 to 3000).map { i =>
+        val tag = i % 7 match {
+          case 0 => ta
+          case 3 => tz
+          case _ => null
+        }
+        (if (tag == null) java.lang.Double.valueOf(i.toDouble) else null,
+          tag, i.toDouble)
+      }.toDF("v", "v_null", "ord")
+        .write.format("readstat").mode("overwrite")
+        .option("taggedMissings", "v:v_null").save(p)
+      def read = spark.read.format("readstat")
+        .option("informativeNulls", "true")
+        .option("informativeNullUseValueLabels", "false").load(p)
+      assertColumnarParity(
+        read,
+        spark.read.format("readstat")
+          .option("informativeNulls", "true")
+          .option("informativeNullUseValueLabels", "false")
+          .option("schemaOverrides", noopOverride(read)).load(p),
+        s"$ext informativeNulls")
+      val vCol = if (ext == "dta") "v_null" else "V_null"
+      val ordCol = if (ext == "dta") "ord" else "ORD"
+      val inds = read.orderBy(ordCol).select(vCol).collect()
+        .map(r => Option(r.getString(0)).orNull)
+      // xpt/sas tags are upper-case .A-.Z, dta lower
+      val (a, z) = if (ext == "dta") (".a", ".z") else (".A", ".Z")
+      assert(inds(6) == a && inds(2) == z && inds(0) == null,
+        s"$ext: ${inds.take(8).mkString(",")}")
+    }
+    // sav: declared discrete user-missings + a string missing value
+    val p = s"$dir/inul.sav"
+    (1 to 3000).map(i =>
+      (java.lang.Double.valueOf((i % 10).toDouble),
+        if (i % 5 == 0) "NA" else s"ok$i", i.toDouble))
+      .toDF("q", "s", "ord")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "q:9=Refused")
+      .option("missingValues", "q:9|s:NA").save(p)
+    def savRead = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p)
+    assertColumnarParity(
+      savRead,
+      spark.read.format("readstat")
+        .option("informativeNulls", "true")
+        .option("schemaOverrides", noopOverride(savRead)).load(p),
+      "sav informativeNulls")
+    val qInds = savRead.select("q_null").distinct().collect()
+      .map(r => Option(r.getString(0)).orNull).toSet
+    assert(qInds == Set(null, "Refused"), qInds.toString) // label beats code
+    val sInds = savRead.select("s_null").distinct().collect()
+      .map(r => Option(r.getString(0)).orNull).toSet
+    assert(sInds == Set(null, "NA"), sInds.toString)
+  }
+
   test("sav user-missing codes stay null in the labeled columnar path") {
     import spark.implicits._
     val p = s"$dir/miss.sav"

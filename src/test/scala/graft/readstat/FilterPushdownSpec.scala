@@ -68,10 +68,11 @@ class FilterPushdownSpec extends SparkTestBase {
     assert(math.abs(s - want) < 1e-6)
   }
 
-  test("row-path filtered scan (informativeNulls forces rows) matches") {
+  test("informativeNulls scans stay columnar under pushed filters (r12)") {
     val rowDf = spark.read.format("readstat")
       .option("informativeNulls", "true").load(dtaPath)
-    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    // r12: column-mode indicators decode columnar — no more row fallback
+    assert(rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
     val desc = scanDesc(rowDf.filter(col("x") > 5000.0))
     assert(desc.contains("PushedFilters:"), desc)
     val got = rowDf.filter(col("x") > 5000.0 && col("s") =!= "s7")
@@ -81,6 +82,29 @@ class FilterPushdownSpec extends SparkTestBase {
       !r.isNullAt(2) && r.getString(2) != "s7")
     assert(got.getLong(0) == want.length)
     assert(got.getLong(1) == want.map(_.getInt(0).toLong).sum)
+  }
+
+  test("mergeSchema row-path scan still skips via pushed filters") {
+    import spark.implicits._
+    // two files with differing columns force the whole scan to rows
+    // (the merged regime null-fills), and file A's plain branch still
+    // receives the pushed predicate — the ROW decode-skip path
+    val d2 = Files.createTempDirectory("graft_fpd_ms").toFile
+    d2.deleteOnExit()
+    val pa = s"${d2.getAbsolutePath}/a.dta"
+    val pb = s"${d2.getAbsolutePath}/b.dta"
+    (1 to 5000).map(i => (i, i * 2.0, s"a$i")).toDF("id", "x", "extra")
+      .write.format("readstat").mode("overwrite").save(pa)
+    (5001 to 8000).map(i => (i, i * 2.0)).toDF("id", "x")
+      .write.format("readstat").mode("overwrite").save(pb)
+    val df = spark.read.format("readstat")
+      .option("mergeSchema", "true").load(pa, pb)
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val q = df.filter(col("id") > 4000 && col("id") <= 6000)
+    assert(scanDesc(q).contains("PushedFilters:"), scanDesc(q))
+    assert(q.count() == 2000)
+    assert(q.agg(sum("x")).collect()(0).getDouble(0) ==
+      (4001 to 6000).map(_ * 2.0).sum)
   }
 
   test("row index stays the FILE row number under a filtered scan") {

@@ -545,6 +545,24 @@ class XptPorSpec extends SparkTestBase {
     assert(back.select("V").collect()
       .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
       Seq(2.5, null, null, null, null))
+    // regression (r12): an indicator column BEFORE other written
+    // columns must not shift their byte offsets — the encoder once
+    // indexed its offset table by input-row ordinal, writing the
+    // post-indicator columns at the dropped column's offsets
+    val p3 = tmp("tagged3.xpt")
+    Seq((Some(2.5), None: Option[String], 10.0),
+        (None, Some(".B"), 20.0))
+      .toDF("v", "v_null", "w")
+      .write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "v:v_null").save(p3)
+    val back3 = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p3).orderBy("W").collect()
+    assert(back3.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(2.5, null))
+    assert(back3.map(r => Option(r.getString(1)).orNull).toSeq ==
+      Seq(null, ".B"))
+    assert(back3.map(_.getDouble(2)).toSeq == Seq(10.0, 20.0))
+
     // read → write → read is a fixpoint
     val p2 = tmp("tagged2.xpt")
     back.write.format("readstat").mode("overwrite")
