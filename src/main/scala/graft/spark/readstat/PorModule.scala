@@ -354,10 +354,12 @@ object PorModule extends FormatModule {
     * formats. Plain + label regimes, same coverage rule as dta/sav. */
   override def supportsColumnar(path: String, opts: ReadstatOptions,
       required: StructType): Boolean = {
-    if (opts.informativeNulls || opts.compress ||
-      opts.schemaOverrides.nonEmpty) return false
+    if (opts.compress || opts.schemaOverrides.nonEmpty) return false
     val nat = schema(path, opts)
     val byName = nat.fields.map(f => f.name -> f.dataType).toMap
+    // column-mode informative-null indicator fields are IN the natural
+    // schema, so they pass this check; struct/merged modes reshape the
+    // schema and fall to the row path here
     required.fields.forall(f => byName.get(f.name).contains(f.dataType))
   }
 
@@ -383,13 +385,23 @@ object PorModule extends FormatModule {
         s
     }
     val byName = md.vars.map(_.name).zipWithIndex.toMap
-    // var index → output field position (-1 = unprojected → skim)
+    // var index → output field position (-1 = unprojected); indicator
+    // fields (column-mode informative nulls) map separately — a cell
+    // decodes when EITHER position is projected
     val fieldOfVar = Array.fill(md.vars.length)(-1)
+    val indFieldOfVar = Array.fill(md.vars.length)(-1)
     var rowIdxField = -1
     required.fields.zipWithIndex.foreach { case (f, fi) =>
       if (opts.rowIndexName.contains(f.name)) rowIdxField = fi
-      else fieldOfVar(byName.getOrElse(f.name,
-        throw new IllegalArgumentException(s"no such column: ${f.name}"))) = fi
+      else byName.get(f.name) match {
+        case Some(vi) => fieldOfVar(vi) = fi
+        case None =>
+          val base = f.name.stripSuffix(opts.informativeNullSuffix)
+          if (opts.informativeNulls && f.name.endsWith(opts.informativeNullSuffix) &&
+              byName.contains(base))
+            indFieldOfVar(byName(base)) = fi
+          else throw new IllegalArgumentException(s"no such column: ${f.name}")
+      }
     }
     // label LUTs pre-encode to UTF-8 bytes (columnar vectors append raw
     // bytes; see DoubleByteLut)
@@ -442,6 +454,12 @@ object PorModule extends FormatModule {
 
       private def finish(): Unit = { done = true; stream.close() }
 
+      // indicator bytes of the LAST decoded cell (column-mode
+      // informative nulls): set by decodeStrCell/decodeNumCell when
+      // the cell's var has a projected indicator field, consumed by
+      // the caller right after
+      private var lastInd: Array[Byte] = _
+
       /** One string cell → Array[Byte] (label or value bytes) or null. */
       private def decodeStrCell(i: Int, v: PorVar, c0: Int): Any = {
         val len = stream.readDoublePeek(c0).toInt
@@ -451,6 +469,13 @@ object PorModule extends FormatModule {
         while (e > 0 && s0(e - 1) == ' ') e -= 1
         val s = s0.substring(0, e)
         val userMiss = v.missingStrings.nonEmpty && v.missingStrings.contains(s)
+        lastInd =
+          if (!userMiss || indFieldOfVar(i) < 0) null
+          else {
+            val lbl = if (opts.informativeNullUseValueLabels)
+              v.strLabels.get(s) else None
+            lbl.getOrElse(s).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
         if ((s.isEmpty && opts.missingStringAsNull) || userMiss) null
         else {
           var b: Array[Byte] =
@@ -470,6 +495,10 @@ object PorModule extends FormatModule {
             Double.NaN
           } else stream.readDoublePeek(c0)
         val userMiss = !d.isNaN && isUserMissing(v, d)
+        lastInd =
+          if (!userMiss || indFieldOfVar(i) < 0) null
+          else userMissingLabel(v, d, opts.informativeNullUseValueLabels)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         if (d.isNaN || userMiss) null
         else if (labelNum(i) != null) {
           var b = labelNum(i).get(d)
@@ -496,9 +525,12 @@ object PorModule extends FormatModule {
         }
 
       // prefix buffer for the pushed-predicate regime; the getter hands
-      // the predicate UTF8String views over buffered byte arrays
+      // the predicate UTF8String views over buffered byte arrays.
+      // pvInd buffers the prefix cells' indicator bytes alongside
       private val pv: Array[Any] =
         if (pred == null) null else new Array[Any](maxPredVar + 1)
+      private val pvInd: Array[Array[Byte]] =
+        if (pred == null) null else new Array[Array[Byte]](maxPredVar + 1)
       private val pvGetter: Int => Any = slot => pv(slot) match {
         case b: Array[Byte] => UTF8String.fromBytes(b)
         case other => other
@@ -537,21 +569,36 @@ object PorModule extends FormatModule {
             } else {
               if (c0 < 0) truncated()
               val fi = fieldOfVar(i)
+              val indFi = indFieldOfVar(i)
               val buffering = pred != null && i <= maxPredVar
               if (buffering) {
-                // prefix cell under a pushed predicate: buffer (or skim
-                // if unprojected — filter cells are always projected)
-                pv(i) =
-                  if (fi < 0) {
-                    if (v.isString) stream.skipChars(stream.readDoublePeek(c0).toInt)
-                    else PorCore.skimCell(stream, isString = false, c0)
-                    null
-                  }
-                  else if (v.isString) decodeStrCell(i, v, c0)
-                  else decodeNumCell(i, v, c0)
-              } else if (fi < 0) {
+                // prefix cell under a pushed predicate: buffer data AND
+                // indicator values (or skim if neither is projected —
+                // filter cells are always projected)
+                if (fi < 0 && indFi < 0) {
+                  if (v.isString) stream.skipChars(stream.readDoublePeek(c0).toInt)
+                  else PorCore.skimCell(stream, isString = false, c0)
+                  pv(i) = null
+                  pvInd(i) = null
+                } else {
+                  pv(i) =
+                    if (v.isString) decodeStrCell(i, v, c0)
+                    else decodeNumCell(i, v, c0)
+                  pvInd(i) = lastInd
+                }
+              } else if (fi < 0 && indFi < 0) {
                 if (v.isString) stream.skipChars(stream.readDoublePeek(c0).toInt)
                 else PorCore.skimCell(stream, isString = false, c0)
+              } else if (indFi >= 0) {
+                // indicator projected: decode through the value helpers
+                // (they set lastInd) and route both outputs
+                val value = if (v.isString) decodeStrCell(i, v, c0)
+                            else decodeNumCell(i, v, c0)
+                val ivec = vectors(indFi).asInstanceOf[OnHeapColumnVector]
+                if (lastInd == null) ivec.putNull(r)
+                else ivec.putByteArray(r, lastInd, 0, lastInd.length)
+                if (fi >= 0)
+                  putCell(vectors(fi).asInstanceOf[OnHeapColumnVector], r, value)
               } else if (v.isString) {
                 // direct, boxing-free vector writes on the hot path
                 val vec = vectors(fi).asInstanceOf[OnHeapColumnVector]
@@ -607,6 +654,12 @@ object PorModule extends FormatModule {
                     val fj = fieldOfVar(j)
                     if (fj >= 0)
                       putCell(vectors(fj).asInstanceOf[OnHeapColumnVector], r, pv(j))
+                    val ij = indFieldOfVar(j)
+                    if (ij >= 0) {
+                      val ivec = vectors(ij).asInstanceOf[OnHeapColumnVector]
+                      if (pvInd(j) == null) ivec.putNull(r)
+                      else ivec.putByteArray(r, pvInd(j), 0, pvInd(j).length)
+                    }
                     j += 1
                   }
                 } else {

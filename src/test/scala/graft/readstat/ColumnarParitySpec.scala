@@ -230,6 +230,32 @@ class ColumnarParitySpec extends SparkTestBase {
     val sInds = savRead.select("s_null").distinct().collect()
       .map(r => Option(r.getString(0)).orNull).toSet
     assert(sInds == Set(null, "NA"), sInds.toString)
+
+    // por: sav-semantics indicators through the por columnar path, with
+    // a pushed filter layered on top (prefix-buffered indicator flush)
+    val pp = s"$dir/inul.por"
+    (1 to 3000).map(i =>
+      (java.lang.Double.valueOf((i % 10).toDouble), i.toDouble))
+      .toDF("q", "ord")
+      .write.format("readstat").mode("overwrite")
+      .option("valueLabels", "q:9=Refused")
+      .option("missingValues", "q:9").save(pp)
+    def porRead = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(pp)
+    assertColumnarParity(
+      porRead,
+      spark.read.format("readstat")
+        .option("informativeNulls", "true")
+        .option("schemaOverrides", noopOverride(porRead)).load(pp),
+      "por informativeNulls")
+    val pInds = porRead.select("Q_null").distinct().collect()
+      .map(r => Option(r.getString(0)).orNull).toSet
+    assert(pInds == Set(null, "Refused"), pInds.toString)
+    val filtered = porRead.filter(col("ORD") > 1500.0)
+    assert(filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString.contains("PushedFilters:"))
+    assert(filtered.filter(col("Q_null").isNotNull).count() ==
+      (1501 to 3000).count(_ % 10 == 9))
   }
 
   test("sav user-missing codes stay null in the labeled columnar path") {

@@ -186,12 +186,12 @@ class FilterPushdownSpec extends SparkTestBase {
     val want = all.count(r => r.getDouble(0) > 4500.0 &&
       !r.isNullAt(1) && r.getString(1) == "p3")
     assert(q.count() == want, "por columnar filtered count")
-    // row path (informativeNulls forces rows)
+    // informativeNulls por scans are columnar too (r12); results match
     val rowQ = spark.read.format("readstat")
       .option("informativeNulls", "true").load(p)
       .filter(col("id") > 4500.0 && col("s") === "p3")
-    assert(!rowQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
-    assert(rowQ.count() == want, "por row-path filtered count")
+    assert(rowQ.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(rowQ.count() == want, "por informativeNulls filtered count")
     // parallel checkpoint partitions + row index mapping under the filter
     val par = spark.read.format("readstat")
       .option("partitionTargetBytes", "32768")
