@@ -507,7 +507,7 @@ object SpssModule extends FormatModule {
         var data = buf
         var m = n
         var sel: Array[Int] = null
-        if (bytesPred != null) {
+        if (bytesPred != null && !predDisabled) {
           val s = new Array[Int](n)
           var selLen = 0
           var r = 0
@@ -526,6 +526,11 @@ object SpssModule extends FormatModule {
               i += 1
             }
             data = cbuf; m = selLen; sel = s
+            uncompacted = 0
+          } else {
+            // adaptive disable, same rationale as StataModule
+            uncompacted += 1
+            if (uncompacted >= 2) predDisabled = true
           }
         }
         val vectors = new Array[ColumnVector](plans.length)
@@ -544,6 +549,8 @@ object SpssModule extends FormatModule {
       private var curBase = 0
       private val predGetter: Int => Any =
         slot => decoders(slot)(curBuf, curBase)
+      private var predDisabled = false
+      private var uncompacted = 0
 
       private val missingBytes =
         "MISSING".getBytes(java.nio.charset.StandardCharsets.UTF_8)

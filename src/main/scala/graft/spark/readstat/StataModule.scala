@@ -641,6 +641,8 @@ object StataModule extends FormatModule {
       private var curBase = 0
       private val predGetter: Int => Any =
         slot => decoders(slot)(curBuf, curBase)
+      private var predDisabled = false
+      private var uncompacted = 0
 
       override def next(): ColumnarBatch = {
         val n = math.min(chunkRows.toLong, remaining).toInt
@@ -662,7 +664,7 @@ object StataModule extends FormatModule {
         var data = buf
         var m = n
         var sel: Array[Int] = null
-        if (bytesPred != null) {
+        if (bytesPred != null && !predDisabled) {
           val s = new Array[Int](n)
           var selLen = 0
           var r = 0
@@ -681,6 +683,14 @@ object StataModule extends FormatModule {
               i += 1
             }
             data = cbuf; m = selLen; sel = s
+            uncompacted = 0
+          } else {
+            // adaptive disable: batches that never compact pay the
+            // filter-cell decode twice for nothing — after two such
+            // batches, stop evaluating for the rest of the partition
+            // (the Catalyst residual filters regardless)
+            uncompacted += 1
+            if (uncompacted >= 2) predDisabled = true
           }
         }
         val vectors = new Array[ColumnVector](plans.length)

@@ -446,6 +446,8 @@ object XptModule extends FormatModule {
       private var curBase = 0
       private val predGetter: Int => Any =
         slot => decoders(slot)(curBuf, curBase)
+      private var predDisabled = false
+      private var uncompacted = 0
 
       override def hasNext: Boolean = {
         if (remaining <= 0) close()
@@ -481,7 +483,7 @@ object XptModule extends FormatModule {
         var data = buf
         var m = n
         var sel: Array[Int] = null
-        if (bytesPred != null) {
+        if (bytesPred != null && !predDisabled) {
           val s = new Array[Int](n)
           var selLen = 0
           var rr = 0
@@ -502,6 +504,11 @@ object XptModule extends FormatModule {
               i += 1
             }
             data = cbuf; m = selLen; sel = s
+            uncompacted = 0
+          } else {
+            // adaptive disable, same rationale as StataModule
+            uncompacted += 1
+            if (uncompacted >= 2) predDisabled = true
           }
         }
         val vectors = new Array[ColumnVector](plans.length)

@@ -38,7 +38,7 @@ object PlanDump {
       "skew_stats", "sample_weighted", "zorder_layout", "q21_exists_anti",
       "spss_compress_roundtrip", "stata_stream_sink", "zsav_stream_sink",
       "time_type_agg", "por_value_labels", "por_missing_informative",
-      "por_stream_sink", "stata_filter_pushdown")
+      "por_stream_sink", "stata_filter_pushdown", "stata_labeled_agg")
 
     // prose notes preserved across regenerations (measured facts live
     // here, not hand-edits to the generated file)

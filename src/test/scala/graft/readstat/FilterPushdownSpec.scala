@@ -107,6 +107,26 @@ class FilterPushdownSpec extends SparkTestBase {
       (4001 to 6000).map(_ * 2.0).sum)
   }
 
+  test("adaptive pred-disable across batches never changes results") {
+    // batchRows=1000 → 20 batches in one partition; the 50%-selective
+    // filter never passes the compaction gate, so the predicate
+    // disables itself after two batches and later batches emit
+    // unfiltered — the Catalyst residual must still produce exact rows
+    val df = spark.read.format("readstat")
+      .option("batchRows", "1000").load(dtaPath)
+      .filter(col("x") > 5000.0)
+    assert(scanDesc(df).contains("PushedFilters:"))
+    assert(df.count() == 10000)
+    assert(df.agg(sum("id")).collect()(0).getLong(0) ==
+      (10001 to 20000).map(_.toLong).sum)
+    // and a pushable filter selective enough to compact every batch
+    val sel = spark.read.format("readstat")
+      .option("batchRows", "1000").load(dtaPath)
+      .filter(col("id") <= 20)
+    assert(scanDesc(sel).contains("LessThanOrEqual(id,20)"), scanDesc(sel))
+    assert(sel.count() == 20)
+  }
+
   test("row index stays the FILE row number under a filtered scan") {
     val df = spark.read.format("readstat")
       .option("rowIndexName", "_ri").load(dtaPath)
