@@ -6,8 +6,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** r12 columnar-coverage additions: POR batch decode (the last format
-  * that served rows only) and label decode inside the columnar path on
-  * dta/sav/por. Each case pins BOTH properties: the plan actually runs
+  * that served rows only), dictionary-encoded label decode on all five
+  * formats, and column-mode informative-null indicators on all five.
+  * Each case pins BOTH properties: the plan actually runs
   * ColumnarToRow, and the values match the row path bit-for-bit (row
   * path forced via a no-op schemaOverride, which supportsColumnar
   * rejects by design).
