@@ -102,6 +102,80 @@ object ReadstatQueries {
       |  AND o_orderstatus <> 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Temporal filter pushdown (r13, SURVEY §2.2): date-range + timestamp
+    * conjuncts evaluated INSIDE the scan — the literals convert once at
+    * compile to days/micros and every row is a primitive long compare
+    * (date filters are the most common real filter on survey data; the
+    * r12 compiler refused temporals and left them entirely to the
+    * residual). Hash-gated against DuckDB applying the same predicate
+    * to the original parquet, so the dta %td/%tc roundtrip AND the
+    * pushed evaluation must both be exact. */
+  def dtaTemporalFilterPushdown(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "lineitem_tfp.dta")
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_d"),
+        col("l_shipdate").as("ship_ts"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .filter(col("ship_d") >= lit("1996-01-01").cast("date") &&
+        col("ship_d") < lit("1998-01-01").cast("date") &&
+        col("ship_ts") > lit("1996-06-15 12:00:00").cast("timestamp_ntz"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        date_format(min("ship_d"), "yyyy-MM-dd").as("min_d"),
+        date_format(max("ship_ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+      .orderBy("l_returnflag")
+  }
+
+  val dtaTemporalFilterPushdownSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_d,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ts
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-15 12:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** String predicate pushdown (r13): StartsWith/EndsWith/Contains
+    * conjuncts (including an OR of two prefixes) evaluated inside the
+    * sav scan via UTF8String prefix/suffix/contains — common shapes in
+    * text-corpus paths. Residual-covered as always; the hash gate pins
+    * the skip logic never drops a kept row. */
+  def savStringFilterPushdown(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_sfp.sav")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .filter((col("o_orderpriority").startsWith("1-") ||
+          col("o_orderpriority").startsWith("2-")) &&
+        (col("o_orderpriority").endsWith("T") ||
+          col("o_orderpriority").endsWith("H")) &&
+        col("o_orderpriority").contains("G") &&
+        col("o_orderstatus").contains("O"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val savStringFilterPushdownSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      |  AND (o_orderpriority LIKE '%T' OR o_orderpriority LIKE '%H')
+      |  AND o_orderpriority LIKE '%G%'
+      |  AND o_orderstatus LIKE '%O%'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Value-label decode through the DICTIONARY-encoded columnar path
     * (r12): an int code column written with a label table, read back
     * with valueLabelsAsStrings (labeled scans now run columnar with
@@ -915,6 +989,10 @@ object ReadstatQueries {
     "stata_roundtrip_agg" -> (dtaRoundtripAgg _, dtaRoundtripAggSql),
     "stata_scan_pushdown" -> (dtaPushdown _, dtaPushdownSql),
     "stata_filter_pushdown" -> (dtaFilterPushdown _, dtaFilterPushdownSql),
+    "stata_temporal_filter_pushdown" ->
+      (dtaTemporalFilterPushdown _, dtaTemporalFilterPushdownSql),
+    "spss_string_filter_pushdown" ->
+      (savStringFilterPushdown _, savStringFilterPushdownSql),
     "stata_labeled_agg" -> (dtaLabeledAgg _, dtaLabeledAggSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),

@@ -30,21 +30,69 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[readstat] object PushedFilters {
 
-  /** Output types a pushed predicate can evaluate. Temporals are out:
-    * their source-Filter values arrive as java.time types whose
-    * conversion is not worth the matrix; numeric + string cover the
-    * survey-data hot paths. */
+  /** Output types a pushed predicate can evaluate. Temporals are in
+    * (r13): date-range filters are the most common real filter on
+    * survey data — their source-Filter literals arrive as
+    * java.sql.Date / java.time.* and convert ONCE at compile time to
+    * the decoded internal representation (days / micros), after which
+    * every row is a primitive long compare. */
   def supportedType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType => true
+         DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _: TimeType => true // nanos-of-day Long (timeAsTimeType)
     case _ => false
   }
+
+  /** Types compared in LONG space: exact for 64-bit integrals (the
+    * double path loses precision above 2^53 — a GreaterThan(col, 2^53)
+    * with cell 2^53+1 would compare EQUAL and wrongly skip a kept row)
+    * and the natural space for the temporal internal representations
+    * (DateType = days-since-epoch Int, Timestamp[NTZ] = micros Long).
+    * Cells arrive as the decoded internal value: Integer days from the
+    * row path and date vectors, Long micros/nanos, any integral box
+    * for LongType columns. */
+  private def longSpace(dt: DataType): Boolean = dt match {
+    case LongType | DateType | TimestampType | TimestampNTZType => true
+    case _: TimeType => true
+    case _ => false
+  }
+
+  /** Filter literal → long-space value for a long-space column type.
+    * None = unconvertible (unexpected literal class — conjunct falls
+    * to the residual). Fractional Float/Double literals against a
+    * LongType column never arise post-analysis (Catalyst casts the
+    * COLUMN, which blocks source-filter translation), so they are
+    * simply rejected rather than rounded. */
+  private def lit2long(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (LongType, b: java.lang.Byte) => Some(b.longValue)
+    case (LongType, s: java.lang.Short) => Some(s.longValue)
+    case (LongType, i: java.lang.Integer) => Some(i.longValue)
+    case (LongType, l: java.lang.Long) => Some(l.longValue)
+    case (DateType, d: java.sql.Date) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType, t: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
+    case (_: TimeType, t: java.time.LocalTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localTimeToNanos(t))
+    case _ => None
+  }
+
+  /** Long-space literal acceptability, for [[isSupported]]. */
+  private def longLitOk(dt: DataType, v: Any): Boolean =
+    lit2long(dt, v).isDefined
 
   /** Whether a (possibly nested And/Or/Not) filter is evaluable given
     * per-column output types. */
   def isSupported(f: Filter, typeOf: String => Option[DataType]): Boolean = {
     def colOk(name: String, value: Any): Boolean = typeOf(name) match {
       case Some(StringType) => value == null || value.isInstanceOf[String]
+      case Some(dt) if longSpace(dt) => value == null || longLitOk(dt, value)
       case Some(dt) if supportedType(dt) =>
         value == null || (value match {
           case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
@@ -53,6 +101,7 @@ private[readstat] object PushedFilters {
         })
       case _ => false
     }
+    def strCol(name: String): Boolean = typeOf(name).contains(StringType)
     f match {
       case EqualTo(c, v) => colOk(c, v) && v != null
       case EqualNullSafe(c, v) => colOk(c, v)
@@ -63,6 +112,9 @@ private[readstat] object PushedFilters {
       case In(c, vs) => vs != null && vs.forall(v => colOk(c, v))
       case IsNull(c) => typeOf(c).exists(supportedType)
       case IsNotNull(c) => typeOf(c).exists(supportedType)
+      case StringStartsWith(c, v) => strCol(c) && v != null
+      case StringEndsWith(c, v) => strCol(c) && v != null
+      case StringContains(c, v) => strCol(c) && v != null
       case And(l, r) => isSupported(l, typeOf) && isSupported(r, typeOf)
       case Or(l, r) => isSupported(l, typeOf) && isSupported(r, typeOf)
       case Not(c) => isSupported(c, typeOf)
@@ -79,6 +131,20 @@ private[readstat] object PushedFilters {
     case d: java.lang.Double => d
     case other => throw new IllegalStateException(
       s"readstat pushed filter: unexpected cell ${other.getClass}")
+  }
+
+  /** Long-space cell: the decoded internal value of a LongType or
+    * temporal column — Integer days, Long micros/nanos, or any
+    * integral box a module decoder emits. Float/Double cells are a
+    * contract violation here (long-space compiles only for long-space
+    * column types, whose decoders emit integrals). */
+  private def numL(a: Any): Long = a match {
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case other => throw new IllegalStateException(
+      s"readstat pushed filter: unexpected long-space cell ${other.getClass}")
   }
 
   /** Spark double ordering: ±0.0 equal, NaN == NaN and NaN largest. */
@@ -124,6 +190,10 @@ private[readstat] object PushedFilters {
         case _ => None
       }
     def isStr(c: String): Boolean = typeOf(c).contains(StringType)
+    def isLong(c: String): Boolean = typeOf(c).exists(longSpace)
+    def leafStr(c: String, v: String)(p: (Int, UTF8String) => Pred): Option[Pred] =
+      if (v == null || !isStr(c)) None
+      else slotOf(c).map(slot => p(slot, UTF8String.fromString(v)))
 
     f match {
       case EqualTo(c, v) if v != null => cmpLeaf(c, v, slotOf, typeOf, 0, eq = true)
@@ -137,7 +207,19 @@ private[readstat] object PushedFilters {
       case LessThan(c, v) if v != null => cmpLeaf(c, v, slotOf, typeOf, -1, eq = false)
       case LessThanOrEqual(c, v) if v != null =>
         cmpLeaf(c, v, slotOf, typeOf, -1, eq = true)
-      case In(c, vs) if vs != null && !isStr(c) &&
+      case In(c, vs) if vs != null && isLong(c) =>
+        (slotOf(c), typeOf(c)) match {
+          case (Some(slot), Some(dt)) if vs.forall(v =>
+              v == null || lit2long(dt, v).isDefined) =>
+            val set = new java.util.HashSet[java.lang.Long]()
+            vs.foreach(v => if (v != null) set.add(lit2long(dt, v).get))
+            Some(g => {
+              val a = g(slot)
+              a != null && set.contains(numL(a))
+            })
+          case _ => None
+        }
+      case In(c, vs) if vs != null && !isStr(c) && !isLong(c) &&
           vs.forall(v => v == null || !v.isInstanceOf[String]) =>
         leafNum(c) { (slot, _) =>
           val bits = new java.util.HashSet[java.lang.Long]()
@@ -164,6 +246,20 @@ private[readstat] object PushedFilters {
       case IsNotNull(c) =>
         slotOf(c).filter(_ => typeOf(c).exists(supportedType))
           .map(slot => (g: Int => Any) => g(slot) != null)
+      // null cell → false (Catalyst: null prefix-match is null = not-true,
+      // so the skip is sound and the residual drops the row anyway)
+      case StringStartsWith(c, v) => leafStr(c, v) { (slot, want) => g =>
+        val a = g(slot)
+        a != null && a.asInstanceOf[UTF8String].startsWith(want)
+      }
+      case StringEndsWith(c, v) => leafStr(c, v) { (slot, want) => g =>
+        val a = g(slot)
+        a != null && a.asInstanceOf[UTF8String].endsWith(want)
+      }
+      case StringContains(c, v) => leafStr(c, v) { (slot, want) => g =>
+        val a = g(slot)
+        a != null && a.asInstanceOf[UTF8String].contains(want)
+      }
       case And(l, r) =>
         // one evaluable side alone is still a sound skip test for the
         // conjunction (the other side can only make it MORE false)
@@ -230,6 +326,17 @@ private[readstat] object PushedFilters {
             if (cv == 0) eq || dir == 0 else Integer.signum(cv) == dir
           }
         })
+      case (Some(slot), Some(dt)) if longSpace(dt) =>
+        // exact 64-bit compare: LongType cells above 2^53 and temporal
+        // internal values never round through double
+        lit2long(dt, v).map { want => (g: Int => Any) => {
+          val a = g(slot)
+          if (a == null) false
+          else {
+            val cv = java.lang.Long.compare(numL(a), want)
+            if (cv == 0) eq || dir == 0 else Integer.signum(cv) == dir
+          }
+        }}
       case (Some(slot), Some(dt))
           if supportedType(dt) && dt != StringType && !v.isInstanceOf[String] =>
         val want = num(v)

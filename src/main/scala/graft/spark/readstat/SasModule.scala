@@ -525,21 +525,22 @@ object SasModule extends FormatModule {
     }
 
     // bytes-predicate over filter cells of one row slot (plain numeric /
-    // char shapes; temporal kinds don't compile — residual covers them).
-    // valueLabelsAsStrings never reaches this path (supportsColumnar).
+    // char shapes plus, r13, temporal kinds — they box the decoded
+    // Integer-days / Long-micros internal value PushedFilters compares
+    // in long space). Labeled columns decode to label STRINGS the
+    // predicate expects (typeByName says StringType) — a raw-double
+    // decoder would CCE, so their conjuncts don't compile and fall to
+    // the residual (same rule as the dta/sav/xpt modules).
     val cellDecoders = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int) => Any]()
     val slotIdx = scala.collection.mutable.HashMap[String, Int]()
     if (pushed.nonEmpty) pushed.flatMap(_.references).distinct.foreach { name =>
       byName.get(name).foreach { ci =>
         val c = md.columns(ci)
         val kind = kindFor(c)
-        // labeled columns decode to label STRINGS the predicate expects
-        // (typeByName says StringType) -- a raw-double decoder would CCE,
-        // so they don't compile and the residual covers their conjuncts
         val labeled = opts.valueLabelsAsStrings &&
           (catalogLabels(opts, c).isDefined ||
             catalogCharLabels(opts, c).isDefined)
-        if (!labeled && (kind == KChar || kind == KNum)) {
+        if (!labeled) {
           val dec: (Array[Byte], Int) => Any =
             if (kind == KChar) { (b, base) =>
               val off = base + c.offset
@@ -550,9 +551,29 @@ object SasModule extends FormatModule {
               if (stop == off) {
                 if (opts.missingStringAsNull) null else UTF8String.fromString("")
               } else UTF8String.fromString(new String(b, off, stop - off, cs))
-            } else { (b, base) =>
-              val v = SasCore.incompleteDouble(b, base + c.offset, c.length, little)
-              if (v.isNaN || v.isInfinite) null else java.lang.Double.valueOf(v)
+            } else {
+              val numDec: (Array[Byte], Int) => java.lang.Double = (b, base) => {
+                val v = SasCore.incompleteDouble(b, base + c.offset, c.length, little)
+                if (v.isNaN || v.isInfinite) null else java.lang.Double.valueOf(v)
+              }
+              kind match {
+                case KDate => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Integer.valueOf(SasCore.toDateDays(x.doubleValue))
+                }
+                case KDatetime => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Long.valueOf(SasCore.toDatetimeMicros(x.doubleValue))
+                }
+                case KTime => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Long.valueOf(SasCore.toTimeNanos(x.doubleValue))
+                }
+                case _ => numDec
+              }
             }
           slotIdx(name) = cellDecoders.length
           cellDecoders += dec

@@ -404,9 +404,11 @@ object SpssModule extends FormatModule {
           (v, numLut, strLab, ind)
         }
       }
-    // bytes-predicate over filter cells (plain numeric/string shapes;
-    // labeled columns don't compile — their conjuncts simply don't
-    // contribute to skipping, the residual Filter still applies)
+    // bytes-predicate over filter cells (plain numeric/string shapes
+    // plus, r13, temporals — they box the Integer-days / Long-micros
+    // internal value PushedFilters compares in long space; labeled
+    // columns don't compile — their conjuncts simply don't contribute
+    // to skipping, the residual Filter still applies)
     val cellDecoders = scala.collection.mutable.ArrayBuffer[(Array[Byte], Int) => Any]()
     val slotIdx = scala.collection.mutable.HashMap[String, Int]()
     if (pushed.nonEmpty) pushed.flatMap(_.references).distinct.foreach { name =>
@@ -415,8 +417,7 @@ object SpssModule extends FormatModule {
         val labeled = opts.valueLabelsAsStrings &&
           ((!v.isString && v.numLabels.nonEmpty) ||
             (v.isString && v.strLabels.nonEmpty))
-        val temporal = !v.isString && v.formatClass.isDefined
-        if (!labeled && !temporal) {
+        if (!labeled) {
           val off = v.offsetUnits * 8
           val dec: (Array[Byte], Int) => Any =
             if (v.isString) {
@@ -432,13 +433,40 @@ object SpssModule extends FormatModule {
                     v.missingStrings.contains(s)) null
                 else UTF8String.fromString(s)
               }
-            } else { (b, base) =>
-              val bits = Bin.i64(b, base + off, md.little)
-              val d = java.lang.Double.longBitsToDouble(bits)
-              val sysMissing = bits == MissingBits || bits == LowestBits ||
-                bits == HighestBits || d.isNaN
-              if (sysMissing || isUserMissing(v, d, bits)) null
-              else java.lang.Double.valueOf(d)
+            } else {
+              val numDec: (Array[Byte], Int) => Any = (b, base) => {
+                val bits = Bin.i64(b, base + off, md.little)
+                val d = java.lang.Double.longBitsToDouble(bits)
+                val sysMissing = bits == MissingBits || bits == LowestBits ||
+                  bits == HighestBits || d.isNaN
+                if (sysMissing || isUserMissing(v, d, bits)) null
+                else java.lang.Double.valueOf(d)
+              }
+              // temporal wrap: the row path's pl.out transform exactly
+              sparkTypeOf(v, opts) match {
+                case DateType => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Integer.valueOf(
+                    ((x.asInstanceOf[java.lang.Double].doubleValue.toLong -
+                      SecShift) / 86400L).toInt)
+                }
+                case TimestampNTZType => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Long.valueOf(math.round(
+                    (x.asInstanceOf[java.lang.Double].doubleValue - SecShift)
+                      * 1000.0) * 1000L)
+                }
+                case LongType | _: org.apache.spark.sql.types.TimeType =>
+                  (b, base) => {
+                    val x = numDec(b, base)
+                    if (x == null) null
+                    else java.lang.Long.valueOf(math.round(
+                      x.asInstanceOf[java.lang.Double].doubleValue * 1e9))
+                  }
+                case _ => numDec
+              }
             }
           slotIdx(name) = cellDecoders.length
           cellDecoders += dec
@@ -507,30 +535,55 @@ object SpssModule extends FormatModule {
         var data = buf
         var m = n
         var sel: Array[Int] = null
-        if (bytesPred != null && !predDisabled) {
-          val s = new Array[Int](n)
-          var selLen = 0
-          var r = 0
-          while (r < n) {
-            curBuf = buf; curBase = r * recordLen
-            if (bytesPred(predGetter)) { s(selLen) = r; selLen += 1 }
-            r += 1
+        if (bytesPred != null) {
+          if (predDisabled) {
+            // periodic re-probe, same rationale as StataModule (r13)
+            batchesSinceProbe += 1
+            if (batchesSinceProbe >= 8) predDisabled = false
           }
-          if (selLen < n &&
-              selLen.toLong * recordLen <
-                (n - selLen).toLong * (projBytes + 16)) {
-            val cbuf = new Array[Byte](selLen * recordLen)
-            var i = 0
-            while (i < selLen) {
-              System.arraycopy(buf, s(i) * recordLen, cbuf, i * recordLen, recordLen)
-              i += 1
+          if (!predDisabled) {
+            // r13 row-sample probe before the full pass, same design
+            // as StataModule: ≤256 strided rows estimate selectivity;
+            // the exact per-batch gate below stays as the backstop
+            val stride = math.max(1, n / 256)
+            var samples = 0
+            var hits = 0
+            var sr = 0
+            while (sr < n) {
+              curBuf = buf; curBase = sr * recordLen
+              if (bytesPred(predGetter)) hits += 1
+              samples += 1
+              sr += stride
             }
-            data = cbuf; m = selLen; sel = s
-            uncompacted = 0
-          } else {
-            // adaptive disable, same rationale as StataModule
-            uncompacted += 1
-            if (uncompacted >= 2) predDisabled = true
+            val selEst = n.toLong * hits / math.max(1, samples)
+            if (hits == samples ||
+                selEst * recordLen >= (n - selEst) * (projBytes + 16)) {
+              predDisabled = true
+              batchesSinceProbe = 0
+            } else {
+              val s = new Array[Int](n)
+              var selLen = 0
+              var r = 0
+              while (r < n) {
+                curBuf = buf; curBase = r * recordLen
+                if (bytesPred(predGetter)) { s(selLen) = r; selLen += 1 }
+                r += 1
+              }
+              if (selLen < n &&
+                  selLen.toLong * recordLen <
+                    (n - selLen).toLong * (projBytes + 16)) {
+                val cbuf = new Array[Byte](selLen * recordLen)
+                var i = 0
+                while (i < selLen) {
+                  System.arraycopy(buf, s(i) * recordLen, cbuf, i * recordLen, recordLen)
+                  i += 1
+                }
+                data = cbuf; m = selLen; sel = s
+              } else {
+                predDisabled = true
+                batchesSinceProbe = 0
+              }
+            }
           }
         }
         val vectors = new Array[ColumnVector](plans.length)
@@ -550,7 +603,7 @@ object SpssModule extends FormatModule {
       private val predGetter: Int => Any =
         slot => decoders(slot)(curBuf, curBase)
       private var predDisabled = false
-      private var uncompacted = 0
+      private var batchesSinceProbe = 0
 
       private val missingBytes =
         "MISSING".getBytes(java.nio.charset.StandardCharsets.UTF_8)

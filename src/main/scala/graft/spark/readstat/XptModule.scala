@@ -401,8 +401,7 @@ object XptModule extends FormatModule {
         val labeled = opts.valueLabelsAsStrings &&
           (catalogLabels(opts, c).isDefined ||
             catalogCharLabels(opts, c).isDefined)
-        val ok = !labeled && (c.isChar || kind == SasCore.KNum)
-        if (ok) {
+        if (!labeled) {
           val off = c.offset
           val w = c.width
           val dec: (Array[Byte], Int) => Any =
@@ -414,11 +413,32 @@ object XptModule extends FormatModule {
                 if (opts.missingStringAsNull) null else UTF8String.fromString("")
               } else UTF8String.fromString(new String(b, start, end - start,
                 java.nio.charset.StandardCharsets.ISO_8859_1))
-            } else { (b, base) =>
-              if (XptCore.isMissing(b, base + off, w)) null
-              else {
-                val d = XptCore.ibmToDouble(b, base + off, w)
-                if (d.isNaN || d.isInfinite) null else java.lang.Double.valueOf(d)
+            } else {
+              val numDec: (Array[Byte], Int) => java.lang.Double = (b, base) =>
+                if (XptCore.isMissing(b, base + off, w)) null
+                else {
+                  val d = XptCore.ibmToDouble(b, base + off, w)
+                  if (d.isNaN || d.isInfinite) null else java.lang.Double.valueOf(d)
+                }
+              // r13: temporal kinds box the Integer-days / Long-micros
+              // internal value PushedFilters compares in long space
+              kind match {
+                case SasCore.KDate => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Integer.valueOf(SasCore.toDateDays(x.doubleValue))
+                }
+                case SasCore.KDatetime => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Long.valueOf(SasCore.toDatetimeMicros(x.doubleValue))
+                }
+                case SasCore.KTime => (b, base) => {
+                  val x = numDec(b, base)
+                  if (x == null) null
+                  else java.lang.Long.valueOf(SasCore.toTimeNanos(x.doubleValue))
+                }
+                case _ => numDec
               }
             }
           slotIdx(name) = cellDecoders.length
@@ -447,7 +467,7 @@ object XptModule extends FormatModule {
       private val predGetter: Int => Any =
         slot => decoders(slot)(curBuf, curBase)
       private var predDisabled = false
-      private var uncompacted = 0
+      private var batchesSinceProbe = 0
 
       override def hasNext: Boolean = {
         if (remaining <= 0) close()
@@ -483,32 +503,58 @@ object XptModule extends FormatModule {
         var data = buf
         var m = n
         var sel: Array[Int] = null
-        if (bytesPred != null && !predDisabled) {
-          val s = new Array[Int](n)
-          var selLen = 0
-          var rr = 0
-          while (rr < n) {
-            curBuf = buf; curBase = rr * rowLen
-            if (bytesPred(predGetter)) { s(selLen) = rr; selLen += 1 }
-            rr += 1
+        if (bytesPred != null) {
+          if (predDisabled) {
+            // periodic re-probe, same rationale as StataModule (r13)
+            batchesSinceProbe += 1
+            if (batchesSinceProbe >= 8) predDisabled = false
           }
-          // same byte-model gate as StataModule: compact only when the
-          // copy is cheaper than the decode + downstream work it saves
-          if (selLen < n &&
-              selLen.toLong * rowLen <
-                (n - selLen).toLong * (projBytes + 16)) {
-            val cbuf = new Array[Byte](selLen * rowLen)
-            var i = 0
-            while (i < selLen) {
-              System.arraycopy(buf, s(i) * rowLen, cbuf, i * rowLen, rowLen)
-              i += 1
+          if (!predDisabled) {
+            // r13 row-sample probe before the full pass, same design
+            // as StataModule: ≤256 strided rows estimate selectivity;
+            // the exact per-batch gate below stays as the backstop
+            val stride = math.max(1, n / 256)
+            var samples = 0
+            var hits = 0
+            var sr = 0
+            while (sr < n) {
+              curBuf = buf; curBase = sr * rowLen
+              if (bytesPred(predGetter)) hits += 1
+              samples += 1
+              sr += stride
             }
-            data = cbuf; m = selLen; sel = s
-            uncompacted = 0
-          } else {
-            // adaptive disable, same rationale as StataModule
-            uncompacted += 1
-            if (uncompacted >= 2) predDisabled = true
+            val selEst = n.toLong * hits / math.max(1, samples)
+            if (hits == samples ||
+                selEst * rowLen >= (n - selEst) * (projBytes + 16)) {
+              predDisabled = true
+              batchesSinceProbe = 0
+            } else {
+              val s = new Array[Int](n)
+              var selLen = 0
+              var rr = 0
+              while (rr < n) {
+                curBuf = buf; curBase = rr * rowLen
+                if (bytesPred(predGetter)) { s(selLen) = rr; selLen += 1 }
+                rr += 1
+              }
+              // same byte-model gate as StataModule: compact only when
+              // the copy is cheaper than the decode + downstream work
+              // it saves
+              if (selLen < n &&
+                  selLen.toLong * rowLen <
+                    (n - selLen).toLong * (projBytes + 16)) {
+                val cbuf = new Array[Byte](selLen * rowLen)
+                var i = 0
+                while (i < selLen) {
+                  System.arraycopy(buf, s(i) * rowLen, cbuf, i * rowLen, rowLen)
+                  i += 1
+                }
+                data = cbuf; m = selLen; sel = s
+              } else {
+                predDisabled = true
+                batchesSinceProbe = 0
+              }
+            }
           }
         }
         val vectors = new Array[ColumnVector](plans.length)

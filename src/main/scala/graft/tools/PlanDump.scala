@@ -38,7 +38,8 @@ object PlanDump {
       "skew_stats", "sample_weighted", "zorder_layout", "q21_exists_anti",
       "spss_compress_roundtrip", "stata_stream_sink", "zsav_stream_sink",
       "time_type_agg", "por_value_labels", "por_missing_informative",
-      "por_stream_sink", "stata_filter_pushdown", "stata_labeled_agg")
+      "por_stream_sink", "stata_filter_pushdown", "stata_labeled_agg",
+      "stata_temporal_filter_pushdown", "spss_string_filter_pushdown")
 
     // prose notes preserved across regenerations (measured facts live
     // here, not hand-edits to the generated file)
@@ -70,6 +71,29 @@ Labeled decode itself (r12): dictionary-encoded string vectors
 (DevLabelProf, 10M-row labeled dta, min-of-5): byte-array appends per cell
 1.70x raw; dictionary ids 1.33x vs the row path's 1.24x — per cell one
 dict-id putInt, per-batch fallback ids for unlabeled codes.
+""",
+      "stata_temporal_filter_pushdown" -> """
+r13: temporal conjuncts compile — the Date/TimestampNTZ literals convert
+ONCE at predicate-compile time to epoch days / micros (PushedFilters.
+lit2long) and each row's filter cells compare as primitive longs on the
+decoded internal representation, so the claimed conjuncts below drive
+real decode-skipping in the scan (r12 refused temporals entirely and the
+residual did all the work). The compaction decision uses the r13 sample
+probe: ≤256 strided rows estimate selectivity before any full predicate
+pass (the r12 2-full-batch warmup cost +33% on 50%-selective filters),
+with a periodic re-probe every 8 batches for data sorted on the filter
+column. Committed A/B (PROFILE_AB_R13.json, interleaved idle rounds):
+`stata_subset_filter` r12 0.25 s -> r13 0.12 s (below the r11 0.19 s
+pre-pushdown level) while the 2%-selective `stata_filter_selective_50m`
+keeps its decode-skipping win.
+""",
+      "spss_string_filter_pushdown" -> """
+r13: StringStartsWith/EndsWith/Contains compile to native UTF8String
+prefix/suffix/contains over the decoded cells — the common text-corpus
+filter shapes — including an OR of two prefixes (both sides evaluable,
+so the disjunction compiles). All conjuncts remain Catalyst residuals;
+the hash gate vs DuckDB LIKE patterns pins that the skip never drops a
+kept row.
 """,
       "graph_triangles" -> """
 Round-11 profile (idle machine, min-of-3 at sf0.1, `DevTriProf`/`DevTriVar`):

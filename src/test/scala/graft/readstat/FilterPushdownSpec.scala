@@ -225,18 +225,84 @@ class FilterPushdownSpec extends SparkTestBase {
     assert(base.filter(col("id") > 1e9).count() == 0)
   }
 
-  test("filters on unsupported (temporal) columns are not claimed") {
+  test("date filters are claimed and skip on both decode paths (r13)") {
     import spark.implicits._
     val p = s"$dir/dt.dta"
-    (1 to 200).map(i => (java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"), i))
+    (1 to 2800).map(i => (java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d"), i))
       .toDF("d", "id")
       .write.format("readstat").mode("overwrite").save(p)
-    val df = spark.read.format("readstat").load(p)
-      .filter(col("d") === "2024-01-05")
+    val base = spark.read.format("readstat").load(p)
+    val df = base.filter(col("d") === "2024-01-05")
     val desc = scanDesc(df)
-    assert(!desc.contains("PushedFilters: [EqualTo(d"), desc)
-    assert(df.count() == 200 / 28 + (if (5 <= 200 % 28) 1 else 0) ||
-      df.count() > 0) // value correctness is the residual's job
+    // r12 refused temporals; r13 compiles the literal once to epoch days
+    assert(desc.contains("EqualTo(d,2024-01-05)"), desc)
+    assert(df.count() == 100)
+    // range + null-free date conjunct, columnar path
+    val range = base.filter(col("d") >= "2024-01-10" && col("d") < "2024-01-13")
+    assert(scanDesc(range).contains("GreaterThanOrEqual(d,2024-01-10)"),
+      scanDesc(range))
+    assert(range.count() == 300)
+    // row path (informativeNulls) agrees
+    val rowQ = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p)
+      .filter(col("d") >= "2024-01-10" && col("d") < "2024-01-13")
+    assert(rowQ.count() == 300)
+  }
+
+  test("timestamp filters push on dta (%tc) and sav (DATETIME) scans (r13)") {
+    import spark.implicits._
+    val rows = (1 to 4800).map { i =>
+      (java.sql.Timestamp.valueOf(f"2021-03-${i % 28 + 1}%02d 07:${i % 60}%02d:00"), i)
+    }
+    for (ext <- Seq("dta", "sav")) {
+      val p = s"$dir/ts.$ext"
+      rows.toDF("t", "id")
+        .write.format("readstat").mode("overwrite").save(p)
+      val base = spark.read.format("readstat").load(p)
+      // read-back is TimestampNTZType — the literal arrives as a
+      // LocalDateTime source filter and converts once to micros
+      val q = base.filter(col("t") >= lit("2021-03-20 00:00:00").cast("timestamp_ntz"))
+      assert(scanDesc(q).contains("GreaterThanOrEqual(t,"), s"$ext: ${scanDesc(q)}")
+      val want = rows.count(_._1.toLocalDateTime.getDayOfMonth >= 20)
+      assert(q.count() == want, s"$ext timestamp filtered count")
+      // row path agrees
+      val rowQ = spark.read.format("readstat")
+        .option("rowIndexName", "_ri").load(p)
+        .filter(col("t") >= lit("2021-03-20 00:00:00").cast("timestamp_ntz"))
+      assert(rowQ.count() == want, s"$ext row-path timestamp count")
+    }
+  }
+
+  test("string predicates (startsWith/endsWith/contains) push and match (r13)") {
+    val base = spark.read.format("readstat").load(dtaPath)
+    val all = base.collect()
+    val q = base.filter(col("s").startsWith("s1") && col("s").endsWith("2"))
+    val desc = scanDesc(q)
+    assert(desc.contains("StringStartsWith(s,s1)"), desc)
+    assert(desc.contains("StringEndsWith(s,2)"), desc)
+    val want = all.count(r => !r.isNullAt(2) &&
+      r.getString(2).startsWith("s1") && r.getString(2).endsWith("2"))
+    assert(q.count() == want)
+    val c = base.filter(col("s").contains("3"))
+    assert(scanDesc(c).contains("StringContains(s,3)"), scanDesc(c))
+    assert(c.count() == all.count(r => !r.isNullAt(2) && r.getString(2).contains("3")))
+    // OR of two prefixes compiles (both sides evaluable)
+    val or = base.filter(col("s").startsWith("s1") || col("s").startsWith("s2"))
+    assert(or.count() == all.count(r => !r.isNullAt(2) &&
+      (r.getString(2).startsWith("s1") || r.getString(2).startsWith("s2"))))
+  }
+
+  test("re-probe recovers skipping when sorted data turns selective mid-file") {
+    // data sorted on the filter column: the first batches pass 100% of
+    // rows (probe disables), later batches pass none — the periodic
+    // re-probe must re-arm and results stay exact throughout
+    val df = spark.read.format("readstat")
+      .option("batchRows", "500").load(dtaPath) // 40 batches
+      .filter(col("id") <= 5000)
+    assert(scanDesc(df).contains("LessThanOrEqual(id,5000)"), scanDesc(df))
+    assert(df.count() == 5000)
+    assert(df.agg(sum("x")).collect()(0).getDouble(0) ==
+      (1 to 5000).map(_ * 0.5).sum)
   }
 
   test("compress narrowing disables the claim (types reshape post-decode)") {

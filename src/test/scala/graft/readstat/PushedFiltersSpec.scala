@@ -15,8 +15,10 @@ class PushedFiltersSpec extends AnyFunSuite {
 
   private val types: Map[String, DataType] =
     Map("a" -> DoubleType, "b" -> IntegerType, "s" -> StringType,
-      "f" -> FloatType, "d" -> DateType)
-  private val slots: Map[String, Int] = Map("a" -> 0, "b" -> 1, "s" -> 2, "f" -> 3)
+      "f" -> FloatType, "d" -> DecimalType(10, 2), // decimal = unsupported
+      "l" -> LongType, "dt" -> DateType, "ts" -> TimestampNTZType)
+  private val slots: Map[String, Int] =
+    Map("a" -> 0, "b" -> 1, "s" -> 2, "f" -> 3, "l" -> 4, "dt" -> 5, "ts" -> 6)
 
   private def eval(fs: Seq[Filter], cells: Any*): Option[Boolean] =
     PushedFilters.compile(fs, slots.get, types.get)
@@ -49,7 +51,7 @@ class PushedFiltersSpec extends AnyFunSuite {
   }
 
   test("And compiles one evaluable side; Or needs both; unresolved-only → None") {
-    // 'd' is DateType (unsupported): And still skips on the 'a' side
+    // 'd' is DecimalType (unsupported): And still skips on the 'a' side
     assert(eval(Seq(And(GreaterThan("a", 5.0), EqualTo("d", "x"))),
       4.0, null, null, null).contains(false))
     // Or with an unsupported side must NOT compile (it could be the
@@ -86,5 +88,72 @@ class PushedFiltersSpec extends AnyFunSuite {
     assert(eval(Seq(GreaterThan("f", 0.25f)), null, null, null, 0.5f).contains(true))
     assert(eval(Seq(EqualTo("f", 0.1f)), null, null, null, 0.1f).contains(true))
     assert(eval(Seq(GreaterThan("f", 1e30f)), null, null, null, Float.NaN).contains(true))
+  }
+
+  private def row7(l: Any = null, dt: Any = null, ts: Any = null): Seq[Any] =
+    Seq(null, null, null, null, l, dt, ts)
+
+  test("LongType compares exactly in long space (no double rounding above 2^53)") {
+    val twoTo53 = 9007199254740992L
+    // the r12 double path rounded 2^53+1 to 2^53 and SKIPPED this kept row
+    assert(eval(Seq(GreaterThan("l", twoTo53)),
+      row7(l = java.lang.Long.valueOf(twoTo53 + 1)): _*).contains(true))
+    assert(eval(Seq(GreaterThan("l", twoTo53)),
+      row7(l = java.lang.Long.valueOf(twoTo53)): _*).contains(false))
+    assert(eval(Seq(EqualTo("l", twoTo53 + 1)),
+      row7(l = java.lang.Long.valueOf(twoTo53 + 1)): _*).contains(true))
+    assert(eval(Seq(In("l", Array[Any](twoTo53 + 1, 5L))),
+      row7(l = java.lang.Long.valueOf(twoTo53)): _*).contains(false))
+    assert(eval(Seq(In("l", Array[Any](twoTo53 + 1, 5L))),
+      row7(l = java.lang.Long.valueOf(twoTo53 + 1)): _*).contains(true))
+  }
+
+  test("date filters: java.sql.Date and LocalDate literals vs Integer-days cells") {
+    val d20 = java.lang.Integer.valueOf(20000) // 2024-10-04 in epoch days
+    assert(eval(Seq(GreaterThan("dt", java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(19999)))), row7(dt = d20): _*).contains(true))
+    assert(eval(Seq(LessThan("dt", java.time.LocalDate.ofEpochDay(20000))),
+      row7(dt = d20): _*).contains(false))
+    assert(eval(Seq(EqualTo("dt", java.time.LocalDate.ofEpochDay(20000))),
+      row7(dt = d20): _*).contains(true))
+    assert(eval(Seq(In("dt", Array[Any](java.time.LocalDate.ofEpochDay(20000)))),
+      row7(dt = d20): _*).contains(true))
+    // null cell fails comparisons (residual drops it anyway)
+    assert(eval(Seq(GreaterThan("dt", java.time.LocalDate.ofEpochDay(1))),
+      row7(): _*).contains(false))
+    // cells may box Long too (module decoders)
+    assert(eval(Seq(GreaterThanOrEqual("dt", java.time.LocalDate.ofEpochDay(20000))),
+      row7(dt = java.lang.Long.valueOf(20000L)): _*).contains(true))
+  }
+
+  test("timestamp_ntz filters: LocalDateTime literal vs Long-micros cell") {
+    val lit = java.time.LocalDateTime.of(1996, 6, 15, 12, 0, 0)
+    val litMicros = lit.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(eval(Seq(GreaterThan("ts", lit)),
+      row7(ts = java.lang.Long.valueOf(litMicros + 1)): _*).contains(true))
+    assert(eval(Seq(GreaterThan("ts", lit)),
+      row7(ts = java.lang.Long.valueOf(litMicros)): _*).contains(false))
+    assert(eval(Seq(EqualTo("ts", lit)),
+      row7(ts = java.lang.Long.valueOf(litMicros)): _*).contains(true))
+    // unconvertible literal class → conjunct refuses (residual covers)
+    assert(eval(Seq(EqualTo("ts", "1996-06-15")), row7(): _*).isEmpty)
+  }
+
+  test("string predicates: startsWith/endsWith/contains, null fails, Or composes") {
+    def s(v: String) = Seq(null, null, UTF8String.fromString(v), null, null, null, null)
+    assert(eval(Seq(StringStartsWith("s", "1-")), s("1-URGENT"): _*).contains(true))
+    assert(eval(Seq(StringStartsWith("s", "1-")), s("2-HIGH"): _*).contains(false))
+    assert(eval(Seq(StringEndsWith("s", "T")), s("1-URGENT"): _*).contains(true))
+    assert(eval(Seq(StringEndsWith("s", "T")), s("3-MEDIUM"): _*).contains(false))
+    assert(eval(Seq(StringContains("s", "URG")), s("1-URGENT"): _*).contains(true))
+    assert(eval(Seq(StringContains("s", "URG")), s("3-MEDIUM"): _*).contains(false))
+    assert(eval(Seq(StringContains("s", "x")),
+      Seq(null, null, null, null, null, null, null): _*).contains(false))
+    assert(eval(Seq(Or(StringStartsWith("s", "1-"), StringStartsWith("s", "2-"))),
+      s("2-HIGH"): _*).contains(true))
+    // Not over an exact string child skips only on non-null refs
+    assert(eval(Seq(Not(StringStartsWith("s", "1-"))), s("1-URGENT"): _*).contains(false))
+    assert(eval(Seq(Not(StringStartsWith("s", "1-"))),
+      Seq(null, null, null, null, null, null, null): _*).contains(true))
   }
 }
