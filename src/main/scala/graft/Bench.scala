@@ -36,8 +36,10 @@ object Bench {
     if (!new java.io.File(path).exists())
       df.write.format("readstat").mode("overwrite").options(options).save(path)
 
-  /** (dta10m, sav10m, dta50m, zsav10m, savWide, dtaLabeled10m) */
-  private def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String, String)] = {
+  /** (dta10m, sav10m, dta50m, zsav10m, savWide, dtaLabeled10m)
+    * private[graft] so dev tools (GenBenchFiles, the r13 A/B harness)
+    * can materialize the exact bench inputs without running the bench. */
+  private[graft] def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       // v2: salted replication (see below) — new names force regeneration
@@ -113,6 +115,30 @@ object Bench {
     }
   }
 
+  /** SAS read throughput input: no sas7bdat writer existed in the
+    * reference (read-only format), so replicate the ACS owner fixture
+    * into a 1000-file directory (~400 MB, ~27.6M rows) — measures the
+    * multi-file page-range scan AND the 1000-header driver-parallel
+    * planning path; the count metric isolates metadata-only planning
+    * (COUNT(*) pushdown reads zero data bytes). */
+  private[graft] def ensureSasDir(): Option[String] = try {
+    val src = new java.io.File(
+      "/root/repo/src/test/resources/fixtures/sas/owner.sas7bdat")
+    if (!src.exists()) None
+    else {
+      val dir = new java.io.File("/tmp/graft_bench/sas_dir")
+      dir.mkdirs()
+      if (dir.listFiles().count(_.getName.endsWith(".sas7bdat")) < 1000) {
+        val bytes = java.nio.file.Files.readAllBytes(src.toPath)
+        (0 until 1000).foreach { i =>
+          val f = new java.io.File(dir, f"copy_$i%04d.sas7bdat")
+          if (!f.exists()) java.nio.file.Files.write(f.toPath, bytes)
+        }
+      }
+      Some(dir.getAbsolutePath)
+    }
+  } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -138,29 +164,7 @@ object Bench {
       spark.read.format("readstat")
         .option("partitionTargetBytes", "16777216").load(path)
 
-    // SAS read throughput: no sas7bdat writer exists (read-only format,
-    // same as the reference), so replicate the ACS owner fixture into a
-    // 1000-file directory (~400 MB, ~27.6M rows) — measures the
-    // multi-file page-range scan AND the 1000-header driver-parallel
-    // planning path; the count metric isolates metadata-only planning
-    // (COUNT(*) pushdown reads zero data bytes)
-    val sasDir: Option[String] = try {
-      val src = new java.io.File(
-        "/root/repo/src/test/resources/fixtures/sas/owner.sas7bdat")
-      if (!src.exists()) None
-      else {
-        val dir = new java.io.File("/tmp/graft_bench/sas_dir")
-        dir.mkdirs()
-        if (dir.listFiles().count(_.getName.endsWith(".sas7bdat")) < 1000) {
-          val bytes = java.nio.file.Files.readAllBytes(src.toPath)
-          (0 until 1000).foreach { i =>
-            val f = new java.io.File(dir, f"copy_$i%04d.sas7bdat")
-            if (!f.exists()) java.nio.file.Files.write(f.toPath, bytes)
-          }
-        }
-        Some(dir.getAbsolutePath)
-      }
-    } catch { case _: Throwable => None }
+    val sasDir: Option[String] = ensureSasDir()
 
     val sasReads: Seq[(String, () => Long)] = sasDir.toSeq.flatMap { d =>
       Seq[(String, () => Long)](
