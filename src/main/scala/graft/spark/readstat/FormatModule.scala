@@ -144,6 +144,11 @@ final case class ReadstatOptions(
     compressStringToNumeric: Boolean = true,
     schemaOverrides: String = "",
     mergeSchema: Boolean = false,
+    // debugging / parity escape hatch: force the row decode path (the
+    // ColumnarParitySpec harness pins batch==row values with it; before
+    // r13 a no-op schemaOverride served this purpose, but reshaping
+    // regimes now decode columnar too)
+    columnarEnabled: Boolean = true,
     // 0 = admit new stream files immediately (this library's writers
     // rename atomically into place and .inprogress temps are filtered,
     // so presence == completeness — same contract as Spark's built-in
@@ -156,6 +161,15 @@ final case class ReadstatOptions(
   /** Reference InformativeNullColumns: empty set = "all" eligible. */
   def infoNullEligible(name: String): Boolean =
     informativeNullCols.isEmpty || informativeNullCols.contains(name)
+
+  /** The same options with the type-reshaping regimes stripped: the r13
+    * columnar-narrowing path decodes batches with the format's NATURAL
+    * types (modules refuse compress/overrides, their loops write native
+    * values) and the connector casts whole vectors afterwards
+    * ([[Narrowing.castingBatchIterator]]). */
+  def decodeNatural: ReadstatOptions =
+    if (!compress && schemaOverrides.isEmpty) this
+    else copy(compress = false, schemaOverrides = "")
 }
 
 object ReadstatOptions {
@@ -197,6 +211,7 @@ object ReadstatOptions {
       compressStringToNumeric = b("compressStringToNumeric", dflt = true),
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""),
       mergeSchema = b("mergeSchema", dflt = false),
+      columnarEnabled = b("columnar", dflt = true),
       streamStabilityMs = parse("streamStabilityMs", 0L)(_.toLong))
   }
 }

@@ -132,6 +132,70 @@ object Narrowing {
     }
   }
 
+  /** Columnar analog of [[castingIterator]] (r13): batches decode with
+    * the format's NATURAL types, then only the columns whose target type
+    * differs are re-materialized through the same castValue semantics
+    * (strict downcasts throw, string→double parse failures null);
+    * same-typed columns pass through by reference, zero copy. Keeps
+    * compress / schemaOverrides scans columnar — previously the last
+    * row-path-only regimes. */
+  def castingBatchIterator(
+      it: Iterator[org.apache.spark.sql.vectorized.ColumnarBatch],
+      from: StructType, to: StructType)
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val n = from.length
+    val needs: Array[Int] =
+      (0 until n).filter(i => from(i).dataType != to(i).dataType).toArray
+    if (needs.isEmpty) return it
+    it.map { batch =>
+      val rows = batch.numRows()
+      val outVec = new Array[OnHeapColumnVector](n)
+      needs.foreach { i =>
+        outVec(i) = new OnHeapColumnVector(math.max(rows, 1), to(i).dataType)
+      }
+      var r = 0
+      while (r < rows) {
+        val row = batch.getRow(r)
+        var k = 0
+        while (k < needs.length) {
+          val i = needs(k)
+          val vec = outVec(i)
+          if (row.isNullAt(i)) vec.putNull(r)
+          else castValue(row, i, from(i).dataType, to(i).dataType) match {
+            case null => vec.putNull(r) // string→double parse failure
+            case v => putValue(vec, r, to(i).dataType, v)
+          }
+          k += 1
+        }
+        r += 1
+      }
+      val vecs = Array.tabulate[ColumnVector](n) { i =>
+        if (outVec(i) != null) outVec(i) else batch.column(i)
+      }
+      new ColumnarBatch(vecs, rows)
+    }
+  }
+
+  private def putValue(
+      vec: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector,
+      r: Int, dt: DataType, v: Any): Unit = dt match {
+    case BooleanType => vec.putBoolean(r, v.asInstanceOf[Boolean])
+    case ByteType => vec.putByte(r, v.asInstanceOf[Byte])
+    case ShortType => vec.putShort(r, v.asInstanceOf[Short])
+    case IntegerType | DateType => vec.putInt(r, v.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType | _: TimeType =>
+      vec.putLong(r, v.asInstanceOf[Long])
+    case FloatType => vec.putFloat(r, v.asInstanceOf[Float])
+    case DoubleType => vec.putDouble(r, v.asInstanceOf[Double])
+    case StringType =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      vec.putByteArray(r, b, 0, b.length)
+    case other => throw new IllegalArgumentException(
+      s"unsupported readstat columnar cast target $other")
+  }
+
   private def numericOf(row: InternalRow, i: Int, dt: DataType): Double = dt match {
     case DoubleType => row.getDouble(i)
     case FloatType => row.getFloat(i).toDouble

@@ -517,13 +517,30 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     // loaders — unsupported regime, or (merged scans) a missing/pre-
     // widening required column that the row path must null-fill or cast —
     // degrades the whole scan to rows.
-    val columnar = paths.forall { p =>
+    val reshape = opts.compress || opts.schemaOverrides.trim.nonEmpty
+    val columnar = opts.columnarEnabled && paths.forall { p =>
       val module = Formats.moduleFor(p)
-      val mergeable = !opts.mergeSchema || {
-        val natural = module.schema(p, opts).fields.map(f => f.name -> f.dataType).toMap
-        required.fields.forall(f => natural.get(f.name).contains(f.dataType))
+      if (reshape) {
+        // columnar narrowing (r13): decode batches with the NATURAL
+        // types (modules refuse the reshaping regimes themselves), cast
+        // vectors in the connector (Narrowing.castingBatchIterator) —
+        // compress / schemaOverrides scans were the last row-only
+        // regimes. Struct/merged informative-null fields and
+        // mergeSchema-missing columns fail the name check and keep the
+        // row path (they reshape the ROW, not just cell types).
+        val byName = module.schema(p, opts.decodeNatural)
+          .fields.map(f => f.name -> f).toMap
+        required.fields.forall(f => byName.contains(f.name)) && {
+          val naturalRequired = StructType(required.fields.map(f => byName(f.name)))
+          module.supportsColumnar(p, opts.decodeNatural, naturalRequired)
+        }
+      } else {
+        val mergeable = !opts.mergeSchema || {
+          val natural = module.schema(p, opts).fields.map(f => f.name -> f.dataType).toMap
+          required.fields.forall(f => natural.get(f.name).contains(f.dataType))
+        }
+        mergeable && module.supportsColumnar(p, opts, required)
       }
-      mergeable && module.supportsColumnar(p, opts, required)
     }
     new ReadstatPartitionReaderFactory(required, opts, columnar, pushed)
   }
@@ -544,8 +561,22 @@ class ReadstatPartitionReaderFactory(required: StructType,
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val it = rangeParts(partition).iterator.flatMap(part =>
-      Formats.moduleFor(part.path).columnarRows(part, opts, required, pushed))
+    val reshape = opts.compress || opts.schemaOverrides.trim.nonEmpty
+    val it = rangeParts(partition).iterator.flatMap { part =>
+      val module = Formats.moduleFor(part.path)
+      if (!reshape) module.columnarRows(part, opts, required, pushed)
+      else {
+        // columnar narrowing (r13): natural-typed batches + vector cast
+        // (pushed is empty here — canEvalFilter refuses the reshaping
+        // regimes, so every filter stays a pure Catalyst residual)
+        val byName = module.schema(part.path, opts.decodeNatural)
+          .fields.map(f => f.name -> f).toMap
+        val naturalRequired = StructType(required.fields.map(f => byName(f.name)))
+        Narrowing.castingBatchIterator(
+          module.columnarRows(part, opts.decodeNatural, naturalRequired, pushed),
+          naturalRequired, required)
+      }
+    }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
       override def next(): Boolean =

@@ -5,13 +5,15 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** r12 columnar-coverage additions: POR batch decode (the last format
-  * that served rows only), dictionary-encoded label decode on all five
-  * formats, and column-mode informative-null indicators on all five.
+/** Columnar coverage: POR batch decode, dictionary-encoded label decode
+  * and column-mode informative-null indicators on all five formats
+  * (r12), plus compress / schemaOverrides narrowing through the
+  * connector's vector-cast wrapper (r13 — the last row-only regimes).
   * Each case pins BOTH properties: the plan actually runs
   * ColumnarToRow, and the values match the row path bit-for-bit (row
-  * path forced via a no-op schemaOverride, which supportsColumnar
-  * rejects by design).
+  * path forced via the `columnar=false` escape hatch; a no-op
+  * schemaOverride no longer forces rows now that overrides decode
+  * columnar).
   */
 class ColumnarParitySpec extends SparkTestBase {
 
@@ -32,12 +34,6 @@ class ColumnarParitySpec extends SparkTestBase {
     assertSameData(df, rows, ctx)
   }
 
-  /** No-op override on the first column: same schema, row path forced. */
-  private def noopOverride(df: DataFrame): String = {
-    val f0 = df.schema.fields(0)
-    s"${f0.name} ${f0.dataType.sql}"
-  }
-
   test("por scan runs the columnar path with row-path parity") {
     import spark.implicits._
     val p = s"$dir/plain.por"
@@ -49,7 +45,7 @@ class ColumnarParitySpec extends SparkTestBase {
     assertColumnarParity(
       base,
       spark.read.format("readstat")
-        .option("schemaOverrides", noopOverride(base)).load(p),
+        .option("columnar", "false").load(p),
       "por plain")
     // projection skim + row index stay correct through the batch path
     val withIdx = spark.read.format("readstat")
@@ -93,7 +89,7 @@ class ColumnarParitySpec extends SparkTestBase {
       labeled,
       spark.read.format("readstat")
         .option("valueLabelsAsStrings", "true")
-        .option("schemaOverrides", noopOverride(labeled)).load(p),
+        .option("columnar", "false").load(p),
       "dta labeled")
     val vals = labeled.select("code").distinct().collect().map(_.getString(0)).toSet
     assert(vals == Set(null, "One", "Two", "Three", "0", "4", "5", "6"))
@@ -114,7 +110,7 @@ class ColumnarParitySpec extends SparkTestBase {
       labeled,
       spark.read.format("readstat")
         .option("valueLabelsAsStrings", "true")
-        .option("schemaOverrides", noopOverride(labeled)).load(p),
+        .option("columnar", "false").load(p),
       "sav labeled")
     val sexes = labeled.select("sex").distinct().collect().map(_.getString(0)).toSet
     assert(sexes == Set(null, "Male", "Female", "0", "3", "4"))
@@ -135,7 +131,7 @@ class ColumnarParitySpec extends SparkTestBase {
       labeled,
       spark.read.format("readstat")
         .option("valueLabelsAsStrings", "true")
-        .option("schemaOverrides", noopOverride(labeled)).load(p),
+        .option("columnar", "false").load(p),
       "por labeled")
     val vals = labeled.select("grade").distinct().collect().map(_.getString(0)).toSet
     assert(vals == Set("0", "Low", "Mid", "High"))
@@ -159,7 +155,7 @@ class ColumnarParitySpec extends SparkTestBase {
         spark.read.format("readstat")
           .option("catalog", catPath)
           .option("valueLabelsAsStrings", "true")
-          .option("schemaOverrides", noopOverride(labeled)).load(p),
+          .option("columnar", "false").load(p),
         s"$ext catalog-labeled")
       val sexCol = if (ext == "xpt") "SEX" else "sex"
       val tagCol = if (ext == "xpt") "TAG" else "tag"
@@ -197,7 +193,7 @@ class ColumnarParitySpec extends SparkTestBase {
         spark.read.format("readstat")
           .option("informativeNulls", "true")
           .option("informativeNullUseValueLabels", "false")
-          .option("schemaOverrides", noopOverride(read)).load(p),
+          .option("columnar", "false").load(p),
         s"$ext informativeNulls")
       val vCol = if (ext == "dta") "v_null" else "V_null"
       val ordCol = if (ext == "dta") "ord" else "ORD"
@@ -223,7 +219,7 @@ class ColumnarParitySpec extends SparkTestBase {
       savRead,
       spark.read.format("readstat")
         .option("informativeNulls", "true")
-        .option("schemaOverrides", noopOverride(savRead)).load(p),
+        .option("columnar", "false").load(p),
       "sav informativeNulls")
     val qInds = savRead.select("q_null").distinct().collect()
       .map(r => Option(r.getString(0)).orNull).toSet
@@ -247,7 +243,7 @@ class ColumnarParitySpec extends SparkTestBase {
       porRead,
       spark.read.format("readstat")
         .option("informativeNulls", "true")
-        .option("schemaOverrides", noopOverride(porRead)).load(pp),
+        .option("columnar", "false").load(pp),
       "por informativeNulls")
     val pInds = porRead.select("Q_null").distinct().collect()
       .map(r => Option(r.getString(0)).orNull).toSet
@@ -273,5 +269,60 @@ class ColumnarParitySpec extends SparkTestBase {
     val vals = labeled.select("q").distinct().collect().map(_.getString(0)).toSet
     // 9 is user-missing → null even though labeled; others label or code
     assert(vals == Set(null, "Yes", "No", "0", "3", "4", "5", "6", "7", "8"))
+  }
+
+  test("compress narrowing runs columnar through the vector-cast wrapper (r13)") {
+    import spark.implicits._
+    val p = s"$dir/cmp.dta"
+    // int-valued doubles (→ int8/int16), 0/1 (→ boolean), midnight
+    // timestamps (→ date), numeric strings (→ double), plus a genuinely
+    // fractional column that must stay double
+    (1 to 6000).map { i =>
+      (i % 2 * 1.0, (i % 100).toDouble, (i % 20000 - 10000).toDouble,
+        i * 0.25, (i % 50).toString,
+        java.sql.Timestamp.valueOf(f"2020-05-${i % 28 + 1}%02d 00:00:00"))
+    }.toDF("flag", "small", "wide", "frac", "numstr", "ts")
+      .write.format("readstat").mode("overwrite").save(p)
+    def compressed = spark.read.format("readstat")
+      .option("compress", "true").option("compressProbeRows", "6000").load(p)
+    assertColumnarParity(
+      compressed,
+      spark.read.format("readstat")
+        .option("compress", "true").option("compressProbeRows", "6000")
+        .option("columnar", "false").load(p),
+      "dta compress")
+    val sch = compressed.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(sch("flag") == "BOOLEAN" && sch("small") == "TINYINT" &&
+      sch("wide") == "SMALLINT" && sch("frac") == "DOUBLE" &&
+      sch("numstr") == "DOUBLE" && sch("ts") == "DATE", sch.toString)
+    // aggregates over the cast vectors agree with raw values
+    assert(compressed.agg(sum(col("small").cast("long"))).collect()(0).getLong(0) ==
+      (1 to 6000).map(_ % 100).sum.toLong)
+  }
+
+  test("schemaOverrides run columnar through the vector-cast wrapper (r13)") {
+    import spark.implicits._
+    val p = s"$dir/ovr.sav"
+    (1 to 4000).map(i => ((i % 120).toDouble, i.toDouble, s"${i % 7}"))
+      .toDF("a", "b", "s")
+      .write.format("readstat").mode("overwrite").save(p)
+    def overridden = spark.read.format("readstat")
+      .option("schemaOverrides", "a TINYINT, s DOUBLE").load(p)
+    assertColumnarParity(
+      overridden,
+      spark.read.format("readstat")
+        .option("schemaOverrides", "a TINYINT, s DOUBLE")
+        .option("columnar", "false").load(p),
+      "sav overrides")
+    val sch = overridden.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(sch("a") == "TINYINT" && sch("b") == "DOUBLE" && sch("s") == "DOUBLE")
+    // untouched column passes through by reference; strict downcast
+    // overflow still throws (same castValue as the row path)
+    val bad = spark.read.format("readstat")
+      .option("schemaOverrides", "b TINYINT").load(p)
+    val e = intercept[org.apache.spark.SparkException] { bad.collect() }
+    assert(String.valueOf(e.getMessage).contains("does not fit") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("does not fit")), e.getMessage)
   }
 }

@@ -100,15 +100,14 @@ class PushdownPlanSpec extends SparkTestBase {
   test("compressed SAS pages (RLE and RDC) run the columnar path") {
     // test2 = SASYZCRL (RLE), test.sas7bdat = SASYZCR2 (RDC, 10k rows);
     // both must plan ColumnarToRow and match the row path value-for-value
-    // (row path forced via a no-op schemaOverride on the first column)
+    // (row path forced via the columnar=false escape hatch)
     for (fixture <- Seq("fixtures/sas/test2.sas7bdat", "fixtures/sas/test.sas7bdat")) {
       val path = res(fixture)
       val df = spark.read.format("readstat").load(path)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ColumnarToRow"), s"$fixture not columnar:\n$plan")
-      val f0 = df.schema.fields(0)
       val rowPath = spark.read.format("readstat")
-        .option("schemaOverrides", s"${f0.name} ${f0.dataType.sql}").load(path)
+        .option("columnar", "false").load(path)
       assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
       assertSameData(df, rowPath, fixture)
     }
@@ -121,20 +120,20 @@ class PushdownPlanSpec extends SparkTestBase {
       val df = spark.read.format("readstat").load(path)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("ColumnarToRow"), s"$fixture not columnar:\n$plan")
-      val f0 = df.schema.fields(0)
       val rowPath = spark.read.format("readstat")
-        .option("schemaOverrides", s"${f0.name} ${f0.dataType.sql}").load(path)
+        .option("columnar", "false").load(path)
       assert(!rowPath.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
       assertSameData(df, rowPath, fixture)
     }
   }
 
-  test("label/override scans fall back to the row path with same results") {
+  test("override scans stay columnar (r13 vector cast) with same results") {
     val plain = spark.read.format("readstat").load(dtaPath)
       .agg(sum("a"), sum("b")).collect()(0)
-    val overridden = spark.read.format("readstat")
+    val df = spark.read.format("readstat")
       .option("schemaOverrides", "a DOUBLE").load(dtaPath)
-      .agg(sum("a"), sum("b")).collect()(0)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val overridden = df.agg(sum("a"), sum("b")).collect()(0)
     assert(plain.getLong(0).toDouble == overridden.getDouble(0))
     assert(plain.getDouble(1) == overridden.getDouble(1))
   }
