@@ -36,10 +36,11 @@ object Bench {
     if (!new java.io.File(path).exists())
       df.write.format("readstat").mode("overwrite").options(options).save(path)
 
-  /** (dta10m, sav10m, dta50m, zsav10m, savWide, dtaLabeled10m)
-    * private[graft] so dev tools (GenBenchFiles, the r13 A/B harness)
-    * can materialize the exact bench inputs without running the bench. */
-  private[graft] def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String, String)] = {
+  /** (dta10m, sav10m, dta50m, zsav10m, savWide, dtaLabeled10m, por2m,
+    * dtaDated10m) — private[graft] so dev tools (GenBenchFiles, the r13
+    * A/B harness) can materialize the exact bench inputs without
+    * running the bench. */
+  private[graft] def ensureBigFiles(spark: SparkSession, sfDir: String): Option[(String, String, String, String, String, String, String, String)] = {
     try {
       val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
       // v2: salted replication (see below) — new names force regeneration
@@ -108,7 +109,20 @@ object Bench {
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
             col("l_returnflag")),
         por)
-      Some((dta, sav, dta50, zsav, savWide, dtaLab, por))
+      // dated 50M dta (r13): ship_date spans 2,500 distinct days so a
+      // 50-day band is a ~2%-selective DATE-RANGE filter — the single
+      // most common real filter shape on survey data, pushable since
+      // r13's temporal conjunct compiler. 50M rows so decode dominates
+      // the ~0.2 s session floor (at 10M the floor hides the skip win —
+      // measured flat for the NUMERIC filter too at that size).
+      val dtaDate = s"/tmp/graft_bench/${tag}_big_date50_v1.dta"
+      ensureFile(
+        replicated(50000000L).select(
+          date_add(to_date(lit("1992-01-01")),
+            (col("l_orderkey") % 2500).cast("int")).as("ship_date"),
+          col("l_quantity"), col("l_extendedprice")),
+        dtaDate)
+      Some((dta, sav, dta50, zsav, savWide, dtaLab, por, dtaDate))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] big-file setup failed: ${e.getMessage}")
       None
@@ -182,7 +196,7 @@ object Bench {
     // exactly; the 50M file is the decode-dominated variant where
     // Spark's fixed planning overhead is amortized away.
     val rawReads: Seq[(String, () => Long)] = bigFiles.toSeq.flatMap {
-      case (dta, sav, dta50, zsav, savWide, dtaLab, por) => Seq[(String, () => Long)](
+      case (dta, sav, dta50, zsav, savWide, dtaLab, por, dtaDate) => Seq[(String, () => Long)](
         // the serial/parallel pair on the SAME file quantifies the r11
         // checkpoint-partition fan-out (the reference's por path is
         // strictly serial); 4 MB target → ~13-way split of ~55 MB
@@ -260,6 +274,21 @@ object Bench {
           scan(dta50).select("l_quantity", "l_extendedprice")
             .filter(col("l_quantity") > 25)
             .agg(count(lit(1))).collect()(0).getLong(0)),
+        // r13 temporal pushdown pair: same file, no filter vs a
+        // ~2%-selective date-range filter. The filtered scan claims the
+        // two date conjuncts (plan shows PushedFilters), decodes only
+        // the ship_date filter cell per row, and skips l_extendedprice
+        // for the ~98% of rows outside the band.
+        ("stata_date_subset_50m", () =>
+          scan(dtaDate).select("ship_date", "l_extendedprice")
+            .agg(count(col("ship_date")), count(col("l_extendedprice")))
+            .collect()(0).getLong(0)),
+        ("stata_date_filter_50m", () =>
+          scan(dtaDate).select("ship_date", "l_extendedprice")
+            .filter(col("ship_date") >= lit("1994-01-01").cast("date") &&
+              col("ship_date") < lit("1994-02-20").cast("date"))
+            .agg(sum(col("l_extendedprice")), count(lit(1)))
+            .collect()(0).getLong(1)),
         // r12 decode-skipping showcase: ~2%-selective pushed filter with
         // a SECOND projected column — the scan decodes l_quantity per
         // row, and l_extendedprice only for the ~2% of rows that pass

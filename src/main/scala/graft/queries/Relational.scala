@@ -337,33 +337,28 @@ object Relational {
     * no per-source path state); this query's value is pinning the SQL
     * recursion SEMANTICS, and that the relational surface includes
     * recursive CTEs at all. */
-  /** Hard bound on the q22 pair-set collect (~80 MB of long pairs).
-    * This query is a recursive-CTE SEMANTICS pin, not the production
-    * clustering path — over the bound it fails loudly with a pointer to
-    * `dedup_clusters` instead of silently OOMing the driver at 100×. */
-  val Q22MaxLocalPairs: Int = 5000000
-
-  def q22RecursiveClusters(s: SparkSession, d: String): DataFrame =
-    q22RecursiveClustersImpl(s, d, Q22MaxLocalPairs)
-
-  def q22RecursiveClustersImpl(s: SparkSession, d: String,
-      maxLocalPairs: Int): DataFrame = {
-    import s.implicits._
-    // land the pair set as a LocalRelation before recursing: the
-    // recursion step re-evaluates its source per level, which would
-    // re-run the whole shingle/join pipeline 4× (measured 11.5 s vs
-    // ~3 s at sf0.1). The near-dup pair set is dedup-output-sized; the
-    // take(bound + 1) collects AT MOST one row past the bound, so an
-    // oversized pair set throws before materializing on the driver.
-    val pairs = Text.ngramJaccardPairs(s, d).select("id_a", "id_b")
-      .as[(Long, Long)].take(maxLocalPairs + 1).toSeq
-    if (pairs.length > maxLocalPairs)
-      throw new IllegalStateException(
-        s"q22_recursive_clusters: near-dup pair set exceeds $maxLocalPairs " +
-          "rows — this query pins WITH RECURSIVE semantics on a " +
-          "driver-local pair set; for production-scale clustering use " +
-          "dedup_clusters (distributed hash-min connected components)")
-    pairs.toDF("id_a", "id_b").createOrReplaceTempView("q22_pairs")
+  def q22RecursiveClusters(s: SparkSession, d: String): DataFrame = {
+    // materialize the pair set ONCE as a distributed parquet spill
+    // before recursing: the recursion step re-evaluates its source per
+    // level, which would re-run the whole shingle/join pipeline 4×
+    // (measured 11.5 s vs ~3 s at sf0.1). Rounds 9-12 landed the pairs
+    // as a driver LocalRelation hard-bounded at 5M rows; the spill
+    // removes that driver-side scale ceiling — each level re-scans a
+    // parquet file sized like the dedup OUTPUT, written and read by
+    // executors. A cache would serve too, but every registry query must
+    // leave the session cache-clean (CacheHygieneSpec) and the spill
+    // has no unpersist-after-collect hook problem. Spill location: the
+    // session checkpoint dir when set (the standard shared-storage
+    // contract for iterative algorithms on a real cluster), else
+    // java.io.tmpdir (single-node); one dir per Spark application,
+    // overwritten per call, so repeated runs don't accumulate.
+    val spillRoot = s.sparkContext.getCheckpointDir
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val spill = spillRoot.stripSuffix("/") +
+      s"/graft_q22_pairs_${s.sparkContext.applicationId}"
+    Text.ngramJaccardPairs(s, d).select("id_a", "id_b")
+      .write.mode("overwrite").parquet(spill)
+    s.read.parquet(spill).createOrReplaceTempView("q22_pairs")
     s.sql(
       """WITH RECURSIVE
         |edges AS (

@@ -311,6 +311,142 @@ private[readstat] object PushedFilters {
     }
   }
 
+  /** The hot pushed shape — IsNotNull + range/equality conjuncts all on
+    * ONE column — reduced to a primitive interval a module can evaluate
+    * with an UNBOXED per-row decoder. The generic [[compile]] path pays
+    * a (megamorphic) boxed closure per conjunct per row; on a narrow
+    * projection that overhead alone can cancel the decode-skip win
+    * (measured: a 2%-selective date band ran slower than the unfiltered
+    * read through the boxed path). Skip-soundness is the same contract
+    * as [[compile]]: a cell outside the interval is definitely dropped
+    * by the residual Filter; null/missing cells may evaluate either way
+    * in double space (the module maps them to NaN, whose Spark-ordering
+    * result is whatever it is — keep is sound, and Catalyst drops the
+    * row regardless). */
+  sealed trait Interval { def col: String }
+  /** Inclusive long-space bounds (temporal internal representations:
+    * days / micros / nanos). Plain LongType columns never reduce here —
+    * modules signal null with a Long.MinValue sentinel, which a genuine
+    * LongType cell could legally hold. An empty interval (lo > hi) is a
+    * valid result: the conjunction is unsatisfiable and every row
+    * skips. */
+  final case class LongInterval(col: String, lo: Long, hi: Long)
+    extends Interval
+  /** Double bounds with exclusivity, evaluated under Spark's double
+    * ordering (NaN largest, ±0.0 equal) via [[inDouble]]. Unbounded hi
+    * is (NaN, inclusive) — NaN IS Spark's maximum, so `col > 49` keeps
+    * a NaN cell exactly like Catalyst does. */
+  final case class DoubleInterval(col: String, lo: Double, loInc: Boolean,
+      hi: Double, hiInc: Boolean) extends Interval
+
+  /** Reduce `filters` to a single-column [[Interval]]; None when the
+    * shape doesn't fit (other conjunct kinds, several columns, string /
+    * unsupported / plain-Long column) — callers fall back to
+    * [[compile]]. */
+  def asInterval(filters: Seq[Filter],
+      typeOf: String => Option[DataType]): Option[Interval] = {
+    def flat(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val fs = filters.flatMap(flat)
+    if (fs.isEmpty) return None
+    val cols = fs.flatMap(_.references).distinct
+    if (cols.length != 1) return None
+    val c = cols.head
+    val dt = typeOf(c).orNull
+    if (dt == null || dt == StringType || !supportedType(dt)) return None
+    if (longSpace(dt)) {
+      if (dt == LongType) return None // MinValue cells are legal
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      def lit(v: Any): Option[Long] = if (v == null) None else lit2long(dt, v)
+      fs.foreach {
+        case IsNotNull(_) => ()
+        case EqualTo(_, v) => lit(v) match {
+          case Some(x) => lo = math.max(lo, x); hi = math.min(hi, x)
+          case None => return None
+        }
+        case GreaterThan(_, v) => lit(v) match {
+          case Some(x) =>
+            if (x == Long.MaxValue) { lo = 1; hi = 0 } // empty
+            else lo = math.max(lo, x + 1)
+          case None => return None
+        }
+        case GreaterThanOrEqual(_, v) => lit(v) match {
+          case Some(x) => lo = math.max(lo, x)
+          case None => return None
+        }
+        case LessThan(_, v) => lit(v) match {
+          case Some(x) =>
+            if (x == Long.MinValue) { lo = 1; hi = 0 } // empty
+            else hi = math.min(hi, x - 1)
+          case None => return None
+        }
+        case LessThanOrEqual(_, v) => lit(v) match {
+          case Some(x) => hi = math.min(hi, x)
+          case None => return None
+        }
+        case _ => return None
+      }
+      Some(LongInterval(c, lo, hi))
+    } else {
+      var lo = Double.NegativeInfinity
+      var loInc = true
+      var hi = Double.NaN // Spark's maximum
+      var hiInc = true
+      def tightenLo(x: Double, inc: Boolean): Unit = {
+        val cv = cmpD(x, lo)
+        if (cv > 0 || (cv == 0 && !inc)) { lo = x; loInc = inc }
+      }
+      def tightenHi(x: Double, inc: Boolean): Unit = {
+        val cv = cmpD(x, hi)
+        if (cv < 0 || (cv == 0 && !inc)) { hi = x; hiInc = inc }
+      }
+      def lit(v: Any): Option[Double] = v match {
+        case null | _: String => None
+        case b: java.lang.Byte => Some(b.toDouble)
+        case s: java.lang.Short => Some(s.toDouble)
+        case i: java.lang.Integer => Some(i.toDouble)
+        case l: java.lang.Long => Some(l.toDouble)
+        case f: java.lang.Float => Some(f.toDouble)
+        case d: java.lang.Double => Some(d.doubleValue)
+        case _ => None
+      }
+      fs.foreach {
+        case IsNotNull(_) => ()
+        case EqualTo(_, v) => lit(v) match {
+          case Some(x) => tightenLo(x, inc = true); tightenHi(x, inc = true)
+          case None => return None
+        }
+        case GreaterThan(_, v) => lit(v) match {
+          case Some(x) => tightenLo(x, inc = false); case None => return None
+        }
+        case GreaterThanOrEqual(_, v) => lit(v) match {
+          case Some(x) => tightenLo(x, inc = true); case None => return None
+        }
+        case LessThan(_, v) => lit(v) match {
+          case Some(x) => tightenHi(x, inc = false); case None => return None
+        }
+        case LessThanOrEqual(_, v) => lit(v) match {
+          case Some(x) => tightenHi(x, inc = true); case None => return None
+        }
+        case _ => return None
+      }
+      Some(DoubleInterval(c, lo, loInc, hi, hiInc))
+    }
+  }
+
+  /** Double-interval membership under Spark's double ordering; static
+    * and allocation-free for primitive per-row loops. */
+  def inDouble(v: Double, lo: Double, loInc: Boolean,
+      hi: Double, hiInc: Boolean): Boolean = {
+    val cl = cmpD(v, lo)
+    if (cl < 0 || (cl == 0 && !loInc)) return false
+    val ch = cmpD(v, hi)
+    ch < 0 || (ch == 0 && hiInc)
+  }
+
   /** Comparison leaf: `dir` is the required sign of cmp(cell, value)
     * (+1 greater, -1 less, 0 equal), `eq` whether 0 also passes. */
   private def cmpLeaf(c: String, v: Any, slotOf: String => Option[Int],

@@ -584,6 +584,61 @@ object SasModule extends FormatModule {
     val bytesPred: PushedFilters.Pred =
       if (pushed.isEmpty || cellDecoders.isEmpty) null
       else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    // r13 primitive interval fast path (see StataModule): the hot
+    // IsNotNull + range shape on one numeric/temporal column evaluates
+    // unboxed — missing/NaN/Inf → NaN in double space / reject in long
+    // space, both skip-sound under the residual.
+    val fastPred: (Array[Byte], Int) => Boolean =
+      if (bytesPred == null) null
+      else PushedFilters.asInterval(pushed.toSeq, typeByName.get) match {
+        case Some(iv) => byName.get(iv.col) match {
+          case Some(fci) =>
+            val fc = md.columns(fci)
+            val labeled = opts.valueLabelsAsStrings &&
+              (catalogLabels(opts, fc).isDefined ||
+                catalogCharLabels(opts, fc).isDefined)
+            if (labeled || kindFor(fc) == KChar) null
+            else {
+              val rawD: (Array[Byte], Int) => Double = (b, base) => {
+                val v = SasCore.incompleteDouble(b, base + fc.offset,
+                  fc.length, little)
+                if (v.isInfinite) Double.NaN else v
+              }
+              (iv, kindFor(fc)) match {
+                case (PushedFilters.DoubleInterval(_, lo, loInc, hi, hiInc), _) =>
+                  (b, base) =>
+                    PushedFilters.inDouble(rawD(b, base), lo, loInc, hi, hiInc)
+                case (PushedFilters.LongInterval(_, lo, hi), KDate) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = SasCore.toDateDays(d).toLong
+                      x >= lo && x <= hi
+                    }
+                  }
+                case (PushedFilters.LongInterval(_, lo, hi), KDatetime) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = SasCore.toDatetimeMicros(d)
+                      x >= lo && x <= hi
+                    }
+                  }
+                case (PushedFilters.LongInterval(_, lo, hi), KTime) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = SasCore.toTimeNanos(d)
+                      x >= lo && x <= hi
+                    }
+                  }
+                case _ => null
+              }
+            }
+          case None => null
+        }
+        case None => null
+      }
     val decoders = cellDecoders.toArray
 
     val raf = new RandomAccessFile(part.path, "r")
@@ -640,11 +695,28 @@ object SasModule extends FormatModule {
         if (pendingOffs == null) { close(); false } else true
       }
 
-      // current buffer context for the bytes-predicate getter
+      // current buffer context for the bytes-predicate getter; decoded
+      // filter cells memoize per row — Catalyst pushes IsNotNull
+      // alongside every range conjunct, so a compiled predicate reads
+      // the same slot 2-3× per row (see StataModule)
       private var curBuf: Array[Byte] = _
       private var curBase = 0
-      private val predGetter: Int => Any =
-        slot => decoders(slot)(curBuf, curBase)
+      private var predRow = 0L
+      private val slotVals = new Array[Any](decoders.length)
+      private val slotStamp = Array.fill(decoders.length)(Long.MinValue)
+      private val predGetter: Int => Any = slot => {
+        if (slotStamp(slot) == predRow) slotVals(slot)
+        else {
+          val v = decoders(slot)(curBuf, curBase)
+          slotVals(slot) = v; slotStamp(slot) = predRow; v
+        }
+      }
+      private def rowPass(buf: Array[Byte], base: Int): Boolean =
+        if (fastPred != null) fastPred(buf, base)
+        else {
+          curBuf = buf; curBase = base; predRow += 1
+          bytesPred(predGetter)
+        }
 
       override def next(): ColumnarBatch = {
         if (!hasNext) throw new NoSuchElementException
@@ -666,8 +738,7 @@ object SasModule extends FormatModule {
           var k = 0
           var r = 0
           while (r < rawN) {
-            curBuf = buf; curBase = offs(r)
-            if (bytesPred(predGetter)) { keptOff(k) = offs(r); keptPos(k) = r; k += 1 }
+            if (rowPass(buf, offs(r))) { keptOff(k) = offs(r); keptPos(k) = r; k += 1 }
             r += 1
           }
           if (k < rawN) {

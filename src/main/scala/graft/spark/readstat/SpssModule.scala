@@ -477,6 +477,66 @@ object SpssModule extends FormatModule {
     val bytesPred: PushedFilters.Pred =
       if (pushed.isEmpty || cellDecoders.isEmpty) null
       else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    // r13 primitive interval fast path (see StataModule): the hot
+    // IsNotNull + range shape on one numeric/temporal column evaluates
+    // unboxed — missing (incl. SPSS user-missing) → NaN in double
+    // space / reject in long space, both skip-sound under the residual.
+    val fastPred: (Array[Byte], Int) => Boolean =
+      if (bytesPred == null) null
+      else PushedFilters.asInterval(pushed.toSeq, typeByName.get) match {
+        case Some(iv) => byName.get(iv.col) match {
+          case Some(fvi) =>
+            val fv = md.vars(fvi)
+            val labeled = opts.valueLabelsAsStrings &&
+              ((!fv.isString && fv.numLabels.nonEmpty) ||
+                (fv.isString && fv.strLabels.nonEmpty))
+            if (labeled || fv.isString) null
+            else {
+              val off = fv.offsetUnits * 8
+              val rawD: (Array[Byte], Int) => Double = (b, base) => {
+                val bits = Bin.i64(b, base + off, md.little)
+                val d = java.lang.Double.longBitsToDouble(bits)
+                if (bits == MissingBits || bits == LowestBits ||
+                    bits == HighestBits || d.isNaN ||
+                    isUserMissing(fv, d, bits)) Double.NaN
+                else d
+              }
+              (iv, sparkTypeOf(fv, opts)) match {
+                case (PushedFilters.DoubleInterval(_, lo, loInc, hi, hiInc), _) =>
+                  (b, base) =>
+                    PushedFilters.inDouble(rawD(b, base), lo, loInc, hi, hiInc)
+                case (PushedFilters.LongInterval(_, lo, hi), DateType) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = ((d.toLong - SecShift) / 86400L).toInt.toLong
+                      x >= lo && x <= hi
+                    }
+                  }
+                case (PushedFilters.LongInterval(_, lo, hi), TimestampNTZType) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = math.round((d - SecShift) * 1000.0) * 1000L
+                      x >= lo && x <= hi
+                    }
+                  }
+                case (PushedFilters.LongInterval(_, lo, hi),
+                    _: org.apache.spark.sql.types.TimeType) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = math.round(d * 1e9)
+                      x >= lo && x <= hi
+                    }
+                  }
+                case _ => null
+              }
+            }
+          case None => null
+        }
+        case None => null
+      }
     val decoders = cellDecoders.toArray
     // projected decode bytes per row, for the compaction gate below
     val projBytes: Long = plans.collect {
@@ -550,8 +610,7 @@ object SpssModule extends FormatModule {
             var hits = 0
             var sr = 0
             while (sr < n) {
-              curBuf = buf; curBase = sr * recordLen
-              if (bytesPred(predGetter)) hits += 1
+              if (rowPass(buf, sr * recordLen)) hits += 1
               samples += 1
               sr += stride
             }
@@ -565,8 +624,7 @@ object SpssModule extends FormatModule {
               var selLen = 0
               var r = 0
               while (r < n) {
-                curBuf = buf; curBase = r * recordLen
-                if (bytesPred(predGetter)) { s(selLen) = r; selLen += 1 }
+                if (rowPass(buf, r * recordLen)) { s(selLen) = r; selLen += 1 }
                 r += 1
               }
               if (selLen < n &&
@@ -597,11 +655,28 @@ object SpssModule extends FormatModule {
         new ColumnarBatch(vectors, m)
       }
 
-      // current chunk context for the bytes-predicate getter
+      // current chunk context for the bytes-predicate getter; decoded
+      // filter cells memoize per row — Catalyst pushes IsNotNull
+      // alongside every range conjunct, so a compiled predicate reads
+      // the same slot 2-3× per row (see StataModule)
       private var curBuf: Array[Byte] = _
       private var curBase = 0
-      private val predGetter: Int => Any =
-        slot => decoders(slot)(curBuf, curBase)
+      private var predRow = 0L
+      private val slotVals = new Array[Any](decoders.length)
+      private val slotStamp = Array.fill(decoders.length)(Long.MinValue)
+      private val predGetter: Int => Any = slot => {
+        if (slotStamp(slot) == predRow) slotVals(slot)
+        else {
+          val v = decoders(slot)(curBuf, curBase)
+          slotVals(slot) = v; slotStamp(slot) = predRow; v
+        }
+      }
+      private def rowPass(buf: Array[Byte], base: Int): Boolean =
+        if (fastPred != null) fastPred(buf, base)
+        else {
+          curBuf = buf; curBase = base; predRow += 1
+          bytesPred(predGetter)
+        }
       private var predDisabled = false
       private var batchesSinceProbe = 0
 

@@ -450,6 +450,64 @@ object XptModule extends FormatModule {
     val bytesPred: PushedFilters.Pred =
       if (pushed.isEmpty || cellDecoders.isEmpty) null
       else PushedFilters.compile(pushed.toSeq, slotIdx.get, typeByName.get).orNull
+    // r13 primitive interval fast path (see StataModule): the hot
+    // IsNotNull + range shape on one numeric/temporal column evaluates
+    // unboxed — missing/NaN/Inf → NaN in double space / reject in long
+    // space, both skip-sound under the residual.
+    val fastPred: (Array[Byte], Int) => Boolean =
+      if (bytesPred == null) null
+      else PushedFilters.asInterval(pushed.toSeq, typeByName.get) match {
+        case Some(iv) => byName.get(iv.col) match {
+          case Some(fci) =>
+            val fc = md.columns(fci)
+            val labeled = opts.valueLabelsAsStrings &&
+              (catalogLabels(opts, fc).isDefined ||
+                catalogCharLabels(opts, fc).isDefined)
+            if (labeled || fc.isChar) null
+            else {
+              val off = fc.offset
+              val w = fc.width
+              val rawD: (Array[Byte], Int) => Double = (b, base) =>
+                if (XptCore.isMissing(b, base + off, w)) Double.NaN
+                else {
+                  val d = XptCore.ibmToDouble(b, base + off, w)
+                  if (d.isInfinite) Double.NaN else d
+                }
+              (iv, kindOf(fc)) match {
+                case (PushedFilters.DoubleInterval(_, lo, loInc, hi, hiInc), _) =>
+                  (b, base) =>
+                    PushedFilters.inDouble(rawD(b, base), lo, loInc, hi, hiInc)
+                case (PushedFilters.LongInterval(_, lo, hi), SasCore.KDate) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = SasCore.toDateDays(d).toLong
+                      x >= lo && x <= hi
+                    }
+                  }
+                case (PushedFilters.LongInterval(_, lo, hi), SasCore.KDatetime) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = SasCore.toDatetimeMicros(d)
+                      x >= lo && x <= hi
+                    }
+                  }
+                case (PushedFilters.LongInterval(_, lo, hi), SasCore.KTime) =>
+                  (b, base) => {
+                    val d = rawD(b, base)
+                    !d.isNaN && {
+                      val x = SasCore.toTimeNanos(d)
+                      x >= lo && x <= hi
+                    }
+                  }
+                case _ => null
+              }
+            }
+          case None => null
+        }
+        case None => null
+      }
     val decoders = cellDecoders.toArray
     // projected decode bytes per row, for the compaction gate below
     val projBytes: Long = plans.collect {
@@ -461,11 +519,28 @@ object XptModule extends FormatModule {
       private var closed = false
       private def close(): Unit = if (!closed) { closed = true; raf.close() }
 
-      // current chunk context for the bytes-predicate getter
+      // current chunk context for the bytes-predicate getter; decoded
+      // filter cells memoize per row — Catalyst pushes IsNotNull
+      // alongside every range conjunct, so a compiled predicate reads
+      // the same slot 2-3× per row (see StataModule)
       private var curBuf: Array[Byte] = _
       private var curBase = 0
-      private val predGetter: Int => Any =
-        slot => decoders(slot)(curBuf, curBase)
+      private var predRow = 0L
+      private val slotVals = new Array[Any](decoders.length)
+      private val slotStamp = Array.fill(decoders.length)(Long.MinValue)
+      private val predGetter: Int => Any = slot => {
+        if (slotStamp(slot) == predRow) slotVals(slot)
+        else {
+          val v = decoders(slot)(curBuf, curBase)
+          slotVals(slot) = v; slotStamp(slot) = predRow; v
+        }
+      }
+      private def rowPass(buf: Array[Byte], base: Int): Boolean =
+        if (fastPred != null) fastPred(buf, base)
+        else {
+          curBuf = buf; curBase = base; predRow += 1
+          bytesPred(predGetter)
+        }
       private var predDisabled = false
       private var batchesSinceProbe = 0
 
@@ -518,8 +593,7 @@ object XptModule extends FormatModule {
             var hits = 0
             var sr = 0
             while (sr < n) {
-              curBuf = buf; curBase = sr * rowLen
-              if (bytesPred(predGetter)) hits += 1
+              if (rowPass(buf, sr * rowLen)) hits += 1
               samples += 1
               sr += stride
             }
@@ -533,8 +607,7 @@ object XptModule extends FormatModule {
               var selLen = 0
               var rr = 0
               while (rr < n) {
-                curBuf = buf; curBase = rr * rowLen
-                if (bytesPred(predGetter)) { s(selLen) = rr; selLen += 1 }
+                if (rowPass(buf, rr * rowLen)) { s(selLen) = rr; selLen += 1 }
                 rr += 1
               }
               // same byte-model gate as StataModule: compact only when

@@ -40,12 +40,29 @@ class PairBranchParitySpec extends SparkTestBase {
     assert(bc == sj)
   }
 
-  test("q22 pair-set collect fails loudly over its driver bound") {
-    val e = intercept[IllegalStateException] {
-      graft.queries.Relational.q22RecursiveClustersImpl(spark, d,
-        maxLocalPairs = 1).collect()
+  test("q22 pair set stays distributed (parquet spill, no LocalRelation)") {
+    // rounds 9-12 landed the pair set as a driver LocalRelation behind
+    // a 5M-row hard bound; r13 replaced the collect with a distributed
+    // parquet spill. Pin that no non-empty LocalRelation feeds the
+    // recursion — the pair view must be file-backed at any scale.
+    val df = graft.queries.Relational.q22RecursiveClusters(spark, d)
+    val locals = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.data.nonEmpty => l
     }
-    assert(e.getMessage.contains("dedup_clusters"),
-      "the error must point at the production clustering path")
+    assert(locals.isEmpty,
+      s"q22 must not materialize pairs on the driver; found: $locals")
+  }
+
+  test("q22 bounded-hop recursion == hash-min connected components") {
+    // hop <= 4 is >= any near-dup cluster diameter on this corpus, so
+    // the recursive-CTE min-reach label must equal the true component
+    // minimum from the production clustering path on the same pairs.
+    val q22 = rows(graft.queries.Relational.q22RecursiveClusters(spark, d))
+    assert(q22.nonEmpty)
+    val pairs = Text.ngramJaccardPairs(spark, d).select("id_a", "id_b")
+    val cc = rows(Graph.connectedComponents(pairs, "id_a", "id_b")
+      .toDF("doc_id", "cluster_id").orderBy("doc_id"))
+    assert(q22 == cc)
   }
 }

@@ -156,4 +156,66 @@ class PushedFiltersSpec extends AnyFunSuite {
     assert(eval(Seq(Not(StringStartsWith("s", "1-"))),
       Seq(null, null, null, null, null, null, null): _*).contains(true))
   }
+
+  test("asInterval: the hot single-column range shape reduces (r13)") {
+    import PushedFilters.{asInterval, DoubleInterval, LongInterval}
+    // IsNotNull + range pair on a double column → exclusive/inclusive kept
+    assert(asInterval(Seq(IsNotNull("a"), GreaterThan("a", 25.0),
+      LessThanOrEqual("a", 50.0)), types.get)
+      .contains(DoubleInterval("a", 25.0, false, 50.0, true)))
+    // EqualTo pins both bounds inclusive
+    assert(asInterval(Seq(EqualTo("a", 7.0)), types.get)
+      .contains(DoubleInterval("a", 7.0, true, 7.0, true)))
+    // unbounded hi is (NaN, inclusive): NaN IS Spark's maximum, so a
+    // NaN cell passes `a > 49` exactly like Catalyst keeps it
+    val gt = asInterval(Seq(IsNotNull("a"), GreaterThan("a", 49.0)), types.get)
+      .get.asInstanceOf[DoubleInterval]
+    assert(gt.hi.isNaN && gt.hiInc)
+    assert(PushedFilters.inDouble(Double.NaN, gt.lo, gt.loInc, gt.hi, gt.hiInc))
+    assert(PushedFilters.inDouble(50.0, gt.lo, gt.loInc, gt.hi, gt.hiInc))
+    assert(!PushedFilters.inDouble(49.0, gt.lo, gt.loInc, gt.hi, gt.hiInc))
+    // ...and NaN fails an upper-bounded interval, like Catalyst drops it
+    val lt = asInterval(Seq(LessThan("a", 10.0)), types.get)
+      .get.asInstanceOf[DoubleInterval]
+    assert(!PushedFilters.inDouble(Double.NaN, lt.lo, lt.loInc, lt.hi, lt.hiInc))
+    // And-nested conjuncts flatten
+    assert(asInterval(Seq(And(GreaterThanOrEqual("b", 3),
+      LessThan("b", 9))), types.get)
+      .contains(DoubleInterval("b", 3.0, true, 9.0, false)))
+    // date column → inclusive long space, GT/LT shift to half-open ints
+    val d1 = java.sql.Date.valueOf("1994-01-01")
+    val d2 = java.sql.Date.valueOf("1994-02-20")
+    val days1 = d1.toLocalDate.toEpochDay
+    val days2 = d2.toLocalDate.toEpochDay
+    assert(asInterval(Seq(IsNotNull("dt"), GreaterThanOrEqual("dt", d1),
+      LessThan("dt", d2)), types.get)
+      .contains(LongInterval("dt", days1, days2 - 1)))
+    // contradictory bounds → EMPTY interval (lo > hi), still a valid
+    // reduction: every row skips, which the residual agrees with
+    val empty = asInterval(Seq(GreaterThan("dt", d2), LessThan("dt", d1)),
+      types.get).get.asInstanceOf[LongInterval]
+    assert(empty.lo > empty.hi)
+  }
+
+  test("asInterval refusals: shapes the fast path must NOT claim (r13)") {
+    import PushedFilters.asInterval
+    // two columns → None
+    assert(asInterval(Seq(GreaterThan("a", 1.0), LessThan("b", 5)),
+      types.get).isEmpty)
+    // plain LongType → None (Long.MinValue cells are legal, no sentinel)
+    assert(asInterval(Seq(GreaterThan("l", 5L)), types.get).isEmpty)
+    // string column / unsupported type → None
+    assert(asInterval(Seq(GreaterThan("s", "x")), types.get).isEmpty)
+    assert(asInterval(Seq(GreaterThan("d", 5.0)), types.get).isEmpty)
+    // non-range conjunct kinds → None (fall back to the generic path)
+    assert(asInterval(Seq(In("a", Array(1.0, 2.0))), types.get).isEmpty)
+    assert(asInterval(Seq(Or(GreaterThan("a", 1.0), LessThan("a", 0.0))),
+      types.get).isEmpty)
+    assert(asInterval(Seq(Not(EqualTo("a", 1.0))), types.get).isEmpty)
+    assert(asInterval(Seq(IsNull("a")), types.get).isEmpty)
+    assert(asInterval(Seq(EqualNullSafe("a", 1.0)), types.get).isEmpty)
+    // only-IsNotNull (no bounds) still reduces — full-range interval
+    assert(asInterval(Seq(IsNotNull("a")), types.get).nonEmpty)
+    assert(asInterval(Seq.empty, types.get).isEmpty)
+  }
 }
