@@ -191,6 +191,47 @@ class FilterPushdownSpec extends SparkTestBase {
     }
   }
 
+  test("single-column interval filters exercise the primitive fast path (r13)") {
+    import spark.implicits._
+    // IsNotNull + range conjuncts on ONE column reduce to the unboxed
+    // interval evaluator on dta/sav/xpt/sas7bdat (two-column filters in
+    // the test above stay on the generic path) — results must be
+    // value-identical with the in-memory filter, including missing
+    // cells, exclusive bounds, equality pins and empty intervals
+    val df0 = (1 to 12000).map { i =>
+      (i.toDouble,
+        if (i % 7 == 0) null
+        else java.lang.Double.valueOf((i % 100).toDouble),
+        java.sql.Date.valueOf(
+          java.time.LocalDate.of(1990, 1, 1).plusDays(i % 1500)))
+    }.toDF("id", "v", "d")
+    for (ext <- Seq("dta", "sav", "xpt", "sas7bdat")) {
+      val p = s"$dir/ivl.$ext"
+      df0.write.format("readstat").mode("overwrite").save(p)
+      val base = spark.read.format("readstat").load(p)
+      val all = base.collect()
+      val q1 = base.filter(col("v") >= 20.0 && col("v") < 40.0)
+      assert(scanDesc(q1).contains("PushedFilters:"), s"$ext:\n${scanDesc(q1)}")
+      val w1 = all.count(r => !r.isNullAt(1) &&
+        r.getDouble(1) >= 20.0 && r.getDouble(1) < 40.0)
+      assert(q1.count() == w1, s"$ext numeric interval")
+      val lo = java.sql.Date.valueOf("1991-01-01")
+      val hi = java.sql.Date.valueOf("1991-06-01")
+      val q2 = base.filter(col("d") >= lo && col("d") < hi)
+      val w2 = all.count { r =>
+        val d = r.getDate(2); d != null && !d.before(lo) && d.before(hi)
+      }
+      assert(w2 > 0 && q2.count() == w2, s"$ext date interval")
+      assert(base.filter(col("v") === 55.0).count() ==
+        all.count(r => !r.isNullAt(1) && r.getDouble(1) == 55.0),
+        s"$ext equality interval")
+      // contradictory bounds → EMPTY interval: every row skips, residual
+      // agrees, no error
+      assert(base.filter(col("v") > 10.0 && col("v") < 5.0).count() == 0,
+        s"$ext empty interval")
+    }
+  }
+
   test("por scans push filters via skim-skipping on both paths") {
     import spark.implicits._
     val p = s"$dir/f.por"
