@@ -176,6 +176,71 @@ object ReadstatQueries {
       |  AND o_orderstatus LIKE '%O%'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Runtime (DPP-style) join pruning (r13, SURVEY §2.2): a .dta fact
+    * scan broadcast-joined to a selectively filtered parquet dimension.
+    * The scan advertises its join key via SupportsRuntimeFiltering, so
+    * Catalyst's PartitionPruning rule attaches a DynamicPruningSubquery:
+    * at execution the broadcast build side hands the scan an In-filter
+    * on the fact keys that survive the dimension filter, and the scan
+    * skips decoding every other row — at 100 TB, the difference between
+    * decoding a full fact corpus and only the joined slice. The skip is
+    * advisory (the join re-checks), and the oracle computes the same
+    * join over the original parquet. */
+  def dtaRuntimePruneJoin(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_rpj.dta")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.format("readstat").mode("overwrite").save(path)
+    val fact = s.read.format("readstat").load(path)
+    val dim = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("nations"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaRuntimePruneJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  count(DISTINCT c_nationkey) AS nations,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** OFFSET pushdown (r13, SURVEY §2.2 offset/slice): the file is
+    * written in o_orderkey order (sort + coalesce(1) → single .dta in
+    * that row order), so `df.offset(n)` — which the scan applies by
+    * planning partitions starting AT row n, zero prefix bytes read —
+    * selects a well-defined slice the oracle reproduces with ORDER BY
+    * + OFFSET. Aggregation makes the compare order-insensitive. */
+  def dtaOffsetSlice(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_off.dta")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .offset(5000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaOffsetSliceSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT * FROM orders ORDER BY o_orderkey OFFSET 5000)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Value-label decode through the DICTIONARY-encoded columnar path
     * (r12): an int code column written with a label table, read back
     * with valueLabelsAsStrings (labeled scans now run columnar with
@@ -993,6 +1058,9 @@ object ReadstatQueries {
       (dtaTemporalFilterPushdown _, dtaTemporalFilterPushdownSql),
     "spss_string_filter_pushdown" ->
       (savStringFilterPushdown _, savStringFilterPushdownSql),
+    "stata_runtime_prune_join" ->
+      (dtaRuntimePruneJoin _, dtaRuntimePruneJoinSql),
+    "stata_offset_slice" -> (dtaOffsetSlice _, dtaOffsetSliceSql),
     "stata_labeled_agg" -> (dtaLabeledAgg _, dtaLabeledAggSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),

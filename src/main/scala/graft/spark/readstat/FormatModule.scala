@@ -21,6 +21,26 @@ trait FormatModule extends Serializable {
   def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition]
 
+  /** Whether [[planPartitions]] with a limit plans partitions that emit
+    * EXACTLY the first-`limit` file rows — the precondition for the
+    * scan builder to accept the limit with `isPartiallyPushed=false`
+    * (Catalyst then deletes its Limit operator). SAS overrides false:
+    * its page-range planner cannot map a row limit to pages without an
+    * index pass, so it plans every page and relies on Catalyst's kept
+    * Limit — accepting there would silently return the whole file. */
+  def plansExactLimit: Boolean = true
+
+  /** Plan partitions that emit exactly the first-`limit` rows of the
+    * file with the first `offset` of them dropped — the DSv2
+    * OFFSET-pushdown contract (rows [offset, min(limit, rowCount))).
+    * None when the format cannot START at an arbitrary row without
+    * decoding everything before it (compressed/sequential regimes,
+    * page-grained SAS) — the scan builder then refuses `pushOffset`
+    * and Catalyst keeps its Offset operator, so refusal is always
+    * correct, just unaccelerated. */
+  def planPartitionsAt(path: String, opts: ReadstatOptions, offset: Long,
+      limit: Option[Long]): Option[Seq[RangePartition]] = None
+
   /** Decode one partition, emitting only `required` columns (names are a
     * subset of `schema`, in requested order). Runs on executors.
     */

@@ -320,11 +320,13 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownOffset
   with SupportsPushDownFilters
   with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var limit: Option[Long] = None
+  private var offset: Option[Long] = None
   private var countStar: Boolean = false
   private var pushed: Array[Filter] = Array.empty
 
@@ -353,8 +355,38 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
 
   override def pushLimit(n: Int): Boolean = {
     // only safe to cap partition planning for single-file scans: the limit
-    // is per-scan, and a multi-file union would need driver coordination
-    if (paths.length == 1) { limit = Some(n.toLong); true } else false
+    // is per-scan, and a multi-file union would need driver coordination.
+    // countStar guard: the metadata count scan ignores limit/offset, so
+    // accepting here (Catalyst pushes aggregates BEFORE limit/offset)
+    // would let isPartiallyPushed=false delete a Limit it never applied.
+    // plansExactLimit guard: accepting implies isPartiallyPushed=false
+    // (Catalyst deletes its Limit), so the module's planner must emit
+    // EXACTLY the first-n rows — SAS's page planner can't and refuses
+    if (paths.length == 1 && !countStar &&
+        Formats.moduleFor(paths.head).plansExactLimit) {
+      limit = Some(n.toLong); true
+    } else false
+  }
+
+  /** An accepted limit is applied EXACTLY (partitions cover precisely
+    * the first-`limit` rows in file order), so Catalyst may remove its
+    * Limit operator — which is also the precondition for OFFSET
+    * pushdown to engage on limit+offset plans. */
+  override def isPartiallyPushed(): Boolean = false
+
+  /** OFFSET pushdown (pagination / slice reads — the reference's
+    * `with_offset`, reader.rs:230-233, exposed here through the DSv2
+    * surface instead of an option): accepted only when the single
+    * file's format can START at an arbitrary row in O(1) — fixed-width
+    * dta/xpt/uncompressed-sav row math. Compressed/sequential regimes
+    * refuse and keep Catalyst's Offset operator (correct, just
+    * unaccelerated). Contract: scan emits rows [offset, min(limit, n)). */
+  override def pushOffset(n: Int): Boolean = {
+    if (paths.length == 1 && n >= 0 && !countStar &&
+        Formats.moduleFor(paths.head)
+          .planPartitionsAt(paths.head, opts, n.toLong, limit).isDefined) {
+      offset = Some(n.toLong); true
+    } else false
   }
 
   // COUNT(*) with no grouping answers from metadata alone — header row
@@ -365,7 +397,7 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
   // stays exact. Complete pushdown: the scan emits the single final row.
   private def canPushCount(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    limit.isEmpty &&
+    limit.isEmpty && offset.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0)
@@ -383,7 +415,7 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
 
   override def build(): Scan =
     if (countStar) new ReadstatCountStarScan(paths, opts)
-    else new ReadstatScan(paths, rawPaths, required, opts, limit, pushed)
+    else new ReadstatScan(paths, rawPaths, required, opts, limit, pushed, offset)
 }
 
 /** Metadata-only COUNT(*): one partition, one row, zero data bytes read. */
@@ -427,13 +459,61 @@ final case class CountStarPartition(count: Long)
 final case class MultiFilePartition(parts: Array[RangePartition])
   extends org.apache.spark.sql.connector.read.InputPartition
 
+/** A partition re-planned after runtime (DPP) filters arrived. The
+  * filters ride on the partition rather than the reader factory because
+  * Spark creates the factory at PLANNING time (the columnar decision in
+  * `DataSourceV2ScanExecBase.supportsColumnar` forces it) while
+  * [[SupportsRuntimeFiltering.filter]] only fires at EXECUTION time —
+  * only the re-planned partitions are guaranteed to postdate it. */
+final case class RuntimeFilteredPartition(inner: InputPartition,
+    filters: Array[Filter])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
 class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     required: StructType,
     opts: ReadstatOptions, limit: Option[Long],
-    pushed: Array[Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    pushed: Array[Filter] = Array.empty,
+    offset: Option[Long] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime (dynamic-partition-pruning-style) filters, arriving at
+    * execution time from a broadcast-join build side. Volatile: set on
+    * the driver by [[filter]] just before [[planInputPartitions]] is
+    * re-called with it visible. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  /** Columns a runtime join filter may target: every required column
+    * whose type/regime all loaded files' modules can evaluate pushed
+    * predicates on (probed with a representative IsNotNull — the same
+    * per-column gate every concrete conjunct passes). Advertising a
+    * column here lets Catalyst's PartitionPruning rule attach a
+    * DynamicPruningSubquery to joins on it: at 100 TB, a fact .dta
+    * joined to a filtered small dimension then skips decoding every
+    * fact row whose join key the broadcast build side ruled out,
+    * instead of decoding all rows and discarding them in the join. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (paths.isEmpty) Array.empty
+    else required.fields.iterator
+      .filter { f =>
+        val probe = org.apache.spark.sql.sources.IsNotNull(f.name)
+        paths.forall(p => Formats.moduleFor(p).canEvalFilter(p, opts, probe))
+      }
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+      .toArray
+
+  /** Best-effort by contract: kept filters skip decode inside the
+    * readers (same advisory machinery as the statically pushed ones);
+    * rows that slip through still meet the join that produced the
+    * filter, so correctness never depends on the skip. */
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(f =>
+      paths.nonEmpty &&
+        paths.forall(p => Formats.moduleFor(p).canEvalFilter(p, opts, f)))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -445,6 +525,7 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
   override def description(): String =
     s"readstat ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
       limit.map(l => s" limit=$l").getOrElse("") +
+      offset.map(o => s" offset=$o").getOrElse("") +
       (if (pushed.isEmpty) ""
        else s" PushedFilters: [${pushed.mkString(", ")}]")
 
@@ -473,6 +554,7 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
         if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
       } catch { case _: Exception => None }
     val capped = limit.map(l => rows.map(math.min(_, l))).getOrElse(rows)
+      .map(r => offset.fold(r)(o => math.max(0L, r - o)))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(scaled)
@@ -484,7 +566,13 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     val perFile = DriverPar.mapOrdered(paths)(p =>
       (p, new java.io.File(p).length(),
-        Formats.moduleFor(p).planPartitions(p, opts, limit)))
+        offset match {
+          // pushOffset only accepted single-file + module-supported, so
+          // planPartitionsAt is defined here by construction
+          case Some(o) => Formats.moduleFor(p)
+            .planPartitionsAt(p, opts, o, limit).get
+          case None => Formats.moduleFor(p).planPartitions(p, opts, limit)
+        }))
     // small-file packing: a directory of many tiny stat files would
     // otherwise plan one task per file and drown in scheduling overhead
     // (the classic small-files problem). Whole-file partitions of files
@@ -507,7 +595,13 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
       }
     }
     flush()
-    packed.toArray
+    // runtime filters present means this is the post-[[filter]] re-plan
+    // (BatchScanExec.filteredPartitions): ride them on the partitions —
+    // the reader factory was built at planning time and can't carry them
+    val rt = runtime
+    if (rt.isEmpty) packed.toArray
+    else packed.iterator.map(p =>
+      RuntimeFilteredPartition(p, rt): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -553,8 +647,19 @@ class ReadstatPartitionReaderFactory(required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
+  /** Runtime (DPP) filters ride on re-planned partitions — peel them
+    * off and union with the statically pushed set. Both sets are
+    * advisory skips under the kept Catalyst residual / join recheck,
+    * so the union can only skip more, never differently. */
+  private def effectiveFilters(partition: InputPartition): Array[Filter] =
+    partition match {
+      case r: RuntimeFilteredPartition => pushed ++ r.filters
+      case _ => pushed
+    }
+
   private def rangeParts(partition: InputPartition): Seq[RangePartition] =
     partition match {
+      case r: RuntimeFilteredPartition => rangeParts(r.inner)
       case m: MultiFilePartition => m.parts.toIndexedSeq
       case p: RangePartition => Seq(p)
     }
@@ -562,6 +667,7 @@ class ReadstatPartitionReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val reshape = opts.compress || opts.schemaOverrides.trim.nonEmpty
+    val pushed = effectiveFilters(partition)
     val it = rangeParts(partition).iterator.flatMap { part =>
       val module = Formats.moduleFor(part.path)
       if (!reshape) module.columnarRows(part, opts, required, pushed)
@@ -587,7 +693,8 @@ class ReadstatPartitionReaderFactory(required: StructType,
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val it0 = rangeParts(partition).iterator.flatMap(rowIterator)
+    val eff = effectiveFilters(partition)
+    val it0 = rangeParts(partition).iterator.flatMap(p => rowIterator(p, eff))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -597,7 +704,8 @@ class ReadstatPartitionReaderFactory(required: StructType,
     }
   }
 
-  private def rowIterator(part: RangePartition): Iterator[InternalRow] = {
+  private def rowIterator(part: RangePartition,
+      pushed: Array[Filter]): Iterator[InternalRow] = {
     val module = Formats.moduleFor(part.path)
     // decode with the format's natural types, then cast to the requested
     // (compress-narrowed / overridden) types; struct/merged informative-

@@ -215,6 +215,10 @@ object SasModule extends FormatModule {
     if (new java.io.File(path).length() >= need) Some(md.rowCount) else None
   }
 
+  /** Page-range partitions ignore the pushed limit (rows-per-page needs
+    * an index pass) — the scan builder must keep Catalyst's Limit. */
+  override def plansExactLimit: Boolean = false
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)

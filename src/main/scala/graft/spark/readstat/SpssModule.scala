@@ -137,6 +137,25 @@ object SpssModule extends FormatModule {
     }
   }
 
+  /** OFFSET pushdown only for the UNCOMPRESSED regime, where rows are
+    * fixed `recordLen` bytes and seek in O(1). Bytecode/zsav streams
+    * can only resume at checkpoint boundaries, not arbitrary rows —
+    * refuse and let Catalyst keep its Offset operator. */
+  override def planPartitionsAt(path: String, opts: ReadstatOptions,
+      offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
+    val md = metadata(path)
+    if (md.compression != 0) return None
+    val n0 = rowCount(path, md)
+    val total = limit.map(math.min(_, n0)).getOrElse(n0)
+    val start0 = math.min(math.max(0L, offset), total)
+    if (total - start0 <= 0) return Some(Seq(RangePartition(path, start0, 0)))
+    val rowsPerPart =
+      math.max(1L, opts.partitionTargetBytes / math.max(1, md.recordLen))
+    Some((start0 until total by rowsPerPart).map { s =>
+      RangePartition(path, s, math.min(rowsPerPart, total - s))
+    })
+  }
+
   private final case class ColPlan(
       fieldIdx: Int, varIdx: Int, byteOff: Int, v: SpssVar,
       out: DataType, labels: Boolean, indicator: Boolean,

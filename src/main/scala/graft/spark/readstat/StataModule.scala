@@ -187,6 +187,21 @@ object StataModule extends FormatModule {
     }
   }
 
+  /** Fixed-width rows seek in O(1), so OFFSET pushdown is pure range
+    * arithmetic: partitions over rows [offset, min(limit, nObs)). */
+  override def planPartitionsAt(path: String, opts: ReadstatOptions,
+      offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
+    val md = metadata(path)
+    val total = limit.map(math.min(_, md.nObs)).getOrElse(md.nObs)
+    val start0 = math.min(math.max(0L, offset), total)
+    if (total - start0 <= 0) return Some(Seq(RangePartition(path, start0, 0)))
+    val rowsPerPart =
+      math.max(1L, opts.partitionTargetBytes / math.max(1, md.rowLen))
+    Some((start0 until total by rowsPerPart).map { start =>
+      RangePartition(path, start, math.min(rowsPerPart, total - start))
+    })
+  }
+
   /** strL (GSO) reference cell: (v, o) key into the strL table. One
     * definition for the row, columnar and filter-predicate decoders. */
   private def decodeStrlRefIn(b: Array[Byte], off: Int,

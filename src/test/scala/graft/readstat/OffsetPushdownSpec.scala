@@ -1,0 +1,122 @@
+package graft.readstat
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+/** OFFSET pushdown (r13, SURVEY §2.2 "Offset/slice read" — the
+  * reference's `with_offset`, reader.rs:230-233, exposed through DSv2
+  * `SupportsPushDownOffset` instead of a private option): for formats
+  * whose rows seek in O(1) (dta, xpt, uncompressed sav), the scan plans
+  * partitions starting AT the offset row, so `df.offset(n)` pagination
+  * reads zero bytes of the skipped prefix. Compressed/sequential
+  * regimes refuse the push and keep Catalyst's Offset operator —
+  * results must be identical either way.
+  */
+class OffsetPushdownSpec extends SparkTestBase {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_off").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def write(fmt: String, n: Int): String = {
+    import spark.implicits._
+    val p = s"$dir/t$n.$fmt"
+    (1 to n).map(i => (i, i * 0.5)).toDF("id", "x")
+      .coalesce(1) // single input partition → deterministic file row order
+      .write.format("readstat").mode("overwrite").save(p)
+    p
+  }
+
+  // xpt/sav have no integer storage: ids read back as Double there
+  private def ids(df: DataFrame): Seq[Int] =
+    df.collect().map(r => r.get(0) match {
+      case i: Int => i
+      case d: Double => d.toInt
+      case other => fail(s"unexpected id type $other")
+    }).toSeq
+
+  test("dta: offset alone, offset+limit, offset past EOF") {
+    val p = write("dta", 10000)
+    val base = spark.read.format("readstat").load(p)
+    assert(ids(base.offset(9995)) == Seq(9996, 9997, 9998, 9999, 10000))
+    assert(ids(base.offset(20).limit(7)) == (21 to 27))
+    assert(ids(base.limit(30).offset(25)) == (26 to 30))
+    assert(base.offset(10000).count() == 0)
+    assert(base.offset(20000).count() == 0)
+  }
+
+  test("dta: pushed offset is visible in the scan and prunes planning") {
+    val p = write("dta", 10000)
+    val df = spark.read.format("readstat").load(p).offset(9990)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("offset=9990"), leaves)
+    // the Offset operator is gone: the scan applied it exactly
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Offset"),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
+  test("xpt and uncompressed sav push; zsav refuses but stays correct") {
+    for (fmt <- Seq("xpt", "sav", "zsav")) {
+      val p = write(fmt, 3000)
+      // our .sav writer emits compression=0 (uncompressed) — the
+      // regime whose rows seek; .zsav is the zlib regime that refuses
+      val df = spark.read.format("readstat").load(p)
+      val got = ids(df.offset(2990))
+      assert(got == (2991 to 3000), s"$fmt: $got")
+      val leaves = df.offset(2990).queryExecution.executedPlan
+        .collectLeaves().map(_.toString).mkString("\n")
+      if (fmt == "zsav")
+        assert(!leaves.contains("offset="), s"$fmt should refuse:\n$leaves")
+      else
+        assert(leaves.contains("offset=2990"), s"$fmt should push:\n$leaves")
+    }
+  }
+
+  test("offset composes with filter pushdown and row index") {
+    val p = write("dta", 5000)
+    val df = spark.read.format("readstat")
+      .option("rowIndexName", "ridx").load(p)
+      .offset(4000)
+      .filter(org.apache.spark.sql.functions.col("id") % 2 === 0)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // row index stays the FILE row number: id i sits at file row i-1
+    assert(rows.forall(r => r.getLong(r.fieldIndex("ridx")) ==
+      r.getInt(r.fieldIndex("id")) - 1L))
+    assert(rows.map(_.getInt(0)).min == 4002)
+  }
+
+  test("sas refuses exact-limit (page planner ignores it) but stays correct") {
+    val p = write("sas7bdat", 2000)
+    val base = spark.read.format("readstat").load(p)
+    // the planner can't cap pages by rows: the builder must refuse the
+    // limit so Catalyst's Limit operator survives and trims
+    assert(base.limit(5).count() == 5)
+    assert(base.limit(5).collect().length == 5)
+    assert(base.offset(1990).count() == 10) // Offset operator kept, exact
+    val leaves = base.limit(5).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(!leaves.contains("limit="), s"sas must not claim the limit:\n$leaves")
+  }
+
+  test("dta exact limit deletes the Limit operator and still trims") {
+    val p = write("dta", 1000)
+    val df = spark.read.format("readstat").load(p).limit(7)
+    assert(ids(df) == (1 to 7))
+    assert(df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString.contains("limit=7"))
+  }
+
+  test("count(*) aggregate pushdown never coexists with limit/offset") {
+    val p = write("dta", 1000)
+    val base = spark.read.format("readstat").load(p)
+    assert(base.offset(400).count() == 600)
+    assert(base.limit(300).offset(100).count() == 200)
+    // and the metadata count-star path still answers the bare count
+    assert(base.count() == 1000)
+  }
+}
