@@ -241,6 +241,29 @@ object ReadstatQueries {
       |FROM (SELECT * FROM orders ORDER BY o_orderkey OFFSET 5000)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** SAS offset pushdown (r13): same slice as [[dtaOffsetSlice]] but
+    * through the .sas7bdat page planner — the cached page-row prefix
+    * finds the offset's page and `skipRows` drops the mid-page
+    * remainder positionally (the reference's `with_offset` sliced SAS
+    * read, done exactly instead of by page estimation + lookback). */
+  def sasOffsetSlice(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_off.sas7bdat")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat").load(path)
+      .offset(5000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val sasOffsetSliceSql: String = dtaOffsetSliceSql
+
   /** Value-label decode through the DICTIONARY-encoded columnar path
     * (r12): an int code column written with a label table, read back
     * with valueLabelsAsStrings (labeled scans now run columnar with
@@ -1061,6 +1084,7 @@ object ReadstatQueries {
     "stata_runtime_prune_join" ->
       (dtaRuntimePruneJoin _, dtaRuntimePruneJoinSql),
     "stata_offset_slice" -> (dtaOffsetSlice _, dtaOffsetSliceSql),
+    "sas_offset_slice" -> (sasOffsetSlice _, sasOffsetSliceSql),
     "stata_labeled_agg" -> (dtaLabeledAgg _, dtaLabeledAggSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),

@@ -130,7 +130,12 @@ final case class RangePartition(
     numRows: Long,
     sav: Option[SavCheckpoint] = None,
     rowsBefore: Option[Long] = None,
-    por: Option[PorResume] = None)
+    por: Option[PorResume] = None,
+    // SAS OFFSET pushdown: data rows to drop from the front of this
+    // partition's page range (the pushed offset lands mid-page; slots
+    // are addressed without decode, so the skip is free). Other
+    // formats plan partitions AT the offset row and never set this.
+    skipRows: Long = 0L)
   extends org.apache.spark.sql.connector.read.InputPartition
 
 /** Scan/write options (mirrors the reference's ScanOptions surface,

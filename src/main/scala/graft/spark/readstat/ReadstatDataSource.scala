@@ -377,10 +377,12 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
   /** OFFSET pushdown (pagination / slice reads — the reference's
     * `with_offset`, reader.rs:230-233, exposed here through the DSv2
     * surface instead of an option): accepted only when the single
-    * file's format can START at an arbitrary row in O(1) — fixed-width
-    * dta/xpt/uncompressed-sav row math. Compressed/sequential regimes
-    * refuse and keep Catalyst's Offset operator (correct, just
-    * unaccelerated). Contract: scan emits rows [offset, min(limit, n)). */
+    * file's format can START at an arbitrary row without decoding the
+    * prefix — fixed-width dta/xpt/uncompressed-sav row math, SAS via a
+    * cached page-row prefix index plus a positional mid-page skip.
+    * Sequential regimes (bytecode/zsav, POR) refuse and keep
+    * Catalyst's Offset operator (correct, just unaccelerated).
+    * Contract: scan emits rows [offset, min(limit, n)). */
   override def pushOffset(n: Int): Boolean = {
     if (paths.length == 1 && n >= 0 && !countStar &&
         Formats.moduleFor(paths.head)

@@ -219,6 +219,48 @@ object SasModule extends FormatModule {
     * an index pass) — the scan builder must keep Catalyst's Limit. */
   override def plansExactLimit: Boolean = false
 
+  /** Per-page data-row prefix sums for either regime (one page-header
+    * pass for uncompressed, one page pass for RLE/RDC), cached per
+    * (path, size, mtime) like the compressed prefix. */
+  private def pagePrefix(path: String): Array[Long] = {
+    val md = metadata(path)
+    if (md.compression != 0) compressedPagePrefix(path)
+    else pagePrefixCache.computeIfAbsent(keyOf(path), _ => pageRowOffsets(path))
+  }
+
+  /** OFFSET pushdown for SAS (the reference's `with_offset` sliced read,
+    * src/sas/polars_output.rs:1421-1536, done with an exact prefix
+    * index instead of its adaptive estimation+lookback): one cached
+    * page-row prefix pass finds the page containing the offset row;
+    * partitions start there with `skipRows` dropping the mid-page
+    * remainder — slots are addressed positionally, so the skip decodes
+    * nothing. A pushed LIMIT is refused (`plansExactLimit=false`: the
+    * planner cannot cap the tail row-exactly), so `limit` here can only
+    * arrive through a caller bug — refuse it loudly by returning None. */
+  override def planPartitionsAt(path: String, opts: ReadstatOptions,
+      offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
+    if (limit.isDefined) return None
+    val md = metadata(path)
+    val total = md.rowCount
+    val off0 = math.min(math.max(0L, offset), total)
+    if (md.pageCount == 0 || total - off0 <= 0)
+      return Some(Seq(RangePartition(path, 0, 0)))
+    val prefix = pagePrefix(path)
+    // last page whose prefix (rows before it) is <= off0; phantom
+    // trailing row subheaders only overcount the FINAL page's own
+    // count, never a prefix at or below off0 < rowCount
+    var sp = 0
+    while (sp + 1 < md.pageCount && prefix(sp + 1) <= off0) sp += 1
+    val pagesPerPart =
+      math.max(1L, opts.partitionTargetBytes / math.max(1, md.pageLength))
+    val n = md.pageCount.toLong
+    Some((sp.toLong until n by pagesPerPart).map { s =>
+      RangePartition(path, s, math.min(pagesPerPart, n - s),
+        rowsBefore = Some(prefix(s.toInt)),
+        skipRows = if (s == sp) off0 - prefix(sp) else 0L)
+    })
+  }
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)
@@ -315,6 +357,9 @@ object SasModule extends FormatModule {
       private var pageIdx = startPage
       private var emitted = 0L
       private var closed = false
+      // OFFSET pushdown: leading rows to drop (slots advance without
+      // decode or decompression — positional, so the skip is free)
+      private var toSkip = part.skipRows
       // per-page row queue
       private var rowsInPage: Seq[(Int, Int, Boolean)] = Nil // (offset, len, compressed)
       private var rowPos = 0
@@ -324,6 +369,12 @@ object SasModule extends FormatModule {
       @annotation.tailrec
       private def advance(): Boolean = {
         if (emitted >= capRows) { close(); return false }
+        if (toSkip > 0 && rowPos < rowsInPage.length) {
+          val take = math.min(toSkip, (rowsInPage.length - rowPos).toLong).toInt
+          rowPos += take; emitted += take; toSkip -= take
+          // skipped rows count as consumed (capRows caps consumption);
+          // if the skip ate the page, fall through to load the next
+        }
         if (rowPos < rowsInPage.length) return true
         if (pageIdx >= endPage) { close(); return false }
         try raf.readFully(page)
@@ -652,6 +703,8 @@ object SasModule extends FormatModule {
     new Iterator[ColumnarBatch] {
       private var pageIdx = startPage
       private var emitted = 0L
+      // OFFSET pushdown: leading rows to drop from the first page(s)
+      private var toSkip = part.skipRows
       // prefetched page's rows: buffer + per-row offsets (buffer is the
       // page itself when nothing needed decompression)
       private var pendingBuf: Array[Byte] = _
@@ -727,6 +780,14 @@ object SasModule extends FormatModule {
         val buf = pendingBuf
         var offs = pendingOffs
         pendingBuf = null; pendingOffs = null
+        // OFFSET pushdown: drop leading skipped slots positionally
+        // (counted as consumed — capRows caps consumption); a page the
+        // skip swallows whole emits an empty batch, which is harmless
+        if (toSkip > 0) {
+          val k = math.min(toSkip, offs.length.toLong).toInt
+          offs = java.util.Arrays.copyOfRange(offs, k, offs.length)
+          emitted += k; toSkip -= k
+        }
         if (emitted + offs.length > capRows)
           offs = offs.take((capRows - emitted).toInt)
         val rawN = offs.length

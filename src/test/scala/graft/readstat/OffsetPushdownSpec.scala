@@ -97,10 +97,38 @@ class OffsetPushdownSpec extends SparkTestBase {
     // limit so Catalyst's Limit operator survives and trims
     assert(base.limit(5).count() == 5)
     assert(base.limit(5).collect().length == 5)
-    assert(base.offset(1990).count() == 10) // Offset operator kept, exact
     val leaves = base.limit(5).queryExecution.executedPlan
       .collectLeaves().map(_.toString).mkString("\n")
     assert(!leaves.contains("limit="), s"sas must not claim the limit:\n$leaves")
+  }
+
+  test("sas pushes offset via the page-row prefix + mid-page skip") {
+    val p = write("sas7bdat", 20000) // several pages
+    val base = spark.read.format("readstat").load(p)
+    assert(ids(base.offset(19990)) == (19991 to 20000))
+    assert(base.offset(7).count() == 19993) // mid-first-page skip
+    assert(base.offset(20000).count() == 0)
+    val leaves = base.offset(19990).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(leaves.contains("offset=19990"), leaves)
+    // row index stays the FILE row number across the skip
+    val rows = spark.read.format("readstat")
+      .option("rowIndexName", "ridx").load(p).offset(12345).collect()
+    assert(rows.length == 20000 - 12345)
+    assert(rows.map(r => r.getLong(r.fieldIndex("ridx"))).min == 12345L)
+  }
+
+  test("sas rle-compressed offset slices exactly") {
+    import spark.implicits._
+    val p = s"$dir/rle.sas7bdat"
+    // repetitive values compress well under RLE
+    (1 to 15000).map(i => (i, "x" * 40)).toDF("id", "pad")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite")
+      .option("compression", "rle").save(p)
+    val base = spark.read.format("readstat").load(p)
+    assert(ids(base.offset(14980).select("id"))== (14981 to 15000))
+    assert(base.offset(3).count() == 14997)
   }
 
   test("dta exact limit deletes the Limit operator and still trims") {
