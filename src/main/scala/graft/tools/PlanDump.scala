@@ -39,11 +39,36 @@ object PlanDump {
       "spss_compress_roundtrip", "stata_stream_sink", "zsav_stream_sink",
       "time_type_agg", "por_value_labels", "por_missing_informative",
       "por_stream_sink", "stata_filter_pushdown", "stata_labeled_agg",
-      "stata_temporal_filter_pushdown", "spss_string_filter_pushdown")
+      "stata_temporal_filter_pushdown", "spss_string_filter_pushdown",
+      "stata_runtime_prune_join", "stata_offset_slice", "sas_offset_slice")
 
     // prose notes preserved across regenerations (measured facts live
     // here, not hand-edits to the generated file)
     val notes: Map[String, String] = Map(
+      "stata_runtime_prune_join" -> """
+r13 runtime (DPP) join filtering: the readstat scan leaf carries
+`RuntimeFilters: [dynamicpruning#...]` — the broadcast build side's
+surviving join keys reach the scan as an In-filter at execution time and
+skip fact-row decode through the same machinery as static pushdown (the
+In compiles to a hash set). Advisory: the join re-checks survivors, so
+the skip can only save work, never change results. The bench pair
+`stata_runtime_prune_50m` vs `stata_filter_selective_50m` compares the
+join-driven skip against the same skip driven by a static predicate.
+""",
+      "stata_offset_slice" -> """
+r13 OFFSET pushdown: the scan leaf shows `offset=5000` and no Offset
+operator survives in the plan — partitions are planned starting AT the
+offset row (O(1) row seek for dta), so the skipped prefix contributes
+zero read bytes. `isPartiallyPushed=false` also lets limit+offset plans
+drop both operators on formats whose planner applies the limit exactly.
+""",
+      "sas_offset_slice" -> """
+Same slice through the SAS page planner: a cached page-row prefix index
+locates the offset's page and `skipRows` drops the mid-page remainder
+positionally (row slots are addressed without decode or decompression).
+The reference's sliced SAS read estimates pages adaptively and looks
+back on overshoot; this is the exact-index version of the same idea.
+""",
       "stata_filter_pushdown" -> """
 r12 decode-skipping filter pushdown: the conjuncts appear in the scan leaf
 as `PushedFilters: [...]` AND the Filter node above survives — every pushed
