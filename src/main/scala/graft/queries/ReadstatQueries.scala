@@ -188,15 +188,21 @@ object ReadstatQueries {
     * join over the original parquet. */
   def dtaRuntimePruneJoin(s: SparkSession, d: String): DataFrame = {
     val path = scratch(d, "orders_rpj.dta")
+    // the join key must stay INTEGER end to end: Spark wraps
+    // float/double join keys in KnownFloatingPointNormalized, which
+    // runtime-filter translation refuses for every DSv2 source — a
+    // double-keyed version of this query would still plan the
+    // DynamicPruningSubquery but the In-filter would never reach the
+    // scan (WARN: "Can't translate ... to source filter")
     orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
       .write.format("readstat").mode("overwrite").save(path)
     val fact = s.read.format("readstat").load(path)
     val dim = customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"), col("c_nationkey"))
-    fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .select(col("c_custkey").cast("int").as("ck"), col("c_nationkey"))
+    fact.join(dim, fact("o_custkey") === dim("ck"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("c_nationkey")).as("nations"),

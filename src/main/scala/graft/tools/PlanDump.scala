@@ -46,14 +46,20 @@ object PlanDump {
     // here, not hand-edits to the generated file)
     val notes: Map[String, String] = Map(
       "stata_runtime_prune_join" -> """
-r13 runtime (DPP) join filtering: the readstat scan leaf carries
-`RuntimeFilters: [dynamicpruning#...]` — the broadcast build side's
-surviving join keys reach the scan as an In-filter at execution time and
-skip fact-row decode through the same machinery as static pushdown (the
-In compiles to a hash set). Advisory: the join re-checks survivors, so
-the skip can only save work, never change results. The bench pair
-`stata_runtime_prune_50m` vs `stata_filter_selective_50m` compares the
-join-driven skip against the same skip driven by a static predicate.
+r13 runtime (DPP) join filtering. Under AQE the DynamicPruningSubquery
+is attached at query-STAGE planning, so this static dump shows only the
+broadcast join; at execution the scan leaf carries `RuntimeFilters:
+[dynamicpruning#...]` and the broadcast build side's surviving join
+keys reach it as an In-filter that skips fact-row decode through the
+same machinery as static pushdown (In compiles to a hash set).
+Measured engagement (DevRtPrune, sf0.01): the scan emits exactly the
+2,958 joined rows of 15,000 — not the full file. Two sharp edges,
+both pinned: the join key must be INTEGER end to end (Spark
+normalize-wraps float/double join keys and refuses to translate the
+wrapped runtime filter for any DSv2 source), and the skip is advisory
+(the join re-checks survivors). The bench pair
+`stata_runtime_prune_50m` vs `stata_prune_static_50m` isolates Spark's
+constant DPP machinery cost against the same slice as a static isin.
 """,
       "stata_offset_slice" -> """
 r13 OFFSET pushdown: the scan leaf shows `offset=5000` and no Offset
