@@ -41,6 +41,24 @@ trait FormatModule extends Serializable {
   def planPartitionsAt(path: String, opts: ReadstatOptions, offset: Long,
       limit: Option[Long]): Option[Seq[RangePartition]] = None
 
+  /** Shared clamp/stride arithmetic for the O(1)-seekable
+    * [[planPartitionsAt]] implementations (dta/xpt/uncompressed sav):
+    * row ranges covering [clamp(offset), min(limit, rowCount)), strided
+    * by partitionTargetBytes worth of fixed-width rows. One definition —
+    * an edge-case fix here must not be applied three times. */
+  protected final def seekableRowRanges(path: String, opts: ReadstatOptions,
+      offset: Long, limit: Option[Long], rowCount: Long,
+      rowLen: Int): Seq[RangePartition] = {
+    val total = limit.map(math.min(_, rowCount)).getOrElse(rowCount)
+    val start0 = math.min(math.max(0L, offset), total)
+    if (total - start0 <= 0) return Seq(RangePartition(path, start0, 0))
+    val rowsPerPart =
+      math.max(1L, opts.partitionTargetBytes / math.max(1, rowLen))
+    (start0 until total by rowsPerPart).map { start =>
+      RangePartition(path, start, math.min(rowsPerPart, total - start))
+    }
+  }
+
   /** Decode one partition, emitting only `required` columns (names are a
     * subset of `schema`, in requested order). Runs on executors.
     */

@@ -145,15 +145,8 @@ object SpssModule extends FormatModule {
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     val md = metadata(path)
     if (md.compression != 0) return None
-    val n0 = rowCount(path, md)
-    val total = limit.map(math.min(_, n0)).getOrElse(n0)
-    val start0 = math.min(math.max(0L, offset), total)
-    if (total - start0 <= 0) return Some(Seq(RangePartition(path, start0, 0)))
-    val rowsPerPart =
-      math.max(1L, opts.partitionTargetBytes / math.max(1, md.recordLen))
-    Some((start0 until total by rowsPerPart).map { s =>
-      RangePartition(path, s, math.min(rowsPerPart, total - s))
-    })
+    Some(seekableRowRanges(path, opts, offset, limit, rowCount(path, md),
+      md.recordLen))
   }
 
   private final case class ColPlan(

@@ -192,14 +192,7 @@ object StataModule extends FormatModule {
   override def planPartitionsAt(path: String, opts: ReadstatOptions,
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     val md = metadata(path)
-    val total = limit.map(math.min(_, md.nObs)).getOrElse(md.nObs)
-    val start0 = math.min(math.max(0L, offset), total)
-    if (total - start0 <= 0) return Some(Seq(RangePartition(path, start0, 0)))
-    val rowsPerPart =
-      math.max(1L, opts.partitionTargetBytes / math.max(1, md.rowLen))
-    Some((start0 until total by rowsPerPart).map { start =>
-      RangePartition(path, start, math.min(rowsPerPart, total - start))
-    })
+    Some(seekableRowRanges(path, opts, offset, limit, md.nObs, md.rowLen))
   }
 
   /** strL (GSO) reference cell: (v, o) key into the strL table. One

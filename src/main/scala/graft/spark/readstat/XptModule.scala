@@ -132,12 +132,8 @@ object XptModule extends FormatModule {
   override def planPartitionsAt(path: String, opts: ReadstatOptions,
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     val md = metadata(path)
-    val total = limit.map(math.min(_, md.rowCount)).getOrElse(md.rowCount)
-    val start0 = math.min(math.max(0L, offset), total)
-    if (total - start0 <= 0) return Some(Seq(RangePartition(path, start0, 0)))
-    val rpp = math.max(1L, opts.partitionTargetBytes / math.max(1, md.rowLength))
-    Some((start0 until total by rpp).map(s =>
-      RangePartition(path, s, math.min(rpp, total - s))))
+    Some(seekableRowRanges(path, opts, offset, limit, md.rowCount,
+      md.rowLength))
   }
 
   /** Same rule as StataModule/SpssModule: predicates evaluate on the

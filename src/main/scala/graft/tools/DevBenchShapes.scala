@@ -3,10 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc dev harness for the r13 bench showcases: generates the bench
-  * big files at a small SF and checks that stata_offset_read_50m's scan
-  * claims the offset and stata_runtime_prune_50m's plan carries the
-  * dynamic-pruning runtime filter.
+/** Ad-hoc dev harness for the r13 OFFSET bench showcase: generates the
+  * bench big files at a small SF and checks that
+  * stata_offset_read_50m's scan claims the offset and slices exactly.
+  * (The DPP join showcase has its own harness, DevDppProf, which also
+  * reads the scan's numOutputRows — plan text alone can report a
+  * dynamic-pruning subquery whose runtime filter translation later
+  * drops, so it is NOT checked here.)
   * Usage: runMain graft.tools.DevBenchShapes [sfDir]
   */
 object DevBenchShapes {
@@ -34,20 +37,6 @@ object DevBenchShapes {
       val leaves = offDf.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).mkString
       println("OFFSET_PUSHED=" + leaves.contains(s"offset=$off90"))
-
-      val dimPath = s"${dta50.stripSuffix(".dta")}_qdim.parquet"
-      scan(dta50).select(col("l_quantity")).distinct()
-        .withColumn("hot", (col("l_quantity") === 3 || col("l_quantity") === 41).cast("int"))
-        .coalesce(1).write.mode("overwrite").parquet(dimPath)
-      val dim = spark.read.parquet(dimPath)
-        .filter(col("hot") === 1).select(col("l_quantity").as("qk"))
-      val j = scan(dta50).select("l_quantity", "l_extendedprice")
-        .join(dim, col("l_quantity") === col("qk"))
-        .agg(sum(col("l_extendedprice")), count(lit(1)))
-      val cnt = j.collect()(0).getLong(1)
-      println(s"join rows=$cnt")
-      println("HAS_DPP=" + j.queryExecution.executedPlan.toString
-        .contains("dynamicpruning"))
     }
     spark.stop()
   }

@@ -30,7 +30,10 @@ object DevDppProf {
           .withColumn("q_code", col("l_quantity").cast("int"))
           .write.format("readstat").mode("overwrite").save(key50)
       val dimPath = s"${dta50.stripSuffix(".dta")}_qdim.parquet"
-      scan(key50).select(col("q_code")).distinct()
+      // q_code is l_quantity cast int (1..50 by construction): derive
+      // the dim from a range instead of rescanning the 50M fact
+      spark.range(1, 51)
+        .select(col("id").cast("int").as("q_code"))
         .withColumn("hot",
           (col("q_code") === 3 || col("q_code") === 41).cast("int"))
         .coalesce(1).write.mode("overwrite").parquet(dimPath)

@@ -137,6 +137,30 @@ class RuntimeFilterSpec extends SparkTestBase {
     assert(got.forall(r => r.getInt(0) % 2 == 0 && r.getDouble(1) > 5000.0))
   }
 
+  test("double join keys: DPP may plan but never filters the scan — results exact") {
+    // Spark wraps float/double join keys in KnownFloatingPointNormalized
+    // and refuses to translate the wrapped runtime filter for any DSv2
+    // source ("Can't translate ... to source filter" WARN). Pin that a
+    // double-keyed join still computes exactly (the filter is dropped,
+    // not half-applied) — and that if a future Spark starts translating
+    // it, results stay identical (the skip is advisory either way).
+    val dimPath = s"$dir/dimd.parquet"
+    import spark.implicits._
+    (0 until 100).map(i => (i.toDouble / 2, i % 3)).toDF("dk", "m")
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = spark.read.format("readstat").load(factPath) // k is int
+    val dim = spark.read.parquet(dimPath).filter(col("m") === 0)
+      .select(col("dk"))
+    val joined = fact.join(dim, col("k").cast("double") === col("dk"))
+    val got = joined.collect()
+    // dk in {0.0, 1.5, 3.0, ...}: integral dks divisible by 3 → k in
+    // {0, 3, 6, ..., 49 range} with dk=k when 2k%6==0 → k ∈ {0,3,...,48}
+    val hotK = (0 until 100).filter(_ % 3 == 0).map(_ / 2.0)
+      .filter(d => d == math.rint(d)).map(_.toInt).toSet
+    val expected = (1 to 20000).count(i => hotK.contains(i % 100))
+    assert(got.length == expected, s"got ${got.length} want $expected")
+  }
+
   test("IsNotNull probe matches what filter() accepts") {
     val scan = readstatScan(spark.read.format("readstat").load(factPath))
     val advertised = scan.filterAttributes().map(_.describe()).toSet
