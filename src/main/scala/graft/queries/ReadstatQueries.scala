@@ -270,6 +270,104 @@ object ReadstatQueries {
 
   val sasOffsetSliceSql: String = dtaOffsetSliceSql
 
+  /** zsav offset pushdown (r14, the last sequential regimes closed —
+    * reference slice pushdown reaches every format, __init__.py:631-661):
+    * same slice as [[dtaOffsetSlice]] but through the zlib-compressed
+    * regime. A small partition target forces the CHECKPOINT path: the
+    * scan resumes the command-stream state at the nearest checkpoint
+    * ≤ offset and decode-forwards the mid-interval remainder, inflating
+    * none of the blocks before it — at 100 TB, paginating a compressed
+    * corpus touches only the blocks the page overlaps. */
+  def zsavOffsetSlice(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_off.zsav")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat")
+      .option("partitionTargetBytes", "32768")
+      .load(path)
+      .offset(5000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val zsavOffsetSliceSql: String = dtaOffsetSliceSql
+
+  /** POR offset pushdown (r14): the base-30 ASCII stream cannot seek,
+    * but the parallel-scan checkpoint index resumes the line state at
+    * the nearest checkpoint ≤ offset and boundary-SKIMS the remainder
+    * (cell boundaries only — no base-30 parse, no String building). */
+  def porOffsetSlice(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_off.por")
+    // POR variable names are 8-char uppercase — alias within the limit
+    orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_totalprice").as("tprice"),
+        col("o_orderstatus").as("ostatus"))
+      .orderBy("okey")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(path)
+    s.read.format("readstat")
+      .option("partitionTargetBytes", "32768")
+      .load(path)
+      .offset(5000)
+      .groupBy("OSTATUS")
+      .agg(count(lit(1)).as("n"),
+        sum(col("OKEY").cast("long")).as("sum_key"),
+        round(sum("TPRICE"), 2).as("total"))
+      .orderBy("OSTATUS")
+  }
+
+  val porOffsetSliceSql: String =
+    """SELECT o_orderstatus AS OSTATUS, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT * FROM orders ORDER BY o_orderkey OFFSET 5000)
+      |GROUP BY o_orderstatus ORDER BY OSTATUS""".stripMargin
+
+  /** Multi-file offset+limit pushdown (r14): orders split into four
+    * contiguous .dta chunks (name-sorted directory read preserves the
+    * global o_orderkey order); the window [5000, 12000) maps onto the
+    * directory's cumulative METADATA row prefix, so chunk 0 and the
+    * tail beyond the window plan zero partitions and their data bytes
+    * are never opened — the 1000-small-files directory (this engine's
+    * characteristic deployment) pages without touching out-of-window
+    * files. */
+  def dirOffsetSlice(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "orders_off_dir")
+    val src = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val n = src.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+    val withRn = src.withColumn("rn", row_number().over(w))
+    for (k <- 0 until 4) {
+      val lo = k * n / 4
+      val hi = (k + 1) * n / 4
+      withRn.filter(col("rn") > lo && col("rn") <= hi)
+        .orderBy("o_orderkey").drop("rn")
+        .coalesce(1).write.format("readstat").mode("overwrite")
+        .save(s"$dir/part$k.dta")
+    }
+    s.read.format("readstat").load(dir)
+      .offset(5000).limit(7000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dirOffsetSliceSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 7000 OFFSET 5000)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Value-label decode through the DICTIONARY-encoded columnar path
     * (r12): an int code column written with a label table, read back
     * with valueLabelsAsStrings (labeled scans now run columnar with
@@ -1091,6 +1189,9 @@ object ReadstatQueries {
       (dtaRuntimePruneJoin _, dtaRuntimePruneJoinSql),
     "stata_offset_slice" -> (dtaOffsetSlice _, dtaOffsetSliceSql),
     "sas_offset_slice" -> (sasOffsetSlice _, sasOffsetSliceSql),
+    "zsav_offset_slice" -> (zsavOffsetSlice _, zsavOffsetSliceSql),
+    "por_offset_slice" -> (porOffsetSlice _, porOffsetSliceSql),
+    "dir_offset_slice" -> (dirOffsetSlice _, dirOffsetSliceSql),
     "stata_labeled_agg" -> (dtaLabeledAgg _, dtaLabeledAggSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),

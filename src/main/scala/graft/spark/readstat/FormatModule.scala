@@ -41,6 +41,13 @@ trait FormatModule extends Serializable {
   def planPartitionsAt(path: String, opts: ReadstatOptions, offset: Long,
       limit: Option[Long]): Option[Seq[RangePartition]] = None
 
+  /** Cheap (no index build, no file read) answer to "would
+    * [[planPartitionsAt]] with no limit be defined for this file?" —
+    * the multi-file pushOffset probe, where calling planPartitionsAt
+    * per file could build a checkpoint index per file before the push
+    * is even accepted. Must be consistent with planPartitionsAt. */
+  def plansOffset(path: String, opts: ReadstatOptions): Boolean = false
+
   /** Shared clamp/stride arithmetic for the O(1)-seekable
     * [[planPartitionsAt]] implementations (dta/xpt/uncompressed sav):
     * row ranges covering [clamp(offset), min(limit, rowCount)), strided

@@ -128,6 +128,53 @@ object PorModule extends FormatModule {
     parts.result()
   }
 
+  /** OFFSET pushdown (r14 — the reference's slice pushdown reaches
+    * every format, __init__.py:631-661): POR cannot seek to a row, but
+    * the checkpoint index the parallel scan already builds resumes the
+    * line state at the nearest checkpoint ≤ offset; the ≤[[IndexEvery]]
+    * mid-interval remainder is boundary-SKIMMED ([[RangePartition
+    * .skipRows]] — cell boundaries only, no base-30 parse, no String
+    * building). Small files skip the index and skim from data start. */
+  override def plansOffset(path: String, opts: ReadstatOptions): Boolean = true
+
+  override def planPartitionsAt(path: String, opts: ReadstatOptions,
+      offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
+    val off0 = math.max(0L, offset)
+    if (new java.io.File(path).length() < 2 * opts.partitionTargetBytes) {
+      // `limit` is an absolute row cap from file start; numRows caps
+      // the rows emitted AFTER the skipRows skim
+      val numRows = limit.map(l => math.max(0L, l - off0)).getOrElse(Long.MaxValue)
+      return Some(Seq(RangePartition(path, off0, numRows, skipRows = off0)))
+    }
+    val idx = porIndex(path)
+    val total = limit.map(math.min(_, idx.rows)).getOrElse(idx.rows)
+    val start0 = math.min(off0, total)
+    if (idx.rows == 0 || idx.cps.isEmpty || total - start0 <= 0)
+      return Some(Seq(RangePartition(path, start0, 0)))
+    // nearest checkpoint at or before the offset row (cps sorted by row)
+    var c0 = 0
+    while (c0 + 1 < idx.cps.length && idx.cps(c0 + 1).row <= start0) c0 += 1
+    // byte-target boundary walk, same packing rule as planPartitions
+    val parts = Seq.newBuilder[RangePartition]
+    var start = idx.cps(c0)
+    var firstRow = start0 // first EMITTED row of the current partition
+    var skip = start0 - start.row
+    var i = c0 + 1
+    while (i < idx.cps.length && idx.cps(i).row < total) {
+      if (idx.cps(i).byteOff - start.byteOff >= opts.partitionTargetBytes) {
+        parts += RangePartition(path, firstRow, idx.cps(i).row - firstRow,
+          por = Some(PorResume(start.byteOff, start.pos, start.pending)),
+          skipRows = skip)
+        start = idx.cps(i); firstRow = idx.cps(i).row; skip = 0L
+      }
+      i += 1
+    }
+    parts += RangePartition(path, firstRow, total - firstRow,
+      por = Some(PorResume(start.byteOff, start.pos, start.pending)),
+      skipRows = skip)
+    Some(parts.result())
+  }
+
   /** Pushed predicates evaluate on decoded output values, same as the
     * fixed-width modules. POR can't seek, but it CAN skim: once the
     * last filter cell of a row is decoded and the predicate fails, the
@@ -156,6 +203,16 @@ object PorModule extends FormatModule {
         val s = new PorStream(part.path)
         PorCore.parseMeta(s) // re-parse to position at data start
         s
+    }
+    // offset pushdown: boundary-skim from the resume point (checkpoint
+    // or data start) to the partition's first emitted row. An end
+    // marker inside the skim means the offset is past EOF — emit nothing
+    val skimEof = {
+      var t = part.skipRows; var eof = false
+      while (t > 0 && !eof) {
+        if (PorCore.skimRow(stream, md.vars)) t -= 1 else eof = true
+      }
+      eof
     }
     val byName = md.vars.map(_.name).zipWithIndex.toMap
     // pre-encoded label LUTs, one per labeled var (see [[DoubleLabelLut]])
@@ -203,7 +260,7 @@ object PorModule extends FormatModule {
       else pushed.flatMap(_.references).flatMap(byName.get).foldLeft(-1)(math.max)
 
     new Iterator[InternalRow] {
-      private var limit = part.numRows
+      private var limit = if (skimEof) 0L else part.numRows
       private var nextRow: Array[Any] = _
       private var done = false
       // filtered-out row marker (identity-compared, never escapes)
@@ -384,6 +441,14 @@ object PorModule extends FormatModule {
         PorCore.parseMeta(s)
         s
     }
+    // offset pushdown: same resume-point boundary skim as the row path
+    val skimEof = {
+      var t = part.skipRows; var eof = false
+      while (t > 0 && !eof) {
+        if (PorCore.skimRow(stream, md.vars)) t -= 1 else eof = true
+      }
+      eof
+    }
     val byName = md.vars.map(_.name).zipWithIndex.toMap
     // var index → output field position (-1 = unprojected); indicator
     // fields (column-mode informative nulls) map separately — a cell
@@ -434,7 +499,7 @@ object PorModule extends FormatModule {
       Int.MaxValue)).toInt
 
     new Iterator[ColumnarBatch] {
-      private var limit = part.numRows
+      private var limit = if (skimEof) 0L else part.numRows
       private var rowIdx = part.startRow
       private var done = false
       private var pending: ColumnarBatch = _

@@ -354,18 +354,23 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
   }
 
   override def pushLimit(n: Int): Boolean = {
-    // only safe to cap partition planning for single-file scans: the limit
-    // is per-scan, and a multi-file union would need driver coordination.
     // countStar guard: the metadata count scan ignores limit/offset, so
     // accepting here (Catalyst pushes aggregates BEFORE limit/offset)
     // would let isPartiallyPushed=false delete a Limit it never applied.
     // plansExactLimit guard: accepting implies isPartiallyPushed=false
     // (Catalyst deletes its Limit), so the module's planner must emit
-    // EXACTLY the first-n rows — SAS's page planner can't and refuses
-    if (paths.length == 1 && !countStar &&
-        Formats.moduleFor(paths.head).plansExactLimit) {
-      limit = Some(n.toLong); true
-    } else false
+    // EXACTLY the first-n rows — SAS's page planner can't and refuses.
+    // Multi-file scans (r14) additionally need an exact METADATA row
+    // count per file: the cap splits across the directory's cumulative
+    // row prefix at plan time, so every count must be knowable without
+    // decoding (a directory of 1000 small stat files pages with LIMIT
+    // by opening only the files the window touches).
+    if (countStar || paths.isEmpty) return false
+    val ok =
+      if (paths.length == 1) Formats.moduleFor(paths.head).plansExactLimit
+      else paths.forall(p => Formats.moduleFor(p).plansExactLimit &&
+        Formats.exactRowCount(p, opts).isDefined)
+    if (ok) { limit = Some(n.toLong); true } else false
   }
 
   /** An accepted limit is applied EXACTLY (partitions cover precisely
@@ -376,19 +381,24 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
 
   /** OFFSET pushdown (pagination / slice reads — the reference's
     * `with_offset`, reader.rs:230-233, exposed here through the DSv2
-    * surface instead of an option): accepted only when the single
-    * file's format can START at an arbitrary row without decoding the
-    * prefix — fixed-width dta/xpt/uncompressed-sav row math, SAS via a
-    * cached page-row prefix index plus a positional mid-page skip.
-    * Sequential regimes (bytecode/zsav, POR) refuse and keep
-    * Catalyst's Offset operator (correct, just unaccelerated).
-    * Contract: scan emits rows [offset, min(limit, n)). */
+    * surface instead of an option): accepted when every file's format
+    * can START at an arbitrary row without decoding the prefix —
+    * fixed-width dta/xpt/uncompressed-sav row math, SAS via a cached
+    * page-row prefix index plus a positional mid-page skip, and (r14)
+    * the sequential regimes (bytecode/zsav, POR) via their checkpoint
+    * indexes plus a bounded decode-forward of the mid-interval
+    * remainder. Multi-file scans (r14) additionally need exact metadata
+    * row counts to split the window across the directory's cumulative
+    * row prefix. Contract: scan emits rows [offset, min(limit, n)). */
   override def pushOffset(n: Int): Boolean = {
-    if (paths.length == 1 && n >= 0 && !countStar &&
+    if (countStar || paths.isEmpty || n < 0) return false
+    val ok =
+      if (paths.length == 1)
         Formats.moduleFor(paths.head)
-          .planPartitionsAt(paths.head, opts, n.toLong, limit).isDefined) {
-      offset = Some(n.toLong); true
-    } else false
+          .planPartitionsAt(paths.head, opts, n.toLong, limit).isDefined
+      else paths.forall(p => Formats.exactRowCount(p, opts).isDefined &&
+        Formats.moduleFor(p).plansOffset(p, opts))
+    if (ok) { offset = Some(n.toLong); true } else false
   }
 
   // COUNT(*) with no grouping answers from metadata alone — header row
@@ -498,6 +508,14 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     * instead of decoding all rows and discarding them in the join. */
   override def filterAttributes(): Array[
       org.apache.spark.sql.connector.expressions.NamedReference] =
+    memoFilterAttributes
+
+  /** Memoized: the PartitionPruning rule may call [[filterAttributes]]
+    * repeatedly, and each probe is O(files × columns) metadata lookups
+    * on a directory scan; the inputs (paths/opts/required) are
+    * immutable after build(). */
+  private lazy val memoFilterAttributes: Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
     if (paths.isEmpty) Array.empty
     else required.fields.iterator
       .filter { f =>
@@ -566,15 +584,49 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val perFile = DriverPar.mapOrdered(paths)(p =>
-      (p, new java.io.File(p).length(),
-        offset match {
-          // pushOffset only accepted single-file + module-supported, so
-          // planPartitionsAt is defined here by construction
-          case Some(o) => Formats.moduleFor(p)
-            .planPartitionsAt(p, opts, o, limit).get
-          case None => Formats.moduleFor(p).planPartitions(p, opts, limit)
-        }))
+    val perFile: Seq[(String, Long, Seq[RangePartition])] =
+      if (paths.length > 1 && (offset.isDefined || limit.isDefined)) {
+        // multi-file slice (r14): the global window [offset, limit)
+        // maps onto the directory's cumulative per-file row prefix —
+        // push acceptance guaranteed exact METADATA counts for every
+        // file, so files outside the window plan nothing and their
+        // data bytes are never opened (paging a 1000-file directory
+        // reads only the files the page touches)
+        val counts = DriverPar.mapOrdered(paths)(p =>
+          (p, new java.io.File(p).length(),
+            Formats.exactRowCount(p, opts).getOrElse(
+              throw new IllegalStateException(
+                s"readstat: no metadata row count for $p"))))
+        val totalRows = counts.iterator.map(_._3).sum
+        val hi = math.min(limit.getOrElse(Long.MaxValue), totalRows)
+        val lo = math.min(offset.getOrElse(0L), hi)
+        var before = 0L
+        counts.map { case (p, bytes, rows) =>
+          val s = math.max(0L, math.min(lo - before, rows))
+          val e = math.max(s, math.min(hi - before, rows))
+          before += rows
+          val parts: Seq[RangePartition] =
+            if (e <= s) Seq.empty
+            else if (s == 0 && e == rows)
+              Formats.moduleFor(p).planPartitions(p, opts, None)
+            else
+              // defined by construction: a capped tail (e < rows) only
+              // occurs under a pushed LIMIT, which every module here
+              // accepted via plansExactLimit; an offset head (s > 0)
+              // passed the plansOffset probe
+              Formats.moduleFor(p).planPartitionsAt(p, opts, s,
+                if (e == rows) None else Some(e)).get
+          (p, bytes, parts)
+        }
+      } else DriverPar.mapOrdered(paths)(p =>
+        (p, new java.io.File(p).length(),
+          offset match {
+            // pushOffset only accepted single-file + module-supported, so
+            // planPartitionsAt is defined here by construction
+            case Some(o) => Formats.moduleFor(p)
+              .planPartitionsAt(p, opts, o, limit).get
+            case None => Formats.moduleFor(p).planPartitions(p, opts, limit)
+          }))
     // small-file packing: a directory of many tiny stat files would
     // otherwise plan one task per file and drown in scheduling overhead
     // (the classic small-files problem). Whole-file partitions of files

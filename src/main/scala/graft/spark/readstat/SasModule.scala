@@ -237,6 +237,11 @@ object SasModule extends FormatModule {
     * nothing. A pushed LIMIT is refused (`plansExactLimit=false`: the
     * planner cannot cap the tail row-exactly), so `limit` here can only
     * arrive through a caller bug — refuse it loudly by returning None. */
+  // (multi-file scans never carry a pushed limit alongside SAS files:
+  // plansExactLimit=false refuses the limit push, so the per-file
+  // planPartitionsAt call at plan time always sees limit=None)
+  override def plansOffset(path: String, opts: ReadstatOptions): Boolean = true
+
   override def planPartitionsAt(path: String, opts: ReadstatOptions,
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     if (limit.isDefined) return None
@@ -246,11 +251,21 @@ object SasModule extends FormatModule {
     if (md.pageCount == 0 || total - off0 <= 0)
       return Some(Seq(RangePartition(path, 0, 0)))
     val prefix = pagePrefix(path)
-    // last page whose prefix (rows before it) is <= off0; phantom
-    // trailing row subheaders only overcount the FINAL page's own
-    // count, never a prefix at or below off0 < rowCount
-    var sp = 0
-    while (sp + 1 < md.pageCount && prefix(sp + 1) <= off0) sp += 1
+    // last page whose prefix (rows before it) is <= off0 — binary
+    // search, the prefix is sorted (this runs twice per query: the
+    // pushOffset probe and planInputPartitions). Phantom trailing row
+    // subheaders only overcount the FINAL page's own count, never a
+    // prefix at or below off0 < rowCount
+    val sp = {
+      val found = java.util.Arrays.binarySearch(prefix, 0, md.pageCount, off0)
+      // exact hit may land on the FIRST of several equal prefixes
+      // (empty pages); advance to the last page holding that prefix
+      if (found >= 0) {
+        var i = found
+        while (i + 1 < md.pageCount && prefix(i + 1) == off0) i += 1
+        i
+      } else math.max(0, -(found + 1) - 1) // insertion point - 1
+    }
     val pagesPerPart =
       math.max(1L, opts.partitionTargetBytes / math.max(1, md.pageLength))
     val n = md.pageCount.toLong
@@ -781,8 +796,10 @@ object SasModule extends FormatModule {
         var offs = pendingOffs
         pendingBuf = null; pendingOffs = null
         // OFFSET pushdown: drop leading skipped slots positionally
-        // (counted as consumed — capRows caps consumption); a page the
-        // skip swallows whole emits an empty batch, which is harmless
+        // (counted as consumed — capRows caps consumption). By
+        // construction skipRows lands mid-FIRST-page (planPartitionsAt
+        // picks the last page with prefix <= offset), so one drop here
+        // always leaves the batch non-empty; the min() is just defensive
         if (toSkip > 0) {
           val k = math.min(toSkip, offs.length.toLong).toInt
           offs = java.util.Arrays.copyOfRange(offs, k, offs.length)

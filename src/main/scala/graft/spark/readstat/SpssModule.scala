@@ -137,16 +137,47 @@ object SpssModule extends FormatModule {
     }
   }
 
-  /** OFFSET pushdown only for the UNCOMPRESSED regime, where rows are
-    * fixed `recordLen` bytes and seek in O(1). Bytecode/zsav streams
-    * can only resume at checkpoint boundaries, not arbitrary rows —
-    * refuse and let Catalyst keep its Offset operator. */
+  /** OFFSET pushdown for ALL three regimes (r14 — the reference's
+    * slice pushdown reaches every format, __init__.py:631-661).
+    * Uncompressed rows are fixed `recordLen` bytes and seek in O(1).
+    * Bytecode/zsav streams cannot seek to a row, but they CAN resume
+    * at a checkpoint of the same index the parallel scan already
+    * builds, then decode-forward the ≤rowsPerPart mid-interval
+    * remainder ([[RangePartition.skipRows]]); small files skip the
+    * index entirely and decode-skip from the data start — either way
+    * the skipped prefix never materializes strings, missing rules or
+    * boxed cells, only the command-stream expansion. */
+  override def plansOffset(path: String, opts: ReadstatOptions): Boolean = true
+
   override def planPartitionsAt(path: String, opts: ReadstatOptions,
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     val md = metadata(path)
-    if (md.compression != 0) return None
-    Some(seekableRowRanges(path, opts, offset, limit, rowCount(path, md),
-      md.recordLen))
+    if (md.compression == 0)
+      return Some(seekableRowRanges(path, opts, offset, limit,
+        rowCount(path, md), md.recordLen))
+    val off0 = math.max(0L, offset)
+    val rowsPerPart =
+      math.max(1L, opts.partitionTargetBytes / math.max(1, md.recordLen))
+    if (new java.io.File(path).length() < 2 * opts.partitionTargetBytes) {
+      // single sequential partition; the row source's toSkip consumes
+      // startRow rows before emitting (numRows caps AFTER the skip,
+      // `limit` is an absolute row cap from file start)
+      val numRows = limit.map(l => math.max(0L, l - off0)).getOrElse(Long.MaxValue)
+      return Some(Seq(RangePartition(path, off0, numRows)))
+    }
+    val idx = savIndex(path, md, rowsPerPart)
+    val total = limit.map(math.min(_, idx.totalRows)).getOrElse(idx.totalRows)
+    val start0 = math.min(off0, total)
+    if (total - start0 <= 0) return Some(Seq(RangePartition(path, start0, 0)))
+    val i0 = (start0 / rowsPerPart).toInt
+    val first = RangePartition(path, start0,
+      math.min((i0 + 1) * rowsPerPart, total) - start0,
+      Some(idx.checkpoints(i0)), skipRows = start0 - i0 * rowsPerPart)
+    val rest = ((i0 + 1) * rowsPerPart until total by rowsPerPart).map { s =>
+      RangePartition(path, s, math.min(rowsPerPart, total - s),
+        Some(idx.checkpoints((s / rowsPerPart).toInt)))
+    }
+    Some(first +: rest)
   }
 
   private final case class ColPlan(
@@ -1013,8 +1044,10 @@ object SpssModule extends FormatModule {
     }
     private var finished = false
     private var emitted = 0L
-    // with a checkpoint the stream is already positioned at startRow
-    private var toSkip = if (part.sav.isDefined) 0L else part.startRow
+    // with a checkpoint the stream is positioned at the checkpoint row;
+    // skipRows decodes-and-drops the mid-interval remainder up to
+    // startRow (offset pushdown). Without one, skip from data start.
+    private var toSkip = if (part.sav.isDefined) part.skipRows else part.startRow
 
     override def nextRow(): Array[Byte] = {
       val out = new Array[Byte](recordLen)
@@ -1111,7 +1144,9 @@ object SpssModule extends FormatModule {
     private val inner = new BytecodeFromStream(recordLen, md, () => nextBlock(),
       part.sav.map(_.ctrl).orNull, part.sav.map(_.ctrlI).getOrElse(8))
     private var emitted = 0L
-    private var toSkip = if (part.sav.isDefined) 0L else part.startRow
+    // same rule as BytecodeRowSource: checkpointed partitions drop the
+    // mid-interval remainder (offset pushdown), others skip from start
+    private var toSkip = if (part.sav.isDefined) part.skipRows else part.startRow
 
     /** Next fully-inflated block (minus any initial checkpoint skip). */
     private def nextBlock(): Array[Byte] = {

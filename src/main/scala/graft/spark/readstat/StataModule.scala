@@ -189,6 +189,8 @@ object StataModule extends FormatModule {
 
   /** Fixed-width rows seek in O(1), so OFFSET pushdown is pure range
     * arithmetic: partitions over rows [offset, min(limit, nObs)). */
+  override def plansOffset(path: String, opts: ReadstatOptions): Boolean = true
+
   override def planPartitionsAt(path: String, opts: ReadstatOptions,
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     val md = metadata(path)

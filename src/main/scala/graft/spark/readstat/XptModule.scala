@@ -129,6 +129,8 @@ object XptModule extends FormatModule {
 
   /** Fixed 80-byte-record rows seek in O(1): OFFSET pushdown is pure
     * range arithmetic, rows [offset, min(limit, rowCount)). */
+  override def plansOffset(path: String, opts: ReadstatOptions): Boolean = true
+
   override def planPartitionsAt(path: String, opts: ReadstatOptions,
       offset: Long, limit: Option[Long]): Option[Seq[RangePartition]] = {
     val md = metadata(path)

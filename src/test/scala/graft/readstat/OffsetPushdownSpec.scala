@@ -59,21 +59,128 @@ class OffsetPushdownSpec extends SparkTestBase {
       df.queryExecution.optimizedPlan.toString)
   }
 
-  test("xpt and uncompressed sav push; zsav refuses but stays correct") {
-    for (fmt <- Seq("xpt", "sav", "zsav")) {
+  test("xpt, uncompressed sav, zsav and por all push the offset") {
+    // r14: the sequential regimes stopped refusing — they resume at
+    // their checkpoint indexes (or decode-skip small files) instead
+    for (fmt <- Seq("xpt", "sav", "zsav", "por")) {
       val p = write(fmt, 3000)
-      // our .sav writer emits compression=0 (uncompressed) — the
-      // regime whose rows seek; .zsav is the zlib regime that refuses
       val df = spark.read.format("readstat").load(p)
       val got = ids(df.offset(2990))
       assert(got == (2991 to 3000), s"$fmt: $got")
       val leaves = df.offset(2990).queryExecution.executedPlan
         .collectLeaves().map(_.toString).mkString("\n")
-      if (fmt == "zsav")
-        assert(!leaves.contains("offset="), s"$fmt should refuse:\n$leaves")
-      else
-        assert(leaves.contains("offset=2990"), s"$fmt should push:\n$leaves")
+      assert(leaves.contains("offset=2990"), s"$fmt should push:\n$leaves")
     }
+  }
+
+  test("zsav checkpointed offset: mid-interval skip, offset+limit, EOF") {
+    val p = write("zsav", 3000)
+    // a tiny partition target forces the checkpoint-index path (file
+    // length >= 2×target) with several rows per checkpoint interval —
+    // offsets land mid-interval and decode-forward from the checkpoint
+    def df = spark.read.format("readstat")
+      .option("partitionTargetBytes", "512").load(p)
+    assert(ids(df.offset(2990)) == (2991 to 3000))
+    assert(ids(df.offset(17).limit(5)) == (18 to 22))
+    assert(df.offset(3000).count() == 0)
+    assert(df.offset(9999).count() == 0)
+    assert(df.offset(1).count() == 2999)
+    // row index stays the FILE row number across the checkpoint skip
+    val rows = spark.read.format("readstat")
+      .option("partitionTargetBytes", "512")
+      .option("rowIndexName", "ridx").load(p).offset(1234).collect()
+    assert(rows.length == 3000 - 1234)
+    assert(rows.map(_.getLong(2)).min == 1234L)
+  }
+
+  test("bytecode sav offset pushes through the checkpoint index") {
+    // sample.sav is bytecode-compressed (compression=1), 5 rows; a
+    // small partition target exercises the indexed path with a
+    // mid-interval skip, the default target the sequential small-file
+    // decode-skip path
+    val p = res("fixtures/spss/sample.sav")
+    val serial = spark.read.format("readstat").load(p)
+      .offset(3).collect()
+    assert(serial.length == 2)
+    val indexed = spark.read.format("readstat")
+      .option("partitionTargetBytes", "48").load(p)
+      .offset(3).collect()
+    assert(indexed.map(_.toString).toSeq == serial.map(_.toString).toSeq)
+    val leaves = spark.read.format("readstat").load(p).offset(3)
+      .queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(leaves.contains("offset=3"), leaves)
+  }
+
+  test("por checkpointed offset: resume + boundary skim stays exact") {
+    val p = write("por", 20000) // > IndexEvery rows → several checkpoints
+    def df = spark.read.format("readstat")
+      .option("partitionTargetBytes", "4096").load(p)
+    assert(ids(df.offset(19990)) == (19991 to 20000))
+    assert(ids(df.offset(8195).limit(3)) == (8196 to 8198)) // mid-interval
+    assert(df.offset(20000).count() == 0)
+    assert(df.offset(12345).count() == 20000 - 12345)
+    val rows = spark.read.format("readstat")
+      .option("partitionTargetBytes", "4096")
+      .option("rowIndexName", "ridx").load(p).offset(9001).collect()
+    assert(rows.map(_.getLong(2)).min == 9001L)
+  }
+
+  test("multi-file offset+limit pushes via the cumulative row prefix") {
+    // r14: a directory scan splits the window across per-file METADATA
+    // row counts; files outside the window plan nothing
+    val d = Files.createTempDirectory("graft_off_multi").toFile
+    d.deleteOnExit()
+    import spark.implicits._
+    for (k <- 0 until 4) {
+      (k * 1000 + 1 to (k + 1) * 1000).map(i => (i, i * 0.5)).toDF("id", "x")
+        .coalesce(1).write.format("readstat").mode("overwrite")
+        .save(s"${d.getAbsolutePath}/f$k.dta")
+    }
+    val df = spark.read.format("readstat").load(d.getAbsolutePath)
+    // window [1500, 2505): crosses the f1/f2 boundary
+    assert(ids(df.offset(1500).limit(1005)) == (1501 to 2505))
+    val sliced = df.offset(1500).limit(1005)
+    val leaves = sliced.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(leaves.contains("offset=1500"), leaves)
+    assert(leaves.contains("limit="), leaves)
+    // neither residual operator survives: the scan applied both exactly
+    val opt = sliced.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Offset") && !opt.contains("GlobalLimit"), opt)
+    // the window's partitions exclude out-of-window files entirely
+    val parts = sliced.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions
+      }.get
+    val touched = parts.flatMap {
+      case m: graft.spark.readstat.MultiFilePartition => m.parts.map(_.path)
+      case r: graft.spark.readstat.RangePartition => Seq(r.path)
+      case other => fail(s"unexpected partition $other")
+    }.map(p => p.substring(p.lastIndexOf('/') + 1)).distinct.sorted
+    assert(touched == Seq("f1.dta", "f2.dta"), touched.toString)
+    // offset past the directory's total row count
+    assert(df.offset(4000).count() == 0)
+    assert(ids(df.offset(3998)) == Seq(3999, 4000))
+  }
+
+  test("multi-file offset refuses when a file lacks a metadata count") {
+    // POR's row count is opportunistic (index-cached only) — a fresh
+    // directory of .por files can't split the window, so the push is
+    // refused and Catalyst's Offset operator does the work
+    val d = Files.createTempDirectory("graft_off_por").toFile
+    d.deleteOnExit()
+    import spark.implicits._
+    for (k <- 0 until 2)
+      (k * 100 + 1 to (k + 1) * 100).map(i => (i, i * 0.5)).toDF("id", "x")
+        .coalesce(1).write.format("readstat").mode("overwrite")
+        .save(s"${d.getAbsolutePath}/f$k.por")
+    val df = spark.read.format("readstat").load(d.getAbsolutePath)
+    assert(ids(df.offset(195)).sorted == (196 to 200))
+    val leaves = df.offset(195).queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    assert(!leaves.contains("offset="), s"should refuse:\n$leaves")
   }
 
   test("offset composes with filter pushdown and row index") {
