@@ -129,6 +129,53 @@ object Bench {
     }
   }
 
+  /** The runtime-prune star join (shared by the ON entry, its r14
+    * DPP-off twin, and the dev harnesses): fact × the 2-key dim slice
+    * (`hot = 1`, ~4% of fact rows), six columns aggregated so every
+    * payload column is actually decoded for surviving rows. */
+  private[graft] def dppHotJoin(spark: SparkSession, key50: String,
+      dimPath: String): Long = {
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("hot") === 1).select(col("q_code").as("qk"))
+    spark.read.format("readstat")
+      .option("partitionTargetBytes", "16777216").load(key50)
+      .select("q_code", "l_orderkey", "l_partkey", "l_extendedprice",
+        "l_discount", "l_returnflag")
+      .join(dim, col("q_code") === col("qk"))
+      .agg(sum(col("l_extendedprice")), sum(col("l_discount")),
+        count(col("l_orderkey")), count(col("l_partkey")),
+        count(col("l_returnflag")), count(lit(1)))
+      .collect()(0).getLong(5)
+  }
+
+  /** Single wide .sas7bdat (623,757 x 286 doubles — the row/column
+    * geometry of BASELINE.md's ACS PUMS SAS full-read benchmark, ~1.3
+    * GiB uncompressed) so the SAS baseline cells compare against ONE
+    * wide file exercising page-parallel decode at real row width, not
+    * only against the 1000-small-files directory aggregate. Written
+    * once by this library's own sas7bdat writer (the reference cannot
+    * write SAS at all) and re-used across rounds; the exact-row check
+    * regenerates a file truncated by an interrupted earlier run. */
+  private[graft] def ensureSasWide(spark: SparkSession): Option[String] = try {
+    val path = "/tmp/graft_bench/sas_wide_v1.sas7bdat"
+    val rows = 623757L
+    def countMeta(): Long = spark.read.format("readstat").load(path)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val valid = new java.io.File(path).exists() &&
+      (try countMeta() == rows catch { case _: Throwable => false })
+    if (!valid) {
+      val wide = spark.range(rows).select(
+        (col("id").cast("double").as("C0") +:
+          (1 until 286).map(i =>
+            ((col("id") * i) % 997).cast("double").as(s"C$i"))): _*)
+      wide.write.format("readstat").mode("overwrite").save(path)
+    }
+    Some(path)
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] wide-SAS setup failed: ${e.getMessage}")
+    None
+  }
+
   /** SAS read throughput input: no sas7bdat writer existed in the
     * reference (read-only format), so replicate the ACS owner fixture
     * into a 1000-file directory (~400 MB, ~27.6M rows) — measures the
@@ -179,6 +226,7 @@ object Bench {
         .option("partitionTargetBytes", "16777216").load(path)
 
     val sasDir: Option[String] = ensureSasDir()
+    val sasWide: Option[String] = ensureSasWide(spark)
 
     val sasReads: Seq[(String, () => Long)] = sasDir.toSeq.flatMap { d =>
       Seq[(String, () => Long)](
@@ -188,7 +236,33 @@ object Bench {
           scan(d).select("CONTROL")
             .agg(count(col("CONTROL"))).collect()(0).getLong(0)),
         ("sas_dir1000_count_meta", () =>
-          scan(d).agg(count(lit(1))).collect()(0).getLong(0)))
+          scan(d).agg(count(lit(1))).collect()(0).getLong(0)),
+        // r14 multi-file OFFSET pushdown showcase: the global window
+        // maps onto the directory's cumulative per-file row prefix, so
+        // a 90% offset opens only the last ~100 of 1000 files — the
+        // pagination-over-a-corpus shape at directory scale. Full-width
+        // read so the comparable is sas_dir1000_fullread (decode-bound);
+        // a single-column variant would drown the skip in the 1000-file
+        // planning floor both entries share. The anchor row count is
+        // computed ONCE here (setup, metadata only) — inlining it in
+        // the closure would time a second query's planning floor.
+        ("sas_dir1000_offset", {
+          val total = try
+            scan(d).agg(count(lit(1))).collect()(0).getLong(0)
+          catch { case _: Throwable => 0L }
+          val off90 = (total * 9L / 10L).toInt
+          () => scan(d).offset(off90).queryExecution.toRdd.count()
+        }))
+    } ++ sasWide.toSeq.flatMap { w =>
+      // BASELINE.md SAS cells, same geometry 1:1 (623,757 x 286):
+      // full read 0.55 s, column-subset 0.07 s
+      Seq[(String, () => Long)](
+        ("sas_wide_fullread", () =>
+          scan(w).queryExecution.toRdd.count()),
+        ("sas_wide_subset", () =>
+          scan(w).select("C3", "C7")
+            .agg(count(col("C3")), count(col("C7")))
+            .collect()(0).getLong(0)))
     }
 
     // BASELINE-comparable raw-read metrics (full read, column subset,
@@ -214,11 +288,24 @@ object Bench {
         val n50 = scan(dta50).count()
         val off90 = (n50 * 9L / 10L).toInt
         val key50 = s"${dta50.stripSuffix(".dta")}_key.dta"
-        if (!new java.io.File(key50).exists())
+        // regenerate on row-count mismatch, not mere existence: the
+        // writer is not atomic, so an interrupted earlier run can leave
+        // a truncated file that would otherwise be benched silently.
+        // The count is metadata-only (COUNT(*) pushdown, zero data
+        // bytes) and exactRowCount refuses a short data section, so a
+        // truncated file either counts wrong or falls to a loud scan.
+        val key50Valid = new java.io.File(key50).exists() &&
+          (try scan(key50).agg(count(lit(1))).collect()(0).getLong(0) == n50
+           catch { case _: Throwable => false })
+        if (!key50Valid)
           scan(dta50)
             .withColumn("q_code", col("l_quantity").cast("int"))
             .write.format("readstat").mode("overwrite").save(key50)
         val dimPath = s"${dta50.stripSuffix(".dta")}_qdim.parquet"
+        // `hot` is a NON-KEY flag on purpose: filtering the dim on the
+        // join key itself (q_code IN (3,41)) would let Catalyst infer
+        // the membership onto the fact side as a static pushed filter,
+        // and the pair would no longer measure runtime pruning
         spark.range(1, 51)
           .select(col("id").cast("int").as("q_code"))
           .withColumn("hot",
@@ -247,18 +334,7 @@ object Bench {
           // The static pair below runs the SAME slice as a plain isin
           // filter on the same file — the delta is the
           // broadcast+subquery machinery, not decode
-          ("stata_runtime_prune_50m", () => {
-            val dim = spark.read.parquet(dimPath)
-              .filter(col("hot") === 1).select(col("q_code").as("qk"))
-            scan(key50)
-              .select("q_code", "l_orderkey", "l_partkey", "l_extendedprice",
-                "l_discount", "l_returnflag")
-              .join(dim, col("q_code") === col("qk"))
-              .agg(sum(col("l_extendedprice")), sum(col("l_discount")),
-                count(col("l_orderkey")), count(col("l_partkey")),
-                count(col("l_returnflag")), count(lit(1)))
-              .collect()(0).getLong(5)
-          }),
+          ("stata_runtime_prune_50m", () => dppHotJoin(spark, key50, dimPath)),
           ("stata_prune_static_50m", () =>
             scan(key50)
               .select("q_code", "l_orderkey", "l_partkey", "l_extendedprice",
@@ -267,7 +343,23 @@ object Bench {
               .agg(sum(col("l_extendedprice")), sum(col("l_discount")),
                 count(col("l_orderkey")), count(col("l_partkey")),
                 count(col("l_returnflag")), count(lit(1)))
-              .collect()(0).getLong(5)))
+              .collect()(0).getLong(5)),
+          // r14 DPP crossover twin: the dim keys are NOT known to the
+          // query author in a real star join, so the honest no-DPP
+          // comparator for stata_runtime_prune_50m is the SAME join
+          // with runtime filtering disabled — full fact decode + a
+          // 50M-row join probe — not the hand-written isin (which
+          // remains below as the unreachable ideal whose gap prices
+          // the constant subquery/broadcast/replan machinery). The
+          // ON−OFF delta is the decode + probe work the runtime filter
+          // deletes; the full selectivity ladder is DPP_SWEEP_R14.json.
+          ("stata_dpp_off_50m", () => {
+            val k = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+            val prev = spark.conf.get(k)
+            spark.conf.set(k, "false")
+            try dppHotJoin(spark, key50, dimPath)
+            finally spark.conf.set(k, prev)
+          }))
       } ++ Seq[(String, () => Long)](
         // the serial/parallel pair on the SAME file quantifies the r11
         // checkpoint-partition fan-out (the reference's por path is

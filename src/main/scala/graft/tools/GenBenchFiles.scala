@@ -19,8 +19,10 @@ object GenBenchFiles {
     spark.sparkContext.setLogLevel("WARN")
     val files = graft.Bench.ensureBigFiles(spark, sfDir)
     val sas = graft.Bench.ensureSasDir()
+    val sasWide = graft.Bench.ensureSasWide(spark)
     println(s"bench files: $files")
     println(s"sas dir: $sas")
+    println(s"sas wide: $sasWide")
     spark.stop()
   }
 }
