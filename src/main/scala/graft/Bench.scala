@@ -148,16 +148,21 @@ object Bench {
       .collect()(0).getLong(5)
   }
 
-  /** Single wide .sas7bdat (623,757 x 286 doubles — the row/column
-    * geometry of BASELINE.md's ACS PUMS SAS full-read benchmark, ~1.3
-    * GiB uncompressed) so the SAS baseline cells compare against ONE
-    * wide file exercising page-parallel decode at real row width, not
-    * only against the 1000-small-files directory aggregate. Written
-    * once by this library's own sas7bdat writer (the reference cannot
-    * write SAS at all) and re-used across rounds; the exact-row check
+  /** Single wide .sas7bdat (623,757 x 286 numerics — the row/column
+    * geometry of BASELINE.md's ACS PUMS SAS full-read benchmark) so the
+    * SAS baseline cells compare against ONE wide file exercising
+    * page-parallel decode at real row width, not only against the
+    * 1000-small-files directory aggregate. v2 (r14): the 285 small-int
+    * survey columns store at SAS LENGTH 4 via the writer's new
+    * storageWidths — the width compression real PUMS files ship with —
+    * so the on-disk bytes (~0.72 GiB, 1,148 B/row) are comparable to
+    * the real mixed-width file instead of 3x it; values (< 997) stay
+    * exact at w4, and the id column keeps the full 8. Written once by
+    * this library's own sas7bdat writer (the reference cannot write
+    * SAS at all) and re-used across rounds; the exact-row check
     * regenerates a file truncated by an interrupted earlier run. */
   private[graft] def ensureSasWide(spark: SparkSession): Option[String] = try {
-    val path = "/tmp/graft_bench/sas_wide_v1.sas7bdat"
+    val path = "/tmp/graft_bench/sas_wide_v2.sas7bdat"
     val rows = 623757L
     def countMeta(): Long = spark.read.format("readstat").load(path)
       .agg(count(lit(1))).collect()(0).getLong(0)
@@ -168,7 +173,10 @@ object Bench {
         (col("id").cast("double").as("C0") +:
           (1 until 286).map(i =>
             ((col("id") * i) % 997).cast("double").as(s"C$i"))): _*)
-      wide.write.format("readstat").mode("overwrite").save(path)
+      wide.write.format("readstat").mode("overwrite")
+        .option("storageWidths",
+          (1 until 286).map(i => s"C$i:4").mkString("|"))
+        .save(path)
     }
     Some(path)
   } catch { case e: Throwable =>

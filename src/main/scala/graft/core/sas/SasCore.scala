@@ -541,15 +541,28 @@ object SasCore {
 
   def toTimeNanos(v: Double): Long = (v * 1e9).toLong
 
-  /** Reconstruct a truncated (3–7 byte) IEEE double (value.rs:58-91). */
+  /** Reconstruct a truncated (3–7 byte) IEEE double (value.rs:58-91):
+    * the stored bytes are the HIGH bytes of the 8-byte representation;
+    * the dropped low mantissa bytes read back as zero. Assembled
+    * directly into the long — this runs once per numeric CELL on
+    * width-compressed files (the common real-survey layout), so a temp
+    * buffer per call would be an allocation in the hottest loop. */
   def incompleteDouble(b: Array[Byte], off: Int, len: Int, little: Boolean): Double = {
     if (len >= 8) {
       java.lang.Double.longBitsToDouble(Bin.i64(b, off, little))
     } else {
-      val buf = new Array[Byte](8)
-      if (little) System.arraycopy(b, off, buf, 8 - len, len)
-      else System.arraycopy(b, off, buf, 0, len)
-      java.lang.Double.longBitsToDouble(Bin.i64(buf, 0, little))
+      var bits = 0L
+      var k = 0
+      if (little) {
+        while (k < len) {
+          bits |= (b(off + k) & 0xffL) << (8 * (8 - len + k)); k += 1
+        }
+      } else {
+        while (k < len) {
+          bits |= (b(off + k) & 0xffL) << (8 * (7 - k)); k += 1
+        }
+      }
+      java.lang.Double.longBitsToDouble(bits)
     }
   }
 }

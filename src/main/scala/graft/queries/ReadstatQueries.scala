@@ -564,7 +564,14 @@ object ReadstatQueries {
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"), col("l_shipdate").cast("date").as("l_shipdate"))
-      .write.format("readstat").mode("overwrite").save(path)
+      // r14 storageWidths (SAS LENGTH width compression): the chosen
+      // widths hold these integer-valued columns EXACTLY at any SF
+      // (w5 → ints to 2^29, w3 → 8192, w4 → 2^21 epoch-days), so the
+      // DuckDB oracle is unchanged while the roundtrip now certifies
+      // the truncated-numeric layout end to end
+      .write.format("readstat").mode("overwrite")
+      .option("storageWidths", "l_orderkey:5|l_quantity:3|l_shipdate:4")
+      .save(path)
     s.read.format("readstat").load(path)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("cnt"),

@@ -41,15 +41,48 @@ object SasBinaryWriter {
       isChar: Boolean, width: Int, offset: Int, fmtName: String,
       fmtWidth: Int, src: DataType, tagOrdinal: Int = -1)
 
+  /** Numeric storage widths (`storageWidths` option, `"col:4|col2:3"`):
+    * SAS's LENGTH statement — a length-N numeric stores the HIGH N
+    * bytes of the 8-byte IEEE double (the read side's
+    * `SasCore.incompleteDouble` zero-fills the dropped low mantissa
+    * bytes), the width compression real survey files (ACS PUMS et al.)
+    * ship with. N is 3–8, SAS's own legal range; integers stay exact
+    * up to 2^(8N−43) (N=3 → 8,192; N=4 → 2,097,152 — the SAS-documented
+    * bounds) and fractional values lose low mantissa bits silently,
+    * as in SAS itself. The user-missing tag byte (bits 47:40 = LE byte
+    * 5) survives at every legal width — the reason SAS's minimum
+    * numeric length is 3. String columns are rejected: char widths are
+    * measured from the data (batch) or declared (streaming sink). */
+  private[writers] def parseStorageWidths(schema: StructType,
+      options: Map[String, String], who: String): Map[String, Int] =
+    StataDtaWriter.parseVarLabels(options.getOrElse("storageWidths", ""))
+      .map { case (c, v) =>
+        require(schema.fieldNames.contains(c),
+          s"$who: storageWidths names unknown column '$c'")
+        require(schema(c).dataType != StringType,
+          s"$who: storageWidths.$c targets a string column — char widths " +
+            "are measured from the data (batch write) or declared " +
+            "(streaming sink), not set here")
+        val w = try v.trim.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$who: storageWidths.$c must be an integer (got '$v')") }
+        require(w >= 3 && w <= 8,
+          s"$who: storageWidths.$c must be 3-8 bytes for a numeric " +
+            s"column (got $w)")
+        c -> w
+      }
+
   /** Column layout shared by the batch writer and the streaming sink:
-    * numerics pack first (8-aligned doubles), chars follow at their
-    * widths, while the DICTIONARY order (name/attr/format entries) stays
-    * the schema order for read-back. Temporal columns derive
-    * DATE/DATETIME formats; varFormats entries override (numeric only).
+    * numerics pack first (full doubles unless `storageWidths` truncates
+    * them), chars follow at their widths, while the DICTIONARY order
+    * (name/attr/format entries) stays the schema order for read-back.
+    * Temporal columns derive DATE/DATETIME formats; varFormats entries
+    * override (numeric only).
     */
   private[writers] def layoutSpecs(schema: StructType,
       widths: Map[String, Int],
-      varFormats: Map[String, String]): Array[Col] = {
+      varFormats: Map[String, String],
+      numWidths: Map[String, Int] = Map.empty): Array[Col] = {
     var off = 0
     val nums = schema.fields.zipWithIndex.filter(_._1.dataType != StringType)
     val chars = schema.fields.zipWithIndex.filter(_._1.dataType == StringType)
@@ -60,8 +93,9 @@ object SasBinaryWriter {
         case _: TimeType => ("TIME", 8)
         case _ => ("", 0)
       }
-      val c = Col(f.name, i, isChar = false, 8, off, fn, fw, f.dataType)
-      off += 8; c
+      val w = numWidths.getOrElse(f.name, 8)
+      val c = Col(f.name, i, isChar = false, w, off, fn, fw, f.dataType)
+      off += w; c
     } ++ chars.map { case (f, i) =>
       val c = Col(f.name, i, isChar = true, widths(f.name), off, "", 0,
         f.dataType)
@@ -270,10 +304,14 @@ object SasBinaryWriter {
       c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
     }.toMap
 
+    val numWidths = parseStorageWidths(writtenSchema, options,
+      "sas7bdat writer")
+
     // labeled columns reference their generated catalog format (an
     // explicit varFormats entry still wins); ordinals remap to the FULL
     // incoming row since indicator columns are dropped from the layout
-    val specs: Array[Col] = layoutSpecs(writtenSchema, widths, varFormats).map { c =>
+    val specs: Array[Col] = layoutSpecs(writtenSchema, widths, varFormats,
+        numWidths).map { c =>
       val c2 = c.copy(ordinal = schema.fieldIndex(c.name),
         tagOrdinal = taggedMissings.get(c.name)
           .map(schema.fieldIndex).getOrElse(-1))
@@ -427,7 +465,7 @@ object SasBinaryWriter {
           System.arraycopy(ub, 0, page, at, ub.length)
         }
       } else if (row.isNullAt(c.ordinal)) {
-        putI64(page, at, missBits(tagCharOf(row, c.tagOrdinal)))
+        putNumBits(page, at, c.width, missBits(tagCharOf(row, c.tagOrdinal)))
       } else {
         val v: Double = c.src match {
             case BooleanType => if (row.getBoolean(c.ordinal)) 1.0 else 0.0
@@ -448,11 +486,27 @@ object SasBinaryWriter {
               row.getLong(c.ordinal) / 1e9
             case other => throw new IllegalStateException(other.toString)
           }
-        putI64(page, at, java.lang.Double.doubleToLongBits(v))
+        putNumBits(page, at, c.width, java.lang.Double.doubleToLongBits(v))
       }
       i += 1
     }
   }
+
+  /** Write a numeric cell at its storage width: full 8-byte LE double,
+    * or — for a truncated LENGTH-N column — the HIGH N bytes of the LE
+    * representation (low mantissa bytes dropped; the reader's
+    * `incompleteDouble` zero-fills them back). */
+  private def putNumBits(b: Array[Byte], off: Int, width: Int,
+      bits: Long): Unit =
+    if (width >= 8) putI64(b, off, bits)
+    else {
+      val hi = bits >>> ((8 - width) * 8)
+      var k = 0
+      while (k < width) {
+        b(off + k) = ((hi >>> (8 * k)) & 0xffL).toByte
+        k += 1
+      }
+    }
 
   /** RLE variant: each row is a compressed data SUBHEADER (pointer
     * compression=4, type=1) on pages of META type — the layout real

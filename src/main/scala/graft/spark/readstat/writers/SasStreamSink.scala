@@ -83,7 +83,9 @@ object SasStreamSink extends StreamSinkCore.Format {
     // the META pages and the schema fingerprint — stay fixed across
     // epochs; an explicit varFormats entry still wins.
     val catFmtNames = SasBinaryWriter.labelFormatNames(schema, valueLabels)
-    SasBinaryWriter.layoutSpecs(schema, widths, varFormats).map { c =>
+    val numWidths = SasBinaryWriter.parseStorageWidths(schema, options,
+      "sas7bdat streaming sink")
+    SasBinaryWriter.layoutSpecs(schema, widths, varFormats, numWidths).map { c =>
       if (c.fmtName.isEmpty && catFmtNames.contains(c.name))
         c.copy(fmtName = catFmtNames(c.name))
       else c

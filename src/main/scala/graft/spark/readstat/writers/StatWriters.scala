@@ -119,7 +119,8 @@ object StatWriters {
         "dtaVersion" -> lower.endsWith(".dta"),
         "xptVersion" -> lower.endsWith(".xpt"),
         "compression" -> lower.endsWith(".sas7bdat"),
-        "storageWidths" -> lower.endsWith(".xpt"),
+        "storageWidths" ->
+          (lower.endsWith(".xpt") || lower.endsWith(".sas7bdat")),
         "tableName" ->
           (lower.endsWith(".xpt") || lower.endsWith(".sas7bdat")),
         "catalogPath" ->

@@ -32,6 +32,12 @@ object DevSasPandas {
     ).toDF("id", "v", "s", "d")
       .write.format("readstat").mode("overwrite")
       .option("varLabels", "v:A value")
+      // arg 3 "widths" additionally exercises the r14 storageWidths
+      // layout (id at LENGTH 4, d at LENGTH 4) so pandas certifies the
+      // truncated-numeric encoding too (verified: pandas 2.2 reads the
+      // w4 ints and the w4 DATE exactly)
+      .option("storageWidths",
+        if (args.length > 2 && args(2) == "widths") "id:4|d:4" else "")
       .option("compression", compression).save(out)
     println(s"wrote $out ($compression)")
     spark.stop()

@@ -40,7 +40,8 @@ object PlanDump {
       "time_type_agg", "por_value_labels", "por_missing_informative",
       "por_stream_sink", "stata_filter_pushdown", "stata_labeled_agg",
       "stata_temporal_filter_pushdown", "spss_string_filter_pushdown",
-      "stata_runtime_prune_join", "stata_offset_slice", "sas_offset_slice")
+      "stata_runtime_prune_join", "stata_offset_slice", "sas_offset_slice",
+      "zsav_offset_slice", "por_offset_slice", "dir_offset_slice")
 
     // prose notes preserved across regenerations (measured facts live
     // here, not hand-edits to the generated file)
@@ -60,6 +61,12 @@ wrapped runtime filter for any DSv2 source), and the skip is advisory
 (the join re-checks survivors). The bench pair
 `stata_runtime_prune_50m` vs `stata_prune_static_50m` isolates Spark's
 constant DPP machinery cost against the same slice as a static isin.
+r14 adds the honest no-DPP comparator — `stata_dpp_off_50m`, the same
+join with dynamic pruning disabled, which a real star-join author
+(who cannot hand-write the isin) would actually run — and the
+committed selectivity ladder `DPP_SWEEP_R14.json`: runtime filtering
+wins every rung below ~100% row selectivity and concedes only the
+constant machinery cost when nothing can be skipped.
 """,
       "stata_offset_slice" -> """
 r13 OFFSET pushdown: the scan leaf shows `offset=5000` and no Offset
@@ -74,6 +81,30 @@ locates the offset's page and `skipRows` drops the mid-page remainder
 positionally (row slots are addressed without decode or decompression).
 The reference's sliced SAS read estimates pages adaptively and looks
 back on overshoot; this is the exact-index version of the same idea.
+""",
+      "zsav_offset_slice" -> """
+r14: the compressed-SPSS regimes stopped refusing offset. The scan leaf
+shows `offset=5000` with no Offset operator; partitions resume the
+command-stream state at the nearest CHECKPOINT <= offset (the same
+index the parallel compressed scan builds) and decode-forward only the
+mid-interval remainder — none of the zlib blocks before the checkpoint
+inflate. Small un-indexed files decode-skip from the data start.
+""",
+      "por_offset_slice" -> """
+r14: POR (base-30 text, unseekable) pushes offset by resuming the
+80-char line state at its cell-boundary checkpoint and boundary-
+SKIMMING the remainder to the offset row — cell boundaries only, no
+base-30 parse, no String building — in both row and columnar decoders.
+""",
+      "dir_offset_slice" -> """
+r14 multi-file window: offset+limit over a DIRECTORY map onto the
+cumulative per-file METADATA row prefix, so files outside the window
+plan zero partitions and are never opened (OffsetPushdownSpec asserts
+the zero-partition planning). Acceptance requires exact metadata row
+counts for every file; POR directories refuse honestly. This is
+pagination over the 1000-small-files deployment — the bench's
+`sas_dir1000_offset` (90% offset) reads ~1.7x faster than the full
+directory read even though both share the 1000-file planning floor.
 """,
       "stata_filter_pushdown" -> """
 r12 decode-skipping filter pushdown: the conjuncts appear in the scan leaf

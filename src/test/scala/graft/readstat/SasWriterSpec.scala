@@ -382,4 +382,88 @@ class SasWriterSpec extends SparkTestBase {
       Seq(32740, 32740))
     assertSameData(back, df, "rle-capacity-roundtrip")
   }
+
+  test("storageWidths writes truncated numerics that read back exactly") {
+    import spark.implicits._
+    // w3 holds ints to 8,192 exactly; w4 to 2,097,152 — the SAS LENGTH
+    // bounds. 1.5's mantissa lives in the top bytes, so it survives w4.
+    val df = Seq(
+      (1, 8192.0, 2097152.0, 1.5, 0.1),
+      (2, -8191.0, -2097151.0, -2.25, 123.456),
+      (3, 0.0, 42.0, 0.0, 0.0)
+    ).toDF("id", "w3", "w4", "w4frac", "w8")
+    val path = tmp("widths.sas7bdat")
+    df.write.format("readstat").mode("overwrite")
+      .option("storageWidths", "w3:3|w4:4|w4frac:4").save(path)
+    // declared widths land in the column-attrs metadata and shrink rows
+    val md = graft.core.sas.SasCore.parse(path)
+    assert(md.columns.find(_.name == "w3").get.length == 3)
+    assert(md.columns.find(_.name == "w4").get.length == 4)
+    assert(md.columns.find(_.name == "w8").get.length == 8)
+    assert(md.rowLength == 8 + 3 + 4 + 4 + 8)
+    val rows = spark.read.format("readstat").load(path)
+      .orderBy("id").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(8192.0, -8191.0, 0.0))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(2097152.0, -2097151.0, 42.0))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(1.5, -2.25, 0.0))
+    assert(rows.map(_.getDouble(4)).toSeq == Seq(0.1, 123.456, 0.0))
+    // a value whose mantissa spills past the stored bytes truncates to
+    // exactly the reader's zero-fill reconstruction (SAS semantics)
+    val p2 = tmp("widths_trunc.sas7bdat")
+    Seq(Tuple1(0.1)).toDF("v").write.format("readstat").mode("overwrite")
+      .option("storageWidths", "v:4").save(p2)
+    val got = spark.read.format("readstat").load(p2).collect()(0).getDouble(0)
+    val expect = java.lang.Double.longBitsToDouble(
+      java.lang.Double.doubleToLongBits(0.1) & 0xFFFFFFFF00000000L)
+    assert(got == expect && got != 0.1)
+  }
+
+  test("storageWidths: tags survive truncation; RLE composes; refusals") {
+    import spark.implicits._
+    // the user-missing tag byte is bits 47:40 — kept at every legal
+    // width, which is why SAS's minimum numeric length is 3
+    val tagged = Seq(
+      (Some(2.5), None: Option[String]),
+      (None, Some(".K")),
+      (None, None)
+    ).toDF("v", "v_null")
+    val p = tmp("widths_tagged.sas7bdat")
+    tagged.write.format("readstat").mode("overwrite")
+      .option("taggedMissings", "v:v_null")
+      .option("storageWidths", "v:3").save(p)
+    val back = spark.read.format("readstat")
+      .option("informativeNulls", "true").load(p)
+    assert(back.select("v_null").collect()
+      .map(r => Option(r.getString(0)).orNull).toSeq == Seq(null, ".K", null))
+    assert(back.select("v").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(2.5, null, null))
+    // RLE rows compress the truncated layout
+    val p3 = tmp("widths_rle.sas7bdat")
+    val big = (1 to 5000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v")
+    big.write.format("readstat").mode("overwrite")
+      .option("compression", "rle")
+      .option("storageWidths", "id:6|v:4").save(p3)
+    val agg = spark.read.format("readstat").load(p3)
+      .agg(sum("id").cast("long"), sum("v")).collect()(0)
+    assert(agg.getLong(0) == (1 to 5000).map(_.toLong).sum)
+    assert(agg.getDouble(1) == (1 to 5000).map(i => (i % 100).toDouble).sum)
+    // refusals: string column, out-of-range width, unknown column
+    def fails(opts: (String, String)*): String =
+      intercept[Exception] {
+        val w = Seq((1.0, "x")).toDF("v", "s").write
+          .format("readstat").mode("overwrite")
+        opts.foldLeft(w)((b, o) => b.option(o._1, o._2))
+          .save(tmp("widths_bad.sas7bdat"))
+      }.getMessage
+    assert(fails("storageWidths" -> "s:4").contains("string column"))
+    assert(fails("storageWidths" -> "v:2").contains("3-8"))
+    assert(fails("storageWidths" -> "nope:4").contains("unknown column"))
+    // and the cross-format refusal matrix still rejects it elsewhere
+    assert(intercept[Exception] {
+      Seq(Tuple1(1.0)).toDF("v").write.format("readstat").mode("overwrite")
+        .option("storageWidths", "v:4").save(tmp("widths_bad.dta"))
+    }.getMessage.toLowerCase.contains("storagewidths"))
+  }
 }
