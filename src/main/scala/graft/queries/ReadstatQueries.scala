@@ -368,6 +368,86 @@ object ReadstatQueries {
       |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 7000 OFFSET 5000)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** mode=dropmalformed over a directory with one header-smashed file
+    * (r14): orders split into four contiguous .dta chunks, chunk 1's
+    * header zeroed — at 100 TB one corrupt upload must not kill a
+    * 1000-executor ingest, so the tolerant modes drop files whose
+    * METADATA fails to parse (with a warning) instead of throwing; the
+    * CSV/JSON source's `mode` surface re-expressed for binary stat
+    * files. The oracle excludes exactly chunk 1's row quartile. */
+  def dtaDropMalformedDir(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "orders_badhdr_dir")
+    val src = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val n = src.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+    val withRn = src.withColumn("rn", row_number().over(w))
+    for (k <- 0 until 4) {
+      val lo = k * n / 4
+      val hi = (k + 1) * n / 4
+      withRn.filter(col("rn") > lo && col("rn") <= hi)
+        .orderBy("o_orderkey").drop("rn")
+        .coalesce(1).write.format("readstat").mode("overwrite")
+        .save(s"$dir/part$k.dta")
+    }
+    val raf = new java.io.RandomAccessFile(s"$dir/part1.dta", "rw")
+    try { raf.seek(0); raf.write(new Array[Byte](64)) } finally raf.close()
+    s.read.format("readstat").option("mode", "dropmalformed").load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaDropMalformedDirSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rn,
+      |        count(*) OVER () AS cnt FROM orders)
+      |WHERE NOT (rn > cnt // 4 AND rn <= (2 * cnt) // 4)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** mode=permissive truncated-tail salvage (r14): a sorted single-file
+    * .dta cut mid-row after 40% of its data region. The PLANNER clamps
+    * its row-addressed partitions to the complete rows physically
+    * present (StataModule.salvageableRowCount — pure arithmetic, no
+    * decode), so the salvaged prefix is deterministic: exactly the
+    * first 2n/5 rows, independent of reader chunk granularity. The
+    * oracle takes the same prefix by row_number. */
+  def dtaSalvageTruncated(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_trunc.dta")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(path)
+    // cut mid-row after the first 2n/5 data rows, using the file's own
+    // geometry (same arithmetic the salvage clamp applies in reverse)
+    val md = graft.spark.readstat.StataModule.metadata(path)
+    val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
+    val keep = md.nObs * 2 / 5
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try raf.setLength(dataStart + keep * md.rowLen + md.rowLen / 2)
+    finally raf.close()
+    s.read.format("readstat").option("mode", "permissive").load(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey").cast("long")).as("sum_key"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val dtaSalvageTruncatedSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT *, row_number() OVER (ORDER BY o_orderkey) AS rn,
+      |        count(*) OVER () AS cnt FROM orders)
+      |WHERE rn <= (2 * cnt) // 5
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Value-label decode through the DICTIONARY-encoded columnar path
     * (r12): an int code column written with a label table, read back
     * with valueLabelsAsStrings (labeled scans now run columnar with
@@ -1199,6 +1279,8 @@ object ReadstatQueries {
     "zsav_offset_slice" -> (zsavOffsetSlice _, zsavOffsetSliceSql),
     "por_offset_slice" -> (porOffsetSlice _, porOffsetSliceSql),
     "dir_offset_slice" -> (dirOffsetSlice _, dirOffsetSliceSql),
+    "stata_dropmalformed_dir" -> (dtaDropMalformedDir _, dtaDropMalformedDirSql),
+    "stata_salvage_truncated" -> (dtaSalvageTruncated _, dtaSalvageTruncatedSql),
     "stata_labeled_agg" -> (dtaLabeledAgg _, dtaLabeledAggSql),
     "stata_strl_roundtrip" -> (dtaStrlRoundtrip _, dtaStrlRoundtripSql),
     "spss_roundtrip_agg" -> (savRoundtripAgg _, savRoundtripAggSql),

@@ -79,6 +79,18 @@ trait FormatModule extends Serializable {
     * (e.g. POR's end-marker-terminated stream). */
   def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = None
 
+  /** Rows decodable from the intact prefix of a possibly-truncated file
+    * (`mode=permissive`): for fixed-width seekable regimes this is exact
+    * arithmetic — complete rows physically present in the data region,
+    * capped at the header's row count — so the planner can clamp its
+    * row-addressed partitions instead of relying on where mid-decode
+    * exceptions happen to land. Only meaningful for modules whose
+    * [[RangePartition]]s are row-addressed; None where the row count
+    * cannot be known without decoding (compressed/sequential regimes,
+    * page-grained SAS — the executor-side salvage backstop covers
+    * those). Must never throw on a file whose [[schema]] parsed. */
+  def salvageableRowCount(path: String, opts: ReadstatOptions): Option[Long] = None
+
   /** Whether [[columnarRows]] can serve this (path, options, schema)
     * combination. Must be cheap — called at planning time. */
   def supportsColumnar(path: String, opts: ReadstatOptions,
@@ -206,7 +218,27 @@ final case class ReadstatOptions(
     // NON-atomic writers: a file is then admitted only after its
     // (size, mtime) signature has been stable that long across triggers
     // (non-blocking; admission lags arrival by >= one trigger interval).
-    streamStabilityMs: Long = 0L) {
+    streamStabilityMs: Long = 0L,
+    // malformed-input handling for batch scans (the CSV/JSON source's
+    // mode surface, re-expressed for binary stat files — at 100 TB one
+    // truncated upload must not kill a 1000-executor ingest):
+    //   failfast (default) — any corruption anywhere throws (today's
+    //     behavior, and the only mode the metadata-trusting pushdowns
+    //     — COUNT(*), exact statistics row counts, multi-file
+    //     limit/offset windows — are allowed to engage under);
+    //   dropmalformed — files whose HEADER/metadata fails to parse are
+    //     dropped from the scan (and from schema inference) with a
+    //     warning; data-region corruption in a file whose header read
+    //     fine still throws;
+    //   permissive — dropmalformed, plus data-region salvage: fixed-
+    //     width regimes clamp their planned row ranges to the complete
+    //     rows physically present (truncated-tail arithmetic), and any
+    //     remaining mid-decode failure ends that partition's output
+    //     with the rows already decoded rather than the query.
+    mode: String = ReadstatOptions.ModeFailfast) {
+
+  def tolerant: Boolean = mode != ReadstatOptions.ModeFailfast
+  def salvage: Boolean = mode == ReadstatOptions.ModePermissive
 
   /** Reference InformativeNullColumns: empty set = "all" eligible. */
   def infoNullEligible(name: String): Boolean =
@@ -223,6 +255,10 @@ final case class ReadstatOptions(
 }
 
 object ReadstatOptions {
+  val ModeFailfast = "failfast"
+  val ModeDropMalformed = "dropmalformed"
+  val ModePermissive = "permissive"
+
   def from(m: java.util.Map[String, String]): ReadstatOptions = {
     def parse[T](k: String, dflt: T)(f: String => T): T =
       Option(m.get(k)).map { raw =>
@@ -262,6 +298,13 @@ object ReadstatOptions {
       schemaOverrides = Option(m.get("schemaOverrides")).getOrElse(""),
       mergeSchema = b("mergeSchema", dflt = false),
       columnarEnabled = b("columnar", dflt = true),
-      streamStabilityMs = parse("streamStabilityMs", 0L)(_.toLong))
+      streamStabilityMs = parse("streamStabilityMs", 0L)(_.toLong),
+      mode = parse("mode", ModeFailfast) { v =>
+        val norm = v.toLowerCase
+        require(Set(ModeFailfast, ModeDropMalformed, ModePermissive)
+          .contains(norm),
+          "expected one of: failfast, dropmalformed, permissive")
+        norm
+      })
   }
 }

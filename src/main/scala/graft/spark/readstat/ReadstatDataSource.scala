@@ -67,7 +67,10 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ReadstatOptions.from(options.asCaseSensitiveMap())
-    val paths = pathsOf(options)
+    val paths = Formats.droppingMalformed(pathsOf(options), opts)
+    require(paths.nonEmpty,
+      "readstat: every file failed metadata parse under mode=" +
+        s"${opts.mode} — schema inference needs at least one readable file")
     val schema =
       if (opts.mergeSchema && paths.length > 1) Formats.mergedSchema(paths, opts)
       else Formats.effectiveSchema(paths.head, opts)
@@ -89,8 +92,10 @@ class ReadstatDataSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     // reaching here with an empty directory means the schema was user-
     // supplied (inference would have errored above) — allow it
-    new ReadstatTable(pathsOf(options, allowEmptyDirs = true),
-      rawPathsOf(options), schema, ReadstatOptions.from(properties))
+    val opts = ReadstatOptions.from(properties)
+    new ReadstatTable(
+      Formats.droppingMalformed(pathsOf(options, allowEmptyDirs = true), opts),
+      rawPathsOf(options), schema, opts)
   }
 }
 
@@ -119,6 +124,26 @@ private[readstat] object DriverPar {
 
 /** Extension → format module dispatch. */
 object Formats {
+  private[readstat] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.spark.readstat")
+
+  /** Under the tolerant modes (`dropmalformed`/`permissive`), the paths
+    * whose header/metadata actually parses — corrupt files are dropped
+    * from the scan with a warning instead of killing it (the schema
+    * parse is memoized per module, so this costs nothing the planner
+    * wasn't already going to pay). Identity under `failfast`: the first
+    * consumer of the corrupt file throws, loudly. */
+  def droppingMalformed(paths: Seq[String], opts: ReadstatOptions): Seq[String] =
+    if (!opts.tolerant) paths
+    else DriverPar.mapOrdered(paths) { p =>
+      try { effectiveSchema(p, opts); Some(p) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"readstat: mode=${opts.mode} dropping malformed file " +
+            s"$p: ${e.getMessage}")
+          None
+      }
+    }.flatten
   /** Declared schema + compress narrowing + user overrides + informative-
     * null output mode (column/struct/merged). */
   def effectiveSchema(path: String, opts: ReadstatOptions): StructType = {
@@ -368,8 +393,9 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
     if (countStar || paths.isEmpty) return false
     val ok =
       if (paths.length == 1) Formats.moduleFor(paths.head).plansExactLimit
-      else paths.forall(p => Formats.moduleFor(p).plansExactLimit &&
-        Formats.exactRowCount(p, opts).isDefined)
+      else !opts.tolerant && // window math trusts per-file metadata counts
+        paths.forall(p => Formats.moduleFor(p).plansExactLimit &&
+          Formats.exactRowCount(p, opts).isDefined)
     if (ok) { limit = Some(n.toLong); true } else false
   }
 
@@ -396,8 +422,9 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
       if (paths.length == 1)
         Formats.moduleFor(paths.head)
           .planPartitionsAt(paths.head, opts, n.toLong, limit).isDefined
-      else paths.forall(p => Formats.exactRowCount(p, opts).isDefined &&
-        Formats.moduleFor(p).plansOffset(p, opts))
+      else !opts.tolerant && // window math trusts per-file metadata counts
+        paths.forall(p => Formats.exactRowCount(p, opts).isDefined &&
+          Formats.moduleFor(p).plansOffset(p, opts))
     if (ok) { offset = Some(n.toLong); true } else false
   }
 
@@ -409,7 +436,8 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
   // stays exact. Complete pushdown: the scan emits the single final row.
   private def canPushCount(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    limit.isEmpty && offset.isEmpty &&
+    !opts.tolerant && // a salvaged file's metadata count overstates its rows
+      limit.isEmpty && offset.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0)
@@ -569,7 +597,8 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
     val frac = math.min(1.0, required.fields.length.toDouble / fullCols)
     val scaled = math.max(1L, (bytes * frac).toLong)
     val rows: Option[Long] =
-      try {
+      if (opts.tolerant) None // salvaged files fall short of their counts
+      else try {
         val counts = paths.map(p => Formats.exactRowCount(p, opts))
         if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
       } catch { case _: Exception => None }
@@ -618,15 +647,40 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
                 if (e == rows) None else Some(e)).get
           (p, bytes, parts)
         }
-      } else DriverPar.mapOrdered(paths)(p =>
-        (p, new java.io.File(p).length(),
-          offset match {
+      } else DriverPar.mapOrdered(paths) { p =>
+        def plan(): Seq[RangePartition] = {
+          val parts = offset match {
             // pushOffset only accepted single-file + module-supported, so
             // planPartitionsAt is defined here by construction
             case Some(o) => Formats.moduleFor(p)
               .planPartitionsAt(p, opts, o, limit).get
             case None => Formats.moduleFor(p).planPartitions(p, opts, limit)
-          }))
+          }
+          if (!opts.salvage) parts
+          else Formats.moduleFor(p).salvageableRowCount(p, opts) match {
+            // permissive truncated-tail clamp: the hook's contract is
+            // row-addressed partitions, so trimming to the first k
+            // physically-complete rows is pure range intersection —
+            // deterministic, unlike waiting for the decoder to hit EOF
+            // mid-chunk. Hook-less regimes rely on the executor-side
+            // salvage instead.
+            case Some(k) => parts.flatMap { rp =>
+              if (rp.startRow >= k) None
+              else Some(rp.copy(numRows = math.min(rp.numRows, k - rp.startRow)))
+            }
+            case None => parts
+          }
+        }
+        val parts =
+          if (!opts.tolerant) plan()
+          else try plan() catch {
+            case scala.util.control.NonFatal(e) =>
+              Formats.log.warn(s"readstat: mode=${opts.mode} dropping " +
+                s"unplannable file $p: ${e.getMessage}")
+              Seq.empty[RangePartition]
+          }
+        (p, new java.io.File(p).length(), parts)
+      }
     // small-file packing: a directory of many tiny stat files would
     // otherwise plan one task per file and drown in scheduling overhead
     // (the classic small-files problem). Whole-file partitions of files
@@ -718,24 +772,64 @@ class ReadstatPartitionReaderFactory(required: StructType,
       case p: RangePartition => Seq(p)
     }
 
+  /** `mode=permissive` executor-side salvage: keep what this range
+    * partition already decoded, end it on the first decode failure
+    * (logged) instead of failing the task — the backstop behind the
+    * planner's truncated-tail clamp, covering regimes whose damage is
+    * only discoverable by decoding (bad zlib block, corrupt RLE control
+    * byte, dangling strL ref). Wraps construction too: a corrupt file
+    * throws at open just as well as mid-stream. Per-partition, so a
+    * damaged file inside a packed [[MultiFilePartition]] doesn't take
+    * its healthy bin-mates down with it. Identity under the other
+    * modes. */
+  private def salvaged[T](part: RangePartition,
+      mk: () => Iterator[T]): Iterator[T] =
+    if (!opts.salvage) mk()
+    else {
+      import scala.util.control.NonFatal
+      def warn(e: Throwable): Unit =
+        Formats.log.warn(s"readstat: mode=permissive salvaging partition " +
+          s"${part.path} rows [${part.startRow}, +${part.numRows}): $e")
+      val inner: Iterator[T] =
+        try mk() catch { case NonFatal(e) => warn(e); Iterator.empty }
+      new Iterator[T] {
+        private var staged: Option[T] = None
+        private var done = false
+        private def advance(): Unit = if (!done && staged.isEmpty) {
+          try {
+            if (inner.hasNext) staged = Some(inner.next()) else done = true
+          } catch { case NonFatal(e) => warn(e); done = true }
+        }
+        override def hasNext: Boolean = { advance(); staged.isDefined }
+        override def next(): T = {
+          advance()
+          val v = staged.getOrElse(throw new NoSuchElementException("salvaged"))
+          staged = None
+          v
+        }
+      }
+    }
+
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val reshape = opts.compress || opts.schemaOverrides.trim.nonEmpty
     val pushed = effectiveFilters(partition)
     val it = rangeParts(partition).iterator.flatMap { part =>
-      val module = Formats.moduleFor(part.path)
-      if (!reshape) module.columnarRows(part, opts, required, pushed)
-      else {
-        // columnar narrowing (r13): natural-typed batches + vector cast
-        // (pushed is empty here — canEvalFilter refuses the reshaping
-        // regimes, so every filter stays a pure Catalyst residual)
-        val byName = module.schema(part.path, opts.decodeNatural)
-          .fields.map(f => f.name -> f).toMap
-        val naturalRequired = StructType(required.fields.map(f => byName(f.name)))
-        Narrowing.castingBatchIterator(
-          module.columnarRows(part, opts.decodeNatural, naturalRequired, pushed),
-          naturalRequired, required)
-      }
+      salvaged(part, () => {
+        val module = Formats.moduleFor(part.path)
+        if (!reshape) module.columnarRows(part, opts, required, pushed)
+        else {
+          // columnar narrowing (r13): natural-typed batches + vector cast
+          // (pushed is empty here — canEvalFilter refuses the reshaping
+          // regimes, so every filter stays a pure Catalyst residual)
+          val byName = module.schema(part.path, opts.decodeNatural)
+            .fields.map(f => f.name -> f).toMap
+          val naturalRequired = StructType(required.fields.map(f => byName(f.name)))
+          Narrowing.castingBatchIterator(
+            module.columnarRows(part, opts.decodeNatural, naturalRequired, pushed),
+            naturalRequired, required)
+        }
+      })
     }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -748,7 +842,8 @@ class ReadstatPartitionReaderFactory(required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val eff = effectiveFilters(partition)
-    val it0 = rangeParts(partition).iterator.flatMap(p => rowIterator(p, eff))
+    val it0 = rangeParts(partition).iterator.flatMap(p =>
+      salvaged(p, () => rowIterator(p, eff)))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

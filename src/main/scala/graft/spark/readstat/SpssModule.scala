@@ -108,6 +108,21 @@ object SpssModule extends FormatModule {
     } else None // bytecode: variable-length stream, not verifiable without a skim
   }
 
+  /** Truncated-tail arithmetic for `mode=permissive`, uncompressed
+    * regime only: complete fixed-`recordLen` rows physically present,
+    * capped at the header count. Bytecode/zsav refuse — their row
+    * boundaries aren't knowable without decoding; the executor-side
+    * salvage keeps whatever their streams yield before the damage. */
+  override def salvageableRowCount(path: String,
+      opts: ReadstatOptions): Option[Long] = {
+    val md = metadata(path)
+    if (md.compression != 0 || md.recordLen <= 0) return None
+    val avail = new java.io.File(path).length() - md.dataOffset
+    val phys = if (avail < 0) 0L else avail / md.recordLen
+    val declared = rowCount(path, md)
+    Some(if (declared == Long.MaxValue) phys else math.min(declared, phys))
+  }
+
   override def planPartitions(path: String, opts: ReadstatOptions,
       limit: Option[Long]): Seq[RangePartition] = {
     val md = metadata(path)
@@ -128,7 +143,15 @@ object SpssModule extends FormatModule {
       .getOrElse(if (boundKnown) n0 else Long.MaxValue)
     if (bounded <= rowsPerPart)
       return Seq(RangePartition(path, 0, bounded))
-    val idx = savIndex(path, md, rowsPerPart)
+    // mode=permissive: a damaged file can fail the index skim (zsav's
+    // block trailer lives at EOF — exactly what a truncated download
+    // loses). Degrade to ONE sequential partition so the executor-side
+    // salvage still recovers the decodable prefix, instead of the
+    // planner dropping the whole file.
+    val idx = try savIndex(path, md, rowsPerPart) catch {
+      case scala.util.control.NonFatal(_) if opts.salvage =>
+        return Seq(RangePartition(path, 0, bounded))
+    }
     val total = math.min(bounded, idx.totalRows)
     if (total == 0) return Seq(RangePartition(path, 0, 0))
     (0L until total by rowsPerPart).map { s =>
@@ -237,7 +260,7 @@ object SpssModule extends FormatModule {
     val rowSource: RowSource = md.compression match {
       case 0 => new SeekRowSource(part, md)
       case 1 => new BytecodeRowSource(part, md)
-      case 2 => new ZsavRowSource(part, md)
+      case 2 => new ZsavRowSource(part, md, opts.salvage)
       case other => throw new IllegalArgumentException(s"sav compression $other")
     }
 
@@ -597,7 +620,7 @@ object SpssModule extends FormatModule {
     val rowSource: RowSource = md.compression match {
       case 0 => null
       case 1 => new BytecodeRowSource(part, md)
-      case 2 => new ZsavRowSource(part, md)
+      case 2 => new ZsavRowSource(part, md, opts.salvage)
       case other => throw new IllegalArgumentException(s"sav compression $other")
     }
 
@@ -1126,23 +1149,85 @@ object SpssModule extends FormatModule {
   /** zsav (compression=2): inflate whole zlib blocks into arrays (sizes
     * come from the trailer), then bytecode-decode straight off the
     * buffers — no per-byte inflater calls in the hot path. */
-  private final class ZsavRowSource(part: RangePartition, md: SpssMeta)
+  private final class ZsavRowSource(part: RangePartition, md: SpssMeta,
+      salvage: Boolean = false)
       extends RowSource {
     private val recordLen = md.recordLen
-    private val (entries, uPrefix) = zsavEntries(part.path, md)
+    // mode=permissive salvage: the block index lives in an EOF trailer,
+    // which is exactly what a truncated download loses — fall back to
+    // inflating the back-to-back zlib streams sequentially from the
+    // data start (no sizes needed; each stream self-terminates) so the
+    // intact prefix still decodes. Only for un-checkpointed partitions:
+    // resuming mid-stream NEEDS the index, and under salvage the
+    // planner already degraded a trailerless file to one sequential
+    // partition.
+    private val entriesOpt: Option[(IndexedSeq[(Long, Int, Int)], Array[Long])] =
+      if (!(salvage && part.sav.isEmpty)) Some(zsavEntries(part.path, md))
+      else try Some(zsavEntries(part.path, md))
+      catch { case scala.util.control.NonFatal(_) => None }
     private val raf = new RandomAccessFile(part.path, "r")
     // with a checkpoint: begin at the block containing uOff and skip the
     // intra-block remainder — only this partition's blocks are inflated
     private val startUOff = part.sav.map(_.uOff).getOrElse(0L)
-    private val firstBlock = {
-      var b = 0
-      while (b + 1 < uPrefix.length - 1 && uPrefix(b + 1) <= startUOff) b += 1
-      b
+    private val firstBlock = entriesOpt match {
+      case Some((_, uPrefix)) =>
+        var b = 0
+        while (b + 1 < uPrefix.length - 1 && uPrefix(b + 1) <= startUOff) b += 1
+        b
+      case None => 0
     }
-    private var skipInBlock = (startUOff - uPrefix(firstBlock)).toInt
-    private val blockIter = entries.iterator.drop(firstBlock)
-    private val inner = new BytecodeFromStream(recordLen, md, () => nextBlock(),
+    private var skipInBlock = entriesOpt match {
+      case Some((_, uPrefix)) => (startUOff - uPrefix(firstBlock)).toInt
+      case None => 0
+    }
+    private val blockIter = entriesOpt match {
+      case Some((entries, _)) => entries.iterator.drop(firstBlock)
+      case None => Iterator.empty
+    }
+    private val inner = new BytecodeFromStream(recordLen, md,
+      if (entriesOpt.isDefined) () => nextBlock() else () => nextBlockSeq(),
       part.sav.map(_.ctrl).orNull, part.sav.map(_.ctrlI).getOrElse(8))
+
+    // ---- trailerless sequential inflate (salvage fallback) ----
+    private var seqPos = md.dataOffset + 24L // past the 24-byte zheader
+    private lazy val seqEnd = raf.length()
+    private var seqInfLive = false
+    private lazy val seqInf = {
+      seqInfLive = true; new java.util.zip.Inflater()
+    }
+    private lazy val seqBuf = new Array[Byte](1 << 16)
+    private def seqFill(): Boolean = {
+      if (seqPos >= seqEnd) return false
+      raf.seek(seqPos)
+      val want = math.min(seqBuf.length.toLong, seqEnd - seqPos).toInt
+      val n = raf.read(seqBuf, 0, want)
+      if (n <= 0) return false
+      seqPos += n
+      seqInf.setInput(seqBuf, 0, n)
+      true
+    }
+    private def nextBlockSeq(): Array[Byte] = {
+      val out = new Array[Byte](1 << 20)
+      var off = 0
+      var stop = false
+      while (!stop && off < out.length) {
+        if (seqInf.finished()) {
+          // the unconsumed input tail is the start of the NEXT
+          // concatenated zlib stream: rewind and restart on it
+          seqPos -= seqInf.getRemaining
+          seqInf.reset()
+          if (!seqFill()) stop = true
+        } else {
+          val n = seqInf.inflate(out, off, out.length - off)
+          if (n > 0) off += n
+          else if (seqInf.needsInput()) { if (!seqFill()) stop = true }
+          else stop = true // neither progress nor hunger: corrupt stream
+        }
+      }
+      if (off == 0) null
+      else if (off == out.length) out
+      else java.util.Arrays.copyOfRange(out, 0, off)
+    }
     private var emitted = 0L
     // same rule as BytecodeRowSource: checkpointed partitions drop the
     // mid-interval remainder (offset pushdown), others skip from start
@@ -1182,10 +1267,15 @@ object SpssModule extends FormatModule {
 
     override def nextRowInto(dst: Array[Byte], off: Int): Boolean = {
       while (toSkip > 0) { if (!inner.readRowInto(dst, off)) return false; toSkip -= 1 }
-      if (emitted >= part.numRows) { raf.close(); return false }
+      if (emitted >= part.numRows) { closeAll(); return false }
       val ok = inner.readRowInto(dst, off)
-      if (!ok) raf.close() else emitted += 1
+      if (!ok) closeAll() else emitted += 1
       ok
+    }
+
+    private def closeAll(): Unit = {
+      raf.close()
+      if (seqInfLive) { seqInf.end(); seqInfLive = false }
     }
   }
 

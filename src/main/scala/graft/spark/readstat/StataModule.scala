@@ -197,6 +197,23 @@ object StataModule extends FormatModule {
     Some(seekableRowRanges(path, opts, offset, limit, md.nObs, md.rowLen))
   }
 
+  /** Truncated-tail arithmetic for `mode=permissive`: the complete
+    * fixed-width rows physically present in the data region (capped at
+    * the header count). strL files refuse — their GSO heap lives AFTER
+    * the data section, so a truncation can leave whole rows present
+    * whose strL references dangle; those fall back to the executor-side
+    * salvage, which keeps whatever decodes. */
+  override def salvageableRowCount(path: String,
+      opts: ReadstatOptions): Option[Long] = {
+    val md = metadata(path)
+    if (md.variables.exists(_.varType == TStrL))
+      return None
+    val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
+    val avail = new java.io.File(path).length() - dataStart
+    if (avail < 0) Some(0L)
+    else Some(math.min(md.nObs, avail / math.max(1, md.rowLen)))
+  }
+
   /** strL (GSO) reference cell: (v, o) key into the strL table. One
     * definition for the row, columnar and filter-predicate decoders. */
   private def decodeStrlRefIn(b: Array[Byte], off: Int,
