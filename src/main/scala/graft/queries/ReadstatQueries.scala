@@ -750,6 +750,35 @@ object ReadstatQueries {
       |  SELECT 'sav' AS format, count(*) AS row_count, 4 AS var_count FROM customer
       |) ORDER BY format""".stripMargin
 
+  /** Tolerant file-metadata audit (r14): a directory with one header-
+    * smashed member, swept by `readstat-file-metadata` under
+    * mode=dropmalformed — the corrupt file yields an ERROR ROW (null
+    * row_count, failure message in details) instead of killing the
+    * sweep, so one metadata query over a 100 TB drop directory lists
+    * exactly which files a tolerant data scan would skip. */
+  def fileMetadataMalformed(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "meta_badhdr_dir")
+    val src = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    src.coalesce(1).write.format("readstat").mode("overwrite").save(s"$dir/ok.dta")
+    src.coalesce(1).write.format("readstat").mode("overwrite").save(s"$dir/bad.dta")
+    val raf = new java.io.RandomAccessFile(s"$dir/bad.dta", "rw")
+    try { raf.seek(0); raf.write(new Array[Byte](64)) } finally raf.close()
+    s.read.format("readstat-file-metadata")
+      .option("mode", "dropmalformed").load(dir)
+      .select(element_at(split(col("file"), "/"), -1).as("fname"),
+        col("format"), col("row_count"),
+        col("row_count").isNull.as("failed"))
+      .orderBy("fname")
+  }
+
+  val fileMetadataMalformedSql: String =
+    """SELECT * FROM (
+      |  SELECT 'bad.dta' AS fname, 'dta' AS format,
+      |    CAST(NULL AS BIGINT) AS row_count, true AS failed
+      |  UNION ALL
+      |  SELECT 'ok.dta', 'dta', count(*), false FROM customer
+      |) ORDER BY fname""".stripMargin
+
   /** Cross-format join: lineitem through .dta, orders through .xpt (IBM
     * floats + 8-char name truncation), customer through .sav — three
     * binary formats meeting in one Catalyst plan. Certifies that types,
@@ -1259,6 +1288,7 @@ object ReadstatQueries {
     "mixed_dir_mergeschema" -> (mixedDirMerge _, mixedDirMergeSql),
     "cross_format_join" -> (crossFormatJoin _, crossFormatJoinSql),
     "file_metadata" -> (fileMetadata _, fileMetadataSql),
+    "file_metadata_malformed" -> (fileMetadataMalformed _, fileMetadataMalformedSql),
     "sas_scan_agg" -> (sasScanAgg _, sasScanAggSql),
     "sas_write_roundtrip" -> (sasWriteRoundtrip _, sasWriteRoundtripSql),
     "xpt_roundtrip_agg" -> (xptRoundtrip _, xptRoundtripSql),

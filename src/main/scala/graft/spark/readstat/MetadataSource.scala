@@ -157,7 +157,13 @@ class ReadstatFileMetadataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val paths = MetadataPaths.fromProperties(properties)
-    new FileMetadataTable(paths)
+    // the `mode` option makes this source a corpus HEALTH AUDIT: under
+    // dropmalformed/permissive a file whose header fails to parse emits
+    // an error row (null row_count, details={"error":…}) instead of
+    // failing the scan — one metadata query sweeps a 100 TB drop
+    // directory and lists exactly which files a tolerant data scan
+    // would skip
+    new FileMetadataTable(paths, ReadstatOptions.from(properties).tolerant)
   }
 }
 
@@ -252,6 +258,24 @@ object FileMetadataRows {
       "\"" + k + "\":" + vs
     }.mkString("{", ",", "}")
 
+  /** Tolerant-mode (`mode=dropmalformed`/`permissive`) audit row for a
+    * file whose header failed to parse: format guessed from the
+    * extension, null counts, the failure message in the details JSON —
+    * the row a corpus-health sweep joins against to find exactly which
+    * files a tolerant data scan would skip. */
+  def errorRow(path: String, e: Throwable): InternalRow = {
+    val i = path.lastIndexOf('.')
+    val ext = if (i < 0) null else path.substring(i + 1).toLowerCase
+    val r = new GenericInternalRow(8)
+    r.update(0, UTF8String.fromString(path))
+    r.update(1, if (ext == null) null else UTF8String.fromString(ext))
+    r.update(2, null); r.update(3, null); r.update(4, null)
+    r.update(5, null); r.update(6, null)
+    r.update(7, UTF8String.fromString(jsonObj(Seq("error" ->
+      (if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage)))))
+    r
+  }
+
   /** SAS/SPSS header timestamps use the 1960-01-01 epoch in seconds. */
   private def sasEpochToIso(sasSeconds: Double): String =
     if (sasSeconds.isNaN || sasSeconds == 0.0) null
@@ -339,7 +363,8 @@ object FileMetadataRows {
   }
 }
 
-class FileMetadataTable(paths: Seq[String]) extends Table with SupportsRead {
+class FileMetadataTable(paths: Seq[String], tolerant: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"readstat-file-metadata:${paths.mkString(",")}"
   override def schema(): StructType = FileMetadataRows.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -354,20 +379,30 @@ class FileMetadataTable(paths: Seq[String]) extends Table with SupportsRead {
       override def planInputPartitions(): Array[InputPartition] =
         paths.map(p => RangePartition(p, 0, 1): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-            val it = Iterator.single(
-              FileMetadataRows.rowFor(p.asInstanceOf[RangePartition].path))
-            new PartitionReader[InternalRow] {
-              private var cur: InternalRow = _
-              override def next(): Boolean =
-                if (it.hasNext) { cur = it.next(); true } else false
-              override def get(): InternalRow = cur
-              override def close(): Unit = ()
-            }
-          }
-        }
+        FileMetadataReaderFactory(tolerant)
     }
+}
+
+/** Top-level so the task closure serializes only the `tolerant` flag,
+  * not the enclosing (non-serializable) scan builder. */
+private[readstat] case class FileMetadataReaderFactory(tolerant: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[RangePartition].path
+    val it = Iterator.single(
+      if (!tolerant) FileMetadataRows.rowFor(path)
+      else try FileMetadataRows.rowFor(path) catch {
+        case scala.util.control.NonFatal(e) =>
+          FileMetadataRows.errorRow(path, e)
+      })
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class MetadataTable(path: String) extends Table with SupportsRead {

@@ -625,6 +625,7 @@ object PorModule extends FormatModule {
           var i = 0
           var zEnd = false
           var skipped = false
+          try {
           while (i < md.vars.length && !zEnd && !skipped) {
             val v = md.vars(i)
             val c0 = stream.readChar()
@@ -743,6 +744,16 @@ object PorModule extends FormatModule {
               }
               i += 1
             }
+          }
+          } catch {
+            // mode=permissive: mid-row damage (truncated base-30 cell,
+            // missing 'Z' end marker) ends the scan with the complete
+            // rows already in this batch — r only advances after a full
+            // row decode, so the partial row is never emitted
+            case scala.util.control.NonFatal(e) if opts.salvage =>
+              Formats.log.warn(s"readstat: mode=permissive salvaging por " +
+                s"${part.path} at row $rowIdx: $e")
+              zEnd = true
           }
           if (zEnd) done = true
           else {

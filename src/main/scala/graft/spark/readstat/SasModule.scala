@@ -207,12 +207,45 @@ object SasModule extends FormatModule {
       } finally raf.close()
     })
 
+  /** A sas7bdat's page count is DERIVED from the physical file length
+    * (the header field is unreliable — 0 in some 64-bit BE files), so a
+    * truncated file looks like a self-consistent smaller file and would
+    * short-read silently. Two cheap sound checks expose real-world
+    * truncation: an interrupted upload virtually never lands on a page
+    * boundary (mid-page tail bytes), and losing whole pages leaves the
+    * declared row count above the remaining pages' physical capacity
+    * (uncompressed rows are fixed-width, so capacity bounds rows; the
+    * per-page overhead only makes the bound conservative). A cut that
+    * is page-aligned AND leaves capacity ≥ rowCount stays undetectable
+    * without an O(pages) header sweep — accepted and documented. */
+  private[readstat] def truncationSuspect(path: String, md: SasMeta): Boolean = {
+    val len = new java.io.File(path).length()
+    if ((len - md.headerLength) % math.max(1, md.pageLength) != 0) return true
+    if (md.compression == 0 && md.rowLength > 0) {
+      val cap = md.pageCount.toLong * (md.pageLength / md.rowLength).toLong
+      if (md.rowCount > cap) return true
+    }
+    false
+  }
+
+  private def failIfTruncated(path: String, md: SasMeta,
+      opts: ReadstatOptions): Unit =
+    if (!opts.salvage && truncationSuspect(path, md))
+      throw new java.io.EOFException(
+        s"sas7bdat truncated: $path declares ${md.rowCount} rows but only " +
+          s"${md.pageCount} whole pages are physically present " +
+          "(mode=permissive salvages the intact page prefix)")
+
   override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
     val md = metadata(path)
-    // header declares the page grid; a cut file fails the size identity
-    // and falls back to the scan's loud truncation error
+    // the declared count is only trustworthy when the page grid is
+    // physically whole — a truncated file must fall through to the
+    // scan's loud error (COUNT(*) answered from a stale header count
+    // was this check's original gap)
     val need = md.headerLength.toLong + md.pageCount.toLong * md.pageLength
-    if (new java.io.File(path).length() >= need) Some(md.rowCount) else None
+    if (new java.io.File(path).length() >= need && !truncationSuspect(path, md))
+      Some(md.rowCount)
+    else None
   }
 
   /** Page-range partitions ignore the pushed limit (rows-per-page needs
@@ -322,6 +355,7 @@ object SasModule extends FormatModule {
       required: StructType,
       pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
+    failIfTruncated(part.path, md, opts)
     val byName = md.columns.map(c => c.name).zipWithIndex.toMap
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
       if (opts.rowIndexName.contains(f.name))
@@ -393,7 +427,18 @@ object SasModule extends FormatModule {
         if (rowPos < rowsInPage.length) return true
         if (pageIdx >= endPage) { close(); return false }
         try raf.readFully(page)
-        catch { case _: java.io.EOFException => close(); return false }
+        catch {
+          case e: java.io.EOFException =>
+            // a planned page is physically missing — the file is
+            // truncated. Salvage keeps the whole-page prefix already
+            // emitted; every other mode must fail loudly (a silent
+            // short read is a wrong answer)
+            close()
+            if (opts.salvage) return false
+            throw new java.io.EOFException(
+              s"sas7bdat truncated: page $pageIdx of ${md.pageCount} " +
+                s"missing in ${part.path} (${e.getMessage})")
+        }
         pageIdx += 1
         rowsInPage = pageRowSlots(page, md)
         rowPos = 0
@@ -553,6 +598,7 @@ object SasModule extends FormatModule {
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
     val md = metadata(part.path)
+    failIfTruncated(part.path, md, opts)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
     // (col or null = row index, kind, numeric label LUT, char label map,
     //  indicator flag)
@@ -760,7 +806,17 @@ object SasModule extends FormatModule {
         if (emitted >= capRows) { close(); return false }
         while (pendingOffs == null && pageIdx < endPage) {
           try raf.readFully(page)
-          catch { case _: java.io.EOFException => close(); return false }
+          catch {
+            case e: java.io.EOFException =>
+              // planned page physically missing = truncated file: loud
+              // under every mode except permissive salvage (see the row
+              // path above)
+              close()
+              if (opts.salvage) return false
+              throw new java.io.EOFException(
+                s"sas7bdat truncated: page $pageIdx of ${md.pageCount} " +
+                  s"missing in ${part.path} (${e.getMessage})")
+          }
           pageIdx += 1
           materializePage()
         }

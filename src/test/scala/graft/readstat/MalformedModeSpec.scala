@@ -155,6 +155,40 @@ class MalformedModeSpec extends SparkTestBase {
     assert(rows.take(3).map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("permissive salvages the intact page prefix of a truncated sas7bdat") {
+    import spark.implicits._
+    val dir = tmpDir("sas")
+    val p = s"$dir/t.sas7bdat"
+    (1 to 20000).map(i => (i.toDouble, i * 1.5)).toDF("id", "x")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(p)
+    truncateTo(p, Files.size(Paths.get(p)) * 6 / 10)
+    intercept[Throwable] { read(p, "failfast").collect() }
+    // page-grained: partitions overlapping the cut end early via the
+    // executor-side backstop; whole-page prefix decodes with real values
+    val rows = read(p, "permissive").collect()
+    assert(rows.length > 0 && rows.length < 20000,
+      s"salvaged ${rows.length} of 20000")
+    val ids = rows.map(_.getDouble(0)).sorted
+    assert(ids.take(3).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("permissive salvages the decodable prefix of a truncated por") {
+    import spark.implicits._
+    val dir = tmpDir("por")
+    val p = s"$dir/t.por"
+    (1 to 5000).map(i => (i.toDouble, i * 1.5)).toDF("ID", "X")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(p)
+    // cut mid-stream: the 'Z' end-of-data marker is gone
+    truncateTo(p, Files.size(Paths.get(p)) * 6 / 10)
+    intercept[Throwable] { read(p, "failfast").collect() }
+    val rows = read(p, "permissive").collect()
+    assert(rows.length > 0 && rows.length < 5000,
+      s"salvaged ${rows.length} of 5000")
+    assert(rows.take(3).map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("tolerant modes refuse the multi-file offset/limit window push") {
     val dir = tmpDir("window")
     writeDta(s"$dir/a.dta", 1, 50)
@@ -164,6 +198,25 @@ class MalformedModeSpec extends SparkTestBase {
       .map(_.toString).mkString("\n")
     assert(!leaves.contains("offset="), leaves) // not pushed...
     assert(df.collect().map(_.getInt(0)).sorted.toSeq == (31 to 70)) // ...still right
+  }
+
+  test("tolerant file-metadata sweep reports corrupt files as error rows") {
+    val dir = tmpDir("audit")
+    writeDta(s"$dir/a.dta", 1, 100)
+    writeDta(s"$dir/b.dta", 101, 200)
+    zeroPrefix(s"$dir/b.dta", 256)
+    // default: the sweep fails on the corrupt member
+    intercept[Throwable] {
+      spark.read.format("readstat-file-metadata").load(dir).collect()
+    }
+    val rows = spark.read.format("readstat-file-metadata")
+      .option("mode", "dropmalformed").load(dir)
+      .orderBy("file").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0).endsWith("a.dta") && rows(0).getLong(2) == 100)
+    assert(rows(1).getString(0).endsWith("b.dta") && rows(1).isNullAt(2))
+    assert(rows(1).getString(1) == "dta") // format still from extension
+    assert(rows(1).getString(7).contains("error"))
   }
 
   test("permissive leaves intact files byte-for-byte identical to failfast") {
