@@ -17,7 +17,12 @@ object XptCore {
 
   final case class XptMeta(version: Int, tableName: String, fileLabel: String,
       columns: Vector[XptColumn], rowLength: Int, dataOffset: Long,
-      rowCount: Long, created: String = "", modified: String = "")
+      rowCount: Long, created: String = "", modified: String = "",
+      // non-padding bytes after the last whole row: the file was cut
+      // mid-row. Recorded here (header still parses) so the MODULE can
+      // throw loudly under failfast or salvage the whole-row prefix
+      // under mode=permissive — same split as SasModule.truncationSuspect
+      truncatedTail: Boolean = false)
 
   private def str(b: Array[Byte], off: Int, len: Int): String = {
     var end = off + len
@@ -120,18 +125,16 @@ object XptCore {
       // blank/NUL padding after its last whole row; anything else is a
       // cut-off row. (Truncation at an exact row boundary is
       // indistinguishable from a valid EOF by design of the format.)
+      var truncatedTail = false
       if (rowLength != 0 && (raf.length() - dataOffset) % rowLength != 0) {
         val rem = ((raf.length() - dataOffset) % rowLength).toInt
         raf.seek(dataOffset + rowCount * rowLength)
         val tail = new Array[Byte](rem)
         raf.readFully(tail)
-        if (!tail.forall(b => b == 0x20 || b == 0x00))
-          throw new java.io.IOException(
-            s"xpt: $rem trailing bytes after the last whole row are not " +
-              "record padding — file appears truncated mid-row")
+        truncatedTail = !tail.forall(b => b == 0x20 || b == 0x00)
       }
       XptMeta(version, tableName, fileLabel, cols, rowLength, dataOffset,
-        rowCount, created, modified)
+        rowCount, created, modified, truncatedTail)
     } finally raf.close()
   }
 

@@ -85,8 +85,22 @@ object XptModule extends FormatModule {
     * overcount by the phantom all-space rows overlapping the final
     * 80-byte record. Replays the decoder's exact cut rule over just that
     * tail zone — one O(80+rowLen)-byte read, no data decode. */
+  /** Mid-row truncation (recorded by the core parse — the header still
+    * reads) fails LOUDLY everywhere except mode=permissive, which
+    * salvages the whole-row prefix the floored rowCount already
+    * describes. A row-and-padding-aligned cut is indistinguishable from
+    * a valid EOF by design of the format (no declared row count). */
+  private def failIfTruncated(path: String,
+      md: graft.core.xpt.XptCore.XptMeta, opts: ReadstatOptions): Unit =
+    if (!opts.salvage && md.truncatedTail)
+      throw new java.io.IOException(
+        s"xpt: non-padding bytes after the last whole row of $path — file " +
+          "appears truncated mid-row (mode=permissive salvages the " +
+          "whole-row prefix)")
+
   override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
     val md = metadata(path)
+    if (md.truncatedTail) return None // scan surfaces the loud error
     val rowLen = math.max(1, md.rowLength)
     val n = md.rowCount
     if (n == 0) return Some(0L)
@@ -159,6 +173,7 @@ object XptModule extends FormatModule {
       required: StructType,
       pushed: Array[org.apache.spark.sql.sources.Filter]): Iterator[InternalRow] = {
     val md = metadata(part.path)
+    failIfTruncated(part.path, md, opts)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
     // (fieldIdx, col-or-null(=rowIndex), kind, indicator, labels, charLabels)
     val plans = required.fields.zipWithIndex.map { case (f, fi) =>
@@ -369,6 +384,7 @@ object XptModule extends FormatModule {
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
     val md = metadata(part.path)
+    failIfTruncated(part.path, md, opts)
     val byName = md.columns.map(_.name).zipWithIndex.toMap
     // (col or null = row index, kind, numeric label LUT, char label map,
     //  indicator flag)
