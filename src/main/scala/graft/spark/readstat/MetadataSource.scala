@@ -30,14 +30,21 @@ class ReadstatMetadataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("readstat-metadata: no path"))
     val path = MetadataPaths.localPath(raw)
     // a directory (e.g. a multiFile dataset) is ONE dataset whose parts
-    // share a schema, so its per-variable metadata is the first file's;
+    // share a schema, so its per-variable metadata is the first file's —
+    // under the tolerant modes, the first file whose header PARSES
+    // (mirroring the data scan, which drops corrupt-header members);
     // per-FILE rows live in readstat-file-metadata
     val resolved =
-      if (new java.io.File(path).isDirectory)
-        MetadataPaths.expandDirectory(path).headOption.getOrElse(
-          throw new IllegalArgumentException(
-            s"readstat-metadata: no stat files under directory $path"))
-      else path
+      if (new java.io.File(path).isDirectory) {
+        val members = MetadataPaths.expandDirectory(path)
+        val pick =
+          if (!ReadstatOptions.from(properties).tolerant) members.headOption
+          else members.find(p =>
+            try { MetadataRows.rowsFor(p); true }
+            catch { case scala.util.control.NonFatal(_) => false })
+        pick.getOrElse(throw new IllegalArgumentException(
+          s"readstat-metadata: no readable stat files under directory $path"))
+      } else path
     new MetadataTable(resolved)
   }
 }

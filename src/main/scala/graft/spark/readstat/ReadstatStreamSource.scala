@@ -30,6 +30,25 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
   // Last engine-committed offset's file set: files the stream has fully
   // consumed. Used to prune `admitted` safely (see latestOffset).
   @volatile private var committedFiles: Set[String] = Set.empty
+  // mode=dropmalformed/permissive: a file that is STABLE but whose
+  // header does not parse never enters the offset — a long-running
+  // ingest must outlive one bad drop. Keyed by the rejected signature
+  // so an in-place fix (new size/mtime) re-probes; until then rejection
+  // costs one map lookup per trigger, no I/O.
+  private val rejectedSigs =
+    scala.collection.mutable.HashMap[String, (Long, Long)]()
+
+  private def admissible(p: String, sig: (Long, Long)): Boolean =
+    !opts.tolerant || {
+      try { Formats.effectiveSchema(p, opts); true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Formats.log.warn(s"readstat stream: mode=${opts.mode} rejecting " +
+            s"malformed file $p: ${e.getMessage}")
+          rejectedSigs(p) = sig
+          false
+      }
+    }
 
   private def signatures(): Map[String, (Long, Long)] =
     MetadataPaths.expandDirectory(dir).map { p =>
@@ -75,13 +94,17 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
     // plan over it would fail); vanished pending entries just reset
     admitted.filterInPlace(p => listed.contains(p) || committedFiles.contains(p))
     pending.filterInPlace { case (p, _) => listed.contains(p) }
+    rejectedSigs.filterInPlace { case (p, sig) => listed.get(p).contains(sig) }
     val fresh = listed.keySet.diff(admitted)
-    if (opts.streamStabilityMs <= 0) admitted ++= fresh
+      .filterNot(p => rejectedSigs.get(p).contains(listed(p)))
+    if (opts.streamStabilityMs <= 0)
+      admitted ++= fresh.filter(p => admissible(p, listed(p)))
     else fresh.foreach { p =>
       val sig = listed(p)
       pending.get(p) match {
         case Some((`sig`, t0)) if now - t0 >= opts.streamStabilityMs =>
-          pending.remove(p); admitted += p
+          pending.remove(p)
+          if (admissible(p, sig)) admitted += p
         case Some((`sig`, _)) => // stable but young: keep waiting
         case _ => pending(p) = (sig, now) // new or still changing: reset
       }
@@ -98,8 +121,19 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[FilesOffset].files.toSet
     val fresh = end.asInstanceOf[FilesOffset].files.filterNot(seen)
-    DriverPar.mapOrdered(fresh)(p =>
-        Formats.moduleFor(p).planPartitions(p, opts, None))
+    DriverPar.mapOrdered(fresh) { p =>
+        // tolerant modes: a file already in the offset history (e.g.
+        // admitted before a restart, damaged since) must not wedge the
+        // stream permanently — drop it with a warning, like the batch
+        // planner
+        if (!opts.tolerant) Formats.moduleFor(p).planPartitions(p, opts, None)
+        else try Formats.moduleFor(p).planPartitions(p, opts, None) catch {
+          case scala.util.control.NonFatal(e) =>
+            Formats.log.warn(s"readstat stream: mode=${opts.mode} dropping " +
+              s"unplannable file $p: ${e.getMessage}")
+            Seq.empty[RangePartition]
+        }
+      }
       .flatten.toArray
   }
 

@@ -219,6 +219,51 @@ class MalformedModeSpec extends SparkTestBase {
     assert(rows(1).getString(7).contains("error"))
   }
 
+  test("tolerant per-variable metadata skips a corrupt first file") {
+    val dir = tmpDir("varmeta")
+    writeDta(s"$dir/a.dta", 1, 10)
+    writeDta(s"$dir/b.dta", 11, 20)
+    zeroPrefix(s"$dir/a.dta", 256) // 'a' sorts first
+    intercept[Throwable] {
+      spark.read.format("readstat-metadata").load(dir).collect()
+    }
+    val rows = spark.read.format("readstat-metadata")
+      .option("mode", "dropmalformed").load(dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("id", "x", "s"))
+  }
+
+  test("tolerant stream outlives a malformed drop and keeps ingesting") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("stream")
+    def writeFile(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+        .write.format("readstat").mode("overwrite").save(s"$dir/$name")
+
+    writeFile("a.dta", 1 to 100)
+    val stream = spark.readStream.format("readstat")
+      .option("mode", "dropmalformed").load(dir)
+    val query = stream.writeStream.format("memory")
+      .queryName("malformed_stream").outputMode("append")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("malformed_stream").count() == 100L)
+      // a corrupt drop arrives: never admitted, stream stays alive
+      writeFile("b.dta", 101 to 200)
+      zeroPrefix(s"$dir/b.dta", 256)
+      // ...and a healthy one after it still ingests
+      writeFile("c.dta", 201 to 250)
+      query.processAllAvailable()
+      assert(query.isActive, "stream died on the malformed drop")
+      // dta has no int64 storage, so ids round-trip as double
+      val ids = spark.table("malformed_stream")
+        .select("id").collect().map(_.getDouble(0).toLong).sorted
+      assert(ids.toSeq == ((1L to 100L) ++ (201L to 250L)),
+        s"got ${ids.length} rows")
+    } finally query.stop()
+  }
+
   test("permissive leaves intact files byte-for-byte identical to failfast") {
     val dir = tmpDir("intact")
     val p = s"$dir/ok.dta"
