@@ -352,6 +352,14 @@ object FileMetadataRows {
     } else if (lower.endsWith(".xpt") || lower.endsWith(".xpt5") ||
         lower.endsWith(".xpt8")) {
       val md = XptModule.metadata(path)
+      // the parse records mid-row truncation instead of throwing (so
+      // mode=permissive can salvage); the AUDIT must keep the loud
+      // invariant — failfast metadata reads throw here, tolerant reads
+      // turn this into the file's error row
+      if (md.truncatedTail)
+        throw new java.io.IOException(
+          s"xpt: non-padding bytes after the last whole row of $path — " +
+            "file appears truncated mid-row")
       mk("xpt", md.rowCount, md.columns.size, "ISO-8859-1",
         md.fileLabel, md.created,
         jsonObj(Seq(

@@ -109,7 +109,15 @@ object PorModule extends FormatModule {
     val size = new java.io.File(path).length()
     if (limit.isDefined || size < 2 * opts.partitionTargetBytes)
       return Seq(RangePartition(path, 0, limit.getOrElse(Long.MaxValue)))
-    val idx = porIndex(path)
+    // mode=permissive: a truncated stream fails the checkpoint skim
+    // (no Z end-of-data marker) — degrade to ONE sequential partition
+    // so the decoder's salvage still recovers the decodable prefix,
+    // instead of the planner dropping the whole file (same fallback as
+    // SpssModule's unindexable zsav)
+    val idx = try porIndex(path) catch {
+      case scala.util.control.NonFatal(_) if opts.salvage =>
+        return Seq(RangePartition(path, 0, Long.MaxValue))
+    }
     if (idx.rows == 0 || idx.cps.isEmpty)
       return Seq(RangePartition(path, 0, Long.MaxValue))
     val parts = Seq.newBuilder[RangePartition]
@@ -375,10 +383,15 @@ object PorModule extends FormatModule {
         if (done) return false
         while (nextRow == null) {
           if (limit <= 0) { done = true; stream.close(); return false }
-          // do NOT catch here: a decode error (truncated stream, corrupt
-          // base-30 digits) must fail the read, not masquerade as a clean
-          // end-of-data — 'Z'/EOF handling lives in readFullRow itself
-          val r = readFullRow()
+          // do NOT swallow here: a decode error (truncated stream,
+          // corrupt base-30 digits) must fail the read, not masquerade
+          // as a clean end-of-data — 'Z'/EOF handling lives in
+          // readFullRow itself. Close the stream before rethrowing so
+          // an abandoning caller (salvage wrapper, task teardown) does
+          // not leak the handle
+          val r =
+            try readFullRow()
+            catch { case e: Throwable => done = true; stream.close(); throw e }
           if (r == null) { done = true; stream.close(); return false }
           if (r eq Skip) { limit -= 1; rowIdx += 1 } // filtered out
           else nextRow = r
@@ -754,6 +767,8 @@ object PorModule extends FormatModule {
               Formats.log.warn(s"readstat: mode=permissive salvaging por " +
                 s"${part.path} at row $rowIdx: $e")
               zEnd = true
+            case e: Throwable => // loud modes: close, then fail the task
+              stream.close(); throw e
           }
           if (zEnd) done = true
           else {

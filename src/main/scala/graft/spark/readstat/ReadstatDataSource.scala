@@ -420,8 +420,16 @@ class ReadstatScanBuilder(paths: Seq[String], rawPaths: Seq[String],
     if (countStar || paths.isEmpty || n < 0) return false
     val ok =
       if (paths.length == 1)
-        Formats.moduleFor(paths.head)
+        // under the tolerant modes a damaged file can fail the probe's
+        // index build (zsav trailer gone, POR missing its Z marker) —
+        // refuse the push so Catalyst keeps its Offset operator and the
+        // scan proceeds to salvage/fail per its own mode rules, instead
+        // of the OFFSET query dying at planning
+        try Formats.moduleFor(paths.head)
           .planPartitionsAt(paths.head, opts, n.toLong, limit).isDefined
+        catch {
+          case scala.util.control.NonFatal(_) if opts.tolerant => false
+        }
       else !opts.tolerant && // window math trusts per-file metadata counts
         paths.forall(p => Formats.exactRowCount(p, opts).isDefined &&
           Formats.moduleFor(p).plansOffset(p, opts))
@@ -671,8 +679,11 @@ class ReadstatScan(paths: Seq[String], rawPaths: Seq[String],
             case None => parts
           }
         }
+        // only PERMISSIVE may drop a file that fails data planning:
+        // dropmalformed's contract is header-corrupt files only — a
+        // parseable header with a damaged data region must still throw
         val parts =
-          if (!opts.tolerant) plan()
+          if (!opts.salvage) plan()
           else try plan() catch {
             case scala.util.control.NonFatal(e) =>
               Formats.log.warn(s"readstat: mode=${opts.mode} dropping " +
@@ -793,18 +804,26 @@ class ReadstatPartitionReaderFactory(required: StructType,
       val inner: Iterator[T] =
         try mk() catch { case NonFatal(e) => warn(e); Iterator.empty }
       new Iterator[T] {
-        private var staged: Option[T] = None
+        // sentinel staging, not Option: this wraps EVERY partition's hot
+        // row loop whenever mode=permissive, healthy files included — a
+        // per-row Some allocation would tax the common case to serve
+        // the rare failure
+        private var staged: T = _
+        private var hasStaged = false
         private var done = false
-        private def advance(): Unit = if (!done && staged.isEmpty) {
+        private def advance(): Unit = if (!done && !hasStaged) {
           try {
-            if (inner.hasNext) staged = Some(inner.next()) else done = true
+            if (inner.hasNext) { staged = inner.next(); hasStaged = true }
+            else done = true
           } catch { case NonFatal(e) => warn(e); done = true }
         }
-        override def hasNext: Boolean = { advance(); staged.isDefined }
+        override def hasNext: Boolean = { advance(); hasStaged }
         override def next(): T = {
           advance()
-          val v = staged.getOrElse(throw new NoSuchElementException("salvaged"))
-          staged = None
+          if (!hasStaged) throw new NoSuchElementException("salvaged")
+          val v = staged
+          staged = null.asInstanceOf[T]
+          hasStaged = false
           v
         }
       }

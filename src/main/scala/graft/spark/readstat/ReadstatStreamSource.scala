@@ -122,11 +122,12 @@ class ReadstatMicroBatchStream(dir: String, required: StructType,
     val seen = start.asInstanceOf[FilesOffset].files.toSet
     val fresh = end.asInstanceOf[FilesOffset].files.filterNot(seen)
     DriverPar.mapOrdered(fresh) { p =>
-        // tolerant modes: a file already in the offset history (e.g.
+        // mode=permissive: a file already in the offset history (e.g.
         // admitted before a restart, damaged since) must not wedge the
         // stream permanently — drop it with a warning, like the batch
-        // planner
-        if (!opts.tolerant) Formats.moduleFor(p).planPartitions(p, opts, None)
+        // planner. dropmalformed keeps its header-corrupt-only contract:
+        // data-region damage still fails the batch
+        if (!opts.salvage) Formats.moduleFor(p).planPartitions(p, opts, None)
         else try Formats.moduleFor(p).planPartitions(p, opts, None) catch {
           case scala.util.control.NonFatal(e) =>
             Formats.log.warn(s"readstat stream: mode=${opts.mode} dropping " +

@@ -217,7 +217,14 @@ object SasModule extends FormatModule {
     * (uncompressed rows are fixed-width, so capacity bounds rows; the
     * per-page overhead only makes the bound conservative). A cut that
     * is page-aligned AND leaves capacity ≥ rowCount stays undetectable
-    * without an O(pages) header sweep — accepted and documented. */
+    * without an O(pages) header sweep — accepted and documented.
+    * Known trade: a COMPLETE file with a few appended junk bytes (e.g.
+    * an archiver artifact) also fails the mid-page check and is
+    * reported as truncated — indistinguishable from a real cut without
+    * the header's (unreliable) page count; we prefer a loud false
+    * positive on a malformed-anyway file over the silent short read
+    * both shapes produced before this check, and mode=permissive reads
+    * such a file fully (every whole page is present). */
   private[readstat] def truncationSuspect(path: String, md: SasMeta): Boolean = {
     val len = new java.io.File(path).length()
     if ((len - md.headerLength) % math.max(1, md.pageLength) != 0) return true
@@ -232,9 +239,10 @@ object SasModule extends FormatModule {
       opts: ReadstatOptions): Unit =
     if (!opts.salvage && truncationSuspect(path, md))
       throw new java.io.EOFException(
-        s"sas7bdat truncated: $path declares ${md.rowCount} rows but only " +
-          s"${md.pageCount} whole pages are physically present " +
-          "(mode=permissive salvages the intact page prefix)")
+        s"sas7bdat appears truncated: $path declares ${md.rowCount} rows " +
+          s"against ${md.pageCount} whole physical pages, or carries a " +
+          "partial-page tail (a complete file with appended junk bytes " +
+          "trips this too; mode=permissive reads the whole pages present)")
 
   override def exactRowCount(path: String, opts: ReadstatOptions): Option[Long] = {
     val md = metadata(path)

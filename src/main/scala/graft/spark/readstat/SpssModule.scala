@@ -285,9 +285,15 @@ object SpssModule extends FormatModule {
       private val getter: Int => Any = slot => row.values(slot)
       private var rowReady = false
 
+      // a mid-decode exception abandons this iterator (salvage wrapper
+      // or task failure) — close the source's handle before rethrowing
+      def nextRowClosing(): Array[Byte] =
+        try rowSource.nextRow()
+        catch { case e: Throwable => rowSource.close(); throw e }
+
       override def hasNext: Boolean = {
         if (rowReady) return true
-        var b = rowSource.nextRow()
+        var b = nextRowClosing()
         while (b != null) {
           var pass = true
           if (pred != null) {
@@ -310,7 +316,7 @@ object SpssModule extends FormatModule {
           }
           // definite filter miss: skip the rest of this row's decode
           globalRow += 1
-          b = rowSource.nextRow()
+          b = nextRowClosing()
         }
         false
       }
@@ -647,7 +653,10 @@ object SpssModule extends FormatModule {
           var i = 0
           var eof = false
           while (i < n && !eof) {
-            if (rowSource.nextRowInto(buf, i * recordLen)) i += 1 else eof = true
+            val ok =
+              try rowSource.nextRowInto(buf, i * recordLen)
+              catch { case e: Throwable => rowSource.close(); throw e }
+            if (ok) i += 1 else eof = true
           }
           if (i < n) { n = i; remaining = n.toLong }
         }
@@ -1000,6 +1009,12 @@ object SpssModule extends FormatModule {
   // ---- row sources ----
   private trait RowSource {
     def nextRow(): Array[Byte]
+    /** Release the source's file handle / inflater early. Sources close
+      * themselves on normal exhaustion; this exists for the error path —
+      * a mid-decode exception abandons the iterator (salvage wrapper or
+      * task failure), and an explicit close beats waiting for the JDK
+      * cleaners. Must be idempotent. */
+    def close(): Unit = ()
     /** Decode the next row directly into dst at off (no per-row
       * allocation); default delegates to nextRow for sources where the
       * copy is already the cheap part. */
@@ -1032,6 +1047,7 @@ object SpssModule extends FormatModule {
       bufPos += 1; remaining -= 1
       out
     }
+    override def close(): Unit = raf.close()
   }
 
   /** Bytecode (compression=1): sequential command-stream decode
@@ -1084,6 +1100,7 @@ object SpssModule extends FormatModule {
       if (!ok) in.close() else emitted += 1
       ok
     }
+    override def close(): Unit = in.close()
 
     private def readRowInto(out: Array[Byte], base: Int): Boolean = {
       if (finished) return false
@@ -1277,6 +1294,7 @@ object SpssModule extends FormatModule {
       raf.close()
       if (seqInfLive) { seqInf.end(); seqInfLive = false }
     }
+    override def close(): Unit = closeAll()
   }
 
   /** Bytecode decoder over a chain of pre-inflated block buffers (zsav),

@@ -170,8 +170,11 @@ object StataModule extends FormatModule {
     val md = metadata(path)
     // only trust the header count if the fixed-width data section is
     // actually present — a truncated file must fall back to the scan,
-    // which fails loudly, never to a silent metadata count
-    val need = md.dataOffset + md.nObs * math.max(1, md.rowLen).toLong
+    // which fails loudly, never to a silent metadata count. v117+ rows
+    // start AFTER the 6-byte <data> tag (same geometry as the decoders
+    // and salvageableRowCount), so the presence check must include it
+    val dataStart = md.dataOffset + (if (md.version >= 117) 6 else 0)
+    val need = dataStart + md.nObs * math.max(1, md.rowLen).toLong
     if (new java.io.File(path).length() >= need) Some(md.nObs) else None
   }
 
@@ -376,7 +379,8 @@ object StataModule extends FormatModule {
         if (remaining <= 0) { close(); return }
         val n = math.min(chunkRows.toLong, remaining).toInt
         val bytes = new Array[Byte](n * rowLen)
-        raf.readFully(bytes)
+        try raf.readFully(bytes)
+        catch { case e: Throwable => close(); throw e }
         buf = bytes; bufRows = n; bufPos = 0
       }
 
@@ -841,7 +845,8 @@ object StataModule extends FormatModule {
       override def next(): ColumnarBatch = {
         val n = math.min(chunkRows.toLong, remaining).toInt
         val buf = new Array[Byte](n * rowLen)
-        raf.readFully(buf)
+        try raf.readFully(buf)
+        catch { case e: Throwable => close(); throw e }
         val startRow = globalRow
         remaining -= n; globalRow += n
         if (remaining <= 0) close()

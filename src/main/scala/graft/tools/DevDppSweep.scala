@@ -53,16 +53,23 @@ object DevDppSweep {
         .write.format("readstat").mode("overwrite").save(key50)
 
     // shuffled ordinal: key 41 gets ord 1 so the k=1 rung is the same
-    // slice as the bench's stata_dpp_sel_* pair; the other 49 keys get
-    // distinct ords 2..51 via a multiplicative scramble (x7 is a
-    // bijection mod 50, so `ord <= k` selects exactly k keys for k<=50
-    // — a fixed permutation, deterministic and non-monotone in q_code)
+    // slice as the bench's stata_dpp_sel_* pair. Base scramble ord0 =
+    // (q_code*7 mod 50)+1 is a bijection 1..50 → 1..50; transposing 41
+    // into slot 1 displaces exactly two keys (41 had ord0=38, 50 had
+    // ord0=1), so swap them: 41→1, 50→38, everyone else keeps ord0.
+    // Result is an exact permutation of 1..50 and `ord <= k` selects
+    // exactly k keys for every k — the earlier "+2 and special-case 41"
+    // form vacated slot 39 and overflowed to 51, making the k=50 rung
+    // select only 49 keys (~98% selectivity posing as the 100% anchor)
     val dimPath = s"${dta50.stripSuffix(".dta")}_sweepdim.parquet"
     spark.range(1, 51)
       .select(col("id").cast("int").as("q_code"))
+      .withColumn("ord0", (pmod(col("q_code") * 7, lit(50)) + 1).cast("int"))
       .withColumn("ord",
         when(col("q_code") === 41, 1)
-          .otherwise(pmod(col("q_code") * 7, lit(50)) + 2).cast("int"))
+          .when(col("q_code") === 50, 38)
+          .otherwise(col("ord0")).cast("int"))
+      .drop("ord0")
       .coalesce(1).write.mode("overwrite").parquet(dimPath)
 
     def joined(k: Int): DataFrame = {

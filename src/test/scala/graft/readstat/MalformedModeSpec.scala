@@ -189,6 +189,59 @@ class MalformedModeSpec extends SparkTestBase {
     assert(rows.take(3).map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("permissive offset query on a damaged zsav refuses the push and salvages") {
+    import spark.implicits._
+    val dir = tmpDir("zsavoff")
+    val p = s"$dir/t.zsav"
+    (1 to 30000).map(i => (i.toDouble, i * 1.5)).toDF("id", "x")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(p)
+    truncateTo(p, Files.size(Paths.get(p)) * 6 / 10)
+    // the pushOffset probe's index build fails on the lost EOF trailer;
+    // the push must be REFUSED (Catalyst keeps its Offset) instead of
+    // the query dying at planning — the salvaged prefix minus the
+    // offset comes back
+    val rows = spark.read.format("readstat").option("mode", "permissive")
+      .load(p).offset(10).collect()
+    assert(rows.length > 0 && rows.length < 30000,
+      s"salvaged-with-offset ${rows.length}")
+    assert(rows.head.getDouble(0) == 11.0, "offset not applied")
+  }
+
+  test("dropmalformed still throws on data-region damage (header intact)") {
+    import spark.implicits._
+    val dir = tmpDir("dropdata")
+    val p = s"$dir/t.zsav"
+    (1 to 30000).map(i => (i.toDouble, i * 1.5)).toDF("id", "x")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(p)
+    truncateTo(p, Files.size(Paths.get(p)) * 6 / 10)
+    // contract: dropmalformed drops HEADER-corrupt files only; a
+    // parseable header with damaged data must fail loudly, not drop
+    // silently at planning
+    intercept[Throwable] { read(p, "dropmalformed").collect() }
+  }
+
+  test("permissive salvages a multi-partition truncated por (index path)") {
+    import spark.implicits._
+    val dir = tmpDir("porbig")
+    val p = s"$dir/t.por"
+    (1 to 20000).map(i => (i.toDouble, i * 1.5)).toDF("ID", "X")
+      .coalesce(1)
+      .write.format("readstat").mode("overwrite").save(p)
+    truncateTo(p, Files.size(Paths.get(p)) * 6 / 10)
+    // a small partition target forces the checkpoint-index planner,
+    // whose skim fails on the missing Z marker — permissive degrades to
+    // ONE sequential partition and salvages, instead of dropping the file
+    val rows = spark.read.format("readstat")
+      .option("mode", "permissive")
+      .option("partitionTargetBytes", "32768")
+      .load(p).collect()
+    assert(rows.length > 0 && rows.length < 20000,
+      s"salvaged ${rows.length} of 20000")
+    assert(rows.take(3).map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("tolerant modes refuse the multi-file offset/limit window push") {
     val dir = tmpDir("window")
     writeDta(s"$dir/a.dta", 1, 50)
