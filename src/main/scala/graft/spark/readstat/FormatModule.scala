@@ -299,7 +299,7 @@ object ReadstatOptions {
       mergeSchema = b("mergeSchema", dflt = false),
       columnarEnabled = b("columnar", dflt = true),
       streamStabilityMs = parse("streamStabilityMs", 0L)(_.toLong),
-      mode = parse("mode", ModeFailfast) { v =>
+      mode = parse("mode", defaultMode(m)) { v =>
         val norm = v.toLowerCase
         require(Set(ModeFailfast, ModeDropMalformed, ModePermissive)
           .contains(norm),
@@ -307,4 +307,19 @@ object ReadstatOptions {
         norm
       })
   }
+
+  /** Spark-idiomatic default: with no explicit `mode` option, honor the
+    * session's `spark.sql.files.ignoreCorruptFiles` (the built-in file
+    * sources' corrupt-file switch) as `dropmalformed`. Resolved ONCE on
+    * the driver at option parse — every call site is planning-side and
+    * executors receive the resolved options object, so the decision
+    * cannot diverge across the cluster. An explicit `mode` always wins
+    * (including `mode=failfast` overriding the conf). */
+  private def defaultMode(m: java.util.Map[String, String]): String =
+    if (m.containsKey("mode")) ModeFailfast // unused: explicit value parses
+    else try {
+      if (org.apache.spark.sql.internal.SQLConf.get.ignoreCorruptFiles)
+        ModeDropMalformed
+      else ModeFailfast
+    } catch { case scala.util.control.NonFatal(_) => ModeFailfast }
 }

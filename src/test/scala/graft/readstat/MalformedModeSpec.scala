@@ -317,6 +317,29 @@ class MalformedModeSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("spark.sql.files.ignoreCorruptFiles defaults the mode to dropmalformed") {
+    val dir = tmpDir("conf")
+    writeDta(s"$dir/a.dta", 1, 50)
+    writeDta(s"$dir/b.dta", 51, 100)
+    zeroPrefix(s"$dir/b.dta", 256)
+    val key = "spark.sql.files.ignoreCorruptFiles"
+    // conf off (default): loud
+    intercept[Throwable] {
+      spark.read.format("readstat").load(dir).collect()
+    }
+    spark.conf.set(key, "true")
+    try {
+      // the built-in file sources' switch now reads as dropmalformed
+      val got = spark.read.format("readstat").load(dir)
+        .collect().map(_.getInt(0)).sorted
+      assert(got.toSeq == (1 to 50))
+      // an explicit mode always wins over the conf
+      intercept[Throwable] {
+        read(dir, "failfast").collect()
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("permissive leaves intact files byte-for-byte identical to failfast") {
     val dir = tmpDir("intact")
     val p = s"$dir/ok.dta"
