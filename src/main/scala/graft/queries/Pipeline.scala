@@ -440,7 +440,7 @@ object Pipeline {
     * exists at ANY scale — both pair sets are exact-dedup outputs and
     * each unique pair contributes one grouped row. */
   def lshRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = Text.ngramJaccardPairs(s, d)
+    val exact = Text.ngramJaccardPairsUnsorted(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), lit(1).as("ex"), lit(0).as("ls"))
     val lsh = MinHashLsh.nearDupPairs(documents(s, d), "doc_id", "text",

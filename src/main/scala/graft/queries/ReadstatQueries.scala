@@ -18,6 +18,24 @@ object ReadstatQueries {
     s"/tmp/graft_rt/${tag}_$name"
   }
 
+  /** Runs INDEPENDENT eager actions (scratch-file writes to distinct
+    * paths) from a small thread pool so their fixed job overheads
+    * overlap — Spark schedules concurrent jobs FIFO and back-fills idle
+    * cores (guide §2.6); the stat writers hold no shared mutable state.
+    * r14 optimization: the setup writes of the roundtrip queries ran
+    * strictly sequentially, serializing 2-4 single-task jobs each. */
+  private def parActions(fs: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs.map(f => scala.concurrent.Future(f()))),
+        scala.concurrent.duration.Duration(10, "min"))
+      ()
+    } finally pool.shutdown()
+  }
+
   /** lineitem → .dta → read → Q1-style aggregate (dates as strings). */
   def dtaRoundtripAgg(s: SparkSession, d: String): DataFrame = {
     val path = scratch(d, "lineitem.dta")
@@ -337,21 +355,42 @@ object ReadstatQueries {
     * are never opened — the 1000-small-files directory (this engine's
     * characteristic deployment) pages without touching out-of-window
     * files. */
-  def dirOffsetSlice(s: SparkSession, d: String): DataFrame = {
-    val dir = scratch(d, "orders_off_dir")
+  /** Shared setup of the directory-scan queries: orders(o_orderkey,
+    * o_totalprice, o_orderstatus) written as four contiguous,
+    * o_orderkey-ordered .dta quartile chunks part0..part3 under `dir`.
+    *
+    * r14 optimization: the row-numbered frame persists across the four
+    * chunk writes — each write previously re-ran the full single-task
+    * window sort, four sort passes producing one result (guide §2.4:
+    * share one exchange/sort across consumers) — and the four writes
+    * are submitted from a small thread pool so their fixed single-task
+    * job overheads overlap (guide §2.6; the writers hold no shared
+    * mutable state and target distinct paths). The persist is released
+    * before returning, so the session stays cache-clean
+    * (CacheHygieneSpec). Measured 2.0 s → ~1.0 s per query at sf0.1. */
+  private def writeOrderQuartiles(s: SparkSession, d: String, dir: String): Unit = {
     val src = orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     val n = src.count()
     val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
     val withRn = src.withColumn("rn", row_number().over(w))
-    for (k <- 0 until 4) {
-      val lo = k * n / 4
-      val hi = (k + 1) * n / 4
-      withRn.filter(col("rn") > lo && col("rn") <= hi)
-        .orderBy("o_orderkey").drop("rn")
-        .coalesce(1).write.format("readstat").mode("overwrite")
-        .save(s"$dir/part$k.dta")
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withRn.count() // one materialization serves all four writes
+      parActions((0 until 4).map { k => () =>
+        val lo = k * n / 4
+        val hi = (k + 1) * n / 4
+        withRn.filter(col("rn") > lo && col("rn") <= hi)
+          .orderBy("o_orderkey").drop("rn")
+          .coalesce(1).write.format("readstat").mode("overwrite")
+          .save(s"$dir/part$k.dta")
+      })
+    } finally withRn.unpersist(blocking = false)
+  }
+
+  def dirOffsetSlice(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(d, "orders_off_dir")
+    writeOrderQuartiles(s, d, dir)
     s.read.format("readstat").load(dir)
       .offset(5000).limit(7000)
       .groupBy("o_orderstatus")
@@ -377,19 +416,7 @@ object ReadstatQueries {
     * files. The oracle excludes exactly chunk 1's row quartile. */
   def dtaDropMalformedDir(s: SparkSession, d: String): DataFrame = {
     val dir = scratch(d, "orders_badhdr_dir")
-    val src = orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    val n = src.count()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
-    val withRn = src.withColumn("rn", row_number().over(w))
-    for (k <- 0 until 4) {
-      val lo = k * n / 4
-      val hi = (k + 1) * n / 4
-      withRn.filter(col("rn") > lo && col("rn") <= hi)
-        .orderBy("o_orderkey").drop("rn")
-        .coalesce(1).write.format("readstat").mode("overwrite")
-        .save(s"$dir/part$k.dta")
-    }
+    writeOrderQuartiles(s, d, dir)
     val raf = new java.io.RandomAccessFile(s"$dir/part1.dta", "rw")
     try { raf.seek(0); raf.write(new Array[Byte](64)) } finally raf.close()
     s.read.format("readstat").option("mode", "dropmalformed").load(dir)
@@ -736,8 +763,9 @@ object ReadstatQueries {
     val savPath = scratch(d, "meta_customer.sav")
     val src = customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
-    src.write.format("readstat").mode("overwrite").save(dtaPath)
-    src.write.format("readstat").mode("overwrite").save(savPath)
+    parActions(Seq(
+      () => src.write.format("readstat").mode("overwrite").save(dtaPath),
+      () => src.write.format("readstat").mode("overwrite").save(savPath)))
     s.read.format("readstat-file-metadata").load(dtaPath, savPath)
       .select(col("format"), col("row_count"), col("var_count"))
       .orderBy("format")
@@ -759,8 +787,11 @@ object ReadstatQueries {
   def fileMetadataMalformed(s: SparkSession, d: String): DataFrame = {
     val dir = scratch(d, "meta_badhdr_dir")
     val src = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-    src.coalesce(1).write.format("readstat").mode("overwrite").save(s"$dir/ok.dta")
-    src.coalesce(1).write.format("readstat").mode("overwrite").save(s"$dir/bad.dta")
+    parActions(Seq(
+      () => src.coalesce(1).write.format("readstat").mode("overwrite")
+        .save(s"$dir/ok.dta"),
+      () => src.coalesce(1).write.format("readstat").mode("overwrite")
+        .save(s"$dir/bad.dta")))
     val raf = new java.io.RandomAccessFile(s"$dir/bad.dta", "rw")
     try { raf.seek(0); raf.write(new Array[Byte](64)) } finally raf.close()
     s.read.format("readstat-file-metadata")
@@ -788,12 +819,15 @@ object ReadstatQueries {
     val liPath = scratch(d, "xf_lineitem.dta")
     val ordPath = scratch(d, "xf_orders.xpt")
     val custPath = scratch(d, "xf_customer.sav")
-    lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .write.format("readstat").mode("overwrite").save(liPath)
-    orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .write.format("readstat").mode("overwrite").save(ordPath)
-    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
-      .write.format("readstat").mode("overwrite").save(custPath)
+    // three independent single-table writes — overlapped (guide §2.6)
+    parActions(Seq(
+      () => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.format("readstat").mode("overwrite").save(liPath),
+      () => orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .write.format("readstat").mode("overwrite").save(ordPath),
+      () => customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .write.format("readstat").mode("overwrite").save(custPath)))
     val li = s.read.format("readstat").load(liPath)
     val ord = s.read.format("readstat").load(ordPath) // XPT names: 8-char upper
     val cust = s.read.format("readstat").load(custPath)
@@ -1217,11 +1251,12 @@ object ReadstatQueries {
     val dir = scratch(d, "mixed_dir")
     val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"),
       col("c_mktsegment"), col("c_nationkey"))
-    base.filter(col("c_custkey") % 2 === 0)
-      .select("c_custkey", "c_acctbal", "c_mktsegment")
-      .write.format("readstat").mode("overwrite").save(s"$dir/even.dta")
-    base.filter(col("c_custkey") % 2 === 1)
-      .write.format("readstat").mode("overwrite").save(s"$dir/odd.sav")
+    parActions(Seq(
+      () => base.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .write.format("readstat").mode("overwrite").save(s"$dir/even.dta"),
+      () => base.filter(col("c_custkey") % 2 === 1)
+        .write.format("readstat").mode("overwrite").save(s"$dir/odd.sav")))
     s.read.format("readstat").option("mergeSchema", "true").load(dir)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),

@@ -356,7 +356,7 @@ object Relational {
       .getOrElse(sys.props("java.io.tmpdir"))
     val spill = spillRoot.stripSuffix("/") +
       s"/graft_q22_pairs_${s.sparkContext.applicationId}"
-    Text.ngramJaccardPairs(s, d).select("id_a", "id_b")
+    Text.ngramJaccardPairsUnsorted(s, d).select("id_a", "id_b")
       .write.mode("overwrite").parquet(spill)
     s.read.parquet(spill).createOrReplaceTempView("q22_pairs")
     s.sql(

@@ -253,7 +253,16 @@ object Text {
     val fpsF = fps.join(rare, "mh")
     // normalized overlap (shared / smaller sketch): absolute counts
     // don't separate signal from chance collisions on a limited
-    // vocabulary, the covered FRACTION of the smaller document does
+    // vocabulary, the covered FRACTION of the smaller document does.
+    // r14 measured dead end (don't retry): hinting this self-join
+    // SHUFFLE_MERGE to pre-empt the estimate-driven broadcast looked
+    // neutral in an interleaved noop A/B (med 6.17 vs 6.84 s) but
+    // regressed the real benched query 4.81 → 7.66 s min — the
+    // broadcast build is cheap at bench scale and the forced sorts are
+    // not. The small-estimate broadcast is also only a small-scale
+    // plan: at 100 TB the scan-derived estimates are large and the
+    // planner lands on sort-merge by itself, so no hint is needed for
+    // scale-correctness either.
     fpsF.as("a").join(fpsF.as("b"),
         col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -409,6 +418,28 @@ object Text {
       |             count(*) AS c
       |      FROM documents GROUP BY 1)""".stripMargin
 
+  /** Estimated shingle self-join fan-out Σ df² from a deterministic
+    * 1/16 doc sample (doc_id mod 16): with sampled per-shingle counts
+    * df_s, Σ (16·df_s)² estimates Σ df² to within +15·Σdf — negligible
+    * against the 200M branch threshold, which only matters in order of
+    * magnitude anyway (the hot shingles that dominate Σ df² appear in
+    * far more than 16 docs, so their df_s tracks df/16 tightly). The
+    * estimate picks between two branches whose OUTPUTS are pinned
+    * identical (PairBranchParitySpec), so sampling cannot affect
+    * results — it only avoids shingling the whole corpus a second time
+    * for a yes/no decision (the exact probe was 0.46 s of every
+    * 1.4-2.5 s pair query at sf0.1, paid again by each of the six
+    * downstream consumers: jaccard/containment pairs, clusters,
+    * keep-best, leakage split, pagerank). */
+  private def estimatedSelfJoinRows(s: SparkSession, d: String): Long = {
+    val sampled = graft.operators.MinHashLsh
+      .shingles(documents(s, d).filter(pmod(col("doc_id"), lit(16)) === 0),
+        "doc_id", "text")
+    sampled.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+      .collect()(0).getLong(0) * 256L
+  }
+
   /** Exact 3-gram (word-shingle) Jaccard near-duplicate pairs — the
     * brute-force oracle for MinHash/LSH.
     *
@@ -433,6 +464,25 @@ object Text {
   /** @param forcePrefix Some(true/false) pins the branch (spec use:
     *                    branch-parity tests); None = cost-based. */
   private[graft] def ngramJaccardPairsImpl(s: SparkSession, d: String,
+      forcePrefix: Option[Boolean]): DataFrame =
+    ngramJaccardPairsUnsortedImpl(s, d, forcePrefix).orderBy("id_a", "id_b")
+
+  /** [[ngramJaccardPairs]] WITHOUT the final global ORDER BY — for the
+    * graph/split consumers that aggregate or collect the pair set and
+    * never depend on its order (connected components, keep-best,
+    * leakage split, pagerank, q22's parquet spill, LSH recall).
+    *
+    * r14 optimization: the sorted form costs a rangepartitioning
+    * exchange PLUS its boundary-sampling pass, and the consumers'
+    * materialization boundaries (CC's edge cache, q22's spill) bake the
+    * executed sort into the cached/spilled data, so EliminateSorts can
+    * never remove it downstream — every CC-family query paid a global
+    * sort of the pair set it then immediately unordered into a
+    * hash-min aggregation. */
+  private[graft] def ngramJaccardPairsUnsorted(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairsUnsortedImpl(s, d, forcePrefix = None)
+
+  private def ngramJaccardPairsUnsortedImpl(s: SparkSession, d: String,
       forcePrefix: Option[Boolean]): DataFrame = {
     val t = 0.2
     // sh feeds df-counts, sizes, the join and the verification probes.
@@ -457,12 +507,12 @@ object Text {
     val sizes = sh.groupBy("doc_id").agg(count(col("sh")).as("n_sh"))
     val dfc = sh.groupBy("sh").agg(count(col("doc_id")).as("df"))
     // cost stat is a separate action (can't share the main plan's
-    // exchanges) — take it off shRaw so it ships partial-agg (sh, count)
-    // pairs instead of paying the full repartition shuffle
-    def joinRows: Long = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-      .collect()(0).getLong(0)
-    val usePrefix = forcePrefix.getOrElse(joinRows > 200000000L)
+    // exchanges) — r14: estimated from a 1/16 doc sample instead of an
+    // exact second shingling pass over the whole corpus; see
+    // [[estimatedSelfJoinRows]] (branch outputs are pinned identical,
+    // only the plan choice depends on it)
+    val usePrefix = forcePrefix.getOrElse(
+      estimatedSelfJoinRows(s, d) > 200000000L)
     val inter =
       if (!usePrefix) {
         // singletons (df=1) cannot intersect anything — drop before join
@@ -505,7 +555,6 @@ object Text {
           (col("n_a") + col("n_b") - col("n_int")), 4))
       .filter(col("jaccard") >= 0.2)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   val ngramJaccardPairsSql: String =
@@ -534,11 +583,16 @@ object Text {
     * the id a pipeline would keep as the canonical representative. The
     * DuckDB oracle recomputes components with a recursive CTE over the
     * same exact-jaccard pair set. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersUnsorted(s, d).orderBy("doc_id")
+
+  /** [[dedupClusters]] without the output ORDER BY — keep-best joins the
+    * cluster map on doc_id and never reads it in order (same r14 move
+    * as [[ngramJaccardPairsUnsorted]]). */
+  private def dedupClustersUnsorted(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccardPairsUnsorted(s, d).select("id_a", "id_b")
     graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   val dedupClustersSql: String = {
@@ -614,7 +668,7 @@ object Text {
     // driver-local frame (count is a LocalRelation scan) or its own
     // cached labels (count reads the cache) — re-caching here would
     // leak a persistent RDD past the query (CacheHygieneSpec)
-    val clusters = dedupClusters(s, d) // (doc_id, cluster_id), paired docs only
+    val clusters = dedupClustersUnsorted(s, d) // (doc_id, cluster_id), paired docs only
     val useBroadcast = forceBroadcast.getOrElse(
       clusters.count() <= KeepBestBroadcastRows)
     def hinted(df: DataFrame): DataFrame =
@@ -693,7 +747,7 @@ object Text {
     * join output. No new shuffle beyond the CC rounds.
     */
   def leakageSplit(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    val pairs = ngramJaccardPairsUnsorted(s, d).select("id_a", "id_b")
     val comps = graft.operators.Graph.connectedComponents(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     documents(s, d).select(col("doc_id"))
@@ -751,7 +805,7 @@ object Text {
     * corpus-sized.
     */
   def pagerank(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccardPairs(s, d).select("id_a", "id_b")
+    val pairs = ngramJaccardPairsUnsorted(s, d).select("id_a", "id_b")
     val sym = pairs.unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val pr = graft.operators.Graph.pageRank(sym, "id_a", "id_b", iters = 8)
     pr.select(col("id").as("doc_id"), round(col("rank"), 6).as("pr"))
@@ -874,10 +928,10 @@ object Text {
       .repartition(col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(col("sh")).as("n_sh"))
     val dfc = sh.groupBy("sh").agg(count(col("doc_id")).as("df"))
-    def joinRows: Long = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-      .collect()(0).getLong(0)
-    val usePrefix = forcePrefix.getOrElse(joinRows > 200000000L)
+    // r14: sampled estimate replaces the exact second shingling pass —
+    // same rationale as the jaccard branch ([[estimatedSelfJoinRows]])
+    val usePrefix = forcePrefix.getOrElse(
+      estimatedSelfJoinRows(s, d) > 200000000L)
     val inter = if (!usePrefix) {
       val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
       shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
