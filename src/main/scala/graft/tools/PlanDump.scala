@@ -174,17 +174,25 @@ to its semantics. Variants measured on the enumeration half:
   more than the wedge-array shuffle saves at this size, and it would be a
   driver/executor-memory ceiling at scale.
 
-Conclusion: the remaining cost is irreducible without changing semantics —
-it is the edge build plus two edge-keyed hash joins whose shuffled array
-payload IS the wedge set (the materialized wedge-join alternative measured
-8x worse in r9). The 1.3x target is not reachable by plan shape; the r10
-verdict's alignment-filter win (3.62 vs 4.29 s) stands as the last real one.
+Conclusion (r11, superseded for the edge build — see the r14 note): the
+enumeration half is irreducible without changing semantics — two
+edge-keyed hash joins whose shuffled array payload IS the wedge set (the
+materialized wedge-join alternative measured 8x worse in r9); the r10
+alignment-filter win (3.62 vs 4.29 s) stands.
 
 r12 note: PROFILE_IDLE.json (committed, sentinel-gated min-of-3) measures
 6.0 s on this session's machine with byte-identical triangle code, while
 q22 on the same artifact runs FASTER than its r11 certified record —
 session-to-session machine variance, not a regression; compare idle claims
 only against committed artifacts from the same session.
+
+r14: the EDGE BUILD half did fall — not by join tuning but by removing
+the self-join entirely: one l_orderkey aggregation collects each order's
+sorted part set and a transform/slice expression explodes the ordered
+pairs (identical distinct edge set, row-parity-checked at 1,196,000).
+Whole-query shuffle 252/207 MB -> 75/30 MB; bench 6.07 -> 4.98 s min on
+a quiet run. Details: OPTIMIZATION_r14.md item 1,
+plans/r14/graph_triangles_{before,after}.txt.
 """)
     val sb = new StringBuilder
     sb.append("# PLANS — `explain(\"formatted\")` of headline queries\n\n")
