@@ -31,6 +31,47 @@ object Bench {
     (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
       .replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
 
+  /** Queries whose implementation the CURRENT optimization round touched:
+    * packed into the one-line record right after the BASELINE-comparable
+    * raw reads, so the driver's round-over-round comparison always sees
+    * the queries under test (the r14 lesson: every actually-optimized
+    * query fell outside the record's capture window while only untouched
+    * raw reads were compared). Updated per optimization round. */
+  private[graft] val touchedThisRound: Set[String] = Set(
+    "text_decontaminate", "dedup_winnow_pairs", "q22_recursive_clusters",
+    "spss_compress_roundtrip", "stata_compress_roundtrip",
+    "sim_sparse_cosine", "dir_offset_slice", "stata_dropmalformed_dir",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_clusters",
+    "dedup_keep_best", "sample_leakage_split", "graph_pagerank",
+    "dedup_lsh_recall")
+
+  /** 2-decimal value for the one-line record: per-query mins are 0.05-7 s
+    * with >10 ms run-to-run noise, so the third decimal carried no
+    * information and cost ~170 chars of the line budget. Full 4-decimal
+    * values stay in BENCH_LOCAL.json. */
+  private def fmt2(v: Double): String = BigDecimal(v)
+    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Pack the driver-parsed one-line JSON record. Pure so
+    * BenchRecordSpec can pin the packing behavior. `ordered` must
+    * already be in keep-priority order; entries are kept greedily until
+    * the budget is hit and the rest are counted in "omitted". */
+  private[graft] def packLine(total: Double, ordered: Seq[(String, Double)],
+      fixedTail: String, budget: Int): String = {
+    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":{"""
+    val entries = ordered.map { case (k, v) => s"\"" + k + "\":" + fmt2(v) }
+    var line = head
+    var kept = 0
+    entries.foreach { e =>
+      val sep = if (kept == 0) "" else ","
+      if (line.length + sep.length + e.length + 1 + fixedTail.length + 16 <= budget) {
+        line += sep + e; kept += 1
+      }
+    }
+    val omitted = entries.length - kept
+    line + "}" + (if (omitted > 0) s""","omitted":$omitted""" else "") + fixedTail
+  }
+
   private def ensureFile(df: DataFrame, path: String,
       options: Map[String, String] = Map.empty): Unit =
     if (!new java.io.File(path).exists())
@@ -706,32 +747,38 @@ object Bench {
     // the recorded line is the LAST ~2000 chars of sbt output: everything
     // printed must fit there together with sbt's trailing [success] line,
     // or the record is truncated mid-JSON and unparseable (the fate of
-    // BENCH_r1–r4). Print 3-decimal values and hard-cap the line; the
-    // full-precision record with per-run vectors and row counts always
-    // goes to BENCH_LOCAL.json in the repo.
-    def fmt3(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // BENCH_r1–r4). Print 2-decimal values (fmt2) and hard-cap the line;
+    // the full-precision record with per-run vectors and row counts
+    // always goes to BENCH_LOCAL.json in the repo.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // priority: BASELINE-comparable raw reads first, then relational
-    // q1–q17, then pipeline operators — later entries drop first if the
-    // char budget is hit
+    // priority: BASELINE-comparable raw reads first (the historically
+    // line-visible set — keeping them first means no previously-reported
+    // entry ever falls off the line), then the queries this optimization
+    // round touched (the driver MUST be able to compare them
+    // round-over-round), then relational q1–q22, then the rest — later
+    // entries drop first if the char budget is hit
     val rawNames = allRaw.map(_._1)
     val priority: Map[String, Int] = results.map { case (k, _) =>
       k -> (if (rawNames.contains(k)) 0
-            else if (k.matches("q\\d+_.*")) 1 else 2)
+            else if (touchedThisRound.contains(k)) 1
+            else if (k.matches("q\\d+_.*")) 2 else 3)
     }.toMap
     val ordered = results.sortBy { case (k, _) => (priority(k), k) }
     // 2000-char capture window minus sbt's ~70-char "[success] Total
     // time: ..." trailer, with margin for timestamp-length variance
     val budget = 1820
-    // med + noise ride in the guaranteed tail: medians for the
-    // BASELINE-comparable raw reads show dispersion next to the min,
-    // and the per-round sentinel times expose ambient-load bursts —
-    // pipeline-query medians live in BENCH_LOCAL.json
-    val medJson = allRaw.map(_._1).filter(medians.contains)
-      .map(k => s"\"" + k + "\":" + fmt3(medians(k))).mkString("{", ",", "}")
-    val noiseJson = noise.map(fmt3).mkString("[", ",", "]")
-    val noiseIoJson = noiseIo.map(fmt3).mkString("[", ",", "]")
+    // r15: the printed med block is GONE from the line — it consumed
+    // ~900 of the 1820-char budget and starved the per-query min entries
+    // the driver actually compares (PERF_r14 saw 17 of 177 entries; 13
+    // stata_* entries that fell off the line read as "dropped"). Medians
+    // for every query remain in BENCH_LOCAL.json ("detail"). With the
+    // block gone and 2-decimal mins, ~66 entries fit; all 177 (~4.4 kB)
+    // physically cannot — the driver keeps only the LAST 2000 chars of
+    // sbt output (BENCH_r01–r04 lost whole records by overflowing it).
+    // noise stays: the per-round sentinel times are the contamination
+    // evidence the round-over-round judgment depends on.
+    val noiseJson = noise.map(fmt2).mkString("[", ",", "]")
+    val noiseIoJson = noiseIo.map(fmt2).mkString("[", ",", "]")
     // failed queries ride in the guaranteed tail so the driver-visible
     // record always shows them, even under the char budget — but the
     // tail itself must stay bounded: a systemic regression failing most
@@ -753,19 +800,8 @@ object Bench {
       else s""","med_uncertified":${medUncertified.take(8)
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fixedTail =
-      s""","med":$medJson,"noise":$noiseJson,"noise_io":$noiseIoJson$errTail$medFlagTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
-    val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{"""
-    val entries = ordered.map { case (k, v) => s"\"" + k + "\":" + fmt3(v) }
-    var line = head
-    var kept = 0
-    entries.foreach { e =>
-      val sep = if (kept == 0) "" else ","
-      if (line.length + sep.length + e.length + 1 + fixedTail.length + 16 <= budget) {
-        line += sep + e; kept += 1
-      }
-    }
-    val omitted = entries.length - kept
-    line += "}" + (if (omitted > 0) s""","omitted":$omitted""" else "") + fixedTail
+      s""","noise":$noiseJson,"noise_io":$noiseIoJson$errTail$medFlagTail,"sf":"$sfDir","detail":"BENCH_LOCAL.json"}"""
+    val line = packLine(total, ordered, fixedTail, budget)
 
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -513,22 +513,39 @@ object Curation {
     * per-doc counts partial-aggregate. Nothing here is quadratic. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val n = 8
+    // r15 restructure (results pinned identical by the oracle): the old
+    // shape tokenized the corpus TWICE — the eval/train bucket filters
+    // push below the shared `.distinct()`, so the two branches' gram
+    // subtrees stop canonicalizing equal and each re-runs the full
+    // tokenize+explode — and then paid a gram join plus a separate
+    // totals aggregate + doc_id join (three consumptions in all).
+    // Now: per-doc `array_distinct` BEFORE the explode replaces the
+    // global distinct outright (doc_id is unique, bucket is a function
+    // of doc_id, so (doc_id, bucket, g) rows are distinct by
+    // construction), one hash exchange on g clusters eval and train
+    // occurrences of a gram together, a window-max flags every gram
+    // that any eval doc carries, and ONE doc_id aggregation computes
+    // n_grams and n_shared both. One tokenize pass instead of two,
+    // two exchanges instead of five, zero joins (guide §2.4).
     val grams = documents(s, d)
       .select(col("doc_id"),
         TextCuration.hashBucket(col("doc_id")).as("bucket"),
         split(lower(trim(col("text"))), graft.queries.Tables.Ws).as("tk"))
       .select(col("doc_id"), col("bucket"),
-        explode(expr(
+        explode(array_distinct(expr(
           s"CASE WHEN size(tk) >= $n THEN transform(sequence(1, size(tk) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(tk, i, $n))) ELSE array() END")).as("g"))
-      .distinct()
-    val evalGrams = grams.filter(col("bucket") < 20).select("g").distinct()
-    val train = grams.filter(col("bucket") >= 20)
-    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    train.join(evalGrams, "g")
+            s"i -> concat_ws(' ', slice(tk, i, $n))) ELSE array() END"))).as("g"))
+      .repartition(col("g"))
+    // max over the g-partition needs no second exchange (the window's
+    // required clustering is satisfied by the repartition), only a sort
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    grams
+      .withColumn("has_eval",
+        max(when(col("bucket") < 20, 1).otherwise(0)).over(w))
+      .filter(col("bucket") >= 20)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .join(totals, "doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("has_eval")).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         round(col("n_shared").cast("double") / col("n_grams"), 4)
           .as("overlap_frac"))

@@ -24,14 +24,18 @@ object ReadstatQueries {
     * cores (guide §2.6); the stat writers hold no shared mutable state.
     * r14 optimization: the setup writes of the roundtrip queries ran
     * strictly sequentially, serializing 2-4 single-task jobs each. */
-  private def parActions(fs: Seq[() => Unit]): Unit = {
+  private def parActions(fs: Seq[() => Unit]): Unit = if (fs.nonEmpty) {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
+      // no deadline (r15, ADVICE): the old sequential code had none, and
+      // a fixed 10-min Await would turn a merely-slow large-SF write
+      // into a TimeoutException; a genuinely wedged write should hang
+      // visibly (and be diagnosed), not be converted into a failure here
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs.map(f => scala.concurrent.Future(f()))),
-        scala.concurrent.duration.Duration(10, "min"))
+        scala.concurrent.duration.Duration.Inf)
       ()
     } finally pool.shutdown()
   }
@@ -372,20 +376,40 @@ object ReadstatQueries {
     val src = orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     val n = src.count()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
-    val withRn = src.withColumn("rn", row_number().over(w))
+    // r15: NO global row_number window at all (its single sort task held
+    // the whole table — the one remaining scale-killer of this setup,
+    // r14 verdict). o_orderkey is unique (TPC-H primary key), so the
+    // rank ranges (k·n/4, (k+1)·n/4] select exactly the key ranges
+    // (b(k), b(k+1)] where b(j) is the j·n/4-th smallest key — an exact
+    // order statistic read off a PARALLEL range sort of the bare key
+    // column (8 B/row) via zipWithIndex. The narrow sorted-key RDD is
+    // persisted only because zipWithIndex runs its own partition-count
+    // job before the boundary lookup. Each chunk write then filters its
+    // key range straight off the source scan: single-task by necessity
+    // (one contiguous .dta per chunk) but bounded at a quarter of the
+    // table, sorted independently, and overlapped via parActions (§2.6).
+    val sortedKeys = src.select(col("o_orderkey").cast("long").as("k"))
+      .orderBy("k").rdd.map(_.getLong(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      withRn.count() // one materialization serves all four writes
+      // boundary ranks; a rank of 0 (n < 4) means "below every key"
+      val targets = (1L to 3L).map(k => k * n / 4)
+      val wanted = targets.filter(_ >= 1L).toSet
+      val keyAtRank: Map[Long, Long] = sortedKeys.zipWithIndex()
+        .filter { case (_, i) => wanted.contains(i + 1) }
+        .map { case (key, i) => (i + 1, key) }
+        .collect().toMap
+      val b: IndexedSeq[Long] =
+        targets.map(t => if (t < 1L) Long.MinValue else keyAtRank(t)).toIndexedSeq
       parActions((0 until 4).map { k => () =>
-        val lo = k * n / 4
-        val hi = (k + 1) * n / 4
-        withRn.filter(col("rn") > lo && col("rn") <= hi)
-          .orderBy("o_orderkey").drop("rn")
-          .coalesce(1).write.format("readstat").mode("overwrite")
+        val lo = if (k == 0) lit(true) else col("o_orderkey") > b(k - 1)
+        val hi = if (k == 3) lit(true) else col("o_orderkey") <= b(k)
+        src.filter(lo && hi)
+          .coalesce(1).sortWithinPartitions("o_orderkey")
+          .write.format("readstat").mode("overwrite")
           .save(s"$dir/part$k.dta")
       })
-    } finally withRn.unpersist(blocking = false)
+    } finally sortedKeys.unpersist(blocking = false)
   }
 
   def dirOffsetSlice(s: SparkSession, d: String): DataFrame = {

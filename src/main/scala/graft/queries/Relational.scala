@@ -337,7 +337,14 @@ object Relational {
     * no per-source path state); this query's value is pinning the SQL
     * recursion SEMANTICS, and that the relational surface includes
     * recursive CTEs at all. */
-  def q22RecursiveClusters(s: SparkSession, d: String): DataFrame = {
+  def q22RecursiveClusters(s: SparkSession, d: String): DataFrame =
+    q22RecursiveClustersImpl(s, d, localPairThreshold = 2000000L)
+
+  /** @param localPairThreshold spill sizes at or below this run the
+    *        4-round local min-propagation; 0 pins the distributed CTE
+    *        (spec use: PairBranchParitySpec parity + no-LocalRelation). */
+  private[graft] def q22RecursiveClustersImpl(s: SparkSession, d: String,
+      localPairThreshold: Long): DataFrame = {
     // materialize the pair set ONCE as a distributed parquet spill
     // before recursing: the recursion step re-evaluates its source per
     // level, which would re-run the whole shingle/join pipeline 4×
@@ -358,22 +365,58 @@ object Relational {
       s"/graft_q22_pairs_${s.sparkContext.applicationId}"
     Text.ngramJaccardPairsUnsorted(s, d).select("id_a", "id_b")
       .write.mode("overwrite").parquet(spill)
-    s.read.parquet(spill).createOrReplaceTempView("q22_pairs")
-    s.sql(
-      """WITH RECURSIVE
-        |edges AS (
-        |  SELECT id_a AS x, id_b AS y FROM q22_pairs
-        |  UNION ALL
-        |  SELECT id_b AS x, id_a AS y FROM q22_pairs),
-        |nodes AS (SELECT DISTINCT x AS id FROM edges),
-        |reach(src, node, hop) AS (
-        |  SELECT id AS src, id AS node, 0 AS hop FROM nodes
-        |  UNION ALL
-        |  SELECT DISTINCT r.src, e.y AS node, r.hop + 1 AS hop
-        |  FROM reach r JOIN edges e ON e.x = r.node
-        |  WHERE r.hop < 4)
-        |SELECT src AS doc_id, min(node) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+    val pairs = s.read.parquet(spill)
+    // r15: cost-gated LOCAL recursion, the Graph.connectedComponents
+    // dispatch pattern. Spark's recursive-CTE (UnionLoop) machinery ran
+    // ~30 jobs for the 4 hop levels — per-level fixed overhead that
+    // dwarfs the actual work whenever the spilled pair set is small
+    // (which near-dup pair sets are, relative to the corpus). Below the
+    // same 2M-edge threshold Graph uses, collect the pairs (the count is
+    // a parquet-metadata read off the spill just written) and run 4
+    // rounds of SYNCHRONOUS min-label propagation: after round k each
+    // node's label is the min id within its ≤k-hop neighborhood, which
+    // is exactly the CTE's min over walk-reachable nodes (symmetric
+    // edges: distance d ≤ 4 ⟹ a length-d walk exists, and every walk
+    // stays within distance 4), so the result is IDENTICAL — the oracle
+    // pins it. Above the threshold the distributed CTE runs unchanged.
+    if (pairs.count() <= localPairThreshold) {
+      import s.implicits._
+      val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      var label = new java.util.HashMap[Long, Long]()
+      es.foreach { case (a, b) =>
+        label.putIfAbsent(a, a); label.putIfAbsent(b, b)
+      }
+      for (_ <- 0 until 4) {
+        val next = new java.util.HashMap[Long, Long](label)
+        es.foreach { case (a, b) =>
+          val la: Long = label.get(a); val lb: Long = label.get(b)
+          if (la < next.get(b)) next.put(b, la)
+          if (lb < next.get(a)) next.put(a, lb)
+        }
+        label = next
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      label.forEach((k, v) => out += ((k, v)))
+      out.sortBy(_._1).toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
+    } else {
+      pairs.createOrReplaceTempView("q22_pairs")
+      s.sql(
+        """WITH RECURSIVE
+          |edges AS (
+          |  SELECT id_a AS x, id_b AS y FROM q22_pairs
+          |  UNION ALL
+          |  SELECT id_b AS x, id_a AS y FROM q22_pairs),
+          |nodes AS (SELECT DISTINCT x AS id FROM edges),
+          |reach(src, node, hop) AS (
+          |  SELECT id AS src, id AS node, 0 AS hop FROM nodes
+          |  UNION ALL
+          |  SELECT DISTINCT r.src, e.y AS node, r.hop + 1 AS hop
+          |  FROM reach r JOIN edges e ON e.x = r.node
+          |  WHERE r.hop < 4)
+          |SELECT src AS doc_id, min(node) AS cluster_id
+          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+    }
   }
 
   val q22Sql: String = {

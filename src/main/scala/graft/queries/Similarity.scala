@@ -491,19 +491,33 @@ object Similarity {
         explode(split(trim(col("text")), graft.queries.Tables.Ws)).as("w0"))
       .select(col("doc_id"), lower(col("w0")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    // repartition boundary: `kept` feeds the two postings-join sides AND
-    // the norm aggregate; keyed on w (the join key) so both sides read
-    // one shuffle instead of recomputing the tf/df subtree per consumer
+    // repartition boundary: `kept` feeds the per-term doc-set
+    // aggregation AND the norm aggregate; keyed on w so both consumers
+    // read one shuffle instead of recomputing the tf/df subtree
     val kept = tf.join(
       tf.groupBy("w").agg(count(lit(1)).as("df"))
         .where(col("df").between(2, 450)).select("w"), "w")
       .repartition(col("w"))
     val norms = kept.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
-    val dot = kept.as("a").join(kept.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    // r15: per-term doc-set expansion replaces the postings SELF-JOIN —
+    // the Text.pairCountsViaDocSets move, carrying tf through the
+    // explosion so x.tf * y.tf is computed in place. Safe to collect:
+    // df is capped at 450 BEFORE this aggregation, so each list is
+    // bounded. sort_array orders the structs by doc_id (unique within a
+    // term), and the strictly-later slice reproduces the
+    // a.doc_id < b.doc_id join condition exactly; the integer partial
+    // dots then sum order-free, so values are bit-identical.
+    val dot = kept
+      .groupBy("w")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(" +
+          "slice(ds, i + 2, size(ds) - i - 1), " +
+          "y -> struct(x.doc_id AS a, y.doc_id AS b, x.tf * y.tf AS p))))")).as("e"))
+      .groupBy(col("e.a").as("id_a"), col("e.b").as("id_b"))
+      .agg(sum(col("e.p")).as("dot"))
     dot
       .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
       .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")

@@ -250,23 +250,22 @@ object Text {
     val rare = fps.groupBy("mh").agg(count(col("doc_id")).as("df"))
       .filter(col("df") > 1 && col("df") <= dfCap)
       .select("mh")
-    val fpsF = fps.join(rare, "mh")
+    // the rare df-band join stays BEFORE the set expansion: it drops the
+    // hot (boilerplate) fingerprints by a count, so no collect_set ever
+    // materializes an over-cap doc list (see pairCountsViaDocSets scale
+    // guard) — then the self-join it used to feed is replaced by the
+    // doc-set pair expansion outright.
     // normalized overlap (shared / smaller sketch): absolute counts
     // don't separate signal from chance collisions on a limited
     // vocabulary, the covered FRACTION of the smaller document does.
-    // r14 measured dead end (don't retry): hinting this self-join
+    // r14 measured dead end (don't retry): hinting the old self-join
     // SHUFFLE_MERGE to pre-empt the estimate-driven broadcast looked
     // neutral in an interleaved noop A/B (med 6.17 vs 6.84 s) but
     // regressed the real benched query 4.81 → 7.66 s min — the
     // broadcast build is cheap at bench scale and the forced sorts are
-    // not. The small-estimate broadcast is also only a small-scale
-    // plan: at 100 TB the scan-derived estimates are large and the
-    // planner lands on sort-merge by itself, so no hint is needed for
-    // scale-correctness either.
-    fpsF.as("a").join(fpsF.as("b"),
-        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    // not. (r15 removes that join's build side entirely.)
+    pairCountsViaDocSets(fps.join(rare, "mh"), "mh")
+      .withColumnRenamed("n_int", "n_shared")
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("frac",
@@ -432,13 +431,63 @@ object Text {
     * downstream consumers: jaccard/containment pairs, clusters,
     * keep-best, leakage split, pagerank). */
   private def estimatedSelfJoinRows(s: SparkSession, d: String): Long = {
-    val sampled = graft.operators.MinHashLsh
-      .shingles(documents(s, d).filter(pmod(col("doc_id"), lit(16)) === 0),
-        "doc_id", "text")
-    sampled.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-      .collect()(0).getLong(0) * 256L
+    // r15 (ADVICE items): (1) sample on a HASH of doc_id, not the raw
+    // residue — strided or partition-encoded id schemes correlate with
+    // `doc_id % 16` and can bias or empty the sample; xxhash64
+    // decorrelates from any id layout. (2) When the sample is too thin
+    // to trust (< 1000 shingle rows — read off the same aggregate for
+    // free as Σdf), fall back to the exact probe: corpora that small are
+    // exactly where the exact second pass is cheap. (3) Clamp the ×256
+    // extrapolation so a huge sampled Σdf² can never wrap negative and
+    // silently pick the quadratic direct branch in the heaviest-skew
+    // regime. The probe still only picks between branches whose outputs
+    // PairBranchParitySpec pins identical.
+    def stats(docs: DataFrame): (Long, Long) =  {
+      val r = graft.operators.MinHashLsh.shingles(docs, "doc_id", "text")
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L)),
+          coalesce(sum(col("df")), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (sumSq, sampledRows) = stats(
+      documents(s, d).filter(pmod(xxhash64(col("doc_id")), lit(16)) === 0))
+    if (sampledRows < 1000L) stats(documents(s, d))._1
+    else if (sumSq > Long.MaxValue / 256L) Long.MaxValue
+    else sumSq * 256L
   }
+
+  /** r15: per-key doc-set pair expansion (the r14 graph_triangles
+    * pattern) — replaces the inverted-index SELF-JOIN over a
+    * key-partitioned (doc_id, key) fingerprint set. One
+    * ObjectHashAggregate on the key partitioning that already exists
+    * collects each key's doc ids (distinct by construction: every
+    * shingle/sketch emitter dedupes per doc, so |set| is exactly df);
+    * sort_array + strictly-later slice reproduces the
+    * a.doc_id < b.doc_id join condition exactly, and each (id_a, id_b)
+    * pair is produced once per shared key, so the aggregated counts are
+    * IDENTICAL to the join's. What disappears is the join machinery:
+    * at bench scale the planner BROADCAST the whole fp set off the
+    * scan's tiny size estimate (a 300k-row hash build), at real scale
+    * it sorts both sides — either way paying twice for rows the
+    * explosion now emits directly.
+    *
+    * Scale guard: callers with an UPPER df cap must pre-filter hot keys
+    * before this (winnowPairs joins its `rare` df-band first) — a
+    * collect_set of an uncapped boilerplate key would materialize df ids
+    * in one buffer before the size filter could drop them. The uncapped
+    * direct branches are safe by dominance: they are only chosen when
+    * Σdf² ≤ 2·10⁸, which bounds df (array ≤ ~14k ids) far below any
+    * buffer concern. */
+  private def pairCountsViaDocSets(fps: DataFrame, keyCol: String): DataFrame =
+    fps.groupBy(keyCol)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(" +
+          "slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_int"))
 
   /** Exact 3-gram (word-shingle) Jaccard near-duplicate pairs — the
     * brute-force oracle for MinHash/LSH.
@@ -515,12 +564,11 @@ object Text {
       estimatedSelfJoinRows(s, d) > 200000000L)
     val inter =
       if (!usePrefix) {
-        // singletons (df=1) cannot intersect anything — drop before join
-        val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
-        shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("n_int"))
+        // r15: doc-set pair expansion replaces the df>1 filter join AND
+        // the index self-join — the size(ds) > 1 filter IS the singleton
+        // drop (see pairCountsViaDocSets; outputs identical, the oracle
+        // and PairBranchParitySpec pin them)
+        pairCountsViaDocSets(sh, "sh")
       } else {
         // Dropping singletons before ranking only ever ENLARGES the kept
         // prefix (they sort first), so the candidate set stays a superset
@@ -933,11 +981,9 @@ object Text {
     val usePrefix = forcePrefix.getOrElse(
       estimatedSelfJoinRows(s, d) > 200000000L)
     val inter = if (!usePrefix) {
-      val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
-      shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_int"))
+      // r15: doc-set pair expansion — same move as the jaccard direct
+      // branch (pairCountsViaDocSets; outputs pinned identical)
+      pairCountsViaDocSets(sh, "sh")
     } else {
       // dropping singletons before ranking only ENLARGES the kept prefix
       // (they sort first) — superset of the exact prefix, same move as

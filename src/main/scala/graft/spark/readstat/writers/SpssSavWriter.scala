@@ -145,13 +145,22 @@ object SpssSavWriter {
         "A-formats are bound to the storage width and cannot be overridden"))
 
     val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
-    val aggs = count(lit(1)).as("__n") +:
-      strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
-    val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
-    val nObs = head.getLong(0)
-    val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
-      c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
-    }.toMap
+    // r15: a compress write's stats job already measured the row count
+    // and every string column's max octet width — reuse them instead of
+    // running a second full pass over the outgoing data
+    val (nObs, widths): (Long, Map[String, Int]) =
+      StatWriters.precomputedStats(options, strCols.toSeq) match {
+        case Some((n, ws)) =>
+          (n, strCols.map(c => c -> math.max(1, ws(c))).toMap)
+        case None =>
+          val aggs = count(lit(1)).as("__n") +:
+            strCols.map(c => max(octet_length(col(c))).as(s"__w_$c"))
+          val head = StatWriters.statsView(df)
+            .agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+          (head.getLong(0), strCols.zipWithIndex.map { case (c, i) =>
+            c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
+          }.toMap)
+      }
 
     val used = scala.collection.mutable.Set[String]()
     val cols: Array[ColSpec] = schema.fields.zipWithIndex.map { case (f, i) =>

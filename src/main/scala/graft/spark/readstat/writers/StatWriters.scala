@@ -59,14 +59,43 @@ object StatWriters {
     // write-side compress (reference `with_compress`): one exact
     // distributed stats pass, then the narrowed frame feeds any writer —
     // the reference only wires compress into its Stata writer, but the
-    // pre-cast is format-independent so every sink gets it here
-    val out =
-      if (options.get("compress").exists(_.toBoolean))
-        WriteCompress(df, WriteCompress.Opts.from(options,
-          isDta = lower.endsWith(".dta")))
-      else df
-    write0(out, path, opts, lower)
+    // pre-cast is format-independent so every sink gets it here.
+    // r15: that stats pass now also measures the row count and string
+    // widths the writers need, threaded via internal options (the
+    // "__overwrite" pattern) so the sav/dta writers skip their own
+    // full stats job — a compress write is two passes, not three.
+    // Names containing the encoding separators fall back safely.
+    val (out, opts2) =
+      if (options.get("compress").exists(_.toBoolean)) {
+        val (narrowed, stats) = WriteCompress.applyWithStats(df,
+          WriteCompress.Opts.from(options, isDta = lower.endsWith(".dta")))
+        val extra = stats match {
+          case Some((n, widths))
+              if widths.keys.forall(k => !k.contains(":") && !k.contains("|")) =>
+            Map("__statsNObs" -> n.toString,
+              "__statsWidths" ->
+                widths.map { case (k, v) => s"$k:$v" }.mkString("|"))
+          case _ => Map.empty[String, String]
+        }
+        (narrowed, opts ++ extra)
+      } else (df, opts)
+    write0(out, path, opts2, lower)
   }
+
+  /** Precomputed (row count, string max-octet-widths) from the compress
+    * stats job, if present and covering every string column the caller
+    * needs — writers call this to skip their own stats pass. */
+  private[writers] def precomputedStats(options: Map[String, String],
+      strCols: Seq[String]): Option[(Long, Map[String, Int])] =
+    for {
+      n <- options.get("__statsNObs").map(_.toLong)
+      ws <- options.get("__statsWidths").map(_.split('|').toSeq
+        .filter(_.nonEmpty)
+        .map { e =>
+          val i = e.lastIndexOf(':'); e.substring(0, i) -> e.substring(i + 1).toInt
+        }.toMap)
+      if strCols.forall(ws.contains)
+    } yield (n, ws)
 
   // format-specific metadata options refused on formats that cannot
   // carry them, instead of silently dropping the user's declaration

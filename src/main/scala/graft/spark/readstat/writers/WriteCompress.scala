@@ -79,7 +79,20 @@ object WriteCompress {
 
   private val MillisPerDay = 86400000L
 
-  def apply(df: DataFrame, opts: Opts): DataFrame = {
+  def apply(df: DataFrame, opts: Opts): DataFrame = applyWithStats(df, opts)._1
+
+  /** r15: the compress stats job now ALSO measures row count and
+    * max-octet-width of every string column, and hands them to the
+    * writer — before this, a compress write ran THREE full passes over
+    * the outgoing data (compress stats, writer width/count agg, encode);
+    * the writer skips its own stats job when these cover its needs
+    * (guide §1.2: remove whole passes before tuning anything inside
+    * one). Width entries are for the string columns that SURVIVE
+    * narrowing (a narrowed column's width is meaningless); an all-null
+    * surviving string reports width 0 and the writers floor at 1
+    * exactly as they did reading a null max. */
+  def applyWithStats(df: DataFrame, opts: Opts):
+      (DataFrame, Option[(Long, Map[String, Int])]) = {
     val targeted = df.schema.fields.filter(f => opts.cols.forall(_(f.name)))
 
     // the numeric view of each column that participates in narrowing:
@@ -140,10 +153,16 @@ object WriteCompress {
       }
       base ++ num ++ temporal
     }
-    if (aggExprs.isEmpty) return df
+    if (aggExprs.isEmpty) return (df, None)
+    // piggy-backed writer stats: every string column's max octet width
+    // (TIME columns never reach here as strings; null max → 0 → writer
+    // floors at 1). Computed for ALL strings, filtered to survivors below.
+    val allStrCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val widthExprs = allStrCols.map(c =>
+      coalesce(max(octet_length(col(c))), lit(0)).as(s"__w_$c"))
     // __total guards the all-null → Boolean rule: the reference applies
     // it only to frames with rows (compress.rs:123 `s.len() > 0`)
-    val withTotal = count(lit(1)).as("__total") +: aggExprs
+    val withTotal = count(lit(1)).as("__total") +: (aggExprs ++ widthExprs)
     val stats = df.agg(withTotal.head, withTotal.tail: _*).collect()(0)
     val totalRows = stats.getAs[Long]("__total")
 
@@ -219,6 +238,11 @@ object WriteCompress {
         case None => col(f.name)
       }
     }
-    df.select(outCols.toIndexedSeq: _*)
+    val out = df.select(outCols.toIndexedSeq: _*)
+    val survivingWidths: Map[String, Int] = out.schema.fields
+      .filter(_.dataType == StringType).map(_.name)
+      .filter(allStrCols.contains)
+      .map(c => c -> stats.getAs[Int](s"__w_$c")).toMap
+    (out, Some((totalRows, survivingWidths)))
   }
 }

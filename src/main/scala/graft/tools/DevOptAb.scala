@@ -71,6 +71,42 @@ object DevOptAb {
         ("winnow default join", () => noop(winnowBody(None))),
         ("winnow SHUFFLE_MERGE", () => noop(winnowBody(Some("SHUFFLE_MERGE")))),
         ("winnow SHUFFLE_HASH", () => noop(winnowBody(Some("SHUFFLE_HASH")))))
+      // r15: old self-join shape (winnowBody None = the pre-r15
+      // production body) vs the current set-expansion production path
+      case "winnow15" => Seq(
+        ("winnow OLD self-join", () => noop(winnowBody(None))),
+        ("winnow NEW doc-set expansion", () =>
+          noop(graft.queries.Text.winnowPairs(spark, sfDir))))
+      case "containment15" => Seq(
+        ("containment OLD self-join", () => {
+          // pre-r15 direct branch, inlined: df>1 filter join + self-join
+          val shRaw = graft.operators.MinHashLsh
+            .shingles(documents(spark, sfDir), "doc_id", "text")
+            .withColumnRenamed("shingle", "sh")
+          val sh = shRaw
+            .filter(col("doc_id").isNotNull && col("sh").isNotNull)
+            .repartition(col("sh"))
+          val sizes = sh.groupBy("doc_id").agg(count(col("sh")).as("n_sh"))
+          val dfc = sh.groupBy("sh").agg(count(col("doc_id")).as("df"))
+          val shF = sh.join(dfc.filter(col("df") > 1).select("sh"), "sh")
+          val inter = shF.as("a").join(shF.as("b"), col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+            .agg(count(lit(1)).as("n_int"))
+          noop(inter
+            .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("n_sh", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+            .withColumn("containment",
+              round(col("n_int").cast("double") / least(col("n_a"), col("n_b")), 4))
+            .filter(col("containment") >= 0.5)
+            .select(col("id_a"), col("id_b"), col("containment"))
+            .orderBy("id_a", "id_b"))
+        }),
+        ("containment NEW doc-set expansion", () =>
+          noop(graft.queries.Text.containmentPairsImpl(spark, sfDir,
+            forcePrefix = Some(false)))))
       case "ngram" => Seq(
         ("ngram pairs (sampled probe)", () =>
           noop(graft.queries.Text.ngramJaccardPairs(spark, sfDir))),

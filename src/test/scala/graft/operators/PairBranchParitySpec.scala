@@ -40,18 +40,33 @@ class PairBranchParitySpec extends SparkTestBase {
     assert(bc == sj)
   }
 
-  test("q22 pair set stays distributed (parquet spill, no LocalRelation)") {
+  test("q22 pair set stays distributed ABOVE the local threshold") {
     // rounds 9-12 landed the pair set as a driver LocalRelation behind
     // a 5M-row hard bound; r13 replaced the collect with a distributed
-    // parquet spill. Pin that no non-empty LocalRelation feeds the
-    // recursion — the pair view must be file-backed at any scale.
-    val df = graft.queries.Relational.q22RecursiveClusters(spark, d)
+    // parquet spill; r15 added a cost-gated LOCAL recursion below a
+    // 2M-pair threshold (the Graph.connectedComponents dispatch). Pin
+    // that the distributed arm is still the over-threshold plan: with
+    // the local path disabled, no non-empty LocalRelation feeds the
+    // recursion — the pair view stays file-backed at any scale.
+    val df = graft.queries.Relational
+      .q22RecursiveClustersImpl(spark, d, localPairThreshold = 0L)
     val locals = df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
         if l.data.nonEmpty => l
     }
     assert(locals.isEmpty,
       s"q22 must not materialize pairs on the driver; found: $locals")
+  }
+
+  test("q22 local min-propagation == distributed recursive CTE") {
+    // the r15 local fast path must be row-identical to the distributed
+    // recursion it short-circuits
+    val local = rows(graft.queries.Relational
+      .q22RecursiveClustersImpl(spark, d, localPairThreshold = 2000000L))
+    val dist = rows(graft.queries.Relational
+      .q22RecursiveClustersImpl(spark, d, localPairThreshold = 0L))
+    assert(local.nonEmpty)
+    assert(local == dist)
   }
 
   test("q22 bounded-hop recursion == hash-min connected components") {
