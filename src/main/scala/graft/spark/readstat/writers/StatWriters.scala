@@ -70,11 +70,14 @@ object StatWriters {
         val (narrowed, stats) = WriteCompress.applyWithStats(df,
           WriteCompress.Opts.from(options, isDta = lower.endsWith(".dta")))
         val extra = stats match {
-          case Some((n, widths))
-              if widths.keys.forall(k => !k.contains(":") && !k.contains("|")) =>
+          case Some((n, widths, ranges))
+              if (widths.keys ++ ranges.keys)
+                .forall(k => !k.contains(":") && !k.contains("|")) =>
             Map("__statsNObs" -> n.toString,
               "__statsWidths" ->
-                widths.map { case (k, v) => s"$k:$v" }.mkString("|"))
+                widths.map { case (k, v) => s"$k:$v" }.mkString("|"),
+              "__statsRanges" ->
+                ranges.map { case (k, (lo, hi)) => s"$k:$lo:$hi" }.mkString("|"))
           case _ => Map.empty[String, String]
         }
         (narrowed, opts ++ extra)
@@ -96,6 +99,22 @@ object StatWriters {
         }.toMap)
       if strCols.forall(ws.contains)
     } yield (n, ws)
+
+  /** Precomputed integer min/max ranges (dta storage-type widening) from
+    * the compress stats job, if they cover every range column the
+    * caller needs (date columns never appear — the writer's own pass
+    * runs for those). */
+  private[writers] def precomputedRanges(options: Map[String, String],
+      rangeCols: Seq[String]): Option[Map[String, (Long, Long)]] =
+    options.get("__statsRanges").map(_.split('|').toSeq
+      .filter(_.nonEmpty)
+      .map { e =>
+        val j = e.lastIndexOf(':')
+        val i = e.lastIndexOf(':', j - 1)
+        e.substring(0, i) ->
+          (e.substring(i + 1, j).toLong, e.substring(j + 1).toLong)
+      }.toMap)
+      .filter(rs => rangeCols.forall(rs.contains))
 
   // format-specific metadata options refused on formats that cannot
   // carry them, instead of silently dropping the user's declaration

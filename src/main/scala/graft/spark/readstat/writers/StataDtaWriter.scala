@@ -209,22 +209,41 @@ object StataDtaWriter {
     }
     def strWidth(c: String): Column =
       if (legacyCharset) length(col(c)) else octet_length(col(c))
-    val aggs = (count(lit(1)).as("__n") +:
-      strCols.map(c => max(strWidth(c)).as(s"__w_$c"))) ++
-      rangeCols.flatMap(c => Seq(
-        min(storedValue(c)).as(s"__lo_$c"), max(storedValue(c)).as(s"__hi_$c")))
-    val head = StatWriters.statsView(df).agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
-    val nObs = head.getLong(0)
-    val widths: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
-      c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
-    }.toMap
-    val base = 1 + strCols.length
-    val ranges: Map[String, (Long, Long)] = rangeCols.zipWithIndex.map {
-      case (c, i) =>
-        val lo = if (head.isNullAt(base + 2 * i)) 0L else head.getLong(base + 2 * i)
-        val hi = if (head.isNullAt(base + 2 * i + 1)) 0L else head.getLong(base + 2 * i + 1)
-        c -> (lo, hi)
-    }.toMap
+    // r15: a compress write's stats job already measured the row count,
+    // string widths (octet_length — only valid here for the UTF-8
+    // versions, so legacyCharset falls back), and integer min/max ranges
+    // — reuse them instead of a second full pass. Date columns never
+    // carry precomputed ranges, so frames with DateType range columns
+    // fall back too.
+    val pre: Option[(Long, Map[String, Int], Map[String, (Long, Long)])] =
+      if (legacyCharset) None
+      else for {
+        (n, ws) <- StatWriters.precomputedStats(options, strCols.toSeq)
+        rs <- StatWriters.precomputedRanges(options, rangeCols.toSeq)
+      } yield (n, ws, rs)
+    val (nObs, widths, ranges): (Long, Map[String, Int], Map[String, (Long, Long)]) =
+      pre match {
+        case Some((n, ws, rs)) =>
+          (n, strCols.map(c => c -> math.max(1, ws(c))).toMap, rs)
+        case None =>
+          val aggs = (count(lit(1)).as("__n") +:
+            strCols.map(c => max(strWidth(c)).as(s"__w_$c"))) ++
+            rangeCols.flatMap(c => Seq(
+              min(storedValue(c)).as(s"__lo_$c"), max(storedValue(c)).as(s"__hi_$c")))
+          val head = StatWriters.statsView(df)
+            .agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+          val w: Map[String, Int] = strCols.zipWithIndex.map { case (c, i) =>
+            c -> math.max(1, if (head.isNullAt(i + 1)) 1 else head.getInt(i + 1))
+          }.toMap
+          val base = 1 + strCols.length
+          val r: Map[String, (Long, Long)] = rangeCols.zipWithIndex.map {
+            case (c, i) =>
+              val lo = if (head.isNullAt(base + 2 * i)) 0L else head.getLong(base + 2 * i)
+              val hi = if (head.isNullAt(base + 2 * i + 1)) 0L else head.getLong(base + 2 * i + 1)
+              c -> (lo, hi)
+          }.toMap
+          (head.getLong(0), w, r)
+      }
     def fits(name: String, lo: Long, hi: Long): Boolean = {
       val (mn, mx) = ranges(name)
       mn >= lo && mx <= hi

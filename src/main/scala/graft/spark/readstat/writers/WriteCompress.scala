@@ -81,18 +81,19 @@ object WriteCompress {
 
   def apply(df: DataFrame, opts: Opts): DataFrame = applyWithStats(df, opts)._1
 
-  /** r15: the compress stats job now ALSO measures row count and
-    * max-octet-width of every string column, and hands them to the
-    * writer — before this, a compress write ran THREE full passes over
-    * the outgoing data (compress stats, writer width/count agg, encode);
-    * the writer skips its own stats job when these cover its needs
-    * (guide §1.2: remove whole passes before tuning anything inside
-    * one). Width entries are for the string columns that SURVIVE
-    * narrowing (a narrowed column's width is meaningless); an all-null
-    * surviving string reports width 0 and the writers floor at 1
-    * exactly as they did reading a null max. */
+  /** r15: the compress stats job now ALSO measures row count,
+    * max-octet-width of every string column, and min/max of every
+    * integer-width output column, and hands them to the writer — before
+    * this, a compress write ran THREE full passes over the outgoing
+    * data (compress stats, writer width/count/range agg, encode); the
+    * writer skips its own stats job when these cover its needs (guide
+    * §1.2: remove whole passes before tuning anything inside one).
+    * Width entries are for the string columns that SURVIVE narrowing (a
+    * narrowed column's width is meaningless); an all-null surviving
+    * string reports width 0 and the writers floor at 1 exactly as they
+    * did reading a null max. */
   def applyWithStats(df: DataFrame, opts: Opts):
-      (DataFrame, Option[(Long, Map[String, Int])]) = {
+      (DataFrame, Option[(Long, Map[String, Int], Map[String, (Long, Long)])]) = {
     val targeted = df.schema.fields.filter(f => opts.cols.forall(_(f.name)))
 
     // the numeric view of each column that participates in narrowing:
@@ -243,6 +244,25 @@ object WriteCompress {
       .filter(_.dataType == StringType).map(_.name)
       .filter(allStrCols.contains)
       .map(c => c -> stats.getAs[Int](s"__w_$c")).toMap
-    (out, Some((totalRows, survivingWidths)))
+    // integer value ranges for the dta writer's storage-type widening:
+    // every targeted column whose OUTPUT type is an integer width and
+    // whose min/max the stats job measured (values are integral by the
+    // narrowing proof, so the double → long conversion is exact; date
+    // columns are never covered — their stored-value shift lives in the
+    // writer — and force the writer's own stats pass)
+    val intRanges: Map[String, (Long, Long)] = out.schema.fields.flatMap { f =>
+      idx.get(f.name).flatMap { i =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType
+              if numericView(targeted(i)).isDefined &&
+                stats.getAs[Long](s"c$i") > 0L &&
+                !stats.isNullAt(stats.fieldIndex(s"mn$i")) =>
+            Some(f.name -> (stats.getAs[Double](s"mn$i").toLong,
+              stats.getAs[Double](s"mx$i").toLong))
+          case _ => None
+        }
+      }
+    }.toMap
+    (out, Some((totalRows, survivingWidths, intRanges)))
   }
 }
